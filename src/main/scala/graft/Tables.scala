@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table loaders + declared schemas for the driver testdata
+  * (/root/repo/TESTDATA.md) and for the air-quality observation record
+  * modeled on the reference's 17-column StructType
+  * (reference: spark_processing/spark_processor.py:32-52).
+  */
+object Tables {
+
+  /** Read one testdata table. Parquet is self-describing (reference
+    * dashboard.py:47 does the same); Catalyst prunes columns and pushes
+    * filters into this scan automatically.
+    */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * TimestampType (microsecond) cannot read directly. Read nanos as long
+    * (legacy conf) and truncate to micros with INTEGER division — a double
+    * division would lose precision at 1e18-nanosecond magnitudes.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    t(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame      = t(spark, dir, "part")
+  def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
+
+  /** The air-quality observation schema, mirroring the reference's
+    * explicit 17-column StructType (spark_processor.py:34-52). Event time
+    * is kept as STRING at ingest exactly like the reference (producer.py:81
+    * emits ISO-8601 strings) and parsed with to_timestamp downstream.
+    */
+  val airQualitySchema: StructType = StructType(Seq(
+    StructField("location", StringType),
+    StructField("region", StringType),
+    StructField("country", StringType),
+    StructField("localtime", StringType),
+    StructField("temp_c", FloatType),
+    StructField("humidity", IntegerType),
+    StructField("condition", StringType),
+    StructField("timestamp", StringType),
+    StructField("co", FloatType),
+    StructField("no2", FloatType),
+    StructField("o3", FloatType),
+    StructField("so2", FloatType),
+    StructField("pm2_5", FloatType),
+    StructField("pm10", FloatType),
+    StructField("processed_timestamp", StringType),
+    StructField("kafka_offset", LongType),
+    StructField("kafka_partition", IntegerType)
+  ))
+
+  /** Schema of the flattened-in-flight record BEFORE consumer enrichment
+    * (producer.py:73-89 builds exactly these 14 fields). */
+  val airQualityWireSchema: StructType =
+    StructType(airQualitySchema.fields.filterNot(f =>
+      Set("processed_timestamp", "kafka_offset", "kafka_partition")(f.name)))
+}
