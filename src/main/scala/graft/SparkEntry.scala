@@ -6,12 +6,14 @@ object SparkEntry {
     * Runs the full reference pipeline shape: scan → clean → derive →
     * two-key aggregate (spark_processor.py:231-270 end-to-end). */
   def entry(spark: SparkSession): DataFrame =
-    etl.Analyze.a1LocationStats(spark, "/root/testdata/sf0.001")
+    etl.Analyze.a5TwoKeySummary(spark, "/root/testdata/sf0.001")
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    etl.Analyze.queries
+    etl.Analyze.queries ++ etl.Projections.queries ++
+      functions.FnQueries.queries ++ ext.SetOps.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    etl.Analyze.oracle
+    etl.Analyze.oracle ++ etl.Projections.oracle ++
+      functions.FnQueries.oracle ++ ext.SetOps.oracle
 }

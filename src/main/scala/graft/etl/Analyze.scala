@@ -29,8 +29,126 @@ object Analyze {
         count(lit(1)).as("reading_count"))
       .orderBy(col("event_type"))
 
+  /** A2/A9/O1 — grouped count, sorted desc by the aggregate
+    * (spark_processor.py:166-170's AQI distribution). */
+  def a2GroupCountDesc(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("event_type"))
+
+  /** A3 — global no-group aggregate, 5 rounded means
+    * (spark_processor.py:173-180). */
+  def a3GlobalMeans(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      round(avg(col("l_quantity")), 2).as("avg_qty"),
+      round(avg(col("l_extendedprice")), 2).as("avg_price"),
+      round(avg(col("l_discount")), 2).as("avg_discount"),
+      round(avg(col("l_tax")), 2).as("avg_tax"),
+      count(lit(1)).as("n"))
+
+  /** A4 — hourly pattern: per event-hour count + mean, ordered by key
+    * (spark_processor.py:183-189). */
+  def a4HourlyPattern(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("hour"))
+
+  /** A5 — two-key grouped summary: the reference's persisted
+    * location×AQI-category table (spark_processor.py:210-217), with the
+    * AQI bucket derived via the F1 CASE WHEN. */
+  def a5TwoKeySummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("aqi_category", graft.functions.AirQuality.aqiCategory(col("value")))
+      .groupBy(col("event_type"), col("aqi_category"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("event_type"), col("aqi_category"))
+
+  /** A6 — distinct counts (dashboard.py:181 nunique). */
+  def a6DistinctCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      countDistinct(col("user_id")).as("n_users"),
+      countDistinct(col("event_type")).as("n_types"))
+
+  /** A7 — total count (dashboard.py:187 len(df)). */
+  def a7TotalCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(count(lit(1)).as("n_rows"))
+
+  /** A8 — column means incl. a JSON-extracted measure (dashboard.py:192-199;
+    * F11 json path). */
+  def a8ColumnMeans(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .agg(
+        round(avg(col("value")), 2).as("avg_value"),
+        round(avg(col("k")), 2).as("avg_k"))
+
+  /** A9 — value_counts over documents.lang (dashboard.py:281). */
+  def a9ValueCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("lang"))
+
+  /** A10 — min/max range in one aggregate (dashboard.py:330-335). */
+  def a10MinMaxRange(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      round(max(col("value")) - min(col("value")), 2).as("value_range"),
+      round(min(col("value")), 2).as("min_value"),
+      round(max(col("value")), 2).as("max_value"))
+
+  /** A11 — equi-width histogram binning (dashboard.py:319). */
+  def a11Histogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(floor(col("value") / 25).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+
+  /** A12 — approx distinct at scale (HLL) side-by-side with exact.
+    * approx_count_distinct is engine-specific → rows-only check (no oracle). */
+  def a12ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir).agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"))
+
+  /** A13 — rollup over two keys with subtotal rows; group keys coalesced to
+    * 'ALL' so ordering is engine-independent (Spark sorts NULLS FIRST,
+    * DuckDB NULLS LAST). */
+  def a13Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** A14 — exact percentiles with linear interpolation (matches DuckDB
+    * quantile_cont). percentile_approx would not hash-match an oracle. */
+  def a14Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 2).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "a1_location_stats" -> a1LocationStats
+    "a1_location_stats" -> a1LocationStats,
+    "a2_group_count_desc" -> a2GroupCountDesc,
+    "a3_global_means" -> a3GlobalMeans,
+    "a4_hourly_pattern" -> a4HourlyPattern,
+    "a5_two_key_summary" -> a5TwoKeySummary,
+    "a6_distinct_count" -> a6DistinctCount,
+    "a7_total_count" -> a7TotalCount,
+    "a8_column_means" -> a8ColumnMeans,
+    "a9_value_counts" -> a9ValueCounts,
+    "a10_minmax_range" -> a10MinMaxRange,
+    "a11_histogram" -> a11Histogram,
+    "a12_approx_distinct" -> a12ApproxDistinct,
+    "a13_rollup" -> a13Rollup,
+    "a14_percentiles" -> a14Percentiles
   )
 
   val oracle: Map[String, String] = Map(
@@ -40,6 +158,56 @@ object Analyze {
         |  round(min(value), 2) AS min_value,
         |  round(max(value), 2) AS max_value,
         |  count(*) AS reading_count
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a2_group_count_desc" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY n DESC, event_type",
+    "a3_global_means" ->
+      """SELECT round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 2) AS avg_discount,
+        |  round(avg(l_tax), 2) AS avg_tax,
+        |  count(*) AS n FROM lineitem""".stripMargin,
+    "a4_hourly_pattern" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour, count(*) AS n,
+        |  round(avg(value), 2) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
+    "a5_two_key_summary" ->
+      """SELECT event_type,
+        |  CASE WHEN value <= 12 THEN 'Good'
+        |       WHEN value <= 35 THEN 'Moderate'
+        |       WHEN value <= 55 THEN 'Unhealthy for Sensitive Groups'
+        |       WHEN value <= 150 THEN 'Unhealthy'
+        |       WHEN value <= 250 THEN 'Very Unhealthy'
+        |       ELSE 'Hazardous' END AS aqi_category,
+        |  count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY event_type, aqi_category""".stripMargin,
+    "a6_distinct_count" ->
+      "SELECT count(DISTINCT user_id) AS n_users, count(DISTINCT event_type) AS n_types FROM events",
+    "a7_total_count" -> "SELECT count(*) AS n_rows FROM lineitem",
+    "a8_column_means" ->
+      """SELECT round(avg(value), 2) AS avg_value,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 2) AS avg_k
+        |FROM events""".stripMargin,
+    "a9_value_counts" ->
+      "SELECT lang, count(*) AS n FROM documents GROUP BY lang ORDER BY n DESC, lang",
+    "a10_minmax_range" ->
+      """SELECT round(max(value) - min(value), 2) AS value_range,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value FROM events""".stripMargin,
+    "a11_histogram" ->
+      """SELECT CAST(floor(value / 25) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "a13_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "a14_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1,0 +1,147 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Projection / filter / sort operators (SURVEY §2.2 P1-P7 and §2.6 O1-O5).
+  * Filters and narrow selects stay declarative so they reach the parquet
+  * scan as PushedFilters/ReadSchema — Catalyst prunes unread columns.
+  */
+object Projections {
+
+  /** P1 — exact full-row dedup (spark_processor.py:83), surfaced as a
+    * deterministic count so the result is order-independent. */
+  def p1DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Clean.dedup(Tables.events(spark, dir)).agg(count(lit(1)).as("n_distinct_rows"))
+
+  /** P2 — IS NOT NULL filter chain (spark_processor.py:84-86). */
+  def p2NullFilter(spark: SparkSession, dir: String): DataFrame =
+    Clean.requireFields(Seq("event_type", "value", "ts"))(Tables.events(spark, dir))
+      .agg(count(lit(1)).as("n_valid_rows"))
+
+  /** P3/O3 — narrow column projection + keyed sort + limit
+    * (spark_processor.py:153). The 4-column select prunes the parquet scan
+    * to exactly those columns. */
+  def p3Projection(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .limit(50)
+
+  /** P5 — IN-list filter (dashboard.py:349-352). */
+  def p5InListFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 2).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** P6 — schema-driven numeric projection (dashboard.py:290
+    * select_dtypes): the numeric column set is discovered from the schema,
+    * not hardcoded. */
+  def p6NumericProjection(spark: SparkSession, dir: String): DataFrame = {
+    val df = Tables.lineitem(spark, dir)
+    val numeric = df.schema.fields.collect {
+      case f if f.dataType.typeName.matches("double|float|integer|long") => f.name
+    }.sorted
+    df.select(numeric.map(col): _*)
+      .agg(numeric.map(c => round(avg(col(c)), 2).as(s"avg_$c")).head,
+        numeric.map(c => round(avg(col(c)), 2).as(s"avg_$c")).tail: _*)
+  }
+
+  /** P7 — latest-reading selector done distributed: max_by per group
+    * (dashboard.py:266 does iloc[-1] in pandas; the Spark-native form is an
+    * argmax aggregate, no sort + collect). Keyed on event_id (the insertion
+    * sequence) for tie-free determinism. */
+  def p7LatestReading(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(max_by(col("value"), col("event_id")).as("latest_value"),
+        max(col("event_id")).as("latest_event_id"))
+      .orderBy(col("event_type"))
+
+  /** O1 — sort desc by an aggregate (spark_processor.py:169). */
+  def o1SortByAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("p_brand"))
+
+  /** O2 — sort asc by key (spark_processor.py:189). */
+  def o2SortAscByKey(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir).orderBy(col("n_name"))
+
+  /** O4 — sort by event time (dashboard.py:99). Timestamp is projected as
+    * a second-precision string so nanosecond-vs-microsecond parquet
+    * precision cannot affect cross-engine ordering or values. */
+  def o4SortByTimestamp(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"))
+      .orderBy(col("ts_s"), col("event_id"))
+      .limit(100)
+
+  /** O5 — top-N by measure: Spark plans orderBy+limit as
+    * TakeOrderedAndProject (no global sort, per-partition heaps). */
+  def o5TopN(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_dedup_exact" -> p1DedupExact,
+    "p2_null_filter" -> p2NullFilter,
+    "p3_projection" -> p3Projection,
+    "p5_inlist_filter" -> p5InListFilter,
+    "p6_numeric_projection" -> p6NumericProjection,
+    "p7_latest_reading" -> p7LatestReading,
+    "o1_sort_by_agg" -> o1SortByAgg,
+    "o2_sort_asc_by_key" -> o2SortAscByKey,
+    "o4_sort_by_timestamp" -> o4SortByTimestamp,
+    "o5_top_n" -> o5TopN
+  )
+
+  val oracle: Map[String, String] = Map(
+    "p1_dedup_exact" ->
+      "SELECT count(*) AS n_distinct_rows FROM (SELECT DISTINCT * FROM events)",
+    "p2_null_filter" ->
+      """SELECT count(*) AS n_valid_rows FROM events
+        |WHERE event_type IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL""".stripMargin,
+    "p3_projection" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |LIMIT 50""".stripMargin,
+    "p5_inlist_filter" ->
+      """SELECT event_type, count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM events WHERE event_type IN ('click', 'view')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "p6_numeric_projection" ->
+      """SELECT round(avg(l_discount), 2) AS avg_l_discount,
+        |  round(avg(l_extendedprice), 2) AS avg_l_extendedprice,
+        |  round(avg(l_linenumber), 2) AS avg_l_linenumber,
+        |  round(avg(l_orderkey), 2) AS avg_l_orderkey,
+        |  round(avg(l_partkey), 2) AS avg_l_partkey,
+        |  round(avg(l_quantity), 2) AS avg_l_quantity,
+        |  round(avg(l_suppkey), 2) AS avg_l_suppkey,
+        |  round(avg(l_tax), 2) AS avg_l_tax
+        |FROM lineitem""".stripMargin,
+    "p7_latest_reading" ->
+      """SELECT event_type, max_by(value, event_id) AS latest_value,
+        |  max(event_id) AS latest_event_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "o1_sort_by_agg" ->
+      "SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand ORDER BY n DESC, p_brand",
+    "o2_sort_asc_by_key" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_name",
+    "o4_sort_by_timestamp" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s, value
+        |FROM events ORDER BY ts_s, event_id LIMIT 100""".stripMargin,
+    "o5_top_n" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+  )
+}
