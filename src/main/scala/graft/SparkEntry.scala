@@ -10,10 +10,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.Analyze.queries ++ etl.Projections.queries ++
-      functions.FnQueries.queries ++ ext.SetOps.queries
+      functions.FnQueries.queries ++ ext.SetOps.queries ++
+      ext.Joins.queries ++ ext.WindowFns.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     etl.Analyze.oracle ++ etl.Projections.oracle ++
-      functions.FnQueries.oracle ++ ext.SetOps.oracle
+      functions.FnQueries.oracle ++ ext.SetOps.oracle ++
+      ext.Joins.oracle ++ ext.WindowFns.oracle
 }

@@ -1,0 +1,171 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Join operators (SURVEY §2.3 J1-J6) over the star schema. Scale rules
+  * applied throughout: dimension sides (region 5 rows, nation 25, part,
+  * tier tables) are explicitly `broadcast()` so no shuffle of the fact side
+  * ever happens for a dim lookup; the only shuffle joins are fact↔fact
+  * (customer↔orders, events↔events) which hash-partition on the join key —
+  * exactly what a 1000-executor cluster wants. AQE handles skew.
+  */
+object Joins {
+
+  /** J1 — two-hop equi inner join fact↔dim↔dim with broadcast dims. */
+  def j1InnerJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_balance"))
+      .orderBy(col("r_name"))
+
+  /** J2 — left outer join: every customer, with or without orders. */
+  def j2LeftOuter(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_price"))
+      .orderBy(col("c_mktsegment"))
+
+  /** J3a — left semi: nations having at least one customer (EXISTS). */
+  def j3Semi(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("n_nationkey") === col("c_nationkey"), "left_semi")
+      .select(col("n_nationkey"), col("n_name"))
+      .orderBy(col("n_nationkey"))
+
+  /** J3b — left anti: customers that never ordered (NOT EXISTS), rolled up
+    * per nation. */
+  def j3Anti(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_idle_customers"))
+      .orderBy(col("c_nationkey"))
+
+  /** J4 — explicit broadcast-hint join on the fact table's dim lookup:
+    * 600k lineitem rows never shuffle; part ships to every executor. */
+  def j4BroadcastHint(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+
+  /** J5 — theta/range join against a tiny literal tier table: planned as
+    * BroadcastNestedLoopJoin (the 4-row side broadcasts; the fact side
+    * streams through without shuffling). */
+  def j5RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tiers = Seq(
+      ("t1_small", 0.0, 50000.0),
+      ("t2_medium", 50000.0, 150000.0),
+      ("t3_large", 150000.0, 300000.0),
+      ("t4_jumbo", 300000.0, 1e12)
+    ).toDF("tier", "lo", "hi")
+    Tables.orders(spark, dir)
+      .join(broadcast(tiers),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n"), round(avg(col("o_totalprice")), 2).as("avg_price"))
+      .orderBy(col("tier"))
+  }
+
+  /** J6 — as-of join: for each purchase, the most recent click by the same
+    * user at or before it. Equi key = user_id (so the join shuffles/
+    * co-partitions on user, never a cross product); the temporal predicate
+    * rides inside the join condition. Output is all-integer per-user
+    * summary for cross-engine determinism. */
+  def j6AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c, p("user_id") === c("c_user") && c("c_ts") <= p("p_ts"), "left_outer")
+      .groupBy(col("user_id"), col("p_id"), col("p_ts"))
+      .agg(max(col("c_ts")).as("last_click"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("last_click")).as("n_matched"),
+        max(unix_timestamp(col("p_ts")) - unix_timestamp(col("last_click")))
+          .as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j1_inner_join" -> j1InnerJoin,
+    "j2_left_outer" -> j2LeftOuter,
+    "j3_semi" -> j3Semi,
+    "j3_anti" -> j3Anti,
+    "j4_broadcast_hint" -> j4BroadcastHint,
+    "j5_range_join" -> j5RangeJoin,
+    "j6_asof_join" -> j6AsOfJoin
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j1_inner_join" ->
+      """SELECT r_name, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_balance
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "j2_left_outer" ->
+      """SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+        |  count(DISTINCT c_custkey) AS n_customers,
+        |  round(sum(coalesce(o_totalprice, 0)), 2) AS total_price
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "j3_semi" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE EXISTS (SELECT 1 FROM customer WHERE c_nationkey = n_nationkey)
+        |ORDER BY n_nationkey""".stripMargin,
+    "j3_anti" ->
+      """SELECT c_nationkey, count(*) AS n_idle_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "j4_broadcast_hint" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "j5_range_join" ->
+      """SELECT tier, count(*) AS n, round(avg(o_totalprice), 2) AS avg_price
+        |FROM orders
+        |JOIN (VALUES ('t1_small', 0.0, 50000.0),
+        |             ('t2_medium', 50000.0, 150000.0),
+        |             ('t3_large', 150000.0, 300000.0),
+        |             ('t4_jumbo', 300000.0, 1e12)) AS tiers(tier, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    "j6_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id AS c_user, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     m AS (SELECT p.user_id, p.p_id, p.p_ts, max(c.c_ts) AS last_click
+        |           FROM p LEFT JOIN c
+        |             ON p.user_id = c.c_user AND c.c_ts <= p.p_ts
+        |           GROUP BY 1, 2, 3)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  count(last_click) AS n_matched,
+        |  max(CAST(floor(epoch(p_ts)) AS BIGINT)
+        |      - CAST(floor(epoch(last_click)) AS BIGINT)) AS max_gap_s
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

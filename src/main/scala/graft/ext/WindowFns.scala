@@ -1,0 +1,116 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Window-function operators (SURVEY §2.5 W1-W4). Each window partitions by
+  * a real key (event_type / user_id) so state is distributed across
+  * executors — one shuffle on the partition key, then per-partition sorts;
+  * no global sort, no driver collect. Window ORDER BY uses event_id (the
+  * unique insertion sequence, time-correlated) so frame order is exactly
+  * reproducible across engines regardless of timestamp precision.
+  */
+object WindowFns {
+
+  /** W1 — top-N per group via row_number (the distributed form of the
+    * dashboard's sort+head at dashboard.py:357). */
+  def w1TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("event_type"), col("rn"), col("event_id"), col("value"))
+      .orderBy(col("event_type"), col("rn"))
+  }
+
+  /** W2 — lag delta: change vs the user's previous reading (the real form
+    * of the dashboard's hardcoded gauge delta, dashboard.py:73). */
+  def w2LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(col("delta")).as("n_deltas"),
+        round(avg(col("delta")), 2).as("avg_delta"),
+        round(max(col("delta")), 2).as("max_delta"))
+      .orderBy(col("user_id"))
+  }
+
+  /** W3 — 1-hour trailing moving aggregate per group: a RANGE frame over
+    * epoch seconds, so frame membership is value-defined (tie-order
+    * independent) and identical across engines. Moving SUM + frame count
+    * rather than moving avg: the values carry exactly 2 decimals, so the
+    * true sum is an integer number of cents and round(_,2) can never land
+    * on a half-cent boundary (a moving avg can, and engines then disagree
+    * in the last ulp). */
+  def w3MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("epoch_s")).rangeBetween(-3600, 0)
+    Tables.events(spark, dir)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("mov_sum", round(sum(col("value")).over(w), 2))
+      .withColumn("n_frame", count(lit(1)).over(w))
+      .filter(col("event_id") < 300)
+      .select(col("event_id"), col("event_type"), col("mov_sum"), col("n_frame"))
+      .orderBy(col("event_id"))
+  }
+
+  /** W4 — running cumulative sum per user in insertion order. */
+  def w4RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .withColumn("running_total", round(sum(col("value")).over(w), 2))
+      .filter(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), col("running_total"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w1_topn_per_group" -> w1TopNPerGroup,
+    "w2_lag_delta" -> w2LagDelta,
+    "w3_moving_avg" -> w3MovingAvg,
+    "w4_running_sum" -> w4RunningSum
+  )
+
+  val oracle: Map[String, String] = Map(
+    "w1_topn_per_group" ->
+      """SELECT event_type, rn, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    CAST(row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS INT) AS rn
+        |  FROM events) WHERE rn <= 3
+        |ORDER BY event_type, rn""".stripMargin,
+    "w2_lag_delta" ->
+      """SELECT user_id, count(delta) AS n_deltas,
+        |  round(avg(delta), 2) AS avg_delta,
+        |  round(max(delta), 2) AS max_delta
+        |FROM (SELECT user_id,
+        |        value - lag(value, 1) OVER (PARTITION BY user_id
+        |          ORDER BY event_id) AS delta
+        |      FROM events)
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "w3_moving_avg" ->
+      """SELECT event_id, event_type, mov_sum, n_frame FROM (
+        |  SELECT event_id, event_type,
+        |    round(sum(value) OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS mov_sum,
+        |    count(*) OVER (PARTITION BY event_type
+        |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_frame
+        |  FROM events) WHERE event_id < 300
+        |ORDER BY event_id""".stripMargin,
+    "w4_running_sum" ->
+      """SELECT user_id, event_id, running_total FROM (
+        |  SELECT user_id, event_id,
+        |    round(sum(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |      AS running_total
+        |  FROM events) WHERE user_id < 10
+        |ORDER BY user_id, event_id""".stripMargin
+  )
+}
