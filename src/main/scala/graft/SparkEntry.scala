@@ -11,11 +11,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.Analyze.queries ++ etl.Projections.queries ++
       functions.FnQueries.queries ++ ext.SetOps.queries ++
-      ext.Joins.queries ++ ext.WindowFns.queries
+      ext.Joins.queries ++ ext.WindowFns.queries ++
+      ext.TextStats.queries ++ ext.Similarity.queries ++ ext.Dedup.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     etl.Analyze.oracle ++ etl.Projections.oracle ++
       functions.FnQueries.oracle ++ ext.SetOps.oracle ++
-      ext.Joins.oracle ++ ext.WindowFns.oracle
+      ext.Joins.oracle ++ ext.WindowFns.oracle ++
+      ext.TextStats.oracle ++ ext.Similarity.oracle ++ ext.Dedup.oracle
 }

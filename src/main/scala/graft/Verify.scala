@@ -19,7 +19,10 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] $name failed: ${e.getClass.getName}: ${e.getMessage}")
+        e.getStackTrace.take(5).foreach(f => System.err.println(s"[verify]   at $f"))
+        Option(e.getCause).foreach(c =>
+          System.err.println(s"[verify]   caused by: ${c.getClass.getName}: ${c.getMessage}"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -1,0 +1,160 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: exact dedup, md5 fingerprinting, token/length/quality
+  * stats, heuristic language ID, and opaque-binary (multimodal) metadata.
+  * Everything here is built-in codegen'd functions — per-doc work
+  * parallelizes embarrassingly; the only shuffles are the final small
+  * group-bys on lang/source.
+  */
+object TextStats {
+
+  /** D1 — exact dedup accounting per language: the count vs distinct-count
+    * gap is the duplicate mass `dropDuplicates("text")` would remove. */
+  def d1ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_unique"))
+      .orderBy(col("lang"))
+
+  /** D2 — document fingerprinting: md5 over whitespace-normalized
+    * lowercased text; dedup-by-fingerprint stats per source. At 100 TB the
+    * fingerprint is what you shuffle, never the document body. */
+  def d2Fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+    Tables.documents(spark, dir)
+      .withColumn("fp", fp)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fingerprints"),
+        min(col("fp")).as("min_fp"))
+      .orderBy(col("source"))
+  }
+
+  /** T1 — token counting + length stats per language: whitespace tokens
+    * and a regex tokenizer (word / number / punctuation classes — the
+    * BPE-ish pre-tokenization split). Integer sums divide exactly, so the
+    * rounded averages are engine-exact. */
+  def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("re_tokens",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 2).as("avg_chars"),
+        round(avg(col("ws_tokens")), 2).as("avg_ws_tokens"),
+        round(avg(col("re_tokens")), 2).as("avg_re_tokens"),
+        max(length(col("text"))).as("max_len"))
+      .orderBy(col("lang"))
+
+  /** T2 — quality scoring: stopword ratio, mean word length, and a
+    * composite keep/drop signal (the Gopher-style length+stopword rule). */
+  def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val nWords = size(words)
+    val nStop = size(filter(words, w =>
+      w.isin("the", "a", "of", "to", "and", "in", "is", "on")))
+    Tables.documents(spark, dir)
+      .withColumn("n_words", nWords)
+      .withColumn("stop_ratio", round(nStop.cast("double") / nWords, 4))
+      .withColumn("keep",
+        (col("n_words") >= 10) && (col("stop_ratio") >= 0.05))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        round(avg(col("stop_ratio")), 4).as("avg_stop_ratio"))
+      .orderBy(col("source"))
+  }
+
+  /** T3 — heuristic language ID by stopword evidence (an n-gram/stopword
+    * classifier expressible as pure relational ops), cross-tabbed against
+    * the labeled lang. */
+  def t3LangId(spark: SparkSession, dir: String): DataFrame = {
+    val t = concat(lit(" "), lower(col("text")), lit(" "))
+    val predicted =
+      when(t.contains(" the ") || t.contains(" and "), "en")
+        .when(t.contains(" le ") || t.contains(" les ") || t.contains(" et "), "fr")
+        .when(t.contains(" el ") || t.contains(" los "), "es")
+        .when(t.contains(" der ") || t.contains(" und "), "de")
+        .otherwise("other")
+    Tables.documents(spark, dir)
+      .withColumn("predicted", predicted)
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("predicted"))
+  }
+
+  /** MM1 — multimodal plumbing: documents as opaque binary payloads with
+    * typed metadata (the schema shape image/audio bytes flow through);
+    * metadata extraction is pure column ops on the binary. */
+  def mm1BinaryMeta(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(expr("octet_length(payload)").cast("long")).as("total_bytes"),
+        max(expr("octet_length(payload)")).as("max_bytes"))
+      .orderBy(col("source"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dedup" -> d1ExactDedup,
+    "d2_fingerprint" -> d2Fingerprint,
+    "t1_token_stats" -> t1TokenStats,
+    "t2_quality_score" -> t2QualityScore,
+    "t3_lang_id" -> t3LangId,
+    "mm1_binary_meta" -> mm1BinaryMeta
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_dedup" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "d2_fingerprint" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_fingerprints,
+        |  min(md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS min_fp
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t1_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  round(avg(len(string_split(text, ' '))), 2) AS avg_ws_tokens,
+        |  round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))), 2) AS avg_re_tokens,
+        |  CAST(max(length(text)) AS INT) AS max_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "t2_quality_score" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    len(string_split(lower(text), ' ')) AS n_words,
+        |    round(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','of','to','and','in','is','on')))
+        |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4) AS stop_ratio
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_words >= 10 AND stop_ratio >= 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(avg(stop_ratio), 4) AS avg_stop_ratio
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "t3_lang_id" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN t LIKE '% the %' OR t LIKE '% and %' THEN 'en'
+        |      WHEN t LIKE '% le %' OR t LIKE '% les %' OR t LIKE '% et %' THEN 'fr'
+        |      WHEN t LIKE '% el %' OR t LIKE '% los %' THEN 'es'
+        |      WHEN t LIKE '% der %' OR t LIKE '% und %' THEN 'de'
+        |      ELSE 'other' END AS predicted
+        |  FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents))
+        |SELECT lang, predicted, count(*) AS n
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "mm1_binary_meta" ->
+      """SELECT source, count(*) AS n_payloads,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |  CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+  )
+}

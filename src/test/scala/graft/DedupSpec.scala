@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Dedup
+
+/** MinHash-LSH / SimHash behavior on planted near-duplicates: the LSH
+  * candidate generation must surface heavily-overlapping docs and must not
+  * pair disjoint ones. */
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps near the warm fire in winter"
+
+  private def docs = Seq(
+    (0L, base),
+    (1L, base + " tonight"),                       // near-dup of 0
+    (2L, base.replace("winter", "summer")),        // near-dup of 0
+    (3L, "completely different words about spark catalyst optimizer plans and shuffle partitions here"),
+    (4L, "another unrelated document concerning parquet columnar storage and predicate pushdown semantics")
+  ).toDF("doc_id", "text")
+
+  test("minhash LSH finds planted near-dups and skips unrelated docs") {
+    val pairs = Dedup.minhashPairsDf(docs, bands = 8, rowsPerBand = 4, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(pairs.contains((0L, 2L)))
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).size == 1 &&
+      Set(a, b).intersect(Set(0L, 1L, 2L)).size == 1 })
+  }
+
+  test("minhash jaccard estimate agrees with exact jaccard on candidates") {
+    val withJ = Dedup.minhashPairsDf(docs, threshold = 0.1)
+      .select("id_a", "id_b", "jaccard").collect()
+    withJ.foreach { r =>
+      val j = r.getDouble(2)
+      assert(j > 0.0 && j <= 1.0)
+    }
+  }
+
+  test("simhash of identical docs is identical; near-dups are close in hamming") {
+    val sh = Dedup.simhash(docs.union(Seq((5L, base)).toDF("doc_id", "text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(5L)) // identical text → identical signature
+    val hamming01 = java.lang.Long.bitCount(sh(0L) ^ sh(1L))
+    val hamming03 = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hamming01 < hamming03) // near-dup closer than unrelated
+  }
+
+  test("d5 exact ngram jaccard is symmetric-free (id_a < id_b) and bounded") {
+    val out = ext.Dedup.d5NgramJaccard(spark, "/root/testdata/sf0.001").collect()
+    out.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.2 && r.getDouble(2) <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine column matches a hand-computed value") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].head()
+    val exp = 10.0 / (math.sqrt(14.0) * math.sqrt(14.0)) // dot=3+4+3=10
+    assert(math.abs(got - exp) < 1e-12)
+  }
+
+  test("brute-force top-k ranks an identical vector first") {
+    // Planted: vec 7 equals vec 0 → cosine 1.0 must rank first.
+    val vecs = (0 until 20).map { i =>
+      val v = if (i == 7) Array.fill(8)(0.5f)
+      else Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f)
+      (i.toLong, v)
+    }
+    val base = Array.fill(8)(0.5f)
+    val df = (Seq((0L, base)) ++ vecs.drop(1)).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("simtest").toString
+    df.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val top = Similarity.sim1CosineTopK(spark, dir).head()
+    assert(top.getLong(0) == 7L)
+    assert(top.getDouble(1) == 1.0)
+  }
+
+  test("LSH ANN results are a subset of true neighbors with exact cosines") {
+    val ann = Similarity.sim2AnnLsh(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double)].collect().toMap
+    val brute = Similarity.sim1CosineTopK(spark, "/root/testdata/sf0.001")
+    // all-pairs truth for the same query vector
+    val all = {
+      val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select(col("vec_id"), expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val q = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), round(Similarity.cosine(col("emb"), col("qemb")), 4).as("c"))
+        .as[(Long, Double)].collect().toMap
+    }
+    ann.foreach { case (id, c) => assert(math.abs(all(id) - c) < 1e-9) }
+    assert(ann.nonEmpty)
+    // brute top-1 is the global argmax
+    val bruteTop = brute.head()
+    assert(all.values.max == bruteTop.getDouble(1))
+  }
+}
