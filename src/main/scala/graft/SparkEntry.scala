@@ -12,12 +12,14 @@ object SparkEntry {
     etl.Analyze.queries ++ etl.Projections.queries ++
       functions.FnQueries.queries ++ ext.SetOps.queries ++
       ext.Joins.queries ++ ext.WindowFns.queries ++
-      ext.TextStats.queries ++ ext.Similarity.queries ++ ext.Dedup.queries
+      ext.TextStats.queries ++ ext.Similarity.queries ++ ext.Dedup.queries ++
+      sources.Sources.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     etl.Analyze.oracle ++ etl.Projections.oracle ++
       functions.FnQueries.oracle ++ ext.SetOps.oracle ++
       ext.Joins.oracle ++ ext.WindowFns.oracle ++
-      ext.TextStats.oracle ++ ext.Similarity.oracle ++ ext.Dedup.oracle
+      ext.TextStats.oracle ++ ext.Similarity.oracle ++ ext.Dedup.oracle ++
+      sources.Sources.oracle
 }

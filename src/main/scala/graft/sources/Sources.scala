@@ -1,0 +1,132 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch sources and sinks (SURVEY §2.1).
+  *
+  *  - S7: schema'd multiline JSON scan (spark_processor.py:59-62) — the
+  *    declared schema skips Spark's inference pre-pass over the files.
+  *  - S9: parquet-with-JSON-fallback read (dashboard.py:45-52).
+  *  - S10: overwrite parquet sink partitioned by location/year/month
+  *    (spark_processor.py:202-205) — hive-partitioned layout gives
+  *    partition pruning to every downstream reader.
+  *  - S11/S12: single-file summary CSV (spark_processor.py:219-224);
+  *    coalesce(1) is safe ONLY for small aggregate outputs — never a fact
+  *    table.
+  *  - S2: flatten of the nested upstream API payload (producer.py:63-95)
+  *    with 0-defaults for missing pollutants (F13).
+  */
+object Sources {
+
+  /** S7 — read a directory of JSON observation files with the explicit
+    * 17-column schema, multiline tolerant. */
+  def readAirQualityJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(Tables.airQualitySchema)
+      .option("multiline", "true").json(path)
+
+  /** S9 — prefer parquet, fall back to JSON inference if missing/corrupt. */
+  def readWithFallback(spark: SparkSession, parquetPath: String,
+                       jsonPath: String): DataFrame =
+    scala.util.Try(spark.read.parquet(parquetPath))
+      .getOrElse(spark.read.json(jsonPath))
+
+  /** S10 — partitioned overwrite parquet sink. */
+  def writePartitioned(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy("location", "year", "month")
+      .parquet(path)
+
+  /** S11/S12 — single-file CSV with header (small aggregates only). */
+  def writeSummaryCsv(df: DataFrame, path: String): Unit =
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
+  /** S2 — flatten the nested API payload shape
+    * {location:{name,region,country,localtime},
+    *  current:{temp_c,humidity,condition:{text},air_quality:{...}}}
+    * into the flat wire record, defaulting missing pollutants to 0
+    * (producer.py:83-88). Schema-tolerant like the reference's dict.get:
+    * a pollutant absent from the inferred schema becomes a literal 0, not
+    * an analysis error. */
+  def flattenApiPayload(nested: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    def hasPath(path: Seq[String]): Boolean = {
+      path.foldLeft(Option(nested.schema: org.apache.spark.sql.types.DataType)) {
+        case (Some(st: StructType), name) =>
+          st.fields.find(_.name == name).map(_.dataType)
+        case _ => None
+      }.isDefined
+    }
+    def pollutant(name: String) = {
+      val path = Seq("current", "air_quality", name)
+      if (hasPath(path))
+        coalesce(col(path.mkString(".")).cast("double"), lit(0d)).as(name)
+      else lit(0d).as(name)
+    }
+    nested.select(Seq(
+      col("location.name").as("location"),
+      col("location.region").as("region"),
+      col("location.country").as("country"),
+      col("location.localtime").as("localtime"),
+      col("current.temp_c").as("temp_c"),
+      col("current.humidity").as("humidity"),
+      col("current.condition.text").as("condition"),
+      col("timestamp")) ++
+      Seq("co", "no2", "o3", "so2", "pm2_5", "pm10").map(pollutant): _*)
+  }
+
+  /** S7+S10 surfaced to the driver as a deterministic round-trip query:
+    * documents → JSON files → schema'd read-back → checksum. The oracle
+    * runs the same aggregate over the ORIGINAL table — equality proves the
+    * JSON write+schema'd read is lossless. */
+  def s7JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s7_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
+    docs.write.mode("overwrite").json(tmp)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).json(tmp)
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
+  /** S10+S8 surfaced to the driver: partitioned parquet write of derived
+    * events, read back with partition pruning (only 2 of 12 month
+    * partitions scanned). Oracle aggregates the original events table —
+    * equality proves the hive-partitioned round-trip is lossless. */
+  def s10PartitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s10_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    Tables.events(spark, dir)
+      .withColumn("year", year(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .write.mode("overwrite").partitionBy("event_type", "month").parquet(tmp)
+    spark.read.parquet(tmp)
+      .filter(col("month").isin(1, 2)) // partition-pruned scan
+      .groupBy(col("event_type"), col("month"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"), col("month"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s7_json_roundtrip" -> s7JsonRoundtrip,
+    "s10_partitioned_roundtrip" -> s10PartitionedRoundtrip
+  )
+
+  val oracle: Map[String, String] = Map(
+    "s7_json_roundtrip" ->
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents WHERE doc_id < 100""".stripMargin,
+    "s10_partitioned_roundtrip" ->
+      """SELECT event_type, CAST(month(ts) AS INT) AS month, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value
+        |FROM events WHERE month(ts) IN (1, 2)
+        |GROUP BY 1, 2 ORDER BY event_type, month""".stripMargin
+  )
+}

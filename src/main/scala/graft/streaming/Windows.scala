@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Event-time windowing and stateful streaming semantics (SURVEY §2.9
+  * T6-T9). All transforms are `DataFrame => DataFrame` on a streaming
+  * frame with an event-time column `ts` — shared by MemoryStream tests and
+  * any production source. State is keyed by (window, group) so it
+  * partitions across executors; watermarks bound state size, which is what
+  * makes these safe on an unbounded 100 TB/day stream.
+  */
+object Windows {
+
+  /** T6+T7 — 1-hour tumbling event-time aggregate with a 10-minute
+    * watermark (late rows beyond the watermark are dropped; state for
+    * closed windows is evicted). */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** T9a — 10-minute sliding window, 5-minute slide. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** T9b — session windows: activity separated by >5 minutes of silence
+    * starts a new session. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "5 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** T9c — stateful streaming dedup: drops reoccurrences of the same key
+    * while the first occurrence is within the watermark (bounded state —
+    * plain dropDuplicates on a stream would grow state forever). */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String]): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+}

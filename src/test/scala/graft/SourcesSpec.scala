@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.Sources
+
+/** Batch source/sink round-trips (S2, S7, S9, S10, S11, S13). */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("S2 flatten of nested API payload with 0-defaults for missing pollutants") {
+    val nested = spark.read.json(Seq(
+      """{"location":{"name":"London","region":"City","country":"UK",
+        |"localtime":"2024-01-01 10:00"},
+        |"current":{"temp_c":12.5,"humidity":80,
+        |"condition":{"text":"Sunny"},
+        |"air_quality":{"co":1.1,"pm2_5":22.0}},
+        |"timestamp":"2024-01-01T10:00:00"}""".stripMargin.replaceAll("\n", "")
+    ).toDS())
+    val flat = Sources.flattenApiPayload(nested)
+    val r = flat.head()
+    assert(r.getAs[String]("location") == "London")
+    assert(r.getAs[String]("condition") == "Sunny")
+    // present pollutant kept, missing ones defaulted to 0 (producer.py:83-88)
+    assert(r.getAs[Double]("pm2_5") == 22.0)
+    assert(r.getAs[Double]("no2") == 0.0)
+    assert(r.getAs[Double]("pm10") == 0.0)
+  }
+
+  test("S7 schema'd JSON scan reads what the wire format writes") {
+    val dir = tmp("s7json")
+    val obs = Seq(
+      ("London", 15.5f, "2024-01-01T10:00:00", 20.0f),
+      ("Paris", 18.0f, "2024-01-01T11:00:00", 35.5f)
+    ).toDF("location", "temp_c", "timestamp", "pm2_5")
+    obs.write.mode("overwrite").json(dir)
+    val back = Sources.readAirQualityJson(spark, dir)
+    assert(back.count() == 2)
+    assert(back.schema.fieldNames.contains("kafka_offset")) // full declared schema
+    assert(back.filter(col("location") === "London")
+      .select("pm2_5").as[Float].head() == 20.0f)
+  }
+
+  test("S9 fallback read: parquet missing → JSON inference") {
+    val dir = tmp("s9fb")
+    Seq((1L, "x")).toDF("id", "s").write.mode("overwrite").json(s"$dir/json")
+    val df = Sources.readWithFallback(spark, s"$dir/nonexistent_parquet", s"$dir/json")
+    assert(df.count() == 1)
+  }
+
+  test("S10 partitioned parquet sink round-trips and prunes partitions") {
+    val dir = tmp("s10pq")
+    val df = Seq(
+      ("London", 2024, 1, 10.0), ("London", 2024, 2, 20.0),
+      ("Paris", 2024, 1, 30.0)
+    ).toDF("location", "year", "month", "value")
+    Sources.writePartitioned(df, dir)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("location") === "London" && col("month") === 1)
+    assert(pruned.count() == 1)
+    // hive layout on disk → readers prune directories, not files
+    assert(new java.io.File(s"$dir/location=London/year=2024/month=1").exists())
+  }
+
+  test("S11 summary CSV is a single file with header") {
+    val dir = tmp("s11csv")
+    val summary = Seq(("London", "Good", 5L)).toDF("location", "aqi", "n")
+    Sources.writeSummaryCsv(summary, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.length == 1)
+    val back = spark.read.option("header", "true").csv(dir)
+    assert(back.columns.toSeq == Seq("location", "aqi", "n"))
+    assert(back.count() == 1)
+  }
+
+  test("S13 cache keeps the plan reusable (spark_processor.py:255)") {
+    val df = spark.range(100).toDF("id").cache()
+    assert(df.count() == 100)
+    assert(df.storageLevel.useMemory)
+    df.unpersist()
+  }
+}
