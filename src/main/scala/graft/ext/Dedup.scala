@@ -62,22 +62,28 @@ object Dedup {
                      bands: Int = 8, rowsPerBand: Int = 4,
                      threshold: Double = 0.4): DataFrame = {
     val docs = withSignature(shingled(documents), bands * rowsPerBand)
-    val banded = docs.select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"), col("shingles"), col("sig"))
+      .cache() // two consumers: banding and the verify re-join
+    // Band shuffle carries ONLY (doc_id, band keys) — never the shingle
+    // payload. At 100 TB the payload re-joins by doc_id afterwards, so the
+    // wide data moves once, not once per band.
+    val banded = docs.select(col("doc_id"),
         explode(expr(
           s"""transform(sequence(0, ${bands - 1}),
              |  b -> struct(b AS band_id,
              |    xxhash64(concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
              |      x -> cast(x AS string)))) AS band_key))""".stripMargin)).as("band"))
-      .select(col("doc_id"), col("shingles"),
+      .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
-    val l = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("id_a"), col("shingles").as("sh_a"))
-    val r = banded.select(col("band_id"), col("band_key"),
-      col("doc_id").as("id_b"), col("shingles").as("sh_b"))
-    l.join(r, Seq("band_id", "band_key"))
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band_id", "band_key"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .distinct()
+    val shingleSets = docs.select(col("doc_id"), col("shingles"))
+    candidates
+      .join(shingleSets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
+      .join(shingleSets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
