@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorOps
 
 /** Similarity search over the `embeddings` table (ArrayType(FloatType),
   * dim 64). Two paths:
@@ -39,7 +40,7 @@ object Similarity {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosine(col("emb"), col("qemb")), 4).as("cos_sim"))
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -80,7 +81,7 @@ object Similarity {
     e.filter(col("vec_id") =!= 0)
       .join(broadcast(probes), Seq("bucket"))
       .select(col("vec_id"),
-        round(cosine(col("emb"), col("qemb")), 4).as("cos_sim"))
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -102,7 +103,7 @@ object Similarity {
     l.join(r, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+        round(VectorOps.vecCosine(spark, col("emb_a"), col("emb_b")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= 0.25)
       .distinct()
       .orderBy(col("id_a"), col("id_b"))

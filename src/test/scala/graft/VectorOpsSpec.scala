@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Similarity
+import graft.functions.VectorOps
+
+/** The native codegen'd vector expressions must be bit-identical to the
+  * higher-order-function formulation they replace (same sequential
+  * accumulation order), null-safe, and SQL-callable. */
+class VectorOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0, 2.0, 3.0, 4.0), Array(4.0, 3.0, 2.0, 1.0)),
+    (2L, Array(0.5, -0.25, 0.125, 8.0), Array(-1.0, 0.001, 2.5, 0.75)),
+    (3L, Array(1e-8, 1e8, -1e-8, -1e8), Array(1e8, 1e-8, -1e8, -1e-8))
+  ).toDF("id", "a", "b")
+
+  test("vec_cosine is bit-identical to the zip_with/aggregate HOF form") {
+    val hof = vecs.select(col("id"), Similarity.cosine(col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    val native = vecs.select(col("id"),
+      VectorOps.vecCosine(spark, col("a"), col("b")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    hof.foreach { case (id, c) => assert(c == native(id), s"id $id") }
+  }
+
+  test("vec_dot matches hand computation and handles nulls") {
+    val got = vecs.filter(col("id") === 1)
+      .select(VectorOps.vecDot(spark, col("a"), col("b"))).as[Double].head()
+    assert(got == 4.0 + 6.0 + 6.0 + 4.0)
+    val withNull = Seq((Some(Array(1.0)), Option.empty[Array[Double]]))
+      .toDF("a", "b")
+    val r = withNull.select(VectorOps.vecDot(spark, col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("expressions are SQL-callable after registration") {
+    VectorOps.register(spark)
+    vecs.createOrReplaceTempView("vecs_test")
+    val r = spark.sql(
+      "SELECT vec_dot(a, b) AS d, vec_cosine(a, a) AS self FROM vecs_test WHERE id = 1")
+      .head()
+    assert(r.getDouble(0) == 20.0)
+    assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+  }
+
+  test("sim1 top-k via the native expression still matches the all-pairs truth") {
+    val top = Similarity.sim1CosineTopK(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double)].collect()
+    assert(top.length == 10)
+    assert(top.map(_._2).toSeq == top.map(_._2).toSeq.sorted.reverse)
+  }
+}
