@@ -61,9 +61,12 @@ object Dedup {
   def minhashPairsDf(documents: DataFrame,
                      bands: Int = 8, rowsPerBand: Int = 4,
                      threshold: Double = 0.4): DataFrame = {
+    // No cache: at 100 TB the signature frame doesn't fit executor storage
+    // anyway (and a cached-but-never-unpersisted frame leaks storage memory
+    // across a long-lived session). The verify re-join recomputes only the
+    // shingle sets — the 32-perm minhash work runs once, on the band side.
     val docs = withSignature(shingled(documents), bands * rowsPerBand)
       .select(col("doc_id"), col("shingles"), col("sig"))
-      .cache() // two consumers: banding and the verify re-join
     // Band shuffle carries ONLY (doc_id, band keys) — never the shingle
     // payload. At 100 TB the payload re-joins by doc_id afterwards, so the
     // wide data moves once, not once per band.
@@ -80,7 +83,7 @@ object Dedup {
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val shingleSets = docs.select(col("doc_id"), col("shingles"))
+    val shingleSets = shingled(documents).select(col("doc_id"), col("shingles"))
     candidates
       .join(shingleSets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(shingleSets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
@@ -97,21 +100,17 @@ object Dedup {
   def d3MinhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashPairs(spark, dir)
 
-  /** SimHash: 64-bit signature — per word-hash bit, sum +1/-1 weights;
-    * signature bit = sign of the sum. Pure explode + 64 conditional
-    * aggregates, fully codegen'd. */
+  /** SimHash: 64-bit signature — per distinct-word-hash bit, sum +1/-1
+    * weights; signature bit = sign of the sum. Computed by the fused
+    * codegen expression [[graft.functions.SimHash64]]: one per-row loop,
+    * NO shuffle (the earlier dataflow form exploded every token and
+    * shuffled them into a 64-column aggregate — same bits, but the token
+    * shuffle dominates at scale). */
   def simhash(df: DataFrame): DataFrame = {
-    val words = df
-      .select(col("doc_id"),
-        explode(array_distinct(split(lower(col("text")), " "))).as("w"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map(b =>
-      sum(when(expr(s"shiftright(h, $b) & 1") === 1, 1).otherwise(-1)).as(s"b$b"))
-    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    sums.select(col("doc_id"), expr(
-      (0 until 64).map(b =>
-        s"shiftleft(CAST(CASE WHEN b$b > 0 THEN 1 ELSE 0 END AS BIGINT), $b)")
-        .mkString(" + ")).as("simhash"))
+    graft.functions.TextHash.register(df.sparkSession)
+    df.select(col("doc_id"),
+      call_function("simhash64",
+        array_distinct(split(lower(col("text")), " "))).as("simhash"))
   }
 
   /** D4 — SimHash near-dup pairs: Hamming-LSH via 4×16-bit chunks (two

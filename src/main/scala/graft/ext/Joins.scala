@@ -25,16 +25,25 @@ object Joins {
         round(sum(col("c_acctbal")), 2).as("total_balance"))
       .orderBy(col("r_name"))
 
-  /** J2 — left outer join: every customer, with or without orders. */
-  def j2LeftOuter(spark: SparkSession, dir: String): DataFrame =
+  /** J2 — left outer join: every customer, with or without orders.
+    * Orders pre-aggregate to one row per custkey BEFORE the join (map-side
+    * partial agg shrinks the shuffle to |customers| rows), so the joined
+    * frame has exactly one row per customer — the per-segment rollup then
+    * needs plain count(*) instead of a countDistinct over the join product.
+    * At 100 TB this turns an expand+distinct shuffle of the full join
+    * output into two key-partitioned shuffles of pre-reduced rows. */
+  def j2LeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("o_totalprice")).as("price"))
     Tables.customer(spark, dir)
-      .join(Tables.orders(spark, dir),
-        col("c_custkey") === col("o_custkey"), "left_outer")
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
       .groupBy(col("c_mktsegment"))
-      .agg(count(col("o_orderkey")).as("n_orders"),
-        countDistinct(col("c_custkey")).as("n_customers"),
-        round(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_price"))
+      .agg(sum(coalesce(col("cnt"), lit(0L))).as("n_orders"),
+        count(lit(1)).as("n_customers"),
+        round(sum(coalesce(col("price"), lit(0.0))), 2).as("total_price"))
       .orderBy(col("c_mktsegment"))
+  }
 
   /** J3a — left semi: nations having at least one customer (EXISTS). */
   def j3Semi(spark: SparkSession, dir: String): DataFrame =

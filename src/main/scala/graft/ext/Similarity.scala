@@ -73,7 +73,7 @@ object Similarity {
       .withColumn("bucket", signature(col("emb"), planes))
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qemb"), col("bucket").as("qbucket"))
-    // Multi-probe: query bucket + every 1-bit flip of it (17 probes).
+    // Multi-probe: query bucket + every 1-bit flip of it (1 + 8 = 9 probes).
     val probes = q.select(col("qemb"),
       explode(array((lit(0L) +: (0 until 8).map(i => lit(1L << i))): _*))
         .as("flip"), col("qbucket"))

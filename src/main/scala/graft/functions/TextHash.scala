@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SimHash64 — the whole 64-bit simhash signature of a token array as ONE
+  * codegen'd per-row expression (SURVEY §2.10 tier (b)).
+  *
+  * The naive dataflow formulation (explode tokens → groupBy(doc) with 64
+  * conditional sums) shuffles every token of every document; at 100 TB the
+  * token shuffle dwarfs the real work. This expression fuses the loop:
+  * per token, xxhash64 (same XXH64/seed-42 kernel as Spark's built-in
+  * `xxhash64`, so signatures are bit-identical to the dataflow form), then
+  * ±1 into 64 counters; signature bit b = sign of counter b. Zero shuffle,
+  * zero allocation per row (counter array is reused mutable state).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64 requires array<string>, got ${other.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counters = ctx.addMutableState("int[]", "simhashCounters",
+        v => s"$v = new int[64];")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val sig = ctx.freshName("sig")
+      s"""
+         |java.util.Arrays.fill($counters, 0);
+         |int $n = $arr.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
+         |      .hashUTF8String($arr.getUTF8String($i), 42L);
+         |    for (int $b = 0; $b < 64; $b++) {
+         |      if ((($h >>> $b) & 1L) == 1L) $counters[$b]++; else $counters[$b]--;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) {
+         |  if ($counters[$b] > 0) $sig |= (1L << $b);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object TextHash {
+  import org.apache.spark.sql.{Column, SparkSession}
+  import org.apache.spark.sql.functions.call_function
+
+  /** Register simhash64 in the session function registry. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "built-in")
+
+  def simhash64(spark: SparkSession, tokens: Column): Column = {
+    register(spark); call_function("simhash64", tokens)
+  }
+}

@@ -77,12 +77,37 @@ object Sources {
       Seq("co", "no2", "o3", "so2", "pm2_5", "pm10").map(pollutant): _*)
   }
 
+  /** Run a sink round-trip inside a per-invocation unique tmp dir (two
+    * concurrent runs — e.g. Verify and Bench on the same sf — never
+    * collide), eagerly materialize the small aggregate result, then delete
+    * the tmp files so nothing leaks between invocations. The returned
+    * frame is a local relation independent of the deleted files. */
+  private def roundtrip(spark: SparkSession, prefix: String)
+                       (body: String => DataFrame): DataFrame = {
+    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${java.util.UUID.randomUUID()}"
+    try {
+      val res = body(tmp)
+      val rows = res.collect().toIndexedSeq
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        res.schema)
+    } finally {
+      import java.nio.file.{Files, Paths, Path}
+      val root = Paths.get(tmp)
+      if (Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(p => Files.deleteIfExists(p))
+      }
+    }
+  }
+
   /** S7+S10 surfaced to the driver as a deterministic round-trip query:
     * documents → JSON files → schema'd read-back → checksum. The oracle
     * runs the same aggregate over the ORIGINAL table — equality proves the
     * JSON write+schema'd read is lossless. */
-  def s7JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s7_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  def s7JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, "s7") { tmp =>
     val docs = Tables.documents(spark, dir).filter(col("doc_id") < 100)
     docs.write.mode("overwrite").json(tmp)
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -100,8 +125,7 @@ object Sources {
     * events, read back with partition pruning (only 2 of 12 month
     * partitions scanned). Oracle aggregates the original events table —
     * equality proves the hive-partitioned round-trip is lossless. */
-  def s10PartitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_s10_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+  def s10PartitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, "s10") { tmp =>
     Tables.events(spark, dir)
       .withColumn("year", year(col("ts")))
       .withColumn("month", month(col("ts")))
