@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session construction with the engine's standard configs in ONE place.
+  *
+  * `spark.sql.legacy.parquet.nanosAsLong` must be set when the session is
+  * BUILT: the events table stores TIMESTAMP(NANOS) parquet, which Spark's
+  * microsecond TimestampType cannot scan without it, and mutating session
+  * config inside a table loader mid-query is a race against concurrent
+  * queries on the same session. Shuffle partitions are sized to the core
+  * count (local mode) — on a real cluster you'd size them to data volume
+  * (~128 MB per partition) and let AQE coalesce.
+  */
+object Sessions {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+}

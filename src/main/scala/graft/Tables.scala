@@ -19,11 +19,14 @@ object Tables {
 
   /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
     * TimestampType (microsecond) cannot read directly. Read nanos as long
-    * (legacy conf) and truncate to micros with INTEGER division — a double
-    * division would lose precision at 1e18-nanosecond magnitudes.
+    * and truncate to micros with INTEGER division — a double division would
+    * lose precision at 1e18-nanosecond magnitudes.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session build
+    * time ([[Sessions.builder]] sets it) — a loader must not mutate session
+    * config mid-query.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     t(spark, dir, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -52,6 +52,19 @@ object Similarity {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Plane count sized to the corpus: 2^planes buckets grow with N so the
+    * expected bucket stays ≤ targetBucket rows and the within-bucket
+    * self-join is O(N · targetBucket) — with a CONSTANT plane count it
+    * degrades to O(N² / 2^planes), quadratic at 100 TB. Clamped to
+    * [minPlanes, 24] (24 planes = 16M buckets — beyond that, recall loss
+    * outweighs bucket shrinkage at any realistic corpus). */
+  private[graft] def planesFor(n: Long, minPlanes: Int,
+                               targetBucket: Int = 256): Int = {
+    val needed = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(minPlanes, needed))
+  }
+
   private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
 
   /** Signature bucket: one bit per hyperplane (sign of the projection). */
@@ -62,20 +75,27 @@ object Similarity {
 
   /** SIM2 — LSH-bucketed ANN top-k: candidates come from the query's
     * signature bucket plus all 1-bit-flip probe buckets (multi-probe
-    * LSH); exact cosine only on candidates. 8 planes = 256 buckets keeps
-    * buckets populated at test SF; at 100 TB you'd raise planes with the
-    * corpus so bucket size stays bounded. Rows-only for the driver (bucketing is
-    * engine-specific); recall vs brute force is asserted in ScalaTest. */
+    * LSH); exact cosine only on candidates. The plane count scales with
+    * the corpus ([[planesFor]], min 8) so bucket size stays bounded as
+    * data grows. Rows-only for the driver (bucketing is engine-specific);
+    * recall vs brute force is asserted in ScalaTest at two plane counts. */
   def sim2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
-    val planes = hyperplanes(8, 64)
     val e = Tables.embeddings(spark, dir)
+    sim2AnnLshDf(spark, e, planesFor(e.count(), minPlanes = 8))
+  }
+
+  /** Same ANN pipeline with an explicit plane count (unit-testable). */
+  def sim2AnnLshDf(spark: SparkSession, embeddings: DataFrame,
+                   nPlanes: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val e = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("bucket", signature(col("emb"), planes))
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qemb"), col("bucket").as("qbucket"))
-    // Multi-probe: query bucket + every 1-bit flip of it (1 + 8 = 9 probes).
+    // Multi-probe: query bucket + every 1-bit flip of it (1 + nPlanes probes).
     val probes = q.select(col("qemb"),
-      explode(array((lit(0L) +: (0 until 8).map(i => lit(1L << i))): _*))
+      explode(array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*))
         .as("flip"), col("qbucket"))
       .select(col("qemb"), (col("qbucket").bitwiseXOR(col("flip"))).as("bucket"))
     e.filter(col("vec_id") =!= 0)
@@ -89,13 +109,22 @@ object Similarity {
   /** SIM3 — embedding near-duplicate pairs at scale: bucket both sides by
     * LSH signature, equi-join on the bucket, verify exact cosine on the
     * candidates. The join key makes this a co-partitioned hash join —
-    * all-pairs never materializes. The testdata embeddings are
-    * near-random (max pairwise cosine ≈0.51), so the report threshold is
-    * 0.25; a production near-dup run would use ≥0.9 with the same plan.
+    * all-pairs never materializes — and the plane count scales with the
+    * corpus ([[planesFor]], min 6) so the within-bucket self-join stays
+    * linear in N as data grows. The testdata embeddings are near-random
+    * (max pairwise cosine ≈0.51), so the report threshold is 0.25; a
+    * production near-dup run would use ≥0.9 with the same plan.
     * Rows-only (bucketing is engine-specific). */
   def sim3NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val planes = hyperplanes(6, 64)
-    val e = Tables.embeddings(spark, dir)
+    val e0 = Tables.embeddings(spark, dir)
+    sim3NearDupPairsDf(spark, e0, planesFor(e0.count(), minPlanes = 6))
+  }
+
+  /** Same near-dup pipeline with an explicit plane count (unit-testable). */
+  def sim3NearDupPairsDf(spark: SparkSession, embeddings: DataFrame,
+                         nPlanes: Int): DataFrame = {
+    val planes = hyperplanes(nPlanes, 64)
+    val e = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("bucket", signature(col("emb"), planes))
     val l = e.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))

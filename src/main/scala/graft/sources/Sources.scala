@@ -81,7 +81,13 @@ object Sources {
     * concurrent runs — e.g. Verify and Bench on the same sf — never
     * collide), eagerly materialize the small aggregate result, then delete
     * the tmp files so nothing leaks between invocations. The returned
-    * frame is a local relation independent of the deleted files. */
+    * frame is a local relation independent of the deleted files.
+    *
+    * Bench note (deliberate): these queries TIME the write+read-back+
+    * collect — that's the operation under test (a sink round-trip), not a
+    * scan-side plan. s7/s10 bench entries are sink cost by design; the
+    * collect is bounded because the round-trip result is a small
+    * aggregate, never a fact table. */
   private def roundtrip(spark: SparkSession, prefix: String)
                        (body: String => DataFrame): DataFrame = {
     val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_${prefix}_${java.util.UUID.randomUUID()}"

@@ -50,4 +50,41 @@ class SimilaritySpec extends AnyFunSuite {
     val bruteTop = brute.head()
     assert(all.values.max == bruteTop.getDouble(1))
   }
+
+  test("plane count scales with corpus size and clamps at both ends") {
+    // Small corpora keep the floor; big ones grow log2(n/targetBucket).
+    assert(Similarity.planesFor(500L, minPlanes = 8) == 8)
+    assert(Similarity.planesFor(1000000L, minPlanes = 6) == 12)   // 2^12 buckets ≈ 244/bucket
+    assert(Similarity.planesFor(100000000000L, minPlanes = 6) == 24) // hard cap
+  }
+
+  test("ANN recall holds at two plane counts; cosines always exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val truth = {
+      val d = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val q = d.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+      d.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), round(Similarity.cosine(col("emb"), col("qemb")), 4).as("c"))
+        .as[(Long, Double)].collect().toMap
+    }
+    for (nPlanes <- Seq(4, 8)) {
+      val ann = Similarity.sim2AnnLshDf(spark, e, nPlanes)
+        .as[(Long, Double)].collect().toMap
+      assert(ann.nonEmpty, s"empty ANN result at $nPlanes planes")
+      ann.foreach { case (id, c) => assert(math.abs(truth(id) - c) < 1e-9) }
+    }
+  }
+
+  test("near-dup pairs at more planes are a subset of pairs at fewer planes") {
+    // hyperplanes(n) shares its prefix with hyperplanes(m<n) (same seed,
+    // plane-by-plane fill), so an 8-plane bucket refines a 6-plane bucket:
+    // raising the plane count can only DROP candidate pairs, never invent.
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def pairs(n: Int) = Similarity.sim3NearDupPairsDf(spark, e, n)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val p6 = pairs(6); val p8 = pairs(8)
+    assert(p6.nonEmpty)
+    assert(p8.subsetOf(p6))
+  }
 }
