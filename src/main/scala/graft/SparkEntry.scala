@@ -13,7 +13,8 @@ object SparkEntry {
       functions.FnQueries.queries ++ ext.SetOps.queries ++
       ext.Joins.queries ++ ext.WindowFns.queries ++
       ext.TextStats.queries ++ ext.Similarity.queries ++ ext.Dedup.queries ++
-      sources.Sources.queries ++ functions.WelfordQueries.queries
+      sources.Sources.queries ++ functions.WelfordQueries.queries ++
+      ext.Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       functions.FnQueries.oracle ++ ext.SetOps.oracle ++
       ext.Joins.oracle ++ ext.WindowFns.oracle ++
       ext.TextStats.oracle ++ ext.Similarity.oracle ++ ext.Dedup.oracle ++
-      sources.Sources.oracle ++ functions.WelfordQueries.oracle
+      sources.Sources.oracle ++ functions.WelfordQueries.oracle ++
+      ext.Multimodal.oracle
 }

@@ -1,0 +1,172 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** One opaque media payload: bytes + provenance. In a production corpus
+  * this is the parquet `binary` column holding image/audio/video bytes
+  * with typed metadata beside it. */
+case class Media(doc_id: Long, source: String, payload: Array[Byte])
+
+/** Decoder output: the typed metadata a feature-extraction stage needs. */
+case class DecodedMeta(doc_id: Long, source: String, media_type: String,
+                       byte_len: Int, width: Int, height: Int,
+                       n_frames: Int, fingerprint: String)
+
+/** One sampled frame reference (decode-on-demand pointer, not pixels). */
+case class Frame(doc_id: Long, frame_idx: Int, frame_fp: String)
+
+/** Codec abstraction: turns raw bytes into (media_type, width, height,
+  * n_frames). Instantiated ONCE PER PARTITION — real codec contexts
+  * (libjpeg/ffmpeg handles, model sessions) are expensive to construct,
+  * so per-row init would dominate; per-partition amortizes it, the same
+  * cost model as `mapInPandas` reusing state across Arrow batches. */
+trait MediaDecoder extends Serializable {
+  def decode(payload: Array[Byte]): (String, Int, Int, Int)
+}
+
+/** STUB DECODER — deterministic fake. The container has no image/audio
+  * libraries, so this derives plausible metadata arithmetically from the
+  * byte length L:
+  *   media_type = L%3 → image|audio|video; width = 16 + L%624;
+  *   height = 16 + (7L)%464; n_frames = 1 for image else 1 + L%24.
+  * A production decoder swaps in javax.imageio / ffmpeg / soundfile
+  * behind the same trait; everything AROUND the decode — schema,
+  * partitioning, per-partition init, batch iteration — is the real
+  * pipeline and is what the tests and oracle verify. */
+object FakeDecoder extends MediaDecoder {
+  def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+    val len = payload.length
+    val mediaType = (len % 3) match {
+      case 0 => "image"; case 1 => "audio"; case _ => "video"
+    }
+    val width = 16 + len % 624
+    val height = 16 + (len * 7) % 464
+    val nFrames = if (mediaType == "image") 1 else 1 + len % 24
+    (mediaType, width, height, nFrames)
+  }
+}
+
+/** Multimodal column operators ([EXT] — the reference is text/metrics
+  * only): media bytes flow as opaque `binary` columns; decode and
+  * feature-extraction run as `mapPartitions` over a typed Dataset — the
+  * Scala analogue of `mapInPandas` (iterator-of-batches in, iterator
+  * out, heavyweight state initialized once per partition, no
+  * driver-side loop). Only metadata and frame POINTERS shuffle; pixel
+  * payloads never do.
+  */
+object Multimodal {
+
+  private def md5hex(bytes: Array[Byte]): String = {
+    // MessageDigest is not thread-safe/shareable — one per call site
+    // partition (see decodeMeta), matching built-in md5()'s hex form.
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(bytes).map("%02x".format(_)).mkString
+  }
+
+  /** documents → Media: the text payload cast to bytes stands in for the
+    * binary media column (TESTDATA has no real media; the schema shape is
+    * identical). */
+  def mediaOf(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        col("text").cast("binary").as("payload"))
+      .as[Media]
+  }
+
+  /** Decode stage: one decoder + one digest per PARTITION, streamed over
+    * the iterator — constant memory, no collect, no per-row codec
+    * construction. This is the operator a real image/audio corpus runs
+    * first; at 100 TB it's embarrassingly parallel and the only data
+    * movement is the parquet scan itself. */
+  def decodeMeta(media: Dataset[Media],
+                 decoder: MediaDecoder = FakeDecoder): Dataset[DecodedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val (mediaType, width, height, nFrames) = decoder.decode(m.payload)
+        val fp = digest.digest(m.payload).map("%02x".format(_)).mkString
+        digest.reset()
+        DecodedMeta(m.doc_id, m.source, mediaType, m.payload.length,
+          width, height, nFrames, fp)
+      }
+    }
+  }
+
+  /** Frame sampling: every `stride`-th frame as a (doc_id, frame_idx,
+    * frame fingerprint) pointer — the video path's unit of downstream
+    * work. Emitting pointers, not pixels, is what keeps the explode
+    * cheap: the decode of a sampled frame happens in the NEXT
+    * mapPartitions, against co-located bytes. */
+  def sampleFrames(meta: Dataset[DecodedMeta], stride: Int): Dataset[Frame] = {
+    import meta.sparkSession.implicits._
+    meta.flatMap { m =>
+      Range(0, m.n_frames, stride).map { i =>
+        Frame(m.doc_id, i, md5hex(s"${m.fingerprint}_$i".getBytes("UTF-8")))
+      }
+    }
+  }
+
+  /** MM2 — decoded-feature summary per media type. */
+  def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    decodeMeta(mediaOf(spark, dir))
+      .groupBy(col("media_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("width")), 2).as("avg_width"),
+        round(avg(col("height")), 2).as("avg_height"),
+        sum(col("n_frames")).as("total_frames"),
+        min(col("fingerprint")).as("min_fp"))
+      .orderBy(col("media_type"))
+
+  /** MM3 — sampled-frame pointers for the first 50 docs (stride 4). */
+  def mm3FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    sampleFrames(
+      decodeMeta(mediaOf(spark, dir).filter(col("doc_id") < 50).as[Media]),
+      stride = 4)
+      .orderBy(col("doc_id"), col("frame_idx"))
+      .toDF()
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm2_decode_features" -> mm2DecodeFeatures,
+    "mm3_frame_sample" -> mm3FrameSample
+  )
+
+  /** The fake decode is pure arithmetic on octet_length + md5, so DuckDB
+    * can replicate it exactly — the oracle verifies the whole decode →
+    * extract → sample dataflow, not just row counts. */
+  val oracle: Map[String, String] = Map(
+    "mm2_decode_features" ->
+      """WITH m AS (
+        |  SELECT octet_length(encode(text)) AS L, md5(text) AS fp
+        |  FROM documents),
+        |d AS (
+        |  SELECT CASE WHEN L % 3 = 0 THEN 'image'
+        |              WHEN L % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    16 + L % 624 AS width, 16 + (L * 7) % 464 AS height,
+        |    CASE WHEN L % 3 = 0 THEN 1 ELSE 1 + L % 24 END AS n_frames, fp
+        |  FROM m)
+        |SELECT media_type, count(*) AS n,
+        |  round(avg(width), 2) AS avg_width,
+        |  round(avg(height), 2) AS avg_height,
+        |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        |  min(fp) AS min_fp
+        |FROM d GROUP BY media_type ORDER BY media_type""".stripMargin,
+    "mm3_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L, md5(text) AS fp
+        |  FROM documents WHERE doc_id < 50),
+        |d AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN L % 3 = 0 THEN 1 ELSE 1 + L % 24 END AS nf
+        |  FROM m)
+        |SELECT doc_id,
+        |  CAST(unnest(generate_series(0, nf - 1, 4)) AS INT) AS frame_idx,
+        |  md5(fp || '_' || CAST(unnest(generate_series(0, nf - 1, 4)) AS INT)) AS frame_fp
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin
+  )
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{FakeDecoder, Media, Multimodal}
+
+/** The multimodal plumbing must be deterministic, agree with the built-in
+  * md5 on identical bytes, sample the right frame count, and be invariant
+  * to partition layout (no per-partition state leaks between records). */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def media = Seq(
+    Media(0L, "web", "a small image payload".getBytes("UTF-8")),    // len 21 → image
+    Media(1L, "web", "an audio-length payload!".getBytes("UTF-8")), // len 24 → image
+    Media(2L, "pdf", "x".getBytes("UTF-8")),                        // len 1 → audio
+    Media(3L, "pdf", ("y" * 50).getBytes("UTF-8"))                  // len 50 → video
+  ).toDS()
+
+  test("fake decode is deterministic arithmetic on byte length") {
+    val (t1, w1, h1, f1) = FakeDecoder.decode(Array.fill(21)('a'.toByte))
+    assert(t1 == "image" && w1 == 16 + 21 && h1 == 16 + 147 && f1 == 1)
+    val (t2, _, _, f2) = FakeDecoder.decode(Array.fill(50)('a'.toByte))
+    assert(t2 == "video" && f2 == 1 + 50 % 24)
+    assert(FakeDecoder.decode(Array.fill(1)('z'.toByte))._1 == "audio")
+  }
+
+  test("decode fingerprint matches the built-in md5 on the same bytes") {
+    val decoded = Multimodal.decodeMeta(media)
+      .select(col("doc_id"), col("fingerprint"))
+    val builtin = media.select(col("doc_id"), md5(col("payload")).as("ref_fp"))
+    val joined = decoded.join(builtin, "doc_id")
+      .filter(col("fingerprint") =!= col("ref_fp"))
+    assert(joined.isEmpty)
+  }
+
+  test("frame sampling emits every stride-th frame with a derived pointer") {
+    val meta = Multimodal.decodeMeta(media)
+    val frames = Multimodal.sampleFrames(meta, stride = 4).collect()
+    val byDoc = frames.groupBy(_.doc_id).view.mapValues(_.map(_.frame_idx).sorted)
+    // video doc 3: n_frames = 1 + 50%24 = 3 → frames 0 only at stride 4
+    assert(byDoc(3L).toSeq == Seq(0))
+    // image docs sample exactly frame 0
+    assert(byDoc(0L).toSeq == Seq(0) && byDoc(1L).toSeq == Seq(0))
+    // pointers are unique per (doc, frame)
+    assert(frames.map(f => (f.doc_id, f.frame_idx)).distinct.length == frames.length)
+  }
+
+  test("decode results are invariant to partition layout") {
+    val one = Multimodal.decodeMeta(media.repartition(1)).collect().toSet
+    val many = Multimodal.decodeMeta(media.repartition(5)).collect().toSet
+    assert(one == many)
+  }
+}
