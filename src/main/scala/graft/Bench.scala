@@ -6,6 +6,14 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup at the smallest SF: pays session bring-up, parquet
+    // footer reads, codegen compilation and JIT once, so the timed loop
+    // below measures the PLANS — without this, whichever query runs first
+    // absorbs ~4-5 s of startup and the per-query signal is noise.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
