@@ -19,7 +19,9 @@ import graft.Tables
   */
 object Dedup {
 
-  /** docs → (doc_id, distinct word-3-gram shingle set + per-shingle hashes). */
+  /** docs → (doc_id, distinct word-3-gram shingle set + per-shingle hashes).
+    * HOF formulation — kept for d5, whose DuckDB oracle needs the shingle
+    * STRINGS; the LSH hot path uses [[hashedDocs]] instead. */
   private def shingled(df: DataFrame): DataFrame =
     df.withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= 3)
@@ -28,6 +30,19 @@ object Dedup {
           |  i -> concat_ws(' ', slice(words, i + 1, 3))))""".stripMargin))
       .withColumn("sh_hashes",
         expr("transform(shingles, s -> pmod(xxhash64(s), 2147483647))"))
+
+  /** docs → (doc_id, distinct word-3-gram shingle HASH set) via the fused
+    * [[graft.functions.ShingleHashes]] codegen pass — no shingle strings,
+    * no intermediate arrays. Short docs (empty hash set) are dropped:
+    * they cannot be LSH-banded (degenerate signature) or Jaccard-compared
+    * (0/0). */
+  private def hashedDocs(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    df.select(col("doc_id"),
+        graft.functions.ShingleHashes.shingleHashes(spark, col("text"), 3)
+          .as("sh_hashes"))
+      .filter(size(col("sh_hashes")) > 0)
+  }
 
   /** MinHash + banded LSH near-dup pairs: 32-perm signatures in 8 bands of
     * 4; docs sharing any band bucket become candidates; candidates are
@@ -55,7 +70,8 @@ object Dedup {
     // re-joins by doc_id for the verify step, so it moves once, not once
     // per band.
     val spark = documents.sparkSession
-    val banded = shingled(documents)
+    val hashed = hashedDocs(documents)
+    val banded = hashed
       .select(col("doc_id"),
         posexplode(graft.functions.MinHash.minhashBands(spark,
           col("sh_hashes"), bands, rowsPerBand)).as(Seq("band_id", "band_key")))
@@ -64,10 +80,14 @@ object Dedup {
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    val shingleSets = shingled(documents).select(col("doc_id"), col("shingles"))
+    // Verify with exact Jaccard over the shingle HASH sets — set identity
+    // up to 2^31 hash collisions (~1e-5 per overlapping pair), standard
+    // for minhash dedup, and long-array intersects beat string-array
+    // intersects by the length of the shingle text.
+    val hashSets = hashedDocs(documents)
     candidates
-      .join(shingleSets.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(shingleSets.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .join(hashSets.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a")), Seq("id_a"))
+      .join(hashSets.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))

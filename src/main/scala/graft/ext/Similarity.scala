@@ -67,10 +67,14 @@ object Similarity {
 
   private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
 
-  /** Signature bucket: one bit per hyperplane (sign of the projection). */
-  private def signature(emb: Column, planes: Array[Array[Double]]): Column =
+  /** Signature bucket: one bit per hyperplane (sign of the projection).
+    * Projections use the fused codegen vec_dot — one loop per plane, no
+    * per-element interpreted lambdas on the bucketing scan. */
+  private def signature(spark: SparkSession, emb: Column,
+                        planes: Array[Array[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(dot(emb, planeLit(p)) > 0, lit(1L << i)).otherwise(lit(0L))
+      when(VectorOps.vecDot(spark, emb, planeLit(p)) > 0, lit(1L << i))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** SIM2 — LSH-bucketed ANN top-k: candidates come from the query's
@@ -90,7 +94,7 @@ object Similarity {
     val planes = hyperplanes(nPlanes, 64)
     val e = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", signature(col("emb"), planes))
+      .withColumn("bucket", signature(spark, col("emb"), planes))
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qemb"), col("bucket").as("qbucket"))
     // Multi-probe: query bucket + every 1-bit flip of it (1 + nPlanes probes).
@@ -126,7 +130,7 @@ object Similarity {
     val planes = hyperplanes(nPlanes, 64)
     val e = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .withColumn("bucket", signature(col("emb"), planes))
+      .withColumn("bucket", signature(spark, col("emb"), planes))
     val l = e.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val r = e.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
     l.join(r, Seq("bucket"))
