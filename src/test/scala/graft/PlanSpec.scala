@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regressions for the properties that decide 100 TB
+  * viability: pushdown, pruning, broadcast, top-k pushdown, map-side
+  * partial aggregation, whole-stage codegen. A refactor that silently
+  * drops one of these still passes every value-correctness test — these
+  * assertions are what catch it. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(FormattedMode)
+
+  test("IN-list filter is pushed into the parquet scan") {
+    val p = plan("p5_inlist_filter")
+    assert(p.contains("PushedFilters: [") && p.contains("In("),
+      s"no pushed IN filter in:\n$p")
+  }
+
+  test("projection prunes the scan to referenced columns only") {
+    val p = plan("p3_projection")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    // events carries value/user_id etc.; a pruned scan must not read them all
+    assert(readSchema.nonEmpty)
+    assert(!readSchema.contains("user_id"), s"unpruned scan: $readSchema")
+  }
+
+  test("small-dimension joins broadcast instead of shuffling both sides") {
+    assert(plan("j4_broadcast_hint").contains("BroadcastHashJoin"))
+    assert(plan("j1_inner_join").contains("BroadcastHashJoin"))
+  }
+
+  test("top-N compiles to TakeOrderedAndProject, not a global sort") {
+    assert(plan("o5_top_n").contains("TakeOrderedAndProject"))
+    assert(plan("sim1_cosine_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("aggregates run partial then final (map-side combine)") {
+    val p = plan("a5_two_key_summary")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("the custom udaf Aggregator also runs as partial aggregation") {
+    val p = plan("u1_welford_stats")
+    assert(p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate")) >= 2,
+      s"custom agg not partial:\n$p")
+  }
+
+  test("scalar pipelines stay inside whole-stage codegen") {
+    // AQE finalizes codegen spans only at execution — run the query, then
+    // read the final adaptive plan.
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // '*(n)' prefixes mark operators fused into a WholeStageCodegen span.
+    assert(finalPlan("f6_weighted_score").contains("*("))
+    assert(finalPlan("f1_aqi_bucket").contains("*("))
+  }
+}
