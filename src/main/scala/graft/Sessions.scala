@@ -19,5 +19,9 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Managed (e.g. bucketed) tables land in tmp, not the launch cwd;
+      // pid-suffixed so concurrent JVMs (Verify ∥ Bench) never collide.
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 }

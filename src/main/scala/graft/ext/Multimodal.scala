@@ -110,6 +110,22 @@ object Multimodal {
     }
   }
 
+  /** Resize stage, metadata half: aspect-fit the decoded dims into
+    * `maxDim` (never upscale) and re-fingerprint, since a resized asset
+    * is a new cache key downstream. The pixel half of a real resize
+    * happens next to the decoder behind [[MediaDecoder]]; this op is the
+    * part the ENGINE owns — pure per-row arithmetic, no shuffle. */
+  def resizeMeta(meta: Dataset[DecodedMeta], maxDim: Int): Dataset[DecodedMeta] = {
+    import meta.sparkSession.implicits._
+    meta.map { m =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
+      val w = math.max(1, math.round(m.width * scale).toInt)
+      val h = math.max(1, math.round(m.height * scale).toInt)
+      m.copy(width = w, height = h,
+        fingerprint = md5hex(s"${m.fingerprint}_${w}x$h".getBytes("UTF-8")))
+    }
+  }
+
   /** MM2 — decoded-feature summary per media type. */
   def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(mediaOf(spark, dir))

@@ -1,0 +1,38 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Join scale-safety utilities beyond the J1-J6 query surface: explicit
+  * skew salting and bucketed co-location. These aren't registered queries
+  * (their OUTPUT equals a plain join's — equivalence is asserted in
+  * ScaleJoinsSpec); they exist because at 100 TB the difference between a
+  * working join and a dead executor is which of these shapes the plan
+  * takes.
+  */
+object ScaleJoins {
+
+  /** Equi inner join with the hot keys of `big` spread over `salts`
+    * sub-partitions. AQE's skew-join split handles moderate skew by
+    * re-chunking oversized partitions at runtime; explicit salting is for
+    * the pathological single-key hotspot (one key's rows exceed an
+    * executor) when the matching side is still too large to broadcast:
+    * the big side salts each row deterministically (hash of the full row,
+    * no runtime entropy — re-runs and retries salt identically), the
+    * small side replicates `salts`×, and the join key becomes
+    * (key, salt) — the hotspot lands on `salts` reducers instead of one.
+    *
+    * Contract: both frames carry `key` under the same name; `small`'s
+    * shuffle size grows `salts`× — size salts to the skew factor, not
+    * higher. */
+  def saltedInnerJoin(big: DataFrame, small: DataFrame,
+                      key: String, salts: Int): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val saltOfRow =
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int")
+    val b = big.withColumn("__salt", saltOfRow)
+    val s = small.withColumn("__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    b.join(s, Seq(key, "__salt")).drop("__salt")
+  }
+}

@@ -43,6 +43,18 @@ object Sources {
     df.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(path)
 
+  /** S13+ — bucketed catalog table: rows hash-partitioned into `nBuckets`
+    * files per partition BY THE JOIN KEY at write time. Two tables
+    * bucketed the same way join with NO exchange — the shuffle was paid
+    * once, at ingest, instead of on every join (asserted in
+    * ScaleJoinsSpec). This is the fact↔fact co-location strategy for keys
+    * joined repeatedly at 100 TB. */
+  def writeBucketed(df: DataFrame, nBuckets: Int, key: String,
+                    table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+
   /** S2 — flatten the nested API payload shape
     * {location:{name,region,country,localtime},
     *  current:{temp_c,humidity,condition:{text},air_quality:{...}}}

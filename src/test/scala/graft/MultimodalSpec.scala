@@ -52,4 +52,26 @@ class MultimodalSpec extends AnyFunSuite {
     val many = Multimodal.decodeMeta(media.repartition(5)).collect().toSet
     assert(one == many)
   }
+
+  test("resize aspect-fits into the bound, never upscales, re-fingerprints") {
+    val meta = Multimodal.decodeMeta(media)
+    val resized = Multimodal.resizeMeta(meta, maxDim = 32).collect()
+      .map(m => m.doc_id -> m).toMap
+    val orig = meta.collect().map(m => m.doc_id -> m).toMap
+    resized.values.foreach { m =>
+      assert(m.width <= 32 && m.height <= 32)
+      val o = orig(m.doc_id)
+      if (o.width <= 32 && o.height <= 32) {
+        // already inside the bound → untouched dims
+        assert(m.width == o.width && m.height == o.height)
+      } else {
+        // aspect preserved within rounding
+        val ratioBefore = o.width.toDouble / o.height
+        val ratioAfter = m.width.toDouble / m.height
+        assert(math.abs(ratioBefore - ratioAfter) / ratioBefore < 0.1)
+      }
+      assert(m.fingerprint != o.fingerprint) // new cache key
+      assert(m.byte_len == o.byte_len)       // source bytes untouched
+    }
+  }
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.ScaleJoins
+
+/** Salting must be invisible in the OUTPUT (bit-equal to the plain join)
+  * and bucketing must be visible in the PLAN (no exchange). */
+class ScaleJoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Skewed fact side: one hot key with 5k rows, 50 uniform keys. */
+  private def skewed = (
+    (1 to 5000).map(i => ("hot", i.toLong)) ++
+    (1 to 500).map(i => (s"k${i % 50}", i.toLong))
+  ).toDF("key", "v")
+
+  private def dim = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
+    .zipWithIndex.map { case (k, i) => (k, s"name_$i") }.toDF("key", "name")
+
+  test("salted join output is identical to the plain shuffle join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = skewed.join(dim, Seq("key"))
+        .select("key", "v", "name").as[(String, Long, String)].collect().sorted
+      for (salts <- Seq(1, 8)) {
+        val salted = ScaleJoins.saltedInnerJoin(skewed, dim, "key", salts)
+          .select("key", "v", "name").as[(String, Long, String)].collect().sorted
+        assert(salted.sameElements(plain), s"mismatch at salts=$salts")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salting spreads the hot key across partitions") {
+    val salted = skewed
+      .withColumn("__salt",
+        pmod(xxhash64(struct(col("key"), col("v"))), lit(8)).cast("int"))
+      .filter(col("key") === "hot")
+      .groupBy("__salt").count().collect()
+    assert(salted.length == 8) // all 8 sub-keys populated
+    assert(salted.map(_.getAs[Long]("count")).max < 5000) // no lone hotspot
+  }
+
+  test("co-bucketed tables join with no exchange in the plan") {
+    val dir = "/root/testdata/sf0.001"
+    sources.Sources.writeBucketed(
+      Tables.customer(spark, dir), nBuckets = 8, key = "c_custkey",
+      table = "cust_bucketed")
+    sources.Sources.writeBucketed(
+      Tables.orders(spark, dir).withColumnRenamed("o_custkey", "c_custkey"),
+      nBuckets = 8, key = "c_custkey", table = "ord_bucketed")
+    // Force the shuffle-join path (at real scale both sides are facts and
+    // broadcast is off the table anyway — that's what bucketing is for).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("cust_bucketed")
+        .join(spark.table("ord_bucketed"), Seq("c_custkey"))
+      val rows = joined.count()
+      // same answer as the unbucketed join
+      val plainRows = Tables.customer(spark, dir)
+        .join(Tables.orders(spark, dir),
+          col("c_custkey") === col("o_custkey")).count()
+      assert(rows == plainRows)
+      // the co-located join needs NO shuffle: bucket layout already
+      // satisfies the join's distribution requirement on both sides
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}

@@ -162,6 +162,33 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[String]("location"))))
   }
 
+  test("full reference topology round-trips: poll → flatten → kafka wire → decode → enrich") {
+    import spark.implicits._
+    // producer side: HTTP poll payloads, flattened, serialized to the wire
+    val ticks = (0 until 20)
+      .map(i => (new Timestamp(1704100000000L + i * 10000L), i.toLong))
+      .toDF("timestamp", "value")
+    val flat = graft.sources.Sources.flattenApiPayload(Ingest.renderPayload(ticks))
+    // broker hop: value column + offset/partition metadata
+    val wire = Ingest.toKafkaRecords(flat)
+      .withColumn("offset", monotonically_increasing_id())
+      .withColumn("partition", lit(0))
+    // consumer side: decode + lineage enrichment
+    val decoded = Ingest.enrich(Ingest.decodeKafkaShape(wire))
+    assert(decoded.count() == 20)
+    // schema equals the reference's 17-column observation record
+    assert(decoded.columns.toSet == Tables.airQualitySchema.fieldNames.toSet)
+    // values survive the JSON wire hop (pm2_5 lands in the wire schema's
+    // FloatType — compare both sides at float precision)
+    val before = flat.select(col("location"), col("temp_c"),
+        col("pm2_5").cast("float"), col("timestamp"))
+      .as[(String, Float, Float, String)].collect().toSet
+    val after = decoded.select(col("location"), col("temp_c"),
+        col("pm2_5"), col("timestamp"))
+      .as[(String, Float, Float, String)].collect().toSet
+    assert(after == before)
+  }
+
   test("checkpointed file sink is replayable and exactly-once (T3/T4/S5)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
