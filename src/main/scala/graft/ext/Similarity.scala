@@ -142,10 +142,57 @@ object Similarity {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SIM4 — IVF (inverted-file) ANN: a k-means coarse quantizer learned
+    * from the corpus partitions vectors into `k` cells; a query probes
+    * only its `nProbe` nearest cells and runs exact cosine there.
+    * Complementary to LSH (sim2): IVF cells are data-adaptive (they
+    * follow the embedding distribution; hyperplanes are oblivious), so
+    * candidate quality per probe is higher — at the cost of a training
+    * pass. At 100 TB: train on a sample, broadcast the k×d centroid
+    * table, assignment is one map pass, and cells map to bucketed
+    * storage so probing prunes partitions. Choosing probe cells is
+    * driver-side argmin over k centroids — query planning, not data
+    * work. Rows-only (cell layout is engine-specific); nProbe=k
+    * equivalence with brute force is asserted in ScalaTest. */
+  def sim4IvfAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfAnn(spark, Tables.embeddings(spark, dir), k = 16, nProbe = 3)
+
+  def ivfAnn(spark: SparkSession, embeddings: DataFrame,
+             k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("features", array_to_vector(col("emb")))
+    val model = new KMeans().setK(k).setSeed(7).setMaxIter(5).fit(e)
+    val assigned = model.transform(e)
+      .select(col("vec_id"), col("emb"), col("prediction").as("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+    val q = assigned.filter(col("vec_id") === 0)
+      .select(col("emb")).head().getSeq[Double](0).toArray
+    // Probe list: the nProbe cells whose centroids are nearest the query.
+    val probeCells = centers.zipWithIndex
+      .map { case (c, i) =>
+        val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
+        (i, d)
+      }
+      .sortBy(_._2).take(nProbe).map(_._1)
+    val qDf = assigned.filter(col("vec_id") === 0)
+      .select(col("emb").as("qemb"))
+    assigned
+      .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .crossJoin(broadcast(qDf))
+      .select(col("vec_id"),
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> sim1CosineTopK,
     "sim2_ann_lsh" -> sim2AnnLsh,
-    "sim3_neardup_pairs" -> sim3NearDupPairs
+    "sim3_neardup_pairs" -> sim3NearDupPairs,
+    "sim4_ivf_ann" -> sim4IvfAnn
   )
 
   val oracle: Map[String, String] = Map(

@@ -76,6 +76,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IVF with all cells probed equals brute force; fewer probes stay exact") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.sim1CosineTopK(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double)].collect().toSeq
+    // nProbe = k → every cell scanned → must reproduce brute force exactly
+    val full = Similarity.ivfAnn(spark, e, k = 8, nProbe = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(full == brute)
+    // partial probing returns a subset of true neighbors with exact scores
+    val truth = full.toMap
+    val partial = Similarity.ivfAnn(spark, e, k = 8, nProbe = 2)
+      .as[(Long, Double)].collect()
+    assert(partial.nonEmpty)
+    val bruteAll = {
+      val d = e.select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("emb"))
+      val q = d.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+      d.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"), round(Similarity.cosine(col("emb"), col("qemb")), 4).as("c"))
+        .as[(Long, Double)].collect().toMap
+    }
+    partial.foreach { case (id, c) => assert(math.abs(bruteAll(id) - c) < 1e-9) }
+  }
+
   test("near-dup pairs at more planes are a subset of pairs at fewer planes") {
     // hyperplanes(n) shares its prefix with hyperplanes(m<n) (same seed,
     // plane-by-plane fill), so an 8-plane bucket refines a 6-plane bucket:
