@@ -48,4 +48,23 @@ object Windows {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  /** T6+T8 — the reference's persisted location summary
+    * (spark_processor.py:210-217) as a LIVE event-time aggregate over the
+    * observation stream: per (hourly window, location) count + rounded
+    * means. Rows finalize as the watermark closes windows; a memory-sink
+    * query over this stream IS the dashboard's snapshot table, replacing
+    * the reference's write-whole-summary-then-TTL-cache loop
+    * (dashboard.py:37) with incremental state. */
+  def liveLocationSummary(observations: DataFrame): DataFrame =
+    observations
+      .withColumn("ts",
+        to_timestamp(col("timestamp"), "yyyy-MM-dd'T'HH:mm:ss"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("location"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("temp_c")), 2).as("avg_temp"),
+        round(avg(col("pm2_5")), 2).as("avg_pm25"))
+      .select(col("window.start").as("window_start"), col("location"),
+        col("n"), col("avg_temp"), col("avg_pm25"))
 }

@@ -49,6 +49,21 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming01 < hamming03) // near-dup closer than unrelated
   }
 
+  test("null/empty/short texts are excluded, never crash the LSH pipelines") {
+    val messy = Seq(
+      (0L, base), (1L, base + " tonight"),
+      (2L, null.asInstanceOf[String]),
+      (3L, ""), (4L, "one two")  // below the 3-word shingle minimum
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairsDf(messy, threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L))) // only the real near-dup pair survives
+    val sh = Dedup.simhash(messy).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(sh(2L).isEmpty)          // null text → null signature
+    assert(sh(0L).nonEmpty)
+  }
+
   test("d5 exact ngram jaccard is symmetric-free (id_a < id_b) and bounded") {
     val out = ext.Dedup.d5NgramJaccard(spark, "/root/testdata/sf0.001").collect()
     out.foreach { r =>

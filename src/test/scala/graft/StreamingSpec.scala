@@ -162,6 +162,26 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[String]("location"))))
   }
 
+  test("live location summary finalizes per-hour rows as watermark advances (T6/T8)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double, Double)]
+    val obs = in.toDF().toDF("location", "timestamp", "temp_c", "pm2_5")
+    val q = Windows.liveLocationSummary(obs)
+      .writeStream.format("memory").queryName("live_summary")
+      .outputMode("append").start()
+    in.addData(
+      ("London", "2024-01-01T10:05:00", 10.0, 20.0),
+      ("London", "2024-01-01T10:45:00", 14.0, 30.0),
+      ("Delhi",  "2024-01-01T10:30:00", 25.0, 80.0))
+    in.addData(("Delhi", "2024-01-01T12:00:00", 26.0, 70.0)) // closes 10:00
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("live_summary").collect()
+      .map(r => (r.getAs[String]("location"), r.getAs[Long]("n"),
+        r.getAs[Double]("avg_temp"), r.getAs[Double]("avg_pm25"))).toSet
+    assert(rows == Set(("London", 2L, 12.0, 25.0), ("Delhi", 1L, 25.0, 80.0)))
+  }
+
   test("full reference topology round-trips: poll → flatten → kafka wire → decode → enrich") {
     import spark.implicits._
     // producer side: HTTP poll payloads, flattened, serialized to the wire
