@@ -6,13 +6,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup at the smallest SF: pays session bring-up, parquet
-    // footer reads, codegen compilation and JIT once, so the timed loop
-    // below measures the PLANS — without this, whichever query runs first
-    // absorbs ~4-5 s of startup and the per-query signal is noise.
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+    // Untimed warmup at the smallest sibling SF: pays session bring-up,
+    // parquet footer reads, codegen compilation and JIT once, so the
+    // timed loop below measures the PLANS — without this, whichever query
+    // runs first absorbs ~4-5 s of startup and the per-query signal is
+    // noise. Falls back to the bench dir itself when no sf0.001 sibling
+    // exists (costlier warmup beats silently skipping it).
+    val warmDir = {
+      val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
+      if (sibling.isDirectory) sibling.getPath else sfDir
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -1,7 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Dev tool: time named queries at a given SF and optionally dump the
   * formatted physical plan. Usage:
   *   sbt "runMain graft.Profile sf0.1 d5_ngram_jaccard [--explain]"
@@ -12,11 +10,8 @@ object Profile {
     val names = args.drop(1).filterNot(_.startsWith("--"))
     val explain = args.contains("--explain")
     val dir = s"/root/testdata/$sf"
-    val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = Sessions.builder("local[32]", 32)
       .config("spark.driver.memory", "8g")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val targets =

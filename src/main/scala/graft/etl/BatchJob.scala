@@ -27,15 +27,21 @@ object BatchJob {
       .orderBy(col("location"), col("air_quality_index"))
 
   /** Run the whole job; returns (history rows written, summary rows) —
-    * the counts the reference logs. The history count re-reads the sink,
-    * so it also validates the partitioned write. */
+    * the counts the reference logs. The processed frame is cached for the
+    * job's lifetime (the reference does the same, spark_processor.py:255):
+    * it feeds two sinks and the summary count, and without the cache the
+    * scan + dedup shuffle + derivation would run once per action. The
+    * history count re-reads the sink, so it also validates the
+    * partitioned write. */
   def run(spark: SparkSession, jsonDir: String,
           parquetOut: String, csvOut: String): (Long, Long) = {
     val processed = Transform.pipeline(
-      Sources.readAirQualityJson(spark, jsonDir))
-    Sources.writePartitioned(processed, parquetOut)
-    val summary = summarize(processed)
-    Sources.writeSummaryCsv(summary, csvOut)
-    (spark.read.parquet(parquetOut).count(), summary.count())
+      Sources.readAirQualityJson(spark, jsonDir)).cache()
+    try {
+      Sources.writePartitioned(processed, parquetOut)
+      val summary = summarize(processed)
+      Sources.writeSummaryCsv(summary, csvOut)
+      (spark.read.parquet(parquetOut).count(), summary.count())
+    } finally processed.unpersist()
   }
 }

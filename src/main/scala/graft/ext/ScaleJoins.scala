@@ -17,10 +17,14 @@ object ScaleJoins {
     * re-chunking oversized partitions at runtime; explicit salting is for
     * the pathological single-key hotspot (one key's rows exceed an
     * executor) when the matching side is still too large to broadcast:
-    * the big side salts each row deterministically (hash of the full row,
-    * no runtime entropy — re-runs and retries salt identically), the
-    * small side replicates `salts`×, and the join key becomes
-    * (key, salt) — the hotspot lands on `salts` reducers instead of one.
+    * the big side salts each row by its position (partition id + row
+    * index via monotonically_increasing_id — deterministic for a given
+    * partition layout, including task retries, and NOT content-derived:
+    * a hotspot of bit-identical duplicate rows, the common pathological
+    * case, still spreads evenly where a row-hash salt would re-collapse
+    * it onto one reducer), the small side replicates `salts`×, and the
+    * join key becomes (key, salt) — the hotspot lands on `salts`
+    * reducers instead of one.
     *
     * Contract: both frames carry `key` under the same name; `small`'s
     * shuffle size grows `salts`× — size salts to the skew factor, not
@@ -28,9 +32,8 @@ object ScaleJoins {
   def saltedInnerJoin(big: DataFrame, small: DataFrame,
                       key: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val saltOfRow =
-      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(salts)).cast("int")
-    val b = big.withColumn("__salt", saltOfRow)
+    val b = big.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val s = small.withColumn("__salt",
       explode(array((0 until salts).map(lit): _*)))
     b.join(s, Seq(key, "__salt")).drop("__salt")

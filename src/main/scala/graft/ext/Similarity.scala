@@ -168,17 +168,29 @@ object Similarity {
     val assigned = model.transform(e)
       .select(col("vec_id"), col("emb"), col("prediction").as("cell"))
     val centers = model.clusterCenters.map(_.toArray)
-    val q = assigned.filter(col("vec_id") === 0)
-      .select(col("emb")).head().getSeq[Double](0).toArray
-    // Probe list: the nProbe cells whose centroids are nearest the query.
+    // The query vector is collected once (filter-pruned single-row scan);
+    // the collected value then feeds both probe selection (driver-side
+    // argmin over k centroids — query planning) and the broadcast side of
+    // the candidate join, so the corpus-wide assignment runs exactly once,
+    // in the final query. Missing query id → empty result, not a crash.
+    val qRows = e.filter(col("vec_id") === 0).select(col("emb")).take(1)
+    if (qRows.isEmpty) {
+      return assigned.select(col("vec_id"),
+        lit(0.0).as("cos_sim")).limit(0)
+    }
+    val q = qRows.head.getSeq[Double](0).toArray
     val probeCells = centers.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
       }
       .sortBy(_._2).take(nProbe).map(_._1)
-    val qDf = assigned.filter(col("vec_id") === 0)
-      .select(col("emb").as("qemb"))
+    val qDf = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(q.toSeq)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qemb",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType, containsNull = false)))))
     assigned
       .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .crossJoin(broadcast(qDf))

@@ -46,10 +46,13 @@ final class Snapshot(spark: SparkSession, name: String, ttlMs: Long,
   private var loadedAt = Long.MinValue
 
   def refresh(): DataFrame = synchronized {
-    current.foreach(_.unpersist())
+    // Build the replacement FIRST: if the load fails, the previous
+    // snapshot stays intact (still cached, still served) instead of the
+    // dashboard silently degrading to a full scan per read.
     val df = load().persist()
     df.count() // materialize NOW — serving reads must not pay the scan
     df.createOrReplaceTempView(name)
+    current.foreach(_.unpersist())
     current = Some(df)
     loadedAt = System.currentTimeMillis()
     df

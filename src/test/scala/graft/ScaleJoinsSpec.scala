@@ -33,14 +33,20 @@ class ScaleJoinsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("salting spreads the hot key across partitions") {
-    val salted = skewed
+  test("salting spreads a hotspot of IDENTICAL rows across sub-keys") {
+    // bit-identical duplicate rows — the case a content-hash salt would
+    // re-collapse onto one reducer
+    val identical = Seq.fill(4000)(("hot", 1L)).toDF("key", "v")
+      .repartition(8)
+    val salted = identical
       .withColumn("__salt",
-        pmod(xxhash64(struct(col("key"), col("v"))), lit(8)).cast("int"))
-      .filter(col("key") === "hot")
+        pmod(monotonically_increasing_id(), lit(8)).cast("int"))
       .groupBy("__salt").count().collect()
     assert(salted.length == 8) // all 8 sub-keys populated
-    assert(salted.map(_.getAs[Long]("count")).max < 5000) // no lone hotspot
+    assert(salted.map(_.getAs[Long]("count")).max < 4000) // no lone hotspot
+    // and the join output is still exactly the plain join
+    val joined = ScaleJoins.saltedInnerJoin(identical, dim, "key", 8)
+    assert(joined.count() == 4000)
   }
 
   test("co-bucketed tables join with no exchange in the plan") {

@@ -129,7 +129,7 @@ class StreamingSpec extends AnyFunSuite {
 
   test("simulated HTTP payload flattens through the full wire schema (S1/S2)") {
     import spark.implicits._
-    val ticks = Seq((t("2024-01-01 10:00:00"), 7L), (t("2024-01-01 10:00:10"), 12L))
+    val ticks = Seq((t("2024-01-01 10:00:00"), 7L), (t("2024-01-01 10:00:10"), 13L))
       .toDF("timestamp", "value")
     val flat = graft.sources.Sources.flattenApiPayload(Ingest.renderPayload(ticks))
       .orderBy("timestamp").collect()
@@ -139,8 +139,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(r.getAs[Float]("temp_c") == 2.0f)              // 7 % 40 - 5
     assert(r.getAs[String]("timestamp") == "2024-01-01T10:00:00")
     assert(r.getAs[Double]("pm2_5") == (7 * 19 % 3000) / 10.0)
-    // second tick hits a different city — the poll cycles the city list
-    assert(flat(1).getAs[String]("location") == "Tokyo" || flat(1).getAs[String]("location") != r.getAs[String]("location"))
+    // the poll cycles the city list: tick 13 (13 % 5 = 3) → Lagos
+    assert(flat(1).getAs[String]("location") == "Lagos")
   }
 
   test("simulated HTTP poll drives flatten→enrich→sink end-to-end (S1 streaming)") {
