@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Moments, ShingleHashes, WelfordStats}
+
+/** Randomized (but fully seeded — no flakes) equivalence properties for
+  * the custom expressions. Fixed-fixture tests pin known cases; these
+  * sweep the input space: arbitrary whitespace runs and unicode-free word
+  * soup for the shingler, permuted hash sets for the minhash bander,
+  * pathological offsets for the Welford merge. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default
+    (0 until n).flatMap(i => gen.apply(params, Seed(i.toLong)))
+  }
+
+  private val word = Gen.chooseNum(0, 6).flatMap(n =>
+    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)) // includes empty words
+  private val text = Gen.chooseNum(0, 12).flatMap(n =>
+    Gen.listOfN(n, word).map(_.mkString(" ")))          // multi-space runs via empty words
+
+  test("shingle_hashes equals the HOF formulation on 200 random texts") {
+    val texts = samples(text, 200)
+    val df = texts.toDF("text")
+      .withColumn("fused",
+        ShingleHashes.shingleHashes(spark, col("text"), 3))
+      .withColumn("words", split(lower(col("text")), " "))
+      .withColumn("hof",
+        when(size(col("words")) >= 3, expr(
+          """transform(
+            |  array_distinct(transform(sequence(0, size(words) - 3),
+            |    i -> concat_ws(' ', slice(words, i + 1, 3)))),
+            |  s -> pmod(xxhash64(s), 2147483647))""".stripMargin))
+          .otherwise(expr("array()")))
+    val mismatches = df.filter(col("fused") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("minhash band keys are invariant under permutation of the hash set") {
+    val hashes = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0L, 2147483646L)))
+    val rnd = new scala.util.Random(3)
+    val pairs = samples(hashes, 150).map(h => (h, rnd.shuffle(h)))
+    graft.functions.MinHash.register(spark)
+    val df = pairs.toDF("a", "b")
+      .withColumn("ka", expr("minhash_bands(a, 8, 4)"))
+      .withColumn("kb", expr("minhash_bands(b, 8, 4)"))
+    assert(df.filter(col("ka") =!= col("kb")).count() == 0)
+  }
+
+  test("welford reduce+merge matches exact two-pass stats on 200 random splits") {
+    val values = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.chooseNum(-1e3, 1e3), Gen.chooseNum(-1e3, 1e3).map(_ + 1e9))))
+    val rnd = new scala.util.Random(11)
+    samples(values, 200).foreach { xs =>
+      val cut = rnd.nextInt(xs.length)
+      val (l, r) = xs.splitAt(cut)
+      def fold(s: Seq[Double]): Moments =
+        s.foldLeft(WelfordStats.zero)((b, x) => WelfordStats.reduce(b, x))
+      val (mean, v) = WelfordStats.finish(
+        WelfordStats.merge(fold(l), fold(r)))
+      val exactMean = xs.sum / xs.length
+      val exactVar = xs.map(x => (x - exactMean) * (x - exactMean)).sum / (xs.length - 1)
+      assert(math.abs(mean - exactMean) <= 1e-9 * math.max(1.0, math.abs(exactMean)))
+      assert(math.abs(v - exactVar) <= 1e-6 * math.max(1.0, exactVar))
+    }
+  }
+}
