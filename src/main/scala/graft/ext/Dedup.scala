@@ -166,10 +166,60 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Connected components over a near-dup pair graph: every node labeled
+    * with its component's minimum id — the canonical representative a
+    * dedup pass keeps. Iterative min-label propagation: each round is one
+    * key-partitioned join + aggregate (no driver-side data), and rounds
+    * bound by the component DIAMETER — tiny for dup clusters in practice,
+    * O(log n) worst case with label shortcutting through the symmetric
+    * edge list. `localCheckpoint` truncates the growing iteration lineage
+    * so the plan stays O(1) per round instead of O(rounds). */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels
+        .join(neighborMin.withColumnRenamed("src", "node"), Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** D6 — duplicate-cluster resolution over the exact-Jaccard pair graph
+    * (d5's bounded window, so DuckDB replays the whole dataflow with a
+    * recursive CTE): every doc < 80 mapped to its canonical
+    * representative; docs in no pair map to themselves. */
+  def d6DedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 80).select(col("doc_id").as("node"))
+    val pairs = d5NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    connectedComponents(nodes, pairs)
+      .select(col("node").as("doc_id"), col("label").as("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash_pairs" -> d4SimhashPairs,
-    "d5_ngram_jaccard" -> d5NgramJaccard
+    "d5_ngram_jaccard" -> d5NgramJaccard,
+    "d6_dedup_clusters" -> d6DedupClusters
   )
 
   /** d5 is SQL-expressible in DuckDB via list functions — the exact
@@ -191,6 +241,29 @@ object Dedup {
         |FROM s a JOIN s b ON a.doc_id < b.doc_id
         |WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.02
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "d6_dedup_clusters" ->
+      """WITH RECURSIVE s AS (
+        |  SELECT doc_id,
+        |    list_distinct(
+        |      list_transform(range(len(string_split(lower(text), ' ')) - 2),
+        |        i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + 3], ' '))
+        |    ) AS shingles
+        |  FROM documents
+        |  WHERE doc_id < 80 AND len(string_split(lower(text), ' ')) >= 3),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.02),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, other) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 80
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other)
+        |SELECT node AS doc_id, min(other) AS canonical_id
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
   )
 }

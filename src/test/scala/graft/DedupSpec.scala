@@ -64,6 +64,18 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(0L).nonEmpty)
   }
 
+  test("connected components resolve chains, singletons, and merges") {
+    // components: {0,1,2,3} via a chain, {10,11}, {20} isolated
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(labels(_) == 0L))
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+    assert(labels(20L) == 20L)
+  }
+
   test("d5 exact ngram jaccard is symmetric-free (id_a < id_b) and bounded") {
     val out = ext.Dedup.d5NgramJaccard(spark, "/root/testdata/sf0.001").collect()
     out.foreach { r =>
