@@ -36,5 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => MinHashBands(es.head, intArg(es(1)), intArg(es(2)))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes"),
       (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1)))))
+    ext.injectFunction((FunctionIdentifier("rolling_chunks"), info("rolling_chunks"),
+      (es: Seq[Expression]) => RollingChunks(es.head, intArg(es(1)), intArg(es(2)))))
   }
 }

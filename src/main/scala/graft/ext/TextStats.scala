@@ -102,12 +102,30 @@ object TextStats {
         max(expr("octet_length(payload)")).as("max_bytes"))
       .orderBy(col("source"))
 
+  /** T4 — rolling-hash (content-defined) chunk fingerprinting: per source,
+    * total vs distinct chunk fingerprints — the chunk-level duplicate mass
+    * a CDC-based fuzzy dedup would deduplicate. Unlike d2's whole-doc md5,
+    * chunk fingerprints survive insertions (boundaries re-align by
+    * content), so shared passages across near-identical docs are visible.
+    * Rows-only (the chunking scheme is engine-specific); the
+    * shift-resistance property is asserted in ScalaTest. */
+  def t4RollingFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(graft.functions.RollingChunks.rollingChunks(
+          spark, col("text"), 16, 5)).as("chunk_fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_fp")).as("n_distinct_chunks"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_fingerprint" -> d2Fingerprint,
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
+    "t4_rolling_fingerprint" -> t4RollingFingerprint,
     "mm1_binary_meta" -> mm1BinaryMeta
   )
 

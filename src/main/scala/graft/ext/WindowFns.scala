@@ -69,11 +69,29 @@ object WindowFns {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** W5 — distribution ranks per group: ntile deciles + percent_rank +
+    * cume_dist over value within event_type (the quantile-bucket
+    * assignment a training pipeline uses for stratified splits). Ties
+    * broken by event_id so rank order is engine-exact. */
+  def w5DistributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("decile", ntile(10).over(w))
+      .withColumn("pct_rank", round(percent_rank().over(w), 4))
+      .withColumn("cume", round(cume_dist().over(w), 4))
+      .filter(col("event_id") < 200)
+      .select(col("event_id"), col("event_type"), col("decile"),
+        col("pct_rank"), col("cume"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_topn_per_group" -> w1TopNPerGroup,
     "w2_lag_delta" -> w2LagDelta,
     "w3_moving_avg" -> w3MovingAvg,
-    "w4_running_sum" -> w4RunningSum
+    "w4_running_sum" -> w4RunningSum,
+    "w5_distribution_ranks" -> w5DistributionRanks
   )
 
   val oracle: Map[String, String] = Map(
@@ -111,6 +129,15 @@ object WindowFns {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
         |      AS running_total
         |  FROM events) WHERE user_id < 10
-        |ORDER BY user_id, event_id""".stripMargin
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w5_distribution_ranks" ->
+      """SELECT event_id, event_type, decile, pct_rank, cume FROM (
+        |  SELECT event_id, event_type,
+        |    CAST(ntile(10) OVER w AS INT) AS decile,
+        |    round(percent_rank() OVER w, 4) AS pct_rank,
+        |    round(cume_dist() OVER w, 4) AS cume
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id))
+        |WHERE event_id < 200 ORDER BY event_id""".stripMargin
   )
 }
