@@ -168,37 +168,61 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph: every node labeled
     * with its component's minimum id — the canonical representative a
-    * dedup pass keeps. Iterative min-label propagation: each round is one
-    * key-partitioned join + aggregate (no driver-side data), and rounds
-    * bound by the component DIAMETER — tiny for dup clusters in practice,
-    * O(log n) worst case with label shortcutting through the symmetric
-    * edge list. `localCheckpoint` truncates the growing iteration lineage
-    * so the plan stays O(1) per round instead of O(rounds). */
+    * dedup pass keeps. Min-label propagation with POINTER JUMPING (each
+    * round also rewrites label ← label(label)), so remaining chain
+    * lengths halve per round and convergence is O(log diameter) — a
+    * 2^20-hop chain fits in the default 20-round cap. Each round is two
+    * key-partitioned joins plus one cheap aggregate (no driver-side
+    * data); `localCheckpoint` truncates the growing iteration lineage so
+    * the plan stays O(1) per round. Failure to converge inside `maxIter`
+    * throws rather than silently returning a split component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Checkpoint pairs BEFORE the symmetric union: the union embeds its
+    // input in both branches, and without the checkpoint the entire
+    // upstream pair pipeline (for d6: shingle + cross join + Jaccard)
+    // would execute twice in the first edges job.
+    val p = pairs.localCheckpoint(true)
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
     var labels = nodes.select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    // Labels only ever decrease (least of mins), so sum(label) strictly
+    // decreases on any change — convergence detection is one aggregate,
+    // no extra join. Decimal sum: immune to Long overflow at any n.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val neighborMin = edges
         .join(labels.select(col("node").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels
+      val propagated = labels
         .join(neighborMin.withColumnRenamed("src", "node"), Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // Pointer jumping: label ← label(label). Labels are node ids, so a
+      // self-join resolves each label's own current label, halving the
+      // distance to the component minimum every round.
+      val updated = propagated.as("u")
+        .join(propagated.select(col("node").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = updated
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+      val curSum = labelSum(updated)
+      converged = curSum.compareTo(prevSum) == 0
+      prevSum = curSum
       labels = updated
-      converged = changed == 0
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter > 2^maxIter?) — raise maxIter")
     labels
   }
 
@@ -222,40 +246,40 @@ object Dedup {
     "d6_dedup_clusters" -> d6DedupClusters
   )
 
-  /** d5 is SQL-expressible in DuckDB via list functions — the exact
-    * Jaccard verify kernel gets a real oracle; the LSH pipelines are
-    * engine-specific and stay rows-only. */
+  /** Shared oracle fragment: the d5 shingle CTE + pair predicate. ONE
+    * definition interpolated into both d5 and d6, so a threshold or
+    * window change cannot drift the two oracles apart. */
+  private val shingleCte =
+    """s AS (
+      |  SELECT doc_id,
+      |    list_distinct(
+      |      list_transform(range(len(string_split(lower(text), ' ')) - 2),
+      |        i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + 3], ' '))
+      |    ) AS shingles
+      |  FROM documents
+      |  WHERE doc_id < 80 AND len(string_split(lower(text), ' ')) >= 3)""".stripMargin
+
+  private val pairPredicate =
+    """FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.02""".stripMargin
+
+  /** d5/d6 are SQL-expressible in DuckDB (list functions + a recursive
+    * CTE for the closure) — the exact kernels get real oracles; the LSH
+    * pipelines are engine-specific and stay rows-only. */
   val oracle: Map[String, String] = Map(
     "d5_ngram_jaccard" ->
-      """WITH s AS (
-        |  SELECT doc_id,
-        |    list_distinct(
-        |      list_transform(range(len(string_split(lower(text), ' ')) - 2),
-        |        i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + 3], ' '))
-        |    ) AS shingles
-        |  FROM documents
-        |  WHERE doc_id < 80 AND len(string_split(lower(text), ' ')) >= 3)
+      s"""WITH $shingleCte
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
         |    len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
-        |FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |    len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.02
+        |$pairPredicate
         |ORDER BY id_a, id_b""".stripMargin,
     "d6_dedup_clusters" ->
-      """WITH RECURSIVE s AS (
-        |  SELECT doc_id,
-        |    list_distinct(
-        |      list_transform(range(len(string_split(lower(text), ' ')) - 2),
-        |        i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + 3], ' '))
-        |    ) AS shingles
-        |  FROM documents
-        |  WHERE doc_id < 80 AND len(string_split(lower(text), ' ')) >= 3),
+      s"""WITH RECURSIVE $shingleCte,
         |p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(a.shingles, b.shingles))), 4) >= 0.02),
+        |  $pairPredicate),
         |edges AS (
         |  SELECT id_a AS a, id_b AS b FROM p
         |  UNION ALL SELECT id_b, id_a FROM p),

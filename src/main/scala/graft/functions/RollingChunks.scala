@@ -27,6 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RollingChunks(child: Expression, window: Int, maskBits: Int)
     extends UnaryExpression {
 
+  // SQL-reachable args (injected function) — degenerate values would
+  // silently make EVERY position a boundary (maskBits<=0 → mask 0;
+  // window<=0 → the rolling hash cancels itself); fail at analysis time.
+  require(window > 0, s"rolling_chunks window must be > 0, got $window")
+  require(maskBits > 0 && maskBits < 63,
+    s"rolling_chunks maskBits must be in (0, 63), got $maskBits")
+
   private val mask: Long = (1L << maskBits) - 1
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

@@ -76,6 +76,20 @@ class DedupSpec extends AnyFunSuite {
     assert(labels(20L) == 20L)
   }
 
+  test("a 200-hop chain converges inside the round cap (pointer jumping)") {
+    // Plain one-hop propagation needs 199 rounds — far past maxIter=20.
+    // Pointer jumping halves remaining distance per round: ~9 rounds.
+    // The min node sits at the FAR end so labels must travel the length.
+    val n = 200
+    val nodes = (0 until n).map(i => (n - 1 - i).toLong).toDF("node")
+    val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == n)
+    assert(labels.values.forall(_ == 0L))
+  }
+
   test("d5 exact ngram jaccard is symmetric-free (id_a < id_b) and bounded") {
     val out = ext.Dedup.d5NgramJaccard(spark, "/root/testdata/sf0.001").collect()
     out.foreach { r =>

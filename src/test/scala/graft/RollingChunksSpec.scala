@@ -38,6 +38,21 @@ class RollingChunksSpec extends AnyFunSuite {
     assert(orig != ed)
   }
 
+  test("degenerate window/maskBits are rejected, not silently garbage") {
+    intercept[IllegalArgumentException] {
+      graft.functions.RollingChunks(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 16, 0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.RollingChunks(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 0, 5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.RollingChunks(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 16, 63)
+    }
+  }
+
   test("empty and null inputs are safe") {
     val out = Seq(Some(""), None).toDF("text")
       .select(RollingChunks.rollingChunks(spark, col("text"), 16, 5).as("c"))
