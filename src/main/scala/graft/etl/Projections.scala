@@ -47,9 +47,9 @@ object Projections {
     val numeric = df.schema.fields.collect {
       case f if f.dataType.typeName.matches("double|float|integer|long") => f.name
     }.sorted
-    df.select(numeric.map(col): _*)
+    df.select(numeric.toIndexedSeq.map(col): _*)
       .agg(numeric.map(c => round(avg(col(c)), 2).as(s"avg_$c")).head,
-        numeric.map(c => round(avg(col(c)), 2).as(s"avg_$c")).tail: _*)
+        numeric.toIndexedSeq.map(c => round(avg(col(c)), 2).as(s"avg_$c")).tail: _*)
   }
 
   /** P7 — latest-reading selector done distributed: max_by per group

@@ -65,7 +65,7 @@ object Similarity {
     math.min(24, math.max(minPlanes, needed))
   }
 
-  private def planeLit(p: Array[Double]): Column = array(p.map(lit): _*)
+  private def planeLit(p: Array[Double]): Column = array(p.toIndexedSeq.map(lit): _*)
 
   /** Signature bucket: one bit per hyperplane (sign of the projection).
     * Projections use the fused codegen vec_dot — one loop per plane, no
@@ -192,7 +192,7 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
     assigned
-      .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .crossJoin(broadcast(qDf))
       .select(col("vec_id"),
         round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4).as("cos_sim"))
