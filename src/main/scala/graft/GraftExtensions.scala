@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))))
     ext.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    ext.injectFunction((FunctionIdentifier("simhash64_text"), info("simhash64_text"),
+      (es: Seq[Expression]) => SimHashText(es.head)))
     ext.injectFunction((FunctionIdentifier("minhash_bands"), info("minhash_bands"),
       (es: Seq[Expression]) => MinHashBands(es.head, intArg(es(1)), intArg(es(2)))))
     ext.injectFunction((FunctionIdentifier("shingle_hashes"), info("shingle_hashes"),

@@ -103,15 +103,15 @@ object Dedup {
 
   /** SimHash: 64-bit signature — per distinct-word-hash bit, sum +1/-1
     * weights; signature bit = sign of the sum. Computed by the fused
-    * codegen expression [[graft.functions.SimHash64]]: one per-row loop,
-    * NO shuffle (the earlier dataflow form exploded every token and
-    * shuffled them into a 64-column aggregate — same bits, but the token
-    * shuffle dominates at scale). */
+    * codegen expression [[graft.functions.SimHashText]] straight from the
+    * text: one per-row loop, no token-array materialization, NO shuffle
+    * (the earlier dataflow form exploded every token and shuffled them
+    * into a 64-column aggregate — same bits, but the token shuffle
+    * dominates at scale). */
   def simhash(df: DataFrame): DataFrame = {
     graft.functions.TextHash.register(df.sparkSession)
     df.select(col("doc_id"),
-      call_function("simhash64",
-        array_distinct(split(lower(col("text")), " "))).as("simhash"))
+      call_function("simhash64_text", col("text")).as("simhash"))
   }
 
   /** D4 — SimHash near-dup pairs: Hamming-LSH via 4×16-bit chunks (two

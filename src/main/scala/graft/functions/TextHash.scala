@@ -87,16 +87,81 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** SimHashText — simhash straight from the raw text: lowercase, split on
+  * single spaces, dedupe tokens BY HASH, fold into the 64 counters — one
+  * pass, zero intermediate arrays. Equivalent to
+  * `simhash64(array_distinct(split(lower(text), ' ')))` up to 64-bit
+  * token-hash collisions (dedup-by-hash vs dedup-by-string), but skips
+  * materializing the token array and its distinct copy per row. */
+case class SimHashText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64_text"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash64_text requires string, got ${other.catalogString}")
+    }
+
+  /** Public: invoked from generated code. */
+  def computeSimhash(text: UTF8String): Long = {
+    val words = text.toLowerCase.toString.split(" ", -1)
+    val seen = new java.util.HashSet[java.lang.Long](words.length * 2)
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = XXH64.hashUTF8String(UTF8String.fromString(words(i)), 42L)
+      if (seen.add(h)) {
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    computeSimhash(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, txt => {
+      val ref = ctx.addReferenceObj("simhasher", this,
+        classOf[SimHashText].getName)
+      s"${ev.value} = $ref.computeSimhash($txt);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashText =
+    copy(child = newChild)
+}
+
 object TextHash {
   import org.apache.spark.sql.{Column, SparkSession}
   import org.apache.spark.sql.functions.call_function
 
-  /** Register simhash64 in the session function registry. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register simhash64 + simhash64_text in the session function
+    * registry. Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64_text", exprs => SimHashText(exprs.head), "built-in")
+  }
 
   def simhash64(spark: SparkSession, tokens: Column): Column = {
     register(spark); call_function("simhash64", tokens)
+  }
+
+  def simhash64Text(spark: SparkSession, text: Column): Column = {
+    register(spark); call_function("simhash64_text", text)
   }
 }

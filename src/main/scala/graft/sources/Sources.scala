@@ -155,9 +155,26 @@ object Sources {
       .orderBy(col("event_type"), col("month"))
   }
 
+  /** S14 — ORC round-trip: documents → ORC files → read-back → checksum.
+    * ORC is the second columnar format a warehouse migration meets
+    * (predicate pushdown + column pruning work the same as parquet);
+    * the oracle aggregates the ORIGINAL table, so equality proves the
+    * ORC write+read is lossless. */
+  def s14OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, "s14") { tmp =>
+    Tables.documents(spark, dir).filter(col("doc_id") < 200)
+      .write.mode("overwrite").orc(tmp)
+    spark.read.orc(tmp)
+      .filter(col("lang").isNotNull)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_json_roundtrip" -> s7JsonRoundtrip,
-    "s10_partitioned_roundtrip" -> s10PartitionedRoundtrip
+    "s10_partitioned_roundtrip" -> s10PartitionedRoundtrip,
+    "s14_orc_roundtrip" -> s14OrcRoundtrip
   )
 
   val oracle: Map[String, String] = Map(
@@ -169,6 +186,11 @@ object Sources {
       """SELECT event_type, CAST(month(ts) AS INT) AS month, count(*) AS n,
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE month(ts) IN (1, 2)
-        |GROUP BY 1, 2 ORDER BY event_type, month""".stripMargin
+        |GROUP BY 1, 2 ORDER BY event_type, month""".stripMargin,
+    "s14_orc_roundtrip" ->
+      """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  min(doc_id) AS min_doc
+        |FROM documents WHERE doc_id < 200 AND lang IS NOT NULL
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

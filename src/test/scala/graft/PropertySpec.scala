@@ -54,6 +54,16 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter(col("ka") =!= col("kb")).count() == 0)
   }
 
+  test("text-fused simhash equals the token-array form on 200 random texts") {
+    graft.functions.TextHash.register(spark)
+    val texts = samples(text, 200)
+    val df = texts.toDF("text")
+      .withColumn("fused", expr("simhash64_text(text)"))
+      .withColumn("arrform",
+        expr("simhash64(array_distinct(split(lower(text), ' ')))"))
+    assert(df.filter(col("fused") =!= col("arrform")).count() == 0)
+  }
+
   test("welford reduce+merge matches exact two-pass stats on 200 random splits") {
     val values = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
       Gen.oneOf(Gen.chooseNum(-1e3, 1e3), Gen.chooseNum(-1e3, 1e3).map(_ + 1e9))))
