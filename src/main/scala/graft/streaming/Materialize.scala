@@ -25,11 +25,14 @@ object Materialize {
   /** Run the stream until all currently-available data is processed into
     * in-memory table `name`, then return. Re-invoking re-drains: without a
     * checkpoint the snapshot is rebuilt from the source's full buffer,
-    * with one it advances incrementally. */
-  def refreshFromStream(stream: DataFrame, name: String): Unit = {
+    * with one it advances incrementally. Pass `outputMode = "complete"`
+    * for aggregate streams (append requires a watermark to finalize
+    * rows; a snapshot of a running aggregation wants the full state). */
+  def refreshFromStream(stream: DataFrame, name: String,
+                        outputMode: String = "append"): Unit = {
     val q = stream.writeStream
       .format("memory").queryName(name)
-      .outputMode("append")
+      .outputMode(outputMode)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

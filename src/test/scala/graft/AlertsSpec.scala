@@ -72,6 +72,21 @@ class AlertsSpec extends AnyFunSuite {
     assert(loads == 4) // ttl 0 → every read reloads
   }
 
+  test("aggregate streams snapshot via complete mode (T8)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(String, Double)]
+    def agg = in.toDF().toDF("k", "v")
+      .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("total"))
+    in.addData(("a", 1.0), ("a", 2.0), ("b", 5.0))
+    Materialize.refreshFromStream(agg, "t8_agg_snap", outputMode = "complete")
+    def state = spark.table("t8_agg_snap").as[(String, Double)].collect().toMap
+    assert(state == Map("a" -> 3.0, "b" -> 5.0))
+    in.addData(("a", 4.0))
+    Materialize.refreshFromStream(agg, "t8_agg_snap", outputMode = "complete")
+    assert(state == Map("a" -> 7.0, "b" -> 5.0))
+  }
+
   test("refreshFromStream drains available data into a queryable table (T8)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext

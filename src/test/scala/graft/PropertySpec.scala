@@ -21,7 +21,8 @@ class PropertySpec extends AnyFunSuite {
   }
 
   private val word = Gen.chooseNum(0, 6).flatMap(n =>
-    Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)) // includes empty words
+    Gen.listOfN(n, Gen.oneOf(Gen.alphaChar, // mixed case → lower() path
+      Gen.oneOf('é', 'Ü', 'ß', 'ñ', '中', '9'))).map(_.mkString)) // + unicode/digits; empty words too
   private val text = Gen.chooseNum(0, 12).flatMap(n =>
     Gen.listOfN(n, word).map(_.mkString(" ")))          // multi-space runs via empty words
 
