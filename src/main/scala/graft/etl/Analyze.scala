@@ -134,6 +134,21 @@ object Analyze {
         round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** A15 — bivariate statistics per group: Pearson correlation, sample
+    * covariance, and both sample stddevs of (quantity, extendedprice).
+    * The correlation-matrix primitive a feature-engineering pass runs;
+    * all four are single-pass mergeable aggregates (partial + final, no
+    * extra shuffle beyond the group-by). */
+  def a15Correlation(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_location_stats" -> a1LocationStats,
     "a2_group_count_desc" -> a2GroupCountDesc,
@@ -148,7 +163,8 @@ object Analyze {
     "a11_histogram" -> a11Histogram,
     "a12_approx_distinct" -> a12ApproxDistinct,
     "a13_rollup" -> a13Rollup,
-    "a14_percentiles" -> a14Percentiles
+    "a14_percentiles" -> a14Percentiles,
+    "a15_correlation" -> a15Correlation
   )
 
   val oracle: Map[String, String] = Map(
@@ -208,6 +224,13 @@ object Analyze {
         |  round(quantile_cont(l_quantity, 0.25), 2) AS p25,
         |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
         |  round(quantile_cont(l_quantity, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a15_correlation" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(stddev_samp(l_extendedprice), 2) AS sd_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

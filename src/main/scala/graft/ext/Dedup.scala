@@ -226,6 +226,19 @@ object Dedup {
     labels
   }
 
+  /** The dedup END PRODUCT: keep one document per duplicate cluster (the
+    * canonical minimum id), drop the rest. Composition of any pair
+    * source (minhash/simhash/exact Jaccard) with [[connectedComponents]];
+    * docs in no pair survive untouched. The join is on doc_id — the
+    * document bodies move once, after the cluster resolution. */
+  def dedupedCorpus(documents: DataFrame, pairs: DataFrame): DataFrame = {
+    val keep = connectedComponents(
+      documents.select(col("doc_id").as("node")), pairs)
+      .filter(col("node") === col("label"))
+      .select(col("node").as("doc_id"))
+    documents.join(keep, Seq("doc_id"))
+  }
+
   /** D6 — duplicate-cluster resolution over the exact-Jaccard pair graph
     * (d5's bounded window, so DuckDB replays the whole dataflow with a
     * recursive CTE): every doc < 80 mapped to its canonical

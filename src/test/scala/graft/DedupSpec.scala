@@ -76,6 +76,14 @@ class DedupSpec extends AnyFunSuite {
     assert(labels(20L) == 20L)
   }
 
+  test("dedupedCorpus keeps exactly one doc per cluster plus all singletons") {
+    val kept = Dedup.dedupedCorpus(docs,
+      Dedup.minhashPairsDf(docs, threshold = 0.4).select("id_a", "id_b"))
+      .select("doc_id").as[Long].collect().toSet
+    // {0,1,2} is one near-dup cluster → keep 0; 3 and 4 are singletons
+    assert(kept == Set(0L, 3L, 4L))
+  }
+
   test("a 200-hop chain converges inside the round cap (pointer jumping)") {
     // Plain one-hop propagation needs 199 rounds — far past maxIter=20.
     // Pointer jumping halves remaining distance per round: ~9 rounds.
