@@ -157,29 +157,35 @@ object Similarity {
   def sim4IvfAnn(spark: SparkSession, dir: String): DataFrame =
     ivfAnn(spark, Tables.embeddings(spark, dir), k = 16, nProbe = 3)
 
-  def ivfAnn(spark: SparkSession, embeddings: DataFrame,
-             k: Int, nProbe: Int): DataFrame = {
+  /** A built IVF index: the per-vector cell assignment plus the k×d
+    * centroid table. Build ONCE, serve many queries — training and the
+    * corpus-wide assignment amortize across the query stream (and at
+    * scale `assigned` would be written bucketed by cell so probes prune
+    * storage partitions). */
+  final case class IvfIndex(assigned: DataFrame, centers: Array[Array[Double]])
+
+  /** Index phase: train the coarse quantizer (5 Lloyd iterations —
+    * cell quality only affects recall-per-probe, never correctness) and
+    * assign every vector to its cell in one map pass. */
+  def ivfIndex(embeddings: DataFrame, k: Int): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("features", array_to_vector(col("emb")))
     val model = new KMeans().setK(k).setSeed(7).setMaxIter(5).fit(e)
-    val assigned = model.transform(e)
-      .select(col("vec_id"), col("emb"), col("prediction").as("cell"))
-    val centers = model.clusterCenters.map(_.toArray)
-    // The query vector is collected once (filter-pruned single-row scan);
-    // the collected value then feeds both probe selection (driver-side
-    // argmin over k centroids — query planning) and the broadcast side of
-    // the candidate join, so the corpus-wide assignment runs exactly once,
-    // in the final query. Missing query id → empty result, not a crash.
-    val qRows = e.filter(col("vec_id") === 0).select(col("emb")).take(1)
-    if (qRows.isEmpty) {
-      return assigned.select(col("vec_id"),
-        lit(0.0).as("cos_sim")).limit(0)
-    }
-    val q = qRows.head.getSeq[Double](0).toArray
-    val probeCells = centers.zipWithIndex
+    IvfIndex(
+      model.transform(e)
+        .select(col("vec_id"), col("emb"), col("prediction").as("cell")),
+      model.clusterCenters.map(_.toArray))
+  }
+
+  /** Query phase: probe the `nProbe` cells nearest the query vector and
+    * run exact cosine there. Probe selection is driver-side argmin over
+    * the k broadcast centroids — query planning, not data work. */
+  def ivfQuery(spark: SparkSession, index: IvfIndex, q: Array[Double],
+               nProbe: Int, excludeVecId: Long = -1L): DataFrame = {
+    val probeCells = index.centers.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
         (i, d)
@@ -191,13 +197,28 @@ object Similarity {
         org.apache.spark.sql.types.StructField("qemb",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
-    assigned
-      .filter(col("vec_id") =!= 0 && col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
+    index.assigned
+      .filter(col("vec_id") =!= excludeVecId &&
+        col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .crossJoin(broadcast(qDf))
       .select(col("vec_id"),
         round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** Index + one query in a single call (the registered-query shape).
+    * Missing query id → empty result, not a crash. */
+  def ivfAnn(spark: SparkSession, embeddings: DataFrame,
+             k: Int, nProbe: Int): DataFrame = {
+    val index = ivfIndex(embeddings, k)
+    val qRows = index.assigned.filter(col("vec_id") === 0)
+      .select(col("emb")).take(1)
+    if (qRows.isEmpty)
+      return index.assigned.select(col("vec_id"),
+        lit(0.0).as("cos_sim")).limit(0)
+    ivfQuery(spark, index, qRows.head.getSeq[Double](0).toArray,
+      nProbe, excludeVecId = 0L)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

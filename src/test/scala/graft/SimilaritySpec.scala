@@ -84,9 +84,13 @@ class SimilaritySpec extends AnyFunSuite {
     val full = Similarity.ivfAnn(spark, e, k = 8, nProbe = 8)
       .as[(Long, Double)].collect().toSeq
     assert(full == brute)
-    // partial probing returns a subset of true neighbors with exact scores
-    val truth = full.toMap
-    val partial = Similarity.ivfAnn(spark, e, k = 8, nProbe = 2)
+    // amortized path: ONE index serves a second query at a lower probe
+    // budget — partial probing returns a subset of true neighbors with
+    // exact scores
+    val index = Similarity.ivfIndex(e, k = 8)
+    val q = index.assigned.filter(col("vec_id") === 0)
+      .select(col("emb")).head().getSeq[Double](0).toArray
+    val partial = Similarity.ivfQuery(spark, index, q, nProbe = 2, excludeVecId = 0L)
       .as[(Long, Double)].collect()
     assert(partial.nonEmpty)
     val bruteAll = {
