@@ -47,9 +47,9 @@ object Projections {
     val numeric = df.schema.fields.collect {
       case f if f.dataType.typeName.matches("double|float|integer|long") => f.name
     }.sorted
+    val aggs = numeric.toIndexedSeq.map(c => round(avg(col(c)), 2).as(s"avg_$c"))
     df.select(numeric.toIndexedSeq.map(col): _*)
-      .agg(numeric.map(c => round(avg(col(c)), 2).as(s"avg_$c")).head,
-        numeric.toIndexedSeq.map(c => round(avg(col(c)), 2).as(s"avg_$c")).tail: _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** P7 — latest-reading selector done distributed: max_by per group

@@ -228,15 +228,18 @@ object Dedup {
 
   /** The dedup END PRODUCT: keep one document per duplicate cluster (the
     * canonical minimum id), drop the rest. Composition of any pair
-    * source (minhash/simhash/exact Jaccard) with [[connectedComponents]];
-    * docs in no pair survive untouched. The join is on doc_id — the
-    * document bodies move once, after the cluster resolution. */
+    * source (minhash/simhash/exact Jaccard) with [[connectedComponents]].
+    * The iteration runs ONLY over pair-incident ids — docs in no pair
+    * can't be non-singleton, so the (typically tiny) dup graph iterates
+    * without dragging the full corpus through every round; the corpus is
+    * touched once, by the final anti-join against the drop set. */
   def dedupedCorpus(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val keep = connectedComponents(
-      documents.select(col("doc_id").as("node")), pairs)
-      .filter(col("node") === col("label"))
+    val incident = pairs.select(col("id_a").as("node"))
+      .union(pairs.select(col("id_b").as("node"))).distinct()
+    val drop = connectedComponents(incident, pairs)
+      .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
-    documents.join(keep, Seq("doc_id"))
+    documents.join(drop, Seq("doc_id"), "left_anti")
   }
 
   /** D6 — duplicate-cluster resolution over the exact-Jaccard pair graph

@@ -182,9 +182,13 @@ object Similarity {
 
   /** Query phase: probe the `nProbe` cells nearest the query vector and
     * run exact cosine there. Probe selection is driver-side argmin over
-    * the k broadcast centroids — query planning, not data work. */
+    * the k broadcast centroids — query planning, not data work.
+    * `excludeVecId = None` excludes nothing (no in-band sentinel — any
+    * id value is a legal corpus member). */
   def ivfQuery(spark: SparkSession, index: IvfIndex, q: Array[Double],
-               nProbe: Int, excludeVecId: Long = -1L): DataFrame = {
+               nProbe: Int, excludeVecId: Option[Long] = None): DataFrame = {
+    require(q.length == index.centers.head.length,
+      s"query dim ${q.length} != index dim ${index.centers.head.length}")
     val probeCells = index.centers.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum
@@ -198,7 +202,7 @@ object Similarity {
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType, containsNull = false)))))
     index.assigned
-      .filter(col("vec_id") =!= excludeVecId &&
+      .filter(excludeVecId.map(col("vec_id") =!= _).getOrElse(lit(true)) &&
         col("cell").isin(probeCells.toIndexedSeq.map(Integer.valueOf): _*))
       .crossJoin(broadcast(qDf))
       .select(col("vec_id"),
@@ -218,7 +222,7 @@ object Similarity {
       return index.assigned.select(col("vec_id"),
         lit(0.0).as("cos_sim")).limit(0)
     ivfQuery(spark, index, qRows.head.getSeq[Double](0).toArray,
-      nProbe, excludeVecId = 0L)
+      nProbe, excludeVecId = Some(0L))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

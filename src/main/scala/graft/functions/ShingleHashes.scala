@@ -39,9 +39,10 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   /** Public: invoked from generated code (one virtual call per row; the
     * real work is the loop inside). */
   def computeShingles(text: UTF8String): ArrayData = {
-    // Split like Spark's split(text, ' '): empty tokens kept, so runs of
-    // spaces behave identically to the HOF formulation.
-    val words = text.toLowerCase.toString.split(" ", -1)
+    // Shared tokenizer (TextKernels): exactly Spark's split(lower(text),
+    // ' ') — empty tokens kept, so runs of spaces behave identically to
+    // the HOF formulation.
+    val words = TextKernels.lowerWords(text)
     if (words.length < n) return new GenericArrayData(Array.emptyLongArray)
     val seen = new java.util.HashSet[java.lang.Long](words.length * 2)
     val out = new Array[Long](words.length - n + 1)

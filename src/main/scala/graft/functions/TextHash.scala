@@ -39,19 +39,12 @@ case class SimHash64(child: Expression)
     var i = 0
     while (i < n) {
       if (!arr.isNullAt(i)) {
-        val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-          b += 1
-        }
+        TextKernels.foldHash(counters,
+          XXH64.hashUTF8String(arr.getUTF8String(i), 42L))
       }
       i += 1
     }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
-    sig
+    TextKernels.signOf(counters)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -87,12 +80,43 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
-/** SimHashText — simhash straight from the raw text: lowercase, split on
-  * single spaces, dedupe tokens BY HASH, fold into the 64 counters — one
-  * pass, zero intermediate arrays. Equivalent to
+/** Shared text-hashing kernels — ONE definition of tokenization and the
+  * simhash sign fold, so the fused expressions cannot drift from each
+  * other (PropertySpec pins their equivalence to the HOF forms). */
+private[functions] object TextKernels {
+  /** Lowercase + split on single spaces, trailing empties kept — exactly
+    * Spark's `split(lower(text), " ")`. */
+  def lowerWords(text: UTF8String): Array[String] =
+    text.toLowerCase.toString.split(" ", -1)
+
+  /** counters → signature: bit b set iff counter b is positive. */
+  def signOf(counters: Array[Int]): Long = {
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  /** Fold one token hash into the 64 simhash counters. */
+  def foldHash(counters: Array[Int], h: Long): Unit = {
+    var b = 0
+    while (b < 64) {
+      if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
+      b += 1
+    }
+  }
+}
+
+/** SimHashText — simhash straight from the raw text: lowercase/split,
+  * dedupe tokens BY HASH, fold into the 64 counters, all inside one
+  * expression. Equivalent to
   * `simhash64(array_distinct(split(lower(text), ' ')))` up to 64-bit
-  * token-hash collisions (dedup-by-hash vs dedup-by-string), but skips
-  * materializing the token array and its distinct copy per row. */
+  * token-hash collisions (dedup-by-hash vs dedup-by-string). What it
+  * saves vs the array form is the Catalyst side: no token ArrayData, no
+  * array_distinct copy, no per-element null bookkeeping between three
+  * expressions — JVM-side per-word String allocations remain (an
+  * in-place byte scanner would shave those too; measured cost here is
+  * dominated by the 64-bit fold either way). */
 case class SimHashText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64_text"
@@ -109,25 +133,16 @@ case class SimHashText(child: Expression) extends UnaryExpression {
 
   /** Public: invoked from generated code. */
   def computeSimhash(text: UTF8String): Long = {
-    val words = text.toLowerCase.toString.split(" ", -1)
+    val words = TextKernels.lowerWords(text)
     val seen = new java.util.HashSet[java.lang.Long](words.length * 2)
     val counters = new Array[Int](64)
     var i = 0
     while (i < words.length) {
       val h = XXH64.hashUTF8String(UTF8String.fromString(words(i)), 42L)
-      if (seen.add(h)) {
-        var b = 0
-        while (b < 64) {
-          if (((h >>> b) & 1L) == 1L) counters(b) += 1 else counters(b) -= 1
-          b += 1
-        }
-      }
+      if (seen.add(h)) TextKernels.foldHash(counters, h)
       i += 1
     }
-    var sig = 0L
-    var b = 0
-    while (b < 64) { if (counters(b) > 0) sig |= (1L << b); b += 1 }
-    sig
+    TextKernels.signOf(counters)
   }
 
   override def nullSafeEval(input: Any): Any =

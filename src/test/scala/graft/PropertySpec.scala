@@ -8,9 +8,10 @@ import graft.functions.{Moments, ShingleHashes, WelfordStats}
 
 /** Randomized (but fully seeded — no flakes) equivalence properties for
   * the custom expressions. Fixed-fixture tests pin known cases; these
-  * sweep the input space: arbitrary whitespace runs and unicode-free word
-  * soup for the shingler, permuted hash sets for the minhash bander,
-  * pathological offsets for the Welford merge. */
+  * sweep the input space: arbitrary whitespace runs and mixed-case /
+  * unicode / digit word soup for the shingler and simhash, permuted hash
+  * sets for the minhash bander, pathological offsets for the Welford
+  * merge. */
 class PropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._

@@ -90,7 +90,8 @@ class SimilaritySpec extends AnyFunSuite {
     val index = Similarity.ivfIndex(e, k = 8)
     val q = index.assigned.filter(col("vec_id") === 0)
       .select(col("emb")).head().getSeq[Double](0).toArray
-    val partial = Similarity.ivfQuery(spark, index, q, nProbe = 2, excludeVecId = 0L)
+    val partial = Similarity.ivfQuery(spark, index, q, nProbe = 2,
+      excludeVecId = Some(0L))
       .as[(Long, Double)].collect()
     assert(partial.nonEmpty)
     val bruteAll = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.sources.Sources
 
-/** Batch source/sink round-trips (S2, S7, S9, S10, S11, S13). */
+/** Batch source/sink round-trips (S2, S7, S9, S10, S11, S13, S14). */
 class SourcesSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -76,6 +76,18 @@ class SourcesSpec extends AnyFunSuite {
     val back = spark.read.option("header", "true").csv(dir)
     assert(back.columns.toSeq == Seq("location", "aqi", "n"))
     assert(back.count() == 1)
+  }
+
+  test("S14 ORC round-trip is lossless row-for-row") {
+    val dir = tmp("orc_rt")
+    val df = Seq((1L, "alpha", 3.5), (2L, "béta", -0.25), (3L, null, 0.0))
+      .toDF("id", "name", "score")
+    df.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    // file scans widen primitives to nullable — names/types must survive
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      df.schema.map(f => (f.name, f.dataType)))
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
   test("S13 cache keeps the plan reusable (spark_processor.py:255)") {
