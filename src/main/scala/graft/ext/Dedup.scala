@@ -178,21 +178,37 @@ object Dedup {
     * throws rather than silently returning a split component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIter: Int = 20): DataFrame = {
+    val init = nodes.select(col("node"), col("node").as("label"))
     // Checkpoint pairs BEFORE the symmetric union: the union embeds its
     // input in both branches, and without the checkpoint the entire
     // upstream pair pipeline (for d6: shingle + cross join + Jaccard)
     // would execute twice in the first edges job.
     val p = pairs.localCheckpoint(true)
+    // Trivial-graph fast path: no pairs → every node is its own
+    // component, no iteration. This is also what keeps a CLEAN corpus
+    // safe — zero near-dup pairs is the routine case, and without the
+    // short-circuit the convergence aggregate over the (then empty)
+    // node frame is null.
+    if (p.isEmpty) return init
+    // edges stays un-checkpointed: per round it's two projections of the
+    // already-checkpointed p — cheaper to recompute than to pay another
+    // materialization job up front.
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
     // Labels only ever decrease (least of mins), so sum(label) strictly
     // decreases on any change — convergence detection is one aggregate,
     // no extra join. Decimal sum: immune to Long overflow at any n.
+    // Null-safe (empty node set with non-empty pairs): null sum → ZERO.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0)
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    // LAZY localCheckpoint throughout the iteration: the labelSum action
+    // both materializes the checkpoint partitions and measures
+    // convergence — one job per round instead of an eager-materialize
+    // job plus an aggregate job. (Safe because agg computes every
+    // partition; a partial action like take/isEmpty would leave an
+    // incomplete checkpoint.)
+    var labels = init.localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
@@ -212,7 +228,7 @@ object Dedup {
           Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val curSum = labelSum(updated)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum

@@ -58,12 +58,14 @@ object FakeDecoder extends MediaDecoder {
   */
 object Multimodal {
 
-  private def md5hex(bytes: Array[Byte]): String = {
-    // MessageDigest is not thread-safe/shareable — one per call site
-    // partition (see decodeMeta), matching built-in md5()'s hex form.
-    val d = java.security.MessageDigest.getInstance("MD5")
-    d.digest(bytes).map("%02x".format(_)).mkString
-  }
+  /** Hex MD5 through a CALLER-OWNED digest (matching built-in md5()'s hex
+    * form). MessageDigest is not thread-safe and costs real allocation, so
+    * every operator constructs ONE inside its mapPartitions — per
+    * partition, never per row — and threads it here. digest() resets the
+    * instance, so reuse across rows is safe. */
+  private def md5hex(digest: java.security.MessageDigest,
+                     bytes: Array[Byte]): String =
+    digest.digest(bytes).map("%02x".format(_)).mkString
 
   /** documents → Media: the text payload cast to bytes stands in for the
     * binary media column (TESTDATA has no real media; the schema shape is
@@ -88,10 +90,8 @@ object Multimodal {
       val digest = java.security.MessageDigest.getInstance("MD5")
       it.map { m =>
         val (mediaType, width, height, nFrames) = decoder.decode(m.payload)
-        val fp = digest.digest(m.payload).map("%02x".format(_)).mkString
-        digest.reset()
         DecodedMeta(m.doc_id, m.source, mediaType, m.payload.length,
-          width, height, nFrames, fp)
+          width, height, nFrames, md5hex(digest, m.payload))
       }
     }
   }
@@ -103,9 +103,13 @@ object Multimodal {
     * mapPartitions, against co-located bytes. */
   def sampleFrames(meta: Dataset[DecodedMeta], stride: Int): Dataset[Frame] = {
     import meta.sparkSession.implicits._
-    meta.flatMap { m =>
-      Range(0, m.n_frames, stride).map { i =>
-        Frame(m.doc_id, i, md5hex(s"${m.fingerprint}_$i".getBytes("UTF-8")))
+    meta.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { m =>
+        Range(0, m.n_frames, stride).map { i =>
+          Frame(m.doc_id, i,
+            md5hex(digest, s"${m.fingerprint}_$i".getBytes("UTF-8")))
+        }
       }
     }
   }
@@ -117,12 +121,15 @@ object Multimodal {
     * part the ENGINE owns — pure per-row arithmetic, no shuffle. */
   def resizeMeta(meta: Dataset[DecodedMeta], maxDim: Int): Dataset[DecodedMeta] = {
     import meta.sparkSession.implicits._
-    meta.map { m =>
-      val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
-      val w = math.max(1, math.round(m.width * scale).toInt)
-      val h = math.max(1, math.round(m.height * scale).toInt)
-      m.copy(width = w, height = h,
-        fingerprint = md5hex(s"${m.fingerprint}_${w}x$h".getBytes("UTF-8")))
+    meta.mapPartitions { it =>
+      val digest = java.security.MessageDigest.getInstance("MD5")
+      it.map { m =>
+        val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
+        val w = math.max(1, math.round(m.width * scale).toInt)
+        val h = math.max(1, math.round(m.height * scale).toInt)
+        m.copy(width = w, height = h,
+          fingerprint = md5hex(digest, s"${m.fingerprint}_${w}x$h".getBytes("UTF-8")))
+      }
     }
   }
 

@@ -32,10 +32,16 @@ object ScaleJoins {
   def saltedInnerJoin(big: DataFrame, small: DataFrame,
                       key: String, salts: Int): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
-    val b = big.withColumn("__salt",
+    // Collision-free temp name: withColumn silently OVERWRITES an existing
+    // column, so a user frame that already carries `__salt` would lose it
+    // (and the final drop would delete user data). Probe for a free name
+    // in both schemas instead.
+    val saltCol = Iterator.from(0).map(i => s"__salt$i")
+      .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
+    val b = big.withColumn(saltCol,
       pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
-    val s = small.withColumn("__salt",
+    val s = small.withColumn(saltCol,
       explode(array((0 until salts).map(lit): _*)))
-    b.join(s, Seq(key, "__salt")).drop("__salt")
+    b.join(s, Seq(key, saltCol)).drop(saltCol)
   }
 }

@@ -189,6 +189,8 @@ object Similarity {
                nProbe: Int, excludeVecId: Option[Long] = None): DataFrame = {
     require(q.length == index.centers.head.length,
       s"query dim ${q.length} != index dim ${index.centers.head.length}")
+    require(nProbe >= 1,
+      s"nProbe must be >= 1, got $nProbe (0 probes = silently empty result)")
     val probeCells = index.centers.zipWithIndex
       .map { case (c, i) =>
         val d = c.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum

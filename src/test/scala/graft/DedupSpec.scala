@@ -84,6 +84,22 @@ class DedupSpec extends AnyFunSuite {
     assert(kept == Set(0L, 3L, 4L))
   }
 
+  test("a clean corpus (zero pairs) survives dedup unchanged — no iteration, no crash") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    // connectedComponents: empty graph → every node its own component
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val labels = Dedup.connectedComponents(nodes, noPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // empty nodes AND empty pairs: empty result, not an NPE
+    assert(Dedup.connectedComponents(
+      Seq.empty[Long].toDF("node"), noPairs).isEmpty)
+    // the end product: dedupedCorpus over a clean corpus is the identity
+    val kept = Dedup.dedupedCorpus(docs, noPairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
   test("a 200-hop chain converges inside the round cap (pointer jumping)") {
     // Plain one-hop propagation needs 199 rounds — far past maxIter=20.
     // Pointer jumping halves remaining distance per round: ~9 rounds.

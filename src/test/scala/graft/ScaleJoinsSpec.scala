@@ -49,6 +49,17 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(joined.count() == 4000)
   }
 
+  test("a user column named __salt survives the salted join intact") {
+    // withColumn would silently overwrite a same-named user column; the
+    // salt name must dodge BOTH schemas so output stays bit-equal to the
+    // plain join, user columns included.
+    val bigWithSalt = skewed.withColumn("__salt0", lit("user-data"))
+    val out = ScaleJoins.saltedInnerJoin(bigWithSalt, dim, "key", 4)
+    assert(out.columns.contains("__salt0"))
+    assert(out.select("__salt0").distinct().as[String].collect().toSeq == Seq("user-data"))
+    assert(out.count() == skewed.join(dim, Seq("key")).count())
+  }
+
   test("co-bucketed tables join with no exchange in the plan") {
     val dir = "/root/testdata/sf0.001"
     sources.Sources.writeBucketed(

@@ -105,6 +105,15 @@ class SimilaritySpec extends AnyFunSuite {
     partial.foreach { case (id, c) => assert(math.abs(bruteAll(id) - c) < 1e-9) }
   }
 
+  test("ivfQuery fails fast on a non-positive probe budget") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val index = Similarity.ivfIndex(e, k = 4)
+    val q = Array.fill(64)(0.1)
+    intercept[IllegalArgumentException] {
+      Similarity.ivfQuery(spark, index, q, nProbe = 0)
+    }
+  }
+
   test("near-dup pairs at more planes are a subset of pairs at fewer planes") {
     // hyperplanes(n) shares its prefix with hyperplanes(m<n) (same seed,
     // plane-by-plane fill), so an 8-plane bucket refines a 6-plane bucket:
