@@ -149,6 +149,25 @@ object Analyze {
         round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
       .orderBy(col("l_returnflag"))
 
+  /** A16 — full cube over (event_type, aqi_category): every subtotal
+    * combination of the reference's persisted two-key summary
+    * (spark_processor.py:210-217 generalized — the A13 rollup's missing
+    * half). Same determinism device as A13: group keys coalesced to
+    * 'ALL' (no real event type or AQI bucket collides with it), fully
+    * ordered. One shuffle: Spark expands the grouping sets map-side and
+    * aggregates them in a single Expand + HashAggregate pass. */
+  def a16Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("aqi_category",
+        graft.functions.AirQuality.aqiCategory(col("value")))
+      .cube(col("event_type"), col("aqi_category"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("aqi_category"), lit("ALL")).as("aqi_category"),
+        col("n"), col("avg_value"))
+      .orderBy(col("event_type"), col("aqi_category"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_location_stats" -> a1LocationStats,
     "a2_group_count_desc" -> a2GroupCountDesc,
@@ -164,7 +183,8 @@ object Analyze {
     "a12_approx_distinct" -> a12ApproxDistinct,
     "a13_rollup" -> a13Rollup,
     "a14_percentiles" -> a14Percentiles,
-    "a15_correlation" -> a15Correlation
+    "a15_correlation" -> a15Correlation,
+    "a16_cube" -> a16Cube
   )
 
   val oracle: Map[String, String] = Map(
@@ -225,6 +245,22 @@ object Analyze {
         |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
         |  round(quantile_cont(l_quantity, 0.75), 2) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a16_cube" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN value <= 12 THEN 'Good'
+        |         WHEN value <= 35 THEN 'Moderate'
+        |         WHEN value <= 55 THEN 'Unhealthy for Sensitive Groups'
+        |         WHEN value <= 150 THEN 'Unhealthy'
+        |         WHEN value <= 250 THEN 'Very Unhealthy'
+        |         ELSE 'Hazardous' END AS aqi_category,
+        |    value
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(aqi_category, 'ALL') AS aqi_category,
+        |  count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM e GROUP BY CUBE(event_type, aqi_category)
+        |ORDER BY event_type, aqi_category""".stripMargin,
     "a15_correlation" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

@@ -195,21 +195,27 @@ object Dedup {
     // materialization job up front.
     val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // LAZY localCheckpoint fused with the convergence aggregate: ONE
+    // helper both truncates lineage and measures convergence, so each
+    // round is a single job instead of an eager-materialize job plus an
+    // aggregate job. The fusion is load-bearing — a lazy checkpoint is
+    // only fully materialized by a FULL-partition action, and sum() is
+    // one; keeping checkpoint+sum inside a single helper means no future
+    // edit can slip a partial action (take/isEmpty/limit) between them
+    // and leave a truncated-lineage frame half-checkpointed.
+    //
     // Labels only ever decrease (least of mins), so sum(label) strictly
-    // decreases on any change — convergence detection is one aggregate,
-    // no extra join. Decimal sum: immune to Long overflow at any n.
-    // Null-safe (empty node set with non-empty pairs): null sum → ZERO.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+    // decreases on any change — convergence detection needs no extra
+    // join. Decimal sum: immune to Long overflow at any n. Null-safe
+    // (empty node set with non-empty pairs): null sum → ZERO.
+    def checkpointAndSum(df: DataFrame): (DataFrame, java.math.BigDecimal) = {
+      val cp = df.localCheckpoint(false)
+      val s = Option(
+        cp.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    // LAZY localCheckpoint throughout the iteration: the labelSum action
-    // both materializes the checkpoint partitions and measures
-    // convergence — one job per round instead of an eager-materialize
-    // job plus an aggregate job. (Safe because agg computes every
-    // partition; a partial action like take/isEmpty would leave an
-    // incomplete checkpoint.)
-    var labels = init.localCheckpoint(false)
-    var prevSum = labelSum(labels)
+      (cp, s)
+    }
+    var (labels, prevSum) = checkpointAndSum(init)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -223,13 +229,13 @@ object Dedup {
       // Pointer jumping: label ← label(label). Labels are node ids, so a
       // self-join resolves each label's own current label, halving the
       // distance to the component minimum every round.
-      val updated = propagated.as("u")
+      val jumped = propagated.as("u")
         .join(propagated.select(col("node").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(false)
-      val curSum = labelSum(updated)
+      // Pointer jumping done — checkpoint + convergence measure in one job.
+      val (updated, curSum) = checkpointAndSum(jumped)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       labels = updated
@@ -271,11 +277,32 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D7 — the full dedup pipeline as the end product a training-data run
+    * ships: MinHash-LSH pairs → connected components → keep one doc per
+    * cluster, reported as per-source kept/dropped accounting (the
+    * number a data curator actually reads off a dedup pass). Rows-only
+    * for the driver (the pair set is LSH/engine-specific); the
+    * cluster arithmetic (n_docs − n_kept = non-canonical members) is
+    * cross-checked in DedupSpec on a planted corpus. */
+  def d7DedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val kept = dedupedCorpus(docs,
+      minhashPairs(spark, dir).select(col("id_a"), col("id_b")))
+    val total = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val keptN = kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    total.join(keptN, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash_pairs" -> d4SimhashPairs,
     "d5_ngram_jaccard" -> d5NgramJaccard,
-    "d6_dedup_clusters" -> d6DedupClusters
+    "d6_dedup_clusters" -> d6DedupClusters,
+    "d7_deduped_corpus" -> d7DedupedCorpus
   )
 
   /** Shared oracle fragment: the d5 shingle CTE + pair predicate. ONE

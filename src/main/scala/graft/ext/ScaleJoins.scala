@@ -35,9 +35,13 @@ object ScaleJoins {
     // Collision-free temp name: withColumn silently OVERWRITES an existing
     // column, so a user frame that already carries `__salt` would lose it
     // (and the final drop would delete user data). Probe for a free name
-    // in both schemas instead.
+    // in both schemas — CASE-INSENSITIVELY, because the analyzer resolves
+    // column names case-insensitively by default, so a user column named
+    // `__SALT0` would collide with `__salt0` even though the strings
+    // differ.
+    val taken = (big.columns ++ small.columns).map(_.toLowerCase).toSet
     val saltCol = Iterator.from(0).map(i => s"__salt$i")
-      .find(n => !big.columns.contains(n) && !small.columns.contains(n)).get
+      .find(n => !taken.contains(n)).get
     val b = big.withColumn(saltCol,
       pmod(monotonically_increasing_id(), lit(salts)).cast("int"))
     val s = small.withColumn(saltCol,

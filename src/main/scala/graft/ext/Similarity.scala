@@ -32,6 +32,19 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Memoized per-(session, dir) embeddings row count: sizing the LSH
+    * plane count ([[planesFor]]) needs |corpus| but must not pay a full
+    * count() job on every query invocation — the table under a testdata
+    * dir is immutable for the life of a session, so one count serves all
+    * subsequent sim2/sim3 calls. Keyed by session so two sessions (or two
+    * dirs) never cross-talk; entries are a single Long, so the map stays
+    * trivially small even across many sessions. */
+  private val sizeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+  private[graft] def corpusSize(spark: SparkSession, dir: String): Long =
+    sizeCache.getOrElseUpdate((spark, dir),
+      Tables.embeddings(spark, dir).count())
+
   /** SIM1 — brute-force cosine top-k vs the vec_id=0 query vector. */
   def sim1CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
@@ -85,7 +98,7 @@ object Similarity {
     * recall vs brute force is asserted in ScalaTest at two plane counts. */
   def sim2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    sim2AnnLshDf(spark, e, planesFor(e.count(), minPlanes = 8))
+    sim2AnnLshDf(spark, e, planesFor(corpusSize(spark, dir), minPlanes = 8))
   }
 
   /** Same ANN pipeline with an explicit plane count (unit-testable). */
@@ -121,7 +134,7 @@ object Similarity {
     * Rows-only (bucketing is engine-specific). */
   def sim3NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.embeddings(spark, dir)
-    sim3NearDupPairsDf(spark, e0, planesFor(e0.count(), minPlanes = 6))
+    sim3NearDupPairsDf(spark, e0, planesFor(corpusSize(spark, dir), minPlanes = 6))
   }
 
   /** Same near-dup pipeline with an explicit plane count (unit-testable). */
@@ -155,7 +168,7 @@ object Similarity {
     * work. Rows-only (cell layout is engine-specific); nProbe=k
     * equivalence with brute force is asserted in ScalaTest. */
   def sim4IvfAnn(spark: SparkSession, dir: String): DataFrame =
-    ivfAnn(spark, Tables.embeddings(spark, dir), k = 16, nProbe = 3)
+    ivfServe(spark, ivfIndexFor(spark, dir, k = 16), queryVecId = 0L, nProbe = 3)
 
   /** A built IVF index: the per-vector cell assignment plus the k×d
     * centroid table. Build ONCE, serve many queries — training and the
@@ -213,19 +226,46 @@ object Similarity {
       .limit(10)
   }
 
-  /** Index + one query in a single call (the registered-query shape).
-    * Missing query id → empty result, not a crash. */
-  def ivfAnn(spark: SparkSession, embeddings: DataFrame,
-             k: Int, nProbe: Int): DataFrame = {
-    val index = ivfIndex(embeddings, k)
-    val qRows = index.assigned.filter(col("vec_id") === 0)
+  /** Memoized per-(session, dir, k) IVF index — the SERVING shape. The
+    * expensive phases (k-means training + corpus-wide cell assignment)
+    * run ONCE per session and materialize via `localCheckpoint`; every
+    * subsequent query is probe-planning against the broadcast centroids
+    * plus a scan of the probed cells only — no training job, no
+    * re-assignment. This is the 100 TB contract: an ANN index is built by
+    * an ingest job and serves a query STREAM; rebuilding the quantizer
+    * per query would make query cost O(corpus), which no scale survives.
+    * Keyed by session so separate sessions never share lineage; the
+    * testdata dirs are immutable for a session's lifetime, matching the
+    * memoization contract (same as [[corpusSize]]). */
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), IvfIndex]
+  def ivfIndexFor(spark: SparkSession, dir: String, k: Int): IvfIndex =
+    ivfCache.getOrElseUpdate((spark, dir, k), {
+      val idx = ivfIndex(Tables.embeddings(spark, dir), k)
+      // Eager localCheckpoint: pins the assignment so serving never
+      // re-runs the scan+transform lineage (and a second builder racing
+      // through getOrElseUpdate just builds a redundant, correct copy).
+      idx.copy(assigned = idx.assigned.localCheckpoint(true))
+    })
+
+  /** Serve one ANN lookup (query = a corpus member by id) from a BUILT
+    * index. Missing query id → empty result, not a crash. */
+  def ivfServe(spark: SparkSession, index: IvfIndex, queryVecId: Long,
+               nProbe: Int): DataFrame = {
+    val qRows = index.assigned.filter(col("vec_id") === queryVecId)
       .select(col("emb")).take(1)
     if (qRows.isEmpty)
       return index.assigned.select(col("vec_id"),
         lit(0.0).as("cos_sim")).limit(0)
     ivfQuery(spark, index, qRows.head.getSeq[Double](0).toArray,
-      nProbe, excludeVecId = Some(0L))
+      nProbe, excludeVecId = Some(queryVecId))
   }
+
+  /** Index + one query in a single call (unit-test shape — production
+    * and the registered query serve from [[ivfIndexFor]] instead). */
+  def ivfAnn(spark: SparkSession, embeddings: DataFrame,
+             k: Int, nProbe: Int): DataFrame =
+    ivfServe(spark, ivfIndex(embeddings, k), queryVecId = 0L, nProbe)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> sim1CosineTopK,

@@ -171,9 +171,36 @@ object Sources {
       .orderBy(col("lang"))
   }
 
+  /** S11/S12 — CSV round-trip: the per-type event summary →
+    * [[writeSummaryCsv]] (the reference's persisted CSV artifact,
+    * spark_processor.py:219-224) → schema'd read-back. The oracle runs
+    * the same aggregate over the ORIGINAL table, so equality proves the
+    * CSV write+read is lossless for the summary types (string, bigint,
+    * rounded double — Java double shortest-repr printing parses back to
+    * identical bits). */
+  def s11CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, "s11") { tmp =>
+    import org.apache.spark.sql.types._
+    val summary = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value")), 2).as("avg_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+    writeSummaryCsv(summary, tmp)
+    val schema = StructType(Seq(
+      StructField("event_type", StringType),
+      StructField("n", LongType),
+      StructField("avg_value", DoubleType),
+      StructField("min_value", DoubleType),
+      StructField("max_value", DoubleType)))
+    spark.read.schema(schema).option("header", "true").csv(tmp)
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s7_json_roundtrip" -> s7JsonRoundtrip,
     "s10_partitioned_roundtrip" -> s10PartitionedRoundtrip,
+    "s11_csv_roundtrip" -> s11CsvRoundtrip,
     "s14_orc_roundtrip" -> s14OrcRoundtrip
   )
 
@@ -187,6 +214,12 @@ object Sources {
         |  round(sum(value), 2) AS sum_value
         |FROM events WHERE month(ts) IN (1, 2)
         |GROUP BY 1, 2 ORDER BY event_type, month""".stripMargin,
+    "s11_csv_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(value), 2) AS avg_value,
+        |  round(min(value), 2) AS min_value,
+        |  round(max(value), 2) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s14_orc_roundtrip" ->
       """SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  min(doc_id) AS min_doc

@@ -114,6 +114,27 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L))
   }
 
+  test("d7 accounting: kept + dropped = total per source; dropped = incident − clusters") {
+    val dir = "/root/testdata/sf0.001"
+    val out = Dedup.d7DedupedCorpus(spark, dir).collect()
+    assert(out.nonEmpty)
+    // per-source arithmetic must balance
+    out.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3),
+        s"${r.getString(0)}: n_docs != n_kept + n_dropped")
+    }
+    // cross-check the cluster math: over the same pair graph, the number
+    // of dropped docs is exactly (pair-incident nodes − clusters) — one
+    // canonical survivor kept per cluster
+    val pairs = Dedup.minhashPairs(spark, dir).select("id_a", "id_b")
+    val incident = pairs.select(col("id_a").as("node"))
+      .union(pairs.select(col("id_b").as("node"))).distinct()
+    val nClusters = Dedup.connectedComponents(incident, pairs)
+      .select("label").distinct().count()
+    val totalDropped = out.map(_.getLong(3)).sum
+    assert(totalDropped == incident.count() - nClusters)
+  }
+
   test("d5 exact ngram jaccard is symmetric-free (id_a < id_b) and bounded") {
     val out = ext.Dedup.d5NgramJaccard(spark, "/root/testdata/sf0.001").collect()
     out.foreach { r =>

@@ -60,6 +60,17 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(out.count() == skewed.join(dim, Seq("key")).count())
   }
 
+  test("salt-name probe is case-insensitive like the analyzer (__SALT0 survives)") {
+    // Spark resolves column names case-insensitively by default, so a
+    // user column spelled __SALT0 would collide with a generated
+    // __salt0 even though the strings differ — the probe must dodge it.
+    val bigWithSalt = skewed.withColumn("__SALT0", lit("user-data"))
+    val out = ScaleJoins.saltedInnerJoin(bigWithSalt, dim, "key", 4)
+    assert(out.columns.contains("__SALT0"))
+    assert(out.select("__SALT0").distinct().as[String].collect().toSeq == Seq("user-data"))
+    assert(out.count() == skewed.join(dim, Seq("key")).count())
+  }
+
   test("co-bucketed tables join with no exchange in the plan") {
     val dir = "/root/testdata/sf0.001"
     sources.Sources.writeBucketed(

@@ -114,6 +114,31 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim4 serves from a memoized index: a second invocation retrains nothing") {
+    val dir = "/root/testdata/sf0.001"
+    val first = Similarity.sim4IvfAnn(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    assert(first.nonEmpty)
+    // Memoization contract: the same built index instance serves again.
+    assert(Similarity.ivfIndexFor(spark, dir, 16) eq
+      Similarity.ivfIndexFor(spark, dir, 16))
+    // Job-count contract: serving = query-vector lookup + probe scan —
+    // a couple of jobs, not the k-means training cascade (5 Lloyd
+    // iterations alone exceed the bound). Job groups are thread-local,
+    // so parallel suites can't pollute the count.
+    val sc = spark.sparkContext
+    sc.setJobGroup("sim4-serve", "second sim4 invocation")
+    val second = try Similarity.sim4IvfAnn(spark, dir)
+      .as[(Long, Double)].collect().toSeq
+    finally sc.clearJobGroup()
+    assert(second == first)
+    def served = sc.statusTracker.getJobIdsForGroup("sim4-serve").length
+    // statusTracker is fed asynchronously — poll until the count is stable
+    var last = -1; var cur = served
+    while (cur != last) { last = cur; Thread.sleep(200); cur = served }
+    assert(cur >= 1 && cur <= 4, s"expected 1-4 serving jobs, got $cur")
+  }
+
   test("near-dup pairs at more planes are a subset of pairs at fewer planes") {
     // hyperplanes(n) shares its prefix with hyperplanes(m<n) (same seed,
     // plane-by-plane fill), so an 8-plane bucket refines a 6-plane bucket:

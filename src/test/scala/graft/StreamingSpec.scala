@@ -225,4 +225,49 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.count() == 2)
     assert(replayed.select("location").as[String].collect().toSet == Set("A", "B"))
   }
+
+  test("restart on the same checkpoint: no loss, no duplicates (T3 crash recovery)") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import org.apache.spark.sql.types._
+    // A FILE source (replayable across query incarnations, unlike
+    // MemoryStream) feeding the full kafka-shaped ingest chain. The
+    // query is stopped after batch 1 — a simulated crash — and a brand
+    // new query instance restarts on the SAME checkpoint: the file
+    // source's log must skip already-committed input and the file
+    // sink's log must keep the output exactly-once.
+    val root = Files.createTempDirectory("ingest_recover").toString
+    val inDir = s"$root/in"; val outDir = s"$root/data"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(inDir))
+    def writeBatch(name: String, offsets: Range): Unit = {
+      val lines = offsets.map { o =>
+        val payload = s"""{\\"location\\":\\"L$o\\",\\"temp_c\\":1.0,\\"timestamp\\":\\"2024-01-01T00:00:00\\"}"""
+        s"""{"value":"$payload","offset":$o,"partition":0}"""
+      }
+      // temp-write + atomic move so the source never lists a half-written file
+      val tmp = Paths.get(s"$root/$name.tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes)
+      Files.move(tmp, Paths.get(s"$inDir/$name.json"))
+    }
+    val wireShape = StructType(Seq(
+      StructField("value", StringType),
+      StructField("offset", LongType),
+      StructField("partition", IntegerType)))
+    def runOnce(): Unit = {
+      val src = spark.readStream.schema(wireShape).json(inDir)
+      val q = Ingest.sink(Ingest.enrich(Ingest.decodeKafkaShape(src)), outDir, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    writeBatch("b1", 0 until 10)
+    runOnce() // incarnation 1 commits batch 1, then "crashes" (stops)
+    assert(spark.read.parquet(outDir).count() == 10)
+    writeBatch("b2", 10 until 20)
+    runOnce() // incarnation 2 on the same checkpoint
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 20) // no loss
+    val offsets = out.select("kafka_offset").as[Long].collect().toSeq.sorted
+    assert(offsets == (0L until 20L), // every record exactly once
+      s"duplicate or missing offsets after restart: $offsets")
+  }
 }
