@@ -1,0 +1,50 @@
+package graft
+
+/** One-off scale-evidence probe (not driver-wired): times the
+  * dedup/ANN pipelines at a base corpus and at a 10× derived corpus, and
+  * prints the per-query scaling exponent alpha where t ~ N^alpha
+  * (alpha = log10(t10x / t1x) for a 10× row ratio). The candidate
+  * generators are all bucket equi-joins, so the design target is
+  * alpha ≈ 1 (linear); anything clearly superlinear is a scale bug.
+  *
+  * The 10× corpus is DERIVED from the driver testdata (10 replicas;
+  * documents get per-replica word prefixes and embeddings a per-replica
+  * dimension roll, so replicas don't collide as artificial near-dups) —
+  * see README "Scaling evidence" for the prep recipe and results.
+  */
+object ScalingProbe {
+  private val probes = Seq(
+    "d3_minhash_lsh", "d4_simhash_pairs", "d6_dedup_clusters",
+    "d7_deduped_corpus", "sim2_ann_lsh", "sim3_neardup_pairs",
+    "sim4_ivf_ann")
+
+  def main(args: Array[String]): Unit = {
+    val (base, big) = args match {
+      case Array(b, g) => (b, g)
+      case _ => ("/root/testdata/sf0.1", "/tmp/sfx10")
+    }
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup on the smallest SF so timings measure the plans
+    probes.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    def time(name: String, dir: String): Double = {
+      // best-of-2: the second run reuses compiled stages; min damps
+      // co-tenant noise without hiding real cost
+      val ts = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      ts.min
+    }
+    val rows = probes.map { n =>
+      val t1 = time(n, base)
+      val t10 = time(n, big)
+      val alpha = math.log10(t10 / t1)
+      f"""{"query":"$n","t1x":$t1%.3f,"t10x":$t10%.3f,"alpha":$alpha%.2f}"""
+    }
+    println(rows.mkString("[", ",", "]"))
+    spark.stop()
+  }
+}

@@ -56,7 +56,18 @@ object Dedup {
     * in-memory data. */
   def minhashPairsDf(documents: DataFrame,
                      bands: Int = 8, rowsPerBand: Int = 4,
-                     threshold: Double = 0.4): DataFrame = {
+                     threshold: Double = 0.4): DataFrame =
+    minhashPairsUnsorted(documents, bands, rowsPerBand, threshold)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** The pair pipeline WITHOUT the final global sort — the shape to
+    * compose with downstream set-consumers (connected components, the
+    * dedup anti-join) that don't care about order: a global sort of the
+    * pair set is a full range-partition shuffle bought purely for
+    * display. */
+  def minhashPairsUnsorted(documents: DataFrame,
+                           bands: Int = 8, rowsPerBand: Int = 4,
+                           threshold: Double = 0.4): DataFrame = {
     // No cache: at 100 TB the signature frame doesn't fit executor storage
     // anyway (and a cached-but-never-unpersisted frame leaks storage memory
     // across a long-lived session). The verify re-join recomputes only the
@@ -93,7 +104,6 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** D3 — MinHash-LSH near-dup pairs (rows-only for the driver; recall vs
@@ -287,7 +297,7 @@ object Dedup {
   def d7DedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val kept = dedupedCorpus(docs,
-      minhashPairs(spark, dir).select(col("id_a"), col("id_b")))
+      minhashPairsUnsorted(docs).select(col("id_a"), col("id_b")))
     val total = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val keptN = kept.groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
     total.join(keptN, Seq("source"), "left")
