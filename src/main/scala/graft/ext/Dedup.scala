@@ -266,9 +266,16 @@ object Dedup {
     * without dragging the full corpus through every round; the corpus is
     * touched once, by the final anti-join against the drop set. */
   def dedupedCorpus(documents: DataFrame, pairs: DataFrame): DataFrame = {
-    val incident = pairs.select(col("id_a").as("node"))
-      .union(pairs.select(col("id_b").as("node"))).distinct()
-    val drop = connectedComponents(incident, pairs)
+    // Checkpoint the pair pipeline ONCE before fanning out: `incident`
+    // and the component iteration both consume it, and without this the
+    // first label materialization would re-execute the entire upstream
+    // LSH pipeline a second time just to list the incident nodes.
+    // (connectedComponents' own defensive checkpoint of `p` then only
+    // re-materializes these partitions — a pass-through, not a recompute.)
+    val p = pairs.localCheckpoint(true)
+    val incident = p.select(col("id_a").as("node"))
+      .union(p.select(col("id_b").as("node"))).distinct()
+    val drop = connectedComponents(incident, p)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     documents.join(drop, Seq("doc_id"), "left_anti")
