@@ -168,6 +168,26 @@ object Analyze {
         col("n"), col("avg_value"))
       .orderBy(col("event_type"), col("aqi_category"))
 
+  /** A17 — explicit GROUPING SETS: exactly the two single-key subtotal
+    * sets (per event_type, per AQI bucket) with no grand total and no
+    * cross product — the piece of A13 that neither rollup nor cube can
+    * express (rollup adds the grand total, cube the cross). Same Expand +
+    * single-shuffle HashAggregate execution as a16; same 'ALL' coalesce
+    * for engine-independent ordering. */
+  def a17GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("aqi_category",
+        graft.functions.AirQuality.aqiCategory(col("value")))
+      .groupingSets(
+        Seq(Seq(col("event_type")), Seq(col("aqi_category"))),
+        col("event_type"), col("aqi_category"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        coalesce(col("aqi_category"), lit("ALL")).as("aqi_category"),
+        col("n"), col("avg_value"))
+      .orderBy(col("event_type"), col("aqi_category"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_location_stats" -> a1LocationStats,
     "a2_group_count_desc" -> a2GroupCountDesc,
@@ -184,7 +204,8 @@ object Analyze {
     "a13_rollup" -> a13Rollup,
     "a14_percentiles" -> a14Percentiles,
     "a15_correlation" -> a15Correlation,
-    "a16_cube" -> a16Cube
+    "a16_cube" -> a16Cube,
+    "a17_grouping_sets" -> a17GroupingSets
   )
 
   val oracle: Map[String, String] = Map(
@@ -260,6 +281,22 @@ object Analyze {
         |  coalesce(aqi_category, 'ALL') AS aqi_category,
         |  count(*) AS n, round(avg(value), 2) AS avg_value
         |FROM e GROUP BY CUBE(event_type, aqi_category)
+        |ORDER BY event_type, aqi_category""".stripMargin,
+    "a17_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CASE WHEN value <= 12 THEN 'Good'
+        |         WHEN value <= 35 THEN 'Moderate'
+        |         WHEN value <= 55 THEN 'Unhealthy for Sensitive Groups'
+        |         WHEN value <= 150 THEN 'Unhealthy'
+        |         WHEN value <= 250 THEN 'Very Unhealthy'
+        |         ELSE 'Hazardous' END AS aqi_category,
+        |    value
+        |  FROM events)
+        |SELECT coalesce(event_type, 'ALL') AS event_type,
+        |  coalesce(aqi_category, 'ALL') AS aqi_category,
+        |  count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM e GROUP BY GROUPING SETS ((event_type), (aqi_category))
         |ORDER BY event_type, aqi_category""".stripMargin,
     "a15_correlation" ->
       """SELECT l_returnflag,

@@ -119,7 +119,44 @@ object TextStats {
         countDistinct(col("chunk_fp")).as("n_distinct_chunks"))
       .orderBy(col("source"))
 
+  /** T5 — corpus vocabulary: global top-30 tokens by frequency. The
+    * token explode is the biggest intermediate this tier produces
+    * (O(total words) rows), but the aggregation is a hash group-by with
+    * map-side partial combine, so what shuffles is one (token, count)
+    * pair per distinct token per partition — bounded by vocabulary, not
+    * corpus; the top-30 compiles to TakeOrderedAndProject, never a global
+    * sort. The frequency table a tokenizer-training / corpus-QA pass
+    * reads first. */
+  def t5VocabTopK(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(30)
+
+  /** D8 — deterministic hash-based corpus sampling: keep ~10% of docs by
+    * multiplicative hash of doc_id (Knuth's 2654435761 over a prime-
+    * bounded id), reported per language. Unlike rand()-based sampling the
+    * selection is a PURE FUNCTION of the id — re-runs, engines, and
+    * retries agree on the exact member set, which is what makes a
+    * training-data split reproducible and auditable. The modular
+    * pre-reduction (id % 100003) keeps the product far from Long
+    * overflow at any id scale (DuckDB errors on BIGINT overflow;
+    * Spark wraps — without the bound the two engines would diverge). */
+  def d8HashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(pmod((col("doc_id") % 100003L) * 2654435761L, lit(1000L)) < 100)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_id"),
+        max(col("doc_id")).as("max_id"),
+        sum(col("n_chars")).as("sampled_chars"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t5_vocab_topk" -> t5VocabTopK,
+    "d8_hash_sample" -> d8HashSample,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_fingerprint" -> d2Fingerprint,
     "t1_token_stats" -> t1TokenStats,
@@ -130,6 +167,19 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "t5_vocab_topk" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "d8_hash_sample" ->
+      """SELECT lang, count(*) AS n_sampled,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents
+        |WHERE ((doc_id % 100003) * 2654435761) % 1000 < 100
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
