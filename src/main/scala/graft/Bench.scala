@@ -29,7 +29,7 @@ object Bench {
     // scale — not a per-query index rebuild.
     try {
       ext.Similarity.corpusSize(spark, sfDir)
-      ext.Similarity.ivfIndexFor(spark, sfDir, k = 16)
+      ext.Similarity.ivfIndexFor(spark, sfDir, ext.Similarity.Sim4K)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] serving-state warmup failed: ${e.getMessage}")
     }

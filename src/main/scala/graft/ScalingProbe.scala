@@ -26,8 +26,15 @@ object ScalingProbe {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup on the smallest SF so timings measure the plans
-    probes.foreach(n => SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count())
+    // JIT/codegen warmup against the base dir itself (not a hardcoded
+    // testdata path — the args exist precisely for non-default hosts);
+    // best-of-2 below absorbs the double-execution at base.
+    probes.foreach { n =>
+      try SparkEntry.queries(n)(spark, base).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[probe] warmup $n failed: ${e.getMessage}")
+      }
+    }
     def time(name: String, dir: String): Double = {
       // best-of-2: the second run reuses compiled stages; min damps
       // co-tenant noise without hiding real cost

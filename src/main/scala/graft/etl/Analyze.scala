@@ -149,18 +149,18 @@ object Analyze {
         round(stddev_samp(col("l_extendedprice")), 2).as("sd_price"))
       .orderBy(col("l_returnflag"))
 
-  /** A16 — full cube over (event_type, aqi_category): every subtotal
-    * combination of the reference's persisted two-key summary
-    * (spark_processor.py:210-217 generalized — the A13 rollup's missing
-    * half). Same determinism device as A13: group keys coalesced to
-    * 'ALL' (no real event type or AQI bucket collides with it), fully
-    * ordered. One shuffle: Spark expands the grouping sets map-side and
-    * aggregates them in a single Expand + HashAggregate pass. */
-  def a16Cube(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("aqi_category",
-        graft.functions.AirQuality.aqiCategory(col("value")))
-      .cube(col("event_type"), col("aqi_category"))
+  /** ONE body for the a16/a17 subtotal summaries — only the grouping-set
+    * choice differs, so the agg/coalesce/order shape cannot drift apart.
+    * Determinism device as in A13: group keys coalesced to 'ALL' (no
+    * real event type or AQI bucket collides with it), fully ordered. One
+    * shuffle: Spark expands the grouping sets map-side and aggregates
+    * them in a single Expand + HashAggregate pass. */
+  private def subtotalSummary(spark: SparkSession, dir: String)(
+      group: DataFrame => org.apache.spark.sql.RelationalGroupedDataset): DataFrame =
+    group(
+      Tables.events(spark, dir)
+        .withColumn("aqi_category",
+          graft.functions.AirQuality.aqiCategory(col("value"))))
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
       .select(
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
@@ -168,25 +168,21 @@ object Analyze {
         col("n"), col("avg_value"))
       .orderBy(col("event_type"), col("aqi_category"))
 
+  /** A16 — full cube over (event_type, aqi_category): every subtotal
+    * combination of the reference's persisted two-key summary
+    * (spark_processor.py:210-217 generalized — the A13 rollup's missing
+    * half). */
+  def a16Cube(spark: SparkSession, dir: String): DataFrame =
+    subtotalSummary(spark, dir)(_.cube(col("event_type"), col("aqi_category")))
+
   /** A17 — explicit GROUPING SETS: exactly the two single-key subtotal
     * sets (per event_type, per AQI bucket) with no grand total and no
     * cross product — the piece of A13 that neither rollup nor cube can
-    * express (rollup adds the grand total, cube the cross). Same Expand +
-    * single-shuffle HashAggregate execution as a16; same 'ALL' coalesce
-    * for engine-independent ordering. */
+    * express (rollup adds the grand total, cube the cross). */
   def a17GroupingSets(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .withColumn("aqi_category",
-        graft.functions.AirQuality.aqiCategory(col("value")))
-      .groupingSets(
-        Seq(Seq(col("event_type")), Seq(col("aqi_category"))),
-        col("event_type"), col("aqi_category"))
-      .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
-      .select(
-        coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        coalesce(col("aqi_category"), lit("ALL")).as("aqi_category"),
-        col("n"), col("avg_value"))
-      .orderBy(col("event_type"), col("aqi_category"))
+    subtotalSummary(spark, dir)(_.groupingSets(
+      Seq(Seq(col("event_type")), Seq(col("aqi_category"))),
+      col("event_type"), col("aqi_category")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a1_location_stats" -> a1LocationStats,
@@ -207,6 +203,30 @@ object Analyze {
     "a16_cube" -> a16Cube,
     "a17_grouping_sets" -> a17GroupingSets
   )
+
+  /** ONE definition of the AQI CASE bucket for every oracle that derives
+    * it (a5/a16/a17) — a threshold edit cannot drift sibling oracles
+    * apart (same device as Dedup.shingleCte). Mirrors
+    * [[graft.functions.AirQuality.aqiCategory]]. */
+  private val aqiCaseSql =
+    """CASE WHEN value <= 12 THEN 'Good'
+      |       WHEN value <= 35 THEN 'Moderate'
+      |       WHEN value <= 55 THEN 'Unhealthy for Sensitive Groups'
+      |       WHEN value <= 150 THEN 'Unhealthy'
+      |       WHEN value <= 250 THEN 'Very Unhealthy'
+      |       ELSE 'Hazardous' END""".stripMargin
+
+  /** Shared a16/a17 oracle shape — only the GROUP BY clause differs,
+    * matching [[subtotalSummary]] on the Spark side. */
+  private def subtotalOracle(groupBy: String): String =
+    s"""WITH e AS (
+      |  SELECT event_type, $aqiCaseSql AS aqi_category, value
+      |  FROM events)
+      |SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  coalesce(aqi_category, 'ALL') AS aqi_category,
+      |  count(*) AS n, round(avg(value), 2) AS avg_value
+      |FROM e GROUP BY $groupBy
+      |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "a1_location_stats" ->
@@ -229,13 +249,8 @@ object Analyze {
         |  round(avg(value), 2) AS avg_value
         |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
     "a5_two_key_summary" ->
-      """SELECT event_type,
-        |  CASE WHEN value <= 12 THEN 'Good'
-        |       WHEN value <= 35 THEN 'Moderate'
-        |       WHEN value <= 55 THEN 'Unhealthy for Sensitive Groups'
-        |       WHEN value <= 150 THEN 'Unhealthy'
-        |       WHEN value <= 250 THEN 'Very Unhealthy'
-        |       ELSE 'Hazardous' END AS aqi_category,
+      s"""SELECT event_type,
+        |  $aqiCaseSql AS aqi_category,
         |  count(*) AS n, round(avg(value), 2) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY event_type, aqi_category""".stripMargin,
     "a6_distinct_count" ->
@@ -266,38 +281,9 @@ object Analyze {
         |  round(quantile_cont(l_quantity, 0.5), 2) AS p50,
         |  round(quantile_cont(l_quantity, 0.75), 2) AS p75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-    "a16_cube" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    CASE WHEN value <= 12 THEN 'Good'
-        |         WHEN value <= 35 THEN 'Moderate'
-        |         WHEN value <= 55 THEN 'Unhealthy for Sensitive Groups'
-        |         WHEN value <= 150 THEN 'Unhealthy'
-        |         WHEN value <= 250 THEN 'Very Unhealthy'
-        |         ELSE 'Hazardous' END AS aqi_category,
-        |    value
-        |  FROM events)
-        |SELECT coalesce(event_type, 'ALL') AS event_type,
-        |  coalesce(aqi_category, 'ALL') AS aqi_category,
-        |  count(*) AS n, round(avg(value), 2) AS avg_value
-        |FROM e GROUP BY CUBE(event_type, aqi_category)
-        |ORDER BY event_type, aqi_category""".stripMargin,
+    "a16_cube" -> subtotalOracle("CUBE(event_type, aqi_category)"),
     "a17_grouping_sets" ->
-      """WITH e AS (
-        |  SELECT event_type,
-        |    CASE WHEN value <= 12 THEN 'Good'
-        |         WHEN value <= 35 THEN 'Moderate'
-        |         WHEN value <= 55 THEN 'Unhealthy for Sensitive Groups'
-        |         WHEN value <= 150 THEN 'Unhealthy'
-        |         WHEN value <= 250 THEN 'Very Unhealthy'
-        |         ELSE 'Hazardous' END AS aqi_category,
-        |    value
-        |  FROM events)
-        |SELECT coalesce(event_type, 'ALL') AS event_type,
-        |  coalesce(aqi_category, 'ALL') AS aqi_category,
-        |  count(*) AS n, round(avg(value), 2) AS avg_value
-        |FROM e GROUP BY GROUPING SETS ((event_type), (aqi_category))
-        |ORDER BY event_type, aqi_category""".stripMargin,
+      subtotalOracle("GROUPING SETS ((event_type), (aqi_category))"),
     "a15_correlation" ->
       """SELECT l_returnflag,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

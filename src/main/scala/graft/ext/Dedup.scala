@@ -187,13 +187,20 @@ object Dedup {
     * the plan stays O(1) per round. Failure to converge inside `maxIter`
     * throws rather than silently returning a split component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame = {
-    val init = nodes.select(col("node"), col("node").as("label"))
+                          maxIter: Int = 20): DataFrame =
     // Checkpoint pairs BEFORE the symmetric union: the union embeds its
     // input in both branches, and without the checkpoint the entire
     // upstream pair pipeline (for d6: shingle + cross join + Jaccard)
     // would execute twice in the first edges job.
-    val p = pairs.localCheckpoint(true)
+    connectedComponentsPinned(nodes, pairs.localCheckpoint(true), maxIter)
+
+  /** Same iteration over an ALREADY-materialized (checkpointed/cached)
+    * pair frame — the entry point for a caller that pinned the pairs for
+    * its own reuse ([[dedupedCorpus]]), so the pair set isn't
+    * materialized and stored twice. */
+  private[ext] def connectedComponentsPinned(nodes: DataFrame, p: DataFrame,
+                                             maxIter: Int = 20): DataFrame = {
+    val init = nodes.select(col("node"), col("node").as("label"))
     // Trivial-graph fast path: no pairs → every node is its own
     // component, no iteration. This is also what keeps a CLEAN corpus
     // safe — zero near-dup pairs is the routine case, and without the
@@ -269,13 +276,13 @@ object Dedup {
     // Checkpoint the pair pipeline ONCE before fanning out: `incident`
     // and the component iteration both consume it, and without this the
     // first label materialization would re-execute the entire upstream
-    // LSH pipeline a second time just to list the incident nodes.
-    // (connectedComponents' own defensive checkpoint of `p` then only
-    // re-materializes these partitions — a pass-through, not a recompute.)
+    // LSH pipeline a second time just to list the incident nodes. The
+    // Pinned entry point skips connectedComponents' own defensive
+    // checkpoint — one materialization, one stored copy.
     val p = pairs.localCheckpoint(true)
     val incident = p.select(col("id_a").as("node"))
       .union(p.select(col("id_b").as("node"))).distinct()
-    val drop = connectedComponents(incident, p)
+    val drop = connectedComponentsPinned(incident, p)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     documents.join(drop, Seq("doc_id"), "left_anti")

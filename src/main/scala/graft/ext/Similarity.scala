@@ -34,16 +34,37 @@ object Similarity {
 
   /** Memoized per-(session, dir) embeddings row count: sizing the LSH
     * plane count ([[planesFor]]) needs |corpus| but must not pay a full
-    * count() job on every query invocation — the table under a testdata
-    * dir is immutable for the life of a session, so one count serves all
-    * subsequent sim2/sim3 calls. Keyed by session so two sessions (or two
-    * dirs) never cross-talk; entries are a single Long, so the map stays
-    * trivially small even across many sessions. */
+    * count() job on every query invocation. CONTRACT: a dir's data is
+    * immutable while a session serves it (the ingest/serve split every
+    * ANN deployment already assumes) — after rewriting a dir in place,
+    * call [[invalidateCaches]]. Sessions are WEAK keys: a stopped,
+    * dereferenced session's entries (and any checkpoint blocks they pin)
+    * become collectable instead of leaking for the JVM lifetime. */
   private val sizeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Long]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Long]]()
+  private def perSession[K, V](
+      cache: java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[K, V]],
+      spark: SparkSession): scala.collection.concurrent.TrieMap[K, V] =
+    cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[K, V]
+        cache.put(spark, m)
+      }
+      m
+    }
   private[graft] def corpusSize(spark: SparkSession, dir: String): Long =
-    sizeCache.getOrElseUpdate((spark, dir),
+    perSession(sizeCache, spark).getOrElseUpdate(dir,
       Tables.embeddings(spark, dir).count())
+
+  /** Drop this session's memoized corpus sizes and IVF indexes — call
+    * after rewriting a served dir's data in place. */
+  def invalidateCaches(spark: SparkSession): Unit = {
+    sizeCache.synchronized(sizeCache.remove(spark))
+    ivfCache.synchronized(ivfCache.remove(spark))
+  }
 
   /** SIM1 — brute-force cosine top-k vs the vec_id=0 query vector. */
   def sim1CosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -167,8 +188,13 @@ object Similarity {
     * driver-side argmin over k centroids — query planning, not data
     * work. Rows-only (cell layout is engine-specific); nProbe=k
     * equivalence with brute force is asserted in ScalaTest. */
+  /** The registered query's cell count — shared with Bench's
+    * serving-state warmup so the two can't drift onto different cache
+    * keys (a mismatch would silently time index REBUILD, not serving). */
+  val Sim4K = 16
+
   def sim4IvfAnn(spark: SparkSession, dir: String): DataFrame =
-    ivfServe(spark, ivfIndexFor(spark, dir, k = 16), queryVecId = 0L, nProbe = 3)
+    ivfServe(spark, ivfIndexFor(spark, dir, Sim4K), queryVecId = 0L, nProbe = 3)
 
   /** A built IVF index: the per-vector cell assignment plus the k×d
     * centroid table. Build ONCE, serve many queries — training and the
@@ -236,11 +262,14 @@ object Similarity {
     * per query would make query cost O(corpus), which no scale survives.
     * Keyed by session so separate sessions never share lineage; the
     * testdata dirs are immutable for a session's lifetime, matching the
-    * memoization contract (same as [[corpusSize]]). */
+    * memoization contract (same as [[corpusSize]]; refresh with
+    * [[invalidateCaches]]); weak session keys stop a dead session from
+    * pinning its checkpointed index forever. */
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), IvfIndex]
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int), IvfIndex]]()
   def ivfIndexFor(spark: SparkSession, dir: String, k: Int): IvfIndex =
-    ivfCache.getOrElseUpdate((spark, dir, k), {
+    perSession(ivfCache, spark).getOrElseUpdate((dir, k), {
       val idx = ivfIndex(Tables.embeddings(spark, dir), k)
       // Eager localCheckpoint: pins the assignment so serving never
       // re-runs the scan+transform lineage (and a second builder racing

@@ -178,7 +178,9 @@ object TextStats {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
         |FROM documents
-        |WHERE ((doc_id % 100003) * 2654435761) % 1000 < 100
+        |-- +1000)%1000 = Spark's pmod: DuckDB's % returns NEGATIVE
+        |-- remainders for negative ids, which would keep 100% of them
+        |WHERE ((((doc_id % 100003) * 2654435761) % 1000) + 1000) % 1000 < 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique

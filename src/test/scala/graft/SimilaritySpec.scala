@@ -136,7 +136,10 @@ class SimilaritySpec extends AnyFunSuite {
     // statusTracker is fed asynchronously — poll until the count is stable
     var last = -1; var cur = served
     while (cur != last) { last = cur; Thread.sleep(200); cur = served }
-    assert(cur >= 1 && cur <= 4, s"expected 1-4 serving jobs, got $cur")
+    // Slack for take(1) partition escalation and broadcast-job
+    // attribution; still far below the k-means training cascade (>10
+    // jobs), which is what the bound exists to catch.
+    assert(cur >= 1 && cur <= 6, s"expected 1-6 serving jobs, got $cur")
   }
 
   test("near-dup pairs at more planes are a subset of pairs at fewer planes") {
