@@ -52,6 +52,24 @@ class PlanSpec extends AnyFunSuite {
       s"custom agg not partial:\n$p")
   }
 
+  test("vocab top-k: partial combine bounds the token shuffle; top-k pushes down") {
+    val p = plan("t5_vocab_topk")
+    // partial + final HashAggregate: what shuffles is (token, count) per
+    // partition — bounded by vocabulary, not corpus
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    // LIMIT 30 over a sort must compile to TakeOrderedAndProject
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("grouping-set queries expand map-side into one aggregation pass") {
+    for (name <- Seq("a16_cube", "a17_grouping_sets")) {
+      val p = plan(name)
+      assert(p.contains("Expand"), s"$name: no Expand in:\n$p")
+      assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+        s"$name: no partial agg in:\n$p")
+    }
+  }
+
   test("scalar pipelines stay inside whole-stage codegen") {
     // AQE finalizes codegen spans only at execution — run the query, then
     // read the final adaptive plan.
