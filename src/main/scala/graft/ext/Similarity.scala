@@ -296,7 +296,29 @@ object Similarity {
              k: Int, nProbe: Int): DataFrame =
     ivfServe(spark, ivfIndex(embeddings, k), queryVecId = 0L, nProbe)
 
+  /** SIM5 — per-label embedding centroids (class prototypes) through the
+    * mergeable [[graft.functions.VectorMean]] Aggregator: one d-dim sum
+    * buffer per (partition, label) shuffles — NOT the posexplode
+    * formulation, whose shuffle is d× the corpus. The (tiny) k×d result
+    * is then exploded only for display/oracle comparison (first 8 dims,
+    * rounded). The primitive behind class-balanced sampling, centroid
+    * initialization, and embedding-drift monitoring. */
+  def sim5LabelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val vmean = udaf(new graft.functions.VectorMean(64))
+    Tables.embeddings(spark, dir)
+      .select(col("label"), asDouble(col("embedding")).as("emb"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), vmean(col("emb")).as("centroid"))
+      .select(col("label"), col("n_vecs"),
+        posexplode(col("centroid")).as(Seq("dim", "c")))
+      .filter(col("dim") < 8)
+      .select(col("label"), col("n_vecs"), col("dim"),
+        round(col("c"), 4).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,
     "sim2_ann_lsh" -> sim2AnnLsh,
     "sim3_neardup_pairs" -> sim3NearDupPairs,
@@ -304,6 +326,16 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    "sim5_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs, CAST(dim AS INT) AS dim,
+        |  round(avg(v), 4) AS centroid
+        |FROM x WHERE dim < 8
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "sim1_cosine_topk" ->
       """SELECT b.vec_id,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

@@ -142,6 +142,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cur >= 1 && cur <= 6, s"expected 1-6 serving jobs, got $cur")
   }
 
+  test("vector-mean aggregator: element-wise means, null skip, dim check") {
+    val vmean = udaf(new graft.functions.VectorMean(3))
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0)),
+      ("a", Seq(3.0, 2.0, 1.0)),
+      ("b", Seq(6.0, 0.0, 0.0))
+    ).toDF("k", "v")
+      .union(Seq(("b", null.asInstanceOf[Seq[Double]])).toDF("k", "v"))
+    val got = df.groupBy($"k").agg(vmean($"v").as("m"))
+      .as[(String, Seq[Double])].collect().toMap
+    assert(got("a") == Seq(2.0, 2.0, 2.0))
+    assert(got("b") == Seq(6.0, 0.0, 0.0)) // null row skipped, not zeroed
+    // wrong-length vector fails fast instead of silently mis-summing
+    val bad = Seq(("c", Seq(1.0, 2.0))).toDF("k", "v")
+    intercept[org.apache.spark.SparkException] {
+      bad.groupBy($"k").agg(vmean($"v")).collect()
+    }
+  }
+
+  test("sim5 centroids run as partial aggregation (one d-dim buffer per group)") {
+    val p = Similarity.sim5LabelCentroids(spark, "/root/testdata/sf0.001")
+      .queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate")) >= 2,
+      s"centroid agg not partial:\n$p")
+  }
+
   test("near-dup pairs at more planes are a subset of pairs at fewer planes") {
     // hyperplanes(n) shares its prefix with hyperplanes(m<n) (same seed,
     // plane-by-plane fill), so an 8-plane bucket refines a 6-plane bucket:
