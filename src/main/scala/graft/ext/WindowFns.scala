@@ -86,7 +86,33 @@ object WindowFns {
       .orderBy(col("event_id"))
   }
 
+  /** W6 — batch sessionization: the gap-based session assignment
+    * (chained windows: lag → boundary flag → running sum = session id)
+    * that is the batch twin of the streaming session windows in
+    * streaming/Windows.scala. Two windows share ONE partition+sort (both
+    * keyed user_id/event_id — Spark evaluates them in a single Window
+    * exchange+sort), then a per-session aggregate. Gap threshold 30 min
+    * on second-truncated epochs so both engines compare identical
+    * integers. */
+  def w6Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("gap", col("epoch_s") - lag(col("epoch_s"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"),
+        (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w6_sessionize" -> w6Sessionize,
     "w1_topn_per_group" -> w1TopNPerGroup,
     "w2_lag_delta" -> w2LagDelta,
     "w3_moving_avg" -> w3MovingAvg,
@@ -95,6 +121,26 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    "w6_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM events WHERE user_id < 50),
+        |s AS (
+        |  SELECT user_id, value, epoch_s,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_seq
+        |  FROM g)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value,
+        |  max(epoch_s) - min(epoch_s) AS duration_s
+        |FROM s GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
     "w1_topn_per_group" ->
       """SELECT event_type, rn, event_id, value FROM (
         |  SELECT event_type, event_id, value,

@@ -70,6 +70,21 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("sessionization shares one hash shuffle across windows and aggregate") {
+    // lag-window, running-sum window, and the (user_id, session_seq)
+    // group-by must all reuse the single hash exchange on user_id (a
+    // subset partitioning satisfies the aggregate's clustering); only
+    // the final presentation orderBy may add a range exchange.
+    val df = SparkEntry.queries("w6_sessionize")(spark, dir)
+    df.collect()
+    // executedPlan prints the AQE final plan AND the initial plan — count
+    // exchanges in the final section only
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    assert(exchanges <= 2, s"expected hash + range exchange only, got $exchanges:\n$p")
+  }
+
   test("scalar pipelines stay inside whole-stage codegen") {
     // AQE finalizes codegen spans only at execution — run the query, then
     // read the final adaptive plan.
