@@ -187,19 +187,22 @@ object Dedup {
     * the plan stays O(1) per round. Failure to converge inside `maxIter`
     * throws rather than silently returning a split component. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIter: Int = 20): DataFrame =
+                          maxIter: Int = 20,
+                          smallGraphEdges: Long = 100000L): DataFrame =
     // Checkpoint pairs BEFORE the symmetric union: the union embeds its
     // input in both branches, and without the checkpoint the entire
     // upstream pair pipeline (for d6: shingle + cross join + Jaccard)
     // would execute twice in the first edges job.
-    connectedComponentsPinned(nodes, pairs.localCheckpoint(true), maxIter)
+    connectedComponentsPinned(nodes, pairs.localCheckpoint(true), maxIter,
+      smallGraphEdges)
 
   /** Same iteration over an ALREADY-materialized (checkpointed/cached)
     * pair frame — the entry point for a caller that pinned the pairs for
     * its own reuse ([[dedupedCorpus]]), so the pair set isn't
     * materialized and stored twice. */
   private[ext] def connectedComponentsPinned(nodes: DataFrame, p: DataFrame,
-                                             maxIter: Int = 20): DataFrame = {
+                                             maxIter: Int = 20,
+                                             smallGraphEdges: Long = 100000L): DataFrame = {
     val init = nodes.select(col("node"), col("node").as("label"))
     // Trivial-graph fast path: no pairs → every node is its own
     // component, no iteration. This is also what keeps a CLEAN corpus
@@ -207,6 +210,51 @@ object Dedup {
     // short-circuit the convergence aggregate over the (then empty)
     // node frame is null.
     if (p.isEmpty) return init
+    // SIZE-ADAPTIVE small-graph path — the broadcast-join idea applied to
+    // the component problem. The pair graph of a healthy corpus is TINY
+    // relative to the corpus (near-dups are the exception), so the
+    // routine case is a few thousand edges: solving those with a driver
+    // union-find (min-root union ⇒ every root IS its component minimum)
+    // costs one bounded collect + one broadcast join, instead of
+    // O(log diameter) distributed join rounds whose per-round scheduling
+    // dominates at this size. Graphs above the threshold (~a few MB of
+    // edge ids) take the iterative path, which scales to any size.
+    // p is already materialized, so count() is a metadata-cheap job.
+    if (p.count() <= smallGraphEdges) {
+      val edges = p.select(col("id_a"), col("id_b")).collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x // path compression
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      edges.foreach { r =>
+        val ra = find(r.getLong(0)); val rb = find(r.getLong(1))
+        // min-root union: the smaller id stays root, so after all unions
+        // find(n) is exactly the component's minimum id — no second pass
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val spark = nodes.sparkSession
+      import scala.jdk.CollectionConverters._
+      val labelRows: java.util.List[org.apache.spark.sql.Row] =
+        parent.keys.toSeq.map(n =>
+          org.apache.spark.sql.Row(n, find(n)): org.apache.spark.sql.Row).asJava
+      val labelDf = spark.createDataFrame(labelRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("clabel",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      // Non-incident nodes (and incident roots, absent from `parent`)
+      // label themselves; the node frame can be arbitrarily large — the
+      // broadcast side is bounded by the edge threshold, never by nodes.
+      return nodes.select(col("node"))
+        .join(broadcast(labelDf), Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("clabel"), col("node")).as("label"))
+    }
     // edges stays un-checkpointed: per round it's two projections of the
     // already-checkpointed p — cheaper to recompute than to pay another
     // materialization job up front.

@@ -101,6 +101,9 @@ class DedupSpec extends AnyFunSuite {
   }
 
   test("a 200-hop chain converges inside the round cap (pointer jumping)") {
+    // smallGraphEdges = 0 forces the DISTRIBUTED path — this test exists
+    // to exercise the iteration, which the small-graph union-find would
+    // otherwise absorb.
     // Plain one-hop propagation needs 199 rounds — far past maxIter=20.
     // Pointer jumping halves remaining distance per round: ~9 rounds.
     // The min node sits at the FAR end so labels must travel the length.
@@ -108,10 +111,27 @@ class DedupSpec extends AnyFunSuite {
     val nodes = (0 until n).map(i => (n - 1 - i).toLong).toDF("node")
     val pairs = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong))
       .toDF("id_a", "id_b")
-    val labels = Dedup.connectedComponents(nodes, pairs)
+    val labels = Dedup.connectedComponents(nodes, pairs, smallGraphEdges = 0L)
       .as[(Long, Long)].collect().toMap
     assert(labels.size == n)
     assert(labels.values.forall(_ == 0L))
+  }
+
+  test("driver union-find and distributed iteration agree on the same graph") {
+    // chains, a merge, singletons — both paths must label identically
+    val nodes = (0L to 30L).toDF("node")
+    val pairs = (Seq((5L, 1L), (1L, 9L), (9L, 2L), (20L, 21L), (22L, 21L),
+      (30L, 0L)) ++ (10 until 15).map(i => (i.toLong, (i + 1).toLong)))
+      .toDF("id_a", "id_b")
+    val small = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(nodes, pairs, smallGraphEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(small == dist)
+    assert(small(5L) == 1L && small(2L) == 1L)   // merged chain → min 1
+    assert(small(22L) == 20L && small(15L) == 10L)
+    assert(small(30L) == 0L && small(0L) == 0L)
+    assert(small(7L) == 7L)                       // singleton
   }
 
   test("d7 accounting: kept + dropped = total per source; dropped = incident − clusters") {
