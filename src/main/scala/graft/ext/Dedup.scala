@@ -178,7 +178,18 @@ object Dedup {
 
   /** Connected components over a near-dup pair graph: every node labeled
     * with its component's minimum id — the canonical representative a
-    * dedup pass keeps. Min-label propagation with POINTER JUMPING (each
+    * dedup pass keeps.
+    *
+    * SEMANTICS: components are computed over `nodes` ∪ all pair
+    * endpoints (connectivity relays through endpoints even if they are
+    * missing from `nodes`, and the component minimum may be such an
+    * endpoint); the OUTPUT is restricted to `nodes`. Ids are treated as
+    * longs — integer id columns are widened, never ClassCast. Both
+    * execution paths (driver union-find for small graphs, distributed
+    * iteration for large) implement this same contract and are
+    * cross-checked in DedupSpec.
+    *
+    * Large-graph path: min-label propagation with POINTER JUMPING (each
     * round also rewrites label ← label(label)), so remaining chain
     * lengths halve per round and convergence is O(log diameter) — a
     * 2^20-hop chain fits in the default 20-round cap. Each round is two
@@ -203,13 +214,20 @@ object Dedup {
   private[ext] def connectedComponentsPinned(nodes: DataFrame, p: DataFrame,
                                              maxIter: Int = 20,
                                              smallGraphEdges: Long = 100000L): DataFrame = {
-    val init = nodes.select(col("node"), col("node").as("label"))
-    // Trivial-graph fast path: no pairs → every node is its own
-    // component, no iteration. This is also what keeps a CLEAN corpus
-    // safe — zero near-dup pairs is the routine case, and without the
-    // short-circuit the convergence aggregate over the (then empty)
-    // node frame is null.
-    if (p.isEmpty) return init
+    // Normalize ids to long up front: both paths then agree on output
+    // types, and integer-typed pair frames can't ClassCast in the
+    // driver path's Row.getLong.
+    val n0 = nodes.select(col("node").cast("long").as("node"))
+    val pr = p.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"))
+    val init = n0.select(col("node"), col("node").as("label"))
+    // ONE count serves both the trivial-graph fast path (no pairs →
+    // every node its own component — the routine CLEAN-corpus case,
+    // which must not hit the convergence aggregate: over an empty node
+    // frame it is null) and the size dispatch below. p is already
+    // materialized, so the count is a block-local pass, not a recompute.
+    val nEdges = p.count()
+    if (nEdges == 0) return init
     // SIZE-ADAPTIVE small-graph path — the broadcast-join idea applied to
     // the component problem. The pair graph of a healthy corpus is TINY
     // relative to the corpus (near-dups are the exception), so the
@@ -219,9 +237,8 @@ object Dedup {
     // O(log diameter) distributed join rounds whose per-round scheduling
     // dominates at this size. Graphs above the threshold (~a few MB of
     // edge ids) take the iterative path, which scales to any size.
-    // p is already materialized, so count() is a metadata-cheap job.
-    if (p.count() <= smallGraphEdges) {
-      val edges = p.select(col("id_a"), col("id_b")).collect()
+    if (nEdges <= smallGraphEdges) {
+      val edges = pr.collect()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var root = x
@@ -250,16 +267,24 @@ object Dedup {
       // Non-incident nodes (and incident roots, absent from `parent`)
       // label themselves; the node frame can be arbitrarily large — the
       // broadcast side is bounded by the edge threshold, never by nodes.
-      return nodes.select(col("node"))
+      return n0
         .join(broadcast(labelDf), Seq("node"), "left")
         .select(col("node"),
           coalesce(col("clabel"), col("node")).as("label"))
     }
+    // The iteration runs over nodes ∪ pair endpoints so connectivity
+    // relays through endpoints missing from `nodes` — the same contract
+    // as the union-find path; output is restricted back to `nodes` at
+    // the end.
+    val allNodes = n0
+      .union(pr.select(col("id_a").as("node")))
+      .union(pr.select(col("id_b").as("node"))).distinct()
+    val initAll = allNodes.select(col("node"), col("node").as("label"))
     // edges stays un-checkpointed: per round it's two projections of the
     // already-checkpointed p — cheaper to recompute than to pay another
     // materialization job up front.
-    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = pr.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pr.select(col("id_b").as("src"), col("id_a").as("dst")))
     // LAZY localCheckpoint fused with the convergence aggregate: ONE
     // helper both truncates lineage and measures convergence, so each
     // round is a single job instead of an eager-materialize job plus an
@@ -280,7 +305,7 @@ object Dedup {
         .getOrElse(java.math.BigDecimal.ZERO)
       (cp, s)
     }
-    var (labels, prevSum) = checkpointAndSum(init)
+    var (labels, prevSum) = checkpointAndSum(initAll)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -310,7 +335,9 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           "(component diameter > 2^maxIter?) — raise maxIter")
-    labels
+    // Restrict the (nodes ∪ endpoints) labeling back to the caller's
+    // node set — endpoints that were only relays drop out here.
+    labels.join(n0, Seq("node"), "left_semi")
   }
 
   /** The dedup END PRODUCT: keep one document per duplicate cluster (the

@@ -308,7 +308,10 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("label"), asDouble(col("embedding")).as("emb"))
       .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_vecs"), vmean(col("emb")).as("centroid"))
+      // count(emb), not count(*): null embeddings are skipped by the
+      // aggregator AND by the oracle's unnest, so n_vecs must be the
+      // centroid's actual denominator
+      .agg(count(col("emb")).as("n_vecs"), vmean(col("emb")).as("centroid"))
       .select(col("label"), col("n_vecs"),
         posexplode(col("centroid")).as(Seq("dim", "c")))
       .filter(col("dim") < 8)

@@ -134,6 +134,29 @@ class DedupSpec extends AnyFunSuite {
     assert(small(7L) == 7L)                       // singleton
   }
 
+  test("connectivity relays through endpoints missing from nodes, on both paths") {
+    // nodes [1,3]; edge chain 1-2-3 where 2 is NOT a node: 1 and 3 must
+    // still merge (relay through 2), labels restricted to the node set.
+    // A second chain 5-4-9 has its component MINIMUM (4) outside nodes.
+    val nodes = Seq(1L, 3L, 5L, 9L).toDF("node")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 4L), (4L, 9L)).toDF("id_a", "id_b")
+    for (threshold <- Seq(100000L, 0L)) {
+      val got = Dedup.connectedComponents(nodes, pairs, smallGraphEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet == Set(1L, 3L, 5L, 9L), s"threshold=$threshold")
+      assert(got(1L) == 1L && got(3L) == 1L, s"threshold=$threshold")
+      assert(got(5L) == 4L && got(9L) == 4L, s"threshold=$threshold")
+    }
+  }
+
+  test("integer-typed id columns are widened, not ClassCast, on the driver path") {
+    val nodes = Seq(1, 2, 3).toDF("node")       // IntegerType
+    val pairs = Seq((1, 2)).toDF("id_a", "id_b") // IntegerType
+    val got = Dedup.connectedComponents(nodes, pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("d7 accounting: kept + dropped = total per source; dropped = incident − clusters") {
     val dir = "/root/testdata/sf0.001"
     val out = Dedup.d7DedupedCorpus(spark, dir).collect()
