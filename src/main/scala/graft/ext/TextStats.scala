@@ -135,6 +135,37 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(30)
 
+  /** T6 — TF-IDF top terms per document (first 20 docs): the classic
+    * relevance weighting, fully relational. Three aggregates share the
+    * one exploded token frame: per-(doc, token) tf, per-token document
+    * frequency, and the corpus size; idf joins back BROADCAST (the
+    * token-df table is vocabulary-sized, not corpus-sized), and the
+    * per-doc top-3 is a partitioned window, never a global sort. Scores
+    * round(4) BEFORE ranking so engine libm ulps can't flip ranks. */
+  def t6TfIdf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tokens = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tokens.groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tokens.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    tf.join(broadcast(dfreq), Seq("token"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+      .filter(col("doc_id") < 20)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   /** D8 — deterministic hash-based corpus sampling: keep ~10% of docs by
     * multiplicative hash of doc_id (Knuth's 2654435761 over a prime-
     * bounded id), reported per language. Unlike rand()-based sampling the
@@ -156,6 +187,7 @@ object TextStats {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_vocab_topk" -> t5VocabTopK,
+    "t6_tfidf" -> t6TfIdf,
     "d8_hash_sample" -> d8HashSample,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_fingerprint" -> d2Fingerprint,
@@ -173,6 +205,29 @@ object TextStats {
         |      FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "t6_tfidf" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+        |  FROM documents),
+        |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+        |tf AS (SELECT doc_id, token, count(*) AS tf
+        |       FROM tok2 GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
+        |          FROM tok2 GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS tfidf
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+        |  WHERE tf.doc_id < 20),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, tfidf,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tfidf DESC, token) AS INT) AS rnk
+        |  FROM scored)
+        |SELECT doc_id, rnk, token, tf, tfidf
+        |FROM ranked WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
     "d8_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,

@@ -138,6 +138,19 @@ object Ingest {
       .trigger(Trigger.ProcessingTime("10 seconds"))
       .outputMode("append")
 
+  /** T10 — stream-static dimension enrichment: join the live stream
+    * against a slowly-changing dimension table. The static side joins
+    * BROADCAST, so the unbounded stream side never shuffles and carries
+    * no join state (unlike stream-stream joins there is nothing to
+    * watermark); Structured Streaming re-plans the static side per
+    * micro-batch, so a refreshed dimension file is picked up on the
+    * next batch without restarting the query. Left join: a stream
+    * record with no dimension row passes through with nulls instead of
+    * silently dropping (the reference never loses a reading either). */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame,
+                    key: String): DataFrame =
+    stream.join(broadcast(dim), Seq(key), "left")
+
   /** T4 — batch replay of everything the sink has written (the
     * reference's earliest-offset reread, consumer.py:50). */
   def replay(spark: SparkSession, path: String): DataFrame =

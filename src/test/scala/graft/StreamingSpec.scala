@@ -226,6 +226,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(replayed.select("location").as[String].collect().toSet == Set("A", "B"))
   }
 
+  test("stream-static broadcast enrichment joins per micro-batch without stream state (T10)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dim = Seq(("click", "interaction"), ("view", "interaction"),
+      ("error", "fault")).toDF("event_type", "category")
+    val in = MemoryStream[Ev]
+    val q = Ingest.enrichWithDim(in.toDF(), dim, "event_type")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    in.addData(
+      Ev(t("2024-01-01 10:00:00"), "click", 1, 1.0),
+      Ev(t("2024-01-01 10:01:00"), "purchase", 2, 2.0)) // no dim row
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("enrich_out").collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[String]("category")).toMap
+    assert(out("click") == "interaction")
+    assert(out("purchase") == null) // left join: unmatched passes through
+  }
+
   test("restart on the same checkpoint: no loss, no duplicates (T3 crash recovery)") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
