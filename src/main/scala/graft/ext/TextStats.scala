@@ -150,8 +150,12 @@ object TextStats {
       .filter(col("token") =!= "")
     val tf = tokens.groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tokens.groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    // df from the tf frame, not a second tokenization pass: tf already
+    // holds exactly one row per (doc, token), so document frequency is a
+    // plain count per token over a frame that is vocabulary×docs-sized —
+    // the raw token stream is scanned once, not twice.
+    val dfreq = tf.groupBy(col("token"))
+      .agg(count(lit(1)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
@@ -212,8 +216,8 @@ object TextStats {
         |tok2 AS (SELECT doc_id, token FROM tok WHERE token <> ''),
         |tf AS (SELECT doc_id, token, count(*) AS tf
         |       FROM tok2 GROUP BY doc_id, token),
-        |dfreq AS (SELECT token, count(DISTINCT doc_id) AS df
-        |          FROM tok2 GROUP BY token),
+        |dfreq AS (SELECT token, count(*) AS df
+        |          FROM tf GROUP BY token),
         |n AS (SELECT count(*) AS n_docs FROM documents),
         |scored AS (
         |  SELECT tf.doc_id, tf.token, tf.tf,
