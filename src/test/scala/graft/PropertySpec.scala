@@ -66,6 +66,42 @@ class PropertySpec extends AnyFunSuite {
     assert(df.filter(col("fused") =!= col("arrform")).count() == 0)
   }
 
+  test("both connected-components paths match brute-force closure on random graphs") {
+    // Seeded random graphs spanning singletons, chains, merges, and
+    // endpoints absent from the node set; ground truth is an in-test
+    // fixpoint closure, and BOTH execution paths must reproduce it.
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 8) {
+      val nNodes = 5 + rnd.nextInt(20)
+      val nodeIds = (0 until nNodes).map(_ => rnd.nextInt(40).toLong).distinct
+      val nEdges = rnd.nextInt(15)
+      val edges = (0 until nEdges).map { _ =>
+        (rnd.nextInt(45).toLong, rnd.nextInt(45).toLong) // may leave node set
+      }.filter { case (a, b) => a != b }
+      // ground truth: union-find over nodes ∪ endpoints, restricted to nodes
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val truth = nodeIds.map(n => n -> find(n)).toMap
+      val nodesDf = nodeIds.toDF("node")
+      val pairsDf =
+        if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+        else edges.toDF("id_a", "id_b")
+      for (threshold <- Seq(100000L, 0L)) {
+        val got = ext.Dedup.connectedComponents(nodesDf, pairsDf,
+          smallGraphEdges = threshold).as[(Long, Long)].collect().toMap
+        assert(got == truth,
+          s"trial=$trial threshold=$threshold edges=$edges nodes=$nodeIds")
+      }
+    }
+  }
+
   test("welford reduce+merge matches exact two-pass stats on 200 random splits") {
     val values = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
       Gen.oneOf(Gen.chooseNum(-1e3, 1e3), Gen.chooseNum(-1e3, 1e3).map(_ + 1e9))))
