@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Sequence packing — the training-batch construction step that follows
+  * dedup/filter in an LLM data pipeline: pack documents into fixed
+  * token-budget bins (context windows) so padding waste is bounded.
+  *
+  * Distributed design: docs hash-partition by id, each partition packs
+  * LOCALLY with first-fit-decreasing over its size-sorted docs
+  * (`mapPartitions` — the genuinely imperative per-partition step the
+  * DataFrame algebra can't express), and bin ids are made globally
+  * unique by fusing the partition id into the high bits. No document
+  * text ever shuffles: packing consumes only (doc_id, n_tokens), and
+  * the assignment joins back by doc_id if the payload is needed. This
+  * is how production packers scale — global FFD is inherently
+  * sequential, per-partition FFD keeps the same waste bound (FFD ≤
+  * 11/9·OPT + O(1) per partition) with zero coordination. Per-partition
+  * doc counts are bounded by `maxPartitionBytes`, so the O(docs × bins)
+  * first-fit scan stays bounded too.
+  */
+object Packing {
+
+  /** Pack (doc_id, n_tokens) rows into bins of `budget` tokens.
+    * Returns one row per bin: (bin_id, n_docs, fill). Docs larger than
+    * the budget must be filtered (or chunked) by the caller — packing
+    * them is unsatisfiable and throws rather than silently dropping. */
+  def packBins(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val counts = scala.collection.mutable.ArrayBuffer.empty[Int]
+        it.foreach { case (id, n) =>
+          if (n > budget)
+            throw new IllegalArgumentException(
+              s"doc $id has $n tokens > budget $budget — filter or chunk first")
+          var i = 0
+          while (i < fills.length && fills(i) + n > budget) i += 1
+          if (i == fills.length) { fills += n; counts += 1 }
+          else { fills(i) += n; counts(i) += 1 }
+        }
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        fills.indices.iterator.map(i => (pid << 32 | i.toLong, counts(i), fills(i)))
+      }
+      .toDF("bin_id", "n_docs", "fill")
+  }
+
+  /** D9 — pack the corpus into 512-token bins and report the packing
+    * efficiency summary a pipeline dashboards (bins, docs packed, fill
+    * ratio, worst bin). Rows-only for the driver: bin composition is a
+    * function of the partition layout (any valid packing is correct);
+    * the packing INVARIANTS — no bin over budget, every doc packed
+    * exactly once, FFD exactness on one partition — are asserted in
+    * PackingSpec. */
+  def d9SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 512L
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0 && col("n_tokens") <= budget)
+    packBins(docs, budget).agg(
+      count(lit(1)).as("n_bins"),
+      sum(col("n_docs")).as("n_docs_packed"),
+      sum(col("fill")).as("total_tokens"),
+      round(avg(col("fill").cast("double") / budget), 4).as("avg_fill_ratio"),
+      max(col("fill")).as("max_fill"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d9_sequence_pack" -> d9SequencePack
+  )
+
+  /** Engine-specific (partition-local packing) — no SQL oracle; see
+    * PackingSpec for the invariant checks. */
+  val oracle: Map[String, String] = Map.empty
+}
