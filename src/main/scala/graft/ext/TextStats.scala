@@ -170,6 +170,50 @@ object TextStats {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** T7 — compression-ratio quality signal: deflate(text)/|text| per
+    * doc, summarized per source. Repetitive or boilerplate text
+    * compresses far below natural prose, making the ratio a cheap
+    * dedup/quality heuristic production corpus filters use alongside
+    * T2's stopword rule. One `Deflater` per PARTITION (constructed
+    * once, freed on task completion — the same resource pattern as the
+    * MM2 decoder), streaming the compressed size without materializing
+    * compressed bytes. Rows-only: no SQL engine replays zlib; the
+    * discrimination property is asserted in ScalaTest. */
+  def t7CompressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](64 * 1024)
+        it.map { case (id, src, text) =>
+          val bytes =
+            if (text == null) Array.emptyByteArray
+            else text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (id, src, bytes.length.toLong, compressed)
+        }
+      }
+      .toDF("doc_id", "source", "n_bytes", "n_compressed")
+    perDoc
+      .filter(col("n_bytes") > 0)
+      .withColumn("ratio",
+        round(col("n_compressed").cast("double") / col("n_bytes"), 4))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("ratio")), 4).as("avg_ratio"),
+        round(min(col("ratio")), 4).as("min_ratio"),
+        round(max(col("ratio")), 4).as("max_ratio"))
+      .orderBy(col("source"))
+  }
+
   /** D8 — deterministic hash-based corpus sampling: keep ~10% of docs by
     * multiplicative hash of doc_id (Knuth's 2654435761 over a prime-
     * bounded id), reported per language. Unlike rand()-based sampling the
@@ -192,6 +236,7 @@ object TextStats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t5_vocab_topk" -> t5VocabTopK,
     "t6_tfidf" -> t6TfIdf,
+    "t7_compression_ratio" -> t7CompressionRatio,
     "d8_hash_sample" -> d8HashSample,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_fingerprint" -> d2Fingerprint,

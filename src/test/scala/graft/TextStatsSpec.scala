@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.TextStats
+
+class TextStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("compression ratio separates repetitive from varied text") {
+    val dir = java.nio.file.Files.createTempDirectory("t7test").toString
+    val rnd = new scala.util.Random(5)
+    val varied = (0 until 300).map(_ =>
+      rnd.alphanumeric.take(8).mkString).mkString(" ")
+    Seq(
+      (0L, "spam " * 400, "rep", 2000L),     // near-pure repetition
+      (1L, varied, "var", 2700L),            // high-entropy word soup
+      (2L, null.asInstanceOf[String], "rep", 0L), // null text must not crash
+      (3L, "", "var", 0L)                    // empty text filtered (n_bytes=0)
+    ).toDF("doc_id", "text", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextStats.t7CompressionRatio(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap // source -> avg_ratio
+    assert(out("rep") < 0.1, s"repetitive text should compress hard: $out")
+    assert(out("var") > 0.4, s"varied text should resist compression: $out")
+    // null text produced n_bytes=0 and was filtered — rep counts only doc 0
+  }
+
+  test("hash sample keeps a stable ~10% fraction, deterministically") {
+    val a = TextStats.d8HashSample(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("n_sampled"))).head().getLong(0)
+    val b = TextStats.d8HashSample(spark, "/root/testdata/sf0.001")
+      .agg(sum(col("n_sampled"))).head().getLong(0)
+    assert(a == b) // pure function of ids — identical across runs
+    val total = Tables.documents(spark, "/root/testdata/sf0.001").count()
+    val frac = a.toDouble / total
+    assert(frac > 0.04 && frac < 0.2, s"expected ~10% sample, got $frac")
+  }
+}
