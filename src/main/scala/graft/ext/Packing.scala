@@ -17,23 +17,29 @@ import graft.Tables
   * the assignment joins back by doc_id if the payload is needed. This
   * is how production packers scale — global FFD is inherently
   * sequential, per-partition FFD keeps the same waste bound (FFD ≤
-  * 11/9·OPT + O(1) per partition) with zero coordination. Per-partition
-  * doc counts are bounded by `maxPartitionBytes`, so the O(docs × bins)
-  * first-fit scan stays bounded too.
+  * 11/9·OPT + O(1) per partition) with zero coordination. The first-fit
+  * scan is O(docs × bins) PER PARTITION, so `partitions` must grow with
+  * the corpus (docs-per-partition is corpus/partitions, NOT bounded by
+  * any scan setting) — size it so a partition holds at most a few
+  * hundred thousand docs, exactly like sizing shuffle partitions to
+  * data volume.
   */
 object Packing {
 
   /** Pack (doc_id, n_tokens) rows into bins of `budget` tokens.
     * Returns one row per bin: (bin_id, n_docs, fill). Docs larger than
     * the budget must be filtered (or chunked) by the caller — packing
-    * them is unsatisfiable and throws rather than silently dropping. */
-  def packBins(docs: DataFrame, budget: Long): DataFrame = {
+    * them is unsatisfiable and throws rather than silently dropping.
+    * `partitions` sizes the packing parallelism (see object doc);
+    * None inherits `spark.sql.shuffle.partitions`. */
+  def packBins(docs: DataFrame, budget: Long,
+               partitions: Option[Int] = None): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
-      .repartition(col("doc_id"))
+    val keyed = docs.select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
+    partitions.map(n => keyed.repartition(n, col("doc_id")))
+      .getOrElse(keyed.repartition(col("doc_id")))
       .sortWithinPartitions(col("n_tokens").desc, col("doc_id"))
       .as[(Long, Long)]
       .mapPartitions { it =>
@@ -59,13 +65,13 @@ object Packing {
     * ratio, worst bin). Rows-only for the driver: bin composition is a
     * function of the partition layout (any valid packing is correct);
     * the packing INVARIANTS — no bin over budget, every doc packed
-    * exactly once, FFD exactness on one partition — are asserted in
-    * PackingSpec. */
+    * exactly once, FFD exactness on a single pinned partition — are
+    * asserted in PackingSpec. */
   def d9SequencePack(spark: SparkSession, dir: String): DataFrame = {
     val budget = 512L
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        TextStats.wsTokens(col("text")).cast("long").as("n_tokens"))
       .filter(col("n_tokens") > 0 && col("n_tokens") <= budget)
     packBins(docs, budget).agg(
       count(lit(1)).as("n_bins"),

@@ -36,13 +36,20 @@ object TextStats {
       .orderBy(col("source"))
   }
 
+  /** ONE definition of the whitespace token count — shared by T1, the
+    * D9 packer, and their specs, so token semantics cannot drift between
+    * the operator and the test that validates it (same device as
+    * TextHash's shared hashing kernels). */
+  def wsTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    size(split(c, " "))
+
   /** T1 — token counting + length stats per language: whitespace tokens
     * and a regex tokenizer (word / number / punctuation classes — the
     * BPE-ish pre-tokenization split). Integer sums divide exactly, so the
     * rounded averages are engine-exact. */
   def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("ws_tokens", size(split(col("text"), " ")))
+      .withColumn("ws_tokens", wsTokens(col("text")))
       .withColumn("re_tokens",
         size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
       .groupBy(col("lang"))

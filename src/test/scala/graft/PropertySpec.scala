@@ -94,9 +94,12 @@ class PropertySpec extends AnyFunSuite {
         if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("id_a", "id_b")
         else edges.toDF("id_a", "id_b")
       for (threshold <- Seq(100000L, 0L)) {
-        val got = ext.Dedup.connectedComponents(nodesDf, pairsDf,
-          smallGraphEdges = threshold).as[(Long, Long)].collect().toMap
-        assert(got == truth,
+        val rows = ext.Dedup.connectedComponents(nodesDf, pairsDf,
+          smallGraphEdges = threshold).as[(Long, Long)].collect()
+        // row-count first: toMap would silently swallow duplicate nodes
+        assert(rows.length == truth.size,
+          s"trial=$trial threshold=$threshold duplicate/missing rows: ${rows.toSeq}")
+        assert(rows.toMap == truth,
           s"trial=$trial threshold=$threshold edges=$edges nodes=$nodeIds")
       }
     }

@@ -9,22 +9,29 @@ class TextStatsSpec extends AnyFunSuite {
   import spark.implicits._
 
   test("compression ratio separates repetitive from varied text") {
-    val dir = java.nio.file.Files.createTempDirectory("t7test").toString
-    val rnd = new scala.util.Random(5)
-    val varied = (0 until 300).map(_ =>
-      rnd.alphanumeric.take(8).mkString).mkString(" ")
-    Seq(
-      (0L, "spam " * 400, "rep", 2000L),     // near-pure repetition
-      (1L, varied, "var", 2700L),            // high-entropy word soup
-      (2L, null.asInstanceOf[String], "rep", 0L), // null text must not crash
-      (3L, "", "var", 0L)                    // empty text filtered (n_bytes=0)
-    ).toDF("doc_id", "text", "source", "n_chars")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = TextStats.t7CompressionRatio(spark, dir).collect()
-      .map(r => r.getString(0) -> r.getDouble(2)).toMap // source -> avg_ratio
-    assert(out("rep") < 0.1, s"repetitive text should compress hard: $out")
-    assert(out("var") > 0.4, s"varied text should resist compression: $out")
-    // null text produced n_bytes=0 and was filtered — rep counts only doc 0
+    val root = java.nio.file.Files.createTempDirectory("t7test")
+    try {
+      val dir = root.toString
+      val rnd = new scala.util.Random(5)
+      val varied = (0 until 300).map(_ =>
+        rnd.alphanumeric.take(8).mkString).mkString(" ")
+      Seq(
+        (0L, "spam " * 400, "rep", 2000L),     // near-pure repetition
+        (1L, varied, "var", 2700L),            // high-entropy word soup
+        (2L, null.asInstanceOf[String], "rep", 0L), // null text must not crash
+        (3L, "", "var", 0L)                    // empty text filtered (n_bytes=0)
+      ).toDF("doc_id", "text", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextStats.t7CompressionRatio(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap // source -> avg_ratio
+      assert(out("rep") < 0.1, s"repetitive text should compress hard: $out")
+      assert(out("var") > 0.4, s"varied text should resist compression: $out")
+      // null text produced n_bytes=0 and was filtered — rep counts only doc 0
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("hash sample keeps a stable ~10% fraction, deterministically") {
