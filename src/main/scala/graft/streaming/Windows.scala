@@ -49,6 +49,29 @@ object Windows {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** T11 — watermarked stream-stream interval join: correlate two live
+    * streams (e.g. actions with the alert that preceded them) where the
+    * right event must land within [0, maxDelay] AFTER the left. Both
+    * sides carry watermarks and the join condition bounds the time
+    * range, so each side's buffered state evicts once the watermark
+    * passes the interval — without BOTH constraints Spark must buffer a
+    * stream forever, which no cluster survives. Inner join: unmatched
+    * rows age out of state and emit nothing. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   maxDelay: String = "10 minutes"): DataFrame = {
+    // Prefix every column per side (the watermark metadata survives the
+    // rename) so the join condition is unambiguous.
+    val l = left.withWatermark("ts", "10 minutes")
+      .select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+    val r = right.withWatermark("ts", "10 minutes")
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+      "inner")
+  }
+
   /** T6+T8 — the reference's persisted location summary
     * (spark_processor.py:210-217) as a LIVE event-time aggregate over the
     * observation stream: per (hourly window, location) count + rounded

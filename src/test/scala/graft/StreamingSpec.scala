@@ -245,6 +245,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out("purchase") == null) // left join: unmatched passes through
   }
 
+  test("stream-stream interval join matches within the window, evicts outside it (T11)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = Windows.intervalJoin(clicks.toDF(), buys.toDF(), "user_id")
+      .select(col("l_user_id"), col("l_ts"), col("r_ts"))
+      .writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append").start()
+    clicks.addData(Ev(t("2024-01-01 10:00:00"), "click", 1, 1.0))
+    clicks.addData(Ev(t("2024-01-01 10:00:00"), "click", 2, 1.0))
+    buys.addData(Ev(t("2024-01-01 10:05:00"), "buy", 1, 9.0))   // within 10 min → match
+    buys.addData(Ev(t("2024-01-01 10:30:00"), "buy", 2, 9.0))   // 30 min later → no match
+    // advance both watermarks far past the interval so state evicts
+    clicks.addData(Ev(t("2024-01-01 12:00:00"), "click", 99, 0.0))
+    buys.addData(Ev(t("2024-01-01 12:00:00"), "buy", 98, 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssjoin_out").collect()
+    assert(out.map(_.getAs[Long]("l_user_id")).toSet == Set(1L))
+    assert(out.length == 1) // user 2's late buy fell outside the interval
+  }
+
   test("restart on the same checkpoint: no loss, no duplicates (T3 crash recovery)") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
