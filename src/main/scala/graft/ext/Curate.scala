@@ -1,0 +1,136 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-curation operators a training-data pipeline runs between dedup
+  * and packing: benchmark decontamination (drop training docs that leak
+  * eval-set n-grams) and deterministic per-stratum rebalancing (downsample
+  * over-represented languages to a target share).
+  *
+  * Scale shapes: decontamination never shuffles the corpus — the benchmark
+  * n-gram set is eval-sized (MBs even for large eval suites), so it
+  * BROADCASTS and the training side streams through a semi-join map-side;
+  * rebalancing is a pure per-row hash filter against a broadcast per-stratum
+  * rate table, so it adds zero shuffles to whatever pipeline it sits in.
+  */
+object Curate {
+
+  /** Distinct lowercased word n-grams of `text`, one row per (doc, gram).
+    * Shared by the training and benchmark sides of [[decontaminate]] so the
+    * two sides can never disagree on tokenization. */
+  private def docGrams(docs: DataFrame, n: Int): DataFrame =
+    docs.withColumn("words", split(lower(col("text")), " "))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          s"""array_distinct(transform(sequence(0, size(words) - $n),
+             |  i -> concat_ws(' ', slice(words, i + 1, $n))))""".stripMargin))
+          .as("gram"))
+
+  /** D10 — benchmark decontamination over any (doc_id, source, text) frame:
+    * docs whose id divides by `benchMod` form the held-out benchmark; a
+    * training doc is contaminated iff it shares at least one word n-gram
+    * with any benchmark doc (the GPT-3/PaLM eval-leak rule — production
+    * uses 13-grams; the synthetic corpus's short word-soup docs need n=4
+    * to exercise the overlap path). Returns per-source training counts and
+    * contaminated counts. */
+  def decontaminateDf(docs: DataFrame, n: Int = 4, benchMod: Int = 97): DataFrame = {
+    val grams = docGrams(docs, n)
+    val isBench = col("doc_id") % benchMod === 0
+    // eval suites are tiny next to the corpus: distinct grams broadcast,
+    // and the left-semi probe runs map-side — the corpus never shuffles.
+    val benchGrams = grams.filter(isBench).select(col("gram")).distinct()
+    val contaminated = grams.filter(!isBench)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+    docs.filter(!isBench)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+      .join(contaminated.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  def d10Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateDf(Tables.documents(spark, dir))
+
+  /** D11 — deterministic language rebalancing: compute each language's
+    * keep-rate as target/count where target is the smallest language's
+    * count (equal-share rebalancing), then keep docs whose multiplicative
+    * id-hash falls under the rate — the same pure-function-of-id device as
+    * d8HashSample, so the kept set is reproducible across runs, engines,
+    * and retries. The rate table is strata-sized (broadcast); the filter is
+    * per-row with no shuffle. Counts land NEAR target (hash-uniform, not
+    * exact) — the honest scale shape, since an exact per-stratum top-k
+    * would need a per-stratum sort that the skewed big stratum turns into
+    * a straggler. */
+  def rebalanceDf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("n_lang")).as("target"))))
+      .withColumn("rate", col("target").cast("double") / col("n_lang"))
+    val kept = docs.join(broadcast(rates), Seq("lang"))
+      .filter(hashKeep(col("doc_id"), col("rate")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_lang"), col("target"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
+  /** The d8 multiplicative hash at 1e6 resolution, compared against a
+    * per-row rate: keep iff hash(id) < rate·1e6. The `% 100003` bound
+    * keeps the product inside Long (DuckDB errors on BIGINT overflow). */
+  private def hashKeep(id: Column, rate: Column): Column =
+    pmod((id % 100003L) * 2654435761L, lit(1000000L)).cast("double") <
+      rate * lit(1000000.0)
+
+  def d11Rebalance(spark: SparkSession, dir: String): DataFrame =
+    rebalanceDf(Tables.documents(spark, dir))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_decontaminate" -> d10Decontaminate,
+    "d11_rebalance" -> d11Rebalance
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d10_decontaminate" ->
+      """WITH words AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(w) - 2),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gs
+        |  FROM words WHERE len(w) >= 4),
+        |g AS (SELECT doc_id, source, unnest(gs) AS gram FROM grams),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |contam AS (
+        |  SELECT DISTINCT g.doc_id, g.source
+        |  FROM g JOIN bench USING (gram) WHERE g.doc_id % 97 <> 0),
+        |train AS (
+        |  SELECT source, count(*) AS n_train
+        |  FROM documents WHERE doc_id % 97 <> 0 GROUP BY source),
+        |c AS (SELECT source, count(*) AS n_contaminated FROM contam GROUP BY source)
+        |SELECT train.source, n_train,
+        |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated
+        |FROM train LEFT JOIN c USING (source) ORDER BY source""".stripMargin,
+    "d11_rebalance" ->
+      """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT min(n_lang) AS target FROM counts),
+        |r AS (SELECT lang, n_lang, target,
+        |        CAST(target AS DOUBLE) / n_lang AS rate FROM counts CROSS JOIN t),
+        |kept AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN r USING (lang)
+        |  -- (+1e6)%1e6 = Spark's pmod (DuckDB % keeps the sign)
+        |  WHERE ((((doc_id % 100003) * 2654435761) % 1000000) + 1000000) % 1000000
+        |          < rate * 1000000.0
+        |  GROUP BY d.lang)
+        |SELECT r.lang, n_lang, CAST(target AS BIGINT) AS target,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        |FROM r LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
+  )
+}

@@ -221,6 +221,30 @@ object TextStats {
       .orderBy(col("source"))
   }
 
+  /** T8 — repetition quality signal (the Gopher repetition rules, adapted
+    * to this corpus's newline-free docs): per doc, the fraction of word
+    * bigrams that are repeats of an earlier bigram — boilerplate and
+    * looping generations score high, natural prose near zero. Pure
+    * higher-order array functions, embarrassingly parallel; the only
+    * shuffle is the 5-row language rollup. */
+  def t8Repetition(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("words", split(lower(col("text")), " "))
+      .filter(size(col("words")) >= 2)
+      .withColumn("bigrams", expr(
+        """transform(sequence(0, size(words) - 2),
+          |  i -> concat_ws(' ', slice(words, i + 1, 2)))""".stripMargin))
+      .withColumn("dup_ratio",
+        round(lit(1.0) -
+          size(array_distinct(col("bigrams"))).cast("double") /
+            size(col("bigrams")), 4))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("dup_ratio")), 4).as("avg_dup_ratio"),
+        round(max(col("dup_ratio")), 4).as("max_dup_ratio"),
+        sum(when(col("dup_ratio") > 0.05, 1L).otherwise(0L)).as("n_repetitive"))
+      .orderBy(col("lang"))
+
   /** D8 — deterministic hash-based corpus sampling: keep ~10% of docs by
     * multiplicative hash of doc_id (Knuth's 2654435761 over a prime-
     * bounded id), reported per language. Unlike rand()-based sampling the
@@ -244,6 +268,7 @@ object TextStats {
     "t5_vocab_topk" -> t5VocabTopK,
     "t6_tfidf" -> t6TfIdf,
     "t7_compression_ratio" -> t7CompressionRatio,
+    "t8_repetition" -> t8Repetition,
     "d8_hash_sample" -> d8HashSample,
     "d1_exact_dedup" -> d1ExactDedup,
     "d2_fingerprint" -> d2Fingerprint,
@@ -284,6 +309,23 @@ object TextStats {
         |SELECT doc_id, rnk, token, tf, tfidf
         |FROM ranked WHERE rnk <= 3
         |ORDER BY doc_id, rnk""".stripMargin,
+    "t8_repetition" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bigrams
+        |  FROM (SELECT lang, string_split(lower(text), ' ') AS w FROM documents)
+        |  WHERE len(w) >= 2),
+        |r AS (
+        |  SELECT lang,
+        |    round(1.0 - len(list_distinct(bigrams)) / CAST(len(bigrams) AS DOUBLE), 4)
+        |      AS dup_ratio
+        |  FROM b)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(dup_ratio), 4) AS avg_dup_ratio,
+        |  round(max(dup_ratio), 4) AS max_dup_ratio,
+        |  CAST(sum(CASE WHEN dup_ratio > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_repetitive
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "d8_hash_sample" ->
       """SELECT lang, count(*) AS n_sampled,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,

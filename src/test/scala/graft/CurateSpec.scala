@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Curate
+
+/** Decontamination flags exactly the docs sharing an n-gram with the
+  * benchmark split; rebalancing keeps a deterministic, near-target subset
+  * per stratum. */
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // doc 0 (id % 97 == 0) is the benchmark doc; doc 1 copies a 4-gram from
+  // it verbatim, docs 2-3 share no 4-gram with it.
+  private def docs = Seq(
+    (0L, "alpha beta gamma delta epsilon zeta", "srcA"),
+    (1L, "intro words then alpha beta gamma delta outro", "srcA"),
+    (2L, "completely different tokens nothing shared here at all", "srcA"),
+    (3L, "alpha beta something gamma delta epsilon off by one", "srcB")
+  ).toDF("doc_id", "text", "source")
+
+  test("decontaminate flags the doc that leaks a benchmark 4-gram, only that doc") {
+    val out = Curate.decontaminateDf(docs, n = 4, benchMod = 97)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("srcA") == ((2L, 1L))) // docs 1,2 train; only doc 1 contaminated
+    assert(out("srcB") == ((1L, 0L))) // doc 3's grams are all offset — clean
+  }
+
+  test("a training doc with fewer words than n can never be contaminated") {
+    val short = docs.union(Seq((5L, "alpha beta gamma", "srcC")).toDF("doc_id", "text", "source"))
+    val out = Curate.decontaminateDf(short, n = 4, benchMod = 97)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("srcC") == 0L)
+  }
+
+  test("rebalance keeps ~target docs per stratum, deterministically") {
+    val corpus = (0L until 400L).map { i =>
+      (i, s"doc $i", if (i < 320) "en" else "fr")
+    }.toDF("doc_id", "text", "lang")
+    val run1 = Curate.rebalanceDf(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val run2 = Curate.rebalanceDf(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(run1 == run2) // pure function of ids — no rand() anywhere
+    val (nEn, target, keptEn) = run1("en")
+    assert(nEn == 320L && target == 80L)
+    // hash-uniform keep-rate: within ±50% of target on 320 draws
+    assert(keptEn > 40L && keptEn < 120L, s"kept $keptEn of target $target")
+    // the small stratum keeps everything (rate = 1.0)
+    assert(run1("fr") == ((80L, 80L, 80L)))
+  }
+}

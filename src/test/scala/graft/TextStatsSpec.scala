@@ -34,6 +34,29 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition ratio separates looping text from unique text (T8)") {
+    val root = java.nio.file.Files.createTempDirectory("t8test")
+    try {
+      val dir = root.toString
+      Seq(
+        (0L, ("spam ham " * 50).trim, "rep", 450L),    // one bigram repeated
+        (1L, (0 until 100).map(i => s"w$i").mkString(" "), "uniq", 400L),
+        (2L, "solo", "uniq", 4L)                       // <2 words: filtered
+      ).toDF("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextStats.t8Repetition(spark, dir).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(4)))).toMap
+      val (nRep, repRatio, nFlagged) = out("rep")
+      assert(nRep == 1L && repRatio > 0.9 && nFlagged == 1L)
+      val (nU, uRatio, uFlagged) = out("uniq")
+      assert(nU == 1L && uRatio == 0.0 && uFlagged == 0L) // doc 2 dropped
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("hash sample keeps a stable ~10% fraction, deterministically") {
     val a = TextStats.d8HashSample(spark, "/root/testdata/sf0.001")
       .agg(sum(col("n_sampled"))).head().getLong(0)
