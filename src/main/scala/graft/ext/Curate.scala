@@ -90,9 +90,71 @@ object Curate {
   def d11Rebalance(spark: SparkSession, dir: String): DataFrame =
     rebalanceDf(Tables.documents(spark, dir))
 
+  /** Near-duplicate vector pairs WITHIN a k-means cell: the SemDeDup
+    * candidate step. The cell key makes the self-join co-partitioned —
+    * all-pairs never materializes, and cells are data-adaptive so true
+    * semantic neighbors land together far more often than under
+    * oblivious LSH planes. Cross-cell near-dups are missed BY DESIGN
+    * (that is the published SemDeDup trade: candidate cost O(N·cell),
+    * recall bounded by quantizer quality). */
+  def cellNearDupPairs(spark: SparkSession, assigned: DataFrame,
+                       threshold: Double): DataFrame = {
+    val l = assigned.select(col("cell"),
+      col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val r = assigned.select(col("cell"),
+      col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    l.join(r, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(graft.functions.VectorOps.vecCosine(
+        spark, col("emb_a"), col("emb_b")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
+  /** SemDeDup over any embeddings frame: cluster with a k-means coarse
+    * quantizer, pair up within-cell vectors above the cosine threshold,
+    * and keep one vector per duplicate group (minimum id) via the same
+    * connected-components composition text dedup uses. Returns the kept
+    * rows. */
+  def semanticDedupDf(spark: SparkSession, embeddings: DataFrame,
+                      k: Int, threshold: Double): DataFrame = {
+    val idx = Similarity.ivfIndex(embeddings, k)
+    keptVectors(embeddings, cellNearDupPairs(spark, idx.assigned, threshold))
+  }
+
+  /** Keep-one-per-group resolution, reusing [[Dedup.dedupedCorpus]]'s
+    * pair→components→anti-join composition (its iteration touches only
+    * pair-incident ids; the corpus passes once through the anti-join). */
+  private def keptVectors(vectors: DataFrame, pairs: DataFrame): DataFrame =
+    Dedup.dedupedCorpus(vectors.withColumnRenamed("vec_id", "doc_id"), pairs)
+      .withColumnRenamed("doc_id", "vec_id")
+
+  /** D12 — registered SemDeDup accounting: per label, how many vectors
+    * survive semantic dedup at cosine ≥ 0.25 (the testdata embeddings
+    * are near-random, max pairwise cosine ≈0.51 — production would run
+    * ≥0.95 with the same plan). Serves from the SAME memoized IVF index
+    * as sim4 (key = (dir, Sim4K)), so the quantizer trains once per
+    * session across both queries. Rows-only: cell layout is
+    * engine-specific; the planted-duplicate semantics are asserted in
+    * CurateSpec. */
+  def d12SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val assigned =
+      Similarity.ivfIndexFor(spark, dir, Similarity.Sim4K).assigned
+    val kept = keptVectors(e.select(col("vec_id"), col("label")),
+      cellNearDupPairs(spark, assigned, threshold = 0.25))
+    e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .join(kept.groupBy(col("label")).agg(count(lit(1)).as("n_kept")),
+        Seq("label"), "left")
+      .select(col("label"), col("n_vecs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_vecs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_decontaminate" -> d10Decontaminate,
-    "d11_rebalance" -> d11Rebalance
+    "d11_rebalance" -> d11Rebalance,
+    "d12_semantic_dedup" -> d12SemanticDedup
   )
 
   val oracle: Map[String, String] = Map(

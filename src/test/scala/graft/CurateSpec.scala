@@ -34,6 +34,31 @@ class CurateSpec extends AnyFunSuite {
     assert(out("srcC") == 0L)
   }
 
+  test("semantic dedup drops planted duplicate vectors, keeps distinct ones") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), "a"),
+      (1L, Array(1f, 0f, 0f, 0f), "a"),  // exact dup of 0 → same cell always
+      (2L, Array(1f, 0f, 0f, 0f), "b"),  // dup of 0, different label
+      (3L, Array(1f, 0f, 0f, 0f), "b"),
+      (4L, Array(0f, 1f, 0f, 0f), "a"),  // orthogonal — must survive
+      (5L, Array(0f, 0f, 1f, 0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Curate.semanticDedupDf(spark, vecs, k = 2, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 4L, 5L))
+  }
+
+  test("semantic dedup on an all-distinct corpus keeps every vector") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), "a"),
+      (1L, Array(0f, 1f, 0f, 0f), "a"),
+      (2L, Array(0f, 0f, 1f, 0f), "b")
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Curate.semanticDedupDf(spark, vecs, k = 2, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L))
+  }
+
   test("rebalance keeps ~target docs per stratum, deterministically") {
     val corpus = (0L until 400L).map { i =>
       (i, s"doc $i", if (i < 320) "en" else "fr")
