@@ -91,34 +91,29 @@ object Curate {
     rebalanceDf(Tables.documents(spark, dir))
 
   /** Near-duplicate vector pairs WITHIN a k-means cell: the SemDeDup
-    * candidate step. The cell key makes the self-join co-partitioned —
-    * all-pairs never materializes, and cells are data-adaptive so true
-    * semantic neighbors land together far more often than under
-    * oblivious LSH planes. Cross-cell near-dups are missed BY DESIGN
-    * (that is the published SemDeDup trade: candidate cost O(N·cell),
-    * recall bounded by quantizer quality). */
-  def cellNearDupPairs(spark: SparkSession, assigned: DataFrame,
-                       threshold: Double): DataFrame = {
-    val l = assigned.select(col("cell"),
-      col("vec_id").as("id_a"), col("emb").as("emb_a"))
-    val r = assigned.select(col("cell"),
-      col("vec_id").as("id_b"), col("emb").as("emb_b"))
-    l.join(r, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(graft.functions.VectorOps.vecCosine(
-        spark, col("emb_a"), col("emb_b")) >= threshold)
+    * candidate step, delegating to the shared keyed near-dup kernel
+    * ([[Similarity.keyedNearDupPairs]] — NaN-safe, rounded-threshold).
+    * The cell key makes the self-join co-partitioned — all-pairs never
+    * materializes — and with [[Similarity.cellsFor]] sizing the
+    * quantizer the candidate cost stays O(N·targetCell) as N grows.
+    * Cross-cell near-dups are missed BY DESIGN (the published SemDeDup
+    * trade: linear candidate cost, recall bounded by quantizer
+    * quality). */
+  def cellNearDupPairs(assigned: DataFrame, threshold: Double): DataFrame =
+    Similarity.keyedNearDupPairs(assigned, "cell", threshold)
       .select(col("id_a"), col("id_b"))
-  }
 
   /** SemDeDup over any embeddings frame: cluster with a k-means coarse
     * quantizer, pair up within-cell vectors above the cosine threshold,
     * and keep one vector per duplicate group (minimum id) via the same
     * connected-components composition text dedup uses. Returns the kept
-    * rows. */
+    * rows. The assignment is checkpointed before the self-join — without
+    * it the k-means transform lineage would execute once per join side. */
   def semanticDedupDf(spark: SparkSession, embeddings: DataFrame,
                       k: Int, threshold: Double): DataFrame = {
-    val idx = Similarity.ivfIndex(embeddings, k)
-    keptVectors(embeddings, cellNearDupPairs(spark, idx.assigned, threshold))
+    val assigned =
+      Similarity.ivfIndex(embeddings, k).assigned.localCheckpoint(true)
+    keptVectors(embeddings, cellNearDupPairs(assigned, threshold))
   }
 
   /** Keep-one-per-group resolution, reusing [[Dedup.dedupedCorpus]]'s
@@ -128,27 +123,37 @@ object Curate {
     Dedup.dedupedCorpus(vectors.withColumnRenamed("vec_id", "doc_id"), pairs)
       .withColumnRenamed("doc_id", "vec_id")
 
-  /** D12 — registered SemDeDup accounting: per label, how many vectors
-    * survive semantic dedup at cosine ≥ 0.25 (the testdata embeddings
-    * are near-random, max pairwise cosine ≈0.51 — production would run
-    * ≥0.95 with the same plan). Serves from the SAME memoized IVF index
-    * as sim4 (key = (dir, Sim4K)), so the quantizer trains once per
-    * session across both queries. Rows-only: cell layout is
-    * engine-specific; the planted-duplicate semantics are asserted in
-    * CurateSpec. */
-  def d12SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val assigned =
-      Similarity.ivfIndexFor(spark, dir, Similarity.Sim4K).assigned
-    val kept = keptVectors(e.select(col("vec_id"), col("label")),
-      cellNearDupPairs(spark, assigned, threshold = 0.25))
-    e.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+  /** Per-label SemDeDup survival accounting over an already-assigned
+    * corpus — the d12 kernel, frame-level so CurateSpec can assert the
+    * accounting itself (join keys, coalesce-to-zero) on a planted
+    * corpus, not just the kept-set semantics. */
+  def semanticDedupAccounting(labeled: DataFrame, assigned: DataFrame,
+                              threshold: Double): DataFrame = {
+    val kept = keptVectors(labeled.select(col("vec_id"), col("label")),
+      cellNearDupPairs(assigned, threshold))
+    labeled.groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
       .join(kept.groupBy(col("label")).agg(count(lit(1)).as("n_kept")),
         Seq("label"), "left")
       .select(col("label"), col("n_vecs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         (col("n_vecs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
       .orderBy(col("label"))
+  }
+
+  /** D12 — registered SemDeDup accounting: per label, how many vectors
+    * survive semantic dedup at cosine ≥ 0.25 (the testdata embeddings
+    * are near-random, max pairwise cosine ≈0.51 — production would run
+    * ≥0.95 with the same plan). The quantizer is corpus-scaled
+    * ([[Similarity.cellsFor]]) and served from the memoized per-(dir, k)
+    * IVF index; at test scales cellsFor lands on Sim4K, so sim4 and d12
+    * share one trained index per session. Rows-only: cell layout is
+    * engine-specific; planted-corpus semantics are asserted in
+    * CurateSpec. */
+  def d12SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = Similarity.cellsFor(Similarity.corpusSize(spark, dir))
+    val assigned = Similarity.ivfIndexFor(spark, dir, k).assigned
+    semanticDedupAccounting(Tables.embeddings(spark, dir), assigned,
+      threshold = 0.25)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -99,6 +99,38 @@ object Similarity {
     math.min(24, math.max(minPlanes, needed))
   }
 
+  /** Cell count for a coarse quantizer used as a near-dup candidate key
+    * ([[graft.ext.Curate.cellNearDupPairs]]): N/targetCell cells keep the
+    * within-cell self-join O(N · targetCell) — a CONSTANT k degrades to
+    * O(N²/k), quadratic at 100 TB, the same trap [[planesFor]] exists to
+    * avoid. Floor of [[Sim4K]] so test-scale corpora land on the same
+    * (dir, k) memo key as sim4 and the quantizer trains once for both. */
+  private[graft] def cellsFor(n: Long, targetCell: Int = 256): Int =
+    math.max(Sim4K, math.ceil(n.toDouble / targetCell).toInt)
+
+  /** Keyed near-duplicate candidate+verify kernel, shared by sim3 (LSH
+    * bucket key) and SemDeDup (k-means cell key): co-partitioned
+    * self-join on `key`, exact cosine on candidates only, threshold
+    * applied to the ROUNDED value (4 dp — the repo's float-determinism
+    * rule, so both callers agree on borderline pairs). NaN cosines
+    * (zero-norm vectors, e.g. failed or padded encodes) are dropped
+    * explicitly: Spark orders NaN ABOVE every number, so without the
+    * guard a single zero vector would pass any threshold, pair with its
+    * entire bucket, and link the bucket into one dedup component — mass
+    * false deletion downstream. */
+  private[ext] def keyedNearDupPairs(keyed: DataFrame, key: String,
+                                     threshold: Double): DataFrame = {
+    val spark = keyed.sparkSession
+    val l = keyed.select(col(key), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+    val r = keyed.select(col(key), col("vec_id").as("id_b"), col("emb").as("emb_b"))
+    l.join(r, Seq(key))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.vecCosine(spark, col("emb_a"), col("emb_b")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
+  }
+
   private def planeLit(p: Array[Double]): Column = array(p.toIndexedSeq.map(lit): _*)
 
   /** Signature bucket: one bit per hyperplane (sign of the projection).
@@ -165,13 +197,7 @@ object Similarity {
     val e = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("bucket", signature(spark, col("emb"), planes))
-    val l = e.select(col("bucket"), col("vec_id").as("id_a"), col("emb").as("emb_a"))
-    val r = e.select(col("bucket"), col("vec_id").as("id_b"), col("emb").as("emb_b"))
-    l.join(r, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(VectorOps.vecCosine(spark, col("emb_a"), col("emb_b")), 4).as("cos_sim"))
-      .filter(col("cos_sim") >= 0.25)
+    keyedNearDupPairs(e, "bucket", threshold = 0.25)
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }

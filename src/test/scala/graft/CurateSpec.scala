@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.ext.Curate
+import graft.ext.{Curate, Similarity}
 
 /** Decontamination flags exactly the docs sharing an n-gram with the
   * benchmark split; rebalancing keeps a deterministic, near-target subset
@@ -46,6 +46,42 @@ class CurateSpec extends AnyFunSuite {
     val kept = Curate.semanticDedupDf(spark, vecs, k = 2, threshold = 0.9)
       .select("vec_id").as[Long].collect().toSet
     assert(kept == Set(0L, 4L, 5L))
+  }
+
+  test("a zero-norm vector is never a near-dup and cannot link its cell") {
+    // cosine(0-vector, x) is 0/0 = NaN, and Spark orders NaN above every
+    // number — without the kernel's isnan guard the zero vector would
+    // pass any threshold and fuse the whole cell into one component.
+    val assigned = Seq( // hand-built cell layout: everyone shares cell 0
+      (0L, Array(0.0, 0.0, 0.0, 0.0), 0), // failed/padded encode
+      (1L, Array(1.0, 0.0, 0.0, 0.0), 0),
+      (2L, Array(0.0, 1.0, 0.0, 0.0), 0)
+    ).toDF("vec_id", "emb", "cell")
+    assert(Curate.cellNearDupPairs(assigned, threshold = 0.9).isEmpty)
+    // and end-to-end: a corpus with a zero vector loses nothing
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 0f, 0f), "a"),
+      (1L, Array(1f, 0f, 0f, 0f), "a"),
+      (2L, Array(0f, 1f, 0f, 0f), "a")
+    ).toDF("vec_id", "embedding", "label")
+    val kept = Curate.semanticDedupDf(spark, vecs, k = 2, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 2L))
+  }
+
+  test("d12 accounting reports per-label kept/dropped, zero-filled") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), "a"),
+      (1L, Array(1f, 0f, 0f, 0f), "a"),  // dup of 0 → dropped
+      (2L, Array(1f, 0f, 0f, 0f), "b"),  // dup of 0 → dropped
+      (3L, Array(1f, 0f, 0f, 0f), "b"),  // dup of 0 → dropped
+      (4L, Array(0f, 1f, 0f, 0f), "a"),  // distinct → kept
+      (5L, Array(0f, 0f, 1f, 0f), "b")   // distinct → kept
+    ).toDF("vec_id", "embedding", "label")
+    val assigned = Similarity.ivfIndex(vecs, k = 2).assigned.localCheckpoint(true)
+    val rows = Curate.semanticDedupAccounting(vecs, assigned, threshold = 0.9)
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(rows == List(("a", 3L, 2L, 1L), ("b", 3L, 1L, 2L)))
   }
 
   test("semantic dedup on an all-distinct corpus keeps every vector") {
