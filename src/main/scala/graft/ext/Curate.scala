@@ -156,10 +156,55 @@ object Curate {
       threshold = 0.25)
   }
 
+  /** The PII patterns a Dolma/CCNet-style scrub masks before training:
+    * emails, IPv4s, US-phone-shaped digit runs. Kept identical between
+    * the Spark side and the DuckDB oracle (both Java regex and RE2
+    * support this subset — character classes, bounded repeats, \b). */
+  val PiiPatterns: Seq[String] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b")
+
+  val PiiMask = "[PII]"
+
+  /** Redact every occurrence of `patterns` (PII regexes plus any
+    * caller-supplied sensitive-term dictionary) and count the hits.
+    * Pure per-row regex work — codegen'd `regexp_replace`/
+    * `regexp_count`, embarrassingly parallel, zero shuffle: the scrub
+    * adds nothing to whatever pipeline it sits in. One alternation
+    * pattern, so overlapping rules can't double-redact. Returns the
+    * input plus `redacted` and `n_pii`. */
+  def redactDf(docs: DataFrame, patterns: Seq[String] = PiiPatterns): DataFrame = {
+    require(patterns.nonEmpty, "need at least one pattern")
+    val alternation = patterns.map(p => s"(?:$p)").mkString("|")
+    docs
+      .withColumn("redacted",
+        regexp_replace(col("text"), alternation, PiiMask))
+      .withColumn("n_pii", regexp_count(col("text"), lit(alternation)))
+  }
+
+  /** D13 — registered PII-scrub accounting: per source, docs flagged,
+    * total redactions, and characters removed. The synthetic corpus is
+    * digit-free word soup, so the three true PII patterns fire zero —
+    * the registered query adds a dictionary term that DOES fire
+    * (`customer`), exercising the full mask-and-count arithmetic
+    * end-to-end; the PII patterns themselves are asserted on planted
+    * emails/IPs/phones in CurateSpec. */
+  def d13PiiRedact(spark: SparkSession, dir: String): DataFrame =
+    redactDf(Tables.documents(spark, dir),
+      PiiPatterns :+ "\\bcustomer\\b")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_pii")).as("n_redactions"),
+        sum(length(col("text")) - length(col("redacted"))).as("chars_removed"))
+      .orderBy(col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_decontaminate" -> d10Decontaminate,
     "d11_rebalance" -> d11Rebalance,
-    "d12_semantic_dedup" -> d12SemanticDedup
+    "d12_semantic_dedup" -> d12SemanticDedup,
+    "d13_pii_redact" -> d13PiiRedact
   )
 
   val oracle: Map[String, String] = Map(
@@ -198,6 +243,21 @@ object Curate {
         |  GROUP BY d.lang)
         |SELECT r.lang, n_lang, CAST(target AS BIGINT) AS target,
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
-        |FROM r LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin
+        |FROM r LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+    "d13_pii_redact" ->
+      """WITH r AS (
+        |  SELECT source, text,
+        |    len(regexp_extract_all(text,
+        |      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(?:\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(?:\bcustomer\b)'))
+        |      AS n_pii,
+        |    regexp_replace(text,
+        |      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(?:\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(?:\bcustomer\b)',
+        |      '[PII]', 'g') AS redacted
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(sum(n_pii) AS BIGINT) AS n_redactions,
+        |  CAST(sum(length(text) - length(redacted)) AS BIGINT) AS chars_removed
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 }

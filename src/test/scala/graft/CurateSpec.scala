@@ -95,6 +95,40 @@ class CurateSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L, 2L))
   }
 
+  test("PII redaction masks emails, IPv4s and phone numbers, counts hits") {
+    val docs = Seq(
+      (0L, "contact alice.smith+x@example.co.uk for details", "s"),
+      (1L, "server at 10.0.255.3 responded", "s"),
+      (2L, "call 555-867-5309 or 555 123 4567 today", "s"),
+      (3L, "no sensitive content whatsoever", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = Curate.redactDf(docs)
+      .select("doc_id", "redacted", "n_pii")
+      .as[(Long, String, Int)].collect()
+      .map { case (id, red, n) => id -> ((red, n)) }.toMap
+    assert(out(0L) == (("contact [PII] for details", 1)))
+    assert(out(1L) == (("server at [PII] responded", 1)))
+    assert(out(2L) == (("call [PII] or [PII] today", 2)))
+    assert(out(3L) == (("no sensitive content whatsoever", 0)))
+  }
+
+  test("redaction accounting sums flags, hits and removed chars per source") {
+    val docs = Seq(
+      (0L, "a@b.io and c@d.io wrote", "sA"),   // 2 hits, 2×6 chars → 2×5
+      (1L, "clean text here", "sA"),
+      (2L, "ping 1.2.3.4 now", "sB")           // 1 hit, 7 chars → 5
+    ).toDF("doc_id", "text", "source")
+    val r = Curate.redactDf(docs)
+      .groupBy(col("source")).agg(
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("n_pii")).as("n_redactions"),
+        sum(length(col("text")) - length(col("redacted"))).as("chars_removed"))
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (s, a, b, c) => s -> ((a, b, c)) }.toMap
+    assert(r("sA") == ((1L, 2L, 12L - 10L)))
+    assert(r("sB") == ((1L, 1L, 7L - 5L)))
+  }
+
   test("rebalance keeps ~target docs per stratum, deterministically") {
     val corpus = (0L until 400L).map { i =>
       (i, s"doc $i", if (i < 320) "en" else "fr")
