@@ -16,7 +16,8 @@ object ScalingProbe {
   private val probes = Seq(
     "d3_minhash_lsh", "d4_simhash_pairs", "d6_dedup_clusters",
     "d7_deduped_corpus", "sim2_ann_lsh", "sim3_neardup_pairs",
-    "sim4_ivf_ann")
+    "sim4_ivf_ann", "d10_decontaminate", "d12_semantic_dedup",
+    "d13_pii_redact")
 
   def main(args: Array[String]): Unit = {
     val (base, big) = args match {
