@@ -157,25 +157,54 @@ object Curate {
   }
 
   /** The PII patterns a Dolma/CCNet-style scrub masks before training:
-    * emails, IPv4s, US-phone-shaped digit runs. Kept identical between
-    * the Spark side and the DuckDB oracle (both Java regex and RE2
-    * support this subset — character classes, bounded repeats, \b). */
+    * emails, IPv4s, US-phone-shaped digit runs (dashed/dotted/spaced and
+    * parenthesized-area-code forms). Kept identical between the Spark
+    * side and the DuckDB oracle (both Java regex and RE2 support this
+    * subset — character classes, bounded repeats, \b; no \Q...\E, which
+    * RE2 lacks). The paren variant carries no leading \b: a word
+    * boundary can never sit before '('. */
   val PiiPatterns: Seq[String] = Seq(
     "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
-    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b")
+    "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "\\(\\d{3}\\)[-. ]?\\d{3}[-. ]\\d{4}\\b")
 
   val PiiMask = "[PII]"
 
-  /** Redact every occurrence of `patterns` (PII regexes plus any
-    * caller-supplied sensitive-term dictionary) and count the hits.
+  /** Escape a literal dictionary term for splicing into the alternation:
+    * every regex metacharacter is backslash-escaped by hand (NOT
+    * Pattern.quote — its \Q...\E is Java-only, and the escaped form must
+    * stay runnable by the RE2-based oracle). Terms match as substrings;
+    * a caller wanting word bounds passes a \b-anchored regex via
+    * `patterns` instead. */
+  def literalTerm(term: String): String = {
+    require(term.nonEmpty, "empty dictionary term matches everywhere")
+    term.map(c =>
+      if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else c.toString).mkString
+  }
+
+  /** Redact every occurrence of `patterns` (PII regexes; route literal
+    * dictionary terms through [[literalTerm]]) and count the hits.
     * Pure per-row regex work — codegen'd `regexp_replace`/
     * `regexp_count`, embarrassingly parallel, zero shuffle: the scrub
     * adds nothing to whatever pipeline it sits in. One alternation
-    * pattern, so overlapping rules can't double-redact. Returns the
-    * input plus `redacted` and `n_pii`. */
+    * pattern, so overlapping rules can't double-redact. Every pattern is
+    * validated driver-side: it must compile and must not match the empty
+    * string (an empty-matching alternative like `(?:x|)` would splice
+    * the mask between every pair of characters in the corpus). Returns
+    * the input plus `redacted` and `n_pii`. */
   def redactDf(docs: DataFrame, patterns: Seq[String] = PiiPatterns): DataFrame = {
     require(patterns.nonEmpty, "need at least one pattern")
+    patterns.foreach { p =>
+      val compiled = // malformed patterns fail HERE, not mid-job on executors
+        try java.util.regex.Pattern.compile(p)
+        catch { case e: java.util.regex.PatternSyntaxException =>
+          throw new IllegalArgumentException(
+            s"redaction pattern does not compile: $p (${e.getDescription})")
+        }
+      require(!compiled.matcher("").find(),
+        s"redaction pattern matches the empty string: $p")
+    }
     val alternation = patterns.map(p => s"(?:$p)").mkString("|")
     docs
       .withColumn("redacted",
@@ -190,15 +219,23 @@ object Curate {
     * (`customer`), exercising the full mask-and-count arithmetic
     * end-to-end; the PII patterns themselves are asserted on planted
     * emails/IPs/phones in CurateSpec. */
-  def d13PiiRedact(spark: SparkSession, dir: String): DataFrame =
-    redactDf(Tables.documents(spark, dir),
-      PiiPatterns :+ "\\bcustomer\\b")
+  def d13PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val pats = PiiPatterns :+ "\\bcustomer\\b"
+    val alternation = pats.map(p => s"(?:$p)").mkString("|")
+    redactDf(Tables.documents(spark, dir), pats)
+      // matched-span chars, NOT length(text)-length(redacted): a matched
+      // span shorter than the mask would make the delta NEGATIVE and let
+      // mixed sources understate removal by cancellation
+      .withColumn("chars_matched",
+        length(col("text")) -
+          length(regexp_replace(col("text"), lit(alternation), lit(""))))
       .groupBy(col("source")).agg(
         count(lit(1)).as("n_docs"),
         sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_flagged"),
         sum(col("n_pii")).as("n_redactions"),
-        sum(length(col("text")) - length(col("redacted"))).as("chars_removed"))
+        sum(col("chars_matched")).as("chars_matched"))
       .orderBy(col("source"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_decontaminate" -> d10Decontaminate,
@@ -248,16 +285,16 @@ object Curate {
       """WITH r AS (
         |  SELECT source, text,
         |    len(regexp_extract_all(text,
-        |      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(?:\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(?:\bcustomer\b)'))
+        |      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(?:\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(?:\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b)|(?:\bcustomer\b)'))
         |      AS n_pii,
         |    regexp_replace(text,
-        |      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(?:\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(?:\bcustomer\b)',
-        |      '[PII]', 'g') AS redacted
+        |      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(?:\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(?:\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b)|(?:\bcustomer\b)',
+        |      '', 'g') AS stripped
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |  CAST(sum(n_pii) AS BIGINT) AS n_redactions,
-        |  CAST(sum(length(text) - length(redacted)) AS BIGINT) AS chars_removed
+        |  CAST(sum(length(text) - length(stripped)) AS BIGINT) AS chars_matched
         |FROM r GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -100,7 +100,8 @@ class CurateSpec extends AnyFunSuite {
       (0L, "contact alice.smith+x@example.co.uk for details", "s"),
       (1L, "server at 10.0.255.3 responded", "s"),
       (2L, "call 555-867-5309 or 555 123 4567 today", "s"),
-      (3L, "no sensitive content whatsoever", "s")
+      (3L, "no sensitive content whatsoever", "s"),
+      (4L, "or (555) 867-5309 collect", "s")
     ).toDF("doc_id", "text", "source")
     val out = Curate.redactDf(docs)
       .select("doc_id", "redacted", "n_pii")
@@ -110,23 +111,51 @@ class CurateSpec extends AnyFunSuite {
     assert(out(1L) == (("server at [PII] responded", 1)))
     assert(out(2L) == (("call [PII] or [PII] today", 2)))
     assert(out(3L) == (("no sensitive content whatsoever", 0)))
+    assert(out(4L) == (("or [PII] collect", 1)))
   }
 
-  test("redaction accounting sums flags, hits and removed chars per source") {
+  test("dictionary terms are spliced literally; bad patterns fail fast") {
+    val docs = Seq((0L, "use C++ or perl here", "s"))
+      .toDF("doc_id", "text", "source")
+    // regex metachars in a literal term must not blow up or mis-match
+    val out = Curate.redactDf(docs,
+      Curate.PiiPatterns :+ Curate.literalTerm("C++"))
+      .select("redacted").as[String].head()
+    assert(out == "use [PII] or perl here")
+    // a malformed pattern dies on the DRIVER at plan time, not mid-job
+    // (n.b. raw "C++" would COMPILE in Java — possessive quantifier —
+    // which is exactly why literalTerm escaping, not compile-validation,
+    // is the defense for dictionary terms)
+    intercept[IllegalArgumentException] {
+      Curate.redactDf(docs, Seq("(unclosed"))
+    }
+    // an empty-matching alternative would mask between every character
+    intercept[IllegalArgumentException] {
+      Curate.redactDf(docs, Seq("(?:x|)"))
+    }
+    intercept[IllegalArgumentException] { Curate.literalTerm("") }
+  }
+
+  test("redaction accounting counts matched-span chars, never negative") {
     val docs = Seq(
-      (0L, "a@b.io and c@d.io wrote", "sA"),   // 2 hits, 2×6 chars → 2×5
+      (0L, "a@b.io and c@d.io wrote", "sA"),   // 2 hits, 2×6 matched chars
       (1L, "clean text here", "sA"),
-      (2L, "ping 1.2.3.4 now", "sB")           // 1 hit, 7 chars → 5
+      (2L, "ping 1.2.3.4 now", "sB"),          // 1 hit, 7 matched chars
+      (3L, "the ssn appears here", "sB")       // 3-char hit < 5-char mask
     ).toDF("doc_id", "text", "source")
-    val r = Curate.redactDf(docs)
+    val pats = Curate.PiiPatterns :+ Curate.literalTerm("ssn")
+    val alternation = pats.map(p => s"(?:$p)").mkString("|")
+    val r = Curate.redactDf(docs, pats)
       .groupBy(col("source")).agg(
         sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_flagged"),
         sum(col("n_pii")).as("n_redactions"),
-        sum(length(col("text")) - length(col("redacted"))).as("chars_removed"))
+        sum(length(col("text")) -
+          length(regexp_replace(col("text"), lit(alternation), lit(""))))
+          .as("chars_matched"))
       .as[(String, Long, Long, Long)].collect()
       .map { case (s, a, b, c) => s -> ((a, b, c)) }.toMap
-    assert(r("sA") == ((1L, 2L, 12L - 10L)))
-    assert(r("sB") == ((1L, 1L, 7L - 5L)))
+    assert(r("sA") == ((1L, 2L, 12L)))
+    assert(r("sB") == ((2L, 2L, 7L + 3L))) // delta accounting would say 7+(-2)
   }
 
   test("rebalance keeps ~target docs per stratum, deterministically") {
