@@ -219,8 +219,14 @@ object Curate {
     * (`customer`), exercising the full mask-and-count arithmetic
     * end-to-end; the PII patterns themselves are asserted on planted
     * emails/IPs/phones in CurateSpec. */
+  /** The registered scrub's pattern list: the true PII patterns plus the
+    * corpus-firing dictionary term. Shared by d13 and d14 so the two
+    * queries can never disagree on what counts as a hit. */
+  private[ext] val CorpusScrubPatterns: Seq[String] =
+    PiiPatterns :+ "\\bcustomer\\b"
+
   def d13PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val pats = PiiPatterns :+ "\\bcustomer\\b"
+    val pats = CorpusScrubPatterns
     val alternation = pats.map(p => s"(?:$p)").mkString("|")
     redactDf(Tables.documents(spark, dir), pats)
       // matched-span chars, NOT length(text)-length(redacted): a matched
@@ -237,11 +243,65 @@ object Curate {
       .orderBy(col("source"))
   }
 
+  /** Per-doc quality-rule evaluation — the Dolma/C4 "mixer" shape: every
+    * rule is a pure per-row expression computed in ONE pass over the
+    * corpus (no joins, no shuffle before the final per-source funnel
+    * agg), and a doc is kept iff it passes ALL rules. Rule attribution
+    * is non-exclusive (a doc can fail several), which is what a curation
+    * engineer tunes thresholds against. Returns the input plus the four
+    * `fail_*` flags and `keep`. */
+  def qualityFilterDf(docs: DataFrame,
+                      patterns: Seq[String] = CorpusScrubPatterns): DataFrame = {
+    val alternation = patterns.map(p => s"(?:$p)").mkString("|")
+    val words = split(lower(col("text")), " ")
+    val bigrams = expr(
+      """transform(sequence(0, size(words) - 2),
+        |  i -> concat_ws(' ', slice(words, i + 1, 2)))""".stripMargin)
+    docs
+      .withColumn("words", words)
+      .withColumn("n_words", size(col("words")))
+      .withColumn("stop_ratio", round(
+        size(filter(col("words"), w =>
+          w.isin("the", "a", "of", "to", "and", "in", "is", "on")))
+          .cast("double") / col("n_words"), 4))
+      // docs too short for a bigram can't be repetitive — dup_ratio 0,
+      // not null (a null would silently drop them from the funnel)
+      .withColumn("dup_ratio",
+        when(col("n_words") < 2, lit(0.0)).otherwise(round(
+          lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+            (col("n_words") - 1), 4)))
+      .withColumn("n_pii", regexp_count(col("text"), lit(alternation)))
+      .withColumn("fail_short", col("n_words") < 10)
+      .withColumn("fail_stop", col("stop_ratio") < 0.05)
+      .withColumn("fail_rep", col("dup_ratio") > 0.05)
+      .withColumn("fail_pii",
+        col("n_pii").cast("double") / col("n_words") > 0.05)
+      .withColumn("keep", !col("fail_short") && !col("fail_stop") &&
+        !col("fail_rep") && !col("fail_pii"))
+      .drop("words")
+  }
+
+  /** D14 — registered quality-filter funnel: per source, how many docs
+    * fail each rule (non-exclusive) and how many survive all of them. */
+  def d14QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(c: Column) = sum(when(c, 1L).otherwise(0L))
+    qualityFilterDf(Tables.documents(spark, dir))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        cnt(col("fail_short")).as("n_fail_short"),
+        cnt(col("fail_stop")).as("n_fail_stop"),
+        cnt(col("fail_rep")).as("n_fail_rep"),
+        cnt(col("fail_pii")).as("n_fail_pii"),
+        cnt(col("keep")).as("n_kept"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_decontaminate" -> d10Decontaminate,
     "d11_rebalance" -> d11Rebalance,
     "d12_semantic_dedup" -> d12SemanticDedup,
-    "d13_pii_redact" -> d13PiiRedact
+    "d13_pii_redact" -> d13PiiRedact,
+    "d14_quality_filter" -> d14QualityFilter
   )
 
   val oracle: Map[String, String] = Map(
@@ -295,6 +355,36 @@ object Curate {
         |  CAST(sum(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
         |  CAST(sum(n_pii) AS BIGINT) AS n_redactions,
         |  CAST(sum(length(text) - length(stripped)) AS BIGINT) AS chars_matched
-        |FROM r GROUP BY source ORDER BY source""".stripMargin
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "d14_quality_filter" ->
+      """WITH w AS (
+        |  SELECT source, text, string_split(lower(text), ' ') AS words
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, len(words) AS n_words,
+        |    round(CAST(len(list_filter(words,
+        |      x -> x IN ('the','a','of','to','and','in','is','on'))) AS DOUBLE)
+        |      / len(words), 4) AS stop_ratio,
+        |    CASE WHEN len(words) < 2 THEN 0.0 ELSE
+        |      round(1.0 - CAST(len(list_distinct(list_transform(
+        |        range(1, len(words)), i -> words[i] || ' ' || words[i+1])))
+        |        AS DOUBLE) / (len(words) - 1), 4) END AS dup_ratio,
+        |    len(regexp_extract_all(text,
+        |      '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(?:\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(?:\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b)|(?:\bcustomer\b)'))
+        |      AS n_pii
+        |  FROM w)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_words < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_short,
+        |  CAST(sum(CASE WHEN stop_ratio < 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_stop,
+        |  CAST(sum(CASE WHEN dup_ratio > 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fail_rep,
+        |  CAST(sum(CASE WHEN CAST(n_pii AS DOUBLE) / n_words > 0.05
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_pii,
+        |  CAST(sum(CASE WHEN n_words >= 10 AND stop_ratio >= 0.05
+        |    AND dup_ratio <= 0.05 AND CAST(n_pii AS DOUBLE) / n_words <= 0.05
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM s GROUP BY source ORDER BY source""".stripMargin
   )
 }

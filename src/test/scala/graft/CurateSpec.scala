@@ -158,6 +158,26 @@ class CurateSpec extends AnyFunSuite {
     assert(r("sB") == ((2L, 2L, 7L + 3L))) // delta accounting would say 7+(-2)
   }
 
+  test("quality filter attributes each failure mode; clean doc survives all") {
+    val clean = "the quick brown fox jumps over a lazy dog in the sunny park"
+    val docs = Seq(
+      (0L, clean, "s"),                                      // keeps
+      (1L, "too short", "s"),                                // fail_short
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "s"), // no stopwords
+      (3L, "the cat the cat the cat the cat the cat the cat", "s"), // repetitive
+      (4L, "the report for a client is a@b.io and c@d.io and e@f.io ok", "s") // PII-dense
+    ).toDF("doc_id", "text", "source")
+    val out = Curate.qualityFilterDf(docs, Curate.PiiPatterns)
+      .select("doc_id", "fail_short", "fail_stop", "fail_rep", "fail_pii", "keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+    assert(out(0L) == ((false, false, false, false, true)))
+    assert(out(1L)._1 && !out(1L)._5)            // short
+    assert(out(2L)._2 && !out(2L)._5)            // stopword-free
+    assert(out(3L)._3 && !out(3L)._5)            // repetitive bigrams
+    assert(out(4L)._4 && !out(4L)._5)            // 3 hits / 12 words > 0.05
+  }
+
   test("rebalance keeps ~target docs per stratum, deterministically") {
     val corpus = (0L until 400L).map { i =>
       (i, s"doc $i", if (i < 320) "en" else "fr")
