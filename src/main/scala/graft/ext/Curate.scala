@@ -17,6 +17,13 @@ import graft.Tables
   */
 object Curate {
 
+  /** Word n-grams over a `words` array column — THE gram builder, shared
+    * by decontamination and the d14 repetition rule so tokenization can
+    * never drift between the operators that consume it. */
+  private def gramsExpr(n: Int): Column = expr(
+    s"""transform(sequence(0, size(words) - $n),
+       |  i -> concat_ws(' ', slice(words, i + 1, $n)))""".stripMargin)
+
   /** Distinct lowercased word n-grams of `text`, one row per (doc, gram).
     * Shared by the training and benchmark sides of [[decontaminate]] so the
     * two sides can never disagree on tokenization. */
@@ -24,10 +31,7 @@ object Curate {
     docs.withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          s"""array_distinct(transform(sequence(0, size(words) - $n),
-             |  i -> concat_ws(' ', slice(words, i + 1, $n))))""".stripMargin))
-          .as("gram"))
+        explode(array_distinct(gramsExpr(n))).as("gram"))
 
   /** D10 — benchmark decontamination over any (doc_id, source, text) frame:
     * docs whose id divides by `benchMod` form the held-out benchmark; a
@@ -183,20 +187,17 @@ object Curate {
       if ("\\^$.|?*+()[]{}".contains(c)) s"\\$c" else c.toString).mkString
   }
 
-  /** Redact every occurrence of `patterns` (PII regexes; route literal
-    * dictionary terms through [[literalTerm]]) and count the hits.
-    * Pure per-row regex work — codegen'd `regexp_replace`/
-    * `regexp_count`, embarrassingly parallel, zero shuffle: the scrub
-    * adds nothing to whatever pipeline it sits in. One alternation
-    * pattern, so overlapping rules can't double-redact. Every pattern is
-    * validated driver-side: it must compile and must not match the empty
-    * string (an empty-matching alternative like `(?:x|)` would splice
-    * the mask between every pair of characters in the corpus). Returns
-    * the input plus `redacted` and `n_pii`. */
-  def redactDf(docs: DataFrame, patterns: Seq[String] = PiiPatterns): DataFrame = {
+  /** Validate `patterns` driver-side and fuse them into one alternation:
+    * each must compile (malformed patterns fail HERE, not mid-job on
+    * executors) and must not match the empty string (an empty-matching
+    * alternative like `(?:x|)` would splice the mask between every pair
+    * of characters in the corpus). Shared by [[redactDf]] and
+    * [[qualityFilterDf]] so every pattern consumer gets the same
+    * guards. */
+  private def validatedAlternation(patterns: Seq[String]): String = {
     require(patterns.nonEmpty, "need at least one pattern")
     patterns.foreach { p =>
-      val compiled = // malformed patterns fail HERE, not mid-job on executors
+      val compiled =
         try java.util.regex.Pattern.compile(p)
         catch { case e: java.util.regex.PatternSyntaxException =>
           throw new IllegalArgumentException(
@@ -205,12 +206,30 @@ object Curate {
       require(!compiled.matcher("").find(),
         s"redaction pattern matches the empty string: $p")
     }
-    val alternation = patterns.map(p => s"(?:$p)").mkString("|")
+    patterns.map(p => s"(?:$p)").mkString("|")
+  }
+
+  /** Redact every occurrence of `patterns` (PII regexes; route literal
+    * dictionary terms through [[literalTerm]]) and count the hits.
+    * Pure per-row regex work — codegen'd `regexp_replace`/
+    * `regexp_count`, embarrassingly parallel, zero shuffle: the scrub
+    * adds nothing to whatever pipeline it sits in. One alternation
+    * pattern ([[validatedAlternation]] — compile- and empty-match-
+    * checked), so overlapping rules can't double-redact. Returns the
+    * input plus `redacted` and `n_pii`. */
+  def redactDf(docs: DataFrame, patterns: Seq[String] = PiiPatterns): DataFrame = {
+    val alternation = validatedAlternation(patterns)
     docs
       .withColumn("redacted",
         regexp_replace(col("text"), alternation, PiiMask))
       .withColumn("n_pii", regexp_count(col("text"), lit(alternation)))
   }
+
+  /** The registered scrub's pattern list: the true PII patterns plus the
+    * corpus-firing dictionary term. Shared by d13 and d14 so the two
+    * queries can never disagree on what counts as a hit. */
+  private[ext] val CorpusScrubPatterns: Seq[String] =
+    PiiPatterns :+ "\\bcustomer\\b"
 
   /** D13 — registered PII-scrub accounting: per source, docs flagged,
     * total redactions, and characters removed. The synthetic corpus is
@@ -219,12 +238,6 @@ object Curate {
     * (`customer`), exercising the full mask-and-count arithmetic
     * end-to-end; the PII patterns themselves are asserted on planted
     * emails/IPs/phones in CurateSpec. */
-  /** The registered scrub's pattern list: the true PII patterns plus the
-    * corpus-firing dictionary term. Shared by d13 and d14 so the two
-    * queries can never disagree on what counts as a hit. */
-  private[ext] val CorpusScrubPatterns: Seq[String] =
-    PiiPatterns :+ "\\bcustomer\\b"
-
   def d13PiiRedact(spark: SparkSession, dir: String): DataFrame = {
     val pats = CorpusScrubPatterns
     val alternation = pats.map(p => s"(?:$p)").mkString("|")
@@ -252,13 +265,15 @@ object Curate {
     * `fail_*` flags and `keep`. */
   def qualityFilterDf(docs: DataFrame,
                       patterns: Seq[String] = CorpusScrubPatterns): DataFrame = {
-    val alternation = patterns.map(p => s"(?:$p)").mkString("|")
-    val words = split(lower(col("text")), " ")
-    val bigrams = expr(
-      """transform(sequence(0, size(words) - 2),
-        |  i -> concat_ws(' ', slice(words, i + 1, 2)))""".stripMargin)
+    val alternation = validatedAlternation(patterns)
+    // NULL text would DIVERGE from the oracle un-coalesced: Spark's
+    // size(split(NULL)) is -1 (counted by n_words < 10) while DuckDB's
+    // len(NULL) is NULL (CASE counts nothing) — '' fails fail_short on
+    // both engines identically
+    val txt = coalesce(col("text"), lit(""))
+    val bigrams = gramsExpr(2)
     docs
-      .withColumn("words", words)
+      .withColumn("words", split(lower(txt), " "))
       .withColumn("n_words", size(col("words")))
       .withColumn("stop_ratio", round(
         size(filter(col("words"), w =>
@@ -270,7 +285,7 @@ object Curate {
         when(col("n_words") < 2, lit(0.0)).otherwise(round(
           lit(1.0) - size(array_distinct(bigrams)).cast("double") /
             (col("n_words") - 1), 4)))
-      .withColumn("n_pii", regexp_count(col("text"), lit(alternation)))
+      .withColumn("n_pii", regexp_count(txt, lit(alternation)))
       .withColumn("fail_short", col("n_words") < 10)
       .withColumn("fail_stop", col("stop_ratio") < 0.05)
       .withColumn("fail_rep", col("dup_ratio") > 0.05)
@@ -358,7 +373,8 @@ object Curate {
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "d14_quality_filter" ->
       """WITH w AS (
-        |  SELECT source, text, string_split(lower(text), ' ') AS words
+        |  SELECT source, coalesce(text, '') AS text,
+        |    string_split(lower(coalesce(text, '')), ' ') AS words
         |  FROM documents),
         |s AS (
         |  SELECT source, len(words) AS n_words,

@@ -178,6 +178,24 @@ class CurateSpec extends AnyFunSuite {
     assert(out(4L)._4 && !out(4L)._5)            // 3 hits / 12 words > 0.05
   }
 
+  test("quality filter treats NULL text as a short doc, validates patterns") {
+    val docs = Seq((0L, null: String, "s"), (1L, "x", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Curate.qualityFilterDf(docs)
+      .select("doc_id", "fail_short", "keep")
+      .as[(Long, Boolean, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(rows(0L) == ((true, false))) // NULL → '' → 1 word → short, dropped
+    assert(rows(1L) == ((true, false)))
+    // the shared validation guards this entry point too
+    intercept[IllegalArgumentException] {
+      Curate.qualityFilterDf(docs, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Curate.qualityFilterDf(docs, Seq("(unclosed"))
+    }
+  }
+
   test("rebalance keeps ~target docs per stratum, deterministically") {
     val corpus = (0L until 400L).map { i =>
       (i, s"doc $i", if (i < 320) "en" else "fr")
