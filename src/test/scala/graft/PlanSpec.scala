@@ -85,6 +85,30 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"expected hash + range exchange only, got $exchanges:\n$p")
   }
 
+  test("decontamination broadcasts the benchmark grams (corpus never shuffles)") {
+    // the eval-suite side is tiny by construction; the left-semi probe
+    // must be a BroadcastHashJoin, not a sort-merge that shuffles the
+    // full training gram explosion
+    val p = plan("d10_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"benchmark-gram probe is not a broadcast semi-join:\n$p")
+  }
+
+  test("PII scrub and quality filter shuffle only for the final funnel agg") {
+    // both docstrings claim 'zero shuffle before the per-source agg':
+    // one hash exchange for the groupBy plus at most the presentation
+    // sort's range exchange
+    for (name <- Seq("d13_pii_redact", "d14_quality_filter")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = p.linesIterator.count(_.contains("Exchange "))
+      assert(exchanges <= 2,
+        s"$name: expected hash + range exchange only, got $exchanges:\n$p")
+    }
+  }
+
   test("scalar pipelines stay inside whole-stage codegen") {
     // AQE finalizes codegen spans only at execution — run the query, then
     // read the final adaptive plan.
