@@ -311,4 +311,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(offsets == (0L until 20L), // every record exactly once
       s"duplicate or missing offsets after restart: $offsets")
   }
+
+  test("quality filter composes into a stream unmodified (pure column ops)") {
+    // qualityFilterDf is stateless per-row work, so the SAME function
+    // that curates a batch corpus drops low-quality docs mid-stream —
+    // no stream-specific variant to keep in sync.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.ext.Curate.qualityFilterDf(
+        in.toDF().toDF("doc_id", "text", "source"))
+      .filter(col("keep")).select("doc_id")
+      .writeStream.format("memory").queryName("quality_stream_out")
+      .outputMode("append").start()
+    in.addData(
+      (0L, "the quick brown fox jumps over a lazy dog in the sunny park", "s"),
+      (1L, "too short", "s"),
+      (2L, "the cat the cat the cat the cat the cat the cat", "s"))
+    q.processAllAvailable(); q.stop()
+    val kept = spark.table("quality_stream_out").as[Long].collect().toSet
+    assert(kept == Set(0L))
+  }
 }
