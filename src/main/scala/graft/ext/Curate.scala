@@ -19,10 +19,14 @@ object Curate {
 
   /** Word n-grams over a `words` array column — THE gram builder, shared
     * by decontamination and the d14 repetition rule so tokenization can
-    * never drift between the operators that consume it. */
+    * never drift between the operators that consume it. Short rows yield
+    * an EMPTY array rather than relying on every caller to guard:
+    * un-guarded, sequence(0, size-n) descends through 0 and slice throws
+    * mid-job on the first doc with fewer than n words. */
   private def gramsExpr(n: Int): Column = expr(
-    s"""transform(sequence(0, size(words) - $n),
-       |  i -> concat_ws(' ', slice(words, i + 1, $n)))""".stripMargin)
+    s"""if(size(words) < $n, array(),
+       |  transform(sequence(0, size(words) - $n),
+       |    i -> concat_ws(' ', slice(words, i + 1, $n))))""".stripMargin)
 
   /** Distinct lowercased word n-grams of `text`, one row per (doc, gram).
     * Shared by the training and benchmark sides of [[decontaminate]] so the
@@ -205,6 +209,15 @@ object Curate {
         }
       require(!compiled.matcher("").find(),
         s"redaction pattern matches the empty string: $p")
+      // context-dependent zero-width patterns (\b, ^, $, lookarounds)
+      // pass the empty-string probe but splice the mask at every
+      // boundary of real text; probe a sample that embeds the pattern's
+      // own literals (so lookarounds can fire) and reject any
+      // zero-width hit — non-zero-width hits on the probe are fine
+      val m = compiled.matcher(s"a0. z9-q $p")
+      while (m.find())
+        require(m.end() > m.start(),
+          s"redaction pattern makes a zero-width match: $p")
     }
     patterns.map(p => s"(?:$p)").mkString("|")
   }
@@ -239,9 +252,11 @@ object Curate {
     * end-to-end; the PII patterns themselves are asserted on planted
     * emails/IPs/phones in CurateSpec. */
   def d13PiiRedact(spark: SparkSession, dir: String): DataFrame = {
-    val pats = CorpusScrubPatterns
-    val alternation = pats.map(p => s"(?:$p)").mkString("|")
-    redactDf(Tables.documents(spark, dir), pats)
+    // the SAME fused alternation redactDf builds internally — one fusing
+    // code path, so chars_matched can never count against a different
+    // regex than n_pii in the same result row
+    val alternation = validatedAlternation(CorpusScrubPatterns)
+    redactDf(Tables.documents(spark, dir), CorpusScrubPatterns)
       // matched-span chars, NOT length(text)-length(redacted): a matched
       // span shorter than the mask would make the delta NEGATIVE and let
       // mixed sources understate removal by cancellation

@@ -133,6 +133,12 @@ class CurateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       Curate.redactDf(docs, Seq("(?:x|)"))
     }
+    // context-dependent zero-width patterns pass an empty-string probe
+    // but splice the mask at every boundary of real text
+    intercept[IllegalArgumentException] { Curate.redactDf(docs, Seq("\\b")) }
+    intercept[IllegalArgumentException] {
+      Curate.redactDf(docs, Seq("(?=a)"))
+    }
     intercept[IllegalArgumentException] { Curate.literalTerm("") }
   }
 

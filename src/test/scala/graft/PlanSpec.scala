@@ -70,18 +70,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  /** SHUFFLE exchanges in the AQE-final plan (executedPlan prints the
+    * final plan and then the initial one — count the final section only;
+    * "BroadcastExchange " also contains the substring "Exchange ", so
+    * broadcasts are excluded explicitly). */
+  private def finalPlanShuffles(name: String): (Int, String) = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    (p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange")), p)
+  }
+
   test("sessionization shares one hash shuffle across windows and aggregate") {
     // lag-window, running-sum window, and the (user_id, session_seq)
     // group-by must all reuse the single hash exchange on user_id (a
     // subset partitioning satisfies the aggregate's clustering); only
     // the final presentation orderBy may add a range exchange.
-    val df = SparkEntry.queries("w6_sessionize")(spark, dir)
-    df.collect()
-    // executedPlan prints the AQE final plan AND the initial plan — count
-    // exchanges in the final section only
-    val p = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    val exchanges = p.linesIterator.count(_.contains("Exchange "))
+    val (exchanges, p) = finalPlanShuffles("w6_sessionize")
     assert(exchanges <= 2, s"expected hash + range exchange only, got $exchanges:\n$p")
   }
 
@@ -89,8 +96,13 @@ class PlanSpec extends AnyFunSuite {
     // the eval-suite side is tiny by construction; the left-semi probe
     // must be a BroadcastHashJoin, not a sort-merge that shuffles the
     // full training gram explosion
+    // both tokens must sit on the SAME operator line — d10 has a second
+    // (tiny accounting) join that can broadcast on its own, which would
+    // let independent substring checks pass after the semi-join itself
+    // regressed to a corpus-shuffling sort-merge
     val p = plan("d10_decontaminate")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
       s"benchmark-gram probe is not a broadcast semi-join:\n$p")
   }
 
@@ -99,11 +111,7 @@ class PlanSpec extends AnyFunSuite {
     // one hash exchange for the groupBy plus at most the presentation
     // sort's range exchange
     for (name <- Seq("d13_pii_redact", "d14_quality_filter")) {
-      val df = SparkEntry.queries(name)(spark, dir)
-      df.collect()
-      val p = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      val exchanges = p.linesIterator.count(_.contains("Exchange "))
+      val (exchanges, p) = finalPlanShuffles(name)
       assert(exchanges <= 2,
         s"$name: expected hash + range exchange only, got $exchanges:\n$p")
     }
