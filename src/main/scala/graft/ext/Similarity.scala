@@ -30,7 +30,7 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private[graft] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Memoized per-(session, dir) embeddings row count: sizing the LSH
     * plane count ([[planesFor]]) needs |corpus| but must not pay a full
@@ -346,12 +346,48 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
+  /** Batch k-NN join: exact top-k cosine neighbors for EVERY vector in a
+    * bounded query set (sim1's single-query shape generalized — the
+    * retrieval primitive behind dataset linking, hard-negative mining,
+    * and eval-set neighbor audits). The query set BROADCASTS (it is
+    * bounded by construction — a query workload, not a corpus); the
+    * corpus streams through the nested-loop scoring pass once, and only
+    * narrow (q_id, vec_id, cos_sim) rows reach the per-query top-k
+    * window — embeddings never shuffle. Ranking compares the ROUNDED
+    * score with vec_id tie-break (the t6 lesson: round BEFORE ranking,
+    * so libm ulps can't flip ranks between engines). Shuffle volume is
+    * N·|Q| narrow rows; for |Q| beyond a workload's worth of queries the
+    * IVF path (sim4) is the right tool instead. */
+  def knnJoinDf(spark: SparkSession, embeddings: DataFrame,
+                k: Int, queryMod: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
+          .as("cos_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** SIM6 — registered batch k-NN join: top-3 neighbors for every 97th
+    * vector. */
+  def sim6KnnJoin(spark: SparkSession, dir: String): DataFrame =
+    knnJoinDf(spark, Tables.embeddings(spark, dir), k = 3, queryMod = 97L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,
     "sim2_ann_lsh" -> sim2AnnLsh,
     "sim3_neardup_pairs" -> sim3NearDupPairs,
-    "sim4_ivf_ann" -> sim4IvfAnn
+    "sim4_ivf_ann" -> sim4IvfAnn,
+    "sim6_knn_join" -> sim6KnnJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -370,6 +406,21 @@ object Similarity {
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
         |    CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
-        |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin
+        |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    "sim6_knn_join" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qemb
+        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |scored AS (
+        |  SELECT q_id, e.vec_id,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |      CAST(qemb AS DOUBLE[])), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT q_id, vec_id, cos_sim FROM r WHERE rn <= 3
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin
   )
 }

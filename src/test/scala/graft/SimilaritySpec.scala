@@ -31,6 +31,46 @@ class SimilaritySpec extends AnyFunSuite {
     assert(top.getDouble(1) == 1.0)
   }
 
+  test("knn join returns each query's true top-k with deterministic ties") {
+    // Planted: vec 5 duplicates query 0 (cosine 1.0 ranks first); the
+    // basis vectors e0/e1 are each other's orthogonals. k=2 over
+    // queries {0, 3} (mod 3).
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // query (0 % 3 == 0)
+      (3L, Array(0f, 1f, 0f, 0f)), // query
+      (5L, Array(1f, 0f, 0f, 0f)), // dup of query 0
+      (7L, Array(1f, 1f, 0f, 0f)), // cos .7071 to both queries
+      (8L, Array(0f, 0f, 1f, 0f))  // orthogonal to both
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.knnJoinDf(spark, vecs, k = 2, queryMod = 3L)
+      .as[(Long, Long, Double)].collect().toList
+    assert(rows == List(
+      (0L, 5L, 1.0), (0L, 7L, 0.7071),   // dup first, then the diagonal
+      (3L, 7L, 0.7071), (3L, 0L, 0.0)))  // tie at 0.0 broken by vec_id
+  }
+
+  test("knn join matches the single-query brute-force path per query") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+    val knn = Similarity.knnJoinDf(spark, vecs, k = 5, queryMod = 10L)
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    for ((qId, got) <- knn) {
+      // reference: score against the query vector directly, take 5
+      val q = vecs.filter(col("vec_id") === qId)
+        .select(Similarity.asDouble(col("embedding")).as("qemb"))
+      val exp = vecs.filter(col("vec_id") =!= qId)
+        .crossJoin(q)
+        .select(col("vec_id"),
+          round(graft.functions.VectorOps.vecCosine(spark,
+            Similarity.asDouble(col("embedding")), col("qemb")), 4)
+            .as("c"))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(5).as[(Long, Double)].collect().toList
+      assert(got.map(t => (t._2, t._3)).toList == exp, s"query $qId diverged")
+    }
+  }
+
   test("LSH ANN results are a subset of true neighbors with exact cosines") {
     val ann = Similarity.sim2AnnLsh(spark, "/root/testdata/sf0.001")
       .as[(Long, Double)].collect().toMap
