@@ -30,7 +30,7 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private[graft] def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
   /** Memoized per-(session, dir) embeddings row count: sizing the LSH
     * plane count ([[planesFor]]) needs |corpus| but must not pay a full
@@ -346,28 +346,33 @@ object Similarity {
       .orderBy(col("label"), col("dim"))
   }
 
-  /** Batch k-NN join: exact top-k cosine neighbors for EVERY vector in a
-    * bounded query set (sim1's single-query shape generalized — the
-    * retrieval primitive behind dataset linking, hard-negative mining,
-    * and eval-set neighbor audits). The query set BROADCASTS (it is
-    * bounded by construction — a query workload, not a corpus); the
-    * corpus streams through the nested-loop scoring pass once, and only
-    * narrow (q_id, vec_id, cos_sim) rows reach the per-query top-k
-    * window — embeddings never shuffle. Ranking compares the ROUNDED
-    * score with vec_id tie-break (the t6 lesson: round BEFORE ranking,
-    * so libm ulps can't flip ranks between engines). Shuffle volume is
-    * N·|Q| narrow rows; for |Q| beyond a workload's worth of queries the
-    * IVF path (sim4) is the right tool instead. */
+  /** Batch k-NN join: exact top-k cosine neighbors for every vector in
+    * `queries` (sim1's single-query shape generalized — the retrieval
+    * primitive behind dataset linking, hard-negative mining, and
+    * eval-set neighbor audits). The query FRAME is the caller's
+    * boundedness contract — a query workload, not a corpus — and it
+    * BROADCASTS; the corpus streams through the nested-loop scoring pass
+    * once, and only narrow (q_id, vec_id, cos_sim) rows reach the
+    * per-query top-k window — embeddings never shuffle. Ranking compares
+    * the ROUNDED score with vec_id tie-break (the t6 lesson: round
+    * BEFORE ranking, so libm ulps can't flip ranks between engines).
+    * NaN cosines are dropped (same hazard [[keyedNearDupPairs]] guards:
+    * both Spark and DuckDB sort NaN ABOVE every number, so one zero-norm
+    * embedding would silently occupy a top-k slot of EVERY query — and
+    * the oracle would agree, hiding it). Shuffle volume is N·|Q| narrow
+    * rows; for |Q| beyond a workload's worth of queries the IVF path
+    * (sim4) is the right tool instead. */
   def knnJoinDf(spark: SparkSession, embeddings: DataFrame,
-                k: Int, queryMod: Long): DataFrame = {
+                queries: DataFrame, k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val q = e.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("q_id"), col("emb").as("qemb"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("qemb"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
           .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
@@ -377,9 +382,16 @@ object Similarity {
   }
 
   /** SIM6 — registered batch k-NN join: top-3 neighbors for every 97th
-    * vector. */
-  def sim6KnnJoin(spark: SparkSession, dir: String): DataFrame =
-    knnJoinDf(spark, Tables.embeddings(spark, dir), k = 3, queryMod = 97L)
+    * vector, CAPPED at 32 queries (ordered by id, so the cap is
+    * deterministic). The cap is what makes the registered query's
+    * broadcast side genuinely bounded — an uncapped corpus-fraction mod
+    * would grow with N and turn the scoring pass quadratic. */
+  def sim6KnnJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+      .orderBy(col("vec_id")).limit(32)
+    knnJoinDf(spark, e, queries, k = 3)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim5_label_centroids" -> sim5LabelCentroids,
@@ -410,12 +422,16 @@ object Similarity {
     "sim6_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS qemb
-        |  FROM embeddings WHERE vec_id % 97 = 0),
+        |  FROM embeddings WHERE vec_id % 97 = 0
+        |  ORDER BY vec_id LIMIT 32),
         |scored AS (
         |  SELECT q_id, e.vec_id,
         |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
         |      CAST(qemb AS DOUBLE[])), 4) AS cos_sim
-        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q_id),
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q_id
+        |    AND NOT isnan(list_cosine_similarity(
+        |      CAST(e.embedding AS DOUBLE[]), CAST(qemb AS DOUBLE[])))),
         |r AS (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY q_id ORDER BY cos_sim DESC, vec_id) AS rn

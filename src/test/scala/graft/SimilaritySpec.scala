@@ -42,28 +42,47 @@ class SimilaritySpec extends AnyFunSuite {
       (7L, Array(1f, 1f, 0f, 0f)), // cos .7071 to both queries
       (8L, Array(0f, 0f, 1f, 0f))  // orthogonal to both
     ).toDF("vec_id", "embedding")
-    val rows = Similarity.knnJoinDf(spark, vecs, k = 2, queryMod = 3L)
+    val rows = Similarity.knnJoinDf(spark, vecs,
+        vecs.filter(col("vec_id") % 3 === 0), k = 2)
       .as[(Long, Long, Double)].collect().toList
     assert(rows == List(
       (0L, 5L, 1.0), (0L, 7L, 0.7071),   // dup first, then the diagonal
       (3L, 7L, 0.7071), (3L, 0L, 0.0)))  // tie at 0.0 broken by vec_id
   }
 
+  test("knn join never ranks a zero-norm vector; zero-norm query gets no rows") {
+    // Both Spark AND DuckDB sort NaN above every number, so without the
+    // kernel's isnan filter a zero vector would take a top-k slot of
+    // EVERY query — and the oracle would agree, hiding the corruption.
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // query
+      (1L, Array(0f, 0f, 0f, 0f)), // failed encode — must never rank
+      (2L, Array(1f, 1f, 0f, 0f)),
+      (6L, Array(0f, 0f, 0f, 0f))  // zero-norm QUERY (6 % 3 == 0)
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.knnJoinDf(spark, vecs,
+        vecs.filter(col("vec_id") % 3 === 0), k = 2)
+      .as[(Long, Long, Double)].collect().toList
+    assert(rows == List((0L, 2L, 0.7071))) // no NaN rows for either query
+  }
+
   test("knn join matches the single-query brute-force path per query") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f))
     }.toDF("vec_id", "embedding")
-    val knn = Similarity.knnJoinDf(spark, vecs, k = 5, queryMod = 10L)
+    val toDouble = expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    val knn = Similarity.knnJoinDf(spark, vecs,
+        vecs.filter(col("vec_id") % 10 === 0), k = 5)
       .as[(Long, Long, Double)].collect().groupBy(_._1)
     for ((qId, got) <- knn) {
       // reference: score against the query vector directly, take 5
       val q = vecs.filter(col("vec_id") === qId)
-        .select(Similarity.asDouble(col("embedding")).as("qemb"))
+        .select(toDouble.as("qemb"))
       val exp = vecs.filter(col("vec_id") =!= qId)
         .crossJoin(q)
         .select(col("vec_id"),
           round(graft.functions.VectorOps.vecCosine(spark,
-            Similarity.asDouble(col("embedding")), col("qemb")), 4)
+            toDouble, col("qemb")), 4)
             .as("c"))
         .orderBy(col("c").desc, col("vec_id"))
         .limit(5).as[(Long, Double)].collect().toList
