@@ -264,7 +264,54 @@ object TextStats {
         sum(col("n_chars")).as("sampled_chars"))
       .orderBy(col("lang"))
 
+  /** T9 — unigram log-probability quality scoring: the CCNet-style
+    * "LM filter" reduced to a unigram model trained on the corpus
+    * itself. Pass 1 builds the token frequency table (bounded by the
+    * VOCABULARY, not the corpus — capped and collected to the driver);
+    * pass 2 scores every doc per-row against the broadcast vocabulary
+    * literal with ZERO shuffle (no token explode-and-join on the scoring
+    * side — the map lookup rides inside the row scan), then aggregates
+    * per language. At 100 TB the corpus streams twice and the only
+    * shuffle is vocabulary-sized + the per-lang final agg. Scores are
+    * averages of log10 token probabilities; a higher (less negative)
+    * score = more stereotypical text — the filter drops BOTH tails. */
+  def t9UnigramLogprob(spark: SparkSession, dir: String,
+                       maxVocab: Int = 65536): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val words = split(lower(col("text")), " ")
+    val freqs = docs
+      .select(explode(words).as("token")).filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(freqs.length <= maxVocab,
+      s"vocabulary ${freqs.length} exceeds $maxVocab — cap the vocab " +
+        "(score OOV with a floor probability) before broadcasting it")
+    val total = freqs.map(_._2).sum.toDouble
+    val logp = typedlit(freqs.map { case (t, c) =>
+      t -> math.log10(c / total)
+    }.toMap)
+    docs
+      .withColumn("words", words)
+      // every corpus token is in-vocab by construction (closed corpus);
+      // '' tokens score 0 contribution and shrink the denominator
+      .withColumn("toks", filter(col("words"), w => w =!= ""))
+      .filter(size(col("toks")) > 0)
+      .withColumn("score",
+        aggregate(transform(col("toks"), w => element_at(logp, w)),
+          lit(0.0), (acc, v) => acc + v) / size(col("toks")))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_logp"),
+        round(min(col("score")), 4).as("min_logp"),
+        round(max(col("score")), 4).as("max_logp"))
+      .orderBy(col("lang"))
+  }
+
+  private def t9Registered(spark: SparkSession, dir: String): DataFrame =
+    t9UnigramLogprob(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_unigram_logprob" -> t9Registered,
     "t5_vocab_topk" -> t5VocabTopK,
     "t6_tfidf" -> t6TfIdf,
     "t7_compression_ratio" -> t7CompressionRatio,
@@ -280,6 +327,22 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "t9_unigram_logprob" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, lang, tok FROM w WHERE tok <> ''),
+        |f AS (SELECT tok, count(*) AS c FROM w2 GROUP BY tok),
+        |t AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM f),
+        |ds AS (
+        |  SELECT doc_id, lang, avg(log10(c / total)) AS score
+        |  FROM w2 JOIN f USING (tok) CROSS JOIN t
+        |  GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(score), 4) AS avg_logp,
+        |  round(min(score), 4) AS min_logp,
+        |  round(max(score), 4) AS max_logp
+        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin,
     "t5_vocab_topk" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token

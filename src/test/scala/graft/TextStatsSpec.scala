@@ -8,6 +8,32 @@ class TextStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("unigram logprob matches hand-computed scores; null text is skipped") {
+    val root = java.nio.file.Files.createTempDirectory("t9test")
+    try {
+      val dir = root.toString
+      Seq(
+        (0L, "a a b", "en", "s", 5L),
+        (1L, "b b", "fr", "s", 3L),
+        (2L, null.asInstanceOf[String], "fr", "s", 0L) // no tokens → skipped
+      ).toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val out = TextStats.t9UnigramLogprob(spark, dir).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+      // corpus freqs: a=2, b=3 of 5 → p(a)=.4, p(b)=.6
+      val (la, lb) = (math.log10(0.4), math.log10(0.6))
+      assert(out("en")._1 == 1L)
+      assert(math.abs(out("en")._2 - BigDecimal((2 * la + lb) / 3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(out("fr") == ((1L, // null-text doc contributes no row
+        BigDecimal(lb).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("compression ratio separates repetitive from varied text") {
     val root = java.nio.file.Files.createTempDirectory("t7test")
     try {
