@@ -264,36 +264,68 @@ object TextStats {
         sum(col("n_chars")).as("sampled_chars"))
       .orderBy(col("lang"))
 
+  /** Per-(session, dir) memo of the trained unigram table — pass 1 runs
+    * once per served dir, not once per invocation (Bench/ScalingProbe
+    * re-invoke the registered builder freely; same immutable-dir
+    * contract as [[Similarity.corpusSize]]). NOTE the builder is still
+    * EAGER on first call per dir — the broadcast literal needs the
+    * frequencies before the plan exists — so a plan audit of t9 shows
+    * pass 2 only. */
+  private val vocabCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int), Map[String, Double]]]()
+
+  private def unigramLogp(spark: SparkSession, dir: String,
+                          maxVocab: Int): Map[String, Double] = {
+    val perDir = vocabCache.synchronized {
+      var m = vocabCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[(String, Int), Map[String, Double]]
+        vocabCache.put(spark, m)
+      }
+      m
+    }
+    perDir.getOrElseUpdate((dir, maxVocab), {
+      // limit BEFORE collect: the guard below must fire as a diagnostic,
+      // not arrive after an unbounded vocabulary has already filled the
+      // driver heap (when the vocab fits, limit returns every row)
+      val freqs = Tables.documents(spark, dir)
+        .select(explode(split(lower(col("text")), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("c"))
+        .limit(maxVocab + 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      require(freqs.length <= maxVocab,
+        s"vocabulary exceeds $maxVocab — cap the vocab " +
+          "(score OOV with a floor probability) before broadcasting it")
+      val total = freqs.map(_._2).sum.toDouble
+      freqs.map { case (t, c) => t -> math.log10(c / total) }.toMap
+    })
+  }
+
   /** T9 — unigram log-probability quality scoring: the CCNet-style
     * "LM filter" reduced to a unigram model trained on the corpus
     * itself. Pass 1 builds the token frequency table (bounded by the
-    * VOCABULARY, not the corpus — capped and collected to the driver);
-    * pass 2 scores every doc per-row against the broadcast vocabulary
-    * literal with ZERO shuffle (no token explode-and-join on the scoring
-    * side — the map lookup rides inside the row scan), then aggregates
-    * per language. At 100 TB the corpus streams twice and the only
-    * shuffle is vocabulary-sized + the per-lang final agg. Scores are
-    * averages of log10 token probabilities; a higher (less negative)
-    * score = more stereotypical text — the filter drops BOTH tails. */
+    * VOCABULARY, not the corpus — capped, driver-collected, memoized per
+    * (session, dir)); pass 2 scores every doc per-row against the
+    * broadcast vocabulary literal with ZERO shuffle (no token
+    * explode-and-join on the scoring side — the map lookup rides inside
+    * the row scan), then aggregates per language. At 100 TB the corpus
+    * streams twice and the only shuffle is vocabulary-sized + the
+    * per-lang final agg. Scores are averages of log10 token
+    * probabilities; a higher (less negative) score = more stereotypical
+    * text — the filter drops BOTH tails. */
   def t9UnigramLogprob(spark: SparkSession, dir: String,
                        maxVocab: Int = 65536): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val words = split(lower(col("text")), " ")
-    val freqs = docs
-      .select(explode(words).as("token")).filter(col("token") =!= "")
-      .groupBy(col("token")).agg(count(lit(1)).as("c"))
-      .collect().map(r => r.getString(0) -> r.getLong(1))
-    require(freqs.length <= maxVocab,
-      s"vocabulary ${freqs.length} exceeds $maxVocab — cap the vocab " +
-        "(score OOV with a floor probability) before broadcasting it")
-    val total = freqs.map(_._2).sum.toDouble
-    val logp = typedlit(freqs.map { case (t, c) =>
-      t -> math.log10(c / total)
-    }.toMap)
-    docs
-      .withColumn("words", words)
-      // every corpus token is in-vocab by construction (closed corpus);
-      // '' tokens score 0 contribution and shrink the denominator
+    val logp = typedlit(unigramLogp(spark, dir, maxVocab))
+    Tables.documents(spark, dir)
+      .withColumn("words", split(lower(col("text")), " "))
+      // the '' filter is REQUIRED for correctness, not cosmetic: ''
+      // never enters the frequency map, so element_at would return NULL
+      // for it and acc + NULL null-poisons the whole aggregate — the
+      // doc would silently vanish from avg/min/max while still counting
+      // in n_docs (and diverge from the oracle, which filters tok <> '')
       .withColumn("toks", filter(col("words"), w => w =!= ""))
       .filter(size(col("toks")) > 0)
       .withColumn("score",

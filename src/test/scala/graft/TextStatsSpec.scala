@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.TextStats
@@ -8,16 +9,28 @@ class TextStatsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("unigram logprob matches hand-computed scores; null text is skipped") {
-    val root = java.nio.file.Files.createTempDirectory("t9test")
+  /** Write a planted frame as `documents.parquet` under a temp dir,
+    * run the body against the dir, clean up — the scaffold every
+    * planted-corpus test here shares. */
+  private def withDocsDir[A](docs: DataFrame)(body: String => A): A = {
+    val root = java.nio.file.Files.createTempDirectory("tstest")
     try {
-      val dir = root.toString
-      Seq(
-        (0L, "a a b", "en", "s", 5L),
-        (1L, "b b", "fr", "s", 3L),
-        (2L, null.asInstanceOf[String], "fr", "s", 0L) // no tokens → skipped
-      ).toDF("doc_id", "text", "lang", "source", "n_chars")
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      docs.write.mode("overwrite").parquet(s"$root/documents.parquet")
+      body(root.toString)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("unigram logprob matches hand-computed scores; null text is skipped") {
+    val docs = Seq(
+      (0L, "a a b", "en", "s", 5L),
+      (1L, "b b", "fr", "s", 3L),
+      (2L, null.asInstanceOf[String], "fr", "s", 0L) // no tokens → skipped
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocsDir(docs) { dir =>
       val out = TextStats.t9UnigramLogprob(spark, dir).collect()
         .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
       // corpus freqs: a=2, b=3 of 5 → p(a)=.4, p(b)=.6
@@ -27,59 +40,53 @@ class TextStatsSpec extends AnyFunSuite {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
       assert(out("fr") == ((1L, // null-text doc contributes no row
         BigDecimal(lb).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("unigram logprob fails fast (not OOM) when the vocab exceeds the cap") {
+    val docs = Seq(
+      (0L, "one two three four five", "en", "s", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocsDir(docs) { dir =>
+      val e = intercept[IllegalArgumentException] {
+        TextStats.t9UnigramLogprob(spark, dir, maxVocab = 3)
+      }
+      assert(e.getMessage.contains("vocabulary exceeds 3"))
     }
   }
 
   test("compression ratio separates repetitive from varied text") {
-    val root = java.nio.file.Files.createTempDirectory("t7test")
-    try {
-      val dir = root.toString
-      val rnd = new scala.util.Random(5)
-      val varied = (0 until 300).map(_ =>
-        rnd.alphanumeric.take(8).mkString).mkString(" ")
-      Seq(
-        (0L, "spam " * 400, "rep", 2000L),     // near-pure repetition
-        (1L, varied, "var", 2700L),            // high-entropy word soup
-        (2L, null.asInstanceOf[String], "rep", 0L), // null text must not crash
-        (3L, "", "var", 0L)                    // empty text filtered (n_bytes=0)
-      ).toDF("doc_id", "text", "source", "n_chars")
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rnd = new scala.util.Random(5)
+    val varied = (0 until 300).map(_ =>
+      rnd.alphanumeric.take(8).mkString).mkString(" ")
+    val docs = Seq(
+      (0L, "spam " * 400, "rep", 2000L),     // near-pure repetition
+      (1L, varied, "var", 2700L),            // high-entropy word soup
+      (2L, null.asInstanceOf[String], "rep", 0L), // null text must not crash
+      (3L, "", "var", 0L)                    // empty text filtered (n_bytes=0)
+    ).toDF("doc_id", "text", "source", "n_chars")
+    withDocsDir(docs) { dir =>
       val out = TextStats.t7CompressionRatio(spark, dir).collect()
         .map(r => r.getString(0) -> r.getDouble(2)).toMap // source -> avg_ratio
       assert(out("rep") < 0.1, s"repetitive text should compress hard: $out")
       assert(out("var") > 0.4, s"varied text should resist compression: $out")
       // null text produced n_bytes=0 and was filtered — rep counts only doc 0
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
   test("repetition ratio separates looping text from unique text (T8)") {
-    val root = java.nio.file.Files.createTempDirectory("t8test")
-    try {
-      val dir = root.toString
-      Seq(
-        (0L, ("spam ham " * 50).trim, "rep", 450L),    // one bigram repeated
-        (1L, (0 until 100).map(i => s"w$i").mkString(" "), "uniq", 400L),
-        (2L, "solo", "uniq", 4L)                       // <2 words: filtered
-      ).toDF("doc_id", "text", "lang", "n_chars")
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val docs = Seq(
+      (0L, ("spam ham " * 50).trim, "rep", 450L),    // one bigram repeated
+      (1L, (0 until 100).map(i => s"w$i").mkString(" "), "uniq", 400L),
+      (2L, "solo", "uniq", 4L)                       // <2 words: filtered
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    withDocsDir(docs) { dir =>
       val out = TextStats.t8Repetition(spark, dir).collect()
         .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(4)))).toMap
       val (nRep, repRatio, nFlagged) = out("rep")
       assert(nRep == 1L && repRatio > 0.9 && nFlagged == 1L)
       val (nU, uRatio, uFlagged) = out("uniq")
       assert(nU == 1L && uRatio == 0.0 && uFlagged == 0L) // doc 2 dropped
-    } finally {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
     }
   }
 
