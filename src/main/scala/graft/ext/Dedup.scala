@@ -80,21 +80,35 @@ object Dedup {
     // (doc_id, band_key) — never the shingle payload; the wide data
     // re-joins by doc_id for the verify step, so it moves once, not once
     // per band.
-    val spark = documents.sparkSession
-    val hashed = hashedDocs(documents)
-    val banded = hashed
-      .select(col("doc_id"),
-        posexplode(graft.functions.MinHash.minhashBands(spark,
-          col("sh_hashes"), bands, rowsPerBand)).as(Seq("band_id", "band_key")))
+    val banded = bandedDocs(documents, bands, rowsPerBand)
     val candidates = banded.as("l")
       .join(banded.as("r"), Seq("band_id", "band_key"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
       .distinct()
-    // Verify with exact Jaccard over the shingle HASH sets — set identity
-    // up to 2^31 hash collisions (~1e-5 per overlapping pair), standard
-    // for minhash dedup, and long-array intersects beat string-array
-    // intersects by the length of the shingle text.
+    jaccardVerify(candidates, documents, threshold)
+  }
+
+  /** (doc_id, band_id, band_key) rows for the banded-LSH candidate join —
+    * THE banding step, shared by the self-join (d3) and bipartite (d15)
+    * pipelines so the two can never band differently. */
+  private def bandedDocs(documents: DataFrame,
+                         bands: Int, rowsPerBand: Int): DataFrame = {
+    val spark = documents.sparkSession
+    hashedDocs(documents)
+      .select(col("doc_id"),
+        posexplode(graft.functions.MinHash.minhashBands(spark,
+          col("sh_hashes"), bands, rowsPerBand)).as(Seq("band_id", "band_key")))
+  }
+
+  /** Verify candidate (id_a, id_b) pairs with exact Jaccard over the
+    * shingle HASH sets — set identity up to 2^31 hash collisions
+    * (~1e-5 per overlapping pair), standard for minhash dedup, and
+    * long-array intersects beat string-array intersects by the length
+    * of the shingle text. Shared verify kernel for every banded-LSH
+    * caller. */
+  private def jaccardVerify(candidates: DataFrame, documents: DataFrame,
+                            threshold: Double): DataFrame = {
     val hashSets = hashedDocs(documents)
     candidates
       .join(hashSets.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a")), Seq("id_a"))
@@ -105,6 +119,42 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Fuzzy benchmark decontamination — d10's exact n-gram rule catches
+    * verbatim eval leaks; this catches PARAPHRASED ones: a training doc
+    * is contaminated if it is a MinHash near-duplicate (banded-LSH
+    * candidates, exact-Jaccard verify) of ANY benchmark doc. BIPARTITE
+    * by construction: train and bench docs band into the same key space,
+    * and candidates come from the train↔bench band equi-join — never a
+    * |train|×|bench| product, and train↔train near-dups (d3's business)
+    * never enter the verify. Returns per-source train/contaminated
+    * counts. */
+  def fuzzyDecontaminateDf(documents: DataFrame,
+                           bands: Int = 8, rowsPerBand: Int = 4,
+                           threshold: Double = 0.4,
+                           benchMod: Int = 97): DataFrame = {
+    val isBench = col("doc_id") % benchMod === 0
+    val banded = bandedDocs(documents, bands, rowsPerBand)
+    val candidates = banded.filter(!isBench).as("l")
+      .join(banded.filter(isBench).as("r"), Seq("band_id", "band_key"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .distinct()
+    val flagged = jaccardVerify(candidates, documents, threshold)
+      .select(col("id_a").as("doc_id")).distinct()
+    documents.filter(!isBench)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+      .join(documents.filter(!isBench)
+          .join(flagged, Seq("doc_id"), "left_semi")
+          .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated")),
+        Seq("source"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  /** D15 — registered fuzzy decontamination (rows-only: band keys are
+    * engine-specific; bipartite semantics asserted in DedupSpec). */
+  def d15FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =
+    fuzzyDecontaminateDf(Tables.documents(spark, dir))
 
   /** D3 — MinHash-LSH near-dup pairs (rows-only for the driver; recall vs
     * brute-force Jaccard is asserted in ScalaTest). */
@@ -401,7 +451,8 @@ object Dedup {
     "d4_simhash_pairs" -> d4SimhashPairs,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d6_dedup_clusters" -> d6DedupClusters,
-    "d7_deduped_corpus" -> d7DedupedCorpus
+    "d7_deduped_corpus" -> d7DedupedCorpus,
+    "d15_fuzzy_decontaminate" -> d15FuzzyDecontaminate
   )
 
   /** Shared oracle fragment: the d5 shingle CTE + pair predicate. ONE

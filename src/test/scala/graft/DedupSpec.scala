@@ -31,6 +31,25 @@ class DedupSpec extends AnyFunSuite {
       Set(a, b).intersect(Set(0L, 1L, 2L)).size == 1 })
   }
 
+  test("fuzzy decontamination flags only train docs near a BENCH doc") {
+    // doc 0 (id % 5 == 0) is the benchmark doc. Train doc 1 paraphrases
+    // it → flagged. Train docs 3 and 103 are near-dups of EACH OTHER but
+    // unrelated to the bench doc → the bipartite join must NOT flag them
+    // (that's d3's business, not decontamination's).
+    val corpus = Seq(
+      (0L, base),
+      (1L, base + " tonight"),
+      (3L, "completely different words about spark catalyst optimizer plans and shuffle partitions here"),
+      (103L, "completely different words about spark catalyst optimizer plans and shuffle partitions today"),
+      (4L, "another unrelated document concerning parquet columnar storage and predicate pushdown semantics")
+    ).toDF("doc_id", "text").withColumn("source",
+      when(col("doc_id") < 100, "sA").otherwise("sB"))
+    val out = Dedup.fuzzyDecontaminateDf(corpus, benchMod = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("sA") == ((3L, 1L))) // docs 1,3,4 train; only 1 flagged
+    assert(out("sB") == ((1L, 0L))) // doc 103 near-dups doc 3, NOT the bench doc
+  }
+
   test("minhash jaccard estimate agrees with exact jaccard on candidates") {
     val withJ = Dedup.minhashPairsDf(docs, threshold = 0.1)
       .select("id_a", "id_b", "jaccard").collect()
