@@ -134,20 +134,28 @@ object Dedup {
                            threshold: Double = 0.4,
                            benchMod: Int = 97): DataFrame = {
     val isBench = col("doc_id") % benchMod === 0
-    val banded = bandedDocs(documents, bands, rowsPerBand)
+    // Checkpoint the narrow banded frame ONCE: the two differently-
+    // filtered join sides are distinct plans, so without the pin the
+    // shingle+minhash+band pipeline would execute twice over the corpus
+    // (d3's identical self-join sides get ReuseExchange for free; a
+    // bipartite join does not).
+    val banded = bandedDocs(documents, bands, rowsPerBand).localCheckpoint(true)
     val candidates = banded.filter(!isBench).as("l")
       .join(banded.filter(isBench).as("r"), Seq("band_id", "band_key"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
     val flagged = jaccardVerify(candidates, documents, threshold)
       .select(col("id_a").as("doc_id")).distinct()
-    documents.filter(!isBench)
-      .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
-      .join(documents.filter(!isBench)
-          .join(flagged, Seq("doc_id"), "left_semi")
-          .groupBy(col("source")).agg(count(lit(1)).as("n_contaminated")),
-        Seq("source"), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+    // ONE corpus pass with conditional aggregates — and sources made up
+    // entirely of benchmark docs still appear (n_train = 0), so a reader
+    // can tell "fully held out" apart from "missing from the corpus".
+    // `f` marks contaminated docs; flagged ids are train-side only by
+    // construction, so count(f) is the per-source contaminated count.
+    documents
+      .join(flagged.withColumn("f", lit(1)), Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
+        sum(when(!isBench, 1L).otherwise(0L)).as("n_train"),
+        count(col("f")).as("n_contaminated"))
       .orderBy(col("source"))
   }
 

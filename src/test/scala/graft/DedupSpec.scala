@@ -37,17 +37,17 @@ class DedupSpec extends AnyFunSuite {
     // unrelated to the bench doc → the bipartite join must NOT flag them
     // (that's d3's business, not decontamination's).
     val corpus = Seq(
-      (0L, base),
-      (1L, base + " tonight"),
-      (3L, "completely different words about spark catalyst optimizer plans and shuffle partitions here"),
-      (103L, "completely different words about spark catalyst optimizer plans and shuffle partitions today"),
-      (4L, "another unrelated document concerning parquet columnar storage and predicate pushdown semantics")
-    ).toDF("doc_id", "text").withColumn("source",
-      when(col("doc_id") < 100, "sA").otherwise("sB"))
+      (0L, base, "sBench"), // the only doc of its source → bench-only source
+      (1L, base + " tonight", "sA"),
+      (3L, "completely different words about spark catalyst optimizer plans and shuffle partitions here", "sA"),
+      (103L, "completely different words about spark catalyst optimizer plans and shuffle partitions today", "sB"),
+      (4L, "another unrelated document concerning parquet columnar storage and predicate pushdown semantics", "sA")
+    ).toDF("doc_id", "text", "source")
     val out = Dedup.fuzzyDecontaminateDf(corpus, benchMod = 5)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    assert(out("sA") == ((3L, 1L))) // docs 1,3,4 train; only 1 flagged
-    assert(out("sB") == ((1L, 0L))) // doc 103 near-dups doc 3, NOT the bench doc
+    assert(out("sA") == ((3L, 1L)))     // docs 1,3,4 train; only 1 flagged
+    assert(out("sB") == ((1L, 0L)))     // 103 near-dups 3, NOT the bench doc
+    assert(out("sBench") == ((0L, 0L))) // fully-held-out source still reported
   }
 
   test("minhash jaccard estimate agrees with exact jaccard on candidates") {
