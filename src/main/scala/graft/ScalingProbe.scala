@@ -17,7 +17,8 @@ object ScalingProbe {
     "d3_minhash_lsh", "d4_simhash_pairs", "d6_dedup_clusters",
     "d7_deduped_corpus", "sim2_ann_lsh", "sim3_neardup_pairs",
     "sim4_ivf_ann", "d10_decontaminate", "d12_semantic_dedup",
-    "d13_pii_redact")
+    "d13_pii_redact", "d14_quality_filter", "d15_fuzzy_decontaminate",
+    "t9_unigram_logprob", "sim6_knn_join")
 
   def main(args: Array[String]): Unit = {
     val (base, big) = args match {
