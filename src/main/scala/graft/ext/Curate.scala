@@ -18,42 +18,42 @@ import graft.Tables
 object Curate {
 
   /** Word n-grams over a `words` array column — THE gram builder, shared
-    * by decontamination and the d14 repetition rule so tokenization can
-    * never drift between the operators that consume it. Short rows yield
-    * an EMPTY array rather than relying on every caller to guard:
-    * un-guarded, sequence(0, size-n) descends through 0 and slice throws
-    * mid-job on the first doc with fewer than n words. */
-  private def gramsExpr(n: Int): Column = expr(
+    * by decontamination, the d14/t8 repetition rules, and the d5 shingle
+    * set so tokenization can never drift between the operators that
+    * consume it. Short rows yield an EMPTY array rather than relying on
+    * every caller to guard: un-guarded, sequence(0, size-n) descends
+    * through 0 and slice throws mid-job on the first doc with fewer than
+    * n words. */
+  private[ext] def gramsExpr(n: Int): Column = expr(
     s"""if(size(words) < $n, array(),
        |  transform(sequence(0, size(words) - $n),
        |    i -> concat_ws(' ', slice(words, i + 1, $n))))""".stripMargin)
 
   /** Distinct lowercased word n-grams of `text`, one row per (doc, gram).
-    * Shared by the training and benchmark sides of [[decontaminate]] so the
-    * two sides can never disagree on tokenization. */
+    * Shared by the training and benchmark sides of [[decontaminateDf]] so
+    * the two sides can never disagree on tokenization. */
   private def docGrams(docs: DataFrame, n: Int): DataFrame =
     docs.withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"), col("source"),
         explode(array_distinct(gramsExpr(n))).as("gram"))
 
-  /** D10 — benchmark decontamination over any (doc_id, source, text) frame:
-    * docs whose id divides by `benchMod` form the held-out benchmark; a
-    * training doc is contaminated iff it shares at least one word n-gram
-    * with any benchmark doc (the GPT-3/PaLM eval-leak rule — production
-    * uses 13-grams; the synthetic corpus's short word-soup docs need n=4
-    * to exercise the overlap path). Returns per-source training counts and
-    * contaminated counts. */
-  def decontaminateDf(docs: DataFrame, n: Int = 4, benchMod: Int = 97): DataFrame = {
-    val grams = docGrams(docs, n)
-    val isBench = col("doc_id") % benchMod === 0
-    // eval suites are tiny next to the corpus: distinct grams broadcast,
-    // and the left-semi probe runs map-side — the corpus never shuffles.
-    val benchGrams = grams.filter(isBench).select(col("gram")).distinct()
-    val contaminated = grams.filter(!isBench)
+  /** Benchmark decontamination core: a TRAINING doc is contaminated iff
+    * it shares at least one word n-gram with any doc of the (separate)
+    * BENCHMARK frame — the GPT-3/PaLM eval-leak rule (production uses
+    * 13-grams; the synthetic corpus's short word-soup docs need n=4 to
+    * exercise the overlap path). Both frames carry (doc_id, source,
+    * text). Eval suites are tiny next to the corpus: the distinct bench
+    * grams BROADCAST and the left-semi probe runs map-side — the corpus
+    * never shuffles. Returns per-source training/contaminated counts. */
+  def decontaminateDf(train: DataFrame, bench: DataFrame, n: Int = D10N): DataFrame = {
+    val benchGrams = docGrams(bench, n).select(col("gram")).distinct()
+    // distinct BEFORE counting: a doc leaking k grams is one
+    // contaminated doc, not k
+    val contaminated = docGrams(train, n)
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("source")).distinct()
-    docs.filter(!isBench)
+    train
       .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
       .join(contaminated.groupBy(col("source"))
         .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left")
@@ -61,8 +61,19 @@ object Curate {
       .orderBy(col("source"))
   }
 
-  def d10Decontaminate(spark: SparkSession, dir: String): DataFrame =
-    decontaminateDf(Tables.documents(spark, dir))
+  /** Constants shared between the registered d10 query and its oracle
+    * SQL (interpolated there) — edit here, both sides move together. */
+  private[ext] val D10N = 4
+  private[ext] val BenchMod = 97
+
+  /** D10 — the registered harness shape: the benchmark split is the
+    * id-mod slice of the one testdata corpus (a real caller passes an
+    * actual eval-suite frame to [[decontaminateDf]] instead). */
+  def d10Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = col("doc_id") % BenchMod === 0
+    decontaminateDf(docs.filter(!isBench), docs.filter(isBench))
+  }
 
   /** D11 — deterministic language rebalancing: compute each language's
     * keep-rate as target/count where target is the smallest language's
@@ -335,27 +346,32 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
-    "d10_decontaminate" ->
-      """WITH words AS (
+    "d10_decontaminate" -> {
+      // interpolated from the SAME constants the Spark side uses — a
+      // change to D10N/BenchMod moves both sides together
+      val gramConcat = (0 until D10N)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH words AS (
         |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
         |  FROM documents),
         |grams AS (
         |  SELECT doc_id, source,
-        |    list_distinct(list_transform(range(1, len(w) - 2),
-        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS gs
-        |  FROM words WHERE len(w) >= 4),
+        |    list_distinct(list_transform(range(1, len(w) - ${D10N - 2}),
+        |      i -> $gramConcat)) AS gs
+        |  FROM words WHERE len(w) >= $D10N),
         |g AS (SELECT doc_id, source, unnest(gs) AS gram FROM grams),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = 0),
         |contam AS (
         |  SELECT DISTINCT g.doc_id, g.source
-        |  FROM g JOIN bench USING (gram) WHERE g.doc_id % 97 <> 0),
+        |  FROM g JOIN bench USING (gram) WHERE g.doc_id % $BenchMod <> 0),
         |train AS (
         |  SELECT source, count(*) AS n_train
-        |  FROM documents WHERE doc_id % 97 <> 0 GROUP BY source),
+        |  FROM documents WHERE doc_id % $BenchMod <> 0 GROUP BY source),
         |c AS (SELECT source, count(*) AS n_contaminated FROM contam GROUP BY source)
         |SELECT train.source, n_train,
         |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated
-        |FROM train LEFT JOIN c USING (source) ORDER BY source""".stripMargin,
+        |FROM train LEFT JOIN c USING (source) ORDER BY source""".stripMargin
+    },
     "d11_rebalance" ->
       """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
         |t AS (SELECT min(n_lang) AS target FROM counts),

@@ -25,9 +25,7 @@ object Dedup {
   private def shingled(df: DataFrame): DataFrame =
     df.withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= 3)
-      .withColumn("shingles", expr(
-        """array_distinct(transform(sequence(0, size(words) - 3),
-          |  i -> concat_ws(' ', slice(words, i + 1, 3))))""".stripMargin))
+      .withColumn("shingles", array_distinct(Curate.gramsExpr(3)))
       .withColumn("sh_hashes",
         expr("transform(shingles, s -> pmod(xxhash64(s), 2147483647))"))
 

@@ -231,9 +231,7 @@ object TextStats {
     Tables.documents(spark, dir)
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= 2)
-      .withColumn("bigrams", expr(
-        """transform(sequence(0, size(words) - 2),
-          |  i -> concat_ws(' ', slice(words, i + 1, 2)))""".stripMargin))
+      .withColumn("bigrams", Curate.gramsExpr(2))
       .withColumn("dup_ratio",
         round(lit(1.0) -
           size(array_distinct(col("bigrams"))).cast("double") /

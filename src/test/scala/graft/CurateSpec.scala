@@ -20,16 +20,32 @@ class CurateSpec extends AnyFunSuite {
     (3L, "alpha beta something gamma delta epsilon off by one", "srcB")
   ).toDF("doc_id", "text", "source")
 
+  private def splitBench(all: org.apache.spark.sql.DataFrame, mod: Int = 97) =
+    (all.filter(col("doc_id") % mod =!= 0), all.filter(col("doc_id") % mod === 0))
+
   test("decontaminate flags the doc that leaks a benchmark 4-gram, only that doc") {
-    val out = Curate.decontaminateDf(docs, n = 4, benchMod = 97)
+    val (train, bench) = splitBench(docs)
+    val out = Curate.decontaminateDf(train, bench, n = 4)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out("srcA") == ((2L, 1L))) // docs 1,2 train; only doc 1 contaminated
     assert(out("srcB") == ((1L, 0L))) // doc 3's grams are all offset — clean
   }
 
+  test("a doc leaking MANY benchmark grams counts as ONE contaminated doc") {
+    // doc 6 contains the whole benchmark doc verbatim → leaks three
+    // distinct 4-grams; without the per-doc distinct it would count 3×
+    val (train, bench) = splitBench(docs.union(Seq(
+      (6L, "prefix " + "alpha beta gamma delta epsilon zeta" + " suffix", "srcD")
+    ).toDF("doc_id", "text", "source")))
+    val out = Curate.decontaminateDf(train, bench, n = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("srcD") == ((1L, 1L)))
+  }
+
   test("a training doc with fewer words than n can never be contaminated") {
-    val short = docs.union(Seq((5L, "alpha beta gamma", "srcC")).toDF("doc_id", "text", "source"))
-    val out = Curate.decontaminateDf(short, n = 4, benchMod = 97)
+    val (train, bench) = splitBench(
+      docs.union(Seq((5L, "alpha beta gamma", "srcC")).toDF("doc_id", "text", "source")))
+    val out = Curate.decontaminateDf(train, bench, n = 4)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(out("srcC") == 0L)
   }
