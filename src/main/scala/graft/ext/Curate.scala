@@ -17,17 +17,8 @@ import graft.Tables
   */
 object Curate {
 
-  /** Word n-grams over a `words` array column — THE gram builder, shared
-    * by decontamination, the d14/t8 repetition rules, and the d5 shingle
-    * set so tokenization can never drift between the operators that
-    * consume it. Short rows yield an EMPTY array rather than relying on
-    * every caller to guard: un-guarded, sequence(0, size-n) descends
-    * through 0 and slice throws mid-job on the first doc with fewer than
-    * n words. */
-  private[ext] def gramsExpr(n: Int): Column = expr(
-    s"""if(size(words) < $n, array(),
-       |  transform(sequence(0, size(words) - $n),
-       |    i -> concat_ws(' ', slice(words, i + 1, $n))))""".stripMargin)
+  private def gramsExpr(n: Int): Column =
+    graft.functions.TextGrams.gramsExpr(n)
 
   /** Distinct lowercased word n-grams of `text`, one row per (doc, gram).
     * Shared by the training and benchmark sides of [[decontaminateDf]] so

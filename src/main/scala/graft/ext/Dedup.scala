@@ -25,7 +25,7 @@ object Dedup {
   private def shingled(df: DataFrame): DataFrame =
     df.withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= 3)
-      .withColumn("shingles", array_distinct(Curate.gramsExpr(3)))
+      .withColumn("shingles", array_distinct(graft.functions.TextGrams.gramsExpr(3)))
       .withColumn("sh_hashes",
         expr("transform(shingles, s -> pmod(xxhash64(s), 2147483647))"))
 
@@ -121,46 +121,50 @@ object Dedup {
   /** Fuzzy benchmark decontamination — d10's exact n-gram rule catches
     * verbatim eval leaks; this catches PARAPHRASED ones: a training doc
     * is contaminated if it is a MinHash near-duplicate (banded-LSH
-    * candidates, exact-Jaccard verify) of ANY benchmark doc. BIPARTITE
-    * by construction: train and bench docs band into the same key space,
-    * and candidates come from the train↔bench band equi-join — never a
-    * |train|×|bench| product, and train↔train near-dups (d3's business)
-    * never enter the verify. Returns per-source train/contaminated
-    * counts. */
-  def fuzzyDecontaminateDf(documents: DataFrame,
+    * candidates, exact-Jaccard verify) of ANY doc in the (separate)
+    * `bench` frame — same two-frame contract as
+    * [[graft.ext.Curate.decontaminateDf]], so a caller with a real
+    * eval-suite corpus can run both passes. BIPARTITE by construction:
+    * both frames band into the same key space and candidates come from
+    * the train↔bench band equi-join — never a |train|×|bench| product,
+    * and train↔train near-dups (d3's business) never enter the verify.
+    * doc_ids must be unique ACROSS the two frames (they key the verify
+    * re-join). Returns per-source counts over both frames — bench-only
+    * sources appear with n_train = 0, so a reader can tell "fully held
+    * out" apart from "missing from the corpus". */
+  def fuzzyDecontaminateDf(train: DataFrame, bench: DataFrame,
                            bands: Int = 8, rowsPerBand: Int = 4,
-                           threshold: Double = 0.4,
-                           benchMod: Int = 97): DataFrame = {
-    val isBench = col("doc_id") % benchMod === 0
-    // Checkpoint the narrow banded frame ONCE: the two differently-
-    // filtered join sides are distinct plans, so without the pin the
-    // shingle+minhash+band pipeline would execute twice over the corpus
-    // (d3's identical self-join sides get ReuseExchange for free; a
-    // bipartite join does not).
-    val banded = bandedDocs(documents, bands, rowsPerBand).localCheckpoint(true)
-    val candidates = banded.filter(!isBench).as("l")
-      .join(banded.filter(isBench).as("r"), Seq("band_id", "band_key"))
+                           threshold: Double = 0.4): DataFrame = {
+    val candidates = bandedDocs(train, bands, rowsPerBand).as("l")
+      .join(bandedDocs(bench, bands, rowsPerBand).as("r"),
+        Seq("band_id", "band_key"))
       .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
       .distinct()
-    val flagged = jaccardVerify(candidates, documents, threshold)
+    val corpus = train.select(col("doc_id"), col("text"))
+      .unionByName(bench.select(col("doc_id"), col("text")))
+    val flagged = jaccardVerify(candidates, corpus, threshold)
       .select(col("id_a").as("doc_id")).distinct()
-    // ONE corpus pass with conditional aggregates — and sources made up
-    // entirely of benchmark docs still appear (n_train = 0), so a reader
-    // can tell "fully held out" apart from "missing from the corpus".
     // `f` marks contaminated docs; flagged ids are train-side only by
     // construction, so count(f) is the per-source contaminated count.
-    documents
+    train.select(col("doc_id"), col("source"), lit(true).as("is_train"))
+      .unionByName(
+        bench.select(col("doc_id"), col("source"), lit(false).as("is_train")))
       .join(flagged.withColumn("f", lit(1)), Seq("doc_id"), "left")
       .groupBy(col("source")).agg(
-        sum(when(!isBench, 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
         count(col("f")).as("n_contaminated"))
       .orderBy(col("source"))
   }
 
-  /** D15 — registered fuzzy decontamination (rows-only: band keys are
-    * engine-specific; bipartite semantics asserted in DedupSpec). */
-  def d15FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame =
-    fuzzyDecontaminateDf(Tables.documents(spark, dir))
+  /** D15 — the registered harness shape: the benchmark split is the
+    * id-mod slice of the one testdata corpus (same rule and shared
+    * constant as d10). Rows-only: band keys are engine-specific;
+    * bipartite semantics asserted in DedupSpec. */
+  def d15FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = col("doc_id") % Curate.BenchMod === 0
+    fuzzyDecontaminateDf(docs.filter(!isBench), docs.filter(isBench))
+  }
 
   /** D3 — MinHash-LSH near-dup pairs (rows-only for the driver; recall vs
     * brute-force Jaccard is asserted in ScalaTest). */

@@ -231,7 +231,7 @@ object TextStats {
     Tables.documents(spark, dir)
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= 2)
-      .withColumn("bigrams", Curate.gramsExpr(2))
+      .withColumn("bigrams", graft.functions.TextGrams.gramsExpr(2))
       .withColumn("dup_ratio",
         round(lit(1.0) -
           size(array_distinct(col("bigrams"))).cast("double") /

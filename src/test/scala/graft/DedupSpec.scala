@@ -43,7 +43,8 @@ class DedupSpec extends AnyFunSuite {
       (103L, "completely different words about spark catalyst optimizer plans and shuffle partitions today", "sB"),
       (4L, "another unrelated document concerning parquet columnar storage and predicate pushdown semantics", "sA")
     ).toDF("doc_id", "text", "source")
-    val out = Dedup.fuzzyDecontaminateDf(corpus, benchMod = 5)
+    val out = Dedup.fuzzyDecontaminateDf(
+        corpus.filter(col("doc_id") % 5 =!= 0), corpus.filter(col("doc_id") % 5 === 0))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out("sA") == ((3L, 1L)))     // docs 1,3,4 train; only 1 flagged
     assert(out("sB") == ((1L, 0L)))     // 103 near-dups 3, NOT the bench doc
