@@ -328,12 +328,59 @@ object Curate {
       .orderBy(col("source"))
   }
 
+  /** D16 — deterministic train/val/test assignment (98/1/1): the split
+    * is a pure function of doc_id (the d8/d11 multiplicative-hash
+    * device), so every run, engine, and retry agrees on the exact member
+    * sets — the property that makes a split auditable and leak-checkable.
+    * Zero shuffle before the per-(lang, split) report agg. */
+  def d16SplitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket",
+        pmod((col("doc_id") % 100003L) * 2654435761L, lit(100L)))
+      .withColumn("split",
+        when(col("bucket") < 98, "train")
+          .when(col("bucket") === 98, "val").otherwise("test"))
+      .groupBy(col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy(col("lang"), col("split"))
+
+  /** Token-budget downsampling: keep an (expected) `budget` tokens per
+    * language by hash-filtering at rate budget/total — the SAME
+    * rate-not-rank device as [[rebalanceDf]], because an exact per-lang
+    * cumulative cutoff needs a per-stratum sort whose skewed big stratum
+    * becomes a straggler at scale. Kept tokens land NEAR budget
+    * (hash-uniform); the kept set is a pure function of doc_id. */
+  def tokenBudgetDf(docs: DataFrame, budget: Long): DataFrame = {
+    val tok = docs.withColumn("n_tokens", TextStats.wsTokens(col("text")))
+    val rates = tok.groupBy(col("lang"))
+      .agg(sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("rate",
+        least(lit(1.0), lit(budget.toDouble) / col("total_tokens")))
+    val kept = tok.join(broadcast(rates), Seq("lang"))
+      .filter(hashKeep(col("doc_id"), col("rate")))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("kept_tokens"))
+    rates.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("total_tokens"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** D17 — registered token-budget pass at 2000 tokens per language. */
+  def d17TokenBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetDf(Tables.documents(spark, dir), budget = 2000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_decontaminate" -> d10Decontaminate,
     "d11_rebalance" -> d11Rebalance,
     "d12_semantic_dedup" -> d12SemanticDedup,
     "d13_pii_redact" -> d13PiiRedact,
-    "d14_quality_filter" -> d14QualityFilter
+    "d14_quality_filter" -> d14QualityFilter,
+    "d16_split_assign" -> d16SplitAssign,
+    "d17_token_budget" -> d17TokenBudget
   )
 
   val oracle: Map[String, String] = Map(
@@ -423,6 +470,40 @@ object Curate {
         |  CAST(sum(CASE WHEN n_words >= 10 AND stop_ratio >= 0.05
         |    AND dup_ratio <= 0.05 AND CAST(n_pii AS DOUBLE) / n_words <= 0.05
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        |FROM s GROUP BY source ORDER BY source""".stripMargin
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
+    "d16_split_assign" ->
+      """WITH b AS (
+        |  SELECT lang, n_chars,
+        |    -- (+100)%100 = Spark's pmod (DuckDB % keeps the sign)
+        |    ((((doc_id % 100003) * 2654435761) % 100) + 100) % 100 AS bucket
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, n_chars,
+        |    CASE WHEN bucket < 98 THEN 'train'
+        |         WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split
+        |  FROM b)
+        |SELECT lang, split, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
+    "d17_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |    least(1.0, 2000.0 / sum(n_tokens)) AS rate
+        |  FROM t GROUP BY lang),
+        |k AS (
+        |  SELECT t.lang, count(*) AS n_kept,
+        |    CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
+        |  FROM t JOIN r USING (lang)
+        |  -- (+1e6)%1e6 = Spark's pmod
+        |  WHERE ((((doc_id % 100003) * 2654435761) % 1000000) + 1000000) % 1000000
+        |          < rate * 1000000.0
+        |  GROUP BY t.lang)
+        |SELECT r.lang, total_tokens, round(rate, 6) AS rate,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(coalesce(kept_tokens, 0) AS BIGINT) AS kept_tokens
+        |FROM r LEFT JOIN k USING (lang) ORDER BY lang""".stripMargin
   )
 }

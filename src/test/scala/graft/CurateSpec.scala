@@ -218,6 +218,48 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("token budget keeps ~budget tokens per language, deterministically") {
+    val corpus = (0L until 300L).map { i =>
+      (i, (0 until 20).map(j => s"w$j").mkString(" "), // 20 tokens each
+        if (i < 200) "en" else "fr")
+    }.toDF("doc_id", "text", "lang")
+    val run1 = Curate.tokenBudgetDf(corpus, budget = 1000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    val run2 = Curate.tokenBudgetDf(corpus, budget = 1000L).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(3), r.getLong(4))).toMap
+    assert(run1 == run2) // pure function of ids
+    assert(run1("en")._1 == 4000L) // 200 docs × 20 tokens
+    // expected keep-rate 0.25 → ~1000 kept tokens; hash-uniform slack
+    assert(run1("en")._3 > 500L && run1("en")._3 < 1500L,
+      s"kept tokens far from budget: ${run1("en")}")
+    assert(run1("fr")._1 == 2000L)
+    assert(run1("fr")._3 > 500L && run1("fr")._3 < 1500L)
+  }
+
+  test("a language already under budget is kept whole (rate clamps at 1)") {
+    val corpus = Seq(
+      (0L, "a b c", "tiny"), (1L, "d e f", "tiny")
+    ).toDF("doc_id", "text", "lang")
+    val out = Curate.tokenBudgetDf(corpus, budget = 1000L).head()
+    assert(out.getDouble(2) == 1.0)     // rate
+    assert(out.getLong(3) == 2L)        // every doc kept
+    assert(out.getLong(4) == out.getLong(1)) // kept == total tokens
+  }
+
+  test("split assignment is exhaustive, disjoint, and ~98/1/1") {
+    val corpus = (0L until 2000L).map { i => (i, s"doc $i", "en", 6L) }
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("d16test").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.ext.Curate.d16SplitAssign(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out.values.sum == 2000L)            // exhaustive + disjoint
+    assert(out("train") > 1900L)               // ~98%
+    assert(out.getOrElse("val", 0L) + out.getOrElse("test", 0L) < 100L)
+  }
+
   test("rebalance keeps ~target docs per stratum, deterministically") {
     val corpus = (0L until 400L).map { i =>
       (i, s"doc $i", if (i < 320) "en" else "fr")
