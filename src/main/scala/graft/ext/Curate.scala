@@ -90,11 +90,10 @@ object Curate {
       .orderBy(col("lang"))
   }
 
-  /** The d8 multiplicative hash at 1e6 resolution, compared against a
-    * per-row rate: keep iff hash(id) < rate·1e6. The `% 100003` bound
-    * keeps the product inside Long (DuckDB errors on BIGINT overflow). */
+  /** Rate-keep over the shared id-hash ([[graft.functions.IdHash]]) at
+    * 1e6 resolution: keep iff bucket(id) < rate·1e6. */
   private def hashKeep(id: Column, rate: Column): Column =
-    pmod((id % 100003L) * 2654435761L, lit(1000000L)).cast("double") <
+    graft.functions.IdHash.bucket(id, 1000000).cast("double") <
       rate * lit(1000000.0)
 
   def d11Rebalance(spark: SparkSession, dir: String): DataFrame =
@@ -335,8 +334,7 @@ object Curate {
     * Zero shuffle before the per-(lang, split) report agg. */
   def d16SplitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket",
-        pmod((col("doc_id") % 100003L) * 2654435761L, lit(100L)))
+      .withColumn("bucket", graft.functions.IdHash.bucket(col("doc_id"), 100))
       .withColumn("split",
         when(col("bucket") < 98, "train")
           .when(col("bucket") === 98, "val").otherwise("test"))
@@ -351,7 +349,11 @@ object Curate {
     * becomes a straggler at scale. Kept tokens land NEAR budget
     * (hash-uniform); the kept set is a pure function of doc_id. */
   def tokenBudgetDf(docs: DataFrame, budget: Long): DataFrame = {
-    val tok = docs.withColumn("n_tokens", TextStats.wsTokens(col("text")))
+    // NULL text would DIVERGE from the oracle un-coalesced: Spark's
+    // size(split(NULL)) is -1 (deflating totals and kept sums) while
+    // DuckDB's sum() skips the NULL — '' counts 1 token on both engines
+    val tok = docs.withColumn("n_tokens",
+      TextStats.wsTokens(coalesce(col("text"), lit(""))))
     val rates = tok.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("total_tokens"))
       .withColumn("rate",
@@ -411,16 +413,14 @@ object Curate {
         |FROM train LEFT JOIN c USING (source) ORDER BY source""".stripMargin
     },
     "d11_rebalance" ->
-      """WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+      s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
         |t AS (SELECT min(n_lang) AS target FROM counts),
         |r AS (SELECT lang, n_lang, target,
         |        CAST(target AS DOUBLE) / n_lang AS rate FROM counts CROSS JOIN t),
         |kept AS (
         |  SELECT d.lang, count(*) AS n_kept
         |  FROM documents d JOIN r USING (lang)
-        |  -- (+1e6)%1e6 = Spark's pmod (DuckDB % keeps the sign)
-        |  WHERE ((((doc_id % 100003) * 2654435761) % 1000000) + 1000000) % 1000000
-        |          < rate * 1000000.0
+        |  WHERE ${graft.functions.IdHash.sql("doc_id", 1000000)} < rate * 1000000.0
         |  GROUP BY d.lang)
         |SELECT r.lang, n_lang, CAST(target AS BIGINT) AS target,
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
@@ -472,10 +472,9 @@ object Curate {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "d16_split_assign" ->
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT lang, n_chars,
-        |    -- (+100)%100 = Spark's pmod (DuckDB % keeps the sign)
-        |    ((((doc_id % 100003) * 2654435761) % 100) + 100) % 100 AS bucket
+        |    ${graft.functions.IdHash.sql("doc_id", 100)} AS bucket
         |  FROM documents),
         |s AS (
         |  SELECT lang, n_chars,
@@ -486,8 +485,9 @@ object Curate {
         |  CAST(sum(n_chars) AS BIGINT) AS n_chars
         |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin,
     "d17_token_budget" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(coalesce(text, ''), ' ')) AS n_tokens
         |  FROM documents),
         |r AS (
         |  SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
@@ -497,9 +497,7 @@ object Curate {
         |  SELECT t.lang, count(*) AS n_kept,
         |    CAST(sum(n_tokens) AS BIGINT) AS kept_tokens
         |  FROM t JOIN r USING (lang)
-        |  -- (+1e6)%1e6 = Spark's pmod
-        |  WHERE ((((doc_id % 100003) * 2654435761) % 1000000) + 1000000) % 1000000
-        |          < rate * 1000000.0
+        |  WHERE ${graft.functions.IdHash.sql("doc_id", 1000000)} < rate * 1000000.0
         |  GROUP BY t.lang)
         |SELECT r.lang, total_tokens, round(rate, 6) AS rate,
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,

@@ -244,17 +244,15 @@ object TextStats {
       .orderBy(col("lang"))
 
   /** D8 — deterministic hash-based corpus sampling: keep ~10% of docs by
-    * multiplicative hash of doc_id (Knuth's 2654435761 over a prime-
-    * bounded id), reported per language. Unlike rand()-based sampling the
-    * selection is a PURE FUNCTION of the id — re-runs, engines, and
-    * retries agree on the exact member set, which is what makes a
-    * training-data split reproducible and auditable. The modular
-    * pre-reduction (id % 100003) keeps the product far from Long
-    * overflow at any id scale (DuckDB errors on BIGINT overflow;
-    * Spark wraps — without the bound the two engines would diverge). */
+    * the shared multiplicative id-hash ([[graft.functions.IdHash]] —
+    * high-bits bucketing, structured-id-safe), reported per language.
+    * Unlike rand()-based sampling the selection is a PURE FUNCTION of
+    * the id — re-runs, engines, and retries agree on the exact member
+    * set, which is what makes a training-data split reproducible and
+    * auditable. */
   def d8HashSample(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .filter(pmod((col("doc_id") % 100003L) * 2654435761L, lit(1000L)) < 100)
+      .filter(graft.functions.IdHash.bucket(col("doc_id"), 1000) < 100)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_sampled"),
         min(col("doc_id")).as("min_id"),
@@ -420,13 +418,11 @@ object TextStats {
         |    AS n_repetitive
         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "d8_hash_sample" ->
-      """SELECT lang, count(*) AS n_sampled,
+      s"""SELECT lang, count(*) AS n_sampled,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  CAST(sum(n_chars) AS BIGINT) AS sampled_chars
         |FROM documents
-        |-- +1000)%1000 = Spark's pmod: DuckDB's % returns NEGATIVE
-        |-- remainders for negative ids, which would keep 100% of them
-        |WHERE ((((doc_id % 100003) * 2654435761) % 1000) + 1000) % 1000 < 100
+        |WHERE ${graft.functions.IdHash.sql("doc_id", 1000)} < 100
         |GROUP BY lang ORDER BY lang""".stripMargin,
     "d1_exact_dedup" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT text) AS n_unique
