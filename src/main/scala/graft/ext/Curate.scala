@@ -349,11 +349,9 @@ object Curate {
     * becomes a straggler at scale. Kept tokens land NEAR budget
     * (hash-uniform); the kept set is a pure function of doc_id. */
   def tokenBudgetDf(docs: DataFrame, budget: Long): DataFrame = {
-    // NULL text would DIVERGE from the oracle un-coalesced: Spark's
-    // size(split(NULL)) is -1 (deflating totals and kept sums) while
-    // DuckDB's sum() skips the NULL — '' counts 1 token on both engines
-    val tok = docs.withColumn("n_tokens",
-      TextStats.wsTokens(coalesce(col("text"), lit(""))))
+    // wsTokens coalesces NULL text internally ('' = 1 token, matching
+    // the oracle's coalesce) — no call-site guard needed
+    val tok = docs.withColumn("n_tokens", TextStats.wsTokens(col("text")))
     val rates = tok.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("total_tokens"))
       .withColumn("rate",

@@ -37,11 +37,16 @@ object TextStats {
   }
 
   /** ONE definition of the whitespace token count — shared by T1, the
-    * D9 packer, and their specs, so token semantics cannot drift between
-    * the operator and the test that validates it (same device as
-    * TextHash's shared hashing kernels). */
+    * D9 packer, d17 budgeting, and their specs, so token semantics
+    * cannot drift between the operator and the test that validates it
+    * (same device as TextHash's shared hashing kernels). NULL coalesces
+    * to '' INSIDE the kernel: Spark's size(split(NULL)) is -1, which
+    * would deflate every token aggregate while a DuckDB oracle's sum/avg
+    * silently SKIPS the NULL row — fixing it per call site leaves every
+    * future caller to re-inherit the divergence. '' counts 1 token on
+    * both engines (matching oracles coalesce likewise). */
   def wsTokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    size(split(c, " "))
+    size(split(coalesce(c, lit("")), " "))
 
   /** T1 — token counting + length stats per language: whitespace tokens
     * and a regex tokenizer (word / number / punctuation classes — the
@@ -50,8 +55,8 @@ object TextStats {
   def t1TokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .withColumn("ws_tokens", wsTokens(col("text")))
-      .withColumn("re_tokens",
-        size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
+      .withColumn("re_tokens", size(expr(
+        "regexp_extract_all(lower(coalesce(text, '')), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         round(avg(col("n_chars")), 2).as("avg_chars"),
@@ -435,8 +440,8 @@ object TextStats {
     "t1_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         |  round(avg(n_chars), 2) AS avg_chars,
-        |  round(avg(len(string_split(text, ' '))), 2) AS avg_ws_tokens,
-        |  round(avg(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))), 2) AS avg_re_tokens,
+        |  round(avg(len(string_split(coalesce(text, ''), ' '))), 2) AS avg_ws_tokens,
+        |  round(avg(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))), 2) AS avg_re_tokens,
         |  CAST(max(length(text)) AS INT) AS max_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "t2_quality_score" ->

@@ -32,6 +32,8 @@ object IdHash {
   /** The same bucket as a DuckDB SQL fragment over `idExpr`
     * ((+2^32) % 2^32 is DuckDB's pmod — its % keeps the sign). */
   def sql(idExpr: String, buckets: Int): String =
-    s"CAST(floor(((((($idExpr % $Prime) * $Knuth) % $Mod32) + $Mod32) % $Mod32)" +
+    // (idExpr) fully parenthesized: a compound argument like "a + b"
+    // must hash the whole expression, not bind % tighter than +
+    s"CAST(floor((((((($idExpr) % $Prime) * $Knuth) % $Mod32) + $Mod32) % $Mod32)" +
       s" * $buckets / $Mod32.0) AS BIGINT)"
 }
