@@ -312,6 +312,27 @@ class StreamingSpec extends AnyFunSuite {
       s"duplicate or missing offsets after restart: $offsets")
   }
 
+  test("PII scrub composes into a stream unmodified (pure column ops)") {
+    // redactDf is per-row regex work with zero shuffle, so the same
+    // function that scrubs a batch corpus masks PII mid-stream.
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = graft.ext.Curate.redactDf(
+        in.toDF().toDF("doc_id", "text", "source"))
+      .select("doc_id", "redacted")
+      .writeStream.format("memory").queryName("pii_stream_out")
+      .outputMode("append").start()
+    in.addData(
+      (0L, "mail a@b.io today", "s"),
+      (1L, "clean text", "s"))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("pii_stream_out")
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == "mail [PII] today")
+    assert(out(1L) == "clean text")
+  }
+
   test("quality filter composes into a stream unmodified (pure column ops)") {
     // qualityFilterDf is stateless per-row work, so the SAME function
     // that curates a batch corpus drops low-quality docs mid-stream —
