@@ -117,6 +117,25 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("split assignment is a pure per-row filter into one report agg") {
+    // d16's split is a pure function of doc_id — nothing may shuffle
+    // before the (lang, split) groupBy + presentation sort
+    val (exchanges, p) = finalPlanShuffles("d16_split_assign")
+    assert(exchanges <= 2,
+      s"d16: expected hash + range exchange only, got $exchanges:\n$p")
+  }
+
+  test("token budget broadcasts the rate table; the corpus never shuffles") {
+    // the per-lang rate table must join back BROADCAST (it is
+    // strata-sized); a sort-merge join here would shuffle the corpus
+    val (exchanges, p) = finalPlanShuffles("d17_token_budget")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d17 rate join is not broadcast:\n$p")
+    // rate-agg exchange + kept-agg exchange + final sort at most; the
+    // corpus-side filter must not add one
+    assert(exchanges <= 4, s"d17: too many shuffles ($exchanges):\n$p")
+  }
+
   test("scalar pipelines stay inside whole-stage codegen") {
     // AQE finalizes codegen spans only at execution — run the query, then
     // read the final adaptive plan.
