@@ -18,7 +18,8 @@ object ScalingProbe {
     "d7_deduped_corpus", "sim2_ann_lsh", "sim3_neardup_pairs",
     "sim4_ivf_ann", "d10_decontaminate", "d12_semantic_dedup",
     "d13_pii_redact", "d14_quality_filter", "d15_fuzzy_decontaminate",
-    "t9_unigram_logprob", "sim6_knn_join")
+    "t9_unigram_logprob", "sim6_knn_join", "t5_vocab_topk", "t6_tfidf",
+    "d9_sequence_pack")
 
   def main(args: Array[String]): Unit = {
     val (base, big) = args match {
