@@ -105,6 +105,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("id-hash buckets spread stride-structured ids (the mod-trap regression)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // ids minted as shard + 100*seq by 100 parallel writers: under the
+    // old product-mod-100 bucketing (2654435761 ≡ 61 mod 100) every doc
+    // of a shard landed in ONE bucket, collapsing a 98/1/1 split. The
+    // high-bits kernel must spread each shard across many buckets.
+    for (shard <- Seq(0L, 7L, 42L)) {
+      val ids = (0L until 500L).map(seq => shard + 100L * seq).toDF("id")
+      val buckets = ids
+        .select(graft.functions.IdHash.bucket(col("id"), 100).as("b"))
+        .distinct().count()
+      assert(buckets > 50,
+        s"shard $shard stripes into only $buckets of 100 buckets")
+    }
+    // and the bucket range is respected
+    val all = (0L until 2000L).toDF("id")
+      .select(graft.functions.IdHash.bucket(col("id"), 100).as("b"))
+      .agg(min(col("b")), max(col("b"))).head()
+    assert(all.getLong(0) >= 0L && all.getLong(1) <= 99L)
+  }
+
   test("welford reduce+merge matches exact two-pass stats on 200 random splits") {
     val values = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
       Gen.oneOf(Gen.chooseNum(-1e3, 1e3), Gen.chooseNum(-1e3, 1e3).map(_ + 1e9))))
