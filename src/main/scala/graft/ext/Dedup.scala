@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -184,31 +184,119 @@ object Dedup {
       call_function("simhash64_text", col("text")).as("simhash"))
   }
 
-  /** D4 — SimHash near-dup pairs: Hamming-LSH via 4×16-bit chunks (two
-    * signatures within Hamming distance ≤3 of each other must agree on at
-    * least one chunk), exact bit_count(xor) verify on candidates. */
-  def d4SimhashPairs(spark: SparkSession, dir: String): DataFrame = {
-    val spark0 = spark
-    val sh = simhash(Tables.documents(spark0, dir))
-    val chunked = sh.select(col("doc_id"), col("simhash"),
-        explode(expr(
-          """transform(sequence(0, 3),
-            |  c -> struct(c AS chunk_id,
-            |    shiftright(simhash, c * 16) & 65535 AS chunk_key))""".stripMargin)).as("ch"))
-      .select(col("doc_id"), col("simhash"),
-        col("ch.chunk_id").as("chunk_id"), col("ch.chunk_key").as("chunk_key"))
-    val l = chunked.select(col("chunk_id"), col("chunk_key"),
+  /** Memoized per-(session, dir) documents row count — sizing
+    * [[blocksFor]] needs |corpus| but must not pay a count() job per
+    * query invocation. Same immutability contract as
+    * `Similarity.corpusSize`; refreshed by
+    * [[graft.ext.Similarity.invalidateCaches]]. Weak session keys: a
+    * stopped session's entries become collectable. */
+  private val docCountCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Long]]()
+  private[graft] def docsCount(spark: SparkSession, dir: String): Long =
+    docCountCache.synchronized {
+      var m = docCountCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, Long]
+        docCountCache.put(spark, m)
+      }
+      m
+    }.getOrElseUpdate(dir, Tables.documents(spark, dir).count())
+  private[ext] def invalidateCaches(spark: SparkSession): Unit =
+    docCountCache.synchronized(docCountCache.remove(spark))
+
+  /** Block boundaries for a b-block decomposition of the 64-bit
+    * signature: (shift, width) per block, widths differing by at most
+    * one bit. */
+  private[ext] def blockBounds(b: Int): Seq[(Int, Int)] = {
+    val base = 64 / b
+    val rem = 64 % b
+    var off = 0
+    (0 until b).map { i =>
+      val w = base + (if (i < rem) 1 else 0)
+      val out = (off, w)
+      off += w
+      out
+    }
+  }
+
+  /** Block count sized to the corpus — the Hamming analog of
+    * `Similarity.planesFor`. Joining on every (b−d)-block agreement key
+    * finds EXACTLY the pairs within Hamming distance d for ANY b ≥ d+1
+    * (d differing bits can touch at most d blocks, so some d-block
+    * complement agrees bit-for-bit — the block-permutation trick of
+    * Manku et al., WWW'07 §3), so b is a pure performance knob: C(b, d)
+    * join tables, but a key of ~64·(b−d)/b bits. A FIXED b=4 caps the
+    * key space at 2^16 buckets regardless of corpus size — expected
+    * candidates O(N²/2^16), quadratic asymptotically; growing b keeps
+    * the per-table candidate count linear in N. Chooses the smallest b
+    * (≤ 8; 40-bit keys ≈ 10^12 buckets, past any realistic corpus)
+    * whose WORST key (the d-block complement with the fewest bits)
+    * still gives ≥ 16 buckets per expected row under a uniform-bits
+    * model. */
+  private[graft] def blocksFor(n: Long, maxHamming: Int = 3): Int =
+    (maxHamming + 1 to 8).find { b =>
+      val keyBits =
+        blockBounds(b).map(_._2).sorted.take(b - maxHamming).sum
+      keyBits >= 62 || n.toDouble * 16 <= math.pow(2.0, keyBits)
+    }.getOrElse(8)
+
+  /** The C(b, b−d) agreement keys for one signature, in a fixed combo
+    * order (array position = combo id): each key packs the bits of one
+    * (b−d)-subset of blocks into a long. Arithmetic shift then mask, so
+    * the sign bit can't smear across a block. */
+  private[graft] def comboKeys(simhash: Column, blocks: Int,
+                               maxHamming: Int): Column = {
+    val bounds = blockBounds(blocks)
+    val combos = (0 until blocks).combinations(blocks - maxHamming).toSeq
+    array(combos.map { combo =>
+      var packed = 0
+      var key: Column = lit(0L)
+      combo.foreach { i =>
+        val (sh, w) = bounds(i)
+        val block = shiftright(simhash, sh).bitwiseAND(lit((1L << w) - 1L))
+        key = key.bitwiseOR(shiftleft(block, packed))
+        packed += w
+      }
+      key
+    }: _*)
+  }
+
+  /** D4 — SimHash near-dup pairs: Hamming-LSH via b-block agreement
+    * keys (signatures within Hamming distance ≤ maxHamming must agree
+    * exactly on some (b−maxHamming)-block subset), exact
+    * bit_count(xor) verify on candidates. The pair set is
+    * b-INDEPENDENT (asserted in DedupSpec): b only shapes the candidate
+    * join. */
+  def d4SimhashPairs(spark: SparkSession, dir: String): DataFrame =
+    simhashPairsDf(Tables.documents(spark, dir),
+      blocks = blocksFor(docsCount(spark, dir)))
+
+  /** Same pipeline over any (doc_id, text) frame — unit-testable, with
+    * the block count injectable so specs can pin pair-set invariance
+    * across b. */
+  def simhashPairsDf(documents: DataFrame, blocks: Int = 4,
+                     maxHamming: Int = 3): DataFrame = {
+    require(blocks > maxHamming && blocks <= 16,
+      s"need maxHamming < blocks <= 16, got blocks=$blocks maxHamming=$maxHamming")
+    // Null signatures (null/empty text) drop here rather than riding the
+    // explode as C(b,d) null-key rows the join would discard anyway.
+    val sh = simhash(documents).filter(col("simhash").isNotNull)
+    val keyed = sh.select(col("doc_id"), col("simhash"),
+      posexplode(comboKeys(col("simhash"), blocks, maxHamming))
+        .as(Seq("combo_id", "combo_key")))
+    val l = keyed.select(col("combo_id"), col("combo_key"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
-    val r = chunked.select(col("chunk_id"), col("chunk_key"),
+    val r = keyed.select(col("combo_id"), col("combo_key"),
       col("doc_id").as("id_b"), col("simhash").as("sh_b"))
-    l.join(r, Seq("chunk_id", "chunk_key"))
+    l.join(r, Seq("combo_id", "combo_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("bit_count(sh_a ^ sh_b)").as("hamming"))
       // Hamming verify BEFORE distinct: the filter is per-row and free,
       // while distinct is a shuffle — shuffling only surviving pairs
-      // instead of every chunk-collision candidate.
-      .filter(col("hamming") <= 3)
+      // instead of every key-collision candidate.
+      .filter(col("hamming") <= maxHamming)
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -59,11 +59,13 @@ object Similarity {
     perSession(sizeCache, spark).getOrElseUpdate(dir,
       Tables.embeddings(spark, dir).count())
 
-  /** Drop this session's memoized corpus sizes and IVF indexes — call
-    * after rewriting a served dir's data in place. */
+  /** Drop this session's memoized corpus sizes (embeddings AND
+    * documents) and IVF indexes — the one public invalidation entry
+    * point; call after rewriting a served dir's data in place. */
   def invalidateCaches(spark: SparkSession): Unit = {
     sizeCache.synchronized(sizeCache.remove(spark))
     ivfCache.synchronized(ivfCache.remove(spark))
+    Dedup.invalidateCaches(spark)
   }
 
   /** SIM1 — brute-force cosine top-k vs the vec_id=0 query vector. */

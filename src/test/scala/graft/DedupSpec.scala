@@ -69,6 +69,58 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming01 < hamming03) // near-dup closer than unrelated
   }
 
+  test("simhash pair set equals brute-force Hamming pairs, for EVERY block count") {
+    // A corpus with planted signature structure: near-identical docs land
+    // within Hamming ≤ 3 of each other, unrelated ones far away. The
+    // b-block agreement join must find EXACTLY the brute-force pair set —
+    // the Manku decomposition is exact, not approximate — and the set
+    // must be IDENTICAL for every b (b shapes only the candidate join).
+    val corpus = docs.union(Seq(
+      (5L, base),                                  // exact dup of 0
+      (6L, base + " again and again and again")    // further variant
+    ).toDF("doc_id", "text"))
+    val sh = Dedup.simhash(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- sh.keys; b <- sh.keys if a < b
+      if java.lang.Long.bitCount(sh(a) ^ sh(b)) <= 3
+    } yield (a, b)).toSet
+    assert(brute.contains((0L, 5L))) // planted exact dup is in range
+    for (b <- Seq(4, 5, 6, 8)) {
+      val got = Dedup.simhashPairsDf(corpus, blocks = b)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(got == brute, s"blocks=$b pair set diverged from brute force")
+    }
+  }
+
+  test("blocksFor grows the key space with the corpus, capped at 8 blocks") {
+    assert(Dedup.blocksFor(1000L) == 4)        // small corpus → cheapest join
+    assert(Dedup.blocksFor(100000L) == 5)      // past 2^16/16 → more blocks
+    assert(Dedup.blocksFor(10000000L) == 6)
+    assert(Dedup.blocksFor(100000000000L) == 8) // cap: 40-bit keys suffice
+    // monotone: a bigger corpus never gets a smaller key space
+    val bs = Seq(1L, 1000L, 100000L, 10000000L, 1000000000L, 100000000000L)
+      .map(Dedup.blocksFor(_))
+    assert(bs == bs.sorted)
+  }
+
+  test("comboKeys: agreement on some (b-d)-subset iff Hamming <= d holds as designed") {
+    // Two signatures differing in exactly 4 bits spread over 4 different
+    // blocks of a b=4 split share NO agreement key (distance above d=3);
+    // differing in 3 bits inside ONE block, they share the key of every
+    // combo avoiding that block.
+    val x = 0L
+    val threeInOneBlock = java.lang.Long.parseLong("111", 2) // bits 0-2, block 0
+    val fourSpread = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val df = Seq((0L, x), (1L, threeInOneBlock), (2L, fourSpread))
+      .toDF("doc_id", "simhash")
+    val keys = df.select(col("doc_id"),
+        Dedup.comboKeys(col("simhash"), 4, 3).as("ks"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys(0L).zip(keys(1L)).count { case (a, b) => a == b } == 3)
+    assert(keys(0L).zip(keys(2L)).forall { case (a, b) => a != b })
+  }
+
   test("null/empty/short texts are excluded, never crash the LSH pipelines") {
     val messy = Seq(
       (0L, base), (1L, base + " tonight"),
