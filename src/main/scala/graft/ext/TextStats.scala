@@ -150,24 +150,35 @@ object TextStats {
   /** T6 — TF-IDF top terms per document (first 20 docs): the classic
     * relevance weighting, fully relational. Three aggregates share the
     * one exploded token frame: per-(doc, token) tf, per-token document
-    * frequency, and the corpus size; idf joins back BROADCAST (the
-    * token-df table is vocabulary-sized, not corpus-sized), and the
-    * per-doc top-3 is a partitioned window, never a global sort. Scores
-    * round(4) BEFORE ranking so engine libm ulps can't flip ranks. */
+    * frequency, and the corpus size. EVERY post-scan stage is bounded
+    * by the TARGET docs' token set, never the corpus vocabulary: a
+    * web-scale corpus has 10⁸-10⁹ distinct tokens (typos, ids), so a
+    * vocabulary-sized frame must neither broadcast nor shuffle — the
+    * full token stream is touched exactly once, by the df count's
+    * map-side semi-filtered pass. The per-doc top-3 is a partitioned
+    * window, never a global sort. Scores round(4) BEFORE ranking so
+    * engine libm ulps can't flip ranks. */
   def t6TfIdf(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(spark, dir)
     val tokens = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
-    val tf = tokens.groupBy(col("doc_id"), col("token"))
+    val tf = tokens.filter(col("doc_id") < 20)
+      .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // df from the tf frame, not a second tokenization pass: tf already
-    // holds exactly one row per (doc, token), so document frequency is a
-    // plain count per token over a frame that is vocabulary×docs-sized —
-    // the raw token stream is scanned once, not twice.
-    val dfreq = tf.groupBy(col("token"))
-      .agg(count(lit(1)).as("df"))
+    // Document frequency IS corpus-wide (that's idf's denominator), but
+    // it is only needed for tokens the target docs contain: the
+    // broadcast semi-join keeps non-target tokens out of the df
+    // aggregate entirely, so the count's shuffle AND the subsequent
+    // broadcast are bounded by |target docs × tokens/doc|, independent
+    // of corpus vocabulary. One row per (doc, token) via distinct
+    // before the per-token count.
+    val targetTokens = tf.select(col("token")).distinct()
+    val dfreq = tokens
+      .join(broadcast(targetTokens), Seq("token"), "left_semi")
+      .select(col("doc_id"), col("token")).distinct()
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.select(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("tfidf").desc, col("token"))
@@ -175,7 +186,6 @@ object TextStats {
       .crossJoin(broadcast(nDocs))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
-      .filter(col("doc_id") < 20)
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("doc_id"), col("rnk"), col("token"), col("tf"), col("tfidf"))

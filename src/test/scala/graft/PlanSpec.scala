@@ -106,6 +106,18 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark-gram probe is not a broadcast semi-join:\n$p")
   }
 
+  test("tf-idf bounds its df table by the target docs' tokens before broadcasting") {
+    // df is corpus-wide by definition, but only target-doc tokens may
+    // reach the df aggregate: without the broadcast semi-filter the df
+    // frame is VOCABULARY-sized (10^8-10^9 tokens at web scale) and its
+    // broadcast is the 100 TB failure. Same same-line rule as d10: the
+    // semi-join itself must be the broadcast.
+    val p = plan("t6_tfidf")
+    assert(p.linesIterator.exists(l =>
+      l.contains("BroadcastHashJoin") && l.contains("LeftSemi")),
+      s"df side is not bounded by a broadcast semi-join:\n$p")
+  }
+
   test("PII scrub and quality filter shuffle only for the final funnel agg") {
     // both docstrings claim 'zero shuffle before the per-source agg':
     // one hash exchange for the groupBy plus at most the presentation
