@@ -108,15 +108,23 @@ object Dedup {
   private def jaccardVerify(candidates: DataFrame, documents: DataFrame,
                             threshold: Double): DataFrame = {
     val hashSets = hashedDocs(documents)
+    jaccardVerifySets(candidates, hashSets, hashSets, threshold)
+  }
+
+  /** Same verify with the two sides' (doc_id, sh_hashes) frames supplied
+    * separately — the incremental path reads the index side from a
+    * persisted hash table instead of recomputing it. */
+  private def jaccardVerifySets(candidates: DataFrame,
+                                setsA: DataFrame, setsB: DataFrame,
+                                threshold: Double): DataFrame =
     candidates
-      .join(hashSets.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a")), Seq("id_a"))
-      .join(hashSets.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b")), Seq("id_b"))
+      .join(setsA.select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a")), Seq("id_a"))
+      .join(setsB.select(col("doc_id").as("id_b"), col("sh_hashes").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", round(
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
 
   /** Fuzzy benchmark decontamination — d10's exact n-gram rule catches
     * verbatim eval leaks; this catches PARAPHRASED ones: a training doc
@@ -202,8 +210,10 @@ object Dedup {
       }
       m
     }.getOrElseUpdate(dir, Tables.documents(spark, dir).count())
-  private[ext] def invalidateCaches(spark: SparkSession): Unit =
+  private[ext] def invalidateCaches(spark: SparkSession): Unit = {
     docCountCache.synchronized(docCountCache.remove(spark))
+    bandIndexCache.synchronized(bandIndexCache.remove(spark))
+  }
 
   /** Block boundaries for a b-block decomposition of the 64-bit
     * signature: (shift, width) per block, widths differing by at most
@@ -544,13 +554,112 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** (doc_id, idx_key) band rows with band_id and band_key folded into
+    * ONE 64-bit key: a persisted index bucketed by `idx_key` then joins
+    * new batches on exactly its bucket column, which is the strongest
+    * no-shuffle guarantee Spark's bucketing gives (a multi-column join
+    * over a single-column bucketing depends on shuffle-spec
+    * compatibility; a single-column equi-join does not). A cross-band
+    * hash collision only creates a false CANDIDATE, which the Jaccard
+    * verify removes. */
+  private def indexKeyed(documents: DataFrame,
+                         bands: Int, rowsPerBand: Int): DataFrame =
+    bandedDocs(documents, bands, rowsPerBand)
+      .select(col("doc_id"),
+        xxhash64(col("band_id"), col("band_key")).as("idx_key"))
+
+  /** D18 ingest half — persist a corpus's LSH dedup index as two
+    * bucketed catalog tables: `<name>_bands` (doc_id, idx_key) bucketed
+    * by idx_key for the candidate join, and `<name>_hashes`
+    * (doc_id, sh_hashes) bucketed by doc_id for the Jaccard verify. The
+    * banding/hashing shuffle is paid ONCE at ingest; every subsequent
+    * batch dedups against the index with no corpus-side shuffle — the
+    * daily-crawl production shape (a 100 TB corpus re-bands in the
+    * all-pairs design on EVERY ingest; here it never re-bands). */
+  def writeBandIndex(documents: DataFrame, name: String, nBuckets: Int = 8,
+                     bands: Int = 8, rowsPerBand: Int = 4): Unit = {
+    graft.sources.Sources.writeBucketed(
+      indexKeyed(documents, bands, rowsPerBand),
+      nBuckets, "idx_key", s"${name}_bands")
+    graft.sources.Sources.writeBucketed(
+      hashedDocs(documents), nBuckets, "doc_id", s"${name}_hashes")
+  }
+
+  /** The batch↔index candidate join, pre-verify — exposed for the plan
+    * spec, which pins "no Exchange on the index side". */
+  private[graft] def incrementalCandidates(batch: DataFrame, indexName: String,
+                                           bands: Int, rowsPerBand: Int): DataFrame =
+    indexKeyed(batch, bands, rowsPerBand).as("l")
+      .join(batch.sparkSession.table(s"${indexName}_bands").as("r"), Seq("idx_key"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+
+  /** D18 serve half — near-dup pairs between a NEW batch and the
+    * persisted index: batch bands (tiny) equi-join the bucketed index,
+    * Jaccard verify reads batch hashes fresh and index hashes from the
+    * persisted hash table. Both index-side joins run against bucketed
+    * layouts, so the existing corpus is never shuffled — only scanned.
+    * doc_ids must be unique across batch and index (they key the
+    * verify). */
+  def incrementalPairs(batch: DataFrame, indexName: String,
+                       bands: Int = 8, rowsPerBand: Int = 4,
+                       threshold: Double = 0.4): DataFrame = {
+    val spark = batch.sparkSession
+    val candidates = incrementalCandidates(batch, indexName, bands, rowsPerBand)
+      .distinct()
+    val setsA = hashedDocs(batch)
+    val setsB = spark.table(s"${indexName}_hashes")
+    jaccardVerifySets(candidates, setsA, setsB, threshold)
+  }
+
+  /** Memoized per-(session, dir) D18 index registration: the registered
+    * harness query must not rebuild the index on every invocation —
+    * ingest runs once, serving is the measured path (same memo contract
+    * as sim4's IVF index). */
+  private val bandIndexCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def bandIndexFor(spark: SparkSession, dir: String): String =
+    bandIndexCache.synchronized {
+      var m = bandIndexCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        bandIndexCache.put(spark, m)
+      }
+      m
+    }.getOrElseUpdate(dir, {
+      val name = "d18idx_" + (scala.util.hashing.MurmurHash3.stringHash(dir) & Int.MaxValue)
+      writeBandIndex(
+        Tables.documents(spark, dir).filter(col("doc_id") % Curate.BenchMod =!= 0),
+        name)
+      name
+    })
+
+  /** D18 — incremental dedup report: treat the id-mod slice as today's
+    * batch (same convention as d10/d15's bench split), dedup it against
+    * the persisted index of the REST of the corpus, and report per-source
+    * batch size and duplicate count. Rows-only (band keys are
+    * engine-specific); batch-vs-index ≡ full-recompute equivalence is
+    * pinned in DedupSpec. */
+  def d18IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val idx = bandIndexFor(spark, dir)
+    val batch = Tables.documents(spark, dir)
+      .filter(col("doc_id") % Curate.BenchMod === 0)
+    val dup = incrementalPairs(batch, idx)
+      .select(col("id_a").as("doc_id")).distinct().withColumn("d", lit(1))
+    batch.join(dup, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_batch"), count(col("d")).as("n_dup"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash_pairs" -> d4SimhashPairs,
     "d5_ngram_jaccard" -> d5NgramJaccard,
     "d6_dedup_clusters" -> d6DedupClusters,
     "d7_deduped_corpus" -> d7DedupedCorpus,
-    "d15_fuzzy_decontaminate" -> d15FuzzyDecontaminate
+    "d15_fuzzy_decontaminate" -> d15FuzzyDecontaminate,
+    "d18_incremental_dedup" -> d18IncrementalDedup
   )
 
   /** Shared oracle fragment: the d5 shingle CTE + pair predicate. ONE

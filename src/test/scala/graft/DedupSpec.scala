@@ -136,6 +136,48 @@ class DedupSpec extends AnyFunSuite {
     assert(sh(0L).nonEmpty)
   }
 
+  private val batchDocs = Seq(
+    (100L, base + " tonight again"), // near-dup of 0/1/2 — must resolve via the index
+    (101L, "entirely novel content about streaming watermarks and stateful aggregation windows here")
+  ).toDF("doc_id", "text")
+
+  test("incremental dedup vs persisted index == full recompute restricted to the batch") {
+    Dedup.writeBandIndex(docs, "t_d18_eq")
+    val inc = Dedup.incrementalPairs(batchDocs, "t_d18_eq")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (math.min(a, b), math.max(a, b), j) }.toSet
+    // The ground truth the production shape must reproduce: re-band
+    // EVERYTHING and keep only pairs with exactly one batch endpoint.
+    val batchIds = Set(100L, 101L)
+    val full = Dedup.minhashPairsDf(docs.unionByName(batchDocs))
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .filter { case (a, b, _) => batchIds.contains(a) ^ batchIds.contains(b) }
+      .toSet
+    assert(inc == full)
+    assert(inc.exists { case (_, b, _) => b == 100L }) // planted dup found via index
+    assert(!inc.exists { case (_, b, _) => b == 101L }) // novel doc stays clean
+  }
+
+  test("the index side of the incremental candidate join is never shuffled") {
+    Dedup.writeBandIndex(docs, "t_d18_plan")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Force the shuffle-join path: at production scale the daily batch
+    // can exceed the broadcast threshold, and the no-reshuffle guarantee
+    // on the 100 TB index side must not depend on the batch being tiny.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val cand = Dedup.incrementalCandidates(batchDocs, "t_d18_plan", 8, 4)
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // Exactly ONE exchange: the batch side's (freshly banded, it cannot
+      // satisfy the join distribution without one). The index side reads
+      // its bucketed layout — zero corpus-side shuffle, which is the
+      // entire point of persisting the index.
+      val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+      assert(exchanges == 1, s"expected only the batch-side exchange, got $exchanges:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("connected components resolve chains, singletons, and merges") {
     // components: {0,1,2,3} via a chain, {10,11}, {20} isolated
     val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
