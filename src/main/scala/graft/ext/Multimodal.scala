@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -154,15 +154,73 @@ object Multimodal {
       .toDF()
   }
 
+  /** MM4 — cross-modal alignment filter, the CLIP-score-shaped quality
+    * gate the multimodal tier feeds: each document joins its embedding
+    * row by id and scores alignment as cosine against a broadcast
+    * reference vector (vec_id 0 here; a production run passes the paired
+    * other-modality encoder output), then reports the per-source keep
+    * funnel at the alignment threshold. At 100 TB the doc↔embedding
+    * join is fact↔fact — one shuffle by id, or zero if both tables are
+    * pre-bucketed by id ([[graft.sources.Sources.writeBucketed]]); the
+    * reference is a broadcast singleton. Scores are computed in double
+    * and round(4) BEFORE thresholding/averaging so engine libm ulps
+    * can't flip a keep decision; zero-norm embeddings yield NaN cosine
+    * and are excluded (NaN-guarded like sim6). */
+  def mm4AlignmentFilter(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    mm4AlignmentFilterDf(
+      Tables.documents(spark, dir).filter(col("doc_id") =!= 0), emb,
+      emb.filter(col("doc_id") === 0))
+  }
+
+  /** Same filter over caller-supplied frames: `refEmb` must hold exactly
+    * one (.., embedding) row — the reference the whole corpus aligns
+    * against. */
+  def mm4AlignmentFilterDf(docs: DataFrame, emb: DataFrame,
+                           refEmb: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val asD = (c: Column) => transform(c, x => x.cast("double"))
+    val ref = refEmb.select(asD(col("embedding")).as("ref"))
+    docs.select(col("doc_id"), col("source"))
+      .join(emb.select(col("doc_id"), asD(col("embedding")).as("emb")), Seq("doc_id"))
+      .crossJoin(broadcast(ref))
+      .withColumn("align",
+        round(graft.functions.VectorOps.vecCosine(spark, col("emb"), col("ref")), 4))
+      .filter(!isnan(col("align")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("align") >= 0.0, 1L).otherwise(0L)).as("n_kept"),
+        round(avg(col("align")), 4).as("avg_align"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm2_decode_features" -> mm2DecodeFeatures,
-    "mm3_frame_sample" -> mm3FrameSample
+    "mm3_frame_sample" -> mm3FrameSample,
+    "mm4_alignment_filter" -> mm4AlignmentFilter
   )
 
   /** The fake decode is pure arithmetic on octet_length + md5, so DuckDB
     * can replicate it exactly — the oracle verifies the whole decode →
     * extract → sample dataflow, not just row counts. */
   val oracle: Map[String, String] = Map(
+    "mm4_alignment_filter" ->
+      """WITH ref AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS ref
+        |  FROM embeddings WHERE vec_id = 0),
+        |j AS (
+        |  SELECT d.source,
+        |    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ref), 4) AS align
+        |  FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id
+        |  CROSS JOIN ref
+        |  WHERE d.doc_id <> 0),
+        |k AS (SELECT source, align FROM j WHERE NOT isnan(align))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN align >= 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  round(avg(align), 4) AS avg_align
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "mm2_decode_features" ->
       """WITH m AS (
         |  SELECT octet_length(encode(text)) AS L, md5(text) AS fp

@@ -74,4 +74,21 @@ class MultimodalSpec extends AnyFunSuite {
       assert(m.byte_len == o.byte_len)       // source bytes untouched
     }
   }
+
+  test("mm4 alignment funnel: keeps aligned docs, drops anti-aligned, skips zero-norm") {
+    val docs = Seq(
+      (1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sB")
+    ).toDF("doc_id", "source")
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),   // cos +1 vs ref → kept
+      (2L, Array(-1.0f, 0.0f)),  // cos −1 → counted, not kept
+      (3L, Array(0.0f, 1.0f)),   // cos 0 → kept (>= 0)
+      (4L, Array(0.0f, 0.0f))    // zero norm → NaN → excluded entirely
+    ).toDF("doc_id", "embedding")
+    val ref = Seq((0L, Array(1.0f, 0.0f))).toDF("doc_id", "embedding")
+    val out = Multimodal.mm4AlignmentFilterDf(docs, emb, ref)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("sA") == ((2L, 1L, 0.0)))  // (+1 + −1)/2 = 0
+    assert(out("sB") == ((1L, 1L, 0.0)))  // NaN doc 4 never enters the funnel
+  }
 }
