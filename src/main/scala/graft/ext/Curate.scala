@@ -348,10 +348,17 @@ object Curate {
     * cumulative cutoff needs a per-stratum sort whose skewed big stratum
     * becomes a straggler at scale. Kept tokens land NEAR budget
     * (hash-uniform); the kept set is a pure function of doc_id. */
-  def tokenBudgetDf(docs: DataFrame, budget: Long): DataFrame = {
+  def tokenBudgetDf(docs: DataFrame, budget: Long): DataFrame =
     // wsTokens coalesces NULL text internally ('' = 1 token, matching
     // the oracle's coalesce) — no call-site guard needed
-    val tok = docs.withColumn("n_tokens", TextStats.wsTokens(col("text")))
+    tokenBudgetOn(
+      docs.withColumn("n_tokens", TextStats.wsTokens(col("text"))), budget)
+
+  /** The budget machinery over ANY (doc_id, lang, n_tokens) frame — the
+    * token counter is pluggable: whitespace words (d17) or the subword
+    * encoder (d17_bpe), which is what real context windows are sized
+    * in. */
+  def tokenBudgetOn(tok: DataFrame, budget: Long): DataFrame = {
     val rates = tok.groupBy(col("lang"))
       .agg(sum(col("n_tokens")).as("total_tokens"))
       .withColumn("rate",
@@ -373,6 +380,17 @@ object Curate {
   def d17TokenBudget(spark: SparkSession, dir: String): DataFrame =
     tokenBudgetDf(Tables.documents(spark, dir), budget = 2000L)
 
+  /** D17 subword variant — the same budget pass with n_tokens from the
+    * BPE kernel: whitespace counts under-shoot real context-window cost
+    * (subwords ≥ words), so production budgets are set in subword units.
+    * Rows-only (no SQL engine replays BPE); the encoder itself is
+    * oracle'd by hand-computed encodings in BpeTokenizerSpec and the
+    * budget machinery by d17's own hash-green oracle. */
+  def d17BpeBudget(spark: SparkSession, dir: String): DataFrame =
+    tokenBudgetOn(
+      graft.functions.BpeTokenizer.bpeTokenCounts(Tables.documents(spark, dir)),
+      budget = 2000L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d10_decontaminate" -> d10Decontaminate,
     "d11_rebalance" -> d11Rebalance,
@@ -380,7 +398,8 @@ object Curate {
     "d13_pii_redact" -> d13PiiRedact,
     "d14_quality_filter" -> d14QualityFilter,
     "d16_split_assign" -> d16SplitAssign,
-    "d17_token_budget" -> d17TokenBudget
+    "d17_token_budget" -> d17TokenBudget,
+    "d17_bpe_budget" -> d17BpeBudget
   )
 
   val oracle: Map[String, String] = Map(

@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair subword tokenizer kernel (greedy lowest-rank merging, the
+  * standard BPE scheme of Sennrich et al., ACL 2016): a word starts as
+  * characters and repeatedly fuses the adjacent pair with the lowest
+  * merge rank until no ranked pair remains. Token counts from THIS
+  * kernel — not whitespace words — are what production context-window
+  * budgeting (d9 packing, d17 budgets) is actually shaped by.
+  *
+  * Scale design: the merge table is a BROADCAST (vocab-sized, shared by
+  * every task), the encoder runs once per partition with a per-partition
+  * word→count cache (word frequency is Zipfian, so the cache absorbs
+  * almost all encode calls), and the output carries only
+  * (doc_id, lang, n_tokens) — text never leaves the scan's partition.
+  * Same resource pattern as T7's per-partition Deflater
+  * (ext/TextStats.scala).
+  */
+object BpeTokenizer {
+
+  /** Deterministic demo merge table — a production run loads the
+    * tokenizer's real ranked merges; everything downstream is
+    * table-agnostic. Order IS the rank. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("an", "d"), ("o", "u"), ("r", "e"), ("o", "n"), ("s", "t"),
+    ("e", "s"), ("a", "r"), ("in", "g"), ("o", "r"), ("e", "n"))
+
+  /** Encode ONE word: greedy lowest-rank adjacent merge to a fixpoint.
+    * Deterministic for any ranks map (ties broken leftmost). */
+  def encodeWord(word: String,
+                 ranks: Map[(String, String), Int]): Vector[String] = {
+    if (word.isEmpty) return Vector.empty
+    var syms = word.map(_.toString).toVector
+    var done = false
+    while (!done && syms.length > 1) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+        syms.drop(bestIdx + 2)
+    }
+    syms
+  }
+
+  private[graft] def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
+    merges.zipWithIndex.toMap
+
+  /** (doc_id, lang, n_tokens) for every document, n_tokens = subword
+    * count under `merges`. Null text counts 0 tokens (there is nothing
+    * to budget — unlike wsTokens' ''=1 oracle convention, this count
+    * feeds no SQL oracle). */
+  def bpeTokenCounts(docs: DataFrame,
+                     merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(ranksOf(merges))
+    docs
+      .select(col("doc_id"), col("lang"),
+        lower(coalesce(col("text"), lit(""))).as("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        val ranks = bc.value
+        val cache = scala.collection.mutable.HashMap.empty[String, Int]
+        it.map { case (id, lang, text) =>
+          var n = 0L
+          text.split(' ').foreach { w =>
+            if (w.nonEmpty)
+              n += cache.getOrElseUpdate(w, encodeWord(w, ranks).length)
+          }
+          (id, lang, n)
+        }
+      }
+      .toDF("doc_id", "lang", "n_tokens")
+  }
+}

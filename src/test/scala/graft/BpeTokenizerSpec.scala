@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.BpeTokenizer
+
+/** The BPE kernel against hand-computed encodings (ranks below refer to
+  * DefaultMerges positions), plus the Spark-side wiring invariants. */
+class BpeTokenizerSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val ranks = BpeTokenizer.ranksOf(BpeTokenizer.DefaultMerges)
+
+  test("encodeWord follows merge ranks exactly (hand-computed)") {
+    // t,h,e → (t,h)@0 → th,e → (th,e)@1 → the
+    assert(BpeTokenizer.encodeWord("the", ranks) == Vector("the"))
+    // s,t,a,n,d → (a,n)@4 beats (s,t)@9 → s,t,an,d → (an,d)@5 → s,t,and
+    //  → (s,t)@9 → st,and
+    assert(BpeTokenizer.encodeWord("stand", ranks) == Vector("st", "and"))
+    // r,e,s,t → (r,e)@7 beats (s,t)@9 → re,s,t → (s,t)@9 → re,st
+    assert(BpeTokenizer.encodeWord("rest", ranks) == Vector("re", "st"))
+    // t,h,e,r → th,e,r → the,r; ("the","r") unranked → stops
+    assert(BpeTokenizer.encodeWord("ther", ranks) == Vector("the", "r"))
+    // no ranked pair at all → stays characters
+    assert(BpeTokenizer.encodeWord("xyz", ranks) == Vector("x", "y", "z"))
+    assert(BpeTokenizer.encodeWord("", ranks) == Vector.empty)
+    assert(BpeTokenizer.encodeWord("q", ranks) == Vector("q"))
+  }
+
+  test("merge priority is by rank, not left-to-right scan order") {
+    // o,u,t: (o,u)@6 exists; with a scan-order (leftmost-pair-first)
+    // bug the result is the same here, so force a case where it differs:
+    // e,r,e — (e,r)@3 at idx 0, (r,e)@7 at idx 1. Rank order fuses
+    // (e,r) first → er,e (no further merge). A rank-ignoring
+    // leftmost-first encoder happens to agree; so check a,r,e:
+    // (a,r)@11 vs (r,e)@7 → (r,e) wins despite being RIGHTMOST → a,re.
+    assert(BpeTokenizer.encodeWord("are", ranks) == Vector("a", "re"))
+  }
+
+  test("bpeTokenCounts: per-doc sums, null text = 0, case-folded, layout-invariant") {
+    val docs = Seq(
+      (0L, "The rest", "en"),   // the→1, rest→2 (case-folded)
+      (1L, "stand stand", "en"),// 2 + 2
+      (2L, null.asInstanceOf[String], "de"),
+      (3L, "", "de"),
+      (4L, "xyz", "de")         // 3 single chars
+    ).toDF("doc_id", "text", "lang")
+    val expect = Map(0L -> 3L, 1L -> 4L, 2L -> 0L, 3L -> 0L, 4L -> 3L)
+    val one = BpeTokenizer.bpeTokenCounts(docs.repartition(1))
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    val many = BpeTokenizer.bpeTokenCounts(docs.repartition(5))
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(one == expect)
+    assert(many == expect) // per-partition cache cannot change counts
+  }
+
+  test("d17 BPE budget: rates derive from subword totals, kept <= total per lang") {
+    val docs = Seq(
+      (0L, "the the the the", "en"),
+      (1L, "stand rest stand rest", "en"),
+      (2L, "xyz xyz", "de")
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.ext.Curate.tokenBudgetOn(
+        BpeTokenizer.bpeTokenCounts(docs), budget = 6L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(4)))).toMap
+    // en total = 4 + 8 = 12 subwords → rate 0.5; de total = 6 → rate 1.0
+    assert(out("en")._1 == 12L && out("en")._2 == 0.5)
+    assert(out("de")._1 == 6L && out("de")._2 == 1.0)
+    assert(out("de")._3 == 6L)            // rate 1 keeps everything
+    assert(out("en")._3 <= out("en")._1)  // kept never exceeds total
+  }
+}
