@@ -86,30 +86,42 @@ object WindowFns {
       .orderBy(col("event_id"))
   }
 
-  /** W6 — batch sessionization: the gap-based session assignment
-    * (chained windows: lag → boundary flag → running sum = session id)
-    * that is the batch twin of the streaming session windows in
-    * streaming/Windows.scala. Two windows share ONE partition+sort (both
-    * keyed user_id/event_id — Spark evaluates them in a single Window
-    * exchange+sort), then a per-session aggregate. Gap threshold 30 min
-    * on second-truncated epochs so both engines compare identical
-    * integers. */
-  def w6Sessionize(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+  /** THE gap-based session assignment (chained windows: lag → boundary
+    * flag → running sum = session id), shared by w6 and the
+    * batch↔streaming parity spec. Boundary rule: a NEW session starts
+    * only when the gap since the previous event EXCEEDS gapSeconds —
+    * the same inclusive merge boundary as streaming `session_window`
+    * (an event exactly `gap` after its predecessor still merges;
+    * verified empirically by the parity spec's exact-boundary case), so
+    * the two session definitions cannot drift at the boundary. The
+    * two windows share ONE partition+sort (both keyed
+    * user_id/`orderCol` — Spark evaluates them in a single Window
+    * exchange+sort). Epochs are second-truncated so both engines
+    * compare identical integers. */
+  def sessionAssign(events: DataFrame, gapSeconds: Long,
+                    orderCol: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col(orderCol))
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(spark, dir)
-      .filter(col("user_id") < 50)
+    events
       .withColumn("epoch_s", unix_timestamp(col("ts")))
       .withColumn("gap", col("epoch_s") - lag(col("epoch_s"), 1).over(w))
       .withColumn("new_sess",
-        when(col("gap").isNull || col("gap") > 1800, 1L).otherwise(0L))
+        when(col("gap").isNull || col("gap") > gapSeconds, 1L).otherwise(0L))
       .withColumn("session_seq", sum(col("new_sess")).over(wRun))
+  }
+
+  /** W6 — batch sessionization: [[sessionAssign]] (30-min gap, event_id
+    * order) + a per-session aggregate — the batch twin of the streaming
+    * session windows in streaming/Windows.scala, pinned to them by the
+    * parity test in StreamingSpec. */
+  def w6Sessionize(spark: SparkSession, dir: String): DataFrame =
+    sessionAssign(Tables.events(spark, dir).filter(col("user_id") < 50),
+      gapSeconds = 1800L, orderCol = "event_id")
       .groupBy(col("user_id"), col("session_seq"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value")), 2).as("session_value"),
         (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"))
       .orderBy(col("user_id"), col("session_seq"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w6_sessionize" -> w6Sessionize,

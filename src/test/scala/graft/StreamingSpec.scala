@@ -90,6 +90,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(sessions(1).getAs[Long]("n_events") == 1)
   }
 
+  test("batch sessionAssign reproduces streaming session_window exactly (parity)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // Deterministic replay with a gap EXACTLY at the 5-minute threshold
+    // (user 9): session_window's merge boundary is INCLUSIVE — the
+    // 10:05:00 event still merges (verified: streaming emits ONE
+    // 3-event session for user 9) — so the batch rule must be
+    // `gap > threshold` starts a session, not `>=`. This is exactly the
+    // boundary where the two definitions could silently drift.
+    val evs = Seq(
+      Ev(t("2024-01-01 10:00:00"), "click", 7, 1.0),
+      Ev(t("2024-01-01 10:03:00"), "click", 7, 2.0),  // merges (3 min)
+      Ev(t("2024-01-01 10:20:00"), "click", 7, 4.0),  // new (17 min)
+      Ev(t("2024-01-01 10:00:00"), "click", 9, 1.0),
+      Ev(t("2024-01-01 10:05:00"), "click", 9, 2.0),  // exactly 300 s → merges
+      Ev(t("2024-01-01 10:09:59"), "click", 9, 3.0))  // 299 s → merges
+    val in = MemoryStream[Ev]
+    val q = Windows.sessions(in.toDF())
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode("append").start()
+    in.addData(evs: _*)
+    in.addData(Ev(t("2024-01-01 12:00:00"), "click", 999, 0.0)) // advance watermark
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("parity_out")
+      .filter(col("user_id") < 999)
+      .select(col("session_start"), col("user_id"), col("n_events"), col("session_value"))
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    val batch = graft.ext.WindowFns
+      .sessionAssign(evs.toDF(), gapSeconds = 300L, orderCol = "ts")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("session_start"), col("user_id"), col("n_events"), col("session_value"))
+      .as[(Timestamp, Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.size == 3) // u7: {2 evs}, {1 ev}; u9: {3 evs} incl. boundary
+  }
+
   test("dropDuplicatesWithinWatermark keeps first occurrence only (T9)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
