@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Build the 100x scaling corpus in /tmp/sfx100 from the sf0.1 testdata.
+
+Same derivation as make_sfx10.py (word-prefixed document replicas,
+dimension-rolled embedding replicas, disjoint id ranges) with 100
+replicas, streamed one replica per parquet row group so the builder
+never holds the 100x corpus in memory.
+"""
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/tmp/sfx100"
+REPLICAS = 100
+ID_STRIDE = 1_000_000
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+
+    d = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+    doc_writer = None
+    for r in range(REPLICAS):
+        c = d.copy()
+        c["doc_id"] = c["doc_id"] + r * ID_STRIDE
+        if r > 0:
+            pref = f"r{r}"
+            c["text"] = c["text"].map(
+                lambda t: " ".join(pref + w for w in t.split())
+                if isinstance(t, str) else t)
+        t = pa.Table.from_pandas(c, preserve_index=False)
+        if doc_writer is None:
+            doc_writer = pq.ParquetWriter(f"{DST}/documents.parquet", t.schema)
+        doc_writer.write_table(t)
+    doc_writer.close()
+
+    e = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    schema = pa.schema([("vec_id", pa.int64()),
+                        ("embedding", pa.list_(pa.float32())),
+                        ("label", pa.int32())])
+    emb_writer = pq.ParquetWriter(f"{DST}/embeddings.parquet", schema)
+    for r in range(REPLICAS):
+        c = e.copy()
+        c["vec_id"] = c["vec_id"] + r * ID_STRIDE
+        if r > 0:
+            c["embedding"] = c["embedding"].map(
+                lambda v: np.roll(np.asarray(v, dtype=np.float32), r).tolist())
+        emb_writer.write_table(pa.Table.from_pandas(
+            c[["vec_id", "embedding", "label"]], schema=schema,
+            preserve_index=False))
+    emb_writer.close()
+    print(f"wrote {len(d) * REPLICAS} docs, {len(e) * REPLICAS} embeddings to {DST}")
+
+
+if __name__ == "__main__":
+    main()

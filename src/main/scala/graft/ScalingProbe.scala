@@ -13,19 +13,24 @@ package graft
   * see README "Scaling evidence" for the prep recipe and results.
   */
 object ScalingProbe {
-  private val probes = Seq(
+  private val defaultProbes = Seq(
     "d3_minhash_lsh", "d4_simhash_pairs", "d6_dedup_clusters",
     "d7_deduped_corpus", "sim2_ann_lsh", "sim3_neardup_pairs",
     "sim4_ivf_ann", "d10_decontaminate", "d12_semantic_dedup",
     "d13_pii_redact", "d14_quality_filter", "d15_fuzzy_decontaminate",
     "t9_unigram_logprob", "sim6_knn_join", "t5_vocab_topk", "t6_tfidf",
-    "d9_sequence_pack")
+    "d9_sequence_pack", "d17_bpe_budget", "d18_incremental_dedup",
+    "mm4_alignment_filter")
 
+  /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
+    * big/base row count (10 for sfx10, 100 for sfx100); alpha
+    * normalizes by log10(ratio) so t ~ N^alpha holds at any ratio. */
   def main(args: Array[String]): Unit = {
-    val (base, big) = args match {
-      case Array(b, g) => (b, g)
-      case _ => ("/root/testdata/sf0.1", "/tmp/sfx10")
-    }
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val big = if (args.length > 1) args(1) else "/tmp/sfx10"
+    val ratio = if (args.length > 2) args(2).toDouble else 10.0
+    val probes =
+      if (args.length > 3) args(3).split(",").toSeq else defaultProbes
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,8 +56,8 @@ object ScalingProbe {
     val rows = probes.map { n =>
       val t1 = time(n, base)
       val t10 = time(n, big)
-      val alpha = math.log10(t10 / t1)
-      f"""{"query":"$n","t1x":$t1%.3f,"t10x":$t10%.3f,"alpha":$alpha%.2f}"""
+      val alpha = math.log10(t10 / t1) / math.log10(ratio)
+      f"""{"query":"$n","t1x":$t1%.3f,"tbig":$t10%.3f,"alpha":$alpha%.2f}"""
     }
     println(rows.mkString("[", ",", "]"))
     spark.stop()

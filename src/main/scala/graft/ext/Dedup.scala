@@ -618,7 +618,7 @@ object Dedup {
   private val bandIndexCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, String]]()
-  private def bandIndexFor(spark: SparkSession, dir: String): String =
+  private[graft] def bandIndexFor(spark: SparkSession, dir: String): String =
     bandIndexCache.synchronized {
       var m = bandIndexCache.get(spark)
       if (m == null) {
