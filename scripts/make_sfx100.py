@@ -5,6 +5,13 @@ Same derivation as make_sfx10.py (word-prefixed document replicas,
 dimension-rolled embedding replicas, disjoint id ranges) with 100
 replicas, streamed one replica per parquet row group so the builder
 never holds the 100x corpus in memory.
+
+np.roll alone wraps at the embedding dimensionality (64), which would
+make replicas 64-99 exact copies of replicas 0-35 — precisely the
+artificial near-dups the derivation must avoid. So the perturbation is
+roll by r mod dim COMBINED with a sign flip every wrap: negation is
+norm-preserving and anti-aligned (cosine -1), keeping the replica map
+injective for any REPLICAS <= 2*dim.
 """
 import os
 
@@ -48,7 +55,10 @@ def main():
         c["vec_id"] = c["vec_id"] + r * ID_STRIDE
         if r > 0:
             c["embedding"] = c["embedding"].map(
-                lambda v: np.roll(np.asarray(v, dtype=np.float32), r).tolist())
+                lambda v: (np.roll(np.asarray(v, dtype=np.float32),
+                                   r % len(v))
+                           * (1.0 if (r // len(v)) % 2 == 0 else -1.0)
+                           ).astype(np.float32).tolist())
         emb_writer.write_table(pa.Table.from_pandas(
             c[["vec_id", "embedding", "label"]], schema=schema,
             preserve_index=False))

@@ -202,14 +202,8 @@ object Dedup {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Long]]()
   private[graft] def docsCount(spark: SparkSession, dir: String): Long =
-    docCountCache.synchronized {
-      var m = docCountCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, Long]
-        docCountCache.put(spark, m)
-      }
-      m
-    }.getOrElseUpdate(dir, Tables.documents(spark, dir).count())
+    Similarity.perSession(docCountCache, spark)
+      .getOrElseUpdate(dir, Tables.documents(spark, dir).count())
   private[ext] def invalidateCaches(spark: SparkSession): Unit = {
     docCountCache.synchronized(docCountCache.remove(spark))
     bandIndexCache.synchronized(bandIndexCache.remove(spark))
@@ -619,15 +613,11 @@ object Dedup {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, String]]()
   private[graft] def bandIndexFor(spark: SparkSession, dir: String): String =
-    bandIndexCache.synchronized {
-      var m = bandIndexCache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, String]
-        bandIndexCache.put(spark, m)
-      }
-      m
-    }.getOrElseUpdate(dir, {
-      val name = "d18idx_" + (scala.util.hashing.MurmurHash3.stringHash(dir) & Int.MaxValue)
+    Similarity.perSession(bandIndexCache, spark).getOrElseUpdate(dir, {
+      // Table name derived from the FULL dir (sanitized), not a 32-bit
+      // hash: a hash collision between two served dirs would silently
+      // dedup one dir's batch against the other's index.
+      val name = "d18idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
       writeBandIndex(
         Tables.documents(spark, dir).filter(col("doc_id") % Curate.BenchMod =!= 0),
         name)

@@ -43,7 +43,7 @@ object Similarity {
   private val sizeCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Long]]()
-  private def perSession[K, V](
+  private[ext] def perSession[K, V](
       cache: java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[K, V]],
       spark: SparkSession): scala.collection.concurrent.TrieMap[K, V] =
