@@ -353,8 +353,35 @@ object TextStats {
   private def t9Registered(spark: SparkSession, dir: String): DataFrame =
     t9UnigramLogprob(spark, dir)
 
+  /** T10 — BPE merge training on the corpus: the learned ranked merge
+    * table as (rank, left, right) rows. Corpus-scale work is one
+    * word-count aggregate; the merge loop runs driver-side over the
+    * bounded vocab (see [[graft.functions.BpeTokenizer.trainMerges]]).
+    * Memoized per (session, dir, n) like t9's unigram vocab — training
+    * is an ingest-time artifact, re-invocations serve the learned
+    * table. Rows-only: no SQL engine replays BPE training; the loop is
+    * pinned by the classic hand-computed example in BpeTokenizerSpec. */
+  private val mergeCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int), Seq[(String, String)]]]()
+  def t10BpeTrain(spark: SparkSession, dir: String,
+                  nMerges: Int = 20): DataFrame = {
+    import spark.implicits._
+    val merges = Similarity.perSession(mergeCache, spark)
+      .getOrElseUpdate((dir, nMerges),
+        graft.functions.BpeTokenizer.trainMerges(
+          Tables.documents(spark, dir), nMerges))
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i, l, r) }
+      .toDF("rank", "left", "right")
+      .orderBy(col("rank"))
+  }
+  private def t10Registered(spark: SparkSession, dir: String): DataFrame =
+    t10BpeTrain(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t9_unigram_logprob" -> t9Registered,
+    "t10_bpe_train" -> t10Registered,
     "t5_vocab_topk" -> t5VocabTopK,
     "t6_tfidf" -> t6TfIdf,
     "t7_compression_ratio" -> t7CompressionRatio,

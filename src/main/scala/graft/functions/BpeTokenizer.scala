@@ -54,6 +54,73 @@ object BpeTokenizer {
   private[graft] def ranksOf(merges: Seq[(String, String)]): Map[(String, String), Int] =
     merges.zipWithIndex.toMap
 
+  /** TRAIN a merge table from a corpus (Sennrich et al., ACL 2016 §3.2):
+    * repeatedly fuse the most frequent adjacent symbol pair across the
+    * word-frequency vocabulary. Scale split mirrors t9's unigram pass:
+    * the CORPUS-sized work is exactly one word-count aggregate (bounded
+    * by the vocabulary, capped with limit-before-collect so an
+    * over-cap vocab fails fast instead of filling the driver heap); the
+    * merge loop then runs driver-side over that bounded vocab — pair
+    * counts are weighted by word frequency, so the driver loop never
+    * touches the corpus again. Ties break by frequency desc, then pair
+    * lexicographic — fully deterministic across runs and partition
+    * layouts. */
+  def trainMerges(docs: DataFrame, nMerges: Int,
+                  vocabCap: Int = 65536): Seq[(String, String)] = {
+    val freqs = docs
+      .select(explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .limit(vocabCap + 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    require(freqs.length <= vocabCap,
+      s"vocabulary exceeds $vocabCap — raise the cap or pre-filter the corpus")
+    trainMergesFromVocab(freqs.toSeq, nMerges)
+  }
+
+  /** The driver-side merge loop over a (word, freq) vocab — exposed so
+    * the spec can replay the classic hand-computable example. */
+  private[graft] def trainMergesFromVocab(vocab: Seq[(String, Long)],
+                                          nMerges: Int): Seq[(String, String)] = {
+    var words: Seq[(Vector[String], Long)] =
+      vocab.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      val pairCounts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        var j = 0
+        while (j < syms.length - 1) {
+          val p = (syms(j), syms(j + 1))
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + f
+          j += 1
+        }
+      }
+      if (pairCounts.isEmpty) exhausted = true
+      else {
+        val best = pairCounts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }._1
+        merges += best
+        val fused = best._1 + best._2
+        words = words.map { case (syms, f) =>
+          val out = Vector.newBuilder[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j < syms.length - 1 &&
+                syms(j) == best._1 && syms(j + 1) == best._2) {
+              out += fused; j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          (out.result(), f)
+        }
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
   /** (doc_id, lang, n_tokens) for every document, n_tokens = subword
     * count under `merges`. Null text counts 0 tokens (there is nothing
     * to budget — unlike wsTokens' ''=1 oracle convention, this count

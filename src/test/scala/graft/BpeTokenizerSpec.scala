@@ -55,6 +55,43 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(many == expect) // per-partition cache cannot change counts
   }
 
+  test("trainMerges reproduces the classic hand-computed example") {
+    // The textbook BPE corpus: low x5, lower x2, newest x6, widest x3.
+    // Round 1 pair counts peak at 9 for BOTH (e,s) and (s,t) — the
+    // lexicographic tie-break picks (e,s); then (es,t)=9, then the 7-7
+    // tie between (l,o)/(o,w) resolves to (l,o), then (lo,w)=7.
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val merges = BpeTokenizer.trainMergesFromVocab(vocab, 4)
+    assert(merges == Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w")))
+    // The learned table composes with the encoder: "lowest" (absent
+    // from the corpus) factors into the two learned morphemes.
+    val learned = BpeTokenizer.ranksOf(merges)
+    assert(BpeTokenizer.encodeWord("lowest", learned) == Vector("low", "est"))
+  }
+
+  test("trainMerges over a DataFrame equals the vocab-loop on the same corpus") {
+    val docs = Seq(
+      (0L, "low low low", "en"), (1L, "low low lower", "en"),
+      (2L, "lower newest newest newest", "en"),
+      (3L, "newest newest newest widest widest widest", "en"),
+      (4L, null.asInstanceOf[String], "en") // null text must not crash training
+    ).toDF("doc_id", "text", "lang")
+    val fromDf = BpeTokenizer.trainMerges(docs, 4)
+    val fromVocab = BpeTokenizer.trainMergesFromVocab(
+      Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L)), 4)
+    assert(fromDf == fromVocab)
+  }
+
+  test("trainMerges stops early when no pair remains and caps the vocab") {
+    // single-char words: zero adjacent pairs → zero merges, no spin
+    assert(BpeTokenizer.trainMergesFromVocab(Seq(("a", 9L), ("b", 1L)), 5).isEmpty)
+    val docs = Seq((0L, "one two three four five", "en"))
+      .toDF("doc_id", "text", "lang")
+    val e = intercept[IllegalArgumentException](
+      BpeTokenizer.trainMerges(docs, 3, vocabCap = 2))
+    assert(e.getMessage.contains("vocabulary exceeds"))
+  }
+
   test("d17 BPE budget: rates derive from subword totals, kept <= total per lang") {
     val docs = Seq(
       (0L, "the the the the", "en"),
