@@ -14,7 +14,8 @@ object SparkEntry {
       ext.Joins.queries ++ ext.WindowFns.queries ++
       ext.TextStats.queries ++ ext.Similarity.queries ++ ext.Dedup.queries ++
       sources.Sources.queries ++ functions.WelfordQueries.queries ++
-      ext.Multimodal.queries ++ ext.Packing.queries ++ ext.Curate.queries
+      ext.Multimodal.queries ++ ext.Packing.queries ++ ext.Curate.queries ++
+      ext.Classify.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -23,5 +24,6 @@ object SparkEntry {
       ext.Joins.oracle ++ ext.WindowFns.oracle ++
       ext.TextStats.oracle ++ ext.Similarity.oracle ++ ext.Dedup.oracle ++
       sources.Sources.oracle ++ functions.WelfordQueries.oracle ++
-      ext.Multimodal.oracle ++ ext.Packing.oracle ++ ext.Curate.oracle
+      ext.Multimodal.oracle ++ ext.Packing.oracle ++ ext.Curate.oracle ++
+      ext.Classify.oracle
 }

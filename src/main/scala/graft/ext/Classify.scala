@@ -1,0 +1,261 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TokenHash
+
+/** Learned per-document filters over token features — the model-based
+  * curation tier that sits after the rule-based one (Curate's d13/d14):
+  * a closed-form Naive Bayes classifier (the CCNet/GPT-3
+  * "quality/language classifier" reduced to its Spark-native shape) and
+  * DSIR-style hashed-feature importance weighting (Xie et al. 2023,
+  * arXiv:2302.03169).
+  *
+  * Both follow t9's two-pass scale shape — the corpus streams twice and
+  * the model rides along as a broadcast literal:
+  *  - pass 1 trains: ONE aggregate whose width is bounded by the MODEL,
+  *    not the corpus (t12: the capped vocabulary; d20: exactly B hash
+  *    buckets — no cap needed at all, the point of the hashing trick);
+  *  - pass 2 scores: zero-shuffle per-row lookups against the broadcast
+  *    table (no token explode-and-join on the scoring side), then a
+  *    strata-sized report aggregate.
+  */
+object Classify {
+
+  /** The one tokenization every trainer/scorer here shares (identical
+    * to t9's: lowercase, split on ' ', drop empties). */
+  private def toks(text: Column): Column =
+    filter(split(lower(text), " "), w => w =!= "")
+
+  // ---------------------------------------------------------------- t12
+
+  /** Per-token Naive Bayes log-odds learned from `docs`: for each token
+    * in the (capped) vocabulary,
+    *   log10 P(token | pos) − log10 P(token | neg)
+    * with add-one smoothing over the vocabulary. The corpus-sized step
+    * is one (token → class-count) aggregate; the collect is bounded by
+    * `maxVocab` (limit BEFORE collect, same diagnostic contract as t9's
+    * unigram vocab — the guard must fire before the driver heap fills).
+    */
+  def nbLogOddsOn(docs: DataFrame, pos: Column,
+                  maxVocab: Int): Map[String, Double] = {
+    val rows = docs
+      .select(pos.as("pos"), explode(toks(col("text"))).as("token"))
+      .groupBy(col("token")).agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("pos"), 1L).otherwise(0L)).as("cneg"))
+      .limit(maxVocab + 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    require(rows.length <= maxVocab,
+      s"vocabulary exceeds $maxVocab — cap the vocab before broadcasting " +
+        "it (or switch to the d20 hashed-feature path, which needs none)")
+    val v = rows.length.toDouble
+    val totPos = rows.map(_._2).sum.toDouble
+    val totNeg = rows.map(_._3).sum.toDouble
+    rows.map { case (t, cp, cn) =>
+      t -> (math.log10((cp + 1) / (totPos + v)) -
+        math.log10((cn + 1) / (totNeg + v)))
+    }.toMap
+  }
+
+  /** Score = mean per-token log-odds; prediction = rounded score > 0
+    * (rounded FIRST so a libm ulp near the boundary can't flip the
+    * count between engines — the sim6 round-before-rank device applied
+    * to a threshold). Docs with no tokens are excluded in both engines
+    * (here by the size filter; in the oracle by the token join). */
+  def nbScoreOn(docs: DataFrame, logOdds: Map[String, Double]): DataFrame = {
+    val lo = typedlit(logOdds)
+    docs
+      .withColumn("tk", toks(col("text")))
+      .filter(size(col("tk")) > 0)
+      .withColumn("score",
+        aggregate(transform(col("tk"), w => element_at(lo, w)),
+          lit(0.0), (acc, x) => acc + x) / size(col("tk")))
+      .drop("tk")
+  }
+
+  /** Memoized per (session, dir): training is an ingest-time artifact —
+    * re-invocations of the registered query serve the learned table
+    * (same contract as t9's vocab / sim4's IVF index). */
+  private val nbCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Map[String, Double]]]()
+
+  /** T12 — the registered classifier report: train en-vs-rest on the
+    * corpus itself (the synthetic langs share one vocabulary, so the
+    * margin is small — ClassifySpec plants a separable corpus to prove
+    * the learner; THIS query pins determinism and the exact smoothing
+    * arithmetic against DuckDB). Per true lang: docs, predicted-en
+    * count, and the score spread. */
+  def t12NbClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val logOdds = Similarity.perSession(nbCache, spark)
+      .getOrElseUpdate(dir, nbLogOddsOn(
+        Tables.documents(spark, dir), col("lang") === "en", maxVocab = 65536))
+    nbScoreOn(Tables.documents(spark, dir), logOdds)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(round(col("score"), 4) > 0, 1L).otherwise(0L))
+          .as("n_pred_pos"),
+        round(avg(col("score")), 4).as("avg_score"),
+        round(min(col("score")), 4).as("min_score"),
+        round(max(col("score")), 4).as("max_score"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------------------- d20
+
+  /** Feature-bucket count B: FIXED, so the trained table is always
+    * exactly B rows — broadcastable at any corpus size with no
+    * vocabulary cap, which is the entire reason d20 exists next to t12.
+    * Shared with the oracle via [[TokenHash.sql]] interpolation. */
+  private[ext] val DsirBuckets = 1024
+
+  /** The "curated reference" stand-in for the registered query: in
+    * production this is a separate high-quality frame (wiki/books); the
+    * harness corpus has no such split, so three sources play the part.
+    * Shared with the oracle string. */
+  private[ext] val DsirTarget = Seq("src0", "src1", "src2")
+
+  /** Per-bucket importance log-ratios learned in ONE corpus scan:
+    * bucket counts under the TARGET distribution vs the RAW pool, both
+    * add-one smoothed over B, ratio in log10. The aggregate is B-wide
+    * regardless of vocabulary — hash collisions fold rare tokens
+    * together, which is the estimator (not an error): DSIR's insight is
+    * that importance weights survive the hashing trick. */
+  def dsirLogRatiosOn(docs: DataFrame, target: Column,
+                      buckets: Int = DsirBuckets): Array[Double] = {
+    val rows = docs
+      .select(target.as("pos"), explode(toks(col("text"))).as("token"))
+      .select(col("pos"), TokenHash.bucket(col("token"), buckets).as("b"))
+      .groupBy(col("b")).agg(
+        sum(when(col("pos"), 1L).otherwise(0L)).as("ct"),
+        count(lit(1)).as("ca"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val tt = rows.map(_._2).sum.toDouble
+    val ta = rows.map(_._3).sum.toDouble
+    val lr = Array.fill(buckets)(0.0)
+    rows.foreach { case (b, ct, ca) =>
+      lr(b) = math.log10((ct + 1) / (tt + buckets)) -
+        math.log10((ca + 1) / (ta + buckets))
+    }
+    lr
+  }
+
+  /** Per-doc importance weight = mean per-token bucket log-ratio, via a
+    * zero-shuffle lookup into the broadcast B-element table. */
+  def dsirWeighted(docs: DataFrame, logRatios: Array[Double],
+                   buckets: Int = DsirBuckets): DataFrame = {
+    val lrLit = array(logRatios.toIndexedSeq.map(lit): _*)
+    docs
+      .withColumn("tk", toks(col("text")))
+      .filter(size(col("tk")) > 0)
+      .withColumn("weight",
+        aggregate(
+          transform(col("tk"),
+            w => element_at(lrLit, TokenHash.bucket(w, buckets) + 1)),
+          lit(0.0), (acc, x) => acc + x) / size(col("tk")))
+      .drop("tk")
+  }
+
+  private val dsirCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Array[Double]]]()
+
+  /** D20 — registered DSIR report: weight every doc against the
+    * target-vs-raw bucket ratios, then per source report the weight
+    * spread and how many docs rank above the POOL-MEAN weight. The keep
+    * line is mean-relative, not zero, because the pool average of
+    * log(p_target/p_raw) is −KL(raw‖target) ≤ 0 by construction — a
+    * zero threshold would select (almost) nothing from any corpus;
+    * DSIR itself samples by weight RANK, and above-mean is its
+    * deterministic, engine-replayable stand-in. Both sides of the
+    * comparison round first so a libm ulp can't flip a count. The
+    * mean rides in as a broadcast singleton (the d11 device). */
+  def d20DsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val lr = Similarity.perSession(dsirCache, spark)
+      .getOrElseUpdate(dir, dsirLogRatiosOn(
+        Tables.documents(spark, dir), col("source").isin(DsirTarget: _*)))
+    val weighted = dsirWeighted(Tables.documents(spark, dir), lr)
+    weighted
+      .crossJoin(broadcast(weighted.agg(avg(col("weight")).as("mw"))))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("weight")), 4).as("avg_weight"),
+        sum(when(round(col("weight"), 4) > round(col("mw"), 4), 1L)
+          .otherwise(0L)).as("n_selected"))
+      .orderBy(col("source"))
+  }
+
+  /** Drop this session's learned tables (see
+    * [[Similarity.invalidateCaches]], which fans out here). */
+  private[ext] def invalidateCaches(spark: SparkSession): Unit = {
+    nbCache.synchronized(nbCache.remove(spark))
+    dsirCache.synchronized(dsirCache.remove(spark))
+  }
+
+  // ---------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_nb_classifier" -> t12NbClassifier,
+    "d20_dsir_weights" -> d20DsirWeights
+  )
+
+  private def targetList: String =
+    DsirTarget.map(s => s"'$s'").mkString(", ")
+
+  val oracle: Map[String, String] = Map(
+    "t12_nb_classifier" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, lang = 'en' AS pos,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, lang, pos, tok FROM w WHERE tok <> ''),
+        |f AS (SELECT tok,
+        |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |        sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        |      FROM w2 GROUP BY tok),
+        |t AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+        |             CAST(sum(cneg) AS DOUBLE) AS tneg,
+        |             CAST(count(*) AS DOUBLE) AS v FROM f),
+        |lo AS (SELECT tok,
+        |         log10((cpos + 1) / (tpos + v)) -
+        |         log10((cneg + 1) / (tneg + v)) AS lo
+        |       FROM f CROSS JOIN t),
+        |ds AS (SELECT doc_id, lang, avg(lo) AS score
+        |       FROM w2 JOIN lo USING (tok) GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN round(score, 4) > 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_pred_pos,
+        |  round(avg(score), 4) AS avg_score,
+        |  round(min(score), 4) AS min_score,
+        |  round(max(score), 4) AS max_score
+        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin,
+    "d20_dsir_weights" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, source, source IN ($targetList) AS pos,
+         |         unnest(string_split(lower(text), ' ')) AS tok
+         |  FROM documents),
+         |w2 AS (SELECT doc_id, source, pos,
+         |         ${TokenHash.sql("tok", DsirBuckets)} AS b
+         |       FROM w WHERE tok <> ''),
+         |f AS (SELECT b,
+         |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS ct,
+         |        count(*) AS ca
+         |      FROM w2 GROUP BY b),
+         |t AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt,
+         |             CAST(sum(ca) AS DOUBLE) AS ta FROM f),
+         |lr AS (SELECT b,
+         |         log10((ct + 1) / (tt + $DsirBuckets)) -
+         |         log10((ca + 1) / (ta + $DsirBuckets)) AS lr
+         |       FROM f CROSS JOIN t),
+         |ds AS (SELECT doc_id, source, avg(lr) AS weight
+         |       FROM w2 JOIN lr USING (b) GROUP BY doc_id, source),
+         |m AS (SELECT avg(weight) AS mw FROM ds)
+         |SELECT source, count(*) AS n_docs,
+         |  round(avg(weight), 4) AS avg_weight,
+         |  CAST(sum(CASE WHEN round(weight, 4) > round(mw, 4)
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+         |FROM ds CROSS JOIN m GROUP BY source ORDER BY source""".stripMargin
+  )
+}

@@ -66,6 +66,8 @@ object Similarity {
     sizeCache.synchronized(sizeCache.remove(spark))
     ivfCache.synchronized(ivfCache.remove(spark))
     Dedup.invalidateCaches(spark)
+    Classify.invalidateCaches(spark)
+    TextStats.invalidateCaches(spark)
   }
 
   /** SIM1 — brute-force cosine top-k vs the vec_id=0 query vector. */

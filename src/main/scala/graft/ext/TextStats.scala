@@ -379,6 +379,13 @@ object TextStats {
   private def t10Registered(spark: SparkSession, dir: String): DataFrame =
     t10BpeTrain(spark, dir)
 
+  /** Drop this session's learned vocab/merge tables (see
+    * [[Similarity.invalidateCaches]], which fans out here). */
+  private[ext] def invalidateCaches(spark: SparkSession): Unit = {
+    vocabCache.synchronized(vocabCache.remove(spark))
+    mergeCache.synchronized(mergeCache.remove(spark))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t9_unigram_logprob" -> t9Registered,
     "t10_bpe_train" -> t10Registered,
