@@ -328,6 +328,61 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** The word-gram size for d19 (5-gram spans) — interpolated into the
+    * oracle so both sides move together. */
+  private[ext] val D19N = 5
+
+  /** Per-doc duplicated-SPAN statistics: the fraction of a doc's
+    * distinct word n-grams that also occur in at least one OTHER doc —
+    * the exact-substring-dedup signal (Lee et al. 2022,
+    * arXiv:2107.06499, reduced from suffix-array character spans to
+    * word n-grams). Where d3/d4 flag whole near-dup DOCUMENTS, this
+    * catches boilerplate: templated headers, licence blocks, quoted
+    * passages — docs that are globally unique but locally copied.
+    * Production trims or drops flagged spans; here each doc gets its
+    * accounting row.
+    *
+    * 100 TB shape: every shuffle carries a 16-hex-char MD5 PREFIX of
+    * the gram, never the gram text (the d2 fingerprint device applied
+    * to grams): the df count is a fingerprint-keyed aggregate and the
+    * join back to the doc's gram set is a fingerprint equi-join — both
+    * linear, nothing all-pairs. The gram frame is derived twice (once
+    * per join side) rather than cached: re-scanning the corpus is
+    * cheaper than materializing a grams×corpus frame at scale. */
+  def dupSpanStats(docs: DataFrame, n: Int = D19N): DataFrame = {
+    def grams = docs
+      .withColumn("words", split(lower(col("text")), " "))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(graft.functions.TextGrams.gramsExpr(n)))
+          .as("gram"))
+      .select(col("doc_id"), col("source"),
+        substring(md5(col("gram").cast("binary")), 1, 16).as("fp"))
+    // grams are distinct per doc, so count(*) per fp = document
+    // frequency of the gram
+    val dfreq = grams.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
+    grams.join(dfreq, Seq("fp"))
+      .groupBy(col("doc_id"), col("source")).agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_frac",
+        col("n_dup_grams").cast("double") / col("n_grams"))
+  }
+
+  /** D19 — registered duplicated-span report: per source, the doc count
+    * (docs long enough to carry an n-gram), mean duplicated fraction,
+    * and how many docs are ≥ half duplicated material. The 0.5 compare
+    * is on an EXACT small-int ratio (k/m in double), so it cannot
+    * diverge between engines the way a libm-product threshold could. */
+  def d19DupSpans(spark: SparkSession, dir: String): DataFrame =
+    dupSpanStats(Tables.documents(spark, dir))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("dup_frac")), 4).as("avg_dup_frac"),
+        sum(when(col("dup_frac") >= 0.5, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .orderBy(col("source"))
+
   /** Connected components over a near-dup pair graph: every node labeled
     * with its component's minimum id — the canonical representative a
     * dedup pass keeps.
@@ -649,7 +704,8 @@ object Dedup {
     "d6_dedup_clusters" -> d6DedupClusters,
     "d7_deduped_corpus" -> d7DedupedCorpus,
     "d15_fuzzy_decontaminate" -> d15FuzzyDecontaminate,
-    "d18_incremental_dedup" -> d18IncrementalDedup
+    "d18_incremental_dedup" -> d18IncrementalDedup,
+    "d19_dup_spans" -> d19DupSpans
   )
 
   /** Shared oracle fragment: the d5 shingle CTE + pair predicate. ONE
@@ -674,6 +730,32 @@ object Dedup {
     * CTE for the closure) — the exact kernels get real oracles; the LSH
     * pipelines are engine-specific and stay rows-only. */
   val oracle: Map[String, String] = Map(
+    "d19_dup_spans" -> {
+      // gram construction interpolated from D19N exactly like d10's —
+      // the list_transform window matches TextGrams.gramsExpr
+      val gramConcat = (0 until D19N)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH words AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(w) - ${D19N - 2}),
+        |      i -> $gramConcat)) AS gs
+        |  FROM words WHERE len(w) >= $D19N),
+        |g AS (SELECT doc_id, source, unnest(gs) AS gram FROM grams),
+        |g2 AS (SELECT doc_id, source, substr(md5(gram), 1, 16) AS fp FROM g),
+        |f AS (SELECT fp, count(*) AS ndocs FROM g2 GROUP BY fp),
+        |ds AS (
+        |  SELECT doc_id, source, count(*) AS n_grams,
+        |    sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM g2 JOIN f USING (fp) GROUP BY doc_id, source)
+        |SELECT source, count(*) AS n_docs,
+        |  round(avg(CAST(n_dup AS DOUBLE) / n_grams), 4) AS avg_dup_frac,
+        |  CAST(sum(CASE WHEN CAST(n_dup AS DOUBLE) / n_grams >= 0.5
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
+        |FROM ds GROUP BY source ORDER BY source""".stripMargin
+    },
     "d5_ngram_jaccard" ->
       s"""WITH $shingleCte
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

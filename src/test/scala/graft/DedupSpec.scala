@@ -299,4 +299,36 @@ class DedupSpec extends AnyFunSuite {
       assert(r.getDouble(2) >= 0.02 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("d19 dup-span fractions: shared span counted on both sides, " +
+    "unique doc zero, short doc excluded") {
+    val docs = Seq(
+      // A and B share exactly the 5-gram "one two three four five"
+      (0L, "one two three four five six", "srcA"),     // 2 grams, 1 shared
+      (1L, "zz one two three four five yy", "srcA"),   // 3 grams, 1 shared
+      (2L, "aa bb cc dd ee ff", "srcB"),               // 2 grams, 0 shared
+      (3L, "too short here", "srcB")                   // < 5 words: no row
+    ).toDF("doc_id", "text", "source")
+    val out = ext.Dedup.dupSpanStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(0L) == ((2L, 1L, 0.5)))
+    assert(out(1L) == ((3L, 1L, 1.0 / 3)))
+    assert(out(2L) == ((2L, 0L, 0.0)))
+    assert(!out.contains(3L))
+  }
+
+  test("d19 flags a doc whose duplicated fraction reaches one half") {
+    // the A/B planted pair above: A is exactly half duplicated
+    val docs = Seq(
+      (0L, "one two three four five six", "srcA"),
+      (1L, "zz one two three four five yy", "srcA"),
+      (2L, "aa bb cc dd ee ff", "srcB")
+    ).toDF("doc_id", "text", "source")
+    val bySource = ext.Dedup.dupSpanStats(docs)
+      .groupBy(col("source")).agg(
+        sum(when(col("dup_frac") >= 0.5, 1L).otherwise(0L)).as("n_flagged"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource == Map("srcA" -> 1L, "srcB" -> 0L))
+  }
 }
