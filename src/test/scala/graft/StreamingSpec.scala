@@ -392,4 +392,55 @@ class StreamingSpec extends AnyFunSuite {
     val kept = spark.table("quality_stream_out").as[Long].collect().toSet
     assert(kept == Set(0L))
   }
+
+  test("streaming ingest dedups each micro-batch against the persisted " +
+    "band index, matching batch d18 (daily-crawl shape, streamed)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // ingest half runs ONCE: the existing corpus's band index persists
+    // as bucketed tables; the stream only ever bands ITS OWN rows
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "lib"),
+      (1L, "one two three four five six seven eight nine", "lib"),
+      (2L, "totally unrelated reference material sits here quietly", "lib")
+    ).toDF("doc_id", "text", "source")
+    val idx = s"d18idx_stream_${System.nanoTime()}"
+    graft.ext.Dedup.writeBandIndex(corpus, idx)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "text", "source")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.Dedup.incrementalPairs(batch, idx)
+          .select(col("id_a"), col("id_b")).collect()
+          .foreach(r => seen.add((r.getLong(0), r.getLong(1))))
+      }
+      .start()
+    // micro-batch 1: one copy of corpus doc 0, one fresh doc
+    in.addData(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta", "crawl"),
+      (101L, "fresh new material never seen before anywhere at all", "crawl"))
+    q.processAllAvailable()
+    // micro-batch 2: a copy of corpus doc 1 — state-free, so batch 1's
+    // rows play no part here
+    in.addData(
+      (102L, "one two three four five six seven eight nine", "crawl"))
+    q.processAllAvailable(); q.stop()
+    val streamed = {
+      import scala.jdk.CollectionConverters._
+      seen.asScala.toSet
+    }
+    assert(streamed.map(_._1) == Set(100L, 102L))
+    assert(streamed.map(_._2) == Set(0L, 1L))
+    // parity: replaying every streamed row as ONE batch through the
+    // batch-mode d18 path yields exactly the same pair set
+    val allNew = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta eta theta", "crawl"),
+      (101L, "fresh new material never seen before anywhere at all", "crawl"),
+      (102L, "one two three four five six seven eight nine", "crawl")
+    ).toDF("doc_id", "text", "source")
+    val batched = graft.ext.Dedup.incrementalPairs(allNew, idx)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
+    assert(batched == streamed)
+  }
 }
