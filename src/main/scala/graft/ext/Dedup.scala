@@ -344,29 +344,42 @@ object Dedup {
     *
     * 100 TB shape: every shuffle carries a 16-hex-char MD5 PREFIX of
     * the gram, never the gram text (the d2 fingerprint device applied
-    * to grams). The document frequency comes from a COUNT WINDOW over
-    * the fingerprint, not a (df-aggregate + join-back): same result —
-    * grams are distinct per doc, so rows-per-fp = document frequency —
-    * but ONE corpus scan and two shuffles (by fp, then by doc) instead
-    * of two scans and three (the join formulation re-shuffles the gram
-    * frame it just aggregated, and re-derives it from text to do so;
-    * measured 3.6× slower at the 10× corpus). Per-fp row groups are
-    * bounded by the gram's true df, so a window partition is only ever
-    * as hot as a duplicated span actually is. */
+    * to grams), and — decisive for THIS op — every stage survives a
+    * pathological gram. d19 is the boilerplate detector, so its input
+    * by definition contains grams with corpus-scale df; a count-WINDOW
+    * over the fingerprint (the tempting one-scan formulation) puts all
+    * df rows of a hot gram in ONE partition that AQE cannot split —
+    * the 10⁹-row straggler on exactly the doc the op exists to find.
+    * Instead: per-doc n_grams comes straight off the scan (array size,
+    * NO shuffle), the duplicated-fingerprint set comes from a
+    * map-side-combined aggregate (hot keys collapse per task), and
+    * per-doc dup counts come from a left-semi join against it — a join
+    * AQE's skew handling CAN split. Nothing here has an unsplittable
+    * hot partition. */
   def dupSpanStats(docs: DataFrame, n: Int = D19N): DataFrame = {
-    val grams = docs
+    def gramsOf(d: DataFrame) = d
       .withColumn("words", split(lower(col("text")), " "))
       .filter(size(col("words")) >= n)
+      .withColumn("grams", array_distinct(graft.functions.TextGrams.gramsExpr(n)))
+    def fp(gram: Column) = substring(md5(gram.cast("binary")), 1, 16)
+    val exploded = gramsOf(docs)
+      .select(col("doc_id"), col("source"), col("grams"))
       .select(col("doc_id"), col("source"),
-        explode(array_distinct(graft.functions.TextGrams.gramsExpr(n)))
-          .as("gram"))
+        explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("source"), fp(col("gram")).as("fp"))
+    // duplicated-fp set: partial aggregation bounds a hot fp to one row
+    // per map task; typically far smaller than the full df table
+    val dupFps = exploded.groupBy(col("fp"))
+      .agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("fp"))
+    val dupCounts = exploded
+      .join(dupFps, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup_grams"))
+    gramsOf(docs)
       .select(col("doc_id"), col("source"),
-        substring(md5(col("gram").cast("binary")), 1, 16).as("fp"))
-    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    grams.withColumn("ndocs", count(lit(1)).over(byFp))
-      .groupBy(col("doc_id"), col("source")).agg(
-        count(lit(1)).as("n_grams"),
-        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_grams"))
+        size(col("grams")).cast("long").as("n_grams"))
+      .join(dupCounts, Seq("doc_id"), "left")
+      .withColumn("n_dup_grams", coalesce(col("n_dup_grams"), lit(0L)))
       .withColumn("dup_frac",
         col("n_dup_grams").cast("double") / col("n_grams"))
   }
