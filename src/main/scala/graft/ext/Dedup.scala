@@ -398,6 +398,69 @@ object Dedup {
           .as("n_flagged"))
       .orderBy(col("source"))
 
+  /** Word-window size for d21 segments and the corpus document-frequency
+    * at which a segment counts as boilerplate — interpolated into the
+    * oracle so both sides move together. */
+  private[ext] val D21K = 3
+  private[ext] val D21MinDf = 2
+
+  /** Segment-level dedup (CCNet-style line dedup, arXiv:1911.00359 §4.1,
+    * reduced from newline-delimited lines to fixed word windows because
+    * the corpus is single-line): split each doc into consecutive k-word
+    * segments, scrub every segment whose occurrence count across the
+    * WHOLE corpus reaches `minDf`, and reassemble the survivors in
+    * order. Where d19 FLAGS a doc by its duplicated-span fraction, this
+    * is the REPAIR op: the doc survives with the boilerplate cut out.
+    *
+    * 100 TB shape, same skew discipline as d19: segments shuffle only as
+    * 16-hex MD5 fingerprints, never text; the duplicated-fingerprint set
+    * comes from a map-side-combined aggregate (a corpus-hot segment
+    * collapses to one row per map task, no unsplittable window
+    * partition); the per-doc dropped-POSITION sets come from a left-semi
+    * join AQE can skew-split. Reassembly re-derives segments from the
+    * doc row itself and filters by position with an index-aware HOF —
+    * so document text never shuffles at all: the only wide movement is
+    * the final doc_id join of the (tiny) dropped-position sets back onto
+    * the corpus scan. */
+  def scrubSegments(docs: DataFrame, k: Int = D21K,
+                    minDf: Int = D21MinDf): DataFrame = {
+    val segged = docs
+      .filter(col("text").isNotNull)
+      .withColumn("words", split(col("text"), " "))
+      // integer ceil — (n + k - 1) / k — so the engine arithmetic cannot
+      // drift from the oracle's integer division on a double boundary
+      .withColumn("segs", expr(
+        s"""transform(sequence(0, (size(words) + ${k - 1}) div $k - 1),
+           |  i -> array_join(slice(words, i * $k + 1, $k), ' '))""".stripMargin))
+    val exploded = segged
+      .select(col("doc_id"), posexplode(col("segs")).as(Seq("i", "seg")))
+      .select(col("doc_id"), col("i"),
+        substring(md5(col("seg").cast("binary")), 1, 16).as("fp"))
+    val dupFps = exploded.groupBy(col("fp"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= minDf).select(col("fp"))
+    val droppedIdx = exploded.join(dupFps, Seq("fp"), "left_semi")
+      .groupBy(col("doc_id")).agg(collect_set(col("i")).as("dropped"))
+    segged
+      .join(droppedIdx, Seq("doc_id"), "left")
+      .withColumn("dropped",
+        coalesce(col("dropped"), array().cast("array<int>")))
+      .withColumn("kept",
+        expr("filter(segs, (s, i) -> NOT array_contains(dropped, i))"))
+      .select(col("doc_id"),
+        size(col("segs")).cast("long").as("n_segs"),
+        (size(col("segs")) - size(col("kept"))).cast("long").as("n_dropped"),
+        array_join(col("kept"), " ").as("cleaned_text"))
+  }
+
+  /** D21 — registered segment scrub: the cleaned text plus accounting
+    * for the first 20 docs (df still computed over the FULL corpus).
+    * Fully deterministic, so unlike the LSH tiers this repair op gets a
+    * real value-level oracle. */
+  def d21SegmentScrub(spark: SparkSession, dir: String): DataFrame =
+    scrubSegments(Tables.documents(spark, dir))
+      .filter(col("doc_id") < 20)
+      .orderBy(col("doc_id"))
+
   /** Connected components over a near-dup pair graph: every node labeled
     * with its component's minimum id — the canonical representative a
     * dedup pass keeps.
@@ -562,6 +625,47 @@ object Dedup {
     labels.join(n0, Seq("node"), "left_semi")
   }
 
+  /** Canonical-selection POLICY: production dedup rarely keeps a
+    * cluster's minimum id — it keeps the BEST member (longest text,
+    * highest quality score, preferred source) and drops the rest.
+    * Returns (doc_id, keeper_id): each doc mapped to the member of its
+    * duplicate cluster that maximizes `priority` (ties broken toward
+    * the smaller id, so the policy is total and rerun-stable).
+    *
+    * 100 TB shape: the argmax is a map-side-combinable `max_by`
+    * aggregate over the (tiny) labeled pair graph — never a per-cluster
+    * sort window over the corpus; docs in no pair keep themselves
+    * without entering the aggregate at all (the same incident-ids-only
+    * discipline as [[dedupedCorpus]]). */
+  def keepBest(docs: DataFrame, pairs: DataFrame,
+               priority: Column): DataFrame = {
+    val p = pairs.localCheckpoint(true)
+    val incident = p.select(col("id_a").as("node"))
+      .union(p.select(col("id_b").as("node"))).distinct()
+    val labeled = connectedComponentsPinned(incident, p)
+    val withPrio = labeled.join(
+      docs.select(col("doc_id").as("node"), priority.as("prio")), Seq("node"))
+    val keepers = withPrio.groupBy(col("label")).agg(
+      max_by(col("node"), struct(col("prio"), (-col("node")).as("neg")))
+        .as("keeper_id"))
+    val clustered = withPrio.join(keepers, Seq("label"))
+      .select(col("node").as("doc_id"), col("keeper_id"))
+    docs.select(col("doc_id"))
+      .join(clustered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("keeper_id"), col("doc_id")).as("keeper_id"))
+  }
+
+  /** D23 — keep-best over the d5/d6 bounded exact-Jaccard graph with
+    * priority = text length (the "keep the longest member" heuristic),
+    * so DuckDB replays policy AND closure end to end. */
+  def d23CanonicalKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 80)
+    val pairs = d5NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    keepBest(docs, pairs, col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The dedup END PRODUCT: keep one document per duplicate cluster (the
     * canonical minimum id), drop the rest. Composition of any pair
     * source (minhash/simhash/exact Jaccard) with [[connectedComponents]].
@@ -720,7 +824,9 @@ object Dedup {
     "d7_deduped_corpus" -> d7DedupedCorpus,
     "d15_fuzzy_decontaminate" -> d15FuzzyDecontaminate,
     "d18_incremental_dedup" -> d18IncrementalDedup,
-    "d19_dup_spans" -> d19DupSpans
+    "d19_dup_spans" -> d19DupSpans,
+    "d21_segment_scrub" -> d21SegmentScrub,
+    "d23_canonical_keep" -> d23CanonicalKeep
   )
 
   /** Shared oracle fragment: the d5 shingle CTE + pair predicate. ONE
@@ -745,6 +851,24 @@ object Dedup {
     * CTE for the closure) — the exact kernels get real oracles; the LSH
     * pipelines are engine-specific and stay rows-only. */
   val oracle: Map[String, String] = Map(
+    "d21_segment_scrub" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(words[i*$D21K+1 : i*$D21K+$D21K], ' ') AS seg
+        |  FROM w, LATERAL (SELECT unnest(
+        |    range((len(words)+${D21K - 1})//$D21K)) AS i)),
+        |fps AS (SELECT doc_id, i, seg, substr(md5(seg), 1, 16) AS fp FROM segs),
+        |dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= $D21MinDf),
+        |kept AS (SELECT f.doc_id, f.i, f.seg, (d.fp IS NOT NULL) AS dropped
+        |         FROM fps f LEFT JOIN dup d USING (fp))
+        |SELECT doc_id,
+        |  count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  array_to_string(list(seg ORDER BY i) FILTER (WHERE NOT dropped), ' ')
+        |    AS cleaned_text
+        |FROM kept WHERE doc_id < 20
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d19_dup_spans" -> {
       // gram construction interpolated from D19N exactly like d10's —
       // the list_transform window matches TextGrams.gramsExpr
@@ -778,6 +902,27 @@ object Dedup {
         |    len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
         |$pairPredicate
         |ORDER BY id_a, id_b""".stripMargin,
+    "d23_canonical_keep" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  $pairPredicate),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, other) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 80
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+        |comp AS (SELECT node, min(other) AS cid FROM reach GROUP BY node),
+        |ranked AS (
+        |  SELECT c.node, c.cid,
+        |    ROW_NUMBER() OVER (PARTITION BY c.cid
+        |      ORDER BY d.n_chars DESC, c.node ASC) AS rn
+        |  FROM comp c JOIN documents d ON d.doc_id = c.node),
+        |keep AS (SELECT cid, node AS keeper_id FROM ranked WHERE rn = 1)
+        |SELECT c.node AS doc_id, k.keeper_id
+        |FROM comp c JOIN keep k USING (cid) ORDER BY doc_id""".stripMargin,
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
         |p AS (

@@ -331,4 +331,41 @@ class DedupSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bySource == Map("srcA" -> 1L, "srcB" -> 0L))
   }
+
+  test("keepBest keeps the highest-priority cluster member, ties to smaller id") {
+    // cluster {1,2,3} chained by pairs; prio: doc 2 longest → keeper.
+    // cluster {10,11} tied on prio → smaller id 10 wins. 99 is a
+    // singleton (not in any pair) → keeps itself without entering the
+    // aggregate.
+    val docs = Seq(
+      (1L, 5L), (2L, 9L), (3L, 7L),
+      (10L, 4L), (11L, 4L),
+      (99L, 2L)
+    ).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.keepBest(docs, pairs, col("n_chars"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 2L, 2L -> 2L, 3L -> 2L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("d21 segment scrub cuts planted boilerplate, keeps unique text in order") {
+    // k=3 segments: docs 0 and 1 share the segment "copy right notice"
+    // at DIFFERENT positions; everything else is unique. Doc 2 repeats a
+    // segment WITHIN itself — within-doc repetition also counts toward
+    // the df threshold (self-boilerplate is still boilerplate).
+    val docs = Seq(
+      (0L, "copy right notice aa bb cc dd ee ff"),
+      (1L, "xx yy zz copy right notice gg hh ii"),
+      (2L, "pp qq rr pp qq rr ss tt uu"),
+      (3L, "jj kk ll mm nn")                        // 2 segs, last partial
+    ).toDF("doc_id", "text")
+    val out = ext.Dedup.scrubSegments(docs, k = 3, minDf = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((3L, 1L, "aa bb cc dd ee ff")))
+    assert(out(1L) == ((3L, 1L, "xx yy zz gg hh ii")))
+    assert(out(2L) == ((3L, 2L, "ss tt uu")))
+    assert(out(3L) == ((2L, 0L, "jj kk ll mm nn")))
+  }
 }

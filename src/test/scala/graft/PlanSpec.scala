@@ -184,16 +184,38 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 3, s"d20: got $exchanges exchanges:\n$p")
   }
 
-  test("dup-span df comes from one scan + fingerprint window, not a join-back") {
-    // d19: ONE corpus scan (one Generate), df per gram via a count
-    // window over the fingerprint; the agg+join-back formulation (two
-    // scans, three shuffles) measured 3.6x slower at the 10x corpus.
+  test("dup-span df survives a corpus-hot gram (no unsplittable window)") {
+    // d19 exists to FIND boilerplate, so its input contains grams with
+    // corpus-scale df; a count window over the fingerprint would pin
+    // all of a hot gram's rows on ONE partition AQE cannot split. The
+    // skew-safe shape: dup-fp set via map-side-combined aggregate (hot
+    // keys collapse per task), membership via a left-semi join (which
+    // AQE's skew handling CAN split), per-doc n_grams straight off the
+    // scan. Pin: no Window, the semi-join present, partial aggregation
+    // on the fp frame.
     val (exchanges, p) = finalPlanShuffles("d19_dup_spans")
-    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
-      s"d19 re-scans the corpus:\n$p")
-    assert(!p.contains("Join"), s"d19 joins the gram frame back:\n$p")
-    assert(p.contains("Window"), s"d19 lost the df window:\n$p")
-    assert(exchanges <= 4, s"d19: got $exchanges exchanges:\n$p")
+    assert(!p.contains("Window"), s"d19 reverted to the hot-key window:\n$p")
+    assert(p.contains("LeftSemi"), s"d19 lost the dup-fp semi-join:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"d19 dup-fp set not partially aggregated:\n$p")
+    assert(exchanges <= 7, s"d19: got $exchanges exchanges:\n$p")
+  }
+
+  test("segment scrub never shuffles text and survives a corpus-hot segment") {
+    // d21: fingerprints shuffle, text does not — the only join touching
+    // the doc rows is the dropped-position join keyed by doc_id; the
+    // dup-fp set is a map-side-combined aggregate, membership a
+    // left-semi join, exactly d19's skew discipline.
+    val (exchanges, p) = finalPlanShuffles("d21_segment_scrub")
+    assert(!p.contains("Window"), s"d21 has a hot-key window:\n$p")
+    assert(p.contains("LeftSemi"), s"d21 lost the dup-fp semi-join:\n$p")
+    // every Exchange line must carry only ids/fingerprints/positions,
+    // never the text or derived segment arrays
+    val shuffled = p.linesIterator.filter(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange")).mkString("\n")
+    assert(!shuffled.contains("text") && !shuffled.contains("segs"),
+      s"d21 shuffles document text:\n$shuffled")
+    assert(exchanges <= 7, s"d21: got $exchanges exchanges:\n$p")
   }
 
   test("PQ rerank reads originals only for the broadcast candidate pool") {
