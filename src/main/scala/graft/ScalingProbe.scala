@@ -21,7 +21,9 @@ object ScalingProbe {
     "t9_unigram_logprob", "sim6_knn_join", "t5_vocab_topk", "t6_tfidf",
     "d9_sequence_pack", "d17_bpe_budget", "d18_incremental_dedup",
     "mm4_alignment_filter", "t12_nb_classifier", "d20_dsir_weights",
-    "d19_dup_spans", "sim7_pq_ann")
+    "d19_dup_spans", "sim7_pq_ann",
+    "d21_segment_scrub", "d22_epoch_order", "d23_canonical_keep",
+    "sim8_radius_search")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

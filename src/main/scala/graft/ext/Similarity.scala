@@ -398,6 +398,42 @@ object Similarity {
     knnJoinDf(spark, e, queries, k = 3)
   }
 
+  /** Radius (range) similarity search: ALL neighbors within cosine ≥
+    * `tau` of each query — the retrieval shape behind threshold-based
+    * linking and near-duplicate audits, where k-NN's fixed k truncates
+    * dense neighborhoods and pads sparse ones. Same scale contract as
+    * [[knnJoinDf]]: the bounded query frame broadcasts, the corpus
+    * streams through the scoring pass once, only narrow
+    * (q_id, vec_id, cos_sim) rows come out — and unlike k-NN there is
+    * no per-query window at all: the threshold is a per-row filter, so
+    * the only shuffle anywhere is the presentation sort. Rounds BEFORE
+    * comparing (the t6 device) so a libm ulp cannot flip a row across
+    * the tau boundary between engines; NaN cosines drop for the sim6
+    * reason. */
+  def radiusJoinDf(spark: SparkSession, embeddings: DataFrame,
+                   queries: DataFrame, tau: Double): DataFrame = {
+    val e = embeddings.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("qemb"))
+    e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= tau)
+      .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+  }
+
+  /** SIM8 — registered radius search: sim6's capped query set, all
+    * neighbors at cosine ≥ 0.3 (chosen above the synthetic corpus's
+    * 99th-percentile pairwise cosine, so the result exercises the
+    * threshold rather than returning everything). */
+  def sim8RadiusSearch(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+      .orderBy(col("vec_id")).limit(32)
+    radiusJoinDf(spark, e, queries, tau = 0.3)
+  }
+
   /** SIM7 — Product Quantization ANN (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the vector splits into
     * `m` subvectors, each quantized by its own k-codeword codebook, so
@@ -583,7 +619,8 @@ object Similarity {
     "sim3_neardup_pairs" -> sim3NearDupPairs,
     "sim4_ivf_ann" -> sim4IvfAnn,
     "sim6_knn_join" -> sim6KnnJoin,
-    "sim7_pq_ann" -> sim7PqAnn
+    "sim7_pq_ann" -> sim7PqAnn,
+    "sim8_radius_search" -> sim8RadiusSearch
   )
 
   val oracle: Map[String, String] = Map(
@@ -603,6 +640,21 @@ object Similarity {
         |    CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    "sim8_radius_search" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding AS qemb
+        |  FROM embeddings WHERE vec_id % 97 = 0
+        |  ORDER BY vec_id LIMIT 32)
+        |SELECT q_id, e.vec_id,
+        |  round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(qemb AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> q_id
+        |  AND NOT isnan(list_cosine_similarity(
+        |    CAST(e.embedding AS DOUBLE[]), CAST(qemb AS DOUBLE[])))
+        |  AND round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |    CAST(qemb AS DOUBLE[])), 4) >= 0.3
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin,
     "sim6_knn_join" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS qemb

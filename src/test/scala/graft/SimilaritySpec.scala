@@ -66,6 +66,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows == List((0L, 2L, 0.7071))) // no NaN rows for either query
   }
 
+  test("radius search returns exactly the neighbors at or above tau, NaN-safe") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), // query
+      (1L, Array(0f, 0f, 0f, 0f)), // zero-norm — must never appear
+      (2L, Array(1f, 1f, 0f, 0f)), // cos .7071 → in at tau .5
+      (4L, Array(1f, 4f, 0f, 0f)), // cos .2425 → out at tau .5
+      (5L, Array(0f, 1f, 0f, 0f))  // cos 0 → out
+    ).toDF("vec_id", "embedding")
+    val rows = Similarity.radiusJoinDf(spark, vecs,
+        vecs.filter(col("vec_id") === 0), tau = 0.5)
+      .as[(Long, Long, Double)].collect().toList
+    assert(rows == List((0L, 2L, 0.7071)))
+  }
+
+  test("radius search at tau equals the knn join restricted to the threshold") {
+    // same corpus and queries: radius(tau) must be knn(k=n) filtered to
+    // cos >= tau — the two retrieval primitives may not drift apart
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") % 10 === 0)
+    val radius = Similarity.radiusJoinDf(spark, vecs, queries, tau = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaKnn = Similarity.knnJoinDf(spark, vecs, queries, k = 30)
+      .filter(col("cos_sim") >= 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(radius == viaKnn)
+    assert(radius.nonEmpty)
+  }
+
   test("knn join matches the single-query brute-force path per query") {
     val vecs = (0 until 30).map { i =>
       (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f))
