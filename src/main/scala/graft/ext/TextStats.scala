@@ -386,7 +386,65 @@ object TextStats {
     mergeCache.synchronized(mergeCache.remove(spark))
   }
 
+  /** T13 — per-document character statistics (the Gopher/C4 rule family
+    * below the word level): Shannon entropy of the character
+    * distribution (detects encoding garbage, binary spills, and
+    * single-character floods that word-level filters pass), plus digit
+    * and space fractions. All per-row HOF arithmetic over the char
+    * array — like t8, NO shuffle anywhere except the presentation
+    * bound: the op composes into an ingest scan for free.
+    *
+    * The entropy sum runs over array_distinct order on the Spark side
+    * and group order in the oracle; both are IEEE-double sums of the
+    * same ~30 terms, and round(_, 4) absorbs the reorder ulps (the
+    * same determinism budget every rounded float aggregate here
+    * carries). */
+  def t13CharStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .withColumn("chars",
+        expr("filter(split(coalesce(text, ''), ''), c -> c <> '')"))
+      .withColumn("n", size(col("chars")))
+      .filter(col("n") > 0)
+      .withColumn("counts", expr(
+        "transform(array_distinct(chars), ch -> size(filter(chars, c -> c = ch)))"))
+      .withColumn("char_entropy", round(-expr(
+        """aggregate(counts, 0D,
+          |  (acc, k) -> acc + (k / CAST(n AS DOUBLE))
+          |    * log2(k / CAST(n AS DOUBLE)))""".stripMargin), 4))
+      .withColumn("digit_frac", round(
+        expr("size(filter(chars, c -> c >= '0' AND c <= '9'))")
+          .cast("double") / col("n"), 4))
+      .withColumn("space_frac", round(
+        expr("size(filter(chars, c -> c = ' '))").cast("double") / col("n"), 4))
+      .select(col("doc_id"), col("n").as("n_chars_counted"),
+        col("char_entropy"), col("digit_frac"), col("space_frac"))
+      .orderBy(col("doc_id"))
+
+  /** T14 — the corpus MANIFEST (the dataset card a curation run ships
+    * with its output): doc counts, token totals, char totals, and mean
+    * doc length for every (lang × source) cell PLUS per-lang,
+    * per-source, and grand-total subtotals — one CUBE pass, so the
+    * whole card is a single Expand + map-side partial aggregate over
+    * one corpus scan (the a16 device applied to the documents table).
+    * Subtotal keys present as 'ALL' so the frame round-trips through
+    * engines without null-ordering divergence. */
+  def t14CorpusManifest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", wsTokens(col("text")).cast("long"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(col("n_chars")).as("sum_chars"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+        coalesce(col("source"), lit("ALL")).as("source"),
+        col("n_docs"), col("n_tokens"), col("sum_chars"), col("avg_chars"))
+      .orderBy(col("lang"), col("source"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_corpus_manifest" -> t14CorpusManifest,
+    "t13_char_stats" -> t13CharStats,
     "t9_unigram_logprob" -> t9Registered,
     "t10_bpe_train" -> t10Registered,
     "t5_vocab_topk" -> t5VocabTopK,
@@ -404,6 +462,33 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "t14_corpus_manifest" ->
+      """SELECT coalesce(lang, 'ALL') AS lang,
+        |  coalesce(source, 'ALL') AS source,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(coalesce(text, ''), ' '))) AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  round(avg(n_chars), 2) AS avg_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY lang, source""".stripMargin,
+    "t13_char_stats" ->
+      """WITH c AS (
+        |  SELECT doc_id, unnest(string_split_regex(coalesce(text, ''), '')) AS ch
+        |  FROM documents WHERE doc_id < 20),
+        |cnt AS (SELECT doc_id, ch, count(*) AS k FROM c
+        |        WHERE ch <> '' GROUP BY doc_id, ch),
+        |tot AS (SELECT doc_id, CAST(sum(k) AS DOUBLE) AS n
+        |        FROM cnt GROUP BY doc_id)
+        |SELECT cnt.doc_id,
+        |  CAST(n AS INT) AS n_chars_counted,
+        |  round(-sum((k / n) * log2(k / n)), 4) AS char_entropy,
+        |  round(sum(CASE WHEN ch >= '0' AND ch <= '9' THEN k ELSE 0 END) / n, 4)
+        |    AS digit_frac,
+        |  round(sum(CASE WHEN ch = ' ' THEN k ELSE 0 END) / n, 4) AS space_frac
+        |FROM cnt JOIN tot USING (doc_id)
+        |GROUP BY cnt.doc_id, n ORDER BY cnt.doc_id""".stripMargin,
     "t9_unigram_logprob" ->
       """WITH w AS (
         |  SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok

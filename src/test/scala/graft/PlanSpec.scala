@@ -218,6 +218,26 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 7, s"d21: got $exchanges exchanges:\n$p")
   }
 
+  test("char stats are per-row arithmetic: no explode, no shuffle but the sort") {
+    // t13: the char histogram must stay inside the row (HOFs over the
+    // char array), never explode into a corpus×len token frame
+    val (exchanges, p) = finalPlanShuffles("t13_char_stats")
+    assert(!p.contains("Generate"), s"t13 explodes characters:\n$p")
+    assert(exchanges <= 1, s"t13: got $exchanges exchanges:\n$p")
+  }
+
+  test("corpus manifest is one Expand + partial aggregation over one scan") {
+    // t14: all subtotal combinations from a single cube pass — one scan,
+    // map-side partial agg; NOT one job per grouping set
+    val (exchanges, p) = finalPlanShuffles("t14_corpus_manifest")
+    assert(p.contains("Expand"), s"t14 lost the cube Expand:\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      s"t14 re-scans per grouping set:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"t14 not partially aggregated:\n$p")
+    assert(exchanges <= 2, s"t14: got $exchanges exchanges:\n$p")
+  }
+
   test("PQ rerank reads originals only for the broadcast candidate pool") {
     // sim7: the exact pass must be a BROADCAST left-semi of the tiny
     // ADC candidate set against the embedding table — a shuffle join

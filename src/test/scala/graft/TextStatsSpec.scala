@@ -100,4 +100,42 @@ class TextStatsSpec extends AnyFunSuite {
     val frac = a.toDouble / total
     assert(frac > 0.04 && frac < 0.2, s"expected ~10% sample, got $frac")
   }
+
+  test("char stats: hand-computed entropy, digit/space fractions, empty-text drop") {
+    // "aabb" → p = {a:.5, b:.5} → entropy exactly 1 bit; digits 0.
+    // "0011" → entropy 1, digit_frac 1. "a b" → 3 chars {a,' ',b}
+    // uniform → entropy log2(3) ≈ 1.585, space_frac 1/3. "" → no row.
+    val docs = Seq(
+      (0L, "aabb"), (1L, "0011"), (2L, "a b"), (3L, "")
+    ).toDF("doc_id", "text")
+    withDocsDir(docs) { dir =>
+      val out = TextStats.t13CharStats(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      assert(out(0L) == ((4, 1.0, 0.0, 0.0)))
+      assert(out(1L) == ((4, 1.0, 1.0, 0.0)))
+      assert(out(2L) == ((3, 1.585, 0.0, 0.3333)))
+      assert(!out.contains(3L))
+    }
+  }
+
+  test("corpus manifest: cell + subtotal + grand-total arithmetic agrees") {
+    val docs = Seq(
+      (0L, "a b", "en", "s1", 3L),
+      (1L, "c", "en", "s2", 1L),
+      (2L, "d e f", "zh", "s1", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocsDir(docs) { dir =>
+      val rows = TextStats.t14CorpusManifest(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4))))
+        .toMap
+      assert(rows(("ALL", "ALL")) == ((3L, 6L, 9L)))   // grand total
+      assert(rows(("en", "ALL")) == ((2L, 3L, 4L)))    // lang subtotal
+      assert(rows(("ALL", "s1")) == ((2L, 5L, 8L)))    // source subtotal
+      assert(rows(("zh", "s1")) == ((1L, 3L, 5L)))     // cell
+      assert(rows.size == 3 + 2 + 2 + 1)               // cells+langs+sources+total
+    }
+  }
 }
