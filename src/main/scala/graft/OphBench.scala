@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One-off kernel benchmark (not driver-wired): classic k-permutation
+  * minhash banding vs one-permutation hashing on the same corpus. Times
+  * ONLY the shingle→band-keys compute (a bit_xor over the first band
+  * key forces full evaluation (keys are full-range longs; ANSI sum overflows) without adding a shuffle), best-of-3 after
+  * an untimed warmup — this is the CPU loop a 100 TB dedup pass lives
+  * in, so the ratio here is the banding-stage speedup ceiling. */
+object OphBench {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.length > 0) args(0) else "/tmp/sfx100"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = Tables.documents(spark, dir)
+    // Cache the shingle-hash frame: the scan + shingling cost is common
+    // to both kernels, and leaving it in the timed path dilutes the
+    // banding ratio (measured 1.31x diluted vs the isolated kernel).
+    val hashed = docs.select(col("doc_id"),
+      graft.functions.ShingleHashes.shingleHashes(spark, col("text"), 3)
+        .as("sh_hashes"))
+      .filter(size(col("sh_hashes")) > 0)
+      .persist()
+    hashed.count()
+    def classic = hashed.select(
+      graft.functions.MinHash.minhashBands(spark, col("sh_hashes"), 8, 4)
+        .as("ks"))
+      .agg(bit_xor(element_at(col("ks"), 1)))
+    def oph = hashed.select(
+      graft.functions.MinHashOph.minhashBandsOph(spark, col("sh_hashes"), 8, 4)
+        .as("ks"))
+      .agg(bit_xor(element_at(col("ks"), 1)))
+    def time(mk: => org.apache.spark.sql.DataFrame): Double = {
+      mk.collect() // warmup: codegen + JIT
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        mk.collect()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val tc = time(classic)
+    val to = time(oph)
+    println(f"""{"dir":"$dir","classic_sec":$tc%.3f,"oph_sec":$to%.3f,"speedup":${tc / to}%.2f}""")
+    spark.stop()
+  }
+}

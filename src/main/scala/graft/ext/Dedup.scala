@@ -89,14 +89,41 @@ object Dedup {
 
   /** (doc_id, band_id, band_key) rows for the banded-LSH candidate join —
     * THE banding step, shared by the self-join (d3) and bipartite (d15)
-    * pipelines so the two can never band differently. */
+    * pipelines so the two can never band differently. `oph = true`
+    * swaps the k-permutation kernel for one-permutation hashing
+    * ([[graft.functions.MinHashBandsOph]]): O(1) per shingle instead of
+    * O(k) — the right default when shingle counts comfortably exceed
+    * bands×rowsPerBand (real web documents), measured ~0 recall loss
+    * there (DedupSpec parity test) and a large CPU win on the banding
+    * pass, which is where a 100 TB dedup spends its cycles. */
   private def bandedDocs(documents: DataFrame,
-                         bands: Int, rowsPerBand: Int): DataFrame = {
+                         bands: Int, rowsPerBand: Int,
+                         oph: Boolean = false): DataFrame = {
     val spark = documents.sparkSession
+    val bandsCol =
+      if (oph) graft.functions.MinHashOph.minhashBandsOph(spark,
+        col("sh_hashes"), bands, rowsPerBand)
+      else graft.functions.MinHash.minhashBands(spark,
+        col("sh_hashes"), bands, rowsPerBand)
     hashedDocs(documents)
       .select(col("doc_id"),
-        posexplode(graft.functions.MinHash.minhashBands(spark,
-          col("sh_hashes"), bands, rowsPerBand)).as(Seq("band_id", "band_key")))
+        posexplode(bandsCol).as(Seq("band_id", "band_key")))
+  }
+
+  /** [[minhashPairsUnsorted]] with OPH banding — identical candidate
+    * join and exact-Jaccard verify (so precision is identical by
+    * construction; only candidate RECALL can differ, and only when a
+    * true pair never shares a band). */
+  def minhashPairsOphDf(documents: DataFrame,
+                        bands: Int = 8, rowsPerBand: Int = 4,
+                        threshold: Double = 0.4): DataFrame = {
+    val banded = bandedDocs(documents, bands, rowsPerBand, oph = true)
+    val candidates = banded.as("l")
+      .join(banded.as("r"), Seq("band_id", "band_key"))
+      .select(col("l.doc_id").as("id_a"), col("r.doc_id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    jaccardVerify(candidates, documents, threshold)
   }
 
   /** Verify candidate (id_a, id_b) pairs with exact Jaccard over the

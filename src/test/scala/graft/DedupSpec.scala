@@ -332,6 +332,51 @@ class DedupSpec extends AnyFunSuite {
     assert(bySource == Map("srcA" -> 1L, "srcB" -> 0L))
   }
 
+  test("OPH banding: pair parity with the classic kernel on long documents") {
+    // OPH's regime: shingle count >> bins (here ~200 shingles vs 32
+    // bins). Planted: three clusters of near-identical 200-word docs
+    // (Jaccard ≈ 0.97 within a cluster — the regime a dedup pass must
+    // never miss) from disjoint vocabularies. Both kernels must find
+    // exactly the within-cluster pairs: at this Jaccard a band miss has
+    // probability ~1e-8, so set equality is a deterministic pin, not a
+    // flaky coin flip (borderline-J pairs are probabilistic for BOTH
+    // kernels and are deliberately not planted).
+    def doc(group: Int, variant: Int): String =
+      ((0 until 200).map(w => s"g${group}w$w") ++
+        Seq(s"v${variant}a", s"v${variant}b", s"v${variant}c")).mkString(" ")
+    val docs = (0 until 3).flatMap { g =>
+      (0 until 3).map(v => ((g * 10 + v).toLong, doc(g, v)))
+    }.toDF("doc_id", "text")
+    val expected = (0 until 3).flatMap { g =>
+      Seq((g * 10L, g * 10L + 1), (g * 10L, g * 10L + 2), (g * 10L + 1, g * 10L + 2))
+    }.toSet
+    val classic = Dedup.minhashPairsUnsorted(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val oph = Dedup.minhashPairsOphDf(docs)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(classic == expected)
+    assert(oph == expected, s"OPH missed ${expected -- oph}, added ${oph -- expected}")
+  }
+
+  test("OPH band keys are deterministic and identical sets agree bit-for-bit") {
+    val docs = Seq((0L, base + " alpha beta gamma delta epsilon zeta"),
+      (1L, base + " alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val spark2 = spark
+    import org.apache.spark.sql.functions.{col => c}
+    val keys = docs.select(c("doc_id"),
+      graft.functions.MinHashOph.minhashBandsOph(spark2,
+        graft.functions.ShingleHashes.shingleHashes(spark2, c("text"), 3), 8, 4)
+        .as("keys"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys(0L) == keys(1L)) // identical text → identical signature
+    val again = docs.select(c("doc_id"),
+      graft.functions.MinHashOph.minhashBandsOph(spark2,
+        graft.functions.ShingleHashes.shingleHashes(spark2, c("text"), 3), 8, 4)
+        .as("keys"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(keys == again) // rerun-deterministic
+  }
+
   test("keepBest keeps the highest-priority cluster member, ties to smaller id") {
     // cluster {1,2,3} chained by pairs; prio: doc 2 longest → keeper.
     // cluster {10,11} tied on prio → smaller id 10 wins. 99 is a
