@@ -391,7 +391,53 @@ object Curate {
       graft.functions.BpeTokenizer.bpeTokenCounts(Tables.documents(spark, dir)),
       budget = 2000L)
 
+  /** D24 — the curation RUN: the stages a training-data team actually
+    * ships COMPOSED end to end, reported as a per-source funnel. Raw
+    * train docs → d14's quality rules → d10's exact benchmark
+    * decontamination → d2-style exact dedup (md5 fingerprint, keep the
+    * minimum id among SURVIVORS — dedup runs last so a duplicate of a
+    * rejected doc can still be kept). Every stage is the registered
+    * operator's own kernel, so this query is the integration proof that
+    * the tier composes; the funnel numbers are what a curator reads off
+    * a run before signing a dataset.
+    *
+    * 100 TB shape: stage flags are per-row expressions over ONE corpus
+    * pass; contamination is the d10 broadcast semi-join (corpus never
+    * shuffles for it); the only corpus-keyed shuffles are the dedup
+    * fingerprint aggregate + membership join (fingerprints, never text)
+    * and the final per-source rollup. */
+  def d24CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = col("doc_id") % BenchMod === 0
+    val bench = docs.filter(isBench)
+    val train = docs.filter(!isBench)
+    val flagged = qualityFilterDf(train)
+    val benchGrams = docGrams(bench, D10N).select(col("gram")).distinct()
+    val contaminated = docGrams(train, D10N)
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("contam", lit(true))
+    val staged = flagged.join(contaminated, Seq("doc_id"), "left")
+      .withColumn("surv2", col("keep") && !coalesce(col("contam"), lit(false)))
+    // canonical = min doc_id per md5(text) among stage-2 survivors; only
+    // (doc_id, fp) rows enter the shuffle
+    val fps = staged.filter(col("surv2"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fp"))
+    val canon = fps.join(
+        fps.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")), Seq("fp"))
+      .filter(col("doc_id") === col("keep_id"))
+      .select(col("doc_id")).withColumn("canon", lit(true))
+    staged.join(canon, Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("surv2"), 1L).otherwise(0L)).as("n_decontaminated"),
+        sum(when(col("surv2") && coalesce(col("canon"), lit(false)), 1L)
+          .otherwise(0L)).as("n_deduped"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_curation_funnel" -> d24CurationFunnel,
     "d10_decontaminate" -> d10Decontaminate,
     "d11_rebalance" -> d11Rebalance,
     "d12_semantic_dedup" -> d12SemanticDedup,
@@ -403,6 +449,58 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "d24_curation_funnel" -> {
+      // composed from the SAME fragments as the d14/d10 oracles and the
+      // same interpolated constants, so a rule change moves all three
+      val gramConcat = (0 until D10N)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      raw"""WITH t AS (
+        |  SELECT doc_id, source, coalesce(text, '') AS text,
+        |    string_split(lower(coalesce(text, '')), ' ') AS words
+        |  FROM documents WHERE doc_id % $BenchMod <> 0),
+        |q AS (
+        |  SELECT doc_id, source, text,
+        |    (len(words) >= 10
+        |     AND round(CAST(len(list_filter(words,
+        |       x -> x IN ('the','a','of','to','and','in','is','on'))) AS DOUBLE)
+        |       / len(words), 4) >= 0.05
+        |     AND (CASE WHEN len(words) < 2 THEN 0.0 ELSE
+        |       round(1.0 - CAST(len(list_distinct(list_transform(
+        |         range(1, len(words)), i -> words[i] || ' ' || words[i+1])))
+        |         AS DOUBLE) / (len(words) - 1), 4) END) <= 0.05
+        |     AND CAST(len(regexp_extract_all(text,
+        |       '(?:[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,})|(?:\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b)|(?:\b\d{3}[-. ]\d{3}[-. ]\d{4}\b)|(?:\(\d{3}\)[-. ]?\d{3}[-. ]\d{4}\b)|(?:\bcustomer\b)'))
+        |       AS DOUBLE) / len(words) <= 0.05) AS keep
+        |  FROM t),
+        |aw AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - ${D10N - 2}),
+        |      i -> $gramConcat)) AS gs
+        |  FROM aw WHERE len(w) >= $D10N),
+        |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = 0),
+        |contam AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+        |  WHERE g.doc_id % $BenchMod <> 0),
+        |staged AS (
+        |  SELECT q.doc_id, q.source, q.text, q.keep,
+        |    (q.keep AND c.doc_id IS NULL) AS surv2
+        |  FROM q LEFT JOIN contam c USING (doc_id)),
+        |canon AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM staged WHERE surv2) WHERE rn = 1)
+        |SELECT source, count(*) AS n_raw,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |  CAST(sum(CASE WHEN surv2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_decontaminated,
+        |  CAST(sum(CASE WHEN surv2 AND canon.doc_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped
+        |FROM staged LEFT JOIN canon USING (doc_id)
+        |GROUP BY source ORDER BY source""".stripMargin
+    },
     "d10_decontaminate" -> {
       // interpolated from the SAME constants the Spark side uses — a
       // change to D10N/BenchMod moves both sides together

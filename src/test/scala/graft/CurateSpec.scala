@@ -23,6 +23,34 @@ class CurateSpec extends AnyFunSuite {
   private def splitBench(all: org.apache.spark.sql.DataFrame, mod: Int = 97) =
     (all.filter(col("doc_id") % mod =!= 0), all.filter(col("doc_id") % mod === 0))
 
+  test("curation funnel composes quality → decontamination → dedup, in order") {
+    // bench doc 0 (0 % 97 == 0) donates the 4-gram; docs 1/2 are exact
+    // duplicates that pass everything (dedup keeps one); docs 3/4 fail
+    // the length rule (their duplicate pair never reaches dedup — the
+    // dedup-last design); doc 5 passes quality but leaks the bench gram.
+    val corpus = Seq(
+      (0L, "the alpha beta gamma delta words on and on here", "srcA"),
+      (1L, "the quick brown fox jumps over a lazy dog near the riverbank today", "srcA"),
+      (2L, "the quick brown fox jumps over a lazy dog near the riverbank today", "srcA"),
+      (3L, "tiny doc here", "srcA"),
+      (4L, "tiny doc here", "srcA"),
+      (5L, "the words alpha beta gamma delta flow in this long sentence nicely", "srcA")
+    ).toDF("doc_id", "text", "source")
+    val root = java.nio.file.Files.createTempDirectory("curfunnel")
+    try {
+      corpus.write.mode("overwrite").parquet(s"$root/documents.parquet")
+      val out = Curate.d24CurationFunnel(spark, root.toString).collect()
+      assert(out.length == 1)
+      val r = out.head
+      assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)) == (("srcA", 5L, 3L, 2L, 1L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("decontaminate flags the doc that leaks a benchmark 4-gram, only that doc") {
     val (train, bench) = splitBench(docs)
     val out = Curate.decontaminateDf(train, bench, n = 4)

@@ -238,6 +238,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"t14: got $exchanges exchanges:\n$p")
   }
 
+  test("curation funnel: contamination probes broadcast, text never shuffles") {
+    // d24: the corpus-side contamination check must stay the d10
+    // broadcast left-semi (bench grams are MBs); the dedup stage moves
+    // only (doc_id, fp) rows — no exchange may be keyed on text
+    val (_, p) = finalPlanShuffles("d24_curation_funnel")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"d24 contamination is not a broadcast semi-join:\n$p")
+    val shuffled = p.linesIterator.filter(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange")).mkString("\n")
+    assert(!shuffled.contains("text"), s"d24 shuffles text:\n$shuffled")
+  }
+
   test("PQ rerank reads originals only for the broadcast candidate pool") {
     // sim7: the exact pass must be a BROADCAST left-semi of the tiny
     // ADC candidate set against the embedding table — a shuffle join
