@@ -23,7 +23,8 @@ object ScalingProbe {
     "mm4_alignment_filter", "t12_nb_classifier", "d20_dsir_weights",
     "d19_dup_spans", "sim7_pq_ann",
     "d21_segment_scrub", "d22_epoch_order", "d23_canonical_keep",
-    "sim8_radius_search")
+    "sim8_radius_search", "d24_curation_funnel", "t13_char_stats",
+    "t14_corpus_manifest")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha
