@@ -45,20 +45,40 @@ object TrainOrder {
     * shuffle parallelism. The output order is partition-count-invariant
     * (asserted in OrderSpec). */
   def epochOrder(docs: DataFrame, seed: Long = D22Seed,
-                 partitions: Int = 0): DataFrame = {
-    val spark = docs.sparkSession
+                 partitions: Int = 0): DataFrame =
+    globalRank(docs.select(col("doc_id").cast("long").as("doc_id"),
+      shuffleKey(col("doc_id"), seed).as("skey")), partitions)
+
+  /** Curriculum ordering: like [[epochOrder]] but documents sort by a
+    * caller-supplied priority FIRST (e.g. quality score or length,
+    * descending — the "easy/clean examples early" schedule), with the
+    * seeded hash shuffling only WITHIN equal-priority ties. The same
+    * two-phase machinery: nothing about the global-index trick cares
+    * what the sort key is. */
+  def curriculumOrder(docs: DataFrame, priority: Column,
+                      seed: Long = D22Seed, partitions: Int = 0): DataFrame =
+    globalRank(docs.select(col("doc_id").cast("long").as("doc_id"),
+      priority.as("prio"), shuffleKey(col("doc_id"), seed).as("skey")),
+      partitions, Seq(col("prio").desc))
+
+  /** The two-phase global-rank kernel shared by epoch and curriculum
+    * ordering: range-sort by (prefix sort keys, skey, doc_id), count
+    * partitions, add broadcast prefix-sum offsets per partition. The
+    * input frame must carry `doc_id` (long) and `skey`. */
+  private def globalRank(keyed: DataFrame, partitions: Int,
+                         prefix: Seq[Column] = Nil): DataFrame = {
+    val spark = keyed.sparkSession
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else spark.sessionState.conf.numShufflePartitions
-    val keyed = docs.select(col("doc_id").cast("long").as("doc_id"),
-      shuffleKey(col("doc_id"), seed).as("skey"))
+    val sortCols = prefix ++ Seq(col("skey").asc, col("doc_id").asc)
     // localCheckpoint pins the range boundaries: RangePartitioner samples
     // its input, and the count job and the position job MUST see the same
     // partitioning — over a checkpoint they provably do (and the slim
-    // two-column frame is cheap to hold).
+    // keyed frame is cheap to hold).
     val sorted = keyed
-      .repartitionByRange(p, col("skey"), col("doc_id"))
-      .sortWithinPartitions(col("skey"), col("doc_id"))
+      .repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
       .withColumn("pid", spark_partition_id())
       .localCheckpoint(true)
     // P (pid, count) rows — driver traffic is O(partitions), not O(rows)
@@ -94,8 +114,15 @@ object TrainOrder {
   def d22EpochOrder(spark: SparkSession, dir: String): DataFrame =
     epochOrder(Tables.documents(spark, dir)).orderBy(col("position"))
 
+  /** D25 — registered curriculum order: longest documents first (the
+    * "most substance early" schedule), hash-shuffled within ties. */
+  def d25CurriculumOrder(spark: SparkSession, dir: String): DataFrame =
+    curriculumOrder(Tables.documents(spark, dir), col("n_chars"))
+      .orderBy(col("position"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d22_epoch_order" -> d22EpochOrder
+    "d22_epoch_order" -> d22EpochOrder,
+    "d25_curriculum_order" -> d25CurriculumOrder
   )
 
   val oracle: Map[String, String] = Map(
@@ -103,6 +130,13 @@ object TrainOrder {
       s"""SELECT doc_id,
         |  CAST(ROW_NUMBER() OVER (
         |    ORDER BY md5(CAST(doc_id AS VARCHAR) || ':$D22Seed'), doc_id) - 1
+        |    AS BIGINT) AS position
+        |FROM documents ORDER BY position""".stripMargin,
+    "d25_curriculum_order" ->
+      s"""SELECT doc_id,
+        |  CAST(ROW_NUMBER() OVER (
+        |    ORDER BY n_chars DESC,
+        |      md5(CAST(doc_id AS VARCHAR) || ':$D22Seed'), doc_id) - 1
         |    AS BIGINT) AS position
         |FROM documents ORDER BY position""".stripMargin
   )

@@ -55,6 +55,24 @@ class OrderSpec extends AnyFunSuite {
     assert(moved > 150, s"only $moved of 200 docs moved between seeds")
   }
 
+  test("curriculum order: strict priority bands, hash-shuffled within ties") {
+    val docs = (0 until 100).map(i => (i.toLong, (i % 4).toLong))
+      .toDF("doc_id", "prio")
+    val pos = TrainOrder.curriculumOrder(docs, col("prio"),
+        seed = 5L, partitions = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(pos.size == 100 && pos.values.toSet == (0L until 100L).toSet)
+    // 25 docs per priority; descending priority → band of positions
+    for ((id, p) <- pos) {
+      val band = 3 - (id % 4)
+      assert(p >= band * 25 && p < (band + 1) * 25,
+        s"doc $id (prio ${id % 4}) landed at $p")
+    }
+    // within a band the seeded hash shuffles — not id order
+    val topBand = pos.filter(_._1 % 4 == 3).toSeq.sortBy(_._2).map(_._1)
+    assert(topBand != topBand.sorted)
+  }
+
   test("empty input yields an empty frame with the contract schema") {
     val out = TrainOrder.epochOrder(Seq.empty[Long].toDF("doc_id"), 1L, 4)
     assert(out.columns.toSeq == Seq("doc_id", "position"))
