@@ -716,6 +716,29 @@ object Dedup {
     documents.join(drop, Seq("doc_id"), "left_anti")
   }
 
+  /** Cluster-SIZE distribution over a near-dup pair graph: for each
+    * component size, how many clusters and docs sit there. The one-page
+    * answer to "how duplicated is this corpus?" — a long tail of huge
+    * clusters means boilerplate mirrors (act BEFORE training); all-size-1
+    * means dedup is a no-op. Two map-side-combinable aggregates over the
+    * component labeling; the corpus never re-enters. */
+  def clusterSizeHistogram(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    connectedComponents(nodes, pairs)
+      .groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(
+        count(lit(1)).as("n_clusters"),
+        sum(col("cluster_size")).as("n_docs"))
+      .orderBy(col("cluster_size"))
+
+  /** D27 — registered histogram over the d5/d6 bounded exact-Jaccard
+    * graph, so DuckDB replays closure AND histogram. */
+  def d27ClusterSizes(spark: SparkSession, dir: String): DataFrame = {
+    val nodes = Tables.documents(spark, dir)
+      .filter(col("doc_id") < 80).select(col("doc_id").as("node"))
+    val pairs = d5NgramJaccard(spark, dir).select(col("id_a"), col("id_b"))
+    clusterSizeHistogram(nodes, pairs)
+  }
+
   /** D6 — duplicate-cluster resolution over the exact-Jaccard pair graph
     * (d5's bounded window, so DuckDB replays the whole dataflow with a
     * recursive CTE): every doc < 80 mapped to its canonical
@@ -853,7 +876,8 @@ object Dedup {
     "d18_incremental_dedup" -> d18IncrementalDedup,
     "d19_dup_spans" -> d19DupSpans,
     "d21_segment_scrub" -> d21SegmentScrub,
-    "d23_canonical_keep" -> d23CanonicalKeep
+    "d23_canonical_keep" -> d23CanonicalKeep,
+    "d27_cluster_sizes" -> d27ClusterSizes
   )
 
   /** Shared oracle fragment: the d5 shingle CTE + pair predicate. ONE
@@ -950,6 +974,23 @@ object Dedup {
         |keep AS (SELECT cid, node AS keeper_id FROM ranked WHERE rn = 1)
         |SELECT c.node AS doc_id, k.keeper_id
         |FROM comp c JOIN keep k USING (cid) ORDER BY doc_id""".stripMargin,
+    "d27_cluster_sizes" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  $pairPredicate),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, other) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 80
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+        |comp AS (SELECT node, min(other) AS cid FROM reach GROUP BY node),
+        |sizes AS (SELECT cid, count(*) AS cluster_size FROM comp GROUP BY cid)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
         |p AS (

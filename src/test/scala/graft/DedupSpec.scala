@@ -413,4 +413,15 @@ class DedupSpec extends AnyFunSuite {
     assert(out(2L) == ((3L, 2L, "ss tt uu")))
     assert(out(3L) == ((2L, 0L, "jj kk ll mm nn")))
   }
+
+  test("cluster-size histogram counts clusters and docs per component size") {
+    // components: {0,1,2,3} (chain), {10,11}, {20}, {21} →
+    // size 1 × 2 clusters, size 2 × 1, size 4 × 1; docs sum to 8
+    val nodes = Seq(0L, 1L, 2L, 3L, 10L, 11L, 20L, 21L).toDF("node")
+    val pairs = Seq((0L, 1L), (1L, 2L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val hist = ext.Dedup.clusterSizeHistogram(nodes, pairs)
+      .as[(Long, Long, Long)].collect().toList
+    assert(hist == List((1L, 2L, 2L), (2L, 1L, 2L), (4L, 1L, 4L)))
+  }
 }

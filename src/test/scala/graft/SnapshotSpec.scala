@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Snapshot
+
+/** Snapshot diff classifies every doc present in either crawl version,
+  * takes `source` from the surviving side, and never misses a side-only
+  * doc. */
+class SnapshotSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def frame(rows: Seq[(Long, String, String)]) =
+    rows.toDF("doc_id", "text", "source")
+      .select($"doc_id", $"source", $"text") // column order must not matter
+
+  test("diffStatus: added / removed / changed / unchanged, exactly once each") {
+    val old = frame(Seq(
+      (1L, "stays the same", "a"),
+      (2L, "will be edited", "a"),
+      (3L, "will be deleted", "b")))
+    val neu = frame(Seq(
+      (1L, "stays the same", "a"),
+      (2L, "was edited here", "a"),
+      (4L, "brand new doc", "b")))
+    val got = Snapshot.diffStatus(old, neu)
+      .as[(Long, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> (("a", "unchanged")),
+      2L -> (("a", "changed")),
+      3L -> (("b", "removed")),
+      4L -> (("b", "added"))))
+  }
+
+  test("source of a doc present in both sides comes from the NEW snapshot") {
+    val old = frame(Seq((1L, "same text", "oldsrc")))
+    val neu = frame(Seq((1L, "same text", "newsrc")))
+    val got = Snapshot.diffStatus(old, neu)
+      .as[(Long, String, String)].collect().head
+    assert(got == ((1L, "newsrc", "unchanged")))
+  }
+
+  test("identical snapshots diff to all-unchanged; disjoint ones to added+removed") {
+    val a = frame(Seq((1L, "x", "s"), (2L, "y", "s")))
+    val b = frame(Seq((3L, "z", "s")))
+    assert(Snapshot.diffStatus(a, a).select("status").as[String]
+      .collect().forall(_ == "unchanged"))
+    val disjoint = Snapshot.diffStatus(a, b)
+      .groupBy("status").count().as[(String, Long)].collect().toMap
+    assert(disjoint == Map("removed" -> 2L, "added" -> 1L))
+  }
+
+  test("diffReport aggregates per (source, status) and orders stably") {
+    val old = frame(Seq((1L, "t", "a"), (2L, "t", "b")))
+    val neu = frame(Seq((1L, "t2", "a"), (2L, "t", "b"), (3L, "n", "a")))
+    val rep = Snapshot.diffReport(old, neu)
+      .as[(String, String, Long)].collect().toList
+    assert(rep == List(
+      ("a", "added", 1L), ("a", "changed", 1L), ("b", "unchanged", 1L)))
+  }
+
+  test("document text never enters the diff join (fingerprints only)") {
+    val old = frame(Seq((1L, "some long body", "a")))
+    val neu = frame(Seq((1L, "some long body", "a")))
+    val plan = Snapshot.diffStatus(old, neu)
+      .queryExecution.executedPlan.toString
+    // the only join in the plan must not carry the raw text attribute
+    val joinLines = plan.linesIterator.filter(_.contains("Join")).toList
+    assert(joinLines.nonEmpty && joinLines.forall(!_.contains("text")))
+  }
+}
