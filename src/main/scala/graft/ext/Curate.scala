@@ -391,6 +391,72 @@ object Curate {
       graft.functions.BpeTokenizer.bpeTokenCounts(Tables.documents(spark, dir)),
       budget = 2000L)
 
+  /** Registered d28 constants — interpolated into the oracle so both
+    * sides move together. */
+  private[ext] val D28K = 20
+  private[ext] val D28Seed = 7L
+
+  /** EXACT-k per-stratum sample — the carve-out op (fixed-size eval sets,
+    * human-review batches, label budgets) that d8/d11's rate-based
+    * filters deliberately don't give: those keep an EXPECTED count, this
+    * keeps exactly min(k, |stratum|) docs, deterministically (the k
+    * smallest seeded md5 keys, doc_id tie-break — the d22 device, so the
+    * member set is reproducible across engines, runs, and retries).
+    *
+    * 100 TB shape: the textbook formulation — ROW_NUMBER partitioned by
+    * stratum — pins every row of a skewed stratum on one reducer (the
+    * straggler d11 avoids; here rank is unavoidable, bounding it is the
+    * design). So: prune FIRST on the uniform hash key — keep rows with
+    * key below ~factor·k/n of the key space (broadcast per-stratum rate
+    * table, pure per-row filter, no shuffle) — then rank only the
+    * O(strata × factor·k) survivors. The prune is probabilistic, the
+    * answer is not: a per-stratum count (tiny agg) re-checks that every
+    * stratum kept ≥ min(k, n) candidates and widens the cut on the rare
+    * shortfall (P ~ e^{-k} per Chernoff at factor 4), so the output
+    * equals the unpruned rank BY CONSTRUCTION (asserted in CurateSpec,
+    * including a forced-shortfall run). */
+  def sampleExactK(docs: DataFrame, k: Int, seed: Long = D28Seed,
+                   factor0: Double = 4.0): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 15 hex chars = 60 bits: the key prefix as a long, far inside 2^53
+    // double-exactness for the cap compare's purposes (boundary fuzz only
+    // moves CANDIDATES, never the answer — the backstop re-checks).
+    val slim = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("lang"), col("n_chars"),
+        TrainOrder.shuffleKey(col("doc_id"), seed).as("skey"))
+      .withColumn("knum", conv(substring(col("skey"), 1, 15), 16, 10).cast("long"))
+    val keySpace = math.pow(2.0, 60)
+    val totals = slim.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    var factor = factor0
+    var survivors: DataFrame = null
+    var done = false
+    while (!done) {
+      val rates = totals.withColumn("cap",
+        least(lit(1.0), lit(factor * k) / col("n")))
+      survivors = slim.join(broadcast(rates), Seq("lang"))
+        .filter(col("knum") < col("cap") * lit(keySpace))
+      // cap = 1.0 keeps every row (knum < 2^60 always), so the loop is
+      // guaranteed to terminate once factor·k reaches the biggest stratum.
+      val shortfall = survivors.groupBy(col("lang")).agg(count(lit(1)).as("kept"))
+        .join(totals, Seq("lang"), "right")
+        .filter(coalesce(col("kept"), lit(0L)) < least(lit(k.toLong), col("n")))
+      if (shortfall.isEmpty) done = true else factor *= 16
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+    survivors
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= k)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+  }
+
+  /** D28 — registered exact-k stratified sample: 20 docs per language at
+    * the fixed seed. Fully deterministic → value-level oracle (DuckDB
+    * replays the seeded-md5 rank as a partitioned window). */
+  def d28StratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    sampleExactK(Tables.documents(spark, dir), D28K)
+      .orderBy(col("lang"), col("sample_rank"))
+
   /** D24 — the curation RUN: the stages a training-data team actually
     * ships COMPOSED end to end, reported as a per-source funnel. Raw
     * train docs → d14's quality rules → d10's exact benchmark
@@ -445,10 +511,22 @@ object Curate {
     "d14_quality_filter" -> d14QualityFilter,
     "d16_split_assign" -> d16SplitAssign,
     "d17_token_budget" -> d17TokenBudget,
-    "d17_bpe_budget" -> d17BpeBudget
+    "d17_bpe_budget" -> d17BpeBudget,
+    "d28_stratified_sample" -> d28StratifiedSample
   )
 
   val oracle: Map[String, String] = Map(
+    "d28_stratified_sample" ->
+      s"""WITH r AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || ':$D28Seed'), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |SELECT lang, CAST(sample_rank AS BIGINT) AS sample_rank,
+        |  doc_id, n_chars
+        |FROM r WHERE sample_rank <= $D28K
+        |ORDER BY lang, sample_rank""".stripMargin,
     "d24_curation_funnel" -> {
       // composed from the SAME fragments as the d14/d10 oracles and the
       // same interpolated constants, so a rule change moves all three

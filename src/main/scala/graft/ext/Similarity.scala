@@ -434,6 +434,35 @@ object Similarity {
     radiusJoinDf(spark, e, queries, tau = 0.3)
   }
 
+  /** SIM9 — embedding-norm QC report: per label, the count / rounded
+    * avg/min/max of L2 norms plus zero-norm and small-norm counts. The
+    * pre-indexing gate every ANN deployment runs: a zero-norm vector is
+    * the NaN hazard sim6/sim8 must guard per query (catch it at ingest
+    * instead), and a cluster of tiny norms usually means a broken
+    * encoder batch. Pure per-row HOF arithmetic (one pass, no shuffle
+    * before the per-label agg); thresholds compare the ROUNDED norm so
+    * a libm ulp can't move a count between engines. Null embeddings are
+    * excluded on both sides (Spark HOF and DuckDB unnest agree). */
+  def sim9NormQc(spark: SparkSession, dir: String): DataFrame =
+    normQcDf(Tables.embeddings(spark, dir))
+
+  /** The same QC over any (label, embedding) frame — unit-testable on
+    * planted vectors. */
+  def normQcDf(embeddings: DataFrame): DataFrame =
+    embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("label"),
+        round(sqrt(aggregate(asDouble(col("embedding")), lit(0.0),
+          (acc, x) => acc + x * x)), 4).as("norm"))
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("norm")), 4).as("avg_norm"),
+        min(col("norm")).as("min_norm"),
+        max(col("norm")).as("max_norm"),
+        sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(col("norm") < 0.5, 1L).otherwise(0L)).as("n_small"))
+      .orderBy(col("label"))
+
   /** SIM7 — Product Quantization ANN (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the vector splits into
     * `m` subvectors, each quantized by its own k-codeword codebook, so
@@ -620,10 +649,23 @@ object Similarity {
     "sim4_ivf_ann" -> sim4IvfAnn,
     "sim6_knn_join" -> sim6KnnJoin,
     "sim7_pq_ann" -> sim7PqAnn,
-    "sim8_radius_search" -> sim8RadiusSearch
+    "sim8_radius_search" -> sim8RadiusSearch,
+    "sim9_norm_qc" -> sim9NormQc
   )
 
   val oracle: Map[String, String] = Map(
+    "sim9_norm_qc" ->
+      """WITH n AS (
+        |  SELECT label,
+        |    round(sqrt(coalesce(list_sum(list_transform(
+        |      CAST(embedding AS DOUBLE[]), x -> x * x)), 0)), 4) AS norm
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(norm), 4) AS avg_norm,
+        |  min(norm) AS min_norm, max(norm) AS max_norm,
+        |  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(sum(CASE WHEN norm < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
     "sim5_label_centroids" ->
       """WITH x AS (
         |  SELECT label,

@@ -304,4 +304,38 @@ class CurateSpec extends AnyFunSuite {
     // the small stratum keeps everything (rate = 1.0)
     assert(run1("fr") == ((80L, 80L, 80L)))
   }
+
+  test("exact-k sample equals the unpruned rank, even when the prune must retry") {
+    val corpus = (0L until 300L).map { i =>
+      (i, s"doc $i", if (i % 3 == 0) "fr" else "en", i % 17)
+    }.toDF("doc_id", "text", "lang", "n_chars")
+    // expected = the naive full window (what the DuckDB oracle computes)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(graft.ext.TrainOrder.shuffleKey(col("doc_id"), 7L), col("doc_id"))
+    val expected = corpus
+      .withColumn("sample_rank", row_number().over(w).cast("long"))
+      .filter(col("sample_rank") <= 5)
+      .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+      .collect().map(_.toSeq).toSet
+    val pruned = Curate.sampleExactK(corpus, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(pruned == expected)
+    // factor0 small enough that the first cut keeps ~1 candidate per
+    // stratum — the backstop loop must widen and still return the answer
+    val retried = Curate.sampleExactK(corpus, k = 5, factor0 = 0.2)
+      .collect().map(_.toSeq).toSet
+    assert(retried == expected)
+  }
+
+  test("a stratum smaller than k is kept whole, ranked 1..n") {
+    val corpus = Seq(
+      (1L, "a", "en", 1L), (2L, "b", "en", 2L), (3L, "c", "en", 3L),
+      (10L, "x", "fr", 4L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+    val got = Curate.sampleExactK(corpus, k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.count(_._1 == "en") == 2)
+    assert(got.filter(_._1 == "fr").map(x => (x._2, x._3)).toSeq == Seq((1L, 10L)))
+  }
 }

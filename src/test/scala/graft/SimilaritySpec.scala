@@ -337,4 +337,20 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("query dim"))
   }
+
+  test("norm QC: planted norms, zero-norm and small-norm counted, nulls skipped") {
+    val vecs = Seq(
+      (0, Array(3f, 4f)),        // norm 5
+      (0, Array(0f, 0f)),        // zero norm → n_zero AND n_small
+      (0, Array(0.1f, 0.2f)),    // norm .2236 → n_small
+      (1, Array(1f, 0f)),        // norm 1
+      (1, null.asInstanceOf[Array[Float]]) // skipped entirely
+    ).toDF("label", "embedding")
+    val got = Similarity.normQcDf(vecs)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got(0) == ((3L, 1.7412, 0.0, 5.0, 1L, 2L)))
+    assert(got(1) == ((1L, 1.0, 1.0, 1.0, 0L, 0L)))
+  }
 }
