@@ -396,6 +396,60 @@ object Curate {
   private[ext] val D28K = 20
   private[ext] val D28Seed = 7L
 
+  /** Registered d29 keep-fraction. */
+  private[ext] val D29Frac = 0.3
+
+  /** Top-FRACTION quality cutoff — "keep the best 30% by classifier
+    * score", the FineWeb/DCLM-style selection rule that needs a GLOBAL
+    * score percentile. The textbook formulations don't survive 100 TB:
+    * `percent_rank()` is a global sort of the corpus, and
+    * `approxQuantile` is nondeterministic across partitionings (a
+    * curated dataset must be reproducible). Instead: scores are ROUNDED
+    * to 1e-4, so the score domain is ≤ 10⁴+1 values by construction —
+    * the full distribution is a vocabulary-bounded aggregate (map-side
+    * combined, O(bins) driver rows, no sort of anything corpus-sized),
+    * the threshold is a driver prefix-sum over ≤ 10k bins, and keep is
+    * a pure per-row compare against the broadcast-literal threshold.
+    * Exact, deterministic, tie-INCLUSIVE (every doc at the boundary
+    * score is kept, so n_kept ≥ ceil(frac·N) and the member set is a
+    * pure function of the corpus — no arbitrary tie cut). */
+  def qualityCutoffDf(docs: DataFrame, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
+    val words = split(lower(col("text")), " ")
+    val nStop = size(filter(words, w =>
+      w.isin("the", "a", "of", "to", "and", "in", "is", "on")))
+    val scored = docs
+      .withColumn("score", round(nStop.cast("double") / size(words), 4))
+      .filter(col("score").isNotNull)
+    // ≤ 10001 rows by the rounding bound — a driver collect that cannot
+    // grow with the corpus (same discipline as t9's capped vocab).
+    val hist = scoreHistogram(scored).collect()
+    val total = hist.iterator.map(_.getLong(1)).sum
+    val target = math.ceil(frac * total).toLong
+    var cum = 0L
+    var thr = Double.NegativeInfinity
+    val it = hist.iterator
+    while (cum < target && it.hasNext) {
+      val r = it.next(); cum += r.getLong(1); thr = r.getDouble(0)
+    }
+    scored.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("score") >= thr, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("threshold", round(lit(thr), 4))
+      .orderBy(col("source"))
+  }
+
+  /** The bounded score histogram behind [[qualityCutoffDf]] — exposed
+    * for the plan pin (partial aggregation is what keeps the shuffle at
+    * bins×partitions instead of corpus rows). */
+  private[graft] def scoreHistogram(scored: DataFrame): DataFrame =
+    scored.groupBy(col("score")).agg(count(lit(1)).as("c"))
+      .orderBy(col("score").desc)
+
+  /** D29 — registered top-30% cutoff on the t2 stopword-ratio score. */
+  def d29QualityCutoff(spark: SparkSession, dir: String): DataFrame =
+    qualityCutoffDf(Tables.documents(spark, dir), D29Frac)
+
   /** EXACT-k per-stratum sample — the carve-out op (fixed-size eval sets,
     * human-review batches, label budgets) that d8/d11's rate-based
     * filters deliberately don't give: those keep an EXPECTED count, this
@@ -512,10 +566,29 @@ object Curate {
     "d16_split_assign" -> d16SplitAssign,
     "d17_token_budget" -> d17TokenBudget,
     "d17_bpe_budget" -> d17BpeBudget,
-    "d28_stratified_sample" -> d28StratifiedSample
+    "d28_stratified_sample" -> d28StratifiedSample,
+    "d29_quality_cutoff" -> d29QualityCutoff
   )
 
   val oracle: Map[String, String] = Map(
+    "d29_quality_cutoff" ->
+      s"""WITH q AS (
+        |  SELECT source,
+        |    round(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','of','to','and','in','is','on')))
+        |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4) AS score
+        |  FROM documents),
+        |q2 AS (SELECT * FROM q WHERE score IS NOT NULL),
+        |h AS (SELECT score, count(*) AS c FROM q2 GROUP BY score),
+        |cum AS (SELECT score, sum(c) OVER (ORDER BY score DESC) AS cum FROM h),
+        |tot AS (SELECT count(*) AS total FROM q2),
+        |t AS (SELECT max(score) AS thr FROM cum, tot
+        |      WHERE cum >= ceil($D29Frac * total))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score >= (SELECT thr FROM t) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round((SELECT thr FROM t), 4) AS threshold
+        |FROM q2 GROUP BY source ORDER BY source""".stripMargin,
     "d28_stratified_sample" ->
       s"""WITH r AS (
         |  SELECT lang, doc_id, n_chars,

@@ -328,6 +328,22 @@ class CurateSpec extends AnyFunSuite {
     assert(retried == expected)
   }
 
+  test("quality cutoff keeps the top fraction, ties at the boundary inclusive") {
+    // scores (stop-ratio of 4-word docs): 'the' count / 4
+    def doc(id: Long, nThe: Int) =
+      (id, (Seq.fill(nThe)("the") ++ Seq.fill(4 - nThe)("zz")).mkString(" "), "s")
+    // 10 docs: scores 1.0, 0.75, 0.5, 0.5, and six 0.25s
+    val corpus = (Seq(doc(0, 4), doc(1, 3), doc(2, 2), doc(3, 2)) ++
+      (4L until 10L).map(doc(_, 1))).toDF("doc_id", "text", "source")
+    // frac 0.3 → target ceil(3) = 3 → threshold descends to 0.5; BOTH
+    // 0.5-docs kept (tie-inclusive) → n_kept = 4
+    val got = Curate.qualityCutoffDf(corpus, 0.3).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getDouble(3)) == ((10L, 4L, 0.5)))
+    // frac 1.0 keeps everything
+    val all = Curate.qualityCutoffDf(corpus, 1.0).collect().head
+    assert(all.getLong(2) == 10L)
+  }
+
   test("a stratum smaller than k is kept whole, ranked 1..n") {
     val corpus = Seq(
       (1L, "a", "en", 1L), (2L, "b", "en", 2L), (3L, "c", "en", 3L),

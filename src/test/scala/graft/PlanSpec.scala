@@ -250,6 +250,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!shuffled.contains("text"), s"d24 shuffles text:\n$shuffled")
   }
 
+  test("exact-k sample: the rate table broadcasts; rank runs on pruned survivors") {
+    // d28's per-stratum cap table is strata-sized and must join back
+    // BROADCAST; a sort-merge join would shuffle the corpus to prune it
+    val (exchanges, p) = finalPlanShuffles("d28_stratified_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d28 rate join is not broadcast:\n$p")
+    // totals agg + the survivor window's hash exchange + final sort; the
+    // corpus-side prune filter must not add one
+    assert(exchanges <= 4, s"d28: too many shuffles ($exchanges):\n$p")
+  }
+
+  test("quality cutoff: the score histogram is map-side combined; keep is join-free") {
+    // d29's threshold comes from the bounded score histogram — the
+    // partial/final HashAggregate pair is what keeps driver traffic at
+    // O(bins) and the shuffle at bins×partitions, not corpus rows
+    import org.apache.spark.sql.functions._
+    val scored = graft.Tables.documents(spark, dir)
+      .withColumn("score", round(length(col("text")) % 100 / 100.0, 4))
+    val hp = graft.ext.Curate.scoreHistogram(scored)
+      .queryExecution.explainString(FormattedMode)
+    assert(hp.linesIterator.count(_.contains("HashAggregate")) >= 2, hp)
+    // the keep pass compares against a LITERAL threshold — no join at all
+    val p = plan("d29_quality_cutoff")
+    assert(!p.contains("Join"), s"d29 joins for its threshold:\n$p")
+  }
+
   test("PQ rerank reads originals only for the broadcast candidate pool") {
     // sim7: the exact pass must be a BROADCAST left-semi of the tiny
     // ADC candidate set against the embedding table — a shuffle join
