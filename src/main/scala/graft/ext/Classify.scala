@@ -103,6 +103,25 @@ object Classify {
       .orderBy(col("lang"))
   }
 
+  /** D30 — top-fraction cutoff on the LEARNED score: keep the best 30%
+    * of docs by NB classifier score — the FineWeb/DCLM selection rule
+    * proper (d29 runs the same machinery on a rule-based score; real
+    * curation thresholds a trained classifier). Composition of the two
+    * tiers: t12's memoized broadcast-literal scorer (train once per
+    * (session, dir), zero-shuffle scoring) feeds d29's bounded-histogram
+    * global percentile (no global sort, tie-inclusive). Per-doc scores
+    * round to 1e-4 BEFORE the histogram — the same device that makes
+    * the threshold exact and engine-portable. */
+  def d30NbCutoff(spark: SparkSession, dir: String): DataFrame = {
+    val logOdds = Similarity.perSession(nbCache, spark)
+      .getOrElseUpdate(dir, nbLogOddsOn(
+        Tables.documents(spark, dir), col("lang") === "en", maxVocab = 65536))
+    Curate.cutoffOn(
+      nbScoreOn(Tables.documents(spark, dir), logOdds)
+        .withColumn("score", round(col("score"), 4)),
+      Curate.D29Frac)
+  }
+
   // ---------------------------------------------------------------- d20
 
   /** Feature-bucket count B: FIXED, so the trained table is always
@@ -198,13 +217,43 @@ object Classify {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_nb_classifier" -> t12NbClassifier,
-    "d20_dsir_weights" -> d20DsirWeights
+    "d20_dsir_weights" -> d20DsirWeights,
+    "d30_nb_cutoff" -> d30NbCutoff
   )
 
   private def targetList: String =
     DsirTarget.map(s => s"'$s'").mkString(", ")
 
   val oracle: Map[String, String] = Map(
+    "d30_nb_cutoff" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, source, lang = 'en' AS pos,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, source, pos, tok FROM w WHERE tok <> ''),
+        |f AS (SELECT tok,
+        |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |        sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        |      FROM w2 GROUP BY tok),
+        |t AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+        |             CAST(sum(cneg) AS DOUBLE) AS tneg,
+        |             CAST(count(*) AS DOUBLE) AS v FROM f),
+        |lo AS (SELECT tok,
+        |         log10((cpos + 1) / (tpos + v)) -
+        |         log10((cneg + 1) / (tneg + v)) AS lo
+        |       FROM f CROSS JOIN t),
+        |ds AS (SELECT doc_id, source, round(avg(lo), 4) AS score
+        |       FROM w2 JOIN lo USING (tok) GROUP BY doc_id, source),
+        |h AS (SELECT score, count(*) AS c FROM ds GROUP BY score),
+        |cum AS (SELECT score, sum(c) OVER (ORDER BY score DESC) AS cum FROM h),
+        |tot AS (SELECT count(*) AS total FROM ds),
+        |thr AS (SELECT max(score) AS thr FROM cum, tot
+        |        WHERE cum >= ceil(${Curate.D29Frac} * total))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score >= (SELECT thr FROM thr) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round((SELECT thr FROM thr), 4) AS threshold
+        |FROM ds GROUP BY source ORDER BY source""".stripMargin,
     "t12_nb_classifier" ->
       """WITH w AS (
         |  SELECT doc_id, lang, lang = 'en' AS pos,

@@ -414,15 +414,22 @@ object Curate {
     * score is kept, so n_kept ≥ ceil(frac·N) and the member set is a
     * pure function of the corpus — no arbitrary tie cut). */
   def qualityCutoffDf(docs: DataFrame, frac: Double): DataFrame = {
-    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
     val words = split(lower(col("text")), " ")
     val nStop = size(filter(words, w =>
       w.isin("the", "a", "of", "to", "and", "in", "is", "on")))
-    val scored = docs
+    cutoffOn(docs
       .withColumn("score", round(nStop.cast("double") / size(words), 4))
-      .filter(col("score").isNotNull)
-    // ≤ 10001 rows by the rounding bound — a driver collect that cannot
-    // grow with the corpus (same discipline as t9's capped vocab).
+      .filter(col("score").isNotNull), frac)
+  }
+
+  /** The cutoff machinery over ANY (source, score) frame — the scorer
+    * is pluggable: the t2 stopword ratio (d29) or the learned NB
+    * classifier (d30). CONTRACT: `score` is already rounded to 1e-4,
+    * which is what bounds the histogram (bins ≤ score-range × 10⁴ —
+    * a few 10⁵ even for log-odds scores — independent of corpus
+    * size; same collect discipline as t9's capped vocab). */
+  private[ext] def cutoffOn(scored: DataFrame, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
     val hist = scoreHistogram(scored).collect()
     val total = hist.iterator.map(_.getLong(1)).sum
     val target = math.ceil(frac * total).toLong
