@@ -81,11 +81,74 @@ object Packing {
       max(col("fill")).as("max_fill"))
   }
 
+  /** Registered d31 geometry — interpolated into the oracle so both
+    * sides move together. */
+  private[ext] val D31W = 32 // window: words per chunk
+  private[ext] val D31S = 24 // stride: overlap = W − S words
+
+  /** Context-window chunking — the answer to [[packBins]]'s "docs larger
+    * than the budget must be filtered (or chunked) by the caller": split
+    * each doc into fixed-size word windows every `stride` words (the
+    * overlapping-window preprocessing every context-bounded trainer
+    * runs), so no chunk exceeds `window` and consecutive chunks share
+    * window − stride words of context. Chunk membership is a pure
+    * function of (doc_id, position) — reproducible across engines and
+    * retries, like every selection op here.
+    *
+    * 100 TB shape: one per-row HOF expansion — no shuffle AT ALL; output
+    * volume is ≈ window/stride × input by construction (the overlap
+    * factor), and chunks feed [[packBins]] as (chunk, n_words) rows
+    * without the text ever moving. The tail chunk starts at most
+    * window−1 words before the end (stride ≤ window), so no empty
+    * chunks exist to filter. */
+  def chunkWindows(docs: DataFrame, window: Int = D31W,
+                   stride: Int = D31S): DataFrame = {
+    require(window >= 1 && stride >= 1 && stride <= window,
+      s"need 1 <= stride <= window, got window=$window stride=$stride")
+    docs.filter(col("text").isNotNull)
+      .withColumn("words", split(col("text"), " "))
+      // chunk count = 1 + ceil(max(0, n − window) / stride), as pure
+      // integer arithmetic ((x + s − 1) div s) so the engine cannot
+      // drift from the oracle's integer division on a double boundary
+      .withColumn("chunks", expr(
+        s"""transform(
+           |  sequence(0, (greatest(0, size(words) - $window) + ${stride - 1})
+           |    div $stride),
+           |  i -> slice(words, i * $stride + 1, $window))""".stripMargin))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_id", "cw")))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cw")).as("n_words"),
+        array_join(col("cw"), " ").as("chunk_text"))
+  }
+
+  /** D31 — registered chunking detail for the first 20 docs (bounded
+    * presentation, d21's convention; the chunk rule itself is computed
+    * doc-local so the bound is display-only). Fully deterministic →
+    * value-level oracle. */
+  def d31ContextChunks(spark: SparkSession, dir: String): DataFrame =
+    chunkWindows(Tables.documents(spark, dir).filter(col("doc_id") < 20))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d9_sequence_pack" -> d9SequencePack
+    "d9_sequence_pack" -> d9SequencePack,
+    "d31_context_chunks" -> d31ContextChunks
   )
 
-  /** Engine-specific (partition-local packing) — no SQL oracle; see
-    * PackingSpec for the invariant checks. */
-  val oracle: Map[String, String] = Map.empty
+  /** d9 is engine-specific (partition-local packing) — no SQL oracle;
+    * see PackingSpec for the invariant checks. d31 is deterministic and
+    * value-oracled. */
+  val oracle: Map[String, String] = Map(
+    "d31_context_chunks" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words
+        |  FROM documents WHERE doc_id < 20),
+        |c AS (
+        |  SELECT doc_id, i, words[i*$D31S+1 : i*$D31S+$D31W] AS cw
+        |  FROM w, LATERAL (SELECT unnest(range(
+        |    1 + (greatest(0, len(words) - $D31W) + ${D31S - 1}) // $D31S)) AS i))
+        |SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |  CAST(len(cw) AS INT) AS n_words,
+        |  array_to_string(cw, ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+  )
 }

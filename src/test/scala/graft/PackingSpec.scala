@@ -59,4 +59,43 @@ class PackingSpec extends AnyFunSuite {
     val ids = Packing.packBins(docs, 64L).select("bin_id").as[Long].collect()
     assert(ids.length == ids.distinct.length)
   }
+
+  test("chunking: windows overlap by window-stride and cover every word in order") {
+    // 50 words, window 32, stride 24 → chunks at 0 (32 words) and 24 (26)
+    val words = (1 to 50).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+    val chunks = Packing.chunkWindows(docs, window = 32, stride = 24)
+      .orderBy("chunk_id")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(chunks.length == 2)
+    assert(chunks(0) == ((0, 32, words.take(32).mkString(" "))))
+    assert(chunks(1) == ((1, 26, words.drop(24).mkString(" "))))
+    // overlap: chunk 0's last 8 words == chunk 1's first 8
+    assert(chunks(0)._3.split(" ").takeRight(8).toSeq ==
+      chunks(1)._3.split(" ").take(8).toSeq)
+  }
+
+  test("a doc at or under the window is exactly one chunk equal to itself") {
+    val docs = Seq((1L, "a b c"), (2L, (1 to 32).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Packing.chunkWindows(docs, window = 32, stride = 24).collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getInt(1) == 0))
+  }
+
+  test("chunked docs always fit the packer's budget (the d31 -> d9 contract)") {
+    val long = (1 to 200).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, long)).toDF("doc_id", "text")
+    val chunks = Packing.chunkWindows(docs, window = 32, stride = 24)
+    assert(chunks.agg(max(col("n_words"))).head().getInt(0) <= 32)
+    // every word position is covered: union of [i*24, i*24+32) spans 0..200
+    val n = chunks.select(col("chunk_id"), col("n_words")).collect()
+      .map(r => r.getInt(0) * 24 + r.getInt(1)).max
+    assert(n == 200)
+    // and they pack without the over-budget guard firing
+    val packed = Packing.packBins(
+      chunks.select((col("doc_id") * 1000 + col("chunk_id")).as("doc_id"),
+        col("n_words").cast("long").as("n_tokens")), budget = 32L)
+    assert(packed.agg(sum(col("n_docs"))).head().getLong(0) == chunks.count())
+  }
 }
