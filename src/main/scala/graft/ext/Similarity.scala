@@ -463,6 +463,38 @@ object Similarity {
         sum(when(col("norm") < 0.5, 1L).otherwise(0L)).as("n_small"))
       .orderBy(col("label"))
 
+  /** SIM10 — centroid-separation audit: pairwise cosine between the
+    * per-label class prototypes (sim5's centroids). The embedding-space
+    * answer to "are my labels separable?" — two prototypes near cosine 1
+    * mean the classes collide (mislabeled data or a collapsed encoder)
+    * BEFORE anyone trains on them. Scale shape: the corpus collapses to
+    * L mergeable `VectorMean` buffers (one d-dim row per label, partial
+    * aggregation); the pairwise stage is an L-row self-join — L² pairs
+    * of LABELS, never of vectors — scored by the fused codegen cosine.
+    * NaN (zero-norm centroid) pairs are dropped on both sides, the
+    * sim8 guard. */
+  def sim10CentroidSeparation(spark: SparkSession, dir: String): DataFrame =
+    centroidSeparationDf(Tables.embeddings(spark, dir), dim = 64)
+
+  /** The same audit over any (label, embedding) frame — dim-injectable
+    * for planted-cluster specs. */
+  def centroidSeparationDf(embeddings: DataFrame, dim: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    val vmean = udaf(new graft.functions.VectorMean(dim))
+    val cents = embeddings
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), asDouble(col("embedding")).as("emb"))
+      .groupBy(col("label")).agg(vmean(col("emb")).as("centroid"))
+    val l = cents.select(col("label").as("label_a"), col("centroid").as("ca"))
+    val r = cents.select(col("label").as("label_b"), col("centroid").as("cb"))
+    l.join(r, col("label_a") < col("label_b"))
+      .select(col("label_a"), col("label_b"),
+        round(graft.functions.VectorOps.vecCosine(spark, col("ca"), col("cb")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("label_a"), col("label_b"))
+  }
+
   /** SIM7 — Product Quantization ANN (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the vector splits into
     * `m` subvectors, each quantized by its own k-codeword codebook, so
@@ -650,10 +682,24 @@ object Similarity {
     "sim6_knn_join" -> sim6KnnJoin,
     "sim7_pq_ann" -> sim7PqAnn,
     "sim8_radius_search" -> sim8RadiusSearch,
-    "sim9_norm_qc" -> sim9NormQc
+    "sim9_norm_qc" -> sim9NormQc,
+    "sim10_centroid_separation" -> sim10CentroidSeparation
   )
 
   val oracle: Map[String, String] = Map(
+    "sim10_centroid_separation" ->
+      """WITH x AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS dim,
+        |         unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |d AS (SELECT label, dim, avg(v) AS av FROM x GROUP BY label, dim),
+        |c AS (SELECT label, list(av ORDER BY dim) AS centroid
+        |      FROM d GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(list_cosine_similarity(a.centroid, b.centroid), 4) AS cos_sim
+        |FROM c a JOIN c b ON a.label < b.label
+        |WHERE NOT isnan(list_cosine_similarity(a.centroid, b.centroid))
+        |ORDER BY label_a, label_b""".stripMargin,
     "sim9_norm_qc" ->
       """WITH n AS (
         |  SELECT label,

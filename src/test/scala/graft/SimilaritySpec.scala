@@ -338,6 +338,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e.getMessage.contains("query dim"))
   }
 
+  test("centroid separation: orthogonal label clusters score ~0, colliding ~1") {
+    // labels 0/1 sit on orthogonal axes; label 2 collides with label 0
+    val vecs = Seq(
+      (0, Array(1f, 0f, 0f, 0f)), (0, Array(0.9f, 0.1f, 0f, 0f)),
+      (1, Array(0f, 1f, 0f, 0f)), (1, Array(0f, 0.9f, 0.1f, 0f)),
+      (2, Array(1f, 0f, 0f, 0f)), (2, Array(0.95f, 0.05f, 0f, 0f))
+    ).toDF("label", "embedding")
+    val sims = graft.ext.Similarity.centroidSeparationDf(vecs, dim = 4)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(sims((0, 1)) < 0.2, s"orthogonal clusters not separated: $sims")
+    assert(sims((0, 2)) > 0.98, s"colliding clusters not detected: $sims")
+    assert(sims((1, 2)) < 0.2)
+  }
+
   test("norm QC: planted norms, zero-norm and small-norm counted, nulls skipped") {
     val vecs = Seq(
       (0, Array(3f, 4f)),        // norm 5
