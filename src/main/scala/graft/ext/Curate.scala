@@ -428,7 +428,7 @@ object Curate {
     * which is what bounds the histogram (bins ≤ score-range × 10⁴ —
     * a few 10⁵ even for log-odds scores — independent of corpus
     * size; same collect discipline as t9's capped vocab). */
-  private[ext] def cutoffOn(scored: DataFrame, frac: Double): DataFrame = {
+  private[graft] def cutoffOn(scored: DataFrame, frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
     val hist = scoreHistogram(scored).collect()
     val total = hist.iterator.map(_.getLong(1)).sum

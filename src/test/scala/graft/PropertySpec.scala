@@ -144,4 +144,28 @@ class PropertySpec extends AnyFunSuite {
       assert(math.abs(v - exactVar) <= 1e-6 * math.max(1.0, exactVar))
     }
   }
+
+  test("cutoffOn equals the naive sorted-selection rule on random score sets") {
+    // scores quantized to 1e-2 here so ties are FREQUENT — the histogram
+    // threshold's tie-inclusive semantics is exactly what must match
+    val scores = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 100).map(_ / 100.0)))
+    val fracs = Seq(0.1, 0.3, 0.5, 1.0)
+    samples(scores, 40).zipWithIndex.foreach { case (xs, i) =>
+      val frac = fracs(i % fracs.length)
+      val df = xs.zipWithIndex
+        .map { case (s, j) => (j.toLong, "s", s) }
+        .toDF("doc_id", "source", "score")
+      val got = graft.ext.Curate.cutoffOn(df, frac).collect().head
+      // naive rule: descend the sorted scores, the threshold is the score
+      // at position ceil(frac·n); keep everything >= it (tie-inclusive)
+      val target = math.ceil(frac * xs.length).toInt
+      val thr = xs.sorted(Ordering[Double].reverse)(target - 1)
+      val kept = xs.count(_ >= thr)
+      assert(got.getLong(1) == xs.length.toLong)
+      assert(got.getLong(2) == kept.toLong,
+        s"frac=$frac scores=$xs: got ${got.getLong(2)}, naive $kept")
+      assert(got.getDouble(3) == thr)
+    }
+  }
 }
