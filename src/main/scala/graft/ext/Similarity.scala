@@ -463,6 +463,87 @@ object Similarity {
         sum(when(col("norm") < 0.5, 1L).otherwise(0L)).as("n_small"))
       .orderBy(col("label"))
 
+  /** Batch IVF serving for a bounded query frame at one nProbe: probe
+    * planning runs IN the plan — a Q×k centroid cross join plus a
+    * per-query top-nProbe window, both query-workload-sized — so a
+    * query BATCH serves with no per-query driver loop (the loop-shaped
+    * alternative schedules Q jobs; this is one). The corpus-side work
+    * is one equi-join of the probed (q_id, cell) pairs against the
+    * cell-assigned index — exactly the pruning IVF exists to buy. */
+  private def ivfServeBatch(spark: SparkSession, index: IvfIndex,
+                            queries: DataFrame, nProbe: Int,
+                            topK: Int): DataFrame = {
+    import spark.implicits._
+    val centersDf = index.centers.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cemb")
+    val q = queries.select(col("vec_id").as("q_id"),
+      asDouble(col("embedding")).as("qemb"))
+    val wProbe = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dist"), col("cell"))
+    val probed = q.crossJoin(broadcast(centersDf))
+      .withColumn("dist", aggregate(zip_with(col("qemb"), col("cemb"),
+        (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("qemb"), col("cell"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+    index.assigned.join(broadcast(probed), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .select(col("q_id"), col("vec_id"))
+  }
+
+  /** SIM11 — the ANN self-evaluation every deployment runs to TUNE
+    * nProbe: recall@topK of served IVF vs the exact k-NN ground truth
+    * (sim6's kernel) over a bounded query sample, one row per probed
+    * nProbe. Two invariants hold BY CONSTRUCTION and are pinned in
+    * SimilaritySpec: probe sets nest as nProbe grows (same centroid
+    * ordering), so with one total order on rounded scores the hit count
+    * is monotone non-decreasing; and nProbe = k probes every cell, so
+    * the last row is exactly recall 1.0 — the row that proves the
+    * harness itself is sound. Rows-only (recall depends on the trained
+    * cell layout). */
+  def ivfRecallCurve(spark: SparkSession, dir: String, probes: Seq[Int],
+                     nQueries: Int = 16, topK: Int = 10): DataFrame = {
+    require(probes.nonEmpty, "need at least one nProbe to evaluate")
+    val idx = ivfIndexFor(spark, dir, Sim4K)
+    val e = Tables.embeddings(spark, dir)
+    val queries = e.filter(col("vec_id") % 97 === 0)
+      .orderBy(col("vec_id")).limit(nQueries)
+    val exact = knnJoinDf(spark, e, queries, topK)
+      .select(col("q_id"), col("vec_id"))
+      // both the per-probe hit join and the denominator read it; one
+      // materialization instead of 2×|probes| ground-truth recomputes
+      .localCheckpoint(true)
+    val nExact = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    val perProbe = probes.map { p =>
+      val hits = ivfServeBatch(spark, idx, queries, p, topK)
+        .join(exact, Seq("q_id", "vec_id"), "left_semi")
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
+      nExact.join(hits, Seq("q_id"), "left")
+        .select((coalesce(col("n_hit"), lit(0L)).cast("double") /
+          col("n_exact")).as("recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("recall")), 4).as("avg_recall"),
+          round(min(col("recall")), 4).as("min_recall"))
+        .withColumn("n_probe", lit(p))
+    }
+    perProbe.reduce(_ unionByName _)
+      .select(col("n_probe"), col("n_queries"),
+        col("avg_recall"), col("min_recall"))
+      .orderBy(col("n_probe"))
+  }
+
+  /** SIM11 registered shape: the nProbe sweep up to full coverage. */
+  def sim11IvfRecall(spark: SparkSession, dir: String): DataFrame =
+    ivfRecallCurve(spark, dir, Seq(1, 2, 4, Sim4K))
+
   /** SIM10 — centroid-separation audit: pairwise cosine between the
     * per-label class prototypes (sim5's centroids). The embedding-space
     * answer to "are my labels separable?" — two prototypes near cosine 1
@@ -683,7 +764,8 @@ object Similarity {
     "sim7_pq_ann" -> sim7PqAnn,
     "sim8_radius_search" -> sim8RadiusSearch,
     "sim9_norm_qc" -> sim9NormQc,
-    "sim10_centroid_separation" -> sim10CentroidSeparation
+    "sim10_centroid_separation" -> sim10CentroidSeparation,
+    "sim11_ivf_recall" -> sim11IvfRecall
   )
 
   val oracle: Map[String, String] = Map(

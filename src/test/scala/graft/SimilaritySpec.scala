@@ -352,6 +352,20 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sims((1, 2)) < 0.2)
   }
 
+  test("IVF recall curve: monotone in nProbe, exactly 1.0 at full probe") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.ivfRecallCurve(spark, dir, Seq(1, 2, 4, 16))
+      .collect().map(r => r.getInt(0) -> r.getDouble(2))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 16))
+    val recalls = rows.map(_._2)
+    assert(recalls.forall(r => r >= 0.0 && r <= 1.0))
+    // probe sets nest → candidates grow → hits can't shrink
+    assert(recalls.sliding(2).forall(p => p(0) <= p(1)),
+      s"recall not monotone: ${recalls.toSeq}")
+    // nProbe = k probes every cell = brute force = exact ground truth
+    assert(recalls.last == 1.0)
+  }
+
   test("norm QC: planted norms, zero-norm and small-norm counted, nulls skipped") {
     val vecs = Seq(
       (0, Array(3f, 4f)),        // norm 5
