@@ -536,8 +536,16 @@ object Curate {
   def d24CurationFunnel(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBench = col("doc_id") % BenchMod === 0
-    val bench = docs.filter(isBench)
-    val train = docs.filter(!isBench)
+    curationFunnelDf(docs.filter(!isBench), docs.filter(isBench))
+  }
+
+  /** The funnel over caller-supplied train/bench frames — the same
+    * two-frame contract as [[decontaminateDf]], and (because every stage
+    * is stateless per-row work, a broadcast semi-join, or a batch-local
+    * aggregate) the function a `foreachBatch` sink can run UNCHANGED on
+    * each micro-batch of an ingest stream — batch ≡ stream is pinned in
+    * StreamingSpec. */
+  def curationFunnelDf(train: DataFrame, bench: DataFrame): DataFrame = {
     val flagged = qualityFilterDf(train)
     val benchGrams = docGrams(bench, D10N).select(col("gram")).distinct()
     val contaminated = docGrams(train, D10N)

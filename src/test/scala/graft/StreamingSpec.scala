@@ -443,4 +443,37 @@ class StreamingSpec extends AnyFunSuite {
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect().toSet
     assert(batched == streamed)
   }
+
+  test("the full curation funnel runs per micro-batch via foreachBatch (batch ≡ stream)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // a held-out eval doc donates a 4-gram; the stream curates each
+    // micro-batch against it with the UNCHANGED batch funnel
+    val bench = Seq((100L, "alpha beta gamma delta held out", "s"))
+      .toDF("doc_id", "text", "source")
+    val rows = Seq(
+      (0L, "the quick brown fox jumps over a lazy dog near the riverbank today", "s"),
+      (1L, "the quick brown fox jumps over a lazy dog near the riverbank today", "s"),
+      (2L, "the words alpha beta gamma delta flow in this long sentence nicely", "s"),
+      (3L, "tiny doc here", "s"))
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[Seq[Any]]()
+    val in = MemoryStream[(Long, String, String)]
+    val q = in.toDF().toDF("doc_id", "text", "source")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.ext.Curate.curationFunnelDf(batch, bench).collect()
+          .foreach(r => got.add(r.toSeq))
+      }
+      .start()
+    in.addData(rows: _*)
+    q.processAllAvailable(); q.stop()
+    val expected = graft.ext.Curate
+      .curationFunnelDf(rows.toDF("doc_id", "text", "source"), bench)
+      .collect().map(_.toSeq).toSeq
+    val streamed = { import scala.jdk.CollectionConverters._; got.asScala.toSeq }
+    assert(streamed == expected)
+    // and the numbers are the planted truth: 4 raw, doc 3 fails quality,
+    // doc 2 leaks the bench gram, docs 0/1 dedup to one keeper
+    assert(expected == Seq(Seq("s", 4L, 3L, 2L, 1L)))
+  }
 }
