@@ -308,18 +308,28 @@ object Dedup {
     * across b. */
   def simhashPairsDf(documents: DataFrame, blocks: Int = 4,
                      maxHamming: Int = 3): DataFrame = {
-    require(blocks > maxHamming && blocks <= 16,
-      s"need maxHamming < blocks <= 16, got blocks=$blocks maxHamming=$maxHamming")
     // Null signatures (null/empty text) drop here rather than riding the
     // explode as C(b,d) null-key rows the join would discard anyway.
     val sh = simhash(documents).filter(col("simhash").isNotNull)
-    val keyed = sh.select(col("doc_id"), col("simhash"),
-      posexplode(comboKeys(col("simhash"), blocks, maxHamming))
+    hammingPairs(sh, "simhash", blocks, maxHamming)
+  }
+
+  /** The Hamming-LSH pair kernel over ANY (doc_id, <sigCol>: long)
+    * signature frame — shared by d4 (text simhash) and mm5 (media
+    * perceptual hash), so every 64-bit-signature near-dup path gets the
+    * same corpus-scaled b-block candidate join and the same
+    * verify-before-distinct shuffle discipline. */
+  private[graft] def hammingPairs(sigs: DataFrame, sigCol: String,
+                                  blocks: Int, maxHamming: Int): DataFrame = {
+    require(blocks > maxHamming && blocks <= 16,
+      s"need maxHamming < blocks <= 16, got blocks=$blocks maxHamming=$maxHamming")
+    val keyed = sigs.select(col("doc_id"), col(sigCol).as("sig"),
+      posexplode(comboKeys(col(sigCol), blocks, maxHamming))
         .as(Seq("combo_id", "combo_key")))
     val l = keyed.select(col("combo_id"), col("combo_key"),
-      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+      col("doc_id").as("id_a"), col("sig").as("sh_a"))
     val r = keyed.select(col("combo_id"), col("combo_key"),
-      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+      col("doc_id").as("id_b"), col("sig").as("sh_b"))
     l.join(r, Seq("combo_id", "combo_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),

@@ -195,7 +195,72 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  /** 64-bit average-hash (aHash) of a media payload — the perceptual
+    * fingerprint image dedup runs where exact fingerprints (MM2's md5)
+    * miss re-encoded/slightly-edited copies. Real aHash decodes to an
+    * 8×8 grayscale grid and thresholds each cell against the mean; the
+    * container has no codecs, so this STUB stripes the raw bytes into
+    * 64 cells and thresholds cell means against the global mean — the
+    * identical averages→threshold structure (and genuinely tolerant of
+    * small byte edits), with the decode swap-in point behind
+    * [[MediaDecoder]] as everywhere in this tier. Null/empty payloads
+    * drop (no media to hash). Pure per-partition map — no shuffle. */
+  def perceptualHash(media: Dataset[Media]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.filter((m: Media) => m.payload != null && m.payload.nonEmpty)
+      .mapPartitions { it =>
+        it.map { m =>
+          val b = m.payload
+          val n = b.length
+          val sums = new Array[Long](64)
+          val counts = new Array[Long](64)
+          var total = 0L
+          var i = 0
+          while (i < n) {
+            val cell = ((i.toLong * 64) / n).toInt
+            val v = b(i) & 0xff
+            sums(cell) += v; counts(cell) += 1; total += v
+            i += 1
+          }
+          val mean = total.toDouble / n
+          var h = 0L
+          var c = 0
+          while (c < 64) {
+            if (counts(c) > 0 && sums(c).toDouble / counts(c) > mean)
+              h |= (1L << c)
+            c += 1
+          }
+          (m.doc_id, m.source, h)
+        }
+      }.toDF("doc_id", "source", "phash")
+  }
+
+  /** MM5 — perceptual near-dup detection over media payloads: the aHash
+    * signatures feed EXACTLY d4's corpus-scaled Hamming-LSH kernel
+    * ([[graft.ext.Dedup.hammingPairs]]: (b−3)-of-b block agreement keys
+    * with `blocksFor(n)` growing b with the corpus), so the media tier
+    * inherits the text tier's scale fix for free — one kernel, two
+    * modalities. Reported per source (n_media, n_neardup_pairs keyed by
+    * the pair's lower id) so the row set is never empty even on a
+    * dup-free corpus. Rows-only: the stub decode is engine-specific;
+    * the planted-pair semantics and brute-force parity live in
+    * MultimodalSpec. */
+  def mm5PerceptualNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val hashes = perceptualHash(mediaOf(spark, dir))
+    val pairs = Dedup.hammingPairs(hashes, "phash",
+      blocks = Dedup.blocksFor(Dedup.docsCount(spark, dir)), maxHamming = 3)
+    val bySrc = hashes.select(col("doc_id"), col("source"))
+    pairs.join(bySrc.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n_neardup_pairs"))
+      .join(bySrc.groupBy(col("source")).agg(count(lit(1)).as("n_media")),
+        Seq("source"), "right")
+      .select(col("source"), col("n_media"),
+        coalesce(col("n_neardup_pairs"), lit(0L)).as("n_neardup_pairs"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm5_perceptual_neardup" -> mm5PerceptualNearDup,
     "mm2_decode_features" -> mm2DecodeFeatures,
     "mm3_frame_sample" -> mm3FrameSample,
     "mm4_alignment_filter" -> mm4AlignmentFilter

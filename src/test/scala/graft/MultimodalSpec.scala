@@ -91,4 +91,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("sA") == ((2L, 1L, 0.0)))  // (+1 + −1)/2 = 0
     assert(out("sB") == ((1L, 1L, 0.0)))  // NaN doc 4 never enters the funnel
   }
+
+  test("perceptual hash: identical payloads collide, a small edit stays close, " +
+    "unrelated bytes diverge") {
+    val base = ("the same long media payload with plenty of structure " * 4)
+      .getBytes("UTF-8")
+    val edited = base.clone(); edited(10) = 'X'.toByte
+    val rnd = new scala.util.Random(5)
+    val other = Array.fill(base.length)(rnd.nextInt(256).toByte)
+    val ds = Seq(
+      Media(0L, "s", base), Media(1L, "s", base),
+      Media(2L, "s", edited), Media(3L, "s", other),
+      Media(4L, "s", null), Media(5L, "s", Array.emptyByteArray) // dropped
+    ).toDS()
+    val h = Multimodal.perceptualHash(ds)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h.keySet == Set(0L, 1L, 2L, 3L))
+    assert(h(0L) == h(1L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(0L), h(2L)) <= 3, s"edit moved ${ham(h(0L), h(2L))} bits")
+    assert(ham(h(0L), h(3L)) > 3, s"unrelated only ${ham(h(0L), h(3L))} bits")
+  }
+
+  test("mm5 pairs equal brute-force Hamming pairs over the same hashes, any b") {
+    val rnd = new scala.util.Random(9)
+    val payloads = (0L until 30L).map { i =>
+      // clustered payloads: 3 families of near-identical bytes + noise
+      val fam = ("family " + (i % 3) + " payload body with stable words " * 3)
+        .getBytes("UTF-8").clone()
+      if (i >= 3) fam(rnd.nextInt(fam.length)) = rnd.nextInt(256).toByte
+      Media(i, "s", fam)
+    }
+    val hashes = Multimodal.perceptualHash(payloads.toDS())
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(2))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    for (b <- Seq(4, 6)) {
+      val lsh = graft.ext.Dedup.hammingPairs(hashes, "phash", b, 3)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(lsh == brute, s"b=$b: LSH ${lsh.size} pairs vs brute ${brute.size}")
+    }
+  }
 }
