@@ -334,13 +334,56 @@ object Curate {
     * Zero shuffle before the per-(lang, split) report agg. */
   def d16SplitAssign(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .withColumn("bucket", graft.functions.IdHash.bucket(col("doc_id"), 100))
-      .withColumn("split",
-        when(col("bucket") < 98, "train")
-          .when(col("bucket") === 98, "val").otherwise("test"))
+      .withColumn("split", splitCol)
       .groupBy(col("lang"), col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
       .orderBy(col("lang"), col("split"))
+
+  /** The d16 split rule as a column — ONE definition for the assigner
+    * (d16) and the leak checker (d32), so the two can never disagree on
+    * membership. */
+  private def splitCol: Column = {
+    val bucket = graft.functions.IdHash.bucket(col("doc_id"), 100)
+    when(bucket < 98, "train").when(bucket === 98, "val").otherwise("test")
+  }
+
+  /** D32 — split-leakage audit: after d16 assigns train/val/test, does
+    * any word n-gram cross from train into a holdout doc? The hygiene
+    * check a team runs BEFORE shipping a split — d10 defends against an
+    * EXTERNAL benchmark, this defends the split's own holdouts (a val
+    * doc sharing a 4-gram with train is an eval leak even with perfect
+    * doc-level dedup, e.g. shared boilerplate).
+    *
+    * 100 TB shape: unlike d10, BOTH sides are corpus-scale, so nothing
+    * broadcasts — the probe is an fp-keyed equi-join under d19's skew
+    * discipline: grams shuffle only as 16-hex md5 fingerprints, the
+    * train-side fp set is collapsed by a map-side-combined DISTINCT
+    * before the join (a corpus-hot boilerplate gram becomes ONE row per
+    * map task, not a hot join key), and the holdout side left-semi
+    * joins it — the join AQE can skew-split. Holdouts are ~2% of the
+    * corpus but the design never relies on that. */
+  def d32SplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def fp(gram: Column) = substring(md5(gram.cast("binary")), 1, 16)
+    val grams = Tables.documents(spark, dir)
+      .withColumn("split", splitCol)
+      .withColumn("words", split(lower(col("text")), " "))
+      .filter(size(col("words")) >= D10N)
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(gramsExpr(D10N))).as("gram"))
+      .select(col("doc_id"), col("split"), fp(col("gram")).as("fp"))
+    val trainFps = grams.filter(col("split") === "train")
+      .select(col("fp")).distinct()
+    val leaked = grams.filter(col("split") =!= "train")
+      .join(trainFps, Seq("fp"), "left_semi")
+      .select(col("doc_id")).distinct().withColumn("l", lit(1))
+    Tables.documents(spark, dir)
+      .withColumn("split", splitCol)
+      .filter(col("split") =!= "train")
+      .join(leaked, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), count(col("l")).as("n_leaked"))
+      .orderBy(col("split"))
+  }
 
   /** Token-budget downsampling: keep an (expected) `budget` tokens per
     * language by hash-filtering at rate budget/total — the SAME
@@ -582,7 +625,8 @@ object Curate {
     "d17_token_budget" -> d17TokenBudget,
     "d17_bpe_budget" -> d17BpeBudget,
     "d28_stratified_sample" -> d28StratifiedSample,
-    "d29_quality_cutoff" -> d29QualityCutoff
+    "d29_quality_cutoff" -> d29QualityCutoff,
+    "d32_split_leakage" -> d32SplitLeakage
   )
 
   val oracle: Map[String, String] = Map(
@@ -666,6 +710,34 @@ object Curate {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_deduped
         |FROM staged LEFT JOIN canon USING (doc_id)
         |GROUP BY source ORDER BY source""".stripMargin
+    },
+    "d32_split_leakage" -> {
+      val gramConcat = (0 until D10N)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      val splitSql = s"CASE WHEN ${graft.functions.IdHash.sql("doc_id", 100)} < 98" +
+        s" THEN 'train' WHEN ${graft.functions.IdHash.sql("doc_id", 100)} = 98" +
+        " THEN 'val' ELSE 'test' END"
+      s"""WITH d AS (
+        |  SELECT doc_id, text, $splitSql AS split FROM documents),
+        |words AS (
+        |  SELECT doc_id, split, string_split(lower(text), ' ') AS w FROM d),
+        |grams AS (
+        |  SELECT doc_id, split,
+        |    list_distinct(list_transform(range(1, len(w) - ${D10N - 2}),
+        |      i -> $gramConcat)) AS gs
+        |  FROM words WHERE len(w) >= $D10N),
+        |g0 AS (SELECT doc_id, split, unnest(gs) AS gram FROM grams),
+        |g AS (SELECT doc_id, split, substr(md5(gram), 1, 16) AS fp FROM g0),
+        |tr AS (SELECT DISTINCT fp FROM g WHERE split = 'train'),
+        |leaked AS (
+        |  SELECT DISTINCT doc_id FROM g
+        |  WHERE split <> 'train' AND fp IN (SELECT fp FROM tr))
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN leaked.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_leaked
+        |FROM d LEFT JOIN leaked USING (doc_id)
+        |WHERE split <> 'train'
+        |GROUP BY split ORDER BY split""".stripMargin
     },
     "d10_decontaminate" -> {
       // interpolated from the SAME constants the Spark side uses — a

@@ -328,6 +328,30 @@ class CurateSpec extends AnyFunSuite {
     assert(retried == expected)
   }
 
+  test("split leakage flags exactly the holdout docs sharing a train 4-gram") {
+    // find real holdout ids under the d16 hash rule, then plant text
+    val ids = (0L until 3000L)
+    def bucket(id: Long) =
+      math.floor((((id % 100003L) * 2654435761L) % 4294967296L + 4294967296L)
+        % 4294967296L * 100 / 4294967296.0).toLong
+    val holdouts = ids.filter(bucket(_) >= 98).take(3)
+    val trains = ids.filter(bucket(_) < 98).take(1)
+    assert(holdouts.size == 3 && trains.size == 1)
+    val leakText = "alpha beta gamma delta shared with train"
+    val corpus = (
+      trains.map(i => (i, "the alpha beta gamma delta words live here", "s")) ++
+      Seq((holdouts(0), leakText, "s"),                       // leaks
+          (holdouts(1), "completely different safe holdout words", "s"),
+          (holdouts(2), "also clean and unrelated material here", "s"))
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("d32test").toString
+    corpus.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Curate.d32SplitLeakage(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.values.map(_._1).sum == 3L)   // all holdouts accounted
+    assert(got.values.map(_._2).sum == 1L)   // exactly the planted leak
+  }
+
   test("quality cutoff keeps the top fraction, ties at the boundary inclusive") {
     // scores (stop-ratio of 4-word docs): 'the' count / 4
     def doc(id: Long, nThe: Int) =
