@@ -116,7 +116,47 @@ object Joins {
       .orderBy(col("user_id"))
   }
 
+  /** Numeric band self-join kernel: all (id_a < id_b) pairs whose values
+    * lie within `delta` — the fact↔fact companion to J5's broadcast
+    * tier join, where BOTH sides are corpus-scale and a nested-loop
+    * range join would be the O(N²) plan that never finishes. The LSH
+    * discipline applied to numbers: bin = floor(value/delta); one side
+    * keys by its own bin, the other explodes to (bin−1, bin, bin+1), so
+    * every within-delta pair shares an equi-join key NO MATTER which
+    * side holds the lower id (a one-sided (bin, bin+1) explode silently
+    * drops cross-boundary pairs whose lower-id row sits in the lower
+    * bin — the id_a < id_b filter then kills the only surviving
+    * direction); a pair can span at most one boundary, the exact
+    * |a−b| ≤ delta verify runs on candidates only, and `distinct`
+    * collapses the double-matched adjacent pairs. Shuffle carries
+    * (id, value, bin) — three narrow columns. */
+  def bandSelfJoin(df: DataFrame, idCol: String, valCol: String,
+                   delta: Double): DataFrame = {
+    require(delta > 0, s"delta must be > 0, got $delta")
+    val slim = df.select(col(idCol).as("id"), col(valCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("bin", floor(col("v") / delta).cast("long"))
+    val l = slim.select(col("id").as("id_a"), col("v").as("v_a"), col("bin"))
+    val r = slim.select(col("id").as("id_b"), col("v").as("v_b"),
+        explode(array(col("bin") - 1, col("bin"), col("bin") + 1)).as("bin"))
+    l.join(r, Seq("bin"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("v_a") - col("v_b")) <= delta)
+      .select(col("id_a"), col("id_b"),
+        round(abs(col("v_a") - col("v_b")), 2).as("diff"))
+      .distinct()
+  }
+
+  /** J7 — registered band join: order pairs priced within one cent of
+    * each other (the value-near-dup audit shape). The tiny delta keeps
+    * the pair set oracle-sized; the PLAN is delta-independent. */
+  def j7BandJoin(spark: SparkSession, dir: String): DataFrame =
+    bandSelfJoin(Tables.orders(spark, dir), "o_orderkey", "o_totalprice",
+      delta = 0.01)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j7_band_join" -> j7BandJoin,
     "j1_inner_join" -> j1InnerJoin,
     "j2_left_outer" -> j2LeftOuter,
     "j3_semi" -> j3Semi,
@@ -127,6 +167,13 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "j7_band_join" ->
+      """SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b,
+        |  round(abs(a.o_totalprice - b.o_totalprice), 2) AS diff
+        |FROM orders a JOIN orders b
+        |  ON a.o_orderkey < b.o_orderkey
+        | AND abs(a.o_totalprice - b.o_totalprice) <= 0.01
+        |ORDER BY id_a, id_b""".stripMargin,
     "j1_inner_join" ->
       """SELECT r_name, count(*) AS n_customers,
         |  round(sum(c_acctbal), 2) AS total_balance

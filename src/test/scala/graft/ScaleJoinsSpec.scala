@@ -99,4 +99,29 @@ class ScaleJoinsSpec extends AnyFunSuite {
       assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("band self-join equals brute force, including cross-boundary pairs " +
+    "in BOTH id orders") {
+    // delta = 1.0, bins at integers. Planted traps:
+    //   (1, 3.95) & (2, 4.05): lower id in LOWER bin across a boundary
+    //   (4, 6.05) & (3, 5.95): lower id in UPPER bin across a boundary
+    //   (5, 8.0)  & (6, 8.9):  same-ish bin, within delta
+    //   (7, 11.0) & (8, 12.5): outside delta — excluded
+    val df = Seq((1L, 3.95), (2L, 4.05), (3L, 5.95), (4L, 6.05),
+      (5L, 8.0), (6L, 8.9), (7L, 11.0), (8L, 12.5))
+      .toDF("id", "v")
+    val got = graft.ext.Joins.bandSelfJoin(df, "id", "v", delta = 1.0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val vals = df.as[(Long, Double)].collect()
+    val brute = (for {
+      (ia, va) <- vals; (ib, vb) <- vals
+      if ia < ib && math.abs(va - vb) <= 1.0
+    } yield (ia, ib)).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 2L)) && got.contains((3L, 4L)))
+    assert(!got.contains((7L, 8L)))
+    // and no duplicate pair rows survive the adjacent-bin double match
+    val rows = graft.ext.Joins.bandSelfJoin(df, "id", "v", delta = 1.0).count()
+    assert(rows == brute.size)
+  }
 }
