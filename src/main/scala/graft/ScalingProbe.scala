@@ -26,7 +26,7 @@ object ScalingProbe {
     "sim8_radius_search", "d24_curation_funnel", "t13_char_stats",
     "t14_corpus_manifest", "d26_snapshot_diff", "d28_stratified_sample",
     "d29_quality_cutoff", "d30_nb_cutoff", "sim10_centroid_separation",
-    "mm5_perceptual_neardup", "d32_split_leakage", "j7_band_join")
+    "mm5_perceptual_neardup", "d32_split_leakage")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha
