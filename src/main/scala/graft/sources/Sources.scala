@@ -197,7 +197,33 @@ object Sources {
       .orderBy(col("event_type"))
   }
 
+  /** S15 — schema-evolution scan: two parquet GENERATIONS of one table
+    * (v2 gained a column mid-life — the daily-crawl reality: corpus
+    * schemas grow, and historical files are never rewritten), read back
+    * as ONE frame via `mergeSchema`. Old rows must surface with NULL
+    * for the new column and nothing else may shift; the oracle replays
+    * the same aggregate over the ORIGINAL table with the generation
+    * rule inlined, so equality proves exactly that. At scale the merged
+    * read costs one footer pass — no data rewrite, which is the point
+    * of evolving in place. */
+  def s15SchemaEvolution(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, "s15") { tmp =>
+    val docs = Tables.documents(spark, dir)
+    docs.filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$tmp/v1")
+    docs.filter(col("doc_id") >= 100 && col("doc_id") < 200)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+      .write.mode("overwrite").parquet(s"$tmp/v2")
+    spark.read.option("mergeSchema", "true").parquet(s"$tmp/v1", s"$tmp/v2")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("total_chars"),
+        count(col("source")).as("n_with_source"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_schema_evolution" -> s15SchemaEvolution,
     "s7_json_roundtrip" -> s7JsonRoundtrip,
     "s10_partitioned_roundtrip" -> s10PartitionedRoundtrip,
     "s11_csv_roundtrip" -> s11CsvRoundtrip,
@@ -205,6 +231,13 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s15_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(CASE WHEN doc_id >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_source
+        |FROM documents WHERE doc_id < 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "s7_json_roundtrip" ->
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  count(DISTINCT lang) AS n_langs
