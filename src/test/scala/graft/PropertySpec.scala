@@ -145,6 +145,48 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("band self-join equals brute force on random value sets and deltas") {
+    val sets = Gen.chooseNum(2, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 2000).map(_ / 10.0)))
+    val deltas = Seq(0.1, 0.5, 1.7, 25.0)
+    samples(sets, 30).zipWithIndex.foreach { case (xs, i) =>
+      val delta = deltas(i % deltas.length)
+      val df = xs.zipWithIndex.map { case (v, j) => (j.toLong, v) }.toDF("id", "v")
+      val got = graft.ext.Joins.bandSelfJoin(df, "id", "v", delta)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val brute = (for {
+        (va, ia) <- xs.zipWithIndex; (vb, ib) <- xs.zipWithIndex
+        if ia < ib && math.abs(va - vb) <= delta
+      } yield (ia.toLong, ib.toLong)).toSet
+      assert(got == brute, s"delta=$delta xs=$xs")
+    }
+  }
+
+  test("chunk windows cover every word exactly in order, for random geometries") {
+    val geoms = for {
+      n <- Gen.chooseNum(1, 120)
+      w <- Gen.chooseNum(1, 40)
+      s <- Gen.chooseNum(1, w)
+    } yield (n, w, s)
+    samples(geoms, 30).foreach { case (n, w, s) =>
+      val words = (1 to n).map(i => s"w$i")
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val chunks = graft.ext.Packing.chunkWindows(df, w, s)
+        .orderBy("chunk_id")
+        .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      // every chunk is the exact slice at its offset, none exceeds w
+      chunks.foreach { case (i, nw, text) =>
+        assert(nw <= w)
+        assert(text == words.slice(i * s, i * s + w).mkString(" "),
+          s"n=$n w=$w s=$s chunk $i")
+      }
+      // the last chunk reaches the final word; no empty chunks exist
+      assert(chunks.forall(_._2 > 0))
+      val last = chunks.last
+      assert(last._1 * s + last._2 == n, s"n=$n w=$w s=$s: tail not covered")
+    }
+  }
+
   test("cutoffOn equals the naive sorted-selection rule on random score sets") {
     // scores quantized to 1e-2 here so ties are FREQUENT — the histogram
     // threshold's tie-inclusive semantics is exactly what must match
