@@ -276,6 +276,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"d29 joins for its threshold:\n$p")
   }
 
+  test("band join plans as an equi-join on bins, never a nested loop") {
+    // j7's entire reason to exist: a raw |a−b| <= delta join condition
+    // plans as BroadcastNestedLoopJoin / CartesianProduct — O(N²) at
+    // scale. The bin equi-key must carry the join.
+    val p = plan("j7_band_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"j7 fell back to a nested loop:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in j7:\n$p")
+  }
+
+  test("split leakage: the train fp set collapses BEFORE the probe join") {
+    // d32's skew armor: the distinct over train fingerprints must be an
+    // aggregate (map-side combinable), and holdouts reach it via a
+    // left-semi join — not a window or a raw fp-keyed row join.
+    val p = plan("d32_split_leakage")
+    assert(p.contains("LeftSemi"), s"d32 probe is not a semi-join:\n$p")
+    assert(!p.contains("Window"), s"d32 uses a window over fps:\n$p")
+  }
+
   test("PQ rerank reads originals only for the broadcast candidate pool") {
     // sim7: the exact pass must be a BROADCAST left-semi of the tiny
     // ADC candidate set against the embedding table — a shuffle join
