@@ -576,6 +576,30 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** SIM12 — int8 symmetric quantization QC: per-vector scale =
+    * max|v|/127, codes = round(v/scale), and the report is the
+    * reconstruction-cosine distribution per label — the go/no-go a team
+    * reads before flipping an ANN fleet from float32 to int8 (4× memory,
+    * the simple companion to sim7's PQ: PQ compresses harder, int8
+    * preserves more and needs no codebook training). Pure per-row HOF
+    * arithmetic, no shuffle before the per-label agg; zero vectors are
+    * excluded (scale 0 → cosine undefined; sim9 counts them). */
+  def sim12Int8Quant(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("label"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .filter(col("scale") > 0)
+      .withColumn("c", round(VectorOps.vecCosine(spark, col("v"),
+        transform(col("v"), x => round(x / col("scale"), 0) * col("scale"))), 4))
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_vecs"),
+        round(avg(col("c")), 4).as("avg_recon_cos"),
+        min(col("c")).as("min_recon_cos"),
+        round(avg(col("scale")), 6).as("avg_scale"))
+      .orderBy(col("label"))
+
   /** SIM7 — Product Quantization ANN (Jégou et al. 2011, "Product
     * Quantization for Nearest Neighbor Search"): the vector splits into
     * `m` subvectors, each quantized by its own k-codeword codebook, so
@@ -765,10 +789,29 @@ object Similarity {
     "sim8_radius_search" -> sim8RadiusSearch,
     "sim9_norm_qc" -> sim9NormQc,
     "sim10_centroid_separation" -> sim10CentroidSeparation,
-    "sim11_ivf_recall" -> sim11IvfRecall
+    "sim11_ivf_recall" -> sim11IvfRecall,
+    "sim12_int8_quant" -> sim12Int8Quant
   )
 
   val oracle: Map[String, String] = Map(
+    "sim12_int8_quant" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (
+        |  SELECT label, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT label, scale,
+        |    round(list_cosine_similarity(v,
+        |      list_transform(v, x -> round(x / scale) * scale)), 4) AS c
+        |  FROM s WHERE scale > 0)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(c), 4) AS avg_recon_cos,
+        |  min(c) AS min_recon_cos,
+        |  round(avg(scale), 6) AS avg_scale
+        |FROM q GROUP BY label ORDER BY label""".stripMargin,
     "sim10_centroid_separation" ->
       """WITH x AS (
         |  SELECT label, generate_subscripts(embedding, 1) AS dim,
