@@ -123,7 +123,30 @@ object WindowFns {
         (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** W7 — feed-gap detection: for each user's event stream, flag
+    * inter-event gaps beyond a threshold and report the outage profile
+    * per user — the "missing sensor readings" monitoring query the
+    * reference's domain runs on every feed (its dashboard assumes an
+    * unbroken hourly series; this measures where that breaks). Same
+    * one-exchange discipline as w6: the lag window and the per-user
+    * aggregate share the user_id hash partitioning; epochs are
+    * second-truncated integers so both engines compare identically. */
+  def w7GapDetection(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_s"), col("event_id"))
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .withColumn("epoch_s", unix_timestamp(col("ts")))
+      .withColumn("gap", col("epoch_s") - lag(col("epoch_s"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("gap")).as("n_intervals"),
+        sum(when(col("gap") > 21600L, 1L).otherwise(0L)).as("n_outages"),
+        max(col("gap")).as("max_gap_s"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
     "w1_topn_per_group" -> w1TopNPerGroup,
     "w2_lag_delta" -> w2LagDelta,
@@ -133,6 +156,21 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    "w7_gap_detection" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY
+        |          CAST(floor(epoch(ts)) AS BIGINT), event_id) AS gap
+        |  FROM events WHERE user_id < 50)
+        |SELECT user_id, count(*) AS n_events,
+        |  count(gap) AS n_intervals,
+        |  CAST(sum(CASE WHEN gap > 21600 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outages,
+        |  max(gap) AS max_gap_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
     "w6_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, value,
