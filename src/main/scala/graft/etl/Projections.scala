@@ -91,7 +91,30 @@ object Projections {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** P8 — column data-quality profile (the Deequ/Great-Expectations
+    * shape): per column of the fact table, null count and EXACT distinct
+    * count, plus the row total — the first report any ingest pipeline
+    * publishes about a new drop. Stats are integers only, so the oracle
+    * compares exact values (string reprs of doubles/timestamps differ
+    * between engines; a profile that hashes cross-engine sticks to
+    * counts). ONE aggregate row computes every stat in a single pass
+    * (Spark Expands the multi-distinct), then `stack` unpivots to a
+    * (col_name, n_nulls, n_distinct) row per column. */
+  def p8ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      countDistinct(col(c)).as(s"${c}_distinct")))
+    val one = Tables.events(spark, dir).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c => s"'$c', ${c}_nulls, ${c}_distinct").mkString(", ")
+    one.select(col("n_rows"),
+        expr(s"stack(${cols.length}, $stackArgs) AS (col_name, n_nulls, n_distinct)"))
+      .select(col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"))
+      .orderBy(col("col_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_column_profile" -> p8ColumnProfile,
     "p1_dedup_exact" -> p1DedupExact,
     "p2_null_filter" -> p2NullFilter,
     "p3_projection" -> p3Projection,
@@ -105,6 +128,16 @@ object Projections {
   )
 
   val oracle: Map[String, String] = Map(
+    "p8_column_profile" -> {
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct
+           |FROM events""".stripMargin
+      }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+    },
     "p1_dedup_exact" ->
       "SELECT count(*) AS n_distinct_rows FROM (SELECT DISTINCT * FROM events)",
     "p2_null_filter" ->
