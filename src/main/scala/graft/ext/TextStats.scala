@@ -147,6 +147,33 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(30)
 
+  /** T15 — Zipf rank-frequency fit: the OLS slope of ln(freq) over
+    * ln(rank) for the top tokens. Natural language sits near −1
+    * (Zipf's law); a corpus that drifts toward 0 is word soup
+    * (generator loops, boilerplate floods, bot text) and one far below
+    * −1 is template-dominated — the one-number linguistic health check
+    * a corpus card carries. Scale shape: t5's map-side-combined token
+    * count bounds the shuffle by vocabulary; TakeOrderedAndProject
+    * keeps the top-K; the regression runs over K=200 rows (workload-
+    * sized, single partition by construction). Slope compares ROUNDED
+    * so regr accumulation-order ulps can't flip the hash. */
+  def t15ZipfFit(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.documents(spark, dir)
+      .select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(200)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token"))
+    top
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("n")).as("lf"), log(col("rank")).as("lr"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(expr("regr_slope(lf, lr)"), 4).as("zipf_slope"),
+        round(expr("regr_r2(lf, lr)"), 4).as("fit_r2"))
+  }
+
   /** T6 — TF-IDF top terms per document (first 20 docs): the classic
     * relevance weighting, fully relational. Three aggregates share the
     * one exploded token frame: per-(doc, token) tf, per-token document
@@ -443,6 +470,7 @@ object TextStats {
       .orderBy(col("lang"), col("source"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_zipf_fit" -> t15ZipfFit,
     "t14_corpus_manifest" -> t14CorpusManifest,
     "t13_char_stats" -> t13CharStats,
     "t9_unigram_logprob" -> t9Registered,
@@ -462,6 +490,21 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "t15_zipf_fit" ->
+      """WITH c AS (
+        |  SELECT tok, count(*) AS n
+        |  FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY tok
+        |  ORDER BY n DESC, tok LIMIT 200),
+        |r AS (
+        |  SELECT ln(n) AS lf,
+        |    ln(ROW_NUMBER() OVER (ORDER BY n DESC, tok)) AS lr
+        |  FROM c)
+        |SELECT count(*) AS n_tokens,
+        |  round(regr_slope(lf, lr), 4) AS zipf_slope,
+        |  round(regr_r2(lf, lr), 4) AS fit_r2
+        |FROM r""".stripMargin,
     "t14_corpus_manifest" ->
       """SELECT coalesce(lang, 'ALL') AS lang,
         |  coalesce(source, 'ALL') AS source,
