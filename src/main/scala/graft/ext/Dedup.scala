@@ -926,7 +926,8 @@ object Dedup {
         |SELECT doc_id,
         |  count(*) AS n_segs,
         |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-        |  array_to_string(list(seg ORDER BY i) FILTER (WHERE NOT dropped), ' ')
+        |  coalesce(array_to_string(
+        |      list(seg ORDER BY i) FILTER (WHERE NOT dropped), ' '), '')
         |    AS cleaned_text
         |FROM kept WHERE doc_id < 20
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,

@@ -34,8 +34,11 @@ object WindowFns {
       .withColumn("delta", col("value") - lag(col("value"), 1).over(w))
       .groupBy(col("user_id"))
       .agg(count(col("delta")).as("n_deltas"),
-        round(avg(col("delta")), 2).as("avg_delta"),
-        round(max(col("delta")), 2).as("max_delta"))
+        // + 0.0 normalizes IEEE negative zero: a delta stream summing to
+        // −ε rounds to −0.0 in one engine and 0.0 in the other, and the
+        // driver's string compare sees "-0.0" ≠ "0.0" (found at sf0.1)
+        (round(avg(col("delta")), 2) + lit(0.0)).as("avg_delta"),
+        (round(max(col("delta")), 2) + lit(0.0)).as("max_delta"))
       .orderBy(col("user_id"))
   }
 
@@ -200,8 +203,8 @@ object WindowFns {
         |ORDER BY event_type, rn""".stripMargin,
     "w2_lag_delta" ->
       """SELECT user_id, count(delta) AS n_deltas,
-        |  round(avg(delta), 2) AS avg_delta,
-        |  round(max(delta), 2) AS max_delta
+        |  round(avg(delta), 2) + 0 AS avg_delta,
+        |  round(max(delta), 2) + 0 AS max_delta
         |FROM (SELECT user_id,
         |        value - lag(value, 1) OVER (PARTITION BY user_id
         |          ORDER BY event_id) AS delta
