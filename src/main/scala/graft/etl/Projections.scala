@@ -131,10 +131,15 @@ object Projections {
     "p8_column_profile" -> {
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
       cols.map { c =>
+        // Spark profiles the loaded frame, whose ts is truncated to
+        // MICROSECONDS (Tables.events: `ts div 1000`); mirror the
+        // truncation so both sides count distinct over the same column
+        // — two events distinct only below 1 µs must collapse in BOTH.
+        val d = if (c == "ts") "epoch_ns(ts) // 1000" else c
         s"""SELECT '$c' AS col_name, count(*) AS n_rows,
            |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct
+           |  count(DISTINCT $d) AS n_distinct
            |FROM events""".stripMargin
       }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
     },

@@ -474,6 +474,16 @@ object Curate {
   private[graft] def cutoffOn(scored: DataFrame, frac: Double): DataFrame = {
     require(frac > 0 && frac <= 1, s"frac must be in (0, 1], got $frac")
     val hist = scoreHistogram(scored).collect()
+    // Empty input: no histogram rows would leave thr at the -Infinity
+    // sentinel and emit `threshold = -Infinity` (a SQL engine's
+    // max-over-nothing is NULL — a schema-level divergence, and
+    // -Infinity round-trips oddly through round()). The grouped frame
+    // over zero rows IS the right degenerate answer: zero groups.
+    if (hist.isEmpty)
+      return scored.groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"), lit(0L).as("n_kept"))
+        .withColumn("threshold", lit(null).cast("double"))
+        .orderBy(col("source"))
     val total = hist.iterator.map(_.getLong(1)).sum
     val target = math.ceil(frac * total).toLong
     var cum = 0L
@@ -520,38 +530,41 @@ object Curate {
     * equals the unpruned rank BY CONSTRUCTION (asserted in CurateSpec,
     * including a forced-shortfall run). */
   def sampleExactK(docs: DataFrame, k: Int, seed: Long = D28Seed,
-                   factor0: Double = 4.0): DataFrame = {
+                   factor0: Double = 4.0, stratumCol: String = "lang",
+                   idCol: String = "doc_id",
+                   payload: Seq[String] = Seq("n_chars")): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     // 15 hex chars = 60 bits: the key prefix as a long, far inside 2^53
     // double-exactness for the cap compare's purposes (boundary fuzz only
     // moves CANDIDATES, never the answer — the backstop re-checks).
-    val slim = docs.select(col("doc_id").cast("long").as("doc_id"),
-        col("lang"), col("n_chars"),
-        TrainOrder.shuffleKey(col("doc_id"), seed).as("skey"))
+    val slim = docs.select((col(idCol).cast("long").as(idCol) +:
+        col(stratumCol) +: payload.map(col)) :+
+        TrainOrder.shuffleKey(col(idCol), seed).as("skey"): _*)
       .withColumn("knum", conv(substring(col("skey"), 1, 15), 16, 10).cast("long"))
     val keySpace = math.pow(2.0, 60)
-    val totals = slim.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val totals = slim.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
     var factor = factor0
     var survivors: DataFrame = null
     var done = false
     while (!done) {
       val rates = totals.withColumn("cap",
         least(lit(1.0), lit(factor * k) / col("n")))
-      survivors = slim.join(broadcast(rates), Seq("lang"))
+      survivors = slim.join(broadcast(rates), Seq(stratumCol))
         .filter(col("knum") < col("cap") * lit(keySpace))
       // cap = 1.0 keeps every row (knum < 2^60 always), so the loop is
       // guaranteed to terminate once factor·k reaches the biggest stratum.
-      val shortfall = survivors.groupBy(col("lang")).agg(count(lit(1)).as("kept"))
-        .join(totals, Seq("lang"), "right")
+      val shortfall = survivors.groupBy(col(stratumCol)).agg(count(lit(1)).as("kept"))
+        .join(totals, Seq(stratumCol), "right")
         .filter(coalesce(col("kept"), lit(0L)) < least(lit(k.toLong), col("n")))
       if (shortfall.isEmpty) done = true else factor *= 16
     }
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))
+      .partitionBy(col(stratumCol)).orderBy(col("skey"), col(idCol))
     survivors
       .withColumn("sample_rank", row_number().over(w).cast("long"))
       .filter(col("sample_rank") <= k)
-      .select(col("lang"), col("sample_rank"), col("doc_id"), col("n_chars"))
+      .select(col(stratumCol) +: col("sample_rank") +: col(idCol) +:
+        payload.map(col): _*)
   }
 
   /** D28 — registered exact-k stratified sample: 20 docs per language at

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -94,24 +95,39 @@ object Joins {
   }
 
   /** J6 — as-of join: for each purchase, the most recent click by the same
-    * user at or before it. Equi key = user_id (so the join shuffles/
-    * co-partitions on user, never a cross product); the temporal predicate
-    * rides inside the join condition. Output is all-integer per-user
-    * summary for cross-engine determinism. */
+    * user at or before it. The scale-safe formulation is NOT a join: the
+    * equi-join-with-`c_ts <= p_ts` plan materializes a per-user
+    * |purchases|×|clicks| product before the group-by collapses it —
+    * quadratic on a hot user (bot traffic: 10⁵ clicks × 10³ purchases =
+    * 10⁸ intermediate rows pinned on ONE join key, which AQE skew
+    * handling cannot split because the blow-up lives inside a single
+    * key). Instead: union both event kinds into one tagged frame, one
+    * per-user window sorted by (ts, kind) with clicks ordered BEFORE
+    * purchases at ties (the as-of is inclusive), and a running
+    * `last(click_ts, ignoreNulls)` over rows-unbounded-preceding. One
+    * hash shuffle on user_id, one per-partition sort, O(n log n) per
+    * user, zero intermediate product — the same discipline w6's
+    * sessionization uses. Output is the all-integer per-user summary for
+    * cross-engine determinism. */
   def j6AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
-    val p = e.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"))
-    val c = e.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    p.join(c, p("user_id") === c("c_user") && c("c_ts") <= p("p_ts"), "left_outer")
-      .groupBy(col("user_id"), col("p_id"), col("p_ts"))
-      .agg(max(col("c_ts")).as("last_click"))
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1))
+          .as("kind"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+    val asOf = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_click", last(col("click_ts"), ignoreNulls = true)
+        .over(asOf))
+      .filter(col("kind") === 1)
       .groupBy(col("user_id"))
       .agg(
         count(lit(1)).as("n_purchases"),
         count(col("last_click")).as("n_matched"),
-        max(unix_timestamp(col("p_ts")) - unix_timestamp(col("last_click")))
+        max(unix_timestamp(col("ts")) - unix_timestamp(col("last_click")))
           .as("max_gap_s"))
       .orderBy(col("user_id"))
   }
@@ -155,6 +171,49 @@ object Joins {
       delta = 0.01)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** J8 — flagship multi-way analytic query (TPC-H Q3's shipping-priority
+    * shape): customer ⋈ orders ⋈ lineitem with a selective dimension
+    * filter on each leg, grouped revenue, top-10. Every other join query
+    * exercises one shape in isolation; this one proves the COMPOSITION —
+    * filters pushed into all three scans, the two joins chained without
+    * an intermediate materialization, partial aggregation above them,
+    * and the limit+sort fused into TakeOrderedAndProject (never a global
+    * sort of the aggregate).
+    *
+    * 100 TB shape: each leg is projected to its join/agg columns before
+    * joining, so the scans are pruned (PlanSpec pins pushed filters).
+    * The segment-filtered customer KEY list (1/5 of customers, one
+    * bigint column) broadcasts into orders — the fact side never
+    * shuffles for the dim probe; the surviving orders (date cut ×
+    * segment semi ≈ a few % of the table, three narrow columns)
+    * broadcast into lineitem. On a cluster where even the filtered
+    * order side outgrows the broadcast threshold, dropping the hint
+    * falls back to one hash shuffle on orderkey — the hint encodes the
+    * Q3 selectivity argument, not a correctness requirement. */
+  def j8ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-03-15").cast("timestamp")
+    val c = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderpriority"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev"))
+    val survivingOrders = o.join(broadcast(c),
+      col("o_custkey") === col("c_custkey"))
+    l.join(broadcast(survivingOrders), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("rev")), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j7_band_join" -> j7BandJoin,
     "j1_inner_join" -> j1InnerJoin,
@@ -163,7 +222,8 @@ object Joins {
     "j3_anti" -> j3Anti,
     "j4_broadcast_hint" -> j4BroadcastHint,
     "j5_range_join" -> j5RangeJoin,
-    "j6_asof_join" -> j6AsOfJoin
+    "j6_asof_join" -> j6AsOfJoin,
+    "j8_shipping_priority" -> j8ShippingPriority
   )
 
   val oracle: Map[String, String] = Map(
@@ -209,6 +269,17 @@ object Joins {
         |             ('t4_jumbo', 300000.0, 1e12)) AS tiers(tier, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY tier ORDER BY tier""".stripMargin,
+    "j8_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "j6_asof_join" ->
       """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
         |           FROM events WHERE event_type = 'purchase'),

@@ -24,6 +24,13 @@ case class Frame(doc_id: Long, frame_idx: Int, frame_fp: String)
   * cost model as `mapInPandas` reusing state across Arrow batches. */
 trait MediaDecoder extends Serializable {
   def decode(payload: Array[Byte]): (String, Int, Int, Int)
+
+  /** The 64 grayscale cell means of the payload rendered onto an 8×8
+    * grid, when the decoder can produce PIXELS — the input to a real
+    * perceptual aHash. None → the payload has no decodable raster (or
+    * the decoder is metadata-only) and callers fall back to the
+    * byte-striping approximation. */
+  def gray64(payload: Array[Byte]): Option[Array[Double]] = None
 }
 
 /** STUB DECODER — deterministic fake. The container has no image/audio
@@ -45,6 +52,66 @@ object FakeDecoder extends MediaDecoder {
     val height = 16 + (len * 7) % 464
     val nFrames = if (mediaType == "image") 1 else 1 + len % 24
     (mediaType, width, height, nFrames)
+  }
+}
+
+/** REAL image decoder over javax.imageio (JDK-builtin: JPEG, PNG, GIF,
+  * BMP — no external codec needed, works headless). `decode` reads WIDTH/
+  * HEIGHT FROM THE HEADER ONLY (reader.getWidth never inflates pixel
+  * data — the metadata pass over a 100 TB image corpus does no pixel
+  * work); `gray64` does the full raster decode + 8×8 block-mean
+  * downsample that feeds the real aHash. Non-image payloads fall back to
+  * the deterministic stub, so a mixed corpus (or the text-bytes
+  * testdata) still decodes every row. The class is stateless/serializable
+  * — ImageIO's reader instances are created per CALL inside the
+  * per-partition loop, matching the trait's amortization contract. */
+object ImageIoDecoder extends MediaDecoder {
+  import javax.imageio.ImageIO
+
+  override def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(iis)
+          ("image", r.getWidth(0), r.getHeight(0), 1)
+        } finally r.dispose()
+      } else FakeDecoder.decode(payload)
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Full decode → luminance (ITU-R BT.601) → 8×8 block means. Each
+    * source pixel lands in exactly one cell (the same integer-grid
+    * assignment as the byte-striping fallback), so two encodings of the
+    * SAME raster — JPEG at different quality, PNG vs JPEG — produce
+    * near-identical cell means and thus aHashes within a bit or two. */
+  override def gray64(payload: Array[Byte]): Option[Array[Double]] = {
+    val img =
+      try ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      catch { case _: Exception => null }
+    if (img == null) return None
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w < 8 || h < 8) return None
+    val sums = new Array[Double](64)
+    val counts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)
+        val cell = cy * 8 + (x.toLong * 8 / w).toInt
+        sums(cell) += lum; counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Some(Array.tabulate(64)(c => sums(c) / counts(c)))
   }
 }
 
@@ -197,37 +264,40 @@ object Multimodal {
 
   /** 64-bit average-hash (aHash) of a media payload — the perceptual
     * fingerprint image dedup runs where exact fingerprints (MM2's md5)
-    * miss re-encoded/slightly-edited copies. Real aHash decodes to an
-    * 8×8 grayscale grid and thresholds each cell against the mean; the
-    * container has no codecs, so this STUB stripes the raw bytes into
-    * 64 cells and thresholds cell means against the global mean — the
-    * identical averages→threshold structure (and genuinely tolerant of
-    * small byte edits), with the decode swap-in point behind
-    * [[MediaDecoder]] as everywhere in this tier. Null/empty payloads
-    * drop (no media to hash). Pure per-partition map — no shuffle. */
-  def perceptualHash(media: Dataset[Media]): DataFrame = {
+    * miss re-encoded/slightly-edited copies. When the decoder yields
+    * pixels ([[MediaDecoder.gray64]] — [[ImageIoDecoder]] for JDK-codec
+    * images), this IS real aHash: 8×8 grayscale block means thresholded
+    * against their mean. Payloads with no decodable raster (and the
+    * metadata-only [[FakeDecoder]], the registered default over the
+    * text-bytes testdata) fall back to striping the raw bytes into 64
+    * cells under the identical averages→threshold structure — still
+    * genuinely tolerant of small byte edits. Null/empty payloads drop
+    * (no media to hash). Pure per-partition map — no shuffle. */
+  def perceptualHash(media: Dataset[Media],
+                     decoder: MediaDecoder = FakeDecoder): DataFrame = {
     import media.sparkSession.implicits._
     media.filter((m: Media) => m.payload != null && m.payload.nonEmpty)
       .mapPartitions { it =>
         it.map { m =>
-          val b = m.payload
-          val n = b.length
-          val sums = new Array[Long](64)
-          val counts = new Array[Long](64)
-          var total = 0L
-          var i = 0
-          while (i < n) {
-            val cell = ((i.toLong * 64) / n).toInt
-            val v = b(i) & 0xff
-            sums(cell) += v; counts(cell) += 1; total += v
-            i += 1
+          val cells: Array[Double] = decoder.gray64(m.payload).getOrElse {
+            val b = m.payload
+            val n = b.length
+            val sums = new Array[Long](64)
+            val counts = new Array[Long](64)
+            var i = 0
+            while (i < n) {
+              val cell = ((i.toLong * 64) / n).toInt
+              sums(cell) += b(i) & 0xff; counts(cell) += 1
+              i += 1
+            }
+            Array.tabulate(64)(c =>
+              if (counts(c) > 0) sums(c).toDouble / counts(c) else 0.0)
           }
-          val mean = total.toDouble / n
+          val mean = cells.sum / 64.0
           var h = 0L
           var c = 0
           while (c < 64) {
-            if (counts(c) > 0 && sums(c).toDouble / counts(c) > mean)
-              h |= (1L << c)
+            if (cells(c) > mean) h |= (1L << c)
             c += 1
           }
           (m.doc_id, m.source, h)

@@ -141,7 +141,7 @@ object Packing {
     "d31_context_chunks" ->
       s"""WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words
-        |  FROM documents WHERE doc_id < 20),
+        |  FROM documents WHERE doc_id < 20 AND text IS NOT NULL),
         |c AS (
         |  SELECT doc_id, i, words[i*$D31S+1 : i*$D31S+$D31W] AS cw
         |  FROM w, LATERAL (SELECT unnest(range(

@@ -222,7 +222,61 @@ object Sources {
       .orderBy(col("lang"))
   }
 
+  /** S16 — small-file compaction: bin-pack a directory of many small
+    * parquet files into ~`targetBytes` output files. The maintenance
+    * verb for the reference's central sink pathology — one file per
+    * record (consumer.py:69-77, kafka_to_hdfs.py:20-25) turns a 100 TB
+    * lake into 10⁹ files whose footer reads and task-scheduling overhead
+    * dominate every scan. Our own ingest never creates the mess; this
+    * op REPAIRS a lake that already has it.
+    *
+    * Plan shape: one driver-side directory listing (O(#files) metadata —
+    * what every compactor pays), output file count = ceil(total bytes /
+    * target), then a `coalesce` rewrite — a NARROW dependency, so the
+    * data streams from small files to big ones with ZERO shuffle; each
+    * output task drains a greedy bin of input files. `repartition` here
+    * would shuffle the whole directory to achieve the same file count.
+    * Returns the planned file count (callers verify the write against
+    * it). */
+  def compactParquet(spark: SparkSession, inPath: String, outPath: String,
+                     targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val hPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(hPath).iterator
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    nOut
+  }
+
+  /** S16 surfaced to the driver: manufacture the pathology (documents
+    * scattered across 64 tiny files), compact to ~256 KiB targets, read
+    * back. The checksum aggregate against the ORIGINAL table proves the
+    * rewrite is lossless; `files_ok` pins the count contract — actual
+    * output files ≤ ceil(input bytes / target) AND strictly fewer than
+    * the small-file count (the oracle emits TRUE, so a compactor that
+    * stops compacting fails the value compare, not just a spec). */
+  def s16CompactRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, "s16") { tmp =>
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+    docs.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+    val planned = compactParquet(spark, s"$tmp/small", s"$tmp/compact",
+      targetBytes = 256L * 1024)
+    val outDir = new org.apache.hadoop.fs.Path(s"$tmp/compact")
+    val fs = outDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val actual = fs.listStatus(outDir)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    spark.read.parquet(s"$tmp/compact")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("doc_id")).as("id_checksum"))
+      .withColumn("files_ok", lit(actual <= planned && actual < 64))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_compact_roundtrip" -> s16CompactRoundtrip,
     "s15_schema_evolution" -> s15SchemaEvolution,
     "s7_json_roundtrip" -> s7JsonRoundtrip,
     "s10_partitioned_roundtrip" -> s10PartitionedRoundtrip,
@@ -231,10 +285,17 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s16_compact_roundtrip" ->
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  TRUE AS files_ok
+        |FROM documents WHERE doc_id < 300""".stripMargin,
     "s15_schema_evolution" ->
       """SELECT lang, count(*) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
-        |  CAST(sum(CASE WHEN doc_id >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |  CAST(sum(CASE WHEN doc_id >= 100 AND source IS NOT NULL
+        |           THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_with_source
         |FROM documents WHERE doc_id < 200
         |GROUP BY lang ORDER BY lang""".stripMargin,

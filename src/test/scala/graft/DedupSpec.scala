@@ -231,6 +231,28 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L))
   }
 
+  test("iterative CC survives a 50k-edge star hub within the round cap") {
+    // The adversarial boundary for the distributed path: ONE hub node
+    // incident to every edge — the maximally skewed key. The iteration's
+    // neighbor-min is a map-side-combinable AGGREGATE (hot key collapses
+    // per task before the shuffle), never a per-key window that would
+    // pin all 50k hub rows on one reducer; and star diameter is 2, so
+    // with pointer jumping convergence must land well inside 5 rounds —
+    // a straggler or a propagation bug shows up as the maxIter throw.
+    // Forced onto the iterative path (threshold 0): at the default
+    // 100k-edge cutoff this graph would take the driver union-find.
+    val n = 50000
+    val nodes = (0 to n).map(_.toLong).toDF("node")
+    val pairs = (1 to n).map(i => (0L, i.toLong)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(nodes, pairs,
+      maxIter = 5, smallGraphEdges = 0L)
+    // one component, labeled by the hub (the minimum id)
+    val agg = labels.agg(countDistinct(col("label")), min(col("label")),
+      count(lit(1))).collect().head
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 0L &&
+      agg.getLong(2) == (n + 1).toLong)
+  }
+
   test("driver union-find and distributed iteration agree on the same graph") {
     // chains, a merge, singletons — both paths must label identically
     val nodes = (0L to 30L).toDF("node")

@@ -113,6 +113,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(h(0L), h(3L)) > 3, s"unrelated only ${ham(h(0L), h(3L))} bits")
   }
 
+  test("real decoder: imageio reads true dims; re-encoded image hashes near, " +
+    "different image far, non-image falls back") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import graft.ext.ImageIoDecoder
+    // a structured raster: horizontal gradient + a dark block, so the
+    // aHash has real signal (a flat image hashes to noise-sensitive ~0)
+    def paint(flip: Boolean): BufferedImage = {
+      val img = new BufferedImage(64, 48, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 48; x <- 0 until 64) {
+        val g = if (flip) 255 - x * 4 else x * 4
+        img.setRGB(x, y, new java.awt.Color(g, g, g).getRGB)
+      }
+      for (y <- 8 until 24; x <- 8 until 24) img.setRGB(x, y, 0)
+      img
+    }
+    def enc(img: BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val jpeg = enc(paint(false), "jpg")
+    val png = enc(paint(false), "png")        // same raster, different codec
+    val flipped = enc(paint(true), "jpg")     // different raster
+    // header-only metadata decode reports the true dimensions
+    assert(ImageIoDecoder.decode(jpeg) == ("image", 64, 48, 1))
+    assert(ImageIoDecoder.decode(png) == ("image", 64, 48, 1))
+    val ds = Seq(Media(0L, "s", jpeg), Media(1L, "s", png),
+      Media(2L, "s", flipped), Media(3L, "s", "not an image".getBytes("UTF-8"))
+    ).toDS()
+    val h = Multimodal.perceptualHash(ds, ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // the re-encode (JPEG lossy vs PNG lossless of ONE raster) survives —
+    // exactly the copy exact-md5 dedup misses and perceptual dedup exists for
+    assert(ham(h(0L), h(1L)) <= 3, s"re-encode moved ${ham(h(0L), h(1L))} bits")
+    assert(ham(h(0L), h(2L)) > 3, s"different image only ${ham(h(0L), h(2L))} bits apart")
+    // a non-image payload flows through the byte-striping fallback,
+    // byte-identical to what the stub decoder produces for it
+    val fallback = Multimodal.perceptualHash(
+      Seq(Media(3L, "s", "not an image".getBytes("UTF-8"))).toDS(), FakeDecoder)
+      .collect().head.getLong(2)
+    assert(h(3L) == fallback)
+  }
+
   test("mm5 pairs equal brute-force Hamming pairs over the same hashes, any b") {
     val rnd = new scala.util.Random(9)
     val payloads = (0L until 30L).map { i =>

@@ -276,6 +276,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"d29 joins for its threshold:\n$p")
   }
 
+  test("as-of join is join-free: one tagged union, one window, no row product") {
+    // j6's scale hazard is the equi-join-with-range-predicate plan: it
+    // materializes |purchases|×|clicks| rows per user before aggregating
+    // — quadratic on a hot user and unsplittable by AQE (the blow-up is
+    // inside one join key). The pinned shape is the union+window kernel:
+    // NO join of any kind, exactly one Window, and the window's hash
+    // exchange on user_id reused by the group-by (only the presentation
+    // sort may add a range exchange).
+    val (exchanges, p) = finalPlanShuffles("j6_asof_join")
+    assert(!p.contains("Join"), s"j6 reverted to the join plan:\n$p")
+    assert(p.linesIterator.count(_.trim.startsWith("Window")) == 1
+      || p.contains("Window"), s"j6 lost the as-of window:\n$p")
+    assert(exchanges <= 2, s"j6: expected hash + range exchange only, got $exchanges:\n$p")
+  }
+
+  test("flagship Q3: filters pushed, both joins broadcast, top-k fused") {
+    // j8 is the composition proof: the date cut must reach the lineitem
+    // SCAN (not sit above a join), both probe sides must broadcast (the
+    // fact side never shuffles), and sort+limit must fuse into
+    // TakeOrderedAndProject — a global sort of the aggregate output is
+    // the regression this pin exists to catch.
+    val p = plan("j8_shipping_priority")
+    // FormattedMode prints each operator twice (tree + detail section);
+    // tree lines carry the join type, detail headers don't.
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin Inner")) == 2,
+      s"j8: expected exactly two broadcast joins:\n$p")
+    assert(p.contains("GreaterThan(l_shipdate"),
+      s"j8: l_shipdate cut not pushed to the lineitem scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"j8: o_orderdate cut not pushed to the orders scan:\n$p")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"),
+      s"j8: segment filter not pushed to the customer scan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"j8: top-10 did not fuse into TakeOrderedAndProject:\n$p")
+  }
+
   test("band join plans as an equi-join on bins, never a nested loop") {
     // j7's entire reason to exist: a raw |a−b| <= delta join condition
     // plans as BroadcastNestedLoopJoin / CartesianProduct — O(N²) at

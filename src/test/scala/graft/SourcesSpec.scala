@@ -90,6 +90,30 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
   }
 
+  test("S16 compaction bin-packs small files and is lossless") {
+    val dir = tmp("s16c")
+    val df = spark.range(2000)
+      .selectExpr("id", "concat('row_', id) AS payload", "id % 7 AS grp")
+    df.repartition(40).write.mode("overwrite").parquet(s"$dir/small")
+    val smallCount = new java.io.File(s"$dir/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallCount == 40, s"pathology not manufactured: $smallCount files")
+    val planned = Sources.compactParquet(spark, s"$dir/small", s"$dir/big",
+      targetBytes = 64L * 1024)
+    val bigFiles = new java.io.File(s"$dir/big").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    // the count contract: ceil(bytes/target) planned, write honors it
+    assert(bigFiles <= planned, s"$bigFiles files vs planned $planned")
+    assert(bigFiles < smallCount, "compaction did not reduce file count")
+    // lossless row-for-row
+    val back = spark.read.parquet(s"$dir/big")
+    assert(back.collect().map(_.toSeq).toSet == df.collect().map(_.toSeq).toSet)
+    // the rewrite must be a NARROW plan — coalesce, never a shuffle
+    val plan = spark.read.parquet(s"$dir/small").coalesce(planned)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"compaction shuffles:\n$plan")
+  }
+
   test("S13 cache keeps the plan reusable (spark_processor.py:255)") {
     val df = spark.range(100).toDF("id").cache()
     assert(df.count() == 100)
