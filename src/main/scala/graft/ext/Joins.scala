@@ -109,8 +109,25 @@ object Joins {
     * user, zero intermediate product — the same discipline w6's
     * sessionization uses. Output is the all-integer per-user summary for
     * cross-engine determinism. */
-  def j6AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
-    val tagged = Tables.events(spark, dir)
+  def j6AsOfJoin(spark: SparkSession, dir: String): DataFrame =
+    asOfEnrich(Tables.events(spark, dir))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("last_click")).as("n_matched"),
+        max(unix_timestamp(col("p_ts")) - unix_timestamp(col("last_click")))
+          .as("max_gap_s"))
+      .orderBy(col("user_id"))
+
+  /** The as-of ENRICHMENT kernel behind [[j6AsOfJoin]]: one row per
+    * purchase, carrying the most recent click at-or-before it by the
+    * same user (`last_click` null when none precedes). Shared contract
+    * with the streaming formulation
+    * ([[graft.streaming.Windows.asOfEnrichStream]]) — StreamingSpec pins
+    * stream ≡ this batch kernel on the same rows. Expects `events`
+    * columns (user_id, ts, event_type). */
+  def asOfEnrich(events: DataFrame): DataFrame = {
+    val tagged = events
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("user_id"), col("ts"),
         when(col("event_type") === "click", lit(0)).otherwise(lit(1))
@@ -123,13 +140,7 @@ object Joins {
       .withColumn("last_click", last(col("click_ts"), ignoreNulls = true)
         .over(asOf))
       .filter(col("kind") === 1)
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_purchases"),
-        count(col("last_click")).as("n_matched"),
-        max(unix_timestamp(col("ts")) - unix_timestamp(col("last_click")))
-          .as("max_gap_s"))
-      .orderBy(col("user_id"))
+      .select(col("user_id"), col("ts").as("p_ts"), col("last_click"))
   }
 
   /** Numeric band self-join kernel: all (id_a < id_b) pairs whose values

@@ -1,7 +1,20 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One click/purchase event for the streaming as-of enrichment. */
+case class ClickPurchase(user_id: Long, ts: Timestamp, event_type: String)
+
+/** Streaming as-of output: a purchase with the most recent click
+  * at-or-before it by the same user (None when no click precedes). */
+case class AsOfRow(user_id: Long, p_ts: Timestamp,
+                   last_click: Option[Timestamp])
+
+/** Per-user as-of state: the latest click event-time seen so far. */
+case class AsOfState(lastClickMs: Long)
 
 /** Event-time windowing and stateful streaming semantics (SURVEY §2.9
   * T6-T9). All transforms are `DataFrame => DataFrame` on a streaming
@@ -70,6 +83,51 @@ object Windows {
         col("r_ts") >= col("l_ts") &&
         col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
       "inner")
+  }
+
+  /** The LIVE formulation of the j6 as-of enrichment
+    * ([[graft.ext.Joins.asOfEnrich]]'s batch kernel): each purchase is
+    * emitted with the latest click at-or-before it by the same user.
+    * State is ONE event-time per user (`flatMapGroupsWithState`, keyed
+    * and partitioned by user across executors) — bounded by the live
+    * user population and evicted by event-time timeout when a user goes
+    * silent past the TTL, never by stream length. Within a micro-batch
+    * rows replay in (ts, click-before-purchase) order, the batch
+    * kernel's exact tie discipline (the as-of is inclusive); ACROSS
+    * micro-batches correctness relies on per-key event-time arrival
+    * order (a Kafka per-key-ordered topic's contract) — a click arriving
+    * after a later purchase was already emitted cannot retro-enrich it,
+    * the same trade every streaming as-of makes. StreamingSpec pins
+    * stream ≡ batch kernel on identical rows, split across batches. */
+  def asOfEnrichStream(events: Dataset[ClickPurchase],
+                       stateTtlMs: Long = 30L * 60 * 1000): Dataset[AsOfRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[ClickPurchase], state: GroupState[AsOfState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = rows.toSeq.sortBy(r =>
+              (r.ts.getTime, if (r.event_type == "click") 0 else 1))
+            var lastClick: Option[Long] = state.getOption.map(_.lastClickMs)
+            val out = ordered.flatMap {
+              case r if r.event_type == "click" =>
+                lastClick = Some(r.ts.getTime); None
+              case r if r.event_type == "purchase" =>
+                Some(AsOfRow(user, r.ts, lastClick.map(new Timestamp(_))))
+              case _ => None
+            }
+            lastClick.foreach(ms => state.update(AsOfState(ms)))
+            if (ordered.nonEmpty)
+              state.setTimeoutTimestamp(ordered.last.ts.getTime + stateTtlMs)
+            out.iterator
+          }
+      }
   }
 
   /** T6+T8 — the reference's persisted location summary

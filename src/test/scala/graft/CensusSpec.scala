@@ -1,0 +1,83 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The whole-surface plan census as CI: every REGISTERED query's physical
+  * plan is screened for the two ways a new query ships a scale bug
+  * silently — a nested-loop/cartesian operator that is not one of the
+  * audited bounded patterns, and a shuffle-exchange count jump past its
+  * recorded budget. PlanSpec pins the KNOWN properties of specific
+  * queries; this spec is the tripwire for the unknown ones (a
+  * value-correct query with a quietly quadratic plan passes every other
+  * test in the repo). Mirrors PlanAudit's census mode, which stays the
+  * interactive tool. */
+class CensusSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Queries AUDITED as legitimately containing a BroadcastNestedLoopJoin,
+    * each of a bounded shape: a broadcast SINGLETON crossJoin (a global
+    * mean / reference vector / literal threshold riding beside every row),
+    * a broadcast LITERAL tier/centroid table, or the d5 kernel whose
+    * candidate set is bounded upstream by the d3 band join. Anything not
+    * listed here that plans a nested loop is a new O(N·M) — fail. */
+  private val nestedLoopAllowed: Set[String] = Set(
+    "d5_ngram_jaccard",         // bounded candidate kernel (d3 pre-filter)
+    "d11_rebalance",            // broadcast per-stratum rate singleton
+    "d20_dsir_weights",         // broadcast global-mean singleton
+    "j5_range_join",            // broadcast 4-row literal tier table
+    "mm4_alignment_filter",     // broadcast reference-vector singleton
+    "sim1_cosine_topk",         // broadcast single query vector
+    "sim4_ivf_ann",             // broadcast probed-centroid list
+    "sim6_knn_join",            // broadcast capped query frame
+    "sim8_radius_search",       // broadcast single query vector
+    "sim10_centroid_separation",// L-row centroid self-pairs, L = #labels
+    "sim11_ivf_recall",         // broadcast probe-plan + query singletons
+    "t6_tfidf")                 // broadcast doc-count singleton
+
+  /** Shuffle-exchange budget: default ceiling for any registered query,
+    * plus explicit budgets for the audited deep pipelines. A query
+    * landing above its budget means a new stage shuffles where none did
+    * — justify it and raise the budget EXPLICITLY, or fix the plan. */
+  private val defaultMaxExchanges = 8
+  private val exchangeBudget: Map[String, Int] = Map(
+    "sim11_ivf_recall" -> 24,  // recall sweep: exact pass + per-probe plans
+    "d24_curation_funnel" -> 9 // quality+decontam+dedup+funnel, composed
+  )
+
+  /** Sink round-trips execute inside their builders and RETURN a local
+    * relation — there is no scan-side plan to censor, and re-running
+    * their writes here would only duplicate SourcesSpec. */
+  private val skip: Set[String] = Set("s7_json_roundtrip",
+    "s10_partitioned_roundtrip", "s11_csv_roundtrip", "s14_orc_roundtrip",
+    "s15_schema_evolution", "s16_compact_roundtrip")
+
+  test("census: no unlisted nested-loop/cartesian; exchange budgets hold") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => skip(n) }
+      .foreach { case (name, fn) =>
+        val p = fn(spark, dir).queryExecution.executedPlan.toString
+        if (p.contains("CartesianProduct"))
+          offenders += s"$name: CartesianProduct (never allowed)"
+        if (p.contains("BroadcastNestedLoopJoin") && !nestedLoopAllowed(name))
+          offenders += s"$name: unlisted BroadcastNestedLoopJoin"
+        val exchanges = p.linesIterator.count(l =>
+          l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+        val budget = exchangeBudget.getOrElse(name, defaultMaxExchanges)
+        if (exchanges > budget)
+          offenders += s"$name: $exchanges shuffle exchanges (budget $budget)"
+      }
+    assert(offenders.isEmpty,
+      offenders.mkString("plan census failures:\n  ", "\n  ", ""))
+  }
+
+  test("census: every allowlist/budget entry names a registered query") {
+    // a renamed query must not leave a stale allowlist entry silently
+    // covering nothing
+    val known = SparkEntry.queries.keySet
+    val stale = (nestedLoopAllowed ++ exchangeBudget.keySet ++ skip)
+      .filterNot(known)
+    assert(stale.isEmpty, s"stale census entries: $stale")
+  }
+}

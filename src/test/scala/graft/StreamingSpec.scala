@@ -444,6 +444,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(batched == streamed)
   }
 
+  test("streaming as-of enrichment equals the batch kernel on the same rows (parity)") {
+    import spark.implicits._
+    import graft.streaming.{AsOfRow, ClickPurchase, Windows => W}
+    implicit val ctx = spark.sqlContext
+    // the j6 rework's kernel, replayed live: clicks/purchases split
+    // ACROSS micro-batches so the per-user state carry is exercised,
+    // with the inclusive-tie case (click at exactly the purchase ts)
+    // and a no-click purchase (None) planted.
+    val batch1 = Seq(
+      ClickPurchase(7L, t("2024-01-01 10:00:00"), "click"),
+      ClickPurchase(7L, t("2024-01-01 10:05:00"), "purchase"), // → 10:00
+      ClickPurchase(8L, t("2024-01-01 10:01:00"), "purchase"), // → None
+      ClickPurchase(7L, t("2024-01-01 10:06:00"), "click"),
+      ClickPurchase(5L, t("2024-01-01 10:02:00"), "view"))     // ignored kind
+    val batch2 = Seq(
+      ClickPurchase(7L, t("2024-01-01 10:08:00"), "purchase"), // → 10:06 (carry)
+      ClickPurchase(8L, t("2024-01-01 10:09:00"), "click"),
+      ClickPurchase(8L, t("2024-01-01 10:09:00"), "purchase")) // tie → 10:09
+    val in = MemoryStream[ClickPurchase]
+    val q = W.asOfEnrichStream(in.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("asof_out")
+      .as[AsOfRow].collect().toSet
+    val batched = graft.ext.Joins
+      .asOfEnrich((batch1 ++ batch2).toDF())
+      .as[(Long, Timestamp, Option[Timestamp])].collect()
+      .map { case (u, p, c) => AsOfRow(u, p, c) }.toSet
+    assert(streamed == batched, s"stream $streamed vs batch $batched")
+    assert(streamed.size == 4)
+    assert(streamed.contains(AsOfRow(8L, t("2024-01-01 10:01:00"), None)))
+    assert(streamed.contains(
+      AsOfRow(7L, t("2024-01-01 10:08:00"), Some(t("2024-01-01 10:06:00")))))
+    assert(streamed.contains(
+      AsOfRow(8L, t("2024-01-01 10:09:00"), Some(t("2024-01-01 10:09:00")))))
+  }
+
   test("the full curation funnel runs per micro-batch via foreachBatch (batch ≡ stream)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
