@@ -22,12 +22,71 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sfx10"
+SKEW_DST = "/tmp/sfx10skew"
 REPLICAS = 10
 ID_STRIDE = 1_000_000
+HOT_USER = 7  # replica-0 user that owns ~20% of all clicks in the skew dir
+
+
+def replicate_events(skew: bool) -> pd.DataFrame:
+    """10 event replicas with disjoint event/user id ranges (events-per-
+    user stays constant, so per-user work is constant and j6's total is
+    linear). With skew=True, every 5th click row — 20% of ALL clicks —
+    is reassigned to one replica-0 user: the bot-traffic key that made
+    the old join-formulation j6 quadratic."""
+    e = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+    reps = []
+    for r in range(REPLICAS):
+        c = e.copy()
+        c["event_id"] = c["event_id"] + r * ID_STRIDE
+        c["user_id"] = c["user_id"] + r * ID_STRIDE
+        reps.append(c)
+    big = pd.concat(reps, ignore_index=True)
+    if skew:
+        clicks = big["event_type"] == "click"
+        hot = clicks & (np.arange(len(big)) % 5 == 0)
+        big.loc[hot, "user_id"] = HOT_USER
+    return big
+
+
+def write_events(df: pd.DataFrame, dst: str):
+    schema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("ns")),
+                        ("user_id", pa.int64()), ("event_type", pa.string()),
+                        ("value", pa.float64()), ("props", pa.string())])
+    pq.write_table(pa.Table.from_pandas(df, schema=schema,
+                                        preserve_index=False),
+                   f"{dst}/events.parquet")
 
 
 def main():
     os.makedirs(DST, exist_ok=True)
+    os.makedirs(SKEW_DST, exist_ok=True)
+
+    # events: plain 10x in DST; hot-user variant in SKEW_DST (j6 probe)
+    write_events(replicate_events(skew=False), DST)
+    write_events(replicate_events(skew=True), SKEW_DST)
+
+    # orders: 10 replicas, each shifted into a DISJOINT price band
+    # (+r*10M, far above the ~500k price ceiling) so j7's 1-cent band
+    # join finds exactly 10x the within-replica pairs — output scales
+    # linearly and the probe measures the PLAN, not pair-count blowup.
+    o = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+    oreps = []
+    for r in range(REPLICAS):
+        c = o.copy()
+        c["o_orderkey"] = c["o_orderkey"] + r * ID_STRIDE
+        c["o_custkey"] = c["o_custkey"] + r * ID_STRIDE
+        c["o_totalprice"] = c["o_totalprice"] + r * 10_000_000.0
+        oreps.append(c)
+    big_o = pd.concat(oreps, ignore_index=True)
+    oschema = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                         ("o_orderstatus", pa.string()),
+                         ("o_totalprice", pa.float64()),
+                         ("o_orderdate", pa.timestamp("ms")),
+                         ("o_orderpriority", pa.string())])
+    pq.write_table(pa.Table.from_pandas(big_o, schema=oschema,
+                                        preserve_index=False),
+                   f"{DST}/orders.parquet")
 
     d = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
     reps = []
@@ -61,7 +120,9 @@ def main():
         pa.Table.from_pandas(big_e[["vec_id", "embedding", "label"]],
                              schema=schema, preserve_index=False),
         f"{DST}/embeddings.parquet")
-    print(f"wrote {len(big)} docs, {len(big_e)} embeddings to {DST}")
+    print(f"wrote {len(big)} docs, {len(big_e)} embeddings, "
+          f"{len(big_o)} orders, plus events to {DST} "
+          f"(skewed events to {SKEW_DST})")
 
 
 if __name__ == "__main__":

@@ -26,7 +26,11 @@ object ScalingProbe {
     "sim8_radius_search", "d24_curation_funnel", "t13_char_stats",
     "t14_corpus_manifest", "d26_snapshot_diff", "d28_stratified_sample",
     "d29_quality_cutoff", "d30_nb_cutoff", "sim10_centroid_separation",
-    "mm5_perceptual_neardup", "d32_split_leakage")
+    "mm5_perceptual_neardup", "d32_split_leakage",
+    // the two fact↔fact joins (make_sfx10.py derives their events/
+    // orders replicas; the skewed-events variant dir exercises j6's
+    // hot-user path: ScalingProbe sf0.1 /tmp/sfx10skew 10 j6_asof_join)
+    "j6_asof_join", "j7_band_join")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha
@@ -60,10 +64,17 @@ object ScalingProbe {
       ts.min
     }
     val rows = probes.map { n =>
-      val t1 = time(n, base)
-      val t10 = time(n, big)
-      val alpha = math.log10(t10 / t1) / math.log10(ratio)
-      f"""{"query":"$n","t1x":$t1%.3f,"tbig":$t10%.3f,"alpha":$alpha%.2f}"""
+      try {
+        val t1 = time(n, base)
+        val t10 = time(n, big)
+        val alpha = math.log10(t10 / t1) / math.log10(ratio)
+        f"""{"query":"$n","t1x":$t1%.3f,"tbig":$t10%.3f,"alpha":$alpha%.2f}"""
+      } catch { case e: Throwable =>
+        // a probe whose tables are absent from a derived corpus (e.g.
+        // an older /tmp dir predating events/orders) reports instead of
+        // killing the whole sweep
+        s"""{"query":"$n","error":"${e.getClass.getSimpleName}"}"""
+      }
     }
     println(rows.mkString("[", ",", "]"))
     spark.stop()
