@@ -200,6 +200,44 @@ object Multimodal {
     }
   }
 
+  /** The PIXEL half of the resize stage ([[resizeMeta]] owns the
+    * metadata half): payloads the JDK codecs can raster are decoded,
+    * aspect-fit scaled into `maxDim` (never upscaled — small images pass
+    * through byte-identical, preserving their original encoding), drawn
+    * bilinear, and re-encoded PNG (deterministic, lossless — a thumbnail
+    * re-encoded lossy would drift under repeated pipeline runs).
+    * Non-raster payloads pass through untouched, so the op is safe on a
+    * mixed corpus. Per-partition map; pixels never shuffle. */
+  def resizePixels(media: Dataset[Media], maxDim: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    require(maxDim >= 1, s"maxDim must be >= 1, got $maxDim")
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img =
+          if (m.payload == null || m.payload.isEmpty) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          catch { case _: Exception => null }
+        if (img == null || math.max(img.getWidth, img.getHeight) <= maxDim) m
+        else {
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val w = math.max(1, math.round(img.getWidth * scale).toInt)
+          val h = math.max(1, math.round(img.getHeight * scale).toInt)
+          val out = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          m.copy(payload = bos.toByteArray)
+        }
+      }
+    }
+  }
+
   /** MM2 — decoded-feature summary per media type. */
   def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
     decodeMeta(mediaOf(spark, dir))

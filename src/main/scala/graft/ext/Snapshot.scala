@@ -72,11 +72,88 @@ object Snapshot {
     diffReport(old, neu)
   }
 
+  /** MERGE a changeset into a corpus snapshot — the WRITE verb beside
+    * d26's audit: `delta` rows carry op = 'upsert' (insert-or-replace by
+    * doc_id) or 'delete' (tombstone; its non-key columns may be null).
+    * An id appearing as both resolves to the upsert — the tombstone only
+    * suppresses the BASE row, which makes the op idempotent under delta
+    * replay.
+    *
+    * 100 TB shape: the realistic delta (a daily incremental crawl) is
+    * orders of magnitude smaller than the snapshot, so the touched-id
+    * set BROADCASTS and the base side is one scan + per-row anti filter —
+    * the snapshot never shuffles, text moves only inside the delta
+    * union. Cost O(|base| scan + |delta|), the MERGE INTO shape a table
+    * format executes; drop the broadcast hint if a delta ever reaches
+    * corpus scale and AQE plans the anti join as a shuffle. */
+  def mergeSnapshot(base: DataFrame, delta: DataFrame): DataFrame = {
+    val touched = delta.select(col("doc_id")).distinct()
+    base.join(broadcast(touched), Seq("doc_id"), "left_anti")
+      .unionByName(delta.filter(col("op") === "upsert").drop("op"))
+  }
+
+  /** Constants shared with the d33 oracle: upserts re-text docs ≡ UpMod,
+    * inserts clone docs ≡ InsMod under +InsOffset ids, deletes tombstone
+    * docs ≡ DelMod. */
+  private[ext] val UpMod = 7
+  private[ext] val InsMod = 13
+  private[ext] val DelMod = 9
+  private[ext] val InsOffset = 10000000L
+
+  /** D33 — registered merge: the simulated changeset applied to the
+    * corpus, reported per source (counts + chars + id/text checksums, so
+    * the oracle proves the merged MEMBERSHIP and CONTENT, not just
+    * totals). */
+  def d33MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val upserts = docs.filter(col("doc_id") % UpMod === 1)
+      .withColumn("text", concat(col("text"), lit(" merged")))
+      .withColumn("n_chars", col("n_chars") + lit(7L))
+    val inserts = docs.filter(col("doc_id") % InsMod === 0)
+      .withColumn("doc_id", col("doc_id") + lit(InsOffset))
+    val deletes = docs.filter(col("doc_id") % DelMod === 2)
+      .select(col("doc_id"),
+        lit(null).cast("string").as("text"), lit(null).cast("string").as("lang"),
+        lit(null).cast("string").as("source"), lit(null).cast("long").as("n_chars"))
+    val delta = upserts.withColumn("op", lit("upsert"))
+      .unionByName(inserts.withColumn("op", lit("upsert")))
+      .unionByName(deletes.withColumn("op", lit("delete")))
+    mergeSnapshot(docs, delta)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("id_checksum"),
+        min(substring(md5(col("text").cast("binary")), 1, 16)).as("min_fp"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "d26_snapshot_diff" -> d26SnapshotDiff
+    "d26_snapshot_diff" -> d26SnapshotDiff,
+    "d33_merge_upsert" -> d33MergeUpsert
   )
 
   val oracle: Map[String, String] = Map(
+    "d33_merge_upsert" ->
+      s"""WITH touched AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % $UpMod = 1
+        |  UNION SELECT doc_id + $InsOffset FROM documents WHERE doc_id % $InsMod = 0
+        |  UNION SELECT doc_id FROM documents WHERE doc_id % $DelMod = 2),
+        |kept AS (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM touched)),
+        |ups AS (
+        |  SELECT doc_id, text || ' merged' AS text, source,
+        |    n_chars + 7 AS n_chars
+        |  FROM documents WHERE doc_id % $UpMod = 1
+        |  UNION ALL
+        |  SELECT doc_id + $InsOffset, text, source, n_chars
+        |  FROM documents WHERE doc_id % $InsMod = 0),
+        |m AS (SELECT * FROM kept UNION ALL SELECT * FROM ups)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  min(substr(md5(text), 1, 16)) AS min_fp
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
     "d26_snapshot_diff" ->
       s"""WITH o AS (
         |  SELECT doc_id, source, substr(md5(text), 1, 16) AS fp

@@ -147,6 +147,38 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(30)
 
+  /** T16 — heavy hitters by two-pass sketch + exact recount: the SAME
+    * answer as a t5-style exact top-k, computed the way a 10⁸-token
+    * vocabulary forces. Pass 1 aggregates the per-doc token ARRAYS
+    * through the mergeable Misra–Gries sketch
+    * ([[graft.functions.MisraGries]]) — O(budget) memory per partition,
+    * a budget-bounded merge shuffle, NO corpus-sized token explode, and
+    * guaranteed recall for anything above N/(budget+1). Pass 2 exactly
+    * recounts ONLY the candidate tokens (a budget-bounded IN filter on
+    * the scan), so the group-by shuffles candidate×partition rows where
+    * t5's shuffles vocabulary×partition. The driver touches one
+    * ≤4·budget-entry candidate array — bounded by construction. Fully
+    * deterministic (recounts are exact, candidate recall is guaranteed
+    * at these frequencies) → value-level oracle against the plain
+    * one-pass SQL. */
+  def t16HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val tokens = split(lower(col("text")), " ")
+    val candidates: Array[String] = docs.select(tokens.as("toks"))
+      .as[Seq[String]]
+      .select(new graft.functions.MisraGries(T16Budget).toColumn.name("cand"))
+      .head()
+    docs.select(explode(tokens).as("token"))
+      .filter(col("token") =!= "" && col("token").isin(candidates.toSeq: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(T16K)
+  }
+
+  private[graft] val T16Budget = 1024
+  private[graft] val T16K = 20
+
   /** T15 — Zipf rank-frequency fit: the OLS slope of ln(freq) over
     * ln(rank) for the top tokens. Natural language sits near −1
     * (Zipf's law); a corpus that drifts toward 0 is word soup
@@ -476,6 +508,7 @@ object TextStats {
     "t9_unigram_logprob" -> t9Registered,
     "t10_bpe_train" -> t10Registered,
     "t5_vocab_topk" -> t5VocabTopK,
+    "t16_heavy_hitters" -> t16HeavyHitters,
     "t6_tfidf" -> t6TfIdf,
     "t7_compression_ratio" -> t7CompressionRatio,
     "t8_repetition" -> t8Repetition,
@@ -554,6 +587,12 @@ object TextStats {
         |      FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 30""".stripMargin,
+    "t16_heavy_hitters" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
     "t6_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

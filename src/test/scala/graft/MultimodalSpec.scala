@@ -158,6 +158,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(h(3L) == fallback)
   }
 
+  test("pixel resize: aspect-fit downscale, no upscale, non-image untouched") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    def img(w: Int, h: Int): Array[Byte] = {
+      val b = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        b.setRGB(x, y, ((x * 31 + y * 17) % 255) << 8)
+      val bos = new java.io.ByteArrayOutputStream()
+      ImageIO.write(b, "png", bos); bos.toByteArray
+    }
+    val small = img(10, 8)
+    val textBytes = "plain text payload".getBytes("UTF-8")
+    val ds = Seq(
+      Media(0L, "s", img(64, 48)),   // downscales to 16x12
+      Media(1L, "s", img(30, 60)),   // portrait: 8x16
+      Media(2L, "s", small),         // already fits: byte-identical
+      Media(3L, "s", textBytes)      // not an image: untouched
+    ).toDS()
+    val out = Multimodal.resizePixels(ds, maxDim = 16)
+      .collect().map(m => m.doc_id -> m.payload).toMap
+    def dims(b: Array[Byte]) = {
+      val i = ImageIO.read(new java.io.ByteArrayInputStream(b))
+      (i.getWidth, i.getHeight)
+    }
+    assert(dims(out(0L)) == (16, 12))
+    assert(dims(out(1L)) == (8, 16))
+    assert(out(2L).sameElements(small))
+    assert(out(3L).sameElements(textBytes))
+  }
+
   test("mm5 pairs equal brute-force Hamming pairs over the same hashes, any b") {
     val rnd = new scala.util.Random(9)
     val payloads = (0L until 30L).map { i =>

@@ -60,6 +60,34 @@ class SnapshotSpec extends AnyFunSuite {
       ("a", "added", 1L), ("a", "changed", 1L), ("b", "unchanged", 1L)))
   }
 
+  test("mergeSnapshot: upsert replaces, insert adds, delete removes, " +
+    "upsert wins over a same-id tombstone, and replay is idempotent") {
+    def doc(id: Long, text: String) =
+      (id, text, "en", "s", text.length.toLong)
+    val base = Seq(doc(1L, "one"), doc(2L, "two"), doc(3L, "three"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val none = (None: Option[String], None: Option[String],
+      None: Option[String], None: Option[Long])
+    val delta = Seq(
+      (2L, Option("two v2"), Option("en"), Option("s"), Option(6L), "upsert"),
+      (9L, Option("nine"), Option("en"), Option("s"), Option(4L), "upsert"),
+      (3L, none._1, none._2, none._3, none._4, "delete"),  // tombstone
+      (1L, Option("one v2"), Option("en"), Option("s"), Option(6L), "upsert"),
+      (1L, none._1, none._2, none._3, none._4, "delete"))  // loses to upsert
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    def collectM(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text").as[(Long, String)].collect().toSet
+    val once = Snapshot.mergeSnapshot(base, delta)
+    assert(collectM(once) ==
+      Set((1L, "one v2"), (2L, "two v2"), (9L, "nine")))
+    // idempotent: applying the same delta to the merged result is a no-op
+    assert(collectM(Snapshot.mergeSnapshot(once, delta)) == collectM(once))
+    // and the base side never shuffles: the touched-id anti join broadcasts
+    val plan = once.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"merge anti-join is not broadcast:\n$plan")
+  }
+
   test("document text never enters the diff join (fingerprints only)") {
     val old = frame(Seq((1L, "some long body", "a")))
     val neu = frame(Seq((1L, "some long body", "a")))
