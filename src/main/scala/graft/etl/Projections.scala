@@ -113,7 +113,29 @@ object Projections {
       .orderBy(col("col_name"))
   }
 
+  /** P9 — join-key skew profile: the top-10 heaviest values of a join
+    * key column with their corpus share — THE report an engineer reads
+    * before keying a 100 TB shuffle on a column (one bot user at 20%
+    * means salting or AQE skew-join; this query is how you find out
+    * BEFORE the job stalls on one reducer). Scale shape: the per-key
+    * count is a map-side-combined aggregate (key-bounded shuffle, hot
+    * keys collapse per task — profiling skew must not itself be
+    * skew-vulnerable, which a count WINDOW over the key would be); the
+    * total rides in as a broadcast singleton; top-10 compiles to
+    * TakeOrderedAndProject. */
+  def p9SkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n"),
+        round(col("n") * 100.0 / col("total"), 4).as("share_pct"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_skew_profile" -> p9SkewProfile,
     "p8_column_profile" -> p8ColumnProfile,
     "p1_dedup_exact" -> p1DedupExact,
     "p2_null_filter" -> p2NullFilter,
@@ -128,6 +150,12 @@ object Projections {
   )
 
   val oracle: Map[String, String] = Map(
+    "p9_skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT user_id, n, round(n * 100.0 / total, 4) AS share_pct
+        |FROM c CROSS JOIN t
+        |ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "p8_column_profile" -> {
       val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
       cols.map { c =>

@@ -148,7 +148,61 @@ object WindowFns {
       .orderBy(col("user_id"))
   }
 
+  /** W8 — ordered conversion funnel (view → click → purchase): per user,
+    * the earliest view, the earliest click AT-OR-AFTER that view, and the
+    * earliest purchase at-or-after that click; reported as the one-row
+    * funnel card (stage user counts + conversion%). The product-analytics
+    * query every event warehouse runs; order matters — a click before
+    * the first view must NOT advance the funnel.
+    *
+    * Scale shape: one hash shuffle on user_id drives a single
+    * partition+sort shared by all three running step expressions (each
+    * is a running `min` over the (ts, step-rank) prefix — monotone, so
+    * the per-user final value is just the ignore-null aggregate min),
+    * then the funnel card is a global one-row aggregate. No joins, no
+    * self-union, no per-step pass over the corpus — the three-join SQL
+    * formulation the oracle uses would shuffle events three times. */
+  def w8Funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelCard(Tables.events(spark, dir))
+
+  /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
+    * frame — split out so the order-sensitivity semantics (a click
+    * BEFORE the first view must not advance the funnel) are pinned on
+    * planted rows in FunnelSpec, independent of the oracle. */
+  def funnelCard(events: DataFrame): DataFrame = {
+    // step rank breaks intra-timestamp ties in funnel order (a click at
+    // the exact ts of the first view qualifies — `>=` semantics, matching
+    // the oracle's ts-only comparison)
+    val stepRank = when(col("event_type") === "view", 0)
+      .when(col("event_type") === "click", 1).otherwise(2)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), stepRank)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("view_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("click_ts",
+        min(when(col("event_type") === "click" &&
+          col("view_ts").isNotNull && col("ts") >= col("view_ts"),
+          col("ts"))).over(w))
+      .withColumn("purchase_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("click_ts").isNotNull && col("ts") >= col("click_ts"),
+          col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(min(col("view_ts")).as("v"), min(col("click_ts")).as("c"),
+        min(col("purchase_ts")).as("p"))
+    staged.agg(
+        count(col("v")).as("n_view"),
+        count(col("c")).as("n_click_after_view"),
+        count(col("p")).as("n_purchase_after_click"),
+        round(count(col("p")) * 100.0 / count(col("v")), 4)
+          .as("conversion_pct"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w8_funnel" -> w8Funnel,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
     "w1_topn_per_group" -> w1TopNPerGroup,
@@ -159,6 +213,23 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    "w8_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, min(ts) AS vts FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS cts FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts >= v.vts
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pts FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts >= c.cts
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_click_after_view,
+        |  (SELECT count(*) FROM p) AS n_purchase_after_click,
+        |  round((SELECT count(*) FROM p) * 100.0
+        |        / (SELECT count(*) FROM v), 4) AS conversion_pct""".stripMargin,
     "w7_gap_detection" ->
       """WITH g AS (
         |  SELECT user_id, event_id,

@@ -33,7 +33,8 @@ class CensusSpec extends AnyFunSuite {
     "sim8_radius_search",       // broadcast single query vector
     "sim10_centroid_separation",// L-row centroid self-pairs, L = #labels
     "sim11_ivf_recall",         // broadcast probe-plan + query singletons
-    "t6_tfidf")                 // broadcast doc-count singleton
+    "t6_tfidf",                 // broadcast doc-count singleton
+    "p9_skew_profile")          // broadcast corpus-total singleton
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query

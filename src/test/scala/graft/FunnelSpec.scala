@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.WindowFns
+
+/** w8's one semantic hazard is ORDER: a step only counts if it happens
+  * at-or-after the previous step's first occurrence. The oracle SQL
+  * re-states the same rule, so a both-sides-wrong drift would hash-match
+  * — these planted rows pin the truth independently. */
+class FunnelSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("steps advance only in order; ties qualify inclusively") {
+    val rows = Seq(
+      // u1: clean view → click → purchase: converts
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:01:00"), "click"),
+      (1L, t("2024-01-01 10:02:00"), "purchase"),
+      // u2: click BEFORE first view — funnel stops at view, the later
+      // purchase must not count either
+      (2L, t("2024-01-01 10:00:00"), "click"),
+      (2L, t("2024-01-01 10:01:00"), "view"),
+      (2L, t("2024-01-01 10:02:00"), "purchase"),
+      // u3: view then purchase, no click: stops after view
+      (3L, t("2024-01-01 10:00:00"), "view"),
+      (3L, t("2024-01-01 10:01:00"), "purchase"),
+      // u4: click only — never enters the funnel
+      (4L, t("2024-01-01 10:00:00"), "click"),
+      // u5: click at the EXACT ts of the first view — inclusive, counts;
+      // purchase at the exact ts of that click — also counts
+      (5L, t("2024-01-01 10:00:00"), "view"),
+      (5L, t("2024-01-01 10:00:00"), "click"),
+      (5L, t("2024-01-01 10:00:00"), "purchase"),
+      // noise kind is filtered before the window
+      (1L, t("2024-01-01 09:00:00"), "scroll")
+    ).toDF("user_id", "ts", "event_type")
+    val got = WindowFns.funnelCard(rows)
+      .as[(Long, Long, Long, Double)].collect().head
+    // views: u1,u2,u3,u5; click-after-view: u1,u5; purchase: u1,u5
+    assert(got == ((4L, 2L, 2L, 50.0)))
+  }
+
+  test("one hash exchange feeds the windows and the per-user aggregate") {
+    val df = SparkEntry.queries("w8_funnel")(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val shuffles = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+    // user_id hash for windows+groupBy, then the single-row global agg's
+    // merge exchange — anything more means a window stopped sharing
+    assert(shuffles <= 2, s"w8: $shuffles shuffle exchanges:\n$p")
+    assert(!p.contains("Join"), s"w8 joins:\n$p")
+  }
+}
