@@ -63,7 +63,41 @@ def main():
             c[["vec_id", "embedding", "label"]], schema=schema,
             preserve_index=False))
     emb_writer.close()
-    print(f"wrote {len(d) * REPLICAS} docs, {len(e) * REPLICAS} embeddings to {DST}")
+
+    # events/orders replicas (the fact↔fact join probes j6/j7/d33),
+    # streamed one replica per row group like documents: disjoint
+    # user-id ranges keep per-user work constant; disjoint +r*10M price
+    # bands keep j7's pair output linear.
+    ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+    eschema = pa.schema([("event_id", pa.int64()), ("ts", pa.timestamp("ns")),
+                         ("user_id", pa.int64()), ("event_type", pa.string()),
+                         ("value", pa.float64()), ("props", pa.string())])
+    ev_writer = pq.ParquetWriter(f"{DST}/events.parquet", eschema)
+    for r in range(REPLICAS):
+        c = ev.copy()
+        c["event_id"] = c["event_id"] + r * ID_STRIDE
+        c["user_id"] = c["user_id"] + r * ID_STRIDE
+        ev_writer.write_table(pa.Table.from_pandas(c, schema=eschema,
+                                                   preserve_index=False))
+    ev_writer.close()
+
+    o = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+    oschema = pa.schema([("o_orderkey", pa.int64()), ("o_custkey", pa.int64()),
+                         ("o_orderstatus", pa.string()),
+                         ("o_totalprice", pa.float64()),
+                         ("o_orderdate", pa.timestamp("ms")),
+                         ("o_orderpriority", pa.string())])
+    o_writer = pq.ParquetWriter(f"{DST}/orders.parquet", oschema)
+    for r in range(REPLICAS):
+        c = o.copy()
+        c["o_orderkey"] = c["o_orderkey"] + r * ID_STRIDE
+        c["o_custkey"] = c["o_custkey"] + r * ID_STRIDE
+        c["o_totalprice"] = c["o_totalprice"] + r * 10_000_000.0
+        o_writer.write_table(pa.Table.from_pandas(c, schema=oschema,
+                                                  preserve_index=False))
+    o_writer.close()
+    print(f"wrote {len(d) * REPLICAS} docs, {len(e) * REPLICAS} embeddings, "
+          f"{len(ev) * REPLICAS} events, {len(o) * REPLICAS} orders to {DST}")
 
 
 if __name__ == "__main__":

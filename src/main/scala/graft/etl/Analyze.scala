@@ -184,7 +184,54 @@ object Analyze {
       Seq(Seq(col("event_type")), Seq(col("aqi_category"))),
       col("event_type"), col("aqi_category")))
 
+  /** A18 — EQUI-DEPTH histogram (k buckets of ~equal row count) over
+    * a continuous column, computed WITHOUT a global sort: the textbook
+    * `ntile(k) OVER (ORDER BY v)` formulation funnels the whole corpus
+    * through one ordering — the d22 anti-pattern — so instead the
+    * boundaries come from d29's bounded-histogram device generalized:
+    * quantize values to a VALUE-RANGE-bounded grid (price/100 → a few
+    * thousand bins regardless of corpus size), map-side-combined bin
+    * counts, driver prefix-sum picks the k−1 boundary bins (first bin
+    * whose cumulative count reaches ceil(i·N/k)), then one corpus pass
+    * assigns buckets by comparing against ≤ k−1 boundary LITERALS
+    * (codegen'd when-chain, no join, no sort) and aggregates per
+    * bucket. Boundary rows bucket LOW (a bin never splits), so depths
+    * are equal up to bin granularity — the trade every sort-free
+    * equi-depth makes, and exactly reproducible by the oracle. Floats
+    * report min/max/avg (never sum: a 2-dp rounded SUM of ~10⁵ doubles
+    * sits inside cross-engine accumulation noise; avg divides it back
+    * out). */
+  def a18EquidepthHist(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val binned = Tables.lineitem(spark, dir)
+      .select(floor(col("l_extendedprice") / 100).cast("long").as("bin"),
+        col("l_extendedprice").as("v"))
+    // bounded collect: bins ≤ price-range/100 (a few thousand), by value
+    // range not corpus size — the d29/t9 collect discipline
+    val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .orderBy(col("bin")).collect()
+    val n = hist.iterator.map(_.getLong(1)).sum
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cum = 0L
+    hist.foreach { r =>
+      cum += r.getLong(1)
+      while (bounds.size < k - 1 &&
+        cum >= math.ceil((bounds.size + 1).toDouble * n / k).toLong)
+        bounds += r.getLong(0)
+    }
+    val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
+      acc + when(col("bin") > b, 1).otherwise(0)
+    }
+    binned.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("v")), 2).as("min_v"),
+        round(max(col("v")), 2).as("max_v"),
+        round(avg(col("v")), 2).as("avg_v"))
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a18_equidepth_hist" -> a18EquidepthHist,
     "a1_location_stats" -> a1LocationStats,
     "a2_group_count_desc" -> a2GroupCountDesc,
     "a3_global_means" -> a3GlobalMeans,
@@ -229,6 +276,29 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a18_equidepth_hist" ->
+      """WITH binned AS (
+        |  SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin,
+        |    l_extendedprice AS v
+        |  FROM lineitem),
+        |h AS (SELECT bin, count(*) AS c FROM binned GROUP BY bin),
+        |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM binned),
+        |bounds AS (
+        |  SELECT i, min(bin) AS b
+        |  FROM cum CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(range(1, 8)) AS i)
+        |  WHERE cum >= ceil(i * n / 8.0)
+        |  GROUP BY i),
+        |assigned AS (
+        |  SELECT v,
+        |    1 + (SELECT count(*) FROM bounds WHERE binned.bin > bounds.b)
+        |      AS bucket
+        |  FROM binned)
+        |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
+        |  round(min(v), 2) AS min_v, round(max(v), 2) AS max_v,
+        |  round(avg(v), 2) AS avg_v
+        |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin,
     "a1_location_stats" ->
       """SELECT event_type,
         |  round(avg(value), 2) AS avg_value,

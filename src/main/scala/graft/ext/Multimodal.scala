@@ -33,15 +33,18 @@ trait MediaDecoder extends Serializable {
   def gray64(payload: Array[Byte]): Option[Array[Double]] = None
 }
 
-/** STUB DECODER — deterministic fake. The container has no image/audio
-  * libraries, so this derives plausible metadata arithmetically from the
-  * byte length L:
+/** STUB DECODER — deterministic fake for NON-IMAGE media and for the
+  * text-bytes testdata (whose payloads decode to nothing): derives
+  * plausible metadata arithmetically from the byte length L:
   *   media_type = L%3 → image|audio|video; width = 16 + L%624;
   *   height = 16 + (7L)%464; n_frames = 1 for image else 1 + L%24.
-  * A production decoder swaps in javax.imageio / ffmpeg / soundfile
-  * behind the same trait; everything AROUND the decode — schema,
-  * partitioning, per-partition init, batch iteration — is the real
-  * pipeline and is what the tests and oracle verify. */
+  * Images have the REAL decoder ([[ImageIoDecoder]], JDK codecs) behind
+  * the same trait; audio/video would swap in ffmpeg/soundfile the same
+  * way. The arithmetic fake stays the registered default because the
+  * harness corpus has no real media and the oracle replays the
+  * arithmetic exactly — everything AROUND the decode (schema,
+  * partitioning, per-partition init, batch iteration) is the real
+  * pipeline either way. */
 object FakeDecoder extends MediaDecoder {
   def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
     val len = payload.length
