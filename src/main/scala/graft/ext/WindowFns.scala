@@ -169,7 +169,21 @@ object WindowFns {
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
     * planted rows in FunnelSpec, independent of the oracle. */
-  def funnelCard(events: DataFrame): DataFrame = {
+  def funnelCard(events: DataFrame): DataFrame =
+    funnelStages(events).agg(
+        count(col("v")).as("n_view"),
+        count(col("c")).as("n_click_after_view"),
+        count(col("p")).as("n_purchase_after_click"),
+        round(count(col("p")) * 100.0 / count(col("v")), 4)
+          .as("conversion_pct"))
+
+  /** The per-user stage frame behind [[funnelCard]]: (user_id, v, c, p)
+    * — first view, first click at-or-after it, first purchase
+    * at-or-after that (nulls where a stage was never reached). Split
+    * out so the streaming state machine
+    * ([[graft.streaming.Windows.funnelStream]]) pins stream ≡ batch on
+    * this frame, the d18'/as-of parity discipline. */
+  def funnelStages(events: DataFrame): DataFrame = {
     // step rank breaks intra-timestamp ties in funnel order (a click at
     // the exact ts of the first view qualifies — `>=` semantics, matching
     // the oracle's ts-only comparison)
@@ -178,7 +192,7 @@ object WindowFns {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), stepRank)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val staged = events
+    events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .withColumn("view_ts",
         min(when(col("event_type") === "view", col("ts"))).over(w))
@@ -193,12 +207,6 @@ object WindowFns {
       .groupBy(col("user_id"))
       .agg(min(col("view_ts")).as("v"), min(col("click_ts")).as("c"),
         min(col("purchase_ts")).as("p"))
-    staged.agg(
-        count(col("v")).as("n_view"),
-        count(col("c")).as("n_click_after_view"),
-        count(col("p")).as("n_purchase_after_click"),
-        round(count(col("p")) * 100.0 / count(col("v")), 4)
-          .as("conversion_pct"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

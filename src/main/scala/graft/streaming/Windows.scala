@@ -16,6 +16,15 @@ case class AsOfRow(user_id: Long, p_ts: Timestamp,
 /** Per-user as-of state: the latest click event-time seen so far. */
 case class AsOfState(lastClickMs: Long)
 
+/** Per-user funnel state: first-reach event-times per stage (None until
+  * reached). Three optional longs per live user — bounded state. */
+case class FunnelState(viewMs: Option[Long], clickMs: Option[Long],
+                       purchaseMs: Option[Long])
+
+/** One funnel stage transition: emitted the FIRST time a user reaches a
+  * stage (stage ∈ view | click | purchase). */
+case class StageReached(user_id: Long, stage: String, ts: Timestamp)
+
 /** Event-time windowing and stateful streaming semantics (SURVEY §2.9
   * T6-T9). All transforms are `DataFrame => DataFrame` on a streaming
   * frame with an event-time column `ts` — shared by MemoryStream tests and
@@ -123,6 +132,66 @@ object Windows {
               case _ => None
             }
             lastClick.foreach(ms => state.update(AsOfState(ms)))
+            if (ordered.nonEmpty)
+              state.setTimeoutTimestamp(ordered.last.ts.getTime + stateTtlMs)
+            out.iterator
+          }
+      }
+  }
+
+  /** The LIVE conversion funnel (w8's batch kernel as a per-user state
+    * machine): emits a [[StageReached]] row the FIRST time a user
+    * reaches each ordered stage — view, then click at-or-after the
+    * first view, then purchase at-or-after that click. A stream
+    * consumer (dashboard counter, alerting rule) folds these
+    * transitions incrementally instead of re-scanning history. State is
+    * three optional event-times per live user, keyed/partitioned by
+    * user and evicted by event-time timeout; within a micro-batch rows
+    * replay in (ts, stage-rank) order — the batch kernel's exact tie
+    * discipline — and across batches correctness relies on per-key
+    * arrival order, the same contract as [[asOfEnrichStream]].
+    * StreamingSpec pins the transition set ≡ the batch
+    * `funnelStages` frame on identical rows split across batches. */
+  def funnelStream(events: Dataset[ClickPurchase],
+                   stateTtlMs: Long = 30L * 60 * 1000): Dataset[StageReached] = {
+    import events.sparkSession.implicits._
+    def rank(t: String) = t match {
+      case "view" => 0; case "click" => 1; case _ => 2
+    }
+    events
+      .filter((r: ClickPurchase) =>
+        r.event_type == "view" || r.event_type == "click" ||
+          r.event_type == "purchase")
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageReached](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[ClickPurchase], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val ordered = rows.toSeq.sortBy(r => (r.ts.getTime, rank(r.event_type)))
+            var s = state.getOption.getOrElse(FunnelState(None, None, None))
+            val out = scala.collection.mutable.ArrayBuffer.empty[StageReached]
+            ordered.foreach { r =>
+              val ms = r.ts.getTime
+              r.event_type match {
+                case "view" if s.viewMs.isEmpty =>
+                  s = s.copy(viewMs = Some(ms))
+                  out += StageReached(user, "view", r.ts)
+                case "click" if s.clickMs.isEmpty &&
+                  s.viewMs.exists(_ <= ms) =>
+                  s = s.copy(clickMs = Some(ms))
+                  out += StageReached(user, "click", r.ts)
+                case "purchase" if s.purchaseMs.isEmpty &&
+                  s.clickMs.exists(_ <= ms) =>
+                  s = s.copy(purchaseMs = Some(ms))
+                  out += StageReached(user, "purchase", r.ts)
+                case _ => ()
+              }
+            }
+            state.update(s)
             if (ordered.nonEmpty)
               state.setTimeoutTimestamp(ordered.last.ts.getTime + stateTtlMs)
             out.iterator

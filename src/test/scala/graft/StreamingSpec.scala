@@ -485,6 +485,54 @@ class StreamingSpec extends AnyFunSuite {
       AsOfRow(8L, t("2024-01-01 10:09:00"), Some(t("2024-01-01 10:09:00")))))
   }
 
+  test("streaming funnel transitions equal the batch stage frame (parity)") {
+    import spark.implicits._
+    import graft.streaming.{ClickPurchase, StageReached, Windows => W}
+    implicit val ctx = spark.sqlContext
+    // stage carry across micro-batches: u1 views in batch 1, clicks and
+    // purchases in batch 2; u2's click precedes its first view (never
+    // advances); u3 ties view/click on one timestamp (inclusive)
+    val batch1 = Seq(
+      ClickPurchase(1L, t("2024-01-01 10:00:00"), "view"),
+      ClickPurchase(2L, t("2024-01-01 10:00:00"), "click"),
+      ClickPurchase(2L, t("2024-01-01 10:01:00"), "view"),
+      ClickPurchase(3L, t("2024-01-01 10:00:00"), "view"),
+      ClickPurchase(3L, t("2024-01-01 10:00:00"), "click"))
+    val batch2 = Seq(
+      ClickPurchase(1L, t("2024-01-01 10:02:00"), "click"),
+      ClickPurchase(1L, t("2024-01-01 10:03:00"), "purchase"),
+      ClickPurchase(2L, t("2024-01-01 10:04:00"), "purchase"), // no click yet
+      ClickPurchase(3L, t("2024-01-01 10:05:00"), "purchase"))
+    val in = MemoryStream[ClickPurchase]
+    val q = W.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("funnel_out").as[StageReached].collect()
+      .groupBy(_.user_id)
+      .map { case (u, rows) =>
+        val byStage = rows.map(r => r.stage -> r.ts).toMap
+        (u, byStage.get("view"), byStage.get("click"), byStage.get("purchase"))
+      }.toSet
+    val batched = graft.ext.WindowFns
+      .funnelStages((batch1 ++ batch2).toDF())
+      .as[(Long, Option[Timestamp], Option[Timestamp], Option[Timestamp])]
+      .collect().toSet
+    assert(streamed == batched, s"stream $streamed vs batch $batched")
+    // the planted truth: u1 full funnel; u2 stops at view (pre-view
+    // click never advances, so its purchase is blocked); u3 converts on
+    // the inclusive tie
+    assert(batched == Set(
+      (1L, Some(t("2024-01-01 10:00:00")), Some(t("2024-01-01 10:02:00")),
+        Some(t("2024-01-01 10:03:00"))),
+      (2L, Some(t("2024-01-01 10:01:00")), None, None),
+      (3L, Some(t("2024-01-01 10:00:00")), Some(t("2024-01-01 10:00:00")),
+        Some(t("2024-01-01 10:05:00")))))
+  }
+
   test("the full curation funnel runs per micro-batch via foreachBatch (batch ≡ stream)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
