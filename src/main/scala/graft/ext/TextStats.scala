@@ -165,12 +165,12 @@ object TextStats {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val tokens = split(lower(col("text")), " ")
-    val candidates: Array[String] = docs.select(tokens.as("toks"))
+    val candidates: Seq[String] = docs.select(tokens.as("toks"))
       .as[Seq[String]]
       .select(new graft.functions.MisraGries(T16Budget).toColumn.name("cand"))
-      .head()
+      .head().keys.toSeq
     docs.select(explode(tokens).as("token"))
-      .filter(col("token") =!= "" && col("token").isin(candidates.toSeq: _*))
+      .filter(col("token") =!= "" && col("token").isin(candidates: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(T16K)

@@ -27,7 +27,7 @@ import scala.collection.mutable
   * threshold cannot be trimmed to zero and MUST survive into `finish`.
   */
 class MisraGries(budget: Int) extends Aggregator[
-    Seq[String], mutable.HashMap[String, Long], Array[String]] {
+    Seq[String], mutable.HashMap[String, Long], Map[String, Long]] {
   require(budget >= 1, s"budget must be >= 1, got $budget")
   private val softCap = 4 * budget
 
@@ -71,13 +71,17 @@ class MisraGries(budget: Int) extends Aggregator[
 
   /** Every surviving key is a candidate; the final trim to the budget is
     * skipped on purpose — extra candidates only cost the recount pass a
-    * few rows, while a trim here could only LOWER recall. Sorted for
-    * deterministic output. */
-  override def finish(b: mutable.HashMap[String, Long]): Array[String] =
-    b.keys.toArray.sorted
+    * few rows, while a trim here could only LOWER recall. The OUTPUT is
+    * the full (token → residual count) summary, not just the key set:
+    * a finished summary re-wrapped in a HashMap is again a valid MERGE
+    * input, which is what lets per-micro-batch sketches FOLD into one
+    * running sketch on a stream (mergeable-summary property) — the
+    * foldStream test pins it. */
+  override def finish(b: mutable.HashMap[String, Long]): Map[String, Long] =
+    b.toMap
 
   override def bufferEncoder: Encoder[mutable.HashMap[String, Long]] =
     Encoders.kryo[mutable.HashMap[String, Long]]
-  override def outputEncoder: Encoder[Array[String]] =
-    Encoders.kryo[Array[String]]
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    Encoders.kryo[Map[String, Long]]
 }

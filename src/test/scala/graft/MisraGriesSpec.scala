@@ -35,7 +35,7 @@ class MisraGriesSpec extends AnyFunSuite {
       val cand = docs.toDF("toks").repartition(nPart)
         .as[Seq[String]]
         .select(new MisraGries(256).toColumn.name("c"))
-        .head().toSet
+        .head().keySet
       val missing = (0 until 40).map(i => s"heavy_$i").filterNot(cand)
       assert(missing.isEmpty,
         s"nPart=$nPart lost heavies: $missing (candidates: ${cand.size})")
@@ -47,10 +47,10 @@ class MisraGriesSpec extends AnyFunSuite {
   test("two-pass t16 shape equals brute-force exact top-k on adversarial data") {
     val docs = corpus(23).toDF("toks").repartition(13)
     val cand = docs.as[Seq[String]]
-      .select(new MisraGries(256).toColumn.name("c")).head()
+      .select(new MisraGries(256).toColumn.name("c")).head().keys.toSeq
     val exploded = docs.select(explode(col("toks")).as("token"))
     val recount = exploded
-      .filter(col("token").isin(cand.toSeq: _*))
+      .filter(col("token").isin(cand: _*))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(40)
       .as[(String, Long)].collect().toSeq
@@ -60,6 +60,29 @@ class MisraGriesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(recount == brute)
     assert(brute.forall(_._2 == 400L)) // the planted truth
+  }
+
+  test("per-batch sketches FOLD into one running sketch (the streaming shape)") {
+    // mergeable-summary property: sketch each micro-batch DISTRIBUTED,
+    // fold the finished summaries through the same merge on the driver
+    // — bounded state however long the stream runs, and recall of
+    // above-threshold tokens survives any batch boundary (a heavy
+    // token's occurrences may be split across every batch). This is the
+    // d18 serving discipline for frequency state: the fold accumulator
+    // is the persisted ingest artifact.
+    val mg = new MisraGries(256)
+    val batches = corpus(31).grouped(200).toSeq // ~3 uneven micro-batches
+    var acc = mg.zero
+    batches.foreach { batch =>
+      val sketch = batch.toDF("toks").repartition(5)
+        .as[Seq[String]]
+        .select(mg.toColumn.name("c")).head()
+      acc = mg.merge(acc, scala.collection.mutable.HashMap(sketch.toSeq: _*))
+    }
+    val folded = mg.finish(acc).keySet
+    val missing = (0 until 40).map(i => s"heavy_$i").filterNot(folded)
+    assert(missing.isEmpty, s"fold lost heavies: $missing")
+    assert(folded.size <= 4 * 256 + 40, s"fold state unbounded: ${folded.size}")
   }
 
   test("reduce/merge/trim arithmetic on a hand-checked stream") {
