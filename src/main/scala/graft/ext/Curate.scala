@@ -57,6 +57,74 @@ object Curate {
   private[ext] val D10N = 4
   private[ext] val BenchMod = 97
 
+  /** D35 — decontamination for the regime where even the DISTINCT bench
+    * gram set outgrows a broadcast (a thousand eval suites × web-scale
+    * grams): the d10 semantics behind a BLOOM prune. The bench grams
+    * compress into a fixed-size Bloom filter (sized from a one-column
+    * count of the SMALL side; memory is O(nGrams·ln(1/fpp)) bits,
+    * independent of gram text length), every executor probes it per-row
+    * — so the corpus-side gram stream shrinks to true hits + fpp noise
+    * BEFORE anything joins — and the exact semi-join then verifies only
+    * that sliver, so Bloom false positives never reach the output: the
+    * RESULT is exactly d10's (same oracle proves it), only the
+    * execution strategy changes. The probe is a Scala udf (the sketch
+    * library's contract); it breaks the codegen span for the one
+    * boolean it computes, which the ~1000× row reduction repays
+    * immediately. */
+  def bloomDecontaminateDf(train: DataFrame, bench: DataFrame,
+                           n: Int = D10N, fpp: Double = 0.001): DataFrame = {
+    val benchGrams = docGrams(bench, n).select(col("gram")).distinct()
+    val nGrams = math.max(1L, benchGrams.count())
+    val bloom = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
+    val bc = train.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))
+    val contaminated = docGrams(train, n)
+      .filter(mightContain(col("gram")))
+      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+    train.groupBy(col("source")).agg(count(lit(1)).as("n_train"))
+      .join(contaminated.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left")
+      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
+      .orderBy(col("source"))
+  }
+
+  /** The d10/d35 shared oracle, interpolated from the SAME constants the
+    * Spark side uses — a change to D10N/BenchMod moves all sides
+    * together. */
+  private lazy val d10OracleSql: String = {
+    val gramConcat = (0 until D10N)
+      .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+    s"""WITH words AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(list_transform(range(1, len(w) - ${D10N - 2}),
+      |      i -> $gramConcat)) AS gs
+      |  FROM words WHERE len(w) >= $D10N),
+      |g AS (SELECT doc_id, source, unnest(gs) AS gram FROM grams),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = 0),
+      |contam AS (
+      |  SELECT DISTINCT g.doc_id, g.source
+      |  FROM g JOIN bench USING (gram) WHERE g.doc_id % $BenchMod <> 0),
+      |train AS (
+      |  SELECT source, count(*) AS n_train
+      |  FROM documents WHERE doc_id % $BenchMod <> 0 GROUP BY source),
+      |c AS (SELECT source, count(*) AS n_contaminated FROM contam GROUP BY source)
+      |SELECT train.source, n_train,
+      |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated
+      |FROM train LEFT JOIN c USING (source) ORDER BY source""".stripMargin
+  }
+
+  /** D35 registered — the d10 split through the Bloom path; its oracle
+    * IS d10's oracle, which is the exactness proof. */
+  def d35BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = col("doc_id") % BenchMod === 0
+    bloomDecontaminateDf(docs.filter(!isBench), docs.filter(isBench))
+  }
+
   /** D10 — the registered harness shape: the benchmark split is the
     * id-mod slice of the one testdata corpus (a real caller passes an
     * actual eval-suite frame to [[decontaminateDf]] instead). */
@@ -630,6 +698,7 @@ object Curate {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d24_curation_funnel" -> d24CurationFunnel,
     "d10_decontaminate" -> d10Decontaminate,
+    "d35_bloom_decontaminate" -> d35BloomDecontaminate,
     "d11_rebalance" -> d11Rebalance,
     "d12_semantic_dedup" -> d12SemanticDedup,
     "d13_pii_redact" -> d13PiiRedact,
@@ -752,32 +821,10 @@ object Curate {
         |WHERE split <> 'train'
         |GROUP BY split ORDER BY split""".stripMargin
     },
-    "d10_decontaminate" -> {
-      // interpolated from the SAME constants the Spark side uses — a
-      // change to D10N/BenchMod moves both sides together
-      val gramConcat = (0 until D10N)
-        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
-      s"""WITH words AS (
-        |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, source,
-        |    list_distinct(list_transform(range(1, len(w) - ${D10N - 2}),
-        |      i -> $gramConcat)) AS gs
-        |  FROM words WHERE len(w) >= $D10N),
-        |g AS (SELECT doc_id, source, unnest(gs) AS gram FROM grams),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % $BenchMod = 0),
-        |contam AS (
-        |  SELECT DISTINCT g.doc_id, g.source
-        |  FROM g JOIN bench USING (gram) WHERE g.doc_id % $BenchMod <> 0),
-        |train AS (
-        |  SELECT source, count(*) AS n_train
-        |  FROM documents WHERE doc_id % $BenchMod <> 0 GROUP BY source),
-        |c AS (SELECT source, count(*) AS n_contaminated FROM contam GROUP BY source)
-        |SELECT train.source, n_train,
-        |  CAST(coalesce(n_contaminated, 0) AS BIGINT) AS n_contaminated
-        |FROM train LEFT JOIN c USING (source) ORDER BY source""".stripMargin
-    },
+    "d10_decontaminate" -> d10OracleSql,
+    // d35 computes the SAME answer through the Bloom-prune strategy —
+    // sharing d10's oracle verbatim IS the exactness proof
+    "d35_bloom_decontaminate" -> d10OracleSql,
     "d11_rebalance" ->
       s"""WITH counts AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
         |t AS (SELECT min(n_lang) AS target FROM counts),

@@ -70,6 +70,29 @@ class CurateSpec extends AnyFunSuite {
     assert(out("srcD") == ((1L, 1L)))
   }
 
+  test("bloom decontamination equals the exact path (FPs die in the verify join)") {
+    // same planted rows as the d10 tests — the Bloom prune changes the
+    // execution strategy, never the answer
+    val (train, bench) = splitBench(docs)
+    val exact = Curate.decontaminateDf(train, bench, n = 4)
+      .collect().map(_.toSeq).toSeq
+    val bloomed = Curate.bloomDecontaminateDf(train, bench, n = 4)
+      .collect().map(_.toSeq).toSeq
+    assert(bloomed == exact)
+    // and at an absurd fpp (0.5 — every other probe is a false
+    // positive) the verify join still keeps the result exact: the
+    // filter only governs how many rows REACH the semi-join
+    val noisy = Curate.bloomDecontaminateDf(train, bench, n = 4, fpp = 0.5)
+      .collect().map(_.toSeq).toSeq
+    assert(noisy == exact)
+    // registered queries agree end to end on real testdata
+    val d10 = Curate.d10Decontaminate(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    val d35 = Curate.d35BloomDecontaminate(spark, "/root/testdata/sf0.001")
+      .collect().map(_.toSeq).toSeq
+    assert(d35 == d10)
+  }
+
   test("a training doc with fewer words than n can never be contaminated") {
     val (train, bench) = splitBench(
       docs.union(Seq((5L, "alpha beta gamma", "srcC")).toDF("doc_id", "text", "source")))
