@@ -179,6 +179,49 @@ object TextStats {
   private[graft] val T16Budget = 1024
   private[graft] val T16K = 20
 
+  /** T17 — PMI collocations: the top bigrams by pointwise mutual
+    * information, min-count filtered — the phrase-mining pass a
+    * tokenizer-vocabulary or stopword-list builder reads (high-PMI
+    * pairs are multi-word units; low-PMI frequent pairs are syntax).
+    * Scale shape: unigram and bigram counts are both map-side-combined
+    * aggregates whose shuffles are bounded by (bigram) VOCABULARY, not
+    * corpus — the t5 discipline; the bigram frame joins unigram counts
+    * per side keyed on the token (Catalyst broadcasts while the vocab
+    * fits, shuffle-joins key-bounded when it doesn't — no hint, both
+    * plans are right at their scale); corpus totals ride as broadcast
+    * singletons; top-20 is TakeOrderedAndProject. PMI compares ROUNDED
+    * (exact integer counts → one log at the end) so libm ulps cannot
+    * flip the hash. */
+  def t17PmiPhrases(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val toks = docs
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+      .filter(col("t") =!= "")
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val bi = docs.select(split(lower(col("text")), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(w) - 2), i -> struct(w[i] AS w1, w[i + 1] AS w2))"))
+        .as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+    val totals = uni.agg(sum(col("n")).as("tn"))
+      .crossJoin(bi.agg(sum(col("nb")).as("tb")))
+    bi.filter(col("nb") >= T17MinCount)
+      .join(uni.select(col("t").as("w1"), col("n").as("n1")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("n").as("n2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("nb"),
+        round(log((col("nb").cast("double") / col("tb")) /
+          ((col("n1").cast("double") / col("tn")) *
+            (col("n2").cast("double") / col("tn")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private[graft] val T17MinCount = 5
+
   /** T15 — Zipf rank-frequency fit: the OLS slope of ln(freq) over
     * ln(rank) for the top tokens. Natural language sits near −1
     * (Zipf's law); a corpus that drifts toward 0 is word soup
@@ -509,6 +552,7 @@ object TextStats {
     "t10_bpe_train" -> t10Registered,
     "t5_vocab_topk" -> t5VocabTopK,
     "t16_heavy_hitters" -> t16HeavyHitters,
+    "t17_pmi_phrases" -> t17PmiPhrases,
     "t6_tfidf" -> t6TfIdf,
     "t7_compression_ratio" -> t7CompressionRatio,
     "t8_repetition" -> t8Repetition,
@@ -593,6 +637,27 @@ object TextStats {
         |      FROM documents)
         |WHERE token <> ''
         |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin,
+    "t17_pmi_phrases" ->
+      s"""WITH w AS (
+        |  SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |uni AS (
+        |  SELECT t, count(*) AS n
+        |  FROM (SELECT unnest(w) AS t FROM w) WHERE t <> '' GROUP BY t),
+        |bi AS (
+        |  SELECT w[i] AS w1, w[i + 1] AS w2, count(*) AS nb
+        |  FROM w, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+        |  WHERE len(w) >= 2 AND w[i] <> '' AND w[i + 1] <> ''
+        |  GROUP BY 1, 2),
+        |tn AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM uni),
+        |tb AS (SELECT CAST(sum(nb) AS BIGINT) AS tb FROM bi)
+        |SELECT w1, w2, nb,
+        |  round(ln((CAST(nb AS DOUBLE) / tb)
+        |        / ((CAST(n1.n AS DOUBLE) / tn) * (CAST(n2.n AS DOUBLE) / tn))), 4)
+        |    AS pmi
+        |FROM bi JOIN uni n1 ON bi.w1 = n1.t JOIN uni n2 ON bi.w2 = n2.t
+        |CROSS JOIN tn CROSS JOIN tb
+        |WHERE nb >= $T17MinCount
+        |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin,
     "t6_tfidf" ->
       """WITH tok AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token

@@ -34,7 +34,8 @@ class CensusSpec extends AnyFunSuite {
     "sim10_centroid_separation",// L-row centroid self-pairs, L = #labels
     "sim11_ivf_recall",         // broadcast probe-plan + query singletons
     "t6_tfidf",                 // broadcast doc-count singleton
-    "p9_skew_profile")          // broadcast corpus-total singleton
+    "p9_skew_profile",          // broadcast corpus-total singleton
+    "t17_pmi_phrases")          // broadcast token/bigram-total singletons
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query
