@@ -44,13 +44,19 @@ object Curate {
     val contaminated = docGrams(train, n)
       .join(broadcast(benchGrams), Seq("gram"), "left_semi")
       .select(col("doc_id"), col("source")).distinct()
+    contaminationReport(train, contaminated)
+  }
+
+  /** The per-source funnel both decontamination strategies report —
+    * shared so d10 and d35 cannot drift apart. */
+  private def contaminationReport(train: DataFrame,
+                                  contaminated: DataFrame): DataFrame =
     train
       .groupBy(col("source")).agg(count(lit(1)).as("n_train"))
       .join(contaminated.groupBy(col("source"))
         .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left")
       .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
       .orderBy(col("source"))
-  }
 
   /** Constants shared between the registered d10 query and its oracle
     * SQL (interpolated there) — edit here, both sides move together. */
@@ -73,20 +79,25 @@ object Curate {
     * immediately. */
   def bloomDecontaminateDf(train: DataFrame, bench: DataFrame,
                            n: Int = D10N, fpp: Double = 0.001): DataFrame = {
-    val benchGrams = docGrams(bench, n).select(col("gram")).distinct()
+    // ONE materialization of the bench gram set feeds all three
+    // consumers (size count, filter build, verify join) — uncached, the
+    // gram explode+distinct would run three times, tripling the cost of
+    // the side this op exists to keep cheap
+    val benchGrams = docGrams(bench, n).select(col("gram")).distinct().cache()
     val nGrams = math.max(1L, benchGrams.count())
     val bloom = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))
+    // the verify semi-join is deliberately UNHINTED: in the op's target
+    // regime the bench gram set does NOT fit a broadcast, and both join
+    // inputs are already small — the corpus side shrank to hits+fpp at
+    // the Bloom filter — so a key-bounded shuffle semi-join is the
+    // correct plan there (Catalyst still broadcasts while it fits)
     val contaminated = docGrams(train, n)
       .filter(mightContain(col("gram")))
-      .join(broadcast(benchGrams), Seq("gram"), "left_semi")
+      .join(benchGrams, Seq("gram"), "left_semi")
       .select(col("doc_id"), col("source")).distinct()
-    train.groupBy(col("source")).agg(count(lit(1)).as("n_train"))
-      .join(contaminated.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_contaminated")), Seq("source"), "left")
-      .withColumn("n_contaminated", coalesce(col("n_contaminated"), lit(0L)))
-      .orderBy(col("source"))
+    contaminationReport(train, contaminated)
   }
 
   /** The d10/d35 shared oracle, interpolated from the SAME constants the

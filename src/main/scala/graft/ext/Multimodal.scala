@@ -71,20 +71,25 @@ object FakeDecoder extends MediaDecoder {
 object ImageIoDecoder extends MediaDecoder {
   import javax.imageio.ImageIO
 
-  override def decode(payload: Array[Byte]): (String, Int, Int, Int) = {
-    val iis = ImageIO.createImageInputStream(
-      new java.io.ByteArrayInputStream(payload))
+  override def decode(payload: Array[Byte]): (String, Int, Int, Int) =
+    // exception fallback covers the corrupt-but-recognized case (a
+    // truncated JPEG with a valid magic header is routine in a crawled
+    // corpus) — one bad asset must degrade to the stub's metadata, not
+    // kill the task
     try {
-      val readers = ImageIO.getImageReaders(iis)
-      if (readers.hasNext) {
-        val r = readers.next()
-        try {
-          r.setInput(iis)
-          ("image", r.getWidth(0), r.getHeight(0), 1)
-        } finally r.dispose()
-      } else FakeDecoder.decode(payload)
-    } finally if (iis != null) iis.close()
-  }
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (readers.hasNext) {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            ("image", r.getWidth(0), r.getHeight(0), 1)
+          } finally r.dispose()
+        } else FakeDecoder.decode(payload)
+      } finally if (iis != null) iis.close()
+    } catch { case _: Exception => FakeDecoder.decode(payload) }
 
   /** Full decode → luminance (ITU-R BT.601) → 8×8 block means. Each
     * source pixel lands in exactly one cell (the same integer-grid

@@ -88,8 +88,20 @@ object Snapshot {
     * corpus scale and AQE plans the anti join as a shuffle. */
   def mergeSnapshot(base: DataFrame, delta: DataFrame): DataFrame = {
     val touched = delta.select(col("doc_id")).distinct()
+    // A delta carrying TWO upserts for one id (two fetches of one URL in
+    // a single changeset) must not leave duplicate keys in the snapshot
+    // — SQL MERGE errors on multiple source matches; here the collision
+    // resolves deterministically to the greatest content fingerprint
+    // (arbitrary but stable — a real pipeline orders by a version
+    // column instead). The window runs over the DELTA only.
+    val one = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(md5(col("text").cast("binary")).desc_nulls_last)
+    val upserts = delta.filter(col("op") === "upsert").drop("op")
+      .withColumn("rn", row_number().over(one))
+      .filter(col("rn") === 1).drop("rn")
     base.join(broadcast(touched), Seq("doc_id"), "left_anti")
-      .unionByName(delta.filter(col("op") === "upsert").drop("op"))
+      .unionByName(upserts)
   }
 
   /** Constants shared with the d33 oracle: upserts re-text docs ≡ UpMod,

@@ -173,9 +173,14 @@ object WindowFns {
     funnelStages(events).agg(
         count(col("v")).as("n_view"),
         count(col("c")).as("n_click_after_view"),
-        count(col("p")).as("n_purchase_after_click"),
-        round(count(col("p")) * 100.0 / count(col("v")), 4)
-          .as("conversion_pct"))
+        count(col("p")).as("n_purchase_after_click"))
+      // explicit zero-view guard: engines disagree on x/0 (the d29
+      // empty-input lesson) — a view-free slice reports NULL, not an
+      // engine-specific division artifact
+      .withColumn("conversion_pct",
+        when(col("n_view") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_purchase_after_click") * 100.0
+            / col("n_view"), 4)))
 
   /** The per-user stage frame behind [[funnelCard]]: (user_id, v, c, p)
     * — first view, first click at-or-after it, first purchase
@@ -236,8 +241,10 @@ object WindowFns {
         |SELECT (SELECT count(*) FROM v) AS n_view,
         |  (SELECT count(*) FROM c) AS n_click_after_view,
         |  (SELECT count(*) FROM p) AS n_purchase_after_click,
-        |  round((SELECT count(*) FROM p) * 100.0
-        |        / (SELECT count(*) FROM v), 4) AS conversion_pct""".stripMargin,
+        |  CASE WHEN (SELECT count(*) FROM v) = 0 THEN NULL
+        |       ELSE round((SELECT count(*) FROM p) * 100.0
+        |                  / (SELECT count(*) FROM v), 4) END
+        |    AS conversion_pct""".stripMargin,
     "w7_gap_detection" ->
       """WITH g AS (
         |  SELECT user_id, event_id,

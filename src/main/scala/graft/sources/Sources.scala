@@ -243,10 +243,21 @@ object Sources {
     require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
     val hPath = new org.apache.hadoop.fs.Path(inPath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val bytes = fs.listStatus(hPath).iterator
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
+    // RECURSIVE listing: a hive-partitioned layout keeps its files under
+    // key=value subdirectories — a shallow listStatus would see only
+    // directories, compute 0 bytes, and plan coalesce(1) over the whole
+    // dataset (one task funneling arbitrary GB — the silent worst case).
+    var bytes = 0L
+    val it = fs.listFiles(hPath, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) bytes += s.getLen
+    }
+    require(bytes > 0, s"no .parquet files under $inPath — nothing to compact")
     val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    // NOTE: partition-column values survive (Spark reads them into the
+    // frame) but the OUTPUT layout is flat; re-partitioning the rewrite
+    // is the caller's `partitionBy` decision, not this op's.
     spark.read.parquet(inPath).coalesce(nOut)
       .write.mode("overwrite").parquet(outPath)
     nOut

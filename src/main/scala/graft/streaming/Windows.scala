@@ -126,9 +126,18 @@ object Windows {
             var lastClick: Option[Long] = state.getOption.map(_.lastClickMs)
             val out = ordered.flatMap {
               case r if r.event_type == "click" =>
-                lastClick = Some(r.ts.getTime); None
+                // max, not overwrite: a late click inside the watermark
+                // (NOT dropped) must never regress state already ahead
+                // of it — the as-of answer is the LATEST qualifying
+                // click, whatever order they arrived in
+                lastClick = Some(lastClick.fold(r.ts.getTime)(_ max r.ts.getTime))
+                None
               case r if r.event_type == "purchase" =>
-                Some(AsOfRow(user, r.ts, lastClick.map(new Timestamp(_))))
+                // a late purchase must not be enriched by a click that
+                // is AFTER it (an output the batch kernel can never
+                // produce, and gap math downstream would go negative)
+                Some(AsOfRow(user, r.ts,
+                  lastClick.filter(_ <= r.ts.getTime).map(new Timestamp(_))))
               case _ => None
             }
             lastClick.foreach(ms => state.update(AsOfState(ms)))

@@ -45,6 +45,15 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == ((4L, 2L, 2L, 50.0)))
   }
 
+  test("a view-free slice reports NULL conversion, not a division artifact") {
+    val rows = Seq((1L, t("2024-01-01 10:00:00"), "click"),
+      (1L, t("2024-01-01 10:01:00"), "purchase"))
+      .toDF("user_id", "ts", "event_type")
+    val got = WindowFns.funnelCard(rows).collect().head
+    assert(got.getLong(0) == 0L)     // n_view
+    assert(got.isNullAt(3), s"conversion_pct should be null: $got")
+  }
+
   test("one hash exchange feeds the windows and the per-user aggregate") {
     val df = SparkEntry.queries("w8_funnel")(spark, "/root/testdata/sf0.001")
     df.collect()

@@ -286,8 +286,13 @@ class PlanSpec extends AnyFunSuite {
     // sort may add a range exchange).
     val (exchanges, p) = finalPlanShuffles("j6_asof_join")
     assert(!p.contains("Join"), s"j6 reverted to the join plan:\n$p")
-    assert(p.linesIterator.count(_.trim.startsWith("Window")) == 1
-      || p.contains("Window"), s"j6 lost the as-of window:\n$p")
+    // exactly ONE Window operator: a regression that splits the as-of
+    // into two window passes (two sorts) is precisely what this catches.
+    // executedPlan tree lines print as "+- Window [...]" — count the
+    // operator token at a node position, not a bare substring.
+    val windows = p.linesIterator.count(l =>
+      l.replaceFirst("""^[\s:+*()\d-]*""", "").startsWith("Window"))
+    assert(windows == 1, s"j6: expected exactly one Window, got $windows:\n$p")
     assert(exchanges <= 2, s"j6: expected hash + range exchange only, got $exchanges:\n$p")
   }
 

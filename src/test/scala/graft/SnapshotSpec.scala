@@ -88,6 +88,23 @@ class SnapshotSpec extends AnyFunSuite {
       s"merge anti-join is not broadcast:\n$plan")
   }
 
+  test("two upserts for one id collapse to a single deterministic row") {
+    val base = Seq((1L, "one", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val delta = Seq(
+      (1L, Option("fetch a"), Option("en"), Option("s"), Option(7L), "upsert"),
+      (1L, Option("fetch b"), Option("en"), Option("s"), Option(7L), "upsert"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars", "op")
+    val merged = Snapshot.mergeSnapshot(base, delta)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(merged.length == 1, s"duplicate keys survived: ${merged.toSeq}")
+    // deterministic pick: greatest md5 fingerprint — stable across runs
+    val expect = Seq("fetch a", "fetch b").maxBy(t =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+    assert(merged.head == ((1L, expect)))
+  }
+
   test("document text never enters the diff join (fingerprints only)") {
     val old = frame(Seq((1L, "some long body", "a")))
     val neu = frame(Seq((1L, "some long body", "a")))

@@ -485,6 +485,33 @@ class StreamingSpec extends AnyFunSuite {
       AsOfRow(8L, t("2024-01-01 10:09:00"), Some(t("2024-01-01 10:09:00")))))
   }
 
+  test("as-of state never regresses on a late click; a late purchase is " +
+    "never enriched by a future click") {
+    import spark.implicits._
+    import graft.streaming.{AsOfRow, ClickPurchase, Windows => W}
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[ClickPurchase]
+    val q = W.asOfEnrichStream(in.toDS())
+      .writeStream.format("memory").queryName("asof_late_out")
+      .outputMode("append").start()
+    in.addData(ClickPurchase(1L, t("2024-01-01 10:06:00"), "click"))
+    q.processAllAvailable()
+    // batch 2: a click 3 minutes LATE (inside the watermark — not
+    // dropped) must not pull state back from 10:06; the purchase at
+    // 10:08 enriches with 10:06. And a purchase arriving late at 10:00
+    // must NOT be enriched by the 10:06 click (last_click > p_ts is an
+    // output the batch kernel can never produce).
+    in.addData(
+      ClickPurchase(1L, t("2024-01-01 10:03:00"), "click"),
+      ClickPurchase(1L, t("2024-01-01 10:08:00"), "purchase"),
+      ClickPurchase(1L, t("2024-01-01 10:00:00"), "purchase"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("asof_late_out").as[AsOfRow].collect().toSet
+    assert(got == Set(
+      AsOfRow(1L, t("2024-01-01 10:08:00"), Some(t("2024-01-01 10:06:00"))),
+      AsOfRow(1L, t("2024-01-01 10:00:00"), None)))
+  }
+
   test("streaming funnel transitions equal the batch stage frame (parity)") {
     import spark.implicits._
     import graft.streaming.{ClickPurchase, StageReached, Windows => W}
