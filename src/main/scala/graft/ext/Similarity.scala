@@ -576,6 +576,51 @@ object Similarity {
       .orderBy(col("label_a"), col("label_b"))
   }
 
+  /** SIM13 — embedding drift between two corpus snapshots: per label,
+    * 1 − cosine of the v1 and v2 centroids — the MLOps monitor beside
+    * d26's content diff (a re-embedding run, encoder upgrade, or data
+    * shift moves class centroids BEFORE it moves eval metrics; this is
+    * the number a retraining alarm thresholds). Scale shape: each
+    * snapshot collapses to L mergeable `VectorMean` buffers (sim5's
+    * partial-agg discipline — the corpus never shuffles vectors), the
+    * comparison is an L-row equi-join, and the drift arithmetic runs on
+    * L rows. `+ 0.0` normalizes the IEEE −0.0 an undrifted label can
+    * round to (cos marginally above 1 from fp accumulation) so both
+    * engines print identical zeros. */
+  def embeddingDriftDf(v1: DataFrame, v2: DataFrame, dim: Int): DataFrame = {
+    val spark = v1.sparkSession
+    val vmean = udaf(new graft.functions.VectorMean(dim))
+    def cents(df: DataFrame, cName: String, keepN: Boolean): DataFrame = {
+      val base = df.filter(col("embedding").isNotNull)
+        .select(col("label"), asDouble(col("embedding")).as("emb"))
+        .groupBy(col("label"))
+      if (keepN) base.agg(count(col("emb")).as("n_vecs"), vmean(col("emb")).as(cName))
+      else base.agg(vmean(col("emb")).as(cName))
+    }
+    cents(v1, "c1", keepN = true)
+      .join(cents(v2, "c2", keepN = false), Seq("label"))
+      .select(col("label"), col("n_vecs"),
+        (round(lit(1.0) - VectorOps.vecCosine(spark, col("c1"), col("c2")), 4)
+          + lit(0.0)).as("drift"))
+      .filter(!isnan(col("drift")))
+      .orderBy(col("drift").desc, col("label"))
+  }
+
+  /** SIM13 registered — v2 simulates a partial re-embedding: vectors
+    * with vec_id ≡ 0 (mod Sim13Mod) flip sign (the worst-case drifted
+    * subset), everything else unchanged; the oracle replays the same
+    * rule. */
+  def sim13EmbeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val v2 = e.withColumn("embedding",
+      when(col("vec_id") % Sim13Mod === 0,
+        transform(col("embedding"), x => -x))
+        .otherwise(col("embedding")))
+    embeddingDriftDf(e, v2, dim = 64)
+  }
+
+  private[ext] val Sim13Mod = 7
+
   /** SIM12 — int8 symmetric quantization QC: per-vector scale =
     * max|v|/127, codes = round(v/scale), and the report is the
     * reconstruction-cosine distribution per label — the go/no-go a team
@@ -790,10 +835,41 @@ object Similarity {
     "sim9_norm_qc" -> sim9NormQc,
     "sim10_centroid_separation" -> sim10CentroidSeparation,
     "sim11_ivf_recall" -> sim11IvfRecall,
-    "sim12_int8_quant" -> sim12Int8Quant
+    "sim12_int8_quant" -> sim12Int8Quant,
+    "sim13_embedding_drift" -> sim13EmbeddingDrift
   )
 
   val oracle: Map[String, String] = Map(
+    "sim13_embedding_drift" ->
+      s"""WITH v1 AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |v2 AS (
+        |  SELECT label,
+        |    CASE WHEN vec_id % $Sim13Mod = 0
+        |         THEN list_transform(CAST(embedding AS DOUBLE[]), x -> -x)
+        |         ELSE CAST(embedding AS DOUBLE[]) END AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c1 AS (
+        |  SELECT label, list(m ORDER BY dim) AS c FROM (
+        |    SELECT label, dim, avg(x) AS m FROM (
+        |      SELECT label, unnest(v) AS x,
+        |        generate_subscripts(v, 1) AS dim FROM v1)
+        |    GROUP BY label, dim) GROUP BY label),
+        |c2 AS (
+        |  SELECT label, list(m ORDER BY dim) AS c FROM (
+        |    SELECT label, dim, avg(x) AS m FROM (
+        |      SELECT label, unnest(v) AS x,
+        |        generate_subscripts(v, 1) AS dim FROM v2)
+        |    GROUP BY label, dim) GROUP BY label),
+        |n AS (SELECT label, count(*) AS n_vecs FROM v1 GROUP BY label),
+        |d AS (
+        |  SELECT n.label, n_vecs,
+        |    round(1 - list_cosine_similarity(c1.c, c2.c), 4) + 0 AS drift
+        |  FROM n JOIN c1 USING (label) JOIN c2 USING (label))
+        |SELECT label, n_vecs, drift FROM d
+        |WHERE NOT isnan(drift)
+        |ORDER BY drift DESC, label""".stripMargin,
     "sim12_int8_quant" ->
       """WITH e AS (
         |  SELECT label, CAST(embedding AS DOUBLE[]) AS v

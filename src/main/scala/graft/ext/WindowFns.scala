@@ -214,7 +214,34 @@ object WindowFns {
         min(col("purchase_ts")).as("p"))
   }
 
+  /** W9 — cohort retention: users grouped by first-activity week, and
+    * for each (cohort, week-offset) the count of distinct users active
+    * that many weeks later — the retention triangle every growth
+    * dashboard renders, and the engagement-weighting signal a
+    * behavioral-data curation pass reads. Scale shape: ONE hash
+    * shuffle on user_id serves both the cohort window (min week over
+    * the user partition, no sort needed) and the (user, cohort, offset)
+    * dedup that makes the final count distinct-by-construction; the
+    * (cohort, offset) rollup then shuffles rows bounded by
+    * users×active-weeks, already deduplicated map-side. Weeks are
+    * integer epoch-week indices so both engines bucket identically. */
+  def w9CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val weeks = Tables.events(spark, dir)
+      .select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
+    val byUser = Window.partitionBy(col("user_id"))
+    weeks
+      .withColumn("cohort", min(col("week")).over(byUser))
+      .select(col("user_id"), col("cohort"),
+        (col("week") - col("cohort")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w9_cohort_retention" -> w9CohortRetention,
     "w8_funnel" -> w8Funnel,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
@@ -226,6 +253,18 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    "w9_cohort_retention" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT w.user_id, cohort, week - cohort AS week_offset
+        |  FROM w JOIN f USING (user_id))
+        |SELECT cohort, week_offset, count(*) AS n_users
+        |FROM a GROUP BY cohort, week_offset
+        |ORDER BY cohort, week_offset""".stripMargin,
     "w8_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, ts FROM events
