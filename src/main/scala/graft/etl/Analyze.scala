@@ -230,7 +230,41 @@ object Analyze {
       .orderBy(col("bucket"))
   }
 
+  /** A19 — robust outlier detection: per event type, the median/MAD
+    * fence (|x − median| > 3·1.4826·MAD, the normal-consistent robust
+    * z-score) — the anomaly gate mean/stddev rules fail on because
+    * outliers drag their own threshold; median/MAD are 50%-breakdown
+    * estimators. Exact interpolated percentiles (the a14 convention:
+    * Spark `percentile` ≡ DuckDB `quantile_cont`; approx would not
+    * hash-match) — note a14's caveat applies: exact per-group
+    * percentiles buffer a group's values on its reducer, fine for
+    * low-cardinality groups; a corpus-scale variant computes the two
+    * medians on a18's value-range-bounded grid instead. The per-type
+    * median/MAD tables are tiny and broadcast back; the corpus makes
+    * three streaming passes and never shuffles by anything but the
+    * 5-row type key. */
+  def a19RobustOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val med = e.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val withDev = e.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = withDev.groupBy(col("event_type"))
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    withDev.join(broadcast(mad), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("med")), 4).as("median"),
+        round(max(col("mad")), 4).as("mad"),
+        sum(when(col("dev") > lit(3 * 1.4826) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a19_robust_outliers" -> a19RobustOutliers,
     "a18_equidepth_hist" -> a18EquidepthHist,
     "a1_location_stats" -> a1LocationStats,
     "a2_group_count_desc" -> a2GroupCountDesc,
@@ -276,6 +310,25 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a19_robust_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, value FROM events WHERE value IS NOT NULL),
+        |m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY event_type),
+        |d AS (
+        |  SELECT e.event_type, value, med, abs(value - med) AS dev
+        |  FROM e JOIN m USING (event_type)),
+        |md AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY event_type)
+        |SELECT d.event_type, count(*) AS n,
+        |  round(max(med), 4) AS median,
+        |  round(max(mad), 4) AS mad,
+        |  CAST(sum(CASE WHEN dev > 3 * 1.4826 * mad THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_outliers
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     "a18_equidepth_hist" ->
       """WITH binned AS (
         |  SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin,
