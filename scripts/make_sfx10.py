@@ -88,6 +88,29 @@ def main():
                                         preserve_index=False),
                    f"{DST}/orders.parquet")
 
+    # customer/lineitem replicas (j8's three-table composition probe):
+    # disjoint key ranges; lineitem keeps its order linkage by shifting
+    # l_orderkey with the same stride orders uses.
+    cu = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
+    cureps = []
+    for r in range(REPLICAS):
+        c = cu.copy()
+        c["c_custkey"] = c["c_custkey"] + r * ID_STRIDE
+        cureps.append(c)
+    pq.write_table(pa.Table.from_pandas(pd.concat(cureps, ignore_index=True),
+                                        preserve_index=False),
+                   f"{DST}/customer.parquet")
+
+    li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
+    lireps = []
+    for r in range(REPLICAS):
+        c = li.copy()
+        c["l_orderkey"] = c["l_orderkey"] + r * ID_STRIDE
+        lireps.append(c)
+    pq.write_table(pa.Table.from_pandas(pd.concat(lireps, ignore_index=True),
+                                        preserve_index=False),
+                   f"{DST}/lineitem.parquet")
+
     d = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
     reps = []
     for r in range(REPLICAS):

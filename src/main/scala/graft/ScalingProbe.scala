@@ -33,7 +33,7 @@ object ScalingProbe {
     "j6_asof_join", "j7_band_join", "t16_heavy_hitters", "d33_merge_upsert",
     "p9_skew_profile", "w8_funnel", "d35_bloom_decontaminate",
     "t17_pmi_phrases", "sim13_embedding_drift", "w9_cohort_retention",
-    "a19_robust_outliers")
+    "a19_robust_outliers", "j8_shipping_priority", "a18_equidepth_hist")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

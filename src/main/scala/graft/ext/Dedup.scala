@@ -762,6 +762,42 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** D36 — cluster QUALITY audit: for every duplicate cluster (≥ 2
+    * members), its size, how many of its possible member pairs the
+    * similarity kernel actually observed (edge density), and the
+    * min/avg pair Jaccard — the "is this cluster really one document?"
+    * check a curator runs BEFORE deleting members. The failure mode it
+    * exists to catch is transitive CHAINING: A~B and B~C pull an
+    * unrelated A,C into one component; that cluster shows edge density
+    * < 1 and a low min Jaccard, while a true duplicate cluster is a
+    * clique of high-Jaccard pairs. Runs entirely on the pair graph +
+    * label frame (pair-graph-sized, the d23 discipline — the corpus
+    * never re-enters); swapping d5's bounded kernel for d3's LSH pairs
+    * gives the corpus-scale variant unchanged. */
+  def d36ClusterQuality(spark: SparkSession, dir: String): DataFrame =
+    clusterQualityDf(d6DedupClusters(spark, dir), d5NgramJaccard(spark, dir))
+
+  /** The audit kernel over caller-supplied (doc_id, canonical_id) labels
+    * and (id_a, id_b, jaccard) pairs — split out so DedupSpec pins the
+    * chaining diagnosis on a planted graph. */
+  def clusterQualityDf(labels: DataFrame, pairs: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("size"))
+    val pairStats = pairs
+      .join(labels.withColumnRenamed("doc_id", "id_a"), Seq("id_a"))
+      .groupBy(col("canonical_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("jaccard")).as("min_jaccard"),
+        round(avg(col("jaccard")), 4).as("avg_jaccard"))
+    sizes.filter(col("size") >= 2)
+      .join(pairStats, Seq("canonical_id"))
+      .withColumn("edge_density",
+        round(col("n_pairs") * 2.0 / (col("size") * (col("size") - 1)), 4))
+      .select(col("canonical_id"), col("size"), col("n_pairs"),
+        col("edge_density"), col("min_jaccard"), col("avg_jaccard"))
+      .orderBy(col("canonical_id"))
+  }
+
   /** D7 — the full dedup pipeline as the end product a training-data run
     * ships: MinHash-LSH pairs → connected components → keep one doc per
     * cluster, reported as per-source kept/dropped accounting (the
@@ -887,7 +923,8 @@ object Dedup {
     "d19_dup_spans" -> d19DupSpans,
     "d21_segment_scrub" -> d21SegmentScrub,
     "d23_canonical_keep" -> d23CanonicalKeep,
-    "d27_cluster_sizes" -> d27ClusterSizes
+    "d27_cluster_sizes" -> d27ClusterSizes,
+    "d36_cluster_quality" -> d36ClusterQuality
   )
 
   /** Shared oracle fragment: the d5 shingle CTE + pair predicate. ONE
@@ -1002,6 +1039,37 @@ object Dedup {
         |SELECT cluster_size, count(*) AS n_clusters,
         |  CAST(sum(cluster_size) AS BIGINT) AS n_docs
         |FROM sizes GROUP BY cluster_size ORDER BY cluster_size""".stripMargin,
+    "d36_cluster_quality" ->
+      s"""WITH RECURSIVE $shingleCte,
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        |  $pairPredicate),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, other) AS (
+        |  SELECT doc_id, doc_id FROM documents WHERE doc_id < 80
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+        |labels AS (
+        |  SELECT node AS doc_id, min(other) AS canonical_id
+        |  FROM reach GROUP BY node),
+        |sizes AS (
+        |  SELECT canonical_id, count(*) AS size
+        |  FROM labels GROUP BY canonical_id),
+        |stats AS (
+        |  SELECT l.canonical_id, count(*) AS n_pairs,
+        |    min(jaccard) AS min_jaccard,
+        |    round(avg(jaccard), 4) AS avg_jaccard
+        |  FROM p JOIN labels l ON p.id_a = l.doc_id
+        |  GROUP BY l.canonical_id)
+        |SELECT s.canonical_id, s.size, n_pairs,
+        |  round(n_pairs * 2.0 / (s.size * (s.size - 1)), 4) AS edge_density,
+        |  min_jaccard, avg_jaccard
+        |FROM sizes s JOIN stats USING (canonical_id)
+        |WHERE s.size >= 2 ORDER BY s.canonical_id""".stripMargin,
     "d6_dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCte,
         |p AS (

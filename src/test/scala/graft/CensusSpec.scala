@@ -35,7 +35,8 @@ class CensusSpec extends AnyFunSuite {
     "sim11_ivf_recall",         // broadcast probe-plan + query singletons
     "t6_tfidf",                 // broadcast doc-count singleton
     "p9_skew_profile",          // broadcast corpus-total singleton
-    "t17_pmi_phrases")          // broadcast token/bigram-total singletons
+    "t17_pmi_phrases",          // broadcast token/bigram-total singletons
+    "d36_cluster_quality")      // inherits d5's bounded pair kernel
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query

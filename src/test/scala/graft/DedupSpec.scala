@@ -231,6 +231,23 @@ class DedupSpec extends AnyFunSuite {
     assert(labels.values.forall(_ == 0L))
   }
 
+  test("cluster quality flags a chained cluster, blesses a clique") {
+    // cluster 1 = {1,2,3}: a CHAIN (1~2, 2~3 — no 1~3 edge): density
+    // 2/3, and the observed pairs are mediocre. cluster 10 = {10,11}: a
+    // true dup pair at jaccard 0.9: density 1. The audit must separate
+    // them — that's the transitive-chaining diagnosis it exists for.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (50L, 50L)) // singleton: excluded (size < 2)
+      .toDF("doc_id", "canonical_id")
+    val pairs = Seq((1L, 2L, 0.3), (2L, 3L, 0.25), (10L, 11L, 0.9))
+      .toDF("id_a", "id_b", "jaccard")
+    val got = Dedup.clusterQualityDf(labels, pairs)
+      .as[(Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 0.6667, 0.25, 0.275),
+      (10L, 2L, 1L, 1.0, 0.9, 0.9)))
+  }
+
   test("iterative CC survives a 50k-edge star hub within the round cap") {
     // The adversarial boundary for the distributed path: ONE hub node
     // incident to every edge — the maximally skewed key. The iteration's

@@ -114,6 +114,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"compaction shuffles:\n$plan")
   }
 
+  test("S16 compaction sizes from a RECURSIVE listing on partitioned input") {
+    val dir = tmp("s16p")
+    val df = spark.range(4000)
+      .selectExpr("id", "concat('payload_', id) AS body", "id % 3 AS part")
+    df.write.mode("overwrite").partitionBy("part").parquet(s"$dir/small")
+    // files live under part=*/ subdirs — a shallow listing would see 0
+    // bytes and plan coalesce(1) regardless of size; the recursive
+    // listing must produce the same count a flat layout would
+    val planned = Sources.compactParquet(spark, s"$dir/small", s"$dir/big",
+      targetBytes = 16L * 1024)
+    assert(planned > 1, s"partitioned input mis-sized: planned=$planned")
+    val back = spark.read.parquet(s"$dir/big")
+    // partition-column values survive as data columns; row content intact
+    assert(back.selectExpr("id", "body", "part").collect().map(_.toSeq).toSet
+      == df.collect().map(_.toSeq).toSet)
+    // empty input errors instead of silently "compacting"
+    val err = intercept[IllegalArgumentException] {
+      new java.io.File(s"$dir/none").mkdirs()
+      Sources.compactParquet(spark, s"$dir/none", s"$dir/out", 1024L)
+    }
+    assert(err.getMessage.contains("nothing to compact"))
+  }
+
   test("S13 cache keeps the plan reusable (spark_processor.py:255)") {
     val df = spark.range(100).toDF("id").cache()
     assert(df.count() == 100)
