@@ -317,6 +317,66 @@ class PlanSpec extends AnyFunSuite {
       s"j8: top-10 did not fuse into TakeOrderedAndProject:\n$p")
   }
 
+  test("heavy-hitter recount: partial agg + fused top-k, candidates as a filter") {
+    // t16's second pass must stay the t5 shape: map-side-combined count
+    // (only candidate tokens shuffle) and TakeOrderedAndProject — a
+    // join against a candidate TABLE instead of the IN filter would
+    // shuffle the token stream
+    val p = plan("t16_heavy_hitters")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), s"t16 recount joins:\n$p")
+  }
+
+  test("equi-depth assignment is join-free and sort-free on the corpus side") {
+    // a18's whole point: bucket boundaries are LITERALS baked into a
+    // when-chain — no ntile global sort, no boundary-table join; the
+    // only sort is the k-row presentation ordering
+    val p = plan("a18_equidepth_hist")
+    assert(!p.contains("Join"), s"a18 joins for its boundaries:\n$p")
+    assert(!p.contains("Window"), s"a18 uses a window (ntile?):\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
+  test("skew profile: map-side-combined count + fused top-k (never a window)") {
+    val p = plan("p9_skew_profile")
+    assert(!p.contains("Window"), s"p9 counts via a window:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("robust outliers broadcast the per-type median/MAD tables") {
+    // a19's two stat tables are type-cardinality-sized and must join
+    // back broadcast — a sort-merge join would shuffle the corpus twice
+    // the med join plans under BOTH consumers of withDev (the mad
+    // aggregate and the final pass), so 3 broadcast joins total — the
+    // invariant is that EVERY stat join broadcasts and none shuffles
+    // the corpus
+    val p = plan("a19_robust_outliers")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin Inner")) >= 2,
+      s"a19: stat joins not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a19 shuffle-joins the corpus:\n$p")
+  }
+
+  test("embedding drift runs as partial aggregation per snapshot") {
+    // sim13: both centroid passes must be mergeable-buffer aggregates
+    // (vectors never shuffle raw) — the sim5 discipline ×2
+    val p = plan("sim13_embedding_drift")
+    assert(p.linesIterator.count(l =>
+      l.contains("ObjectHashAggregate") || l.contains("SortAggregate")) >= 4,
+      s"sim13 centroids not partially aggregated:\n$p")
+  }
+
+  test("cohort retention shares one user shuffle; dedup is an aggregate") {
+    // w9: cohort window + (user, cohort, offset) dedup + rollup — the
+    // dedup must be an aggregate (map-side combinable), and the whole
+    // query at most: user hash, rollup hash, presentation range
+    val (exchanges, p) = finalPlanShuffles("w9_cohort_retention")
+    assert(!p.contains("Join"), s"w9 joins for its cohort:\n$p")
+    assert(exchanges <= 3, s"w9: got $exchanges exchanges:\n$p")
+  }
+
   test("band join plans as an equi-join on bins, never a nested loop") {
     // j7's entire reason to exist: a raw |a−b| <= delta join condition
     // plans as BroadcastNestedLoopJoin / CartesianProduct — O(N²) at
