@@ -96,8 +96,34 @@ def main():
         o_writer.write_table(pa.Table.from_pandas(c, schema=oschema,
                                                   preserve_index=False))
     o_writer.close()
+
+    # customer/lineitem replicas (j8's three-table composition at 100x),
+    # streamed one replica per row group like everything else
+    cu = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
+    cu_writer = None
+    for r in range(REPLICAS):
+        c = cu.copy()
+        c["c_custkey"] = c["c_custkey"] + r * ID_STRIDE
+        t = pa.Table.from_pandas(c, preserve_index=False)
+        if cu_writer is None:
+            cu_writer = pq.ParquetWriter(f"{DST}/customer.parquet", t.schema)
+        cu_writer.write_table(t)
+    cu_writer.close()
+
+    li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
+    li_writer = None
+    for r in range(REPLICAS):
+        c = li.copy()
+        c["l_orderkey"] = c["l_orderkey"] + r * ID_STRIDE
+        t = pa.Table.from_pandas(c, preserve_index=False)
+        if li_writer is None:
+            li_writer = pq.ParquetWriter(f"{DST}/lineitem.parquet", t.schema)
+        li_writer.write_table(t)
+    li_writer.close()
     print(f"wrote {len(d) * REPLICAS} docs, {len(e) * REPLICAS} embeddings, "
-          f"{len(ev) * REPLICAS} events, {len(o) * REPLICAS} orders to {DST}")
+          f"{len(ev) * REPLICAS} events, {len(o) * REPLICAS} orders, "
+          f"{len(cu) * REPLICAS} customers, {len(li) * REPLICAS} lineitems "
+          f"to {DST}")
 
 
 if __name__ == "__main__":

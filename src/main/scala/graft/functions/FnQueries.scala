@@ -103,7 +103,32 @@ object FnQueries {
         round(avg(element_at(col("embedding"), 1)), 4).as("avg_first"))
       .orderBy(col("label"))
 
+  /** F15 — calendar-spine generation + gap-filling join: a continuous
+    * daily date dimension spanning the data's own range (one `sequence`
+    * explode from a single min/max row — spine size is bounded by the
+    * TIME RANGE, never the corpus), left-joined to map-side-combined
+    * daily counts so absent days surface as explicit gap rows — the
+    * dimension table w7's gap DETECTION needs to enumerate what's
+    * missing (time-series models train on the filled frame, not the
+    * sparse one). Monthly rollup keeps the registered output
+    * calendar-bounded; the spine↔counts join is date-keyed and tiny on
+    * both sides (Catalyst broadcasts it). */
+  def f15DateSpine(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir).select(to_date(col("ts")).as("d"))
+    val spine = days.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    val daily = days.groupBy(col("d")).agg(count(lit(1)).as("n"))
+    spine.join(daily, Seq("d"), "left")
+      .groupBy(year(col("d")).as("year"), month(col("d")).as("month"))
+      .agg(count(lit(1)).as("n_days"),
+        count(col("n")).as("n_active_days"),
+        (count(lit(1)) - count(col("n"))).as("n_gap_days"),
+        sum(coalesce(col("n"), lit(0L))).as("n_events"))
+      .orderBy(col("year"), col("month"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "f15_date_spine" -> f15DateSpine,
     "f1_aqi_bucket" -> f1AqiBucket,
     "f2_temp_bucket" -> f2TempBucket,
     "f3_current_date" -> f3CurrentDate,
@@ -117,6 +142,21 @@ object FnQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "f15_date_spine" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d FROM events),
+        |r AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+        |spine AS (
+        |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS d
+        |  FROM r),
+        |daily AS (SELECT d, count(*) AS n FROM e GROUP BY d)
+        |SELECT CAST(year(s.d) AS INT) AS year,
+        |  CAST(month(s.d) AS INT) AS month,
+        |  count(*) AS n_days, count(n) AS n_active_days,
+        |  CAST(count(*) - count(n) AS BIGINT) AS n_gap_days,
+        |  CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_events
+        |FROM spine s LEFT JOIN daily USING (d)
+        |GROUP BY 1, 2 ORDER BY year, month""".stripMargin,
     "f1_aqi_bucket" ->
       """SELECT CASE WHEN value <= 12 THEN 'Good'
         |  WHEN value <= 35 THEN 'Moderate'
