@@ -102,6 +102,40 @@ object TextStats {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** T18 — classifier scorecard over t3's confusion matrix: per class,
+    * support, predicted count, true positives, precision, recall, F1 —
+    * the eval every learned filter (t3's heuristic, t12's NB, d30's
+    * cutoff) must publish before its keep/drop decisions gate a corpus.
+    * Runs entirely on the CONFUSION MATRIX (classes² rows — the corpus
+    * was consumed once by t3's pass), so the metric stage is free at
+    * any scale. All three ratios derive from exact integer counts with
+    * ONE division each (F1 = 2·tp/(n_pred+n_true), algebraically the
+    * harmonic mean — no compounding of rounded intermediates), nulled
+    * where undefined (a class never predicted has no precision; a class
+    * with no support has no recall). */
+  def t18ClassifierMetrics(spark: SparkSession, dir: String): DataFrame = {
+    val cm = t3LangId(spark, dir)
+    val truth = cm.groupBy(col("lang").as("cls")).agg(sum(col("n")).as("n_true"))
+    val pred = cm.groupBy(col("predicted").as("cls")).agg(sum(col("n")).as("n_pred"))
+    val tp = cm.filter(col("lang") === col("predicted"))
+      .select(col("lang").as("cls"), col("n").as("tp"))
+    truth.join(pred, Seq("cls"), "full_outer")
+      .join(tp, Seq("cls"), "left")
+      .select(col("cls"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("tp"), lit(0L)).as("tp"))
+      .withColumn("precision",
+        when(col("n_pred") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp") / col("n_pred"), 4)))
+      .withColumn("recall",
+        when(col("n_true") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp") / col("n_true"), 4)))
+      .withColumn("f1",
+        round(lit(2.0) * col("tp") / (col("n_pred") + col("n_true")), 4))
+      .orderBy(col("cls"))
+  }
+
   /** MM1 — multimodal plumbing: documents as opaque binary payloads with
     * typed metadata (the schema shape image/audio bytes flow through);
     * metadata extraction is pure column ops on the binary. */
@@ -562,6 +596,7 @@ object TextStats {
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
+    "t18_classifier_metrics" -> t18ClassifierMetrics,
     "t4_rolling_fingerprint" -> t4RollingFingerprint,
     "mm1_binary_meta" -> mm1BinaryMeta
   )
@@ -744,6 +779,37 @@ object TextStats {
         |  FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents))
         |SELECT lang, predicted, count(*) AS n
         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "t18_classifier_metrics" ->
+      """WITH p AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN t LIKE '% the %' OR t LIKE '% and %' THEN 'en'
+        |      WHEN t LIKE '% le %' OR t LIKE '% les %' OR t LIKE '% et %' THEN 'fr'
+        |      WHEN t LIKE '% el %' OR t LIKE '% los %' THEN 'es'
+        |      WHEN t LIKE '% der %' OR t LIKE '% und %' THEN 'de'
+        |      ELSE 'other' END AS predicted
+        |  FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents)),
+        |cm AS (SELECT lang, predicted, count(*) AS n
+        |       FROM p GROUP BY lang, predicted),
+        |truth AS (SELECT lang AS cls, CAST(sum(n) AS BIGINT) AS n_true
+        |          FROM cm GROUP BY lang),
+        |pred AS (SELECT predicted AS cls, CAST(sum(n) AS BIGINT) AS n_pred
+        |         FROM cm GROUP BY predicted),
+        |tp AS (SELECT lang AS cls, CAST(n AS BIGINT) AS tp FROM cm
+        |       WHERE lang = predicted)
+        |SELECT cls,
+        |  coalesce(n_true, 0) AS n_true,
+        |  coalesce(n_pred, 0) AS n_pred,
+        |  coalesce(tp, 0) AS tp,
+        |  CASE WHEN coalesce(n_pred, 0) = 0 THEN NULL
+        |       ELSE round(coalesce(tp, 0) * 1.0 / n_pred, 4) END AS precision,
+        |  CASE WHEN coalesce(n_true, 0) = 0 THEN NULL
+        |       ELSE round(coalesce(tp, 0) * 1.0 / n_true, 4) END AS recall,
+        |  round(2.0 * coalesce(tp, 0)
+        |        / (coalesce(n_pred, 0) + coalesce(n_true, 0)), 4) AS f1
+        |FROM truth FULL OUTER JOIN pred USING (cls)
+        |LEFT JOIN tp USING (cls)
+        |ORDER BY cls""".stripMargin,
     "mm1_binary_meta" ->
       """SELECT source, count(*) AS n_payloads,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
