@@ -286,7 +286,50 @@ object Sources {
       .withColumn("files_ok", lit(actual <= planned && actual < 64))
   }
 
+  /** S17 — write-audit-publish (WAP): the sink discipline that keeps a
+    * half-written or wrong dataset from ever becoming visible. Stage the
+    * write into a non-served path, AUDIT the staged files against the
+    * source (row count + content checksums — re-read from disk, so the
+    * audit covers the serialization round-trip, not the in-memory
+    * frame), and only then PUBLISH with one filesystem rename — readers
+    * see the old version or the new one, never a partial directory. An
+    * audit failure throws BEFORE the rename, leaving the served path
+    * untouched. The table-format commit (Iceberg/Delta) is this same
+    * three-step with a metadata pointer standing in for the rename. */
+  /** The WAP core: stage `src`, run the caller's audit over the STAGED
+    * read-back, publish via one rename only if it passes — an audit
+    * failure throws with the published path untouched (SourcesSpec pins
+    * that negative path). */
+  def wapPublish(spark: SparkSession, src: DataFrame, staging: String,
+                 publish: String)(audit: DataFrame => Boolean): Unit = {
+    src.write.mode("overwrite").parquet(staging)
+    if (!audit(spark.read.parquet(staging)))
+      throw new IllegalStateException(
+        s"WAP audit failed for $staging — not publishing")
+    val fs = new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging),
+        new org.apache.hadoop.fs.Path(publish)))
+      throw new IllegalStateException(s"publish rename to $publish failed")
+  }
+
+  def s17WapRoundtrip(spark: SparkSession, dir: String): DataFrame = roundtrip(spark, "s17") { tmp =>
+    val src = Tables.documents(spark, dir).filter(col("doc_id") < 250)
+    def checksum(df: DataFrame) =
+      df.agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        sum(col("doc_id")).as("ids")).head()
+    val expected = checksum(src)
+    wapPublish(spark, src, s"$tmp/staging", s"$tmp/published")(
+      staged => checksum(staged) == expected)
+    spark.read.parquet(s"$tmp/published")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total_chars"),
+        sum(col("doc_id")).as("id_checksum"),
+        countDistinct(col("lang")).as("n_langs"))
+      .withColumn("audit_passed", lit(true))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s17_wap_roundtrip" -> s17WapRoundtrip,
     "s16_compact_roundtrip" -> s16CompactRoundtrip,
     "s15_schema_evolution" -> s15SchemaEvolution,
     "s7_json_roundtrip" -> s7JsonRoundtrip,
@@ -296,6 +339,12 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    "s17_wap_roundtrip" ->
+      """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+        |  count(DISTINCT lang) AS n_langs,
+        |  TRUE AS audit_passed
+        |FROM documents WHERE doc_id < 250""".stripMargin,
     "s16_compact_roundtrip" ->
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  count(DISTINCT lang) AS n_langs,

@@ -137,6 +137,23 @@ class SourcesSpec extends AnyFunSuite {
     assert(err.getMessage.contains("nothing to compact"))
   }
 
+  test("S17 WAP: a failed audit never publishes; a passing one does") {
+    val dir = tmp("s17w")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // failing audit: publish path must not come into existence
+    val err = intercept[IllegalStateException] {
+      Sources.wapPublish(spark, df, s"$dir/stage1", s"$dir/pub1")(_ => false)
+    }
+    assert(err.getMessage.contains("audit failed"))
+    assert(!new java.io.File(s"$dir/pub1").exists(),
+      "a rejected dataset became visible")
+    // passing audit: published, readable, staging gone (renamed away)
+    Sources.wapPublish(spark, df, s"$dir/stage2", s"$dir/pub2")(
+      staged => staged.count() == 2)
+    assert(spark.read.parquet(s"$dir/pub2").count() == 2)
+    assert(!new java.io.File(s"$dir/stage2").exists())
+  }
+
   test("S13 cache keeps the plan reusable (spark_processor.py:255)") {
     val df = spark.range(100).toDF("id").cache()
     assert(df.count() == 100)
