@@ -102,6 +102,33 @@ object TextStats {
       .orderBy(col("lang"), col("predicted"))
   }
 
+  /** D38 — dedup SAVINGS report: per source, the token budget exact
+    * dedup recovers — total vs kept tokens under the d2 rule (one
+    * keeper per content fingerprint, minimum doc_id; keepers chosen
+    * GLOBALLY so a cross-source duplicate is kept once, charged to the
+    * source holding the keeper). Training cost is per TOKEN, so this —
+    * not the doc count — is the number that justifies a dedup pass to
+    * whoever pays for the GPUs. Scale shape: per-row token counts ride
+    * beside a 16-hex fingerprint; the only shuffles are the fingerprint
+    * keeper-aggregate and the fp equi-join back (fingerprints + two
+    * longs — text never moves), then the per-source rollup. */
+  def d38DedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), wsTokens(col("text")).as("n_tok"),
+        substring(md5(col("text").cast("binary")), 1, 16).as("fp"))
+    val keepers = keyed.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    keyed.join(keepers, Seq("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("total_tokens"),
+        sum(when(col("doc_id") === col("keep_id"), col("n_tok"))
+          .otherwise(0L)).as("kept_tokens"))
+      .withColumn("saved_tokens", col("total_tokens") - col("kept_tokens"))
+      .withColumn("saved_pct",
+        round(col("saved_tokens") * 100.0 / col("total_tokens"), 4))
+      .orderBy(col("source"))
+  }
+
   /** T18 — classifier scorecard over t3's confusion matrix: per class,
     * support, predicted count, true positives, precision, recall, F1 —
     * the eval every learned filter (t3's heuristic, t12's NB, d30's
@@ -597,6 +624,7 @@ object TextStats {
     "t2_quality_score" -> t2QualityScore,
     "t3_lang_id" -> t3LangId,
     "t18_classifier_metrics" -> t18ClassifierMetrics,
+    "d38_dedup_savings" -> d38DedupSavings,
     "t4_rolling_fingerprint" -> t4RollingFingerprint,
     "mm1_binary_meta" -> mm1BinaryMeta
   )
@@ -779,6 +807,23 @@ object TextStats {
         |  FROM (SELECT lang, ' ' || lower(text) || ' ' AS t FROM documents))
         |SELECT lang, predicted, count(*) AS n
         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "d38_dedup_savings" ->
+      """WITH keyed AS (
+        |  SELECT source, doc_id,
+        |    len(string_split(coalesce(text, ''), ' ')) AS n_tok,
+        |    substr(md5(text), 1, 16) AS fp
+        |  FROM documents),
+        |keepers AS (SELECT fp, min(doc_id) AS keep_id FROM keyed GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(CASE WHEN doc_id = keep_id THEN n_tok ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens,
+        |  CAST(sum(n_tok) - sum(CASE WHEN doc_id = keep_id THEN n_tok ELSE 0 END)
+        |       AS BIGINT) AS saved_tokens,
+        |  round((sum(n_tok) - sum(CASE WHEN doc_id = keep_id THEN n_tok ELSE 0 END))
+        |        * 100.0 / sum(n_tok), 4) AS saved_pct
+        |FROM keyed JOIN keepers USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "t18_classifier_metrics" ->
       """WITH p AS (
         |  SELECT lang,
