@@ -58,15 +58,45 @@ object Bench {
     // train it before the clock so whichever of the two runs first isn't
     // charged the other's shared ingest artifact.
     warmState("nb")(ext.Classify.queries("t12_nb_classifier")(spark, sfDir).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    warmState("t3-matrix")(ext.TextStats.queries("t3_lang_id")(spark, sfDir).count())
+    // Median-of-N timings (default 3): the r8 postmortem found single-shot
+    // timings swinging 2-6x on untouched plans (GC / JIT re-profiling /
+    // page-cache contention), which made per-query regression adjudication
+    // impossible. Three back-to-back runs with the median reported
+    // suppresses one-off spikes; queries run in sorted-name order so the
+    // sequence (and any cache-warmth interaction) is identical across
+    // rounds. Full per-query detail (every rep, untruncated) goes to a
+    // JSON FILE — the stdout one-liner's "tail" was truncated by the
+    // driver's capture to ~60/144 queries, so the file is the artifact
+    // of record for round-over-round comparison.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    val runs: Seq[(String, Seq[Double])] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val ts = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true }
+                   catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        name -> ts
+      }
+    def median(xs: Seq[Double]): Double = {
+      val good = xs.filter(_ >= 0).sorted
+      if (good.isEmpty) -1.0 else good((good.size - 1) / 2)
     }
+    val results = runs.map { case (n, ts) => n -> median(ts) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val perQuery = runs.map { case (n, ts) =>
+      s""""$n":{"median":${median(ts)},"runs":[${ts.mkString(",")}]}"""
+    }.mkString("{", ",", "}")
+    val w = new java.io.PrintWriter(outPath)
+    try w.println(
+      s"""{"sf":"$sfDir","reps":$reps,"total_median_sec":$total,"queries":$perQuery}""")
+    finally w.close()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"full_results":"$outPath"}""")
     spark.stop()
   }
 }
