@@ -82,8 +82,14 @@ object Curate {
     // ONE materialization of the bench gram set feeds all three
     // consumers (size count, filter build, verify join) — uncached, the
     // gram explode+distinct would run three times, tripling the cost of
-    // the side this op exists to keep cheap
-    val benchGrams = docGrams(bench, n).select(col("gram")).distinct().cache()
+    // the side this op exists to keep cheap. Eager localCheckpoint, NOT
+    // cache(): a cache() entry is pinned by the session's CacheManager
+    // until an explicit unpersist that no caller of a returned-lazy
+    // frame can ever place (Dedup.scala's stated discipline), while
+    // checkpoint blocks are owned by the RDD and context-cleaned as
+    // soon as the result frame (whose plan references them) is dropped.
+    val benchGrams = docGrams(bench, n).select(col("gram")).distinct()
+      .localCheckpoint(true)
     val nGrams = math.max(1L, benchGrams.count())
     val bloom = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
     val bc = train.sparkSession.sparkContext.broadcast(bloom)

@@ -93,10 +93,16 @@ object Snapshot {
     // — SQL MERGE errors on multiple source matches; here the collision
     // resolves deterministically to the greatest content fingerprint
     // (arbitrary but stable — a real pipeline orders by a version
-    // column instead). The window runs over the DELTA only.
+    // column instead). The fingerprint alone ties when both texts are
+    // NULL or byte-identical while other columns differ, so the
+    // remaining columns break the tie — without them row_number()==1
+    // is partition-order-dependent across runs. The window runs over
+    // the DELTA only.
     val one = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
-      .orderBy(md5(col("text").cast("binary")).desc_nulls_last)
+      .orderBy(md5(col("text").cast("binary")).desc_nulls_last,
+        col("n_chars").desc_nulls_last,
+        col("lang").asc_nulls_last, col("source").asc_nulls_last)
     val upserts = delta.filter(col("op") === "upsert").drop("op")
       .withColumn("rn", row_number().over(one))
       .filter(col("rn") === 1).drop("rn")
