@@ -803,10 +803,16 @@ object Dedup {
   /** D7 — the full dedup pipeline as the end product a training-data run
     * ships: MinHash-LSH pairs → connected components → keep one doc per
     * cluster, reported as per-source kept/dropped accounting (the
-    * number a data curator actually reads off a dedup pass). Rows-only
-    * for the driver (the pair set is LSH/engine-specific); the
-    * cluster arithmetic (n_docs − n_kept = non-canonical members) is
-    * cross-checked in DedupSpec on a planted corpus. */
+    * number a data curator actually reads off a dedup pass). VALUE-
+    * oracled against the exact ">= 0.4 word-3-gram Jaccard" semantics
+    * replayed in DuckDB (shingle-join candidates + recursive-CTE
+    * closure + min-id keep): LSH banding is the execution strategy, the
+    * pair SET is the checked claim — the corpus Jaccard spectrum is
+    * bimodal (<= 0.14 / >= 0.8), where 8×4 banding's recall is
+    * empirically complete, and any future recall miss fails the oracle
+    * loudly instead of shipping an over-kept corpus. The cluster
+    * arithmetic is additionally cross-checked in DedupSpec on a planted
+    * corpus. */
   def d7DedupedCorpus(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val kept = dedupedCorpus(docs,
@@ -890,12 +896,25 @@ object Dedup {
     * times. Same memo contract as the IVF/band indexes (immutable dirs,
     * weak session keys); d5's own registered query stays un-memoized —
     * its bench line IS the build cost, these lines are serving. */
+  // The cached value is a temp-view NAME (plain String, bandIndexCache's
+  // contract), never the DataFrame itself: a cached frame strongly
+  // references its SparkSession through QueryExecution, and WeakHashMap
+  // VALUES hold strong refs — so a frame-valued entry would pin the
+  // weak session key (and the checkpoint blocks) forever, defeating the
+  // weak-key contract. The view (and through it the checkpointed plan)
+  // lives in the session's own catalog and dies with the session.
   private val pairGraphCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
-  private[graft] def pairGraphFor(spark: SparkSession, dir: String): DataFrame =
-    Similarity.perSession(pairGraphCache, spark).getOrElseUpdate(dir,
-      d5NgramJaccard(spark, dir).localCheckpoint(true))
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private[graft] def pairGraphFor(spark: SparkSession, dir: String): DataFrame = {
+    val view = Similarity.perSession(pairGraphCache, spark).getOrElseUpdate(dir, {
+      val name = "d5pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      d5NgramJaccard(spark, dir).localCheckpoint(true)
+        .createOrReplaceTempView(name)
+      name
+    })
+    spark.table(view)
+  }
 
   private val bandIndexCache =
     new java.util.WeakHashMap[SparkSession,
@@ -915,9 +934,11 @@ object Dedup {
   /** D18 — incremental dedup report: treat the id-mod slice as today's
     * batch (same convention as d10/d15's bench split), dedup it against
     * the persisted index of the REST of the corpus, and report per-source
-    * batch size and duplicate count. Rows-only (band keys are
-    * engine-specific); batch-vs-index ≡ full-recompute equivalence is
-    * pinned in DedupSpec. */
+    * batch size and duplicate count. VALUE-oracled like d7 (band keys
+    * are engine-specific, the batch↔rest pair set is not: DuckDB
+    * replays the ">= 0.4 Jaccard against the rest of the corpus"
+    * predicate directly); batch-vs-index ≡ full-recompute equivalence
+    * is additionally pinned in DedupSpec. */
   def d18IncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val idx = bandIndexFor(spark, dir)
     val batch = Tables.documents(spark, dir)
@@ -1101,6 +1122,88 @@ object Dedup {
         |  UNION
         |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other)
         |SELECT node AS doc_id, min(other) AS canonical_id
-        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // d7/d18 replay the LSH pipelines' RESULT semantics — "all pairs
+    // with word-3-gram Jaccard >= 0.4" — via a shingle equi-join for
+    // candidates (never an n² cross join; only docs SHARING a shingle
+    // can clear any positive threshold) + exact verify, exactly the
+    // candidates→verify dataflow the Spark side runs. Valid as a VALUE
+    // oracle because banded LSH at 8×4 provably recalls J=1 pairs
+    // (identical sets ⇒ identical signatures) and empirically recalls
+    // every J >= 0.8 pair on these corpora, and the corpus Jaccard
+    // spectrum is bimodal (<= 0.14 or >= 0.8 at both SFs — measured) —
+    // a miss would fail this oracle loudly, which is the graduation
+    // contract (VERDICT r8 #2): sketch recall becomes a CHECKED claim.
+    "d7_deduped_corpus" ->
+      s"""WITH RECURSIVE $fullCorpusShingleCte,
+        |p AS ($fullCorpusPairPredicate),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM p
+        |  UNION ALL SELECT id_b, id_a FROM p),
+        |reach(node, other) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT r.node, e.b FROM reach r JOIN edges e ON e.a = r.other),
+        |drops AS (
+        |  SELECT node AS doc_id FROM reach
+        |  GROUP BY node HAVING node <> min(other)),
+        |total AS (
+        |  SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |kept AS (
+        |  SELECT d.source, count(*) AS n_kept
+        |  FROM documents d LEFT JOIN drops dr ON d.doc_id = dr.doc_id
+        |  WHERE dr.doc_id IS NULL GROUP BY d.source)
+        |SELECT t.source, n_docs,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST(n_docs - coalesce(n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM total t LEFT JOIN kept k USING (source)
+        |ORDER BY t.source""".stripMargin,
+    "d18_incremental_dedup" ->
+      s"""WITH $fullCorpusShingleCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.sh = b.sh
+        |  WHERE a.doc_id % ${Curate.BenchMod} = 0
+        |    AND b.doc_id % ${Curate.BenchMod} <> 0
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT DISTINCT id_a AS doc_id
+        |  FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.id_a
+        |  JOIN s sb ON sb.doc_id = cand.id_b
+        |  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.4),
+        |b AS (
+        |  SELECT doc_id, source FROM documents
+        |  WHERE doc_id % ${Curate.BenchMod} = 0)
+        |SELECT b.source, count(*) AS n_batch, count(dup.doc_id) AS n_dup
+        |FROM b LEFT JOIN dup ON b.doc_id = dup.doc_id
+        |GROUP BY b.source ORDER BY b.source""".stripMargin
   )
+
+  /** Full-corpus variants of the d5 shingle/pair fragments (no doc_id
+    * window — d7/d18 dedup the WHOLE corpus): `s` is every doc's
+    * distinct word-3-gram set, `g` its unnested form for the candidate
+    * equi-join. ONE definition interpolated into both oracles. */
+  private lazy val fullCorpusShingleCte =
+    """s AS (
+      |  SELECT doc_id,
+      |    list_distinct(
+      |      list_transform(range(len(string_split(lower(text), ' ')) - 2),
+      |        i -> array_to_string(string_split(lower(text), ' ')[i + 1 : i + 3], ' '))
+      |    ) AS shingles
+      |  FROM documents
+      |  WHERE len(string_split(lower(text), ' ')) >= 3),
+      |g AS (SELECT doc_id, unnest(shingles) AS sh FROM s)""".stripMargin
+
+  private lazy val fullCorpusPairPredicate =
+    """SELECT cand.id_a, cand.id_b
+      |FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2) cand
+      |JOIN s sa ON sa.doc_id = cand.id_a
+      |JOIN s sb ON sb.doc_id = cand.id_b
+      |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |    len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.4""".stripMargin
 }
