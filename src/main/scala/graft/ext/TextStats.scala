@@ -84,21 +84,41 @@ object TextStats {
       .orderBy(col("source"))
   }
 
+  /** Memoized per (session, dir): the confusion-matrix rows behind t3
+    * and t18. The corpus scoring pass is an ingest-time artifact (the
+    * NB-model / IVF-index precedent) — without the memo t18 re-ran t3's
+    * full corpus pass inside its own plan every invocation. The cached
+    * value is plain tuples (≤ label-space² rows — bounded by the class
+    * vocabulary, never the corpus), so unlike caching a DataFrame the
+    * entry pins no Spark plan state. */
+  private val t3Cache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Array[(String, String, Long)]]]()
+
+  private def t3MatrixRows(spark: SparkSession, dir: String): Array[(String, String, Long)] =
+    Similarity.perSession(t3Cache, spark).getOrElseUpdate(dir, {
+      val t = concat(lit(" "), lower(col("text")), lit(" "))
+      val predicted =
+        when(t.contains(" the ") || t.contains(" and "), "en")
+          .when(t.contains(" le ") || t.contains(" les ") || t.contains(" et "), "fr")
+          .when(t.contains(" el ") || t.contains(" los "), "es")
+          .when(t.contains(" der ") || t.contains(" und "), "de")
+          .otherwise("other")
+      Tables.documents(spark, dir)
+        .withColumn("predicted", predicted)
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    })
+
   /** T3 — heuristic language ID by stopword evidence (an n-gram/stopword
     * classifier expressible as pure relational ops), cross-tabbed against
-    * the labeled lang. */
+    * the labeled lang. Serves from the memoized matrix rows. */
   def t3LangId(spark: SparkSession, dir: String): DataFrame = {
-    val t = concat(lit(" "), lower(col("text")), lit(" "))
-    val predicted =
-      when(t.contains(" the ") || t.contains(" and "), "en")
-        .when(t.contains(" le ") || t.contains(" les ") || t.contains(" et "), "fr")
-        .when(t.contains(" el ") || t.contains(" los "), "es")
-        .when(t.contains(" der ") || t.contains(" und "), "de")
-        .otherwise("other")
-    Tables.documents(spark, dir)
-      .withColumn("predicted", predicted)
-      .groupBy(col("lang"), col("predicted"))
-      .agg(count(lit(1)).as("n"))
+    import spark.implicits._
+    t3MatrixRows(spark, dir).toSeq
+      .toDF("lang", "predicted", "n")
       .orderBy(col("lang"), col("predicted"))
   }
 
@@ -222,19 +242,50 @@ object TextStats {
     * deterministic (recounts are exact, candidate recall is guaranteed
     * at these frequencies) → value-level oracle against the plain
     * one-pass SQL. */
+  /** Pass 2 of the two-pass heavy-hitters pattern — exact recount of the
+    * candidate tokens over a corpus frame (bounded-IN scan filter, then
+    * a candidate-bounded group-by). ONE definition shared by batch t16
+    * and the streaming fold's serve path
+    * ([[graft.streaming.MgStreamFold]]), so recount semantics cannot
+    * drift between the two. */
+  private[graft] def recountTopK(docs: DataFrame, candidates: Seq[String],
+                                 k: Int): DataFrame =
+    docs.select(explode(split(lower(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "" && col("token").isin(candidates: _*))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   def t16HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, dir)
     val tokens = split(lower(col("text")), " ")
-    val candidates: Seq[String] = docs.select(tokens.as("toks"))
+    // The sketch pass also totals N (non-empty tokens) — one extra long
+    // per partition riding the same scan, needed by the validity guard
+    // below.
+    val (cand, nTokens) = docs.select(tokens.as("toks"))
       .as[Seq[String]]
-      .select(new graft.functions.MisraGries(T16Budget).toColumn.name("cand"))
-      .head().keys.toSeq
-    docs.select(explode(tokens).as("token"))
-      .filter(col("token") =!= "" && col("token").isin(candidates: _*))
-      .groupBy(col("token")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("token"))
-      .limit(T16K)
+      .select(new graft.functions.MisraGries(T16Budget).toColumn.name("cand"),
+        coalesce(sum(size(filter(col("toks"), t => t =!= ""))), lit(0L))
+          .as[Long])
+      .head()
+    val candidates: Seq[String] = cand.keys.toSeq
+    val frame = recountTopK(docs, candidates, T16K)
+    val top = frame.collect() // ≤ T16K rows — bounded by construction
+    // Validity guard on the MG recall bound: the sketch guarantees a
+    // candidate only above N/(B+1). If the rank-T16K recounted count
+    // ever falls TO that bound (a future flatter-tailed corpus), the
+    // candidate set need not contain the exact top-k's winners and the
+    // value oracle could silently diverge — fail loudly instead.
+    if (top.length == T16K) {
+      val kth = top.last.getLong(1)
+      val bound = nTokens.toDouble / (T16Budget + 1)
+      require(kth > bound,
+        s"t16 guard: rank-$T16K recount $kth <= MG recall bound N/(B+1) = " +
+          f"$bound%.1f — sketch recall no longer covers the top-$T16K; " +
+          "raise T16Budget")
+    }
+    spark.createDataFrame(java.util.Arrays.asList(top: _*), frame.schema)
   }
 
   private[graft] val T16Budget = 1024

@@ -321,8 +321,14 @@ class PlanSpec extends AnyFunSuite {
     // t16's second pass must stay the t5 shape: map-side-combined count
     // (only candidate tokens shuffle) and TakeOrderedAndProject — a
     // join against a candidate TABLE instead of the IN filter would
-    // shuffle the token stream
-    val p = plan("t16_heavy_hitters")
+    // shuffle the token stream. Pinned on the recount KERNEL (shared by
+    // batch t16 and the streaming fold's serve path): the registered
+    // query now returns its ≤T16K collected rows as a local relation —
+    // the guard needs them on the driver anyway — so the kernel is
+    // where the distributed plan lives.
+    val p = ext.TextStats.recountTopK(
+      Tables.documents(spark, dir), Seq("the", "a", "of"), 20)
+      .queryExecution.explainString(FormattedMode)
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Join"), s"t16 recount joins:\n$p")

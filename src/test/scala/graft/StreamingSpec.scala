@@ -592,4 +592,48 @@ class StreamingSpec extends AnyFunSuite {
     // doc 2 leaks the bench gram, docs 0/1 dedup to one keeper
     assert(expected == Seq(Seq("s", 4L, 3L, 2L, 1L)))
   }
+
+  test("t16' heavy-hitters stream: per-batch MG folds + shared recount " +
+    "equal the batch two-pass on the same rows (parity)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // 12 heavy tokens whose occurrences SPLIT asymmetrically across the
+    // two micro-batches (batch 1 weights h01 highest, batch 2 reverses)
+    // — fold recall must reassemble totals no batch ever saw — plus
+    // per-doc tail noise so the sketch actually trims; every heavy
+    // total stays above N/(B+1), so both candidate sets must contain
+    // all twelve and the shared recount erases any tail difference.
+    val rnd = new scala.util.Random(11)
+    def noise() = Seq.fill(4)(s"tail_${rnd.nextInt(500)}")
+    def doc(counts: Int => Int) =
+      (1 to 12).flatMap(j => Seq.fill(counts(j))(f"h$j%02d")) ++ noise()
+    val batch1 = (1 to 40).map(i => (i.toLong, doc(j => 14 - j).mkString(" ")))
+    val batch2 = (41 to 80).map(i => (i.toLong, doc(j => 2 * j).mkString(" ")))
+    val fold = new graft.streaming.MgStreamFold(64)
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("mgfold").toString
+    val q = fold.start(in.toDF().toDF("doc_id", "text"), ckpt)
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(fold.candidates.size <= 4 * 64 + 12,
+      s"fold state unbounded: ${fold.candidates.size}")
+    // serve: recount the stream's candidates over the landed rows
+    val all = (batch1 ++ batch2).toDF("doc_id", "text")
+    val streamed = fold.topK(all, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // batch twin: ONE sketch pass over the same rows + the same recount
+    val mg = new graft.functions.MisraGries(64)
+    val cand = all.select(split(lower(col("text")), " ").as("toks"))
+      .as[Seq[String]]
+      .select(mg.toColumn.name("c")).head().keys.toSeq
+    val batch = graft.ext.TextStats.recountTopK(all, cand, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch)
+    // the totals are the planted arithmetic: 40(14−j) + 40·2j = 560+40j
+    assert(streamed.head == ("h12", 560L + 40 * 12))
+    assert(streamed.map(_._1).take(3) == Seq("h12", "h11", "h10"))
+  }
 }
