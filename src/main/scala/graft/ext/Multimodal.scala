@@ -246,16 +246,74 @@ object Multimodal {
     }
   }
 
-  /** MM2 — decoded-feature summary per media type. */
-  def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
-    decodeMeta(mediaOf(spark, dir))
+  /** Planting cadence for the real-PNG rows in the registered mm2/mm5
+    * corpus path — interpolated into the mm2 oracle. */
+  private[graft] val PngMod = 50L
+
+  /** Deterministic tiny PNG for doc_id ≡ 0 (mod [[PngMod]]): dims are
+    * pure doc_id arithmetic (replayed by the mm2 oracle — if ImageIO
+    * did NOT decode these, the stub fallback's byte-length arithmetic
+    * on the compressed PNG bytes would produce different dims and the
+    * value oracle fails loudly, so oracle green PROVES the real decode
+    * path ran). Pixels are an 8×8 block pattern with per-(doc, cell)
+    * hashed brightness, so planted aHashes are DECORRELATED — a shared
+    * gradient would make every planted image a perceptual near-dup of
+    * every other, an O(planted²) pair mass mm5 would drag to any
+    * scale. */
+  private[graft] def plantedPng(docId: Long): Array[Byte] = {
+    val w = (16 + docId % 64).toInt
+    val h = (16 + (docId * 3) % 48).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      val cy = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val cell = cy * 8 + x * 8 / w
+        val v = (((docId * 2654435761L + cell * 40503L) % 256 + 256) % 256).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** [[mediaOf]] with the planted deterministic PNGs swapped in — the
+    * registered mm2/mm5 corpus path, so the REAL ImageIO decode runs
+    * inside the oracle loop every round, not only in specs. */
+  def mediaWithPlantedPng(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    mediaOf(spark, dir).map { m =>
+      if (m.doc_id % PngMod == 0) m.copy(payload = plantedPng(m.doc_id)) else m
+    }
+  }
+
+  /** MM2 — decoded-feature summary per media type, over the planted-PNG
+    * corpus with the REAL decoder: planted rows take the ImageIO header
+    * path (n_raster counts them; their dims must equal the planted
+    * arithmetic for the oracle to hash-match), text-byte rows fall back
+    * to the stub exactly as before. min_fp is computed over the
+    * non-planted rows only — a PNG byte stream's md5 is not
+    * SQL-replayable, and proving content identity is the text rows'
+    * job. */
+  def mm2DecodeFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val planted = col("doc_id") % PngMod === 0
+    decodeMeta(mediaWithPlantedPng(spark, dir), ImageIoDecoder)
+      .withColumn("planted", planted)
       .groupBy(col("media_type"))
       .agg(count(lit(1)).as("n"),
         round(avg(col("width")), 2).as("avg_width"),
         round(avg(col("height")), 2).as("avg_height"),
         sum(col("n_frames")).as("total_frames"),
-        min(col("fingerprint")).as("min_fp"))
+        sum(when(col("planted"), 1L).otherwise(0L)).as("n_raster"),
+        coalesce(min(when(!col("planted"), col("fingerprint"))), lit(""))
+          .as("min_fp"))
       .orderBy(col("media_type"))
+  }
 
   /** MM3 — sampled-frame pointers for the first 50 docs (stride 4). */
   def mm3FrameSample(spark: SparkSession, dir: String): DataFrame = {
@@ -358,11 +416,13 @@ object Multimodal {
     * inherits the text tier's scale fix for free — one kernel, two
     * modalities. Reported per source (n_media, n_neardup_pairs keyed by
     * the pair's lower id) so the row set is never empty even on a
-    * dup-free corpus. Rows-only: the stub decode is engine-specific;
-    * the planted-pair semantics and brute-force parity live in
-    * MultimodalSpec. */
+    * dup-free corpus. Runs over the planted-PNG corpus with the real
+    * decoder, so the registered query exercises true raster aHash on
+    * the planted rows (byte-stripe fallback on the rest). Rows-only:
+    * the fallback stripe is engine-specific; the planted-pair semantics
+    * and brute-force parity live in MultimodalSpec. */
   def mm5PerceptualNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = perceptualHash(mediaOf(spark, dir))
+    val hashes = perceptualHash(mediaWithPlantedPng(spark, dir), ImageIoDecoder)
     val pairs = Dedup.hammingPairs(hashes, "phash",
       blocks = Dedup.blocksFor(Dedup.docsCount(spark, dir)), maxHamming = 3)
     val bySrc = hashes.select(col("doc_id"), col("source"))
@@ -403,20 +463,28 @@ object Multimodal {
         |  round(avg(align), 4) AS avg_align
         |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "mm2_decode_features" ->
-      """WITH m AS (
-        |  SELECT octet_length(encode(text)) AS L, md5(text) AS fp
+      s"""WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS L, md5(text) AS fp,
+        |    (doc_id % $PngMod = 0) AS planted
         |  FROM documents),
         |d AS (
-        |  SELECT CASE WHEN L % 3 = 0 THEN 'image'
+        |  SELECT CASE WHEN planted THEN 'image'
+        |              WHEN L % 3 = 0 THEN 'image'
         |              WHEN L % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        |    16 + L % 624 AS width, 16 + (L * 7) % 464 AS height,
-        |    CASE WHEN L % 3 = 0 THEN 1 ELSE 1 + L % 24 END AS n_frames, fp
+        |    CASE WHEN planted THEN 16 + doc_id % 64
+        |         ELSE 16 + L % 624 END AS width,
+        |    CASE WHEN planted THEN 16 + (doc_id * 3) % 48
+        |         ELSE 16 + (L * 7) % 464 END AS height,
+        |    CASE WHEN planted THEN 1
+        |         WHEN L % 3 = 0 THEN 1 ELSE 1 + L % 24 END AS n_frames,
+        |    CASE WHEN planted THEN NULL ELSE fp END AS fp, planted
         |  FROM m)
         |SELECT media_type, count(*) AS n,
         |  round(avg(width), 2) AS avg_width,
         |  round(avg(height), 2) AS avg_height,
         |  CAST(sum(n_frames) AS BIGINT) AS total_frames,
-        |  min(fp) AS min_fp
+        |  CAST(sum(CASE WHEN planted THEN 1 ELSE 0 END) AS BIGINT) AS n_raster,
+        |  coalesce(min(fp), '') AS min_fp
         |FROM d GROUP BY media_type ORDER BY media_type""".stripMargin,
     "mm3_frame_sample" ->
       """WITH m AS (

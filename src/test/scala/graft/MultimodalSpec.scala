@@ -113,6 +113,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(h(0L), h(3L)) > 3, s"unrelated only ${ham(h(0L), h(3L))} bits")
   }
 
+  test("planted PNGs take the real ImageIO path: header dims equal the " +
+    "planted arithmetic, aHash is the raster hash, not the byte stripe") {
+    import graft.ext.ImageIoDecoder
+    val id = 150L // ≡ 0 (mod PngMod) — a row mm2/mm5 would plant
+    val png = Multimodal.plantedPng(id)
+    // dims must be the doc_id arithmetic the mm2 oracle replays — this
+    // equality is what makes oracle green a PROOF the real decoder ran
+    assert(ImageIoDecoder.decode(png) ==
+      ("image", (16 + id % 64).toInt, (16 + id * 3 % 48).toInt, 1))
+    val cells = ImageIoDecoder.gray64(png).get
+    val mean = cells.sum / 64.0
+    var expected = 0L
+    cells.zipWithIndex.foreach { case (c, i) =>
+      if (c > mean) expected |= (1L << i)
+    }
+    val ds = Seq(Media(id, "web", png)).toDS()
+    val real = Multimodal.perceptualHash(ds, ImageIoDecoder)
+      .collect().head.getLong(2)
+    val stripe = Multimodal.perceptualHash(ds, FakeDecoder)
+      .collect().head.getLong(2)
+    assert(real == expected, "perceptualHash did not use the decoded raster")
+    assert(real != stripe, "raster hash degenerated to the byte stripe")
+    // and the swap-in only touches the planted cadence
+    val swapped = Multimodal.mediaWithPlantedPng(spark, "/root/testdata/sf0.001")
+      .filter((m: Media) => m.doc_id < 60)
+      .collect().map(m => m.doc_id -> m.payload).toMap
+    assert(swapped.keys.filter(_ % 50 == 0).forall(i =>
+      java.util.Arrays.equals(swapped(i), Multimodal.plantedPng(i))))
+  }
+
   test("real decoder: imageio reads true dims; re-encoded image hashes near, " +
     "different image far, non-image falls back") {
     import java.awt.image.BufferedImage
