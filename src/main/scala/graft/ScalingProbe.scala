@@ -33,7 +33,14 @@ object ScalingProbe {
     "j6_asof_join", "j7_band_join", "t16_heavy_hitters", "d33_merge_upsert",
     "p9_skew_profile", "w8_funnel", "d35_bloom_decontaminate",
     "t17_pmi_phrases", "sim13_embedding_drift", "w9_cohort_retention",
-    "a19_robust_outliers", "j8_shipping_priority", "a18_equidepth_hist")
+    "a19_robust_outliers", "j8_shipping_priority", "a18_equidepth_hist",
+    // round-9 additions (VERDICT r8 #7): every corpus-sized registered
+    // query carries an alpha receipt — t18 rides the memoized t3 matrix
+    // plus classes²-row joins, d36 the memoized d5 pair graph, d38 a
+    // fingerprint-only shuffle, f15 an events scan against a
+    // time-range-bounded spine
+    "t18_classifier_metrics", "d36_cluster_quality", "d38_dedup_savings",
+    "f15_date_spine")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

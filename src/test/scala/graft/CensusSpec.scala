@@ -83,4 +83,26 @@ class CensusSpec extends AnyFunSuite {
       .filterNot(known)
     assert(stale.isEmpty, s"stale census entries: $stale")
   }
+
+  test("census: custom exchange budgets are TIGHT (within 2 of the plan)") {
+    // the budget map only means anything while entries track their
+    // plans: a custom budget sitting >= 3 above the actual exchange
+    // count has rotted into a no-op — a 2-stage regression would pass
+    // the census silently. As plans improve, entries must come DOWN
+    // with them (or revert to the default by deletion).
+    val loose = exchangeBudget.toSeq.sortBy(_._1).flatMap {
+      case (name, budget) =>
+        val p = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan.toString
+        val exchanges = p.linesIterator.count(l =>
+          l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+        if (budget - exchanges >= 3)
+          Some(s"$name: budget $budget vs actual $exchanges shuffles " +
+            s"(tighten to <= ${exchanges + 2}, or delete if <= " +
+            s"$defaultMaxExchanges)")
+        else None
+    }
+    assert(loose.isEmpty,
+      loose.mkString("rotted exchange budgets:\n  ", "\n  ", ""))
+  }
 }
