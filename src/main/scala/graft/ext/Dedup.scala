@@ -193,8 +193,10 @@ object Dedup {
 
   /** D15 — the registered harness shape: the benchmark split is the
     * id-mod slice of the one testdata corpus (same rule and shared
-    * constant as d10). Rows-only: band keys are engine-specific;
-    * bipartite semantics asserted in DedupSpec. */
+    * constant as d10). VALUE-oracled like d7/d18: the per-source counts
+    * are pure threshold decisions (Jaccard >= 0.4 against any bench
+    * doc), which DuckDB replays directly on the bimodal corpus —
+    * bipartite semantics additionally asserted in DedupSpec. */
   def d15FuzzyDecontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isBench = col("doc_id") % Curate.BenchMod === 0
@@ -1178,7 +1180,40 @@ object Dedup {
         |  WHERE doc_id % ${Curate.BenchMod} = 0)
         |SELECT b.source, count(*) AS n_batch, count(dup.doc_id) AS n_dup
         |FROM b LEFT JOIN dup ON b.doc_id = dup.doc_id
-        |GROUP BY b.source ORDER BY b.source""".stripMargin
+        |GROUP BY b.source ORDER BY b.source""".stripMargin,
+    // d15 graduates on the same grounds as d7/d18: its output is
+    // per-source COUNTS of threshold decisions (a train doc is
+    // contaminated iff word-3-gram Jaccard >= 0.4 against ANY bench
+    // doc), and on a bimodal Jaccard spectrum the decisions are exactly
+    // replayable — the bipartite band join is the execution strategy,
+    // the contaminated SET is the checked claim. Mirrors d18's predicate
+    // with the sides reversed (train flagged against bench, not batch
+    // against rest).
+    "d15_fuzzy_decontaminate" ->
+      s"""WITH $fullCorpusShingleCte,
+        |cand AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.sh = b.sh
+        |  WHERE a.doc_id % ${Curate.BenchMod} <> 0
+        |    AND b.doc_id % ${Curate.BenchMod} = 0
+        |  GROUP BY 1, 2),
+        |dup AS (
+        |  SELECT DISTINCT id_a AS doc_id
+        |  FROM cand
+        |  JOIN s sa ON sa.doc_id = cand.id_a
+        |  JOIN s sb ON sb.doc_id = cand.id_b
+        |  WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4) >= 0.4),
+        |d AS (
+        |  SELECT doc_id, source,
+        |    (doc_id % ${Curate.BenchMod} <> 0) AS is_train
+        |  FROM documents)
+        |SELECT d.source,
+        |  CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  count(dup.doc_id) AS n_contaminated
+        |FROM d LEFT JOIN dup ON d.doc_id = dup.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin
   )
 
   /** Full-corpus variants of the d5 shingle/pair fragments (no doc_id
