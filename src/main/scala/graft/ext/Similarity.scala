@@ -152,8 +152,13 @@ object Similarity {
     * signature bucket plus all 1-bit-flip probe buckets (multi-probe
     * LSH); exact cosine only on candidates. The plane count scales with
     * the corpus ([[planesFor]], min 8) so bucket size stays bounded as
-    * data grows. Rows-only for the driver (bucketing is engine-specific);
-    * recall vs brute force is asserted in ScalaTest at two plane counts. */
+    * data grows. Rows-only for the driver — and PROVABLY so, not just
+    * convention: on the near-random test embeddings the ANN top-10
+    * shares 2/10 with the exact top-10 at sf0.1 and 0/10 at sf0.01
+    * (measured r9 — near-uniform cosine spectra are LSH's worst case;
+    * no exact oracle can replay an approximate result whose value IS
+    * the approximation). Recall vs brute force is asserted in ScalaTest
+    * at two plane counts, which is the correct check for this op. */
   def sim2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     sim2AnnLshDf(spark, e, planesFor(corpusSize(spark, dir), minPlanes = 8))
@@ -189,7 +194,11 @@ object Similarity {
     * linear in N as data grows. The testdata embeddings are near-random
     * (max pairwise cosine ≈0.51), so the report threshold is 0.25; a
     * production near-dup run would use ≥0.9 with the same plan.
-    * Rows-only (bucketing is engine-specific). */
+    * Rows-only — the single-bucket pair set is a recall SAMPLE by
+    * design (a 0.25-cosine pair shares all ~11 sign bits with
+    * probability ≈(1−θ/π)^planes ≈ 0.04), so unlike d7/d15/d18 there
+    * is no exact predicate an oracle could replay; subset-monotonicity
+    * in the plane count is what ScalaTest pins instead. */
   def sim3NearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val e0 = Tables.embeddings(spark, dir)
     sim3NearDupPairsDf(spark, e0, planesFor(corpusSize(spark, dir), minPlanes = 6))
@@ -296,17 +305,30 @@ object Similarity {
     * memoization contract (same as [[corpusSize]]; refresh with
     * [[invalidateCaches]]); weak session keys stop a dead session from
     * pinning its checkpointed index forever. */
+  // The cached value is (temp-view NAME, centers) — never the IvfIndex
+  // itself: its `assigned` DataFrame strongly references the
+  // SparkSession through QueryExecution, and WeakHashMap VALUES hold
+  // strong refs, so an index-valued entry would pin the weak session
+  // key (and the checkpoint blocks) forever (the pairGraphFor
+  // contract). The view lives in the session's own catalog and dies
+  // with it; the centers are plain arrays.
   private val ivfCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, Int), IvfIndex]]()
-  def ivfIndexFor(spark: SparkSession, dir: String, k: Int): IvfIndex =
-    perSession(ivfCache, spark).getOrElseUpdate((dir, k), {
-      val idx = ivfIndex(Tables.embeddings(spark, dir), k)
-      // Eager localCheckpoint: pins the assignment so serving never
-      // re-runs the scan+transform lineage (and a second builder racing
-      // through getOrElseUpdate just builds a redundant, correct copy).
-      idx.copy(assigned = idx.assigned.localCheckpoint(true))
-    })
+      scala.collection.concurrent.TrieMap[(String, Int),
+        (String, Array[Array[Double]])]]()
+  def ivfIndexFor(spark: SparkSession, dir: String, k: Int): IvfIndex = {
+    val (view, centers) =
+      perSession(ivfCache, spark).getOrElseUpdate((dir, k), {
+        val idx = ivfIndex(Tables.embeddings(spark, dir), k)
+        // Eager localCheckpoint: pins the assignment so serving never
+        // re-runs the scan+transform lineage (and a second builder racing
+        // through getOrElseUpdate just builds a redundant, correct copy).
+        val name = s"ivf_idx_${k}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        idx.assigned.localCheckpoint(true).createOrReplaceTempView(name)
+        (name, idx.centers)
+      })
+    IvfIndex(spark.table(view), centers)
+  }
 
   /** Serve one ANN lookup (query = a corpus member by id) from a BUILT
     * index. Missing query id → empty result, not a crash. */
@@ -766,14 +788,21 @@ object Similarity {
   /** Memoized per-(session, dir) PQ index — the same serving contract
     * as [[ivfIndexFor]]: codebooks + corpus-wide encode run ONCE and
     * checkpoint; queries are table-lookup scans over the code frame. */
+  // (view name, codebooks) for the same reason as ivfCache: a PqIndex
+  // value would pin the weak session key through its codes DataFrame.
   private val pqCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, PqIndex]]()
-  def pqIndexFor(spark: SparkSession, dir: String): PqIndex =
-    perSession(pqCache, spark).getOrElseUpdate(dir, {
+      scala.collection.concurrent.TrieMap[String,
+        (String, Array[Array[Array[Double]]])]]()
+  def pqIndexFor(spark: SparkSession, dir: String): PqIndex = {
+    val (view, books) = perSession(pqCache, spark).getOrElseUpdate(dir, {
       val idx = pqIndex(Tables.embeddings(spark, dir))
-      idx.copy(codes = idx.codes.localCheckpoint(true))
+      val name = "pq_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      idx.codes.localCheckpoint(true).createOrReplaceTempView(name)
+      (name, idx.codebooks)
     })
+    PqIndex(spark.table(view), books)
+  }
 
   /** PQ retrieve-then-rerank (the "+R" of Jégou's IVFADC+R, and how
     * every production PQ system actually serves): ADC ranks the WHOLE

@@ -256,33 +256,41 @@ object TextStats {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
-  def t16HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+  def t16HeavyHitters(spark: SparkSession, dir: String): DataFrame =
+    t16HeavyHittersDf(Tables.documents(spark, dir), T16Budget, T16K)
+
+  /** Same two-pass sketch+recount over any (text) frame with explicit
+    * budget/k — unit-testable, and the shape the guard spec drives into
+    * its failure mode (a flat corpus whose rank-k count sits below the
+    * MG bound MUST raise, not silently diverge from the exact top-k). */
+  private[graft] def t16HeavyHittersDf(docs: DataFrame, budget: Int,
+                                       k: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val docs = Tables.documents(spark, dir)
     val tokens = split(lower(col("text")), " ")
     // The sketch pass also totals N (non-empty tokens) — one extra long
     // per partition riding the same scan, needed by the validity guard
     // below.
     val (cand, nTokens) = docs.select(tokens.as("toks"))
       .as[Seq[String]]
-      .select(new graft.functions.MisraGries(T16Budget).toColumn.name("cand"),
+      .select(new graft.functions.MisraGries(budget).toColumn.name("cand"),
         coalesce(sum(size(filter(col("toks"), t => t =!= ""))), lit(0L))
           .as[Long])
       .head()
     val candidates: Seq[String] = cand.keys.toSeq
-    val frame = recountTopK(docs, candidates, T16K)
-    val top = frame.collect() // ≤ T16K rows — bounded by construction
+    val frame = recountTopK(docs, candidates, k)
+    val top = frame.collect() // ≤ k rows — bounded by construction
     // Validity guard on the MG recall bound: the sketch guarantees a
-    // candidate only above N/(B+1). If the rank-T16K recounted count
+    // candidate only above N/(B+1). If the rank-k recounted count
     // ever falls TO that bound (a future flatter-tailed corpus), the
     // candidate set need not contain the exact top-k's winners and the
     // value oracle could silently diverge — fail loudly instead.
-    if (top.length == T16K) {
+    if (top.length == k) {
       val kth = top.last.getLong(1)
-      val bound = nTokens.toDouble / (T16Budget + 1)
+      val bound = nTokens.toDouble / (budget + 1)
       require(kth > bound,
-        s"t16 guard: rank-$T16K recount $kth <= MG recall bound N/(B+1) = " +
-          f"$bound%.1f — sketch recall no longer covers the top-$T16K; " +
+        s"t16 guard: rank-$k recount $kth <= MG recall bound N/(B+1) = " +
+          f"$bound%.1f — sketch recall no longer covers the top-$k; " +
           "raise T16Budget")
     }
     spark.createDataFrame(java.util.Arrays.asList(top: _*), frame.schema)

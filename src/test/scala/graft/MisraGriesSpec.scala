@@ -62,6 +62,28 @@ class MisraGriesSpec extends AnyFunSuite {
     assert(brute.forall(_._2 == 400L)) // the planted truth
   }
 
+  test("t16 validity guard FIRES on a flat corpus (rank-k at or below " +
+    "the MG bound must raise, never silently diverge from exact)") {
+    // 10 tokens × 50 occurrences each: N = 500, budget 4 → bound
+    // N/(B+1) = 100 > every true count. The sketch's candidate set is
+    // some budget-bounded subset with NO recall guarantee, so the
+    // recounted "top-2" need not be the exact top-2 — exactly the
+    // regime where a silent value-oracle divergence would ship. The
+    // guard must turn that into a loud, diagnosable failure.
+    val texts = (0 until 10).flatMap(i => Seq.fill(50)(s"flat_$i"))
+    val docs = texts.grouped(25).map(_.mkString(" ")).toSeq
+      .toDF("text").repartition(3)
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.TextStats.t16HeavyHittersDf(docs, budget = 4, k = 2)
+    }
+    assert(e.getMessage.contains("raise T16Budget"), e.getMessage)
+    // and the SAME corpus with an adequate budget passes the guard and
+    // equals the exact top-k — the bound is tight in both directions
+    val ok = graft.ext.TextStats.t16HeavyHittersDf(docs, budget = 64, k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(ok == Seq(("flat_0", 50L), ("flat_1", 50L)))
+  }
+
   test("per-batch sketches FOLD into one running sketch (the streaming shape)") {
     // mergeable-summary property: sketch each micro-batch DISTRIBUTED,
     // fold the finished summaries through the same merge on the driver

@@ -636,4 +636,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.head == ("h12", 560L + 40 * 12))
     assert(streamed.map(_._1).take(3) == Seq("h12", "h11", "h10"))
   }
+
+  test("t16' restart recipe: a fold rebuilt from ONE replay of the " +
+    "landed corpus serves the same top-k as the continuous fold") {
+    import spark.implicits._
+    // The accumulator is driver state outside the streaming checkpoint;
+    // the documented recovery is one replay of the landed corpus into a
+    // fresh fold. Valid because MG recall depends only on totals, never
+    // on merge order or batch boundaries — pin that equivalence.
+    val rnd = new scala.util.Random(17)
+    def doc() = (1 to 8).flatMap(j => Seq.fill(j * 3)(f"r$j%02d")) ++
+      Seq.fill(5)(s"tail_${rnd.nextInt(300)}")
+    val b1 = (1 to 30).map(i => (i.toLong, doc().mkString(" ")))
+    val b2 = (31 to 60).map(i => (i.toLong, doc().mkString(" ")))
+    def toks(rows: Seq[(Long, String)]) =
+      rows.toDF("doc_id", "text")
+        .select(split(lower(col("text")), " ").as("toks")).as[Seq[String]]
+    val live = new graft.streaming.MgStreamFold(32)
+    live.foldBatch(toks(b1)); live.foldBatch(toks(b2))
+    val rebuilt = new graft.streaming.MgStreamFold(32)
+    rebuilt.foldBatch(toks(b1 ++ b2))
+    val landed = (b1 ++ b2).toDF("doc_id", "text")
+    val a = live.topK(landed, 6).as[(String, Long)].collect().toSeq
+    val b = rebuilt.topK(landed, 6).as[(String, Long)].collect().toSeq
+    assert(a == b)
+    // planted truth: r08 occurs 8·3 = 24 times per doc × 60 docs
+    assert(a.head == ("r08", 1440L))
+  }
 }
