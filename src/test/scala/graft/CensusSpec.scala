@@ -42,10 +42,14 @@ class CensusSpec extends AnyFunSuite {
     * plus explicit budgets for the audited deep pipelines. A query
     * landing above its budget means a new stage shuffles where none did
     * — justify it and raise the budget EXPLICITLY, or fix the plan. */
-  private val defaultMaxExchanges = 8
+  private val defaultMaxExchanges = 6
   private val exchangeBudget: Map[String, Int] = Map(
-    "sim11_ivf_recall" -> 24,  // recall sweep: exact pass + per-probe plans
-    "d24_curation_funnel" -> 9 // quality+decontam+dedup+funnel, composed
+    "sim11_ivf_recall" -> 24,   // recall sweep: exact pass + per-probe plans
+    "d24_curation_funnel" -> 9, // quality+decontam+dedup+funnel, composed
+    "d11_rebalance" -> 8,       // per-stratum rate join + resample + order
+    "d23_canonical_keep" -> 7,  // pair graph → components → keeper join
+    "t6_tfidf" -> 7,            // tf, df, N singleton, join, top-k
+    "t17_pmi_phrases" -> 7      // unigram+bigram counts + 2 joins + totals
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local
