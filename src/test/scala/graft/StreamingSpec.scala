@@ -663,4 +663,54 @@ class StreamingSpec extends AnyFunSuite {
     // planted truth: r08 occurs 8·3 = 24 times per doc × 60 docs
     assert(a.head == ("r08", 1440L))
   }
+
+  test("d1' Bloom stream dedup: duplicates dropped across an unbounded " +
+    "horizon with fixed state; within-batch exact; restart rebuilds") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val dd = new graft.streaming.BloomStreamDedup(10000, 1e-6)
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("bloomdd").toString
+    val landed = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = dd.start(in.toDF().toDF("doc_id", "fp"), "fp", ckpt) { fresh =>
+      landed ++= fresh.as[(Long, String)].collect()
+    }
+    // batch 1: three fresh docs; batch 2: one cross-batch dup (fp_b,
+    // would be OUTSIDE any short watermark horizon), one within-batch
+    // dup pair (fp_d twice), one fresh
+    in.addData((1L, "fp_a"), (2L, "fp_b"), (3L, "fp_c"))
+    q.processAllAvailable()
+    in.addData((4L, "fp_b"), (5L, "fp_d"), (6L, "fp_d"), (7L, "fp_e"))
+    q.processAllAvailable()
+    q.stop()
+    assert(landed.map(_._2).sorted ==
+      Seq("fp_a", "fp_b", "fp_c", "fp_d", "fp_e"))
+    assert(dd.seen("fp_b") && dd.seen("fp_e") && !dd.seen("fp_zzz"))
+    // restart recipe: a fresh instance rebuilt from the LANDED corpus
+    // makes the same decisions on the next batch as the continuous one
+    val dd2 = new graft.streaming.BloomStreamDedup(10000, 1e-6)
+    dd2.rebuildFrom(landed.toSeq.toDF("doc_id", "fp"), "fp")
+    val next = Seq((8L, "fp_a"), (9L, "fp_f")).toDF("doc_id", "fp")
+    val s1 = dd.foldBatch(next, "fp").as[(Long, String)].collect().toSet
+    val s2 = dd2.foldBatch(next, "fp").as[(Long, String)].collect().toSet
+    assert(s1 == Set((9L, "fp_f")) && s2 == s1)
+  }
+
+  test("d1' Bloom dedup soundness under fpp stress: even a half-full-of-" +
+    "lies filter NEVER ships a duplicate (false negatives impossible)") {
+    import spark.implicits._
+    // fpp = 0.5: the filter spuriously drops fresh docs — the allowed
+    // error direction — but every true duplicate must still be dropped,
+    // in whichever batch it arrives.
+    val dd = new graft.streaming.BloomStreamDedup(100, 0.5)
+    val b1 = (0 until 50).map(i => (i.toLong, s"k_$i")).toDF("doc_id", "fp")
+    val kept1 = dd.foldBatch(b1, "fp").as[(Long, String)].collect().map(_._2).toSet
+    val b2 = ((0 until 50).map(i => (100L + i, s"k_$i")) ++
+      (0 until 20).map(i => (200L + i, s"new_$i"))).toDF("doc_id", "fp")
+    val kept2 = dd.foldBatch(b2, "fp").as[(Long, String)].collect().map(_._2).toSet
+    assert(kept1.subsetOf((0 until 50).map(i => s"k_$i").toSet))
+    // soundness: nothing landed in batch 1 re-lands in batch 2
+    assert(kept2.intersect(kept1).isEmpty)
+    assert(kept2.subsetOf((0 until 20).map(i => s"new_$i").toSet))
+  }
 }
