@@ -40,7 +40,10 @@ object ScalingProbe {
     // fingerprint-only shuffle, f15 an events scan against a
     // time-range-bounded spine
     "t18_classifier_metrics", "d36_cluster_quality", "d38_dedup_savings",
-    "f15_date_spine")
+    "f15_date_spine",
+    // lineitem-based like j7: sfx corpora lack lineitem (error row
+    // there) — probe via the real sf0.01→sf0.1 pair
+    "s18_zorder_layout")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

@@ -210,15 +210,8 @@ object Analyze {
     // range not corpus size — the d29/t9 collect discipline
     val hist = binned.groupBy(col("bin")).agg(count(lit(1)).as("c"))
       .orderBy(col("bin")).collect()
-    val n = hist.iterator.map(_.getLong(1)).sum
-    val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
-    var cum = 0L
-    hist.foreach { r =>
-      cum += r.getLong(1)
-      while (bounds.size < k - 1 &&
-        cum >= math.ceil((bounds.size + 1).toDouble * n / k).toLong)
-        bounds += r.getLong(0)
-    }
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val bounds = equidepthBounds(hist, k)
     val bucket = bounds.foldLeft(lit(1)) { (acc, b) =>
       acc + when(col("bin") > b, 1).otherwise(0)
     }
@@ -228,6 +221,27 @@ object Analyze {
         round(max(col("v")), 2).as("max_v"),
         round(avg(col("v")), 2).as("avg_v"))
       .orderBy(col("bucket"))
+  }
+
+  /** The a18 fence device as driver arithmetic over a collected
+    * value-range-bounded histogram: equal-depth bucket UPPER bounds
+    * (k−1 of them, grid-bin units; a bin may repeat when it straddles
+    * several depth targets — callers' `when(bin > b)` folds count the
+    * repeat, keeping Spark and every oracle's count-of-bounds replay in
+    * lockstep). Shared by a18's histogram and s18's z-order layout so
+    * the two can never bucket differently. */
+  private[graft] def equidepthBounds(hist: Seq[(Long, Long)],
+                                     k: Int): Seq[Long] = {
+    val n = hist.iterator.map(_._2).sum
+    val bounds = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cum = 0L
+    hist.foreach { case (bin, c) =>
+      cum += c
+      while (bounds.size < k - 1 &&
+        cum >= math.ceil((bounds.size + 1).toDouble * n / k).toLong)
+        bounds += bin
+    }
+    bounds.toSeq
   }
 
   /** A19 — robust outlier detection: per event type, the median/MAD

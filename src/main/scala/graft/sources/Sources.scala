@@ -328,7 +328,81 @@ object Sources {
       .withColumn("audit_passed", lit(true))
   }
 
+  /** Equal-depth fences for one dimension — a grid histogram collect
+    * (bounded by the VALUE RANGE, never the corpus: the a18 discipline)
+    * folded to k−1 bucket bounds by [[graft.etl.Analyze.equidepthBounds]],
+    * the shared device that keeps s18 and a18 bucketing identically. */
+  private def fencesOf(df: DataFrame, grid: org.apache.spark.sql.Column,
+                       k: Int): Seq[Long] = {
+    val hist = df.select(grid.as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("c"))
+      .orderBy(col("bin")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.etl.Analyze.equidepthBounds(hist, k)
+  }
+
+  /** S18 — Z-ORDER layout key: the multi-dimensional clustering device a
+    * 100 TB table needs for min/max pruning on MORE THAN ONE column (a
+    * range layout on column A gives file-level pruning on A and nothing
+    * on B; interleaving the bits of both columns' equal-depth bucket ids
+    * gives a single sort key under which every contiguous file spans a
+    * narrow range of BOTH). Fences come from the a18 no-global-sort
+    * device (one value-range-bounded histogram collect per dimension,
+    * broadcast back as literals); the z-key is then a pure per-row map
+    * expression — no window, no global sort, nothing corpus-sized on
+    * the driver. The write side ([[zorderWrite]]) range-partitions by z,
+    * which is the one full shuffle a layout rewrite IS — the same cost
+    * class as s16's compaction, paid once at ingest so every later
+    * 2-dim scan prunes. */
+  private[graft] def withZKey(df: DataFrame,
+                              xGrid: org.apache.spark.sql.Column,
+                              yGrid: org.apache.spark.sql.Column,
+                              k: Int = 16): DataFrame = {
+    val bits = (math.log(k) / math.log(2)).round.toInt
+    def bucketOf(grid: org.apache.spark.sql.Column, bounds: Seq[Long]) =
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(grid > b, 1).otherwise(0)
+      }
+    val xb = bucketOf(xGrid, fencesOf(df, xGrid, k))
+    val yb = bucketOf(yGrid, fencesOf(df, yGrid, k))
+    val z = (0 until bits).foldLeft(lit(0)) { (acc, b) =>
+      acc + shiftright(xb, b).bitwiseAND(lit(1)) * lit(1 << (2 * b)) +
+        shiftright(yb, b).bitwiseAND(lit(1)) * lit(1 << (2 * b + 1))
+    }
+    df.withColumn("z", z.cast("int"))
+  }
+
+  /** The layout write: range-partition by the z-key so each output file
+    * covers a contiguous z range — and therefore a narrow range of both
+    * interleaved dimensions (pruning proven in SourcesSpec against a
+    * hash layout of the same data). */
+  def zorderWrite(withZ: DataFrame, path: String, nFiles: Int): Unit =
+    withZ.repartitionByRange(nFiles, col("z"))
+      .write.mode("overwrite").parquet(path)
+
+  /** The registered s18 shape: z-profile of lineitem on
+    * (extendedprice, quantity) — per z-cell row count and min/max of
+    * BOTH dims, the report that makes the locality claim checkable (a
+    * cell's ranges are one equal-depth bucket wide in each dimension,
+    * vs the full-corpus spread an unclustered layout gives every
+    * file). Fully deterministic → DuckDB value oracle replays the
+    * fence arithmetic and the bit interleave. */
+  def s18ZorderLayout(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val z = withZKey(li,
+      floor(col("l_extendedprice") / 100).cast("long"),
+      floor(col("l_quantity")).cast("long"))
+    z.groupBy(col("z"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(min(col("l_extendedprice")), 2).as("min_price"),
+        round(max(col("l_extendedprice")), 2).as("max_price"),
+        round(min(col("l_quantity")), 2).as("min_qty"),
+        round(max(col("l_quantity")), 2).as("max_qty"))
+      .orderBy(col("z"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_zorder_layout" -> s18ZorderLayout,
     "s17_wap_roundtrip" -> s17WapRoundtrip,
     "s16_compact_roundtrip" -> s16CompactRoundtrip,
     "s15_schema_evolution" -> s15SchemaEvolution,
@@ -339,6 +413,49 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    // s18 replays BOTH dimensions' a18 fence device (cumulative grid
+    // histogram → k−1 depth targets; a bin straddling several targets
+    // repeats, matched by the count-of-bounds bucket assignment) and
+    // the bit interleave as pure integer arithmetic (// and % instead
+    // of shifts — identical on non-negative bucket ids).
+    "s18_zorder_layout" ->
+      """WITH l AS (
+        |  SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS pbin,
+        |    CAST(floor(l_quantity) AS BIGINT) AS qbin,
+        |    l_extendedprice AS price, l_quantity AS qty
+        |  FROM lineitem),
+        |n AS (SELECT count(*) AS n FROM l),
+        |ph AS (SELECT pbin AS bin, count(*) AS c FROM l GROUP BY 1),
+        |pcum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM ph),
+        |pbounds AS (
+        |  SELECT i, min(bin) AS b
+        |  FROM pcum CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(range(1, 16)) AS i)
+        |  WHERE cum >= ceil(i * n / 16.0)
+        |  GROUP BY i),
+        |qh AS (SELECT qbin AS bin, count(*) AS c FROM l GROUP BY 1),
+        |qcum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM qh),
+        |qbounds AS (
+        |  SELECT i, min(bin) AS b
+        |  FROM qcum CROSS JOIN n
+        |  CROSS JOIN (SELECT unnest(range(1, 16)) AS i)
+        |  WHERE cum >= ceil(i * n / 16.0)
+        |  GROUP BY i),
+        |assigned AS (
+        |  SELECT price, qty,
+        |    (SELECT count(*) FROM pbounds WHERE l.pbin > pbounds.b) AS p,
+        |    (SELECT count(*) FROM qbounds WHERE l.qbin > qbounds.b) AS q
+        |  FROM l),
+        |zz AS (
+        |  SELECT price, qty,
+        |    (p % 2) + (q % 2) * 2 + ((p // 2) % 2) * 4 + ((q // 2) % 2) * 8 +
+        |    ((p // 4) % 2) * 16 + ((q // 4) % 2) * 32 +
+        |    ((p // 8) % 2) * 64 + ((q // 8) % 2) * 128 AS z
+        |  FROM assigned)
+        |SELECT CAST(z AS INT) AS z, count(*) AS n_rows,
+        |  round(min(price), 2) AS min_price, round(max(price), 2) AS max_price,
+        |  round(min(qty), 2) AS min_qty, round(max(qty), 2) AS max_qty
+        |FROM zz GROUP BY z ORDER BY z""".stripMargin,
     "s17_wap_roundtrip" ->
       """SELECT count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,

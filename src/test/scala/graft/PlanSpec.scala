@@ -317,6 +317,19 @@ class PlanSpec extends AnyFunSuite {
       s"j8: top-10 did not fuse into TakeOrderedAndProject:\n$p")
   }
 
+  test("s18 z-key assignment is a pure map: no window, no join, no sort " +
+    "before the profile agg") {
+    // the z-order layout's whole scale claim is that the KEY costs a
+    // map pass (fences broadcast back as literals after two bounded
+    // histogram collects) — a window-rank or sort-based formulation
+    // would globally shuffle the fact table just to learn its buckets
+    val p = plan("s18_zorder_layout")
+    assert(!p.contains("Window"), s"s18 plans a window:\n$p")
+    assert(!p.contains("Join"), s"s18 plans a join:\n$p")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"s18 profile agg is not partial+final:\n$p")
+  }
+
   test("heavy-hitter recount: partial agg + fused top-k, candidates as a filter") {
     // t16's second pass must stay the t5 shape: map-side-combined count
     // (only candidate tokens shuffle) and TakeOrderedAndProject — a

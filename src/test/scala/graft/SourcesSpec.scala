@@ -154,6 +154,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$dir/stage2").exists())
   }
 
+  test("S18 z-order layout: a 2-dim filter touches a fraction of the " +
+    "z-ordered files but every file of a hash layout") {
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.Tables.lineitem(spark, dir)
+      .select(col("l_extendedprice"), col("l_quantity"))
+    val withZ = Sources.withZKey(li,
+      floor(col("l_extendedprice") / 100).cast("long"),
+      floor(col("l_quantity")).cast("long"))
+    val zPath = tmp("s18z"); val hPath = tmp("s18h")
+    Sources.zorderWrite(withZ, zPath, 8)
+    withZ.repartition(8).write.mode("overwrite").parquet(hPath)
+    // the reader's filter is on RAW columns — bottom quartile of both
+    // dims (~1/16 of rows under equal-depth fences): the whole point of
+    // the layout is that a reader who knows nothing about z still
+    // benefits, because locality lives in the files
+    val Array(p25) = li.stat.approxQuantile("l_extendedprice",
+      Array(0.25), 0.0)
+    val Array(q25) = li.stat.approxQuantile("l_quantity", Array(0.25), 0.0)
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("l_extendedprice") < p25 && col("l_quantity") < q25)
+        .select(input_file_name()).distinct().count()
+    val zFiles = filesTouched(zPath)
+    val hFiles = filesTouched(hPath)
+    // those rows interleave to z < 16 (both bucket ids < 4 use only the
+    // low 4 bits), i.e. 1/16 of the z space → 1-2 of 8 range files;
+    // a hash layout spreads every stratum into every file
+    assert(zFiles <= 2, s"z-ordered layout touched $zFiles of 8 files")
+    assert(hFiles >= 7, s"hash layout touched only $hFiles of 8 files")
+    // and the z column is exactly reproducible from the profile oracle
+    // path (same fences, same interleave): every z is in [0, 255]
+    val mm = withZ.agg(min(col("z")), max(col("z"))).head()
+    assert(mm.getInt(0) >= 0 && mm.getInt(1) <= 255)
+  }
+
   test("S13 cache keeps the plan reusable (spark_processor.py:255)") {
     val df = spark.range(100).toDF("id").cache()
     assert(df.count() == 100)
