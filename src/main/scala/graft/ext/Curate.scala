@@ -61,7 +61,7 @@ object Curate {
   /** Constants shared between the registered d10 query and its oracle
     * SQL (interpolated there) — edit here, both sides move together. */
   private[ext] val D10N = 4
-  private[ext] val BenchMod = 97
+  private[graft] val BenchMod = 97
 
   /** D35 — decontamination for the regime where even the DISTINCT bench
     * gram set outgrows a broadcast (a thousand eval suites × web-scale

@@ -44,6 +44,33 @@ class PropertySpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("a20 merge identity: merge(agg(A), agg(B)) = agg(A ∪ B) for " +
+    "arbitrary splits, including skewed and empty sides") {
+    // the algebraic identity incremental maintenance rests on — if any
+    // maintained stat were non-algebraic (a quantile, a distinct), some
+    // split would break this
+    val rows = samples(for {
+      id <- Gen.chooseNum(0L, 2999L)
+      src <- Gen.oneOf("web", "book", "code", "wiki", "forum")
+      chars <- Gen.option(Gen.chooseNum(0, 9999))
+    } yield (id, src, chars), 300).distinctBy(_._1)
+    val df = rows.toDF("doc_id", "source", "n_chars")
+    import graft.etl.Analyze.{mergeSourceStats, sourceStats}
+    def result(a: org.apache.spark.sql.DataFrame,
+               b: org.apache.spark.sql.DataFrame) =
+      mergeSourceStats(sourceStats(a), sourceStats(b)).collect().toSeq
+    val truth = result(df, df.limit(0)) // union with empty = identity
+    val splits = Seq[org.apache.spark.sql.Column](
+      col("doc_id") % 2 === 0,          // even split
+      col("doc_id") % 97 === 0,         // skewed: tiny batch side
+      col("doc_id") >= 0,               // everything on one side
+      crc32(concat_ws("|", col("source"), col("doc_id"))) % 5 === 0)
+    splits.foreach { pred =>
+      assert(result(df.filter(pred), df.filter(!pred)) == truth,
+        s"split $pred broke the merge identity")
+    }
+  }
+
   test("minhash band keys are invariant under permutation of the hash set") {
     val hashes = Gen.chooseNum(1, 40).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(0L, 2147483646L)))
