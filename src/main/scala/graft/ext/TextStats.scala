@@ -414,6 +414,67 @@ object TextStats {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Constants shared with the t19 oracle: the fixed lexical query and
+    * the standard Okapi parameters. Literals are written identically on
+    * both sides (`2.2`, not `k1 + 1.0`) so each engine parses the same
+    * decimal to the same double. */
+  private[ext] val Bm25Terms = Seq("spark", "vector", "stream")
+  private[ext] val Bm25TopK = 10
+
+  /** The BM25 scoring kernel over a (doc_id, text) frame — the lexical
+    * half of a retrieval stack (the SIM tier is the dense half). Okapi
+    * BM25 with k1=1.2, b=0.75: score(D,Q) = Σ_t idf(t) · tf·(k1+1) /
+    * (tf + k1·(1−b+b·|D|/avgdl)), idf(t) = ln((N−df+0.5)/(df+0.5)+1).
+    *
+    * 100 TB shape: the query's terms are LITERALS in the plan, so tf per
+    * term is a per-row higher-order filter over the doc's own token
+    * array — the corpus token stream is never exploded and never
+    * shuffles (a t6-style (doc,token) explode would move |corpus tokens|
+    * rows to score a 3-term query). The collection statistics (N, Σdl,
+    * per-term df) collapse to ONE row via map-side-combined indicator
+    * sums and ride back beside every row as a broadcast singleton;
+    * avgdl is computed as exact-integer sum/count — not a float avg —
+    * so the division is correctly rounded identically on both engines.
+    * Scores round(4) BEFORE ranking (the t6 libm discipline). Total
+    * movement: two narrow corpus scans + a 1-row broadcast; top-k is
+    * TakeOrderedAndProject. */
+  def bm25Scores(docs: DataFrame): DataFrame = {
+    val terms = Bm25Terms
+    val perDoc = docs
+      .withColumn("w", split(lower(coalesce(col("text"), lit(""))), " "))
+      .withColumn("dl", size(col("w")))
+    val withTf = terms.zipWithIndex.foldLeft(perDoc) { case (df, (t, i)) =>
+      df.withColumn(s"tf_$t", size(filter(col("w"), x => x === lit(t))))
+    }.drop("w")
+    val aggCols = count(lit(1)).as("n_docs") +:
+      sum(col("dl")).cast("long").as("sum_dl") +:
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = withTf.agg(aggCols.head, aggCols.tail: _*)
+    val avgdl = col("sum_dl").cast("double") / col("n_docs")
+    def termScore(t: String) = {
+      val idf = log(
+        (col("n_docs") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5))
+          + lit(1.0))
+      idf * (col(s"tf_$t") * lit(2.2)) /
+        (col(s"tf_$t") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("bm25",
+        round(terms.map(termScore).reduceLeft(_ + _), 4))
+      .filter(terms.map(t => col(s"tf_$t")).reduceLeft(_ + _) > 0)
+      .select(col("doc_id") +: col("dl") +:
+        terms.map(t => col(s"tf_$t")) :+ col("bm25"): _*)
+  }
+
+  /** T19 — registered BM25 top-k retrieval: the fixed 3-term query
+    * against the documents corpus, top-10 by rounded score with doc_id
+    * as the deterministic tie-break. */
+  def t19Bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    bm25Scores(Tables.documents(spark, dir))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
   /** T7 — compression-ratio quality signal: deflate(text)/|text| per
     * doc, summarized per source. Repetitive or boilerplate text
     * compresses far below natural prose, making the ratio a cheap
@@ -674,6 +735,7 @@ object TextStats {
     "t16_heavy_hitters" -> t16HeavyHitters,
     "t17_pmi_phrases" -> t17PmiPhrases,
     "t6_tfidf" -> t6TfIdf,
+    "t19_bm25_topk" -> t19Bm25TopK,
     "t7_compression_ratio" -> t7CompressionRatio,
     "t8_repetition" -> t8Repetition,
     "d8_hash_sample" -> d8HashSample,
@@ -918,6 +980,40 @@ object TextStats {
       """SELECT source, count(*) AS n_payloads,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t19_bm25_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS INT) AS tf_spark,
+        |    CAST(len(list_filter(w, x -> x = 'vector')) AS INT) AS tf_vector,
+        |    CAST(len(list_filter(w, x -> x = 'stream')) AS INT) AS tf_stream
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(coalesce(text, '')), ' ') AS w
+        |        FROM documents)),
+        |s AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |    sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |    sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+        |  FROM t)
+        |SELECT doc_id, dl, tf_spark, tf_vector, tf_stream,
+        |  round(
+        |    ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+        |      * (tf_spark * 2.2)
+        |      / (tf_spark + 1.2 * (0.25
+        |           + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |    + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+        |      * (tf_vector * 2.2)
+        |      / (tf_vector + 1.2 * (0.25
+        |           + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |    + ln((n_docs - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
+        |      * (tf_stream * 2.2)
+        |      / (tf_stream + 1.2 * (0.25
+        |           + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 4)
+        |    AS bm25
+        |FROM t CROSS JOIN s
+        |WHERE tf_spark + tf_vector + tf_stream > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -34,6 +34,7 @@ class CensusSpec extends AnyFunSuite {
     "sim10_centroid_separation",// L-row centroid self-pairs, L = #labels
     "sim11_ivf_recall",         // broadcast probe-plan + query singletons
     "t6_tfidf",                 // broadcast doc-count singleton
+    "t19_bm25_topk",            // broadcast collection-stats singleton
     "p9_skew_profile",          // broadcast corpus-total singleton
     "t17_pmi_phrases",          // broadcast token/bigram-total singletons
     "d36_cluster_quality")      // inherits d5's bounded pair kernel

@@ -138,4 +138,29 @@ class TextStatsSpec extends AnyFunSuite {
       assert(rows.size == 3 + 2 + 2 + 1)               // cells+langs+sources+total
     }
   }
+
+  test("BM25: hand-computed scores, ranking, and zero-hit/null-text drop (T19)") {
+    val docs = Seq(
+      (0L, Some("spark spark vector"), "en", "s", 18L),
+      (1L, Some("spark table"), "en", "s", 11L),
+      (2L, Some("table join"), "en", "s", 10L),       // no query term → dropped
+      (3L, None: Option[String], "en", "s", 0L)       // null text → dropped
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.bm25Scores(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getDouble(5))))
+      .toMap
+    // N=4 docs, dl = 3,2,2,1 → avgdl = 8/4 = 2.0; df: spark=2, vector=1,
+    // stream=0. Replay the Okapi arithmetic exactly.
+    def idf(df: Int) = math.log((4.0 - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Int, df: Int, dl: Int) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.0))
+    def score(tfS: Int, tfV: Int, tfT: Int, dl: Int) =
+      BigDecimal(term(tfS, 2, dl) + term(tfV, 1, dl) + term(tfT, 0, dl))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(0L, 1L))                  // 2 and 3 dropped
+    assert(out(0L) == ((3, 2, 1, 0, score(2, 1, 0, 3))))
+    assert(out(1L) == ((2, 1, 0, 0, score(1, 0, 0, 2))))
+    assert(out(0L)._5 > out(1L)._5)                    // more hits rank higher
+  }
 }
