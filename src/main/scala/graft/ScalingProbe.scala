@@ -43,7 +43,8 @@ object ScalingProbe {
     "f15_date_spine",
     // lineitem-based like j7: sfx corpora lack lineitem (error row
     // there) — probe via the real sf0.01→sf0.1 pair
-    "s18_zorder_layout", "a20_incremental_agg", "t19_bm25_topk")
+    "s18_zorder_layout", "a20_incremental_agg", "t19_bm25_topk",
+    "d39_scd2")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

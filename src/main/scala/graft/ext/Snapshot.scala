@@ -145,9 +145,121 @@ object Snapshot {
       .orderBy(col("source"))
   }
 
+  /** Attribute fingerprint for SCD no-op suppression: md5 over the
+    * tracked columns with an unprintable separator so ("ab","c") can't
+    * collide with ("a","bc"); nulls coalesce to '' (the wsTokens
+    * discipline) so a null attribute hashes identically on both
+    * engines. */
+  private def scdAttrFp: org.apache.spark.sql.Column =
+    md5(concat_ws("\u0001",
+      coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")),
+      coalesce(col("n_chars").cast("string"), lit(""))))
+
+  /** Slowly-changing-dimension Type 2 maintenance — the versioned twin
+    * of d33's overwrite MERGE: instead of replacing a row, an attribute
+    * change EXPIRES the current version (valid_to=version,
+    * is_current=false) and appends a new open one, so every historical
+    * state stays queryable ("what was this doc's metadata when we
+    * trained v3?"). `changes` carries op ∈ {upsert, delete}; an upsert
+    * whose tracked attributes equal the current row's is suppressed
+    * (no spurious version), which also makes changeset REPLAY
+    * idempotent — the property SnapshotSpec pins.
+    *
+    * 100 TB shape: the daily changeset is orders of magnitude smaller
+    * than the dimension, so every wide op here is DELTA-sized — the
+    * dimension itself never shuffles. Pass 1 classifies each current
+    * row by one broadcast hash join against the keyed changeset
+    * (expire / pass through). Pass 2 decides inserts: the current
+    * rows' fingerprints for CHANGED keys only (a broadcast left-semi
+    * prune of the dimension — delta-sized output) join back to the
+    * upserts, keeping those that are new keys or real attribute
+    * changes. History rows pass through untouched. Cost: two narrow
+    * dimension scans + delta-sized joins, the same budget d33 pays. */
+  def scdApply(dim: DataFrame, changes: DataFrame, version: Long): DataFrame = {
+    val cur = dim.filter(col("is_current"))
+    val hist = dim.filter(!col("is_current"))
+    val ch = changes.withColumn("ch_fp", scdAttrFp)
+    val chKeyed = ch.select(col("doc_id").as("ch_id"), col("op"), col("ch_fp"))
+    val expire = col("op").isNotNull &&
+      (col("op") === "delete" || col("ch_fp") =!= scdAttrFp)
+    val curOut = cur.join(broadcast(chKeyed), col("doc_id") === col("ch_id"), "left")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("valid_from"),
+        when(expire, lit(version)).otherwise(col("valid_to")).as("valid_to"),
+        (!expire).as("is_current"))
+    val curTouchedFp = cur
+      .join(broadcast(chKeyed.filter(col("op") === "upsert").select(col("ch_id"))),
+        col("doc_id") === col("ch_id"), "left_semi")
+      .select(col("doc_id").as("cur_id"), scdAttrFp.as("cur_fp"))
+    val inserts = ch.filter(col("op") === "upsert")
+      .join(broadcast(curTouchedFp), col("doc_id") === col("cur_id"), "left")
+      .filter(col("cur_fp").isNull || col("cur_fp") =!= col("ch_fp"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        lit(version).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+    hist.unionByName(curOut).unionByName(inserts)
+  }
+
+  /** Constants shared with the d39 oracle: attribute changes hit ids
+    * ≡ ScdChTag (mod ScdUpMod), no-op upserts ≡ ScdNoopTag, deletes
+    * ≡ ScdDelTag (mod ScdDelMod, excluded from the upsert sets so the
+    * changeset keys are unique), inserts clone ids ≡ ScdInsTag (mod
+    * ScdInsMod) under +ScdInsOffset. */
+  private[ext] val ScdUpMod = 7
+  private[ext] val ScdChTag = 3
+  private[ext] val ScdNoopTag = 5
+  private[ext] val ScdDelMod = 9
+  private[ext] val ScdDelTag = 4
+  private[ext] val ScdInsMod = 13
+  private[ext] val ScdInsTag = 6
+  private[ext] val ScdInsOffset = 20000000L
+
+  /** D39 — registered SCD2 run: documents as the version-1 dimension
+    * (tracked attrs lang/source/n_chars), the simulated changeset
+    * applied at version 2, reported per (source, is_current) with id /
+    * valid_from / valid_to / chars checksums so the oracle proves
+    * membership, content, and version stamps — including that no-op
+    * upserts minted NO new version. */
+  def d39Scd2(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val dim = docs
+      .withColumn("valid_from", lit(1L))
+      .withColumn("valid_to", lit(null).cast("long"))
+      .withColumn("is_current", lit(true))
+    val deletes = docs.filter(col("doc_id") % ScdDelMod === ScdDelTag)
+      .select(col("doc_id"),
+        lit(null).cast("string").as("lang"), lit(null).cast("string").as("source"),
+        lit(null).cast("long").as("n_chars"), lit("delete").as("op"))
+    val changed = docs
+      .filter(col("doc_id") % ScdDelMod =!= ScdDelTag &&
+        col("doc_id") % ScdUpMod === ScdChTag)
+      .withColumn("n_chars", col("n_chars") + lit(100L))
+      .withColumn("op", lit("upsert"))
+    val noops = docs
+      .filter(col("doc_id") % ScdDelMod =!= ScdDelTag &&
+        col("doc_id") % ScdUpMod === ScdNoopTag)
+      .withColumn("op", lit("upsert"))
+    val inserts = docs.filter(col("doc_id") % ScdInsMod === ScdInsTag)
+      .withColumn("doc_id", col("doc_id") + lit(ScdInsOffset))
+      .withColumn("op", lit("upsert"))
+    val changeset = deletes.unionByName(changed).unionByName(noops)
+      .unionByName(inserts)
+    scdApply(dim, changeset, 2L)
+      .groupBy(col("source"), col("is_current"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("valid_from")).as("vf_sum"),
+        sum(coalesce(col("valid_to"), lit(0L))).as("vt_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy(col("source"), col("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d26_snapshot_diff" -> d26SnapshotDiff,
-    "d33_merge_upsert" -> d33MergeUpsert
+    "d33_merge_upsert" -> d33MergeUpsert,
+    "d39_scd2" -> d39Scd2
   )
 
   val oracle: Map[String, String] = Map(
@@ -172,6 +284,41 @@ object Snapshot {
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
         |  min(substr(md5(text), 1, 16)) AS min_fp
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "d39_scd2" ->
+      s"""WITH survivors AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(1 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |    TRUE AS is_current
+        |  FROM documents
+        |  WHERE NOT (doc_id % $ScdDelMod = $ScdDelTag)
+        |    AND NOT (doc_id % $ScdUpMod = $ScdChTag)),
+        |expired AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST(1 AS BIGINT), CAST(2 AS BIGINT), FALSE
+        |  FROM documents
+        |  WHERE doc_id % $ScdDelMod = $ScdDelTag
+        |     OR (doc_id % $ScdUpMod = $ScdChTag
+        |         AND doc_id % $ScdDelMod != $ScdDelTag)),
+        |reversioned AS (
+        |  SELECT doc_id, source, n_chars + 100,
+        |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |  FROM documents
+        |  WHERE doc_id % $ScdUpMod = $ScdChTag
+        |    AND doc_id % $ScdDelMod != $ScdDelTag),
+        |inserted AS (
+        |  SELECT doc_id + $ScdInsOffset, source, n_chars,
+        |    CAST(2 AS BIGINT), CAST(NULL AS BIGINT), TRUE
+        |  FROM documents WHERE doc_id % $ScdInsMod = $ScdInsTag),
+        |dim AS (
+        |  SELECT * FROM survivors UNION ALL SELECT * FROM expired
+        |  UNION ALL SELECT * FROM reversioned UNION ALL SELECT * FROM inserted)
+        |SELECT source, is_current, count(*) AS n_rows,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(valid_from) AS BIGINT) AS vf_sum,
+        |  CAST(sum(coalesce(valid_to, 0)) AS BIGINT) AS vt_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM dim GROUP BY source, is_current
+        |ORDER BY source, is_current""".stripMargin,
     "d26_snapshot_diff" ->
       s"""WITH o AS (
         |  SELECT doc_id, source, substr(md5(text), 1, 16) AS fp

@@ -105,6 +105,70 @@ class SnapshotSpec extends AnyFunSuite {
     assert(merged.head == ((1L, expect)))
   }
 
+  /** A 4-column SCD2 dimension frame: (doc_id, lang, source, n_chars)
+    * plus version bookkeeping. */
+  private def dimFrame(rows: Seq[(Long, String, String, Long, Long, Option[Long], Boolean)]) =
+    rows.toDF("doc_id", "lang", "source", "n_chars",
+      "valid_from", "valid_to", "is_current")
+
+  private def chFrame(rows: Seq[(Long, String, String, Long, String)]) =
+    rows.toDF("doc_id", "lang", "source", "n_chars", "op")
+
+  test("scdApply: change expires + reversions, no-op suppressed, delete expires, " +
+    "insert opens, history untouched (D39)") {
+    val dim = dimFrame(Seq(
+      (1L, "en", "s1", 10L, 1L, Some(2L), false),  // history row
+      (1L, "en", "s1", 12L, 2L, None, true),        // will change
+      (2L, "fr", "s1", 20L, 1L, None, true),        // no-op upsert
+      (3L, "de", "s2", 30L, 1L, None, true),        // delete
+      (4L, "es", "s2", 40L, 1L, None, true)))       // untouched
+    val ch = chFrame(Seq(
+      (1L, "en", "s1", 99L, "upsert"),              // real change
+      (2L, "fr", "s1", 20L, "upsert"),              // identical attrs → no-op
+      (3L, null, null, 0L, "delete"),
+      (5L, "zh", "s3", 50L, "upsert")))             // brand-new key
+    val out = Snapshot.scdApply(dim, ch, 3L)
+      .as[(Long, String, String, Long, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(out == Set(
+      (1L, "en", "s1", 10L, 1L, Some(2L), false),   // history preserved
+      (1L, "en", "s1", 12L, 2L, Some(3L), false),   // expired by the change
+      (1L, "en", "s1", 99L, 3L, None, true),        // new open version
+      (2L, "fr", "s1", 20L, 1L, None, true),        // no-op: NO new version
+      (3L, "de", "s2", 30L, 1L, Some(3L), false),   // delete: expired, no new
+      (4L, "es", "s2", 40L, 1L, None, true),        // untouched
+      (5L, "zh", "s3", 50L, 3L, None, true)))       // insert
+  }
+
+  test("scdApply: replaying the same changeset is idempotent") {
+    val dim = dimFrame(Seq(
+      (1L, "en", "s1", 12L, 1L, None, true),
+      (3L, "de", "s2", 30L, 1L, None, true)))
+    val ch = chFrame(Seq(
+      (1L, "en", "s1", 99L, "upsert"),
+      (3L, null, null, 0L, "delete")))
+    val once = Snapshot.scdApply(dim, ch, 2L)
+    // replay at version 3: the upsert now matches the open version's
+    // attributes (no-op) and the delete finds no current row — nothing
+    // changes but the pass-through
+    val twice = Snapshot.scdApply(once, ch, 3L)
+      .as[(Long, String, String, Long, Long, Option[Long], Boolean)]
+      .collect().toSet
+    val onceSet = once
+      .as[(Long, String, String, Long, Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(twice == onceSet)
+  }
+
+  test("scdApply: the dimension side never shuffles (broadcast joins only)") {
+    val dim = dimFrame(Seq((1L, "en", "s1", 12L, 1L, None, true)))
+    val ch = chFrame(Seq((1L, "en", "s1", 99L, "upsert")))
+    val plan = Snapshot.scdApply(dim, ch, 2L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
+  }
+
   test("document text never enters the diff join (fingerprints only)") {
     val old = frame(Seq((1L, "some long body", "a")))
     val neu = frame(Seq((1L, "some long body", "a")))
