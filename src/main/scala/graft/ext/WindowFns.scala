@@ -165,6 +165,48 @@ object WindowFns {
   def w8Funnel(spark: SparkSession, dir: String): DataFrame =
     funnelCard(Tables.events(spark, dir))
 
+  /** W10 — OHLC resample bars per (event_type, hour): open/high/low/
+    * close/count/sum — the downsampling verb every time-series store
+    * exposes (candlesticks, sensor rollups, metric bars). First/last
+    * are ORDER-SENSITIVE aggregates that Spark has no ordered-agg
+    * syntax for; the windowless device is `min_by`/`max_by` over a
+    * (unix_micros, event_id) struct — declarative aggregates with
+    * map-side partial merge, so the whole query is ONE hash shuffle on
+    * (type, hour) with partial aggregation, no corpus sort, no window.
+    * A row_number() formulation would sort every partition; this plan's
+    * per-bar cost is O(rows) with O(1) state per bar.
+    *
+    * The ordering key is unix_MICROS, not the raw timestamp, because
+    * the parquet stamps are nanos and the engines must tie-break
+    * identically after Spark's nanos→micros truncation (the oracle
+    * mirrors with epoch_ns // 1000); event_id makes the key unique so
+    * first/last are deterministic, not partition-order luck. Sums of
+    * doubles round(2) (abs error ~1e-10 relative, far below the
+    * rounding grain); open/close are exact row picks and high/low exact
+    * extrema, so the bar values are engine-exact. */
+  def w10OhlcBars(spark: SparkSession, dir: String): DataFrame =
+    ohlcBars(Tables.events(spark, dir))
+
+  /** The OHLC kernel over a caller-supplied (event_type, event_id, ts,
+    * value) frame — split out so order-sensitivity (open/close pick by
+    * (micros, event_id), not arrival luck) pins on planted rows in
+    * OhlcSpec, independent of the oracle. */
+  def ohlcBars(events: DataFrame): DataFrame = {
+    val orderKey = struct(expr("unix_micros(ts)").as("us"), col("event_id"))
+    events
+      .select(col("event_type"), col("value"), col("event_id"), col("ts"),
+        floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("hour_idx"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(
+        min_by(col("value"), orderKey).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        max_by(col("value"), orderKey).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -242,6 +284,7 @@ object WindowFns {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w9_cohort_retention" -> w9CohortRetention,
+    "w10_ohlc_bars" -> w10OhlcBars,
     "w8_funnel" -> w8Funnel,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
@@ -253,6 +296,21 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    "w10_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events)
+        |SELECT event_type, hour_idx,
+        |  first(value ORDER BY us, event_id) AS open,
+        |  round(max(value), 2) AS high,
+        |  round(min(value), 2) AS low,
+        |  last(value ORDER BY us, event_id) AS close,
+        |  count(*) AS n_events,
+        |  round(sum(value), 2) AS value_sum
+        |FROM e GROUP BY event_type, hour_idx
+        |ORDER BY event_type, hour_idx""".stripMargin,
     "w9_cohort_retention" ->
       """WITH w AS (
         |  SELECT user_id,

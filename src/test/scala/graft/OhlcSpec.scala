@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.WindowFns
+
+/** W10 OHLC bars: open/close must be order-DEFINED (earliest/latest by
+  * (micros, event_id)), not partition-order luck, and the plan must be a
+  * single partial-aggregated hash shuffle — no window, no corpus sort. */
+class OhlcSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private val events = Seq(
+    // one bar: hour 2024-01-01 00:xx, type "m"
+    (0L, ts("2024-01-01 00:05:00"), "m", 10.0),
+    (1L, ts("2024-01-01 00:01:00"), "m", 7.0),   // earliest → open
+    (2L, ts("2024-01-01 00:30:00"), "m", 99.5),  // high
+    (3L, ts("2024-01-01 00:59:00"), "m", 3.25),  // latest → close, low
+    // same-microsecond tie: event_id breaks it deterministically
+    (4L, ts("2024-01-01 01:00:00"), "m", 5.0),   // open of hour 1 (id 4 < 5)
+    (5L, ts("2024-01-01 01:00:00"), "m", 6.0),   // close of hour 1
+    // other type, own bar
+    (6L, ts("2024-01-01 00:10:00"), "x", 1.0)
+  ).toDF("event_id", "ts", "event_type", "value")
+
+  test("hand-computed bars: open/high/low/close/count/sum per (type, hour)") {
+    val out = WindowFns.ohlcBars(events).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6), r.getDouble(7))))
+      .toMap
+    val h0 = 473352L // floor(epoch('2024-01-01 00:00')/3600), UTC session
+    assert(out(("m", h0)) == ((7.0, 99.5, 3.25, 3.25, 4L, 119.75)))
+    assert(out(("m", h0 + 1)) == ((5.0, 6.0, 5.0, 6.0, 2L, 11.0)))
+    assert(out(("x", h0)) == ((1.0, 1.0, 1.0, 1.0, 1L, 1.0)))
+    assert(out.size == 3)
+  }
+
+  test("open/close are (micros, event_id)-defined even when input order is reversed") {
+    val reversed = events.orderBy(col("event_id").desc).repartition(4)
+    val a = WindowFns.ohlcBars(events).collect().map(_.toSeq).toSet
+    val b = WindowFns.ohlcBars(reversed).collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("plan: one hash aggregate pass, no Window, no corpus Sort before the agg") {
+    val plan = WindowFns.ohlcBars(events).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "OHLC must not plan a window")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+    // one hash-partition shuffle for the agg + the presentation range sort
+    assert(shuffles <= 2, s"too many exchanges:\n$plan")
+    assert(plan.contains("partial_min_by") || plan.contains("partial_"),
+      "aggregation must be map-side partial")
+  }
+}
