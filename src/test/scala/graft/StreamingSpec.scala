@@ -742,6 +742,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(fold.estimate == before)
   }
 
+  test("a18' quantile stream fold: per-batch grid histograms fold to the " +
+    "EXACT batch histogram; bounds serve through the shared a18 kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.QuantileStreamFold(grain = 100.0)
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("qfold").toString
+    val q = fold.start(in.toDF().toDF("id", "v"), "v", ckpt)
+    // skewed values split across batches so no batch's own quantiles
+    // match the whole-stream quantiles
+    val b1 = (0 until 500).map(i => (i.toLong, i.toDouble))          // 0..499
+    val b2 = (500 until 800).map(i => (i.toLong, (i * 10).toDouble)) // 5000..7990
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+    // exact histogram equality with the one-pass batch aggregate
+    // (integer addition is commutative/associative — no tolerance)
+    val landed = (b1 ++ b2).toDF("id", "v")
+    val batchHist = landed
+      .select(floor(col("v") / 100.0).cast("long").as("bin"))
+      .groupBy("bin").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(fold.histogram == batchHist)
+    // bounds: SAME kernel as a18/s18 over the same histogram → equal
+    assert(fold.bounds(4) == graft.etl.Analyze.equidepthBounds(batchHist, 4))
+    // restart recipe: rebuild from the landed corpus is EXACTLY the
+    // continuous fold (not estimator tolerance)
+    val f2 = new graft.streaming.QuantileStreamFold(grain = 100.0)
+    f2.rebuildFrom(landed, "v")
+    assert(f2.histogram == fold.histogram)
+    // foreachBatch RETRY: a re-delivered batchId must not double-count
+    val before = fold.histogram
+    fold.onBatch(b2.toDF("id", "v"), 1L, "v") // id 1 already folded
+    assert(fold.histogram == before)
+  }
+
+  test("a18' quantile fold fails fast (not OOM) when the value range " +
+    "outgrows the bin cap") {
+    import spark.implicits._
+    val fold = new graft.streaming.QuantileStreamFold(grain = 1.0, maxBins = 10)
+    val wide = (0 until 50).map(i => (i.toLong, i * 1000.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      fold.foldBatch(wide, "v")
+    }
+    assert(e.getMessage.contains("raise grain"))
+  }
+
   test("d1' Bloom dedup soundness under fpp stress: even a half-full-of-" +
     "lies filter NEVER ships a duplicate (false negatives impossible)") {
     import spark.implicits._
