@@ -256,10 +256,53 @@ object Snapshot {
       .orderBy(col("source"), col("is_current"))
   }
 
+  /** D40 — order-independent table checksum, the RECONCILIATION verb:
+    * "are these two copies of a 100 TB table identical?" answered by
+    * exchanging O(|sources|) rows instead of either copy. Each row
+    * collapses to a 60-bit md5-prefix fingerprint at the scan (text
+    * never moves — the d2/d26 discipline), then per source three
+    * commutative aggregates: count, XOR of fingerprints, and a
+    * mod-prime fingerprint sum. XOR alone is blind to an even number
+    * of repeats of the same row; the additive mod-sum alone wraps —
+    * together a mismatch of either count, multiset, or content flips
+    * at least one. All three are map-side-combinable and
+    * ORDER-INDEPENDENT, so the checksum is invariant to partitioning,
+    * row order, and engine — which is the whole point: the DuckDB
+    * oracle replaying the same arithmetic over the same parquet IS a
+    * cross-engine reconciliation run. The fingerprint sum stays
+    * mod 1e9+7 so ~2^33 rows fit a BIGINT without overflow (ANSI-mode
+    * Spark would throw on a raw 60-bit sum; wrap semantics would be
+    * engine-specific).
+    *
+    * Row string: every column coalesced to '' (both engines would
+    * otherwise SKIP a null in concat_ws, silently aligning "null lang"
+    * with "empty lang") with an unprintable separator so adjacent
+    * fields can't collide. */
+  def d40TableChecksum(spark: SparkSession, dir: String): DataFrame =
+    tableChecksum(Tables.documents(spark, dir))
+
+  /** The checksum kernel over a caller-supplied documents-shaped frame
+    * — split out so partition/order invariance and single-character
+    * sensitivity pin on planted rows in SnapshotSpec. */
+  def tableChecksum(docs: DataFrame): DataFrame = {
+    val rowStr = concat_ws("\u0001",
+      col("doc_id").cast("string"), coalesce(col("text"), lit("")),
+      coalesce(col("lang"), lit("")), coalesce(col("source"), lit("")),
+      coalesce(col("n_chars").cast("string"), lit("")))
+    docs
+      .withColumn("fp", conv(substring(md5(rowStr), 1, 15), 16, 10).cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(fp)").as("xor_fp"),
+        sum(col("fp") % lit(1000000007L)).as("sum_fp_mod"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d26_snapshot_diff" -> d26SnapshotDiff,
     "d33_merge_upsert" -> d33MergeUpsert,
-    "d39_scd2" -> d39Scd2
+    "d39_scd2" -> d39Scd2,
+    "d40_table_checksum" -> d40TableChecksum
   )
 
   val oracle: Map[String, String] = Map(
@@ -284,6 +327,20 @@ object Snapshot {
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
         |  min(substr(md5(text), 1, 16)) AS min_fp
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "d40_table_checksum" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(
+        |      concat_ws(chr(1),
+        |        CAST(doc_id AS VARCHAR), coalesce(text, ''),
+        |        coalesce(lang, ''), coalesce(source, ''),
+        |        coalesce(CAST(n_chars AS VARCHAR), ''))
+        |    ), 1, 15)) AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        |  bit_xor(fp) AS xor_fp,
+        |  CAST(sum(fp % 1000000007) AS BIGINT) AS sum_fp_mod
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "d39_scd2" ->
       s"""WITH survivors AS (
         |  SELECT doc_id, source, n_chars,

@@ -169,6 +169,43 @@ class SnapshotSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"))
   }
 
+  test("table checksum is invariant to row order and partitioning (D40)") {
+    val docs = Seq(
+      (1L, "alpha", "en", "s1", 5L),
+      (2L, "beta", "fr", "s1", 4L),
+      (3L, "gamma", "de", "s2", 5L),
+      (4L, null.asInstanceOf[String], "de", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Snapshot.tableChecksum(docs).collect().map(_.toSeq).toSeq
+    val b = Snapshot.tableChecksum(
+      docs.orderBy($"doc_id".desc).repartition(7)).collect().map(_.toSeq).toSeq
+    assert(a == b) // including output order (sorted by source)
+  }
+
+  test("table checksum flips on any single-field change, and null != ''-adjacent shifts") {
+    val base = Seq((1L, "alpha", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val baseSum = Snapshot.tableChecksum(base).collect().head.toSeq
+    val variants = Seq(
+      Seq((1L, "alphb", "en", "s1", 5L)),               // content bit
+      Seq((2L, "alpha", "en", "s1", 5L)),               // key
+      Seq((1L, "alpha", "fr", "s1", 5L)),               // attr
+      Seq((1L, "alpha", "en", "s1", 6L)),               // metric
+      // separator discipline: ("alphae","n") must not equal ("alpha","en")
+      Seq((1L, "alphae", "n", "s1", 5L)))
+    variants.foreach { v =>
+      val s = Snapshot.tableChecksum(
+        v.toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .collect().head.toSeq
+      assert(s != baseSum, s"checksum blind to change: $v")
+    }
+    // XOR blind spot (paired repeats cancel) is covered by the count +
+    // mod-sum legs: a doubled row must still flip the checksum triple
+    val doubled = Seq((1L, "alpha", "en", "s1", 5L), (1L, "alpha", "en", "s1", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Snapshot.tableChecksum(doubled).collect().head.toSeq != baseSum)
+  }
+
   test("document text never enters the diff join (fingerprints only)") {
     val old = frame(Seq((1L, "some long body", "a")))
     val neu = frame(Seq((1L, "some long body", "a")))
