@@ -712,7 +712,50 @@ object Curate {
       .orderBy(col("source"))
   }
 
+  /** Seed and sample size shared with the d41 oracle. */
+  private[ext] val D41Seed = 11L
+  private[ext] val D41K = 20
+
+  /** D41 — weighted priority sampling (Efraimidis–Spirakis 2006): a
+    * without-replacement sample where row i's inclusion odds are
+    * proportional to its weight — here n_chars, the "sample documents
+    * proportional to token mass" device a data-mixing pass uses so a
+    * 100-char doc and a 10k-char doc don't get equal say. E–S keys each
+    * row by u^(1/w) (u uniform); taking the top-k of that key IS a
+    * weighted without-replacement draw. Monotone-equivalently we rank
+    * ln(u)/w (one ln + one divide), with u = (hash+1)/2^60 derived from
+    * the SAME seeded-md5 device as d22/d28 — deterministic,
+    * reproducible across engines/retries, no RNG state.
+    *
+    * 100 TB shape: the key is a pure per-row expression (zero shuffle
+    * before the top-k) and the draw is TakeOrderedAndProject — per-
+    * partition top-k then a k-row merge, never a global sort. Priority
+    * rounds(8) BEFORE ranking (the t6 libm discipline — ln ulps must
+    * not flip ranks) with doc_id as the total tie-break. */
+  def d41WeightedSample(spark: SparkSession, dir: String): DataFrame =
+    weightedSampleDf(Tables.documents(spark, dir), D41K, D41Seed)
+
+  /** The E–S draw over a caller-supplied documents-shaped frame —
+    * split out so CurateSpec can pin the weighted-inclusion property
+    * and the Spark plan to a driver-side replay of the same md5/ln
+    * arithmetic, across seeds. */
+  private[graft] def weightedSampleDf(docs: DataFrame, k: Int,
+                                      seed: Long): DataFrame = {
+    val knum = conv(substring(
+      TrainOrder.shuffleKey(col("doc_id"), seed), 1, 15), 16, 10)
+      .cast("long")
+    val u = (knum + lit(1L)).cast("double") / lit(math.pow(2, 60))
+    docs
+      .filter(col("n_chars") > 0)
+      .withColumn("priority", round(log(u) / col("n_chars"), 8))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        col("priority"))
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d41_weighted_sample" -> d41WeightedSample,
     "d24_curation_funnel" -> d24CurationFunnel,
     "d10_decontaminate" -> d10Decontaminate,
     "d35_bloom_decontaminate" -> d35BloomDecontaminate,
@@ -729,6 +772,18 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "d41_weighted_sample" ->
+      s"""WITH k AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    CAST(('0x' || substr(
+        |      md5(CAST(doc_id AS VARCHAR) || ':$D41Seed'), 1, 15)) AS BIGINT)
+        |      AS knum
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, lang, source, n_chars,
+        |  round(ln((knum + 1) / 1152921504606846976.0) / n_chars, 8)
+        |    AS priority
+        |FROM k
+        |ORDER BY priority DESC, doc_id LIMIT $D41K""".stripMargin,
     "d29_quality_cutoff" ->
       s"""WITH q AS (
         |  SELECT source,

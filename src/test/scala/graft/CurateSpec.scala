@@ -401,4 +401,50 @@ class CurateSpec extends AnyFunSuite {
     assert(got.count(_._1 == "en") == 2)
     assert(got.filter(_._1 == "fr").map(x => (x._2, x._3)).toSeq == Seq((1L, 10L)))
   }
+
+  /** Driver-side replay of the d41 key: same md5 prefix, same
+    * (knum+1)/2^60, same ln(u)/w. */
+  private def esPriority(docId: Long, w: Long, seed: Long): Double = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$docId:$seed".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / math.pow(2, 60)
+    math.log(u) / w
+  }
+
+  test("weighted sample: Spark output equals the driver replay of the E-S key (D41)") {
+    val docs = (1L to 30L).map(i => (i, "t", "en", "s", i * 3))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Curate.weightedSampleDf(docs, 5, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getDouble(4)))
+    val expect = (1L to 30L)
+      .map(i => (i, BigDecimal(esPriority(i, i * 3, 42L))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (id, p) => (-p, id) }.take(5)
+    assert(got.toSeq == expect)
+  }
+
+  test("weighted sample is invariant to partitioning and input order") {
+    val docs = (1L to 50L).map(i => (i, "t", "en", "s", 1L + i % 7))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Curate.weightedSampleDf(docs, 8, 7L).collect().map(_.toSeq).toSeq
+    val b = Curate.weightedSampleDf(
+      docs.orderBy($"doc_id".desc).repartition(9), 8, 7L)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("weighted sample: inclusion frequency tracks weight (E-S property)") {
+    // pure driver arithmetic across 2000 seeds — the math property,
+    // independent of Spark: weights 8:1:1 over three rows, top-1 drawn
+    // per seed; row A should win ~80% of draws
+    val weights = Map(1L -> 8L, 2L -> 1L, 3L -> 1L)
+    val wins = (1 to 2000).map { seed =>
+      weights.toSeq.map { case (id, w) =>
+        (id, esPriority(id, w, seed.toLong))
+      }.maxBy(_._2)._1
+    }
+    val aShare = wins.count(_ == 1L) / 2000.0
+    assert(math.abs(aShare - 0.8) < 0.04, s"share $aShare, expected ~0.8")
+  }
 }
