@@ -134,7 +134,42 @@ object Projections {
       .limit(10)
   }
 
+  /** P10 — join-size forecast: the planning number a 100 TB join needs
+    * BEFORE anyone shuffles 100 TB — |A ⋈ B on k| computed exactly from
+    * two cheap per-key count histograms, since the join's cardinality
+    * is Σ_k cA(k)·cB(k). Each histogram is one map-side-combined
+    * aggregate of a single key column (the only corpus-sized work —
+    * narrow, no fact row ever joins); the product/top-k stage runs on
+    * KEY-cardinality-sized frames. The per-key contributions double as
+    * the skew forecast: a key carrying 30% of the output is the one to
+    * salt or let AQE split. This is the measured version of what a CBO
+    * estimates from NDV sketches — same number, exact, for one narrow
+    * pass per side. */
+  def p10JoinForecast(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = joinForecast(
+      Tables.events(spark, dir).select(col("user_id")),
+      Tables.orders(spark, dir).select(col("o_custkey").as("user_id")),
+      "user_id")
+    val total = pairs.agg(sum(col("n_pairs")).as("total_pairs"))
+    pairs.crossJoin(broadcast(total))
+      .select(col("user_id"), col("n_left"), col("n_right"), col("n_pairs"),
+        round(col("n_pairs") * 100.0 / col("total_pairs"), 4).as("share_pct"))
+      .orderBy(col("n_pairs").desc, col("user_id"))
+      .limit(10)
+  }
+
+  /** The forecast kernel: per-key (n_left, n_right, n_pairs) for every
+    * key present on BOTH sides — Σ n_pairs IS the inner-join output
+    * cardinality (exact, not an estimate), pinned against the real join
+    * in ForecastSpec. */
+  private[graft] def joinForecast(left: DataFrame, right: DataFrame,
+                                  key: String): DataFrame =
+    left.groupBy(col(key)).agg(count(lit(1)).as("n_left"))
+      .join(right.groupBy(col(key)).agg(count(lit(1)).as("n_right")), Seq(key))
+      .withColumn("n_pairs", col("n_left") * col("n_right"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_join_forecast" -> p10JoinForecast,
     "p9_skew_profile" -> p9SkewProfile,
     "p8_column_profile" -> p8ColumnProfile,
     "p1_dedup_exact" -> p1DedupExact,
@@ -150,6 +185,18 @@ object Projections {
   )
 
   val oracle: Map[String, String] = Map(
+    "p10_join_forecast" ->
+      """WITH l AS (SELECT user_id, count(*) AS n_left
+        |           FROM events GROUP BY user_id),
+        |r AS (SELECT o_custkey AS user_id, count(*) AS n_right
+        |      FROM orders GROUP BY o_custkey),
+        |p AS (SELECT user_id, n_left, n_right, n_left * n_right AS n_pairs
+        |      FROM l JOIN r USING (user_id)),
+        |t AS (SELECT sum(n_pairs) AS total_pairs FROM p)
+        |SELECT user_id, n_left, n_right, n_pairs,
+        |  round(n_pairs * 100.0 / total_pairs, 4) AS share_pct
+        |FROM p CROSS JOIN t
+        |ORDER BY n_pairs DESC, user_id LIMIT 10""".stripMargin,
     "p9_skew_profile" ->
       """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
         |t AS (SELECT sum(n) AS total FROM c)

@@ -225,7 +225,57 @@ object Joins {
       .limit(10)
   }
 
+  /** Constants shared with the j9 oracle: the simulated stale-parent
+    * gaps — orders missing ≡ J9OrdDrop (mod J9OrdMod) orphan their
+    * lineitems, customers missing ≡ J9CustDrop (mod J9CustMod) orphan
+    * their orders. */
+  private[ext] val J9OrdMod = 1000
+  private[ext] val J9OrdDrop = 7
+  private[ext] val J9CustMod = 100
+  private[ext] val J9CustDrop = 3
+
+  /** J9 — referential-integrity orphan audit: child rows whose parent
+    * key is absent (lineitem→orders, orders→customer) — the
+    * constraint check a warehouse without enforced FKs runs after
+    * every load, exercised here against deterministically-thinned
+    * parents so the audit has something to find. Each relationship is
+    * one LEFT ANTI equi-join: the child never carries more than its
+    * key + grouping column into the shuffle, the anti join is
+    * AQE-splittable on skew, and both legs report (n_child, n_orphans,
+    * orphan id checksum) so the oracle proves WHICH rows are orphaned,
+    * not just how many. At warehouse scale the parent side of an anti
+    * join hash-builds per partition; store both tables bucketed by the
+    * FK (writeBucketed) and the exchange disappears entirely. */
+  def j9OrphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(spark, dir)
+    val thinnedOrders = orders
+      .filter(col("o_orderkey") % J9OrdMod =!= J9OrdDrop)
+      .select(col("o_orderkey"))
+    val thinnedCust = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % J9CustMod =!= J9CustDrop)
+      .select(col("c_custkey"))
+    val liOrphans = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"))
+      .join(thinnedOrders, col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val ordOrphans = orders.select(col("o_orderkey"), col("o_custkey"))
+      .join(thinnedCust, col("o_custkey") === col("c_custkey"), "left_anti")
+    val liReport = Tables.lineitem(spark, dir)
+      .agg(lit("lineitem->orders").as("relationship"),
+        count(lit(1)).as("n_child"))
+      .crossJoin(broadcast(liOrphans.agg(
+        count(lit(1)).as("n_orphans"),
+        coalesce(sum(col("l_orderkey")), lit(0L)).as("orphan_key_sum"))))
+    val ordReport = orders
+      .agg(lit("orders->customer").as("relationship"),
+        count(lit(1)).as("n_child"))
+      .crossJoin(broadcast(ordOrphans.agg(
+        count(lit(1)).as("n_orphans"),
+        coalesce(sum(col("o_orderkey")), lit(0L)).as("orphan_key_sum"))))
+    liReport.unionByName(ordReport).orderBy(col("relationship"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j9_orphan_audit" -> j9OrphanAudit,
     "j7_band_join" -> j7BandJoin,
     "j1_inner_join" -> j1InnerJoin,
     "j2_left_outer" -> j2LeftOuter,
@@ -238,6 +288,28 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "j9_orphan_audit" ->
+      s"""WITH li AS (
+        |  SELECT count(*) AS n_orphans,
+        |    coalesce(CAST(sum(l_orderkey) AS BIGINT), 0) AS orphan_key_sum
+        |  FROM lineitem
+        |  WHERE l_orderkey NOT IN (
+        |    SELECT o_orderkey FROM orders
+        |    WHERE o_orderkey % $J9OrdMod != $J9OrdDrop)),
+        |od AS (
+        |  SELECT count(*) AS n_orphans,
+        |    coalesce(CAST(sum(o_orderkey) AS BIGINT), 0) AS orphan_key_sum
+        |  FROM orders
+        |  WHERE o_custkey NOT IN (
+        |    SELECT c_custkey FROM customer
+        |    WHERE c_custkey % $J9CustMod != $J9CustDrop))
+        |SELECT 'lineitem->orders' AS relationship,
+        |  (SELECT count(*) FROM lineitem) AS n_child,
+        |  n_orphans, orphan_key_sum FROM li
+        |UNION ALL
+        |SELECT 'orders->customer',
+        |  (SELECT count(*) FROM orders), n_orphans, orphan_key_sum FROM od
+        |ORDER BY relationship""".stripMargin,
     "j7_band_join" ->
       """SELECT a.o_orderkey AS id_a, b.o_orderkey AS id_b,
         |  round(abs(a.o_totalprice - b.o_totalprice), 2) AS diff

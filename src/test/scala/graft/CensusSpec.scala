@@ -36,6 +36,8 @@ class CensusSpec extends AnyFunSuite {
     "t6_tfidf",                 // broadcast doc-count singleton
     "t19_bm25_topk",            // broadcast collection-stats singleton
     "p9_skew_profile",          // broadcast corpus-total singleton
+    "p10_join_forecast",        // broadcast pair-total singleton
+    "j9_orphan_audit",          // broadcast orphan-count singletons
     "t17_pmi_phrases",          // broadcast token/bigram-total singletons
     "d36_cluster_quality")      // inherits d5's bounded pair kernel
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.etl.Projections
+import graft.ext.Joins
+
+/** P10 join-size forecast and J9 orphan audit: the forecast must be
+  * EXACT (it is arithmetic, not an estimate), and the audit must find
+  * precisely the planted orphans. */
+class ForecastSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("forecast total equals the real inner-join cardinality, incl. skew (P10)") {
+    // skewed left (key 1 hot), right with partial overlap and dup keys
+    val left = (Seq.fill(40)(1L) ++ Seq(2L, 2L, 3L, 5L)).toDF("k")
+    val right = (Seq.fill(3)(1L) ++ Seq(2L, 4L, 4L)).toDF("k")
+    val forecast = Projections.joinForecast(left, right, "k")
+    val total = forecast.agg(sum(col("n_pairs"))).head().getLong(0)
+    val actual = left.join(right, Seq("k")).count()
+    assert(total == actual)
+    assert(total == 40L * 3 + 2L * 1) // hand arithmetic: key1 + key2
+    // per-key rows: only keys present on BOTH sides
+    val keys = forecast.select(col("k")).collect().map(_.getLong(0)).toSet
+    assert(keys == Set(1L, 2L))
+  }
+
+  test("orphan audit finds exactly the planted gaps at sf0.001 (J9)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Joins.j9OrphanAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // replay the thinning rule directly per relationship
+    val orders = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val expLi = li.filter(col("l_orderkey") % 1000 === 7)
+    val expOrd = orders.filter(col("o_custkey") % 100 === 3)
+    assert(rows("lineitem->orders") ==
+      ((li.count(), expLi.count(),
+        expLi.agg(coalesce(sum(col("l_orderkey")), lit(0L))).head().getLong(0))))
+    assert(rows("orders->customer") ==
+      ((orders.count(), expOrd.count(),
+        expOrd.agg(coalesce(sum(col("o_orderkey")), lit(0L))).head().getLong(0))))
+  }
+}
