@@ -320,7 +320,69 @@ object Analyze {
       sourceStats(docs.filter(isBatch)))
   }
 
+  /** A21 — per-group trend regression: OLS slope/intercept/R² of value
+    * over time per event type — the drift detector a sensor fleet runs
+    * ("is this channel creeping upward?"), and the trend number the
+    * reference's dashboard eyeballs from a raw plot.
+    *
+    * The determinism device: corpus-wide regressions over raw doubles
+    * are NOT engine-exact (Σxy accumulates in engine-specific order),
+    * so both axes rescale to EXACT integers first — x = epoch-hour
+    * offset from the group's min hour (≤ ~10⁴ for a year), y =
+    * round(value·100) (the data's native 2-dp grain as a long). Every
+    * OLS moment (n, Σx, Σy, Σxy, Σx², Σy²) is then an exact integer
+    * sum — order-immune and overflow-safe by construction (Σx²·n ≲ 10¹⁴)
+    * — and slope/R² are a handful of exact-integer double divisions,
+    * identical on both engines before the final round. One map-side-
+    * combined aggregate per group; the min-hour offset table is
+    * group-cardinality-sized and broadcasts back. */
+  def a21TrendRegression(spark: SparkSession, dir: String): DataFrame =
+    trendRegression(Tables.events(spark, dir))
+
+  /** The integer-moment OLS kernel over a caller-supplied events-shaped
+    * frame — split out so PropertySpec can pin exact-line recovery
+    * (slope/intercept/R²=1) and the rescale round-trip on planted
+    * rows. */
+  private[graft] def trendRegression(events: DataFrame): DataFrame = {
+    val e = events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("h"),
+        round(col("value") * 100, 0).cast("long").as("y"))
+    val minH = e.groupBy(col("event_type")).agg(min(col("h")).as("h0"))
+    val xy = e.join(broadcast(minH), Seq("event_type"))
+      .withColumn("x", col("h") - col("h0"))
+    val m = xy.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    // slope in value-units per hour: the y/100 rescale divides straight
+    // back out of the integer moments
+    val nD = col("n").cast("double")
+    val cov = nD * col("sxy") - col("sx").cast("double") * col("sy")
+    val varX = nD * col("sxx") - col("sx").cast("double") * col("sx")
+    val varY = nD * col("syy") - col("sy").cast("double") * col("sy")
+    // explicit degenerate-variance guards (the funnelCard x/0 lesson,
+    // sharpened by ANSI mode ERRORING on double division by zero): a
+    // single-hour group has no slope to report, a constant-y group has
+    // no variance to explain — NULL on both engines, never an
+    // engine-specific Inf/NaN/exception
+    m.select(col("event_type"), col("n"),
+        when(varX === 0.0, lit(null).cast("double"))
+          .otherwise(round(cov / varX / 100.0, 6)).as("slope_per_hour"),
+        when(varX === 0.0, lit(null).cast("double"))
+          .otherwise(round(
+            (col("sy") / 100.0 - cov / varX * col("sx") / 100.0) / nD, 4))
+          .as("intercept"),
+        when(varX * varY === 0.0, lit(null).cast("double"))
+          .otherwise(round(cov * cov / (varX * varY), 6)).as("r2"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a21_trend_regression" -> a21TrendRegression,
     "a20_incremental_agg" -> a20IncrementalAgg,
     "a19_robust_outliers" -> a19RobustOutliers,
     "a18_equidepth_hist" -> a18EquidepthHist,
@@ -368,6 +430,38 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a21_trend_regression" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL),
+        |x0 AS (SELECT event_type, min(h) AS h0 FROM e GROUP BY event_type),
+        |xy AS (SELECT e.event_type, e.h - x0.h0 AS x, e.y
+        |       FROM e JOIN x0 USING (event_type)),
+        |m AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM xy GROUP BY event_type),
+        |d AS (
+        |  SELECT event_type, n,
+        |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+        |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS varx,
+        |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vary,
+        |    sx, sy
+        |  FROM m)
+        |SELECT event_type, n,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE round(cov / varx / 100.0, 6) END AS slope_per_hour,
+        |  CASE WHEN varx = 0 THEN NULL
+        |       ELSE round((sy / 100.0 - cov / varx * sx / 100.0)
+        |                  / CAST(n AS DOUBLE), 4) END AS intercept,
+        |  CASE WHEN varx * vary = 0 THEN NULL
+        |       ELSE round(cov * cov / (varx * vary), 6) END AS r2
+        |FROM d ORDER BY event_type""".stripMargin,
     // a20's oracle IS the full recompute — the incremental merge is the
     // execution strategy, agg-over-everything is the checked claim
     // (merge(agg(A), agg(B)) = agg(A ∪ B) for algebraic aggregates)

@@ -237,4 +237,48 @@ class PropertySpec extends AnyFunSuite {
       assert(got.getDouble(3) == thr)
     }
   }
+
+  test("a21 trend regression recovers an exact planted line (slope, intercept, r2=1)") {
+    // y = 3.5 * x + 10.0 at hours 0..23 of 2024-01-01: values at 2-dp
+    // grain, so the integer-moment rescale loses nothing
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val up = (0 until 24).map { x =>
+      (x.toLong, new java.sql.Timestamp(base.getTime + x * 3600L * 1000),
+        "up", 3.5 * x + 10.0)
+    }
+    val flat = (0 until 24).map { x =>
+      (100L + x, new java.sql.Timestamp(base.getTime + x * 3600L * 1000),
+        "flat", 42.25)
+    }
+    val events = (up ++ flat).toDF("event_id", "ts", "event_type", "value")
+    val out = graft.etl.Analyze.trendRegression(events).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+      .toMap
+    assert(out("up") == ((24L, 3.5, 10.0, Some(1.0))))
+    // a perfectly flat line: slope 0, and r2's 0/0 reports NULL (no
+    // variance to explain) — never an engine-specific Inf/NaN/error
+    assert(out("flat") == ((24L, 0.0, 42.25, None)))
+  }
+
+  test("a21 degenerate groups report NULL, not Inf/NaN/ANSI errors") {
+    val oneHour = Seq( // two points in the SAME hour: varX = 0
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 05:10:00"), "t", 7.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 05:50:00"), "t", 9.0))
+      .toDF("event_id", "ts", "event_type", "value")
+    val r = graft.etl.Analyze.trendRegression(oneHour).collect().head
+    assert(r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
+
+  test("a21 slope is invariant to the hour offset (x recentering cancels)") {
+    def mk(startHour: Int) = (0 until 12).map { x =>
+      (x.toLong, java.sql.Timestamp.valueOf(
+        f"2024-03-01 ${startHour + x}%02d:00:00"), "t", 2.0 * x + 5.0)
+    }.toDF("event_id", "ts", "event_type", "value")
+    val a = graft.etl.Analyze.trendRegression(mk(0)).collect().head
+    val b = graft.etl.Analyze.trendRegression(mk(8)).collect().head
+    assert(a.getDouble(2) == b.getDouble(2) && a.getDouble(2) == 2.0)
+    assert(a.getDouble(4) == 1.0 && b.getDouble(4) == 1.0)
+  }
 }
