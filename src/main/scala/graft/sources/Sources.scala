@@ -50,10 +50,28 @@ object Sources {
     * ScaleJoinsSpec). This is the fact↔fact co-location strategy for keys
     * joined repeatedly at 100 TB. */
   def writeBucketed(df: DataFrame, nBuckets: Int, key: String,
-                    table: String): Unit =
+                    table: String): Unit = {
+    val spark = df.sparkSession
+    // The warehouse dir is /tmp/graft_warehouse_<pid> (Sessions.scala):
+    // PIDs recycle in a long-lived host, so a FRESH catalog can meet a
+    // LEFTOVER location from a dead JVM — `overwrite` only drops
+    // REGISTERED tables, and CREATE TABLE then fails with
+    // LOCATION_ALREADY_EXISTS. An unregistered location is garbage by
+    // construction (this session never wrote it): remove it.
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
     df.write.mode("overwrite")
       .bucketBy(nBuckets, key).sortBy(key)
       .saveAsTable(table)
+  }
 
   /** S2 — flatten the nested API payload shape
     * {location:{name,region,country,localtime},
