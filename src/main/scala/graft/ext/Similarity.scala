@@ -852,7 +852,80 @@ object Similarity {
   def sim7PqAnn(spark: SparkSession, dir: String): DataFrame =
     pqServe(spark, dir, pqIndexFor(spark, dir), queryVecId = 0L)
 
+  /** Pool, k, and trade-off weight shared with SimilaritySpec. */
+  private[ext] val Sim14Pool = 50
+  private[ext] val Sim14K = 10
+  private[ext] val Sim14Lambda = 0.7
+
+  /** SIM14 — MMR diversified top-k (maximal marginal relevance,
+    * Carbonell & Goldstein 1998): retrieval that refuses to spend its k
+    * slots on near-duplicates of one result — each pick maximizes
+    * λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s). The RAG/eval-set
+    * retrieval shape: a plain top-k over a corpus with duplicate
+    * clusters returns k copies of the best match; MMR returns the best
+    * match plus what ELSE the corpus knows.
+    *
+    * 100 TB shape: the sim7 exact-rerank split. Stage 1 (all the
+    * corpus-sized work) is the sim1 brute kernel — broadcast query
+    * vector, fused codegen cosine, TakeOrderedAndProject top-POOL; only
+    * pool×d doubles ever reach the driver (workload-sized by the
+    * caller's pool contract, the sim6 discipline). Stage 2 is the
+    * greedy MMR loop over the pool — O(k·pool) driver arithmetic on
+    * frames that no longer scale with the corpus. Scores round(4)
+    * before every argmax with vec_id tie-break, so selection order is
+    * deterministic across runs, partitionings, and JVMs. Rows-only by
+    * nature (the greedy recurrence has no SQL form); SimilaritySpec
+    * pins λ=1 ≡ plain top-k and the planted-cluster diversification
+    * property. */
+  def mmrTopK(spark: SparkSession, emb: DataFrame, queryVecId: Long,
+              pool: Int = Sim14Pool, k: Int = Sim14K,
+              lambda: Double = Sim14Lambda): DataFrame = {
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") === queryVecId).select(col("emb").as("qemb"))
+    val cands = e.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
+          .as("rel"),
+        col("emb"))
+      .orderBy(col("rel").desc, col("vec_id"))
+      .limit(pool)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Double](2).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0) 0.0 else d / denom
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Double, Double, Double)] // rank, id, rel, maxSim, mmr
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cands.map(c => c._1 -> c): _*)
+    while (selected.size < math.min(k, cands.length)) {
+      val scored = remaining.values.map { case (id, rel, v) =>
+        val maxSim =
+          if (chosen.isEmpty) 0.0 else r4(chosen.map(cos(v, _)).max)
+        (id, rel, maxSim, r4(lambda * rel - (1 - lambda) * maxSim))
+      }
+      val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      selected += ((selected.size + 1, best._1, best._2, best._3, best._4))
+      chosen += remaining(best._1)._3
+      remaining.remove(best._1)
+    }
+    selected.toSeq
+      .toDF("sel_rank", "vec_id", "rel", "max_sim_selected", "mmr")
+  }
+
+  def sim14MmrTopK(spark: SparkSession, dir: String): DataFrame =
+    mmrTopK(spark, Tables.embeddings(spark, dir), queryVecId = 0L)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim14_mmr_topk" -> sim14MmrTopK,
     "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,
     "sim2_ann_lsh" -> sim2AnnLsh,

@@ -386,4 +386,51 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(0) == ((3L, 1.7412, 0.0, 5.0, 1L, 2L)))
     assert(got(1) == ((1L, 1.0, 1.0, 1.0, 0L, 0L)))
   }
+
+  /** Three tight planted clusters around orthogonal axes, query nearest
+    * cluster A: plain top-k drowns in cluster A; MMR must spread. */
+  private def mmrCorpus = {
+    def jitter(base: Array[Float], eps: Float) =
+      base.zipWithIndex.map { case (v, i) => v + eps * (1 + i % 3) / 100f }
+    val a = Array(1f, 0f, 0f, 0f); val b = Array(0f, 1f, 0f, 0f)
+    val c = Array(0f, 0f, 1f, 0f)
+    val q = Array(0.9f, 0.3f, 0.3f, 0f) // closest to A, sees B and C too
+    (Seq((0L, q)) ++
+      (1 to 5).map(i => (10L + i, jitter(a, i.toFloat))) ++
+      (1 to 5).map(i => (20L + i, jitter(b, i.toFloat))) ++
+      (1 to 5).map(i => (30L + i, jitter(c, i.toFloat))))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("MMR spreads picks across planted clusters where plain top-k stays in one (SIM14)") {
+    val out = Similarity.mmrTopK(spark, mmrCorpus, 0L, pool = 15, k = 3,
+      lambda = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(out.length == 3)
+    val clusters = out.map(_._2 / 10).toSet
+    assert(clusters == Set(1L, 2L, 3L),
+      s"MMR picked $out — expected one per cluster")
+    // first pick is pure relevance: the best A-cluster member
+    assert(out.head._2 / 10 == 1L)
+  }
+
+  test("MMR with lambda=1 degenerates to plain relevance top-k (SIM14)") {
+    val out = Similarity.mmrTopK(spark, mmrCorpus, 0L, pool = 15, k = 5,
+      lambda = 1.0)
+      .collect().map(_.getLong(1)).toSeq
+    val plain = Similarity.mmrTopK(spark, mmrCorpus, 0L, pool = 15, k = 15,
+      lambda = 1.0)
+      .collect().sortBy(_.getInt(0)).map(_.getLong(1)).take(5).toSeq
+    assert(out == plain)
+    // all five from cluster A — the behavior MMR exists to fix
+    assert(out.forall(_ / 10 == 1L))
+  }
+
+  test("MMR selection is deterministic under repartition/reorder (SIM14)") {
+    val a = Similarity.mmrTopK(spark, mmrCorpus, 0L).collect().map(_.toSeq).toSeq
+    val b = Similarity.mmrTopK(spark,
+      mmrCorpus.orderBy($"vec_id".desc).repartition(5), 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
 }
