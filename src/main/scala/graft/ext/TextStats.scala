@@ -475,6 +475,49 @@ object TextStats {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(Bm25TopK)
 
+  /** T21 — source-vocabulary overlap: pairwise Jaccard between the
+    * distinct token sets of every source pair — the corpus-comparison
+    * card ("is crawl B just crawl A again?", "does the new source add
+    * vocabulary or repeat it?") read before paying for a full cross-
+    * source dedup pass. One exploded pass reduces to DISTINCT
+    * (source, token) — map-side combined, VOCABULARY-bounded (the t5
+    * discipline), never corpus-bounded — then the intersection is a
+    * token equi-self-join whose per-token fan-out is capped by
+    * |sources|² (each token appears at most once per source per side),
+    * and the per-source sizes broadcast back onto the |sources|²-row
+    * result. Jaccard = |∩| / (|A|+|B|−|∩|) in exact integers, one
+    * rounded division. */
+  def t21SourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // Formulation note (measured, not guessed): a collect_set(source)-
+    // per-token shape halves the exchange count but plans an
+    // ObjectHashAggregate — outside whole-stage codegen, sort-fallback
+    // under pressure — and benched 3× SLOWER at 10× than this
+    // all-codegen distinct + self-join, whose per-token join fan-out is
+    // capped at |sources|² by construction. The three derivations of
+    // the distinct frame are narrow vocabulary-bounded shuffles (the t5
+    // discipline), paid inside HashAggregate codegen; census carries an
+    // explicit 8-exchange budget for them.
+    val st = Tables.documents(spark, dir)
+      .select(col("source"),
+        explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+    st.as("a").join(st.as("b"), Seq("token"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_tokens").as("n_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_tokens").as("n_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common") * 1.0 /
+          (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
   /** T7 — compression-ratio quality signal: deflate(text)/|text| per
     * doc, summarized per source. Repetitive or boilerplate text
     * compresses far below natural prose, making the ratio a cheap
@@ -736,6 +779,7 @@ object TextStats {
     "t17_pmi_phrases" -> t17PmiPhrases,
     "t6_tfidf" -> t6TfIdf,
     "t19_bm25_topk" -> t19Bm25TopK,
+    "t21_source_overlap" -> t21SourceOverlap,
     "t7_compression_ratio" -> t7CompressionRatio,
     "t8_repetition" -> t8Repetition,
     "d8_hash_sample" -> d8HashSample,
@@ -981,6 +1025,26 @@ object TextStats {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t21_source_overlap" ->
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source,
+        |      unnest(string_split(lower(coalesce(text, '')), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |sizes AS (SELECT source, count(*) AS n FROM st GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    count(*) AS n_common
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT source_a, source_b,
+        |  sa.n AS n_a, sb.n AS n_b, n_common,
+        |  round(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = source_a
+        |JOIN sizes sb ON sb.source = source_b
+        |ORDER BY source_a, source_b""".stripMargin,
     "t19_bm25_topk" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -52,7 +52,11 @@ class CensusSpec extends AnyFunSuite {
     "d11_rebalance" -> 8,       // per-stratum rate join + resample + order
     "d23_canonical_keep" -> 7,  // pair graph → components → keeper join
     "t6_tfidf" -> 7,            // tf, df, N singleton, join, top-k
-    "t17_pmi_phrases" -> 7      // unigram+bigram counts + 2 joins + totals
+    "t17_pmi_phrases" -> 7,     // unigram+bigram counts + 2 joins + totals
+    "t21_source_overlap" -> 8   // 3 derivations of the vocab-bounded
+                                // distinct frame, all codegen — measured
+                                // 3x faster than the 4-exchange
+                                // collect_set (ObjectHashAgg) shape
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local
