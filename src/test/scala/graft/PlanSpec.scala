@@ -426,4 +426,30 @@ class PlanSpec extends AnyFunSuite {
       s"sim7 rerank is not a broadcast semi-join:\n$p")
     assert(!p.contains("SortMergeJoin"), s"sim7 shuffle-joins:\n$p")
   }
+
+  test("BM25: no token explode, no shuffle join; top-k fused (t19)") {
+    val p = plan("t19_bm25_topk")
+    // per-term tf must be per-row HOF arithmetic — a (doc, token)
+    // explode would shuffle the corpus token stream to score 3 terms
+    assert(!p.contains("Generate"), s"t19 explodes tokens:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"t19 shuffle-joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"t19 global-sorts:\n$p")
+  }
+
+  test("weighted sample: zero shuffle before the fused top-k (d41)") {
+    val p = plan("d41_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"d41 global-sorts:\n$p")
+    assert(!p.contains("Window"), s"d41 plans a window:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+    assert(exchanges == 0, s"d41 shuffles before the draw:\n$p")
+  }
+
+  test("trend regression: broadcast offset join, no corpus shuffle join (a21)") {
+    val p = plan("a21_trend_regression")
+    assert(p.contains("BroadcastHashJoin"), s"a21 offset join not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"a21 shuffle-joins or windows:\n$p")
+  }
 }
