@@ -435,7 +435,38 @@ object Multimodal {
       .orderBy(col("source"))
   }
 
+  /** Shard byte budget shared with PackingSpec's conservation check. */
+  private[graft] val Mm7ShardBytes = 16384L
+
+  /** MM7 — training-shard manifest: pack media payloads into fixed-
+    * byte-budget shards (the WebDataset/tar-shard planning pass a
+    * multimodal dataloader runs before writing shards: sequential-read
+    * friendliness comes from ~equal-sized archives, not per-sample
+    * files — the same pathology s16's compaction repairs after the
+    * fact, avoided here at plan time). Exactly d9's FFD kernel over
+    * octet_length instead of token count — packing consumes only
+    * (doc_id, n_bytes), payload bytes never shuffle, shard ids fuse
+    * per partition. Rows-only like d9 (shard composition is partition-
+    * layout-dependent; any valid packing is correct) with the kernel's
+    * invariants pinned in PackingSpec, plus an mm7-specific
+    * byte-conservation pin against mm1's independent totals. */
+  def mm7ShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val payloads = Tables.documents(spark, dir)
+      .withColumn("payload", col("text").cast("binary"))
+      .select(col("doc_id"),
+        expr("octet_length(payload)").cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0 && col("n_tokens") <= Mm7ShardBytes)
+    Packing.packBins(payloads, Mm7ShardBytes).agg(
+      count(lit(1)).as("n_shards"),
+      sum(col("n_docs")).as("n_payloads"),
+      sum(col("fill")).as("total_bytes"),
+      round(avg(col("fill").cast("double") / Mm7ShardBytes), 4)
+        .as("avg_fill_ratio"),
+      max(col("fill")).as("max_fill"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm7_shard_manifest" -> mm7ShardManifest,
     "mm5_perceptual_neardup" -> mm5PerceptualNearDup,
     "mm2_decode_features" -> mm2DecodeFeatures,
     "mm3_frame_sample" -> mm3FrameSample,

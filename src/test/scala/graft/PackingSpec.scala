@@ -98,4 +98,17 @@ class PackingSpec extends AnyFunSuite {
         col("n_words").cast("long").as("n_tokens")), budget = 32L)
     assert(packed.agg(sum(col("n_docs"))).head().getLong(0) == chunks.count())
   }
+
+  test("mm7 shard manifest conserves payload bytes against mm1's totals") {
+    val dir = "/root/testdata/sf0.001"
+    val m = graft.ext.Multimodal.mm7ShardManifest(spark, dir).head()
+    val mm1Total = graft.ext.TextStats.mm1BinaryMeta(spark, dir)
+      .agg(sum(col("total_bytes")), sum(col("n_payloads")))
+      .head()
+    // every payload fits the 16 KiB budget in this corpus → counts and
+    // bytes must agree exactly with the independent mm1 aggregation
+    assert(m.getLong(1) == mm1Total.getLong(1), "payload count drifted")
+    assert(m.getLong(2) == mm1Total.getLong(0), "byte mass not conserved")
+    assert(m.getLong(4) <= graft.ext.Multimodal.Mm7ShardBytes)
+  }
 }
