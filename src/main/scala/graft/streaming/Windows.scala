@@ -45,6 +45,36 @@ object Windows {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** W10' — LIVE OHLC bars: the batch resample's streaming twin, same
+    * ordered-aggregate device (`min_by`/`max_by` over a (unix_micros,
+    * event_id) struct — declarative aggregates whose partial buffers
+    * merge, which is exactly what streaming state update needs; a
+    * window-function formulation could not run incrementally at all).
+    * Event-time tumbling windows keyed like the batch kernel's
+    * hour_idx; O(1) state per open bar. Emitted through the same
+    * column shape as [[graft.ext.WindowFns.ohlcBars]] so StreamingSpec
+    * pins stream ≡ batch on the same rows (the w6'/w8'/as-of parity
+    * discipline). */
+  def ohlcStream(events: DataFrame): DataFrame = {
+    val orderKey = struct(expr("unix_micros(ts)").as("us"), col("event_id"))
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        min_by(col("value"), orderKey).as("open"),
+        round(max(col("value")), 2).as("high"),
+        round(min(col("value")), 2).as("low"),
+        max_by(col("value"), orderKey).as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("value_sum"))
+      .select(
+        col("event_type"),
+        floor(unix_timestamp(col("window.start")) / 3600L).cast("long")
+          .as("hour_idx"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("value_sum"))
+  }
+
   /** T9a — 10-minute sliding window, 5-minute slide. */
   def sliding(events: DataFrame): DataFrame =
     events

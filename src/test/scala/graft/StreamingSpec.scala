@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{Ingest, Windows}
 
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+case class OhlcEv(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class KafkaMsg(value: String, offset: Long, partition: Int)
 
 /** Structured Streaming semantics (T1-T9) driven through MemoryStream with
@@ -740,6 +741,40 @@ class StreamingSpec extends AnyFunSuite {
     val before = fold.estimate
     fold.foldBatch(b2.toDF("doc_id", "user"), "user")
     assert(fold.estimate == before)
+  }
+
+  test("w10' live OHLC bars equal the batch kernel on the same rows (parity)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[OhlcEv]
+    val q = graft.streaming.Windows.ohlcStream(in.toDF())
+      .writeStream.format("memory").queryName("ohlc_live")
+      .outputMode("complete").start()
+    // two micro-batches, out-of-order WITHIN each bar, open/close split
+    // across batches so no single batch could produce the right bar
+    val b1 = Seq(
+      OhlcEv(2L, t("2024-01-01 10:30:00"), "m", 99.5),
+      OhlcEv(0L, t("2024-01-01 10:05:00"), "m", 10.0),
+      OhlcEv(5L, t("2024-01-01 11:00:00"), "m", 6.0))
+    val b2 = Seq(
+      OhlcEv(1L, t("2024-01-01 10:01:00"), "m", 7.0),   // true open, late
+      OhlcEv(3L, t("2024-01-01 10:59:00"), "m", 3.25),  // true close + low
+      OhlcEv(4L, t("2024-01-01 11:00:00"), "m", 5.0),   // same-ts tie: id 4 < 5
+      OhlcEv(6L, t("2024-01-01 10:10:00"), "x", 1.0))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val live = spark.table("ohlc_live").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))).toSet
+    val batch = graft.ext.WindowFns.ohlcBars((b1 ++ b2)
+        .toDF("event_id", "ts", "event_type", "value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7))).toSet
+    assert(live == batch)
+    // and the planted arithmetic: hour-10 bar opened 7.0, closed 3.25
+    val h10 = live.find(b => b._1 == "m" && b._2 == 473362L).get
+    assert((h10._3, h10._6) == ((7.0, 3.25)))
   }
 
   test("a18' quantile stream fold: per-batch grid histograms fold to the " +
