@@ -46,7 +46,8 @@ object ScalingProbe {
     "s18_zorder_layout", "a20_incremental_agg", "t19_bm25_topk",
     "d39_scd2", "w10_ohlc_bars", "d40_table_checksum",
     "d41_weighted_sample", "p10_join_forecast", "a21_trend_regression",
-    "sim14_mmr_topk", "t21_source_overlap", "mm7_shard_manifest")
+    "sim14_mmr_topk", "t21_source_overlap", "mm7_shard_manifest",
+    "d42_source_overlap_sketch")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

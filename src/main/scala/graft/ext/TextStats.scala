@@ -518,6 +518,49 @@ object TextStats {
       .orderBy(col("source_a"), col("source_b"))
   }
 
+  /** Signature size shared with the d42 specs: standard error ~1/√k ≈
+    * 0.06. */
+  private[graft] val D42K = 256
+
+  /** D42 — source-overlap ESTIMATE via bottom-k sketches: t21's 100 TB
+    * path. The exact card shuffles the full distinct vocabulary three
+    * times; here each source collapses to the k smallest distinct
+    * token-hash values through a mergeable typed Aggregator
+    * ([[graft.functions.KMinHash]]) — per-source state is k longs
+    * REGARDLESS of vocabulary size, partial sketches merge map-side,
+    * and the pairwise stage runs on |sources|·k longs on the driver
+    * (label-space-sized, the sim10 discipline). The d10↔d35 pattern
+    * applied to t21: exact while the vocabulary is shuffleable, sketch
+    * beyond — and the spec pins the estimate against t21's exact
+    * Jaccard, plus EXACT equality whenever a source's vocabulary fits
+    * inside k. */
+  def d42SourceOverlapSketch(spark: SparkSession, dir: String): DataFrame =
+    sourceOverlapSketchDf(spark,
+      Tables.documents(spark, dir), graft.functions.KMinHash.jaccardEstimate)
+
+  private[graft] def sourceOverlapSketchDf(
+      spark: SparkSession, docs: DataFrame,
+      est: (Array[Long], Array[Long], Int) => Double): DataFrame = {
+    import spark.implicits._
+    val sketch = new graft.functions.KMinHash(D42K)
+    val sigs = docs
+      .select(col("source"),
+        explode(split(lower(coalesce(col("text"), lit(""))), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .select(col("source"), xxhash64(col("token")).as("h"))
+      .as[(String, Long)]
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(sketch.toColumn.name("sig"))
+      .collect()
+    val rows = for {
+      (sa, sigA) <- sigs; (sb, sigB) <- sigs if sa < sb
+    } yield (sa, sb,
+      BigDecimal(est(sigA, sigB, D42K))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    rows.toSeq.sortBy(r => (r._1, r._2))
+      .toDF("source_a", "source_b", "est_jaccard")
+  }
+
   /** T7 — compression-ratio quality signal: deflate(text)/|text| per
     * doc, summarized per source. Repetitive or boilerplate text
     * compresses far below natural prose, making the ratio a cheap
@@ -780,6 +823,7 @@ object TextStats {
     "t6_tfidf" -> t6TfIdf,
     "t19_bm25_topk" -> t19Bm25TopK,
     "t21_source_overlap" -> t21SourceOverlap,
+    "d42_source_overlap_sketch" -> d42SourceOverlapSketch,
     "t7_compression_ratio" -> t7CompressionRatio,
     "t8_repetition" -> t8Repetition,
     "d8_hash_sample" -> d8HashSample,

@@ -139,6 +139,47 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bottom-k overlap sketch is EXACT when vocabularies fit inside k (D42)") {
+    // vocab sizes 6 and 5, intersection 3 → Jaccard = 3/8 = 0.375;
+    // both vocabularies ≤ 256 so the sketches hold every hash and the
+    // bottom-k estimator degenerates to the exact computation
+    val docs = Seq(
+      (1L, "a b c d e f", "en", "s1", 11L),
+      (2L, "d e f g h", "en", "s2", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextStats.sourceOverlapSketchDf(spark, docs,
+      graft.functions.KMinHash.jaccardEstimate).collect()
+    assert(out.length == 1)
+    assert((out.head.getString(0), out.head.getString(1),
+      out.head.getDouble(2)) == (("s1", "s2", 0.375)))
+  }
+
+  test("overlap sketch tracks t21's exact Jaccard within estimator error (D42)") {
+    val dir = "/root/testdata/sf0.001"
+    val exact = TextStats.t21SourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    val est = TextStats.d42SourceOverlapSketch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.keySet == exact.keySet)
+    est.foreach { case (pair, e) =>
+      assert(math.abs(e - exact(pair)) <= 0.1, // se ~1/sqrt(256) = 0.0625
+        s"$pair: sketch $e vs exact ${exact(pair)}")
+    }
+  }
+
+  test("overlap sketch is invariant to partitioning (mergeable, order-immune) (D42)") {
+    val docs = (1L to 100L).map(i =>
+      (i, (1 to 30).map(j => s"w${(i * 7 + j * 13) % 160}").mkString(" "),
+        "en", s"s${i % 3}", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = TextStats.sourceOverlapSketchDf(spark, docs,
+      graft.functions.KMinHash.jaccardEstimate).collect().map(_.toSeq).toSeq
+    val b = TextStats.sourceOverlapSketchDf(spark,
+      docs.orderBy($"doc_id".desc).repartition(13),
+      graft.functions.KMinHash.jaccardEstimate).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("BM25: hand-computed scores, ranking, and zero-hit/null-text drop (T19)") {
     val docs = Seq(
       (0L, Some("spark spark vector"), "en", "s", 18L),
