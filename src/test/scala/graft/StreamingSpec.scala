@@ -743,6 +743,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(fold.estimate == before)
   }
 
+  test("d33' streaming CDC apply: ordered merges, later batch wins, " +
+    "replayed batchId cannot resurrect a deleted row") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+      .select($"doc_id", $"text", lit("en").as("lang"), lit("s").as("source"),
+        length($"text").cast("long").as("n_chars"))
+    def delta(rows: (Long, String, String)*) = rows.toDF("doc_id", "text", "op")
+      .select($"doc_id", $"text", lit("en").as("lang"), lit("s").as("source"),
+        coalesce(length($"text"), lit(0)).cast("long").as("n_chars"), $"op")
+    val sink = new graft.streaming.CdcApplySink(
+      docs((1L, "one v1"), (2L, "two v1"), (3L, "three")))
+    val in = MemoryStream[(Long, String, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cdc").toString
+    val q = sink.start(
+      in.toDF().toDF("doc_id", "text", "op")
+        .select($"doc_id", $"text", lit("en").as("lang"),
+          lit("s").as("source"),
+          coalesce(length($"text"), lit(0)).cast("long").as("n_chars"),
+          $"op"),
+      ckpt)
+    in.addData((1L, "one v2", "upsert"), (9L, "nine", "upsert"))
+    q.processAllAvailable()
+    in.addData((2L, null.asInstanceOf[String], "delete"),
+      (1L, "one v3", "upsert"))
+    q.processAllAvailable()
+    q.stop()
+    val got = sink.snapshot.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSet
+    // later batch's upsert of id 1 won; id 2 deleted; 3 untouched; 9 added
+    assert(got == Set((1L, "one v3"), (3L, "three"), (9L, "nine")))
+    // REPLAY batch 0 (the id-1 "one v2" upsert): the guard must drop it —
+    // re-applying would regress id 1 and resurrect nothing
+    sink.onBatch(delta((1L, "one v2", "upsert"), (9L, "nine", "upsert")), 0L)
+    val after = sink.snapshot.select($"doc_id", $"text")
+      .as[(Long, String)].collect().toSet
+    assert(after == got)
+  }
+
   test("w10' live OHLC bars equal the batch kernel on the same rows (parity)") {
     import spark.implicits._
     implicit val ctx = spark.sqlContext
