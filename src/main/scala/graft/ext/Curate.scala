@@ -184,6 +184,64 @@ object Curate {
   def d11Rebalance(spark: SparkSession, dir: String): DataFrame =
     rebalanceDf(Tables.documents(spark, dir))
 
+  /** Temperature and budget fraction shared with the d43 oracle. */
+  private[ext] val D43Alpha = 0.3
+  private[ext] val D43BudgetFrac = 0.5
+
+  /** D43 — temperature-based language mixing (the XLM-R/mT5 sampling
+    * rule): sample language l with probability q_l ∝ p_l^α, α<1 — a
+    * knob BETWEEN d11's hard flattening (α=0: every language equal,
+    * high-resource data thrown away) and proportional sampling (α=1:
+    * low-resource languages vanish). The keep rate for a total budget
+    * B is min(1, B·q_l / n_l), applied per row as the SAME
+    * deterministic IdHash thinning d11/d16/d17 use — reproducible
+    * across engines and retries, no RNG.
+    *
+    * 100 TB shape: one |langs|-row count aggregate (map-side combined)
+    * → driver-free rate table broadcast back → per-row hash compare;
+    * the corpus never shuffles. The lone libm term (pow) rounds to 6
+    * decimals BEFORE the keep compare on BOTH engines, so a pow ulp
+    * can't flip a row (the t6 rounding discipline applied to rates
+    * rather than ranks). */
+  def d43TemperatureMix(spark: SparkSession, dir: String): DataFrame =
+    temperatureMixDf(Tables.documents(spark, dir))
+
+  /** The temperature-mix kernel over a caller-supplied documents-shaped
+    * frame — split out so CurateSpec pins the sampling-theory
+    * properties (α<1 boosts low-resource keep RATES monotonically;
+    * α=1 degenerates to keep-everything under a full budget) on
+    * planted counts. */
+  private[graft] def temperatureMixDf(docs: DataFrame,
+                                      alpha: Double = D43Alpha,
+                                      budgetFrac: Double = D43BudgetFrac): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the language histogram is label-space-sized by construction — the
+    // a18/t9/t21 bounded-collect discipline. Computing z/q/rate on the
+    // driver (in SORTED-lang order, so the float sum is run-
+    // deterministic) also keeps the registered plan to one corpus pass:
+    // the distributed formulation re-derived the counts aggregate three
+    // times and rode a broadcast-singleton crossJoin for two numbers.
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val nTotal = counts.map(_._2).sum
+    val z = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ratesDf = counts.toSeq.map { case (l, n) =>
+      val q = r6(math.pow(n.toDouble, alpha) / z)
+      (l, n, q, r6(math.min(1.0, budgetFrac * nTotal * q / n)))
+    }.toDF("lang", "n_lang", "q", "rate")
+    val kept = docs
+      .join(broadcast(ratesDf.select(col("lang"), col("rate"))), Seq("lang"))
+      .filter(hashKeep(col("doc_id"), col("rate")))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    ratesDf.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_lang"), col("q"), col("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy(col("lang"))
+  }
+
   /** Near-duplicate vector pairs WITHIN a k-means cell: the SemDeDup
     * candidate step, delegating to the shared keyed near-dup kernel
     * ([[Similarity.keyedNearDupPairs]] — NaN-safe, rounded-threshold).
@@ -760,6 +818,7 @@ object Curate {
     "d10_decontaminate" -> d10Decontaminate,
     "d35_bloom_decontaminate" -> d35BloomDecontaminate,
     "d11_rebalance" -> d11Rebalance,
+    "d43_temperature_mix" -> d43TemperatureMix,
     "d12_semantic_dedup" -> d12SemanticDedup,
     "d13_pii_redact" -> d13PiiRedact,
     "d14_quality_filter" -> d14QualityFilter,
@@ -772,6 +831,26 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    "d43_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,
+        |        sum(pow(n_lang, $D43Alpha)) AS z FROM c),
+        |r AS (
+        |  SELECT lang, n_lang, n_total,
+        |    round(pow(n_lang, $D43Alpha) / z, 6) AS q
+        |  FROM c CROSS JOIN t),
+        |r2 AS (
+        |  SELECT lang, n_lang, q,
+        |    round(least(1.0, $D43BudgetFrac * n_total * q / n_lang), 6) AS rate
+        |  FROM r),
+        |kept AS (
+        |  SELECT d.lang, count(*) AS n_kept
+        |  FROM documents d JOIN r2 USING (lang)
+        |  WHERE ${graft.functions.IdHash.sql("doc_id", 1000000)} < rate * 1000000.0
+        |  GROUP BY d.lang)
+        |SELECT r2.lang, n_lang, q, rate,
+        |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
+        |FROM r2 LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
     "d41_weighted_sample" ->
       s"""WITH k AS (
         |  SELECT doc_id, lang, source, n_chars,

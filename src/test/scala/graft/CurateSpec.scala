@@ -434,6 +434,36 @@ class CurateSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperature mix: alpha<1 boosts low-resource keep rates monotonically (D43)") {
+    // planted 900/90/9 corpus — rates must order INVERSELY to size
+    // under alpha=0.3 and the small stratum must saturate at rate 1.0
+    val docs = ((1L to 900L).map((_, "big")) ++
+      (1001L to 1090L).map((_, "mid")) ++ (2001L to 2009L).map((_, "small")))
+      .map { case (id, l) => (id, "txt", l, "s", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.temperatureMixDf(docs, alpha = 0.3, budgetFrac = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    val (rBig, rMid, rSmall) =
+      (out("big")._3, out("mid")._3, out("small")._3)
+    assert(rSmall == 1.0, s"tiny stratum must saturate: $rSmall")
+    assert(rBig < rMid && rMid <= rSmall, s"rates not inverse to size: $out")
+    // kept counts respect the rates (hash thinning is unbiased enough
+    // on 900 rows to land within a loose band)
+    assert(out("big")._4 < 900L && out("big")._4 > (900 * rBig * 0.7).toLong)
+    assert(out("small")._4 == 9L) // rate 1.0 keeps everything
+  }
+
+  test("temperature mix at alpha=1 with full budget keeps every row (D43)") {
+    val docs = ((1L to 50L).map((_, "a")) ++ (101L to 110L).map((_, "b")))
+      .map { case (id, l) => (id, "txt", l, "s", 3L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curate.temperatureMixDf(docs, alpha = 1.0, budgetFrac = 1.0)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    // q_l = p_l at alpha=1, so rate = budgetFrac exactly → 1.0 keeps all
+    assert(out("a") == ((1.0, 50L)) && out("b") == ((1.0, 10L)))
+  }
+
   test("weighted sample: inclusion frequency tracks weight (E-S property)") {
     // pure driver arithmetic across 2000 seeds — the math property,
     // independent of Spark: weights 8:1:1 over three rows, top-1 drawn
