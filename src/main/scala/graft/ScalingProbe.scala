@@ -47,7 +47,8 @@ object ScalingProbe {
     "d39_scd2", "w10_ohlc_bars", "d40_table_checksum",
     "d41_weighted_sample", "p10_join_forecast", "a21_trend_regression",
     "sim14_mmr_topk", "t21_source_overlap", "mm7_shard_manifest",
-    "d42_source_overlap_sketch", "d43_temperature_mix")
+    "d42_source_overlap_sketch", "d43_temperature_mix",
+    "sim15_binary_ann")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

@@ -852,6 +852,56 @@ object Similarity {
   def sim7PqAnn(spark: SparkSession, dir: String): DataFrame =
     pqServe(spark, dir, pqIndexFor(spark, dir), queryVecId = 0L)
 
+  /** Sign signature of a 64-dim embedding: bit i set iff dim i > 0 —
+    * the whole vector packs into ONE long. */
+  private def signBits(embCol: String): org.apache.spark.sql.Column =
+    expr(s"""aggregate(
+      |  transform(sequence(0, 63),
+      |    i -> if(element_at($embCol, i + 1) > 0D,
+      |            shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))),
+      |  CAST(0 AS BIGINT), (a, x) -> a | x)""".stripMargin)
+
+  /** SIM15 — binary-quantized ANN + exact rerank: the 32× memory leg
+    * that completes the quantization family (sim7 PQ = m byte codes,
+    * sim12 int8 = 4×, here sign bits = d bits, 64× vs float32 — one
+    * LONG per 64-dim vector). Cosine of sign patterns is monotone in
+    * Hamming distance of the signatures, so candidates come from a
+    * fully-codegen `bit_count(sig XOR qsig)` scan — integer ops on one
+    * column, the cheapest possible first pass over 100 TB of vectors —
+    * with TakeOrderedAndProject keeping the pool. The exact rerank is
+    * sim7's verbatim: broadcast left-semi of the pool ids against the
+    * original vectors, true cosine, top-k; candidates are approximate,
+    * the SERVED scores are exact. Pool ≥ corpus degenerates to brute
+    * force (pinned — the sim11 nProbe=k discipline). */
+  def binaryAnn(spark: SparkSession, emb: DataFrame, queryVecId: Long,
+                topK: Int = 10, pool: Int = 8): DataFrame = {
+    val sigs = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), signBits("embedding").as("sig"))
+    val qRow = sigs.filter(col("vec_id") === queryVecId).take(1)
+    val qVecRow = emb.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).take(1)
+    if (qRow.isEmpty || qVecRow.isEmpty)
+      return emb.select(col("vec_id"), lit(0.0).as("cos_sim")).limit(0)
+    val qSig = qRow.head.getLong(1)
+    val cand = sigs.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        expr(s"bit_count(sig ^ ${qSig}L)").as("hamming"))
+      .orderBy(col("hamming"), col("vec_id"))
+      .limit(topK * pool)
+    val qn = l2unit(qVecRow.head.getSeq[Double](0).toArray)
+    val qLit = array(qn.toIndexedSeq.map(lit): _*)
+    emb.join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        round(VectorOps.vecCosine(spark,
+          asDouble(col("embedding")), qLit), 4).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  def sim15BinaryAnn(spark: SparkSession, dir: String): DataFrame =
+    binaryAnn(spark, Tables.embeddings(spark, dir), queryVecId = 0L)
+
   /** Pool, k, and trade-off weight shared with SimilaritySpec. */
   private[ext] val Sim14Pool = 50
   private[ext] val Sim14K = 10
@@ -925,6 +975,7 @@ object Similarity {
     mmrTopK(spark, Tables.embeddings(spark, dir), queryVecId = 0L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim15_binary_ann" -> sim15BinaryAnn,
     "sim14_mmr_topk" -> sim14MmrTopK,
     "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,

@@ -426,6 +426,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(_ / 10 == 1L))
   }
 
+  test("binary ANN: full pool degenerates to brute-force exact top-k (SIM15)") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (((i * 31 + d * 17) % 13) - 6).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+    // pool large enough to admit every candidate → rerank sees all →
+    // result must equal the exact brute-force ranking
+    val full = Similarity.binaryAnn(spark, vecs, 0L, topK = 10, pool = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("s15").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = Similarity.sim1CosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute)
+  }
+
+  test("binary ANN finds planted orthant clusters with exact served scores (SIM15)") {
+    // query's cluster lives in one sign orthant; distractors flipped
+    val base = Array.tabulate(64)(d => if (d % 2 == 0) 0.8f else -0.6f)
+    def jig(eps: Float) = base.zipWithIndex.map { case (v, i) =>
+      v + (if (v > 0) eps else -eps) * ((i % 3) + 1) / 10f } // signs preserved
+    val anti = base.map(-_)
+    val vecs = (Seq((0L, base)) ++
+      (1 to 5).map(i => (i.toLong, jig(i / 10f))) ++
+      (10 to 30).map(i => (i.toLong,
+        anti.map(v => v * (1 + (i % 4) / 10f))))).toDF("vec_id", "embedding")
+    val got = Similarity.binaryAnn(spark, vecs, 0L, topK = 5, pool = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L),
+      s"binary candidates missed the query's orthant: $got")
+  }
+
   test("MMR selection is deterministic under repartition/reorder (SIM14)") {
     val a = Similarity.mmrTopK(spark, mmrCorpus, 0L).collect().map(_.toSeq).toSeq
     val b = Similarity.mmrTopK(spark,
