@@ -274,7 +274,31 @@ object Joins {
     liReport.unionByName(ordReport).orderBy(col("relationship"))
   }
 
+  /** J10 — the skew-salted fact↔fact join as a REGISTERED query: the
+    * j6-shaped events⋈orders-by-user equi-join routed through
+    * [[ScaleJoins.saltedInnerJoin]] (hot user spread over 8 reducers,
+    * small side replicated 8×) and aggregated per event type. Salting
+    * is an execution strategy, not a semantics change — the oracle is
+    * the PLAIN join replay, which is the whole point: the output
+    * equality ScaleJoinsSpec asserts on planted frames gets
+    * value-checked by DuckDB on the real corpus every round. Checksums
+    * are exact integer sums so the hash compare has no float
+    * tolerance. */
+  def j10SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"))
+    val ord = Tables.orders(spark, dir)
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"))
+    ScaleJoins.saltedInnerJoin(ev, ord, "user_id", salts = 8)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("user_id")).as("user_sum"),
+        sum(col("o_orderkey") % lit(1000003L)).as("okey_mod_sum"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j10_salted_join" -> j10SaltedJoin,
     "j9_orphan_audit" -> j9OrphanAudit,
     "j7_band_join" -> j7BandJoin,
     "j1_inner_join" -> j1InnerJoin,
@@ -288,6 +312,12 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    "j10_salted_join" ->
+      """SELECT event_type, count(*) AS n_pairs,
+        |  CAST(sum(user_id) AS BIGINT) AS user_sum,
+        |  CAST(sum(o_orderkey % 1000003) AS BIGINT) AS okey_mod_sum
+        |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "j9_orphan_audit" ->
       s"""WITH li AS (
         |  SELECT count(*) AS n_orphans,
