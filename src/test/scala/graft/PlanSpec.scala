@@ -446,6 +446,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 0, s"d41 shuffles before the draw:\n$p")
   }
 
+  test("bucketed join: ZERO shuffle Exchange on either join input (j11)") {
+    val p = plan("j11_bucketed_join")
+    // bucket-matched layouts make the join itself exchange-free; the
+    // only permitted shuffles are the segment aggregate + output order
+    // (2). Shuffled inputs would add two more — the count pins them out.
+    assert(p.contains("SortMergeJoin"),
+      s"j11 did not plan the co-located sort-merge join:\n$p")
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+    assert(exchanges <= 2, s"bucketed join shuffles its inputs:\n$p")
+  }
+
   test("trend regression: broadcast offset join, no corpus shuffle join (a21)") {
     val p = plan("a21_trend_regression")
     assert(p.contains("BroadcastHashJoin"), s"a21 offset join not broadcast:\n$p")
