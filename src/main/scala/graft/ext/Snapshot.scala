@@ -72,6 +72,63 @@ object Snapshot {
     diffReport(old, neu)
   }
 
+  /** D44 — moved-content detection between snapshots: documents whose
+    * TEXT survives a re-crawl under a DIFFERENT doc_id (URL churn, site
+    * migrations, mirror swaps). d26 joins by doc_id and calls such a
+    * pair "removed + added"; joining by content FINGERPRINT instead
+    * classifies it "moved" — the distinction matters because moved
+    * content should keep its dedup/quality verdicts and its training
+    * history, while genuinely-new content re-enters the pipeline from
+    * the start. Per fingerprint present in either side: `moved` (in
+    * both, id sets differ), `stable` (in both, same id set), `gone` /
+    * `new` (one side only).
+    *
+    * 100 TB shape: the d26 discipline on a different key — each side
+    * reduces at the scan to (fp, id-set checksum, count) via map-side-
+    * combined aggregates (text never shuffles; the per-fp buffer is a
+    * sum/count, not an id list), and the single wide op is the fp
+    * equi-join of two fingerprint-keyed aggregate frames, AQE-
+    * splittable like any skewed equi-join (a boilerplate fp shared by
+    * millions of docs is one aggregate row per side, not a join
+    * blowup). */
+  def movedContentDf(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    def byFp(df: DataFrame) = df
+      .select(substring(md5(col("text").cast("binary")), 1, 16).as("fp"),
+        col("doc_id"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+    byFp(oldDocs).as("o").join(byFp(newDocs).as("n"), Seq("fp"), "full_outer")
+      .select(col("fp"),
+        when(col("o.n").isNull, "new")
+          .when(col("n.n").isNull, "gone")
+          .when(col("o.n") === col("n.n") &&
+            col("o.id_sum") === col("n.id_sum") &&
+            col("o.min_id") === col("n.min_id") &&
+            col("o.max_id") === col("n.max_id"), "stable")
+          .otherwise("moved").as("status"))
+  }
+
+  /** Registered d44 — the simulated crawl pair (the d26 slices, plus an
+    * id-shift band that REHOMES surviving docs: ids ≡ MoveTag (mod
+    * MoveMod) keep their text under doc_id + MoveOffset), reported as
+    * per-status fingerprint counts. */
+  private[ext] val MoveMod = 7
+  private[ext] val MoveTag = 2
+  private[ext] val MoveOffset = 40000000L
+
+  def d44MovedContent(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val old = docs.filter(col("doc_id") % Mod =!= OldDrop)
+    val neu = docs.filter(col("doc_id") % Mod =!= NewDrop)
+      .withColumn("doc_id",
+        when(col("doc_id") % MoveMod === MoveTag,
+          col("doc_id") + lit(MoveOffset)).otherwise(col("doc_id")))
+    movedContentDf(old, neu)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_fps"))
+      .orderBy(col("status"))
+  }
+
   /** MERGE a changeset into a corpus snapshot — the WRITE verb beside
     * d26's audit: `delta` rows carry op = 'upsert' (insert-or-replace by
     * doc_id) or 'delete' (tombstone; its non-key columns may be null).
@@ -302,7 +359,8 @@ object Snapshot {
     "d26_snapshot_diff" -> d26SnapshotDiff,
     "d33_merge_upsert" -> d33MergeUpsert,
     "d39_scd2" -> d39Scd2,
-    "d40_table_checksum" -> d40TableChecksum
+    "d40_table_checksum" -> d40TableChecksum,
+    "d44_moved_content" -> d44MovedContent
   )
 
   val oracle: Map[String, String] = Map(
@@ -327,6 +385,36 @@ object Snapshot {
         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
         |  min(substr(md5(text), 1, 16)) AS min_fp
         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    "d44_moved_content" ->
+      s"""WITH o AS (
+        |  SELECT substr(md5(text), 1, 16) AS fp,
+        |    count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    min(doc_id) AS min_id, max(doc_id) AS max_id
+        |  FROM documents WHERE doc_id % $Mod != $OldDrop
+        |  GROUP BY 1),
+        |nw AS (
+        |  SELECT substr(md5(text), 1, 16) AS fp,
+        |    count(*) AS n,
+        |    CAST(sum(CASE WHEN doc_id % $MoveMod = $MoveTag
+        |                  THEN doc_id + $MoveOffset ELSE doc_id END)
+        |         AS BIGINT) AS id_sum,
+        |    min(CASE WHEN doc_id % $MoveMod = $MoveTag
+        |             THEN doc_id + $MoveOffset ELSE doc_id END) AS min_id,
+        |    max(CASE WHEN doc_id % $MoveMod = $MoveTag
+        |             THEN doc_id + $MoveOffset ELSE doc_id END) AS max_id
+        |  FROM documents WHERE doc_id % $Mod != $NewDrop
+        |  GROUP BY 1),
+        |j AS (
+        |  SELECT coalesce(o.fp, nw.fp) AS fp,
+        |    CASE WHEN o.n IS NULL THEN 'new'
+        |         WHEN nw.n IS NULL THEN 'gone'
+        |         WHEN o.n = nw.n AND o.id_sum = nw.id_sum
+        |              AND o.min_id = nw.min_id AND o.max_id = nw.max_id
+        |           THEN 'stable'
+        |         ELSE 'moved' END AS status
+        |  FROM o FULL OUTER JOIN nw ON o.fp = nw.fp)
+        |SELECT status, count(*) AS n_fps
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "d40_table_checksum" ->
       """WITH f AS (
         |  SELECT source,
