@@ -70,16 +70,30 @@ object Bench {
     // driver's capture to ~60/144 queries, so the file is the artifact
     // of record for round-over-round comparison.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // A failing rep records -1.0 AND logs the exception LOUDLY. The r9
+    // postmortem: a testdata schema change broke 40 queries, every rep
+    // returned -1.0, the total silently EXCLUDED them — so the bench
+    // line looked faster while 40/163 queries were broken. Failures
+    // must never be invisible in the artifact of record: the stdout
+    // line and the JSON file both carry a "failed" list.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs: Seq[(String, Seq[Double])] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
-                   catch { case _: Throwable => false }
+                   catch { case e: Throwable =>
+                     failures.getOrElseUpdate(name,
+                       s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(300)}")
+                     false
+                   }
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         name -> ts
       }
+    failures.foreach { case (n, msg) =>
+      System.err.println(s"[bench] FAILED $n: $msg")
+    }
     def median(xs: Seq[Double]): Double = {
       val good = xs.filter(_ >= 0).sorted
       if (good.isEmpty) -1.0 else good((good.size - 1) / 2)
@@ -92,11 +106,12 @@ object Bench {
     val perQuery = runs.map { case (n, ts) =>
       s""""$n":{"median":${median(ts)},"runs":[${ts.mkString(",")}]}"""
     }.mkString("{", ",", "}")
+    val failedJson = failures.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val w = new java.io.PrintWriter(outPath)
     try w.println(
-      s"""{"sf":"$sfDir","reps":$reps,"total_median_sec":$total,"queries":$perQuery}""")
+      s"""{"sf":"$sfDir","reps":$reps,"total_median_sec":$total,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$perQuery}""")
     finally w.close()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"full_results":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir","reps":$reps,"full_results":"$outPath"}""")
     spark.stop()
   }
 }

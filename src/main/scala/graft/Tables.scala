@@ -17,19 +17,29 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * TimestampType (microsecond) cannot read directly. Read nanos as long
-    * and truncate to micros with INTEGER division — a double division would
-    * lose precision at 1e18-nanosecond magnitudes.
-    *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true` at session build
-    * time ([[Sessions.builder]] sets it) — a loader must not mutate session
-    * config mid-query.
+  /** The events table's `ts` column has shipped in two physical encodings
+    * across testdata generations: parquet TIMESTAMP(NANOS) — which Spark's
+    * microsecond TimestampType cannot read directly, so with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` ([[Sessions.builder]] sets
+    * it) it surfaces as LongType nanos — and plain TIMESTAMP(MICROS), which
+    * reads as TimestampType natively. Adapt on the OBSERVED schema, not an
+    * assumed one: truncate nanos to micros with INTEGER division (a double
+    * division would lose precision at 1e18-nanosecond magnitudes), pass
+    * native timestamps through untouched. Either way callers see one
+    * contract: `ts` is TimestampType at microsecond precision.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    t(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // TIMESTAMP_NTZ (isAdjustedToUTC=false parquet) → session-tz
+      // TimestampType. The session is pinned to UTC (Sessions.builder),
+      // so the cast is value-identical and unix_micros/unix_timestamp
+      // callers type-check again.
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame  = t(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = t(spark, dir, "orders")
