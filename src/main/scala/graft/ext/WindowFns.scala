@@ -207,6 +207,60 @@ object WindowFns {
       .orderBy(col("event_type"), col("hour_idx"))
   }
 
+  /** W11 — forward-fill (LOCF) resample: every (event_type, hour) cell of
+    * a complete hourly grid carries the LAST observed value at-or-before
+    * it, so gaps surface as explicit filled rows — the frame a
+    * time-series model trains on (the sparse frame under-represents
+    * quiet hours), and the value-filling twin of w7's gap DETECTION and
+    * f15's gap COUNTING.
+    *
+    * 100 TB shape: the corpus is touched exactly once, by a map-side-
+    * combined hash aggregate down to (type, hour) cells; everything
+    * after — grid synthesis (`sequence` explode off a single min/max
+    * row × the tiny distinct-type frame), the left join (observed side
+    * broadcast), and the LOCF window — runs on the GRID, whose size is
+    * bounded by the time range × type cardinality, never by the corpus.
+    * The per-type ordered window would be a parallelism wall if it ran
+    * over raw events; over grid cells it is O(hours) per type.
+    *
+    * Within-hour pick is `max_by` over a (unix_micros, event_id) struct
+    * — same deterministic tie-break as the OHLC close (w10), so both
+    * engines carry forward the identical observation. */
+  def w11ForwardFill(spark: SparkSession, dir: String): DataFrame =
+    locfFill(Tables.events(spark, dir))
+
+  /** The LOCF kernel over a caller-supplied (event_type, event_id, ts,
+    * value) frame — split out so gap semantics (leading nulls stay null,
+    * fills never cross type boundaries, within-hour pick is the LAST
+    * observation) pin on planted rows in OhlcSpec, independent of the
+    * oracle. */
+  def locfFill(events: DataFrame): DataFrame = {
+    val orderKey = struct(expr("unix_micros(ts)").as("us"), col("event_id"))
+    val hourly = events
+      .select(col("event_type"), col("value"), col("event_id"), col("ts"),
+        floor(unix_timestamp(col("ts")) / 3600L).cast("long").as("hour_idx"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(max_by(col("value"), orderKey).as("obs"),
+        count(lit(1)).as("n_events"))
+    // the grid: complete hour lattice spanning the data's own range,
+    // one sequence explode off a single global min/max row, crossed
+    // with the distinct types — both sides time/domain-bounded
+    // (CensusSpec allowlists this broadcast-singleton nested loop)
+    val hours = hourly.agg(min(col("hour_idx")).as("lo"), max(col("hour_idx")).as("hi"))
+      .select(explode(expr("sequence(lo, hi)")).as("hour_idx"))
+    val grid = hourly.select(col("event_type")).distinct().crossJoin(hours)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(broadcast(hourly), Seq("event_type", "hour_idx"), "left")
+      .select(col("event_type"), col("hour_idx"),
+        round(col("obs"), 2).as("obs_value"),
+        round(last(col("obs"), ignoreNulls = true).over(w), 2)
+          .as("filled_value"),
+        col("obs").isNull.as("is_gap"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -285,6 +339,7 @@ object WindowFns {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w9_cohort_retention" -> w9CohortRetention,
     "w10_ohlc_bars" -> w10OhlcBars,
+    "w11_forward_fill" -> w11ForwardFill,
     "w8_funnel" -> w8Funnel,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
@@ -296,6 +351,34 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    "w11_forward_fill" ->
+      """WITH e AS (
+        |  SELECT event_type, value, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |hourly AS (
+        |  SELECT event_type, hour_idx,
+        |    last(value ORDER BY us, event_id) AS obs,
+        |    count(*) AS n_events
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM hourly),
+        |grid AS (
+        |  SELECT t.event_type, unnest(generate_series(lo, hi)) AS hour_idx
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN r),
+        |j AS (
+        |  SELECT g.event_type, g.hour_idx, h.obs,
+        |    coalesce(h.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN hourly h USING (event_type, hour_idx))
+        |SELECT event_type, hour_idx,
+        |  round(obs, 2) AS obs_value,
+        |  round(last_value(obs IGNORE NULLS) OVER (
+        |    PARTITION BY event_type ORDER BY hour_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS filled_value,
+        |  (obs IS NULL) AS is_gap,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM j ORDER BY event_type, hour_idx""".stripMargin,
     "w10_ohlc_bars" ->
       """WITH e AS (
         |  SELECT event_type, value, event_id,

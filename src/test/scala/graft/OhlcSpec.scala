@@ -56,4 +56,59 @@ class OhlcSpec extends AnyFunSuite {
     assert(plan.contains("partial_min_by") || plan.contains("partial_"),
       "aggregation must be map-side partial")
   }
+
+  // ---- W11 LOCF forward-fill (shares this suite: same planted-events
+  // discipline, same hour-bucket + (micros, event_id) pick semantics) ----
+
+  private val gappy = Seq(
+    // type "m": observed hours h0 and h0+3; h0+1, h0+2 are gaps
+    (0L, ts("2024-01-01 00:10:00"), "m", 4.0),
+    (1L, ts("2024-01-01 00:50:00"), "m", 7.0),   // last in h0 → carried
+    (2L, ts("2024-01-01 03:30:00"), "m", 9.0),
+    // type "x": first observation at h0+2 → h0, h0+1 LEADING nulls
+    (3L, ts("2024-01-01 02:15:00"), "x", 1.5)
+  ).toDF("event_id", "ts", "event_type", "value")
+
+  test("LOCF: gaps carry the last observation; leading gaps stay null; fills never cross types") {
+    val h0 = 473352L
+    val out = WindowFns.locfFill(gappy).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((Option(r.get(2)), Option(r.get(3)), r.getBoolean(4), r.getLong(5))))
+      .toMap
+    // complete 4-hour lattice × 2 types
+    assert(out.size == 8)
+    assert(out(("m", h0))     == ((Some(7.0), Some(7.0), false, 2L)))
+    assert(out(("m", h0 + 1)) == ((None, Some(7.0), true, 0L)))      // filled
+    assert(out(("m", h0 + 2)) == ((None, Some(7.0), true, 0L)))      // filled
+    assert(out(("m", h0 + 3)) == ((Some(9.0), Some(9.0), false, 1L)))
+    // x's leading hours: nothing observed yet, fill must stay null —
+    // and must NOT leak m's 7.0 across the type boundary
+    assert(out(("x", h0))     == ((None, None, true, 0L)))
+    assert(out(("x", h0 + 1)) == ((None, None, true, 0L)))
+    assert(out(("x", h0 + 2)) == ((Some(1.5), Some(1.5), false, 1L)))
+    assert(out(("x", h0 + 3)) == ((None, Some(1.5), true, 0L)))
+  }
+
+  test("LOCF within-hour pick is the LAST observation by (micros, event_id)") {
+    val tied = Seq(
+      (10L, ts("2024-01-01 00:00:00"), "m", 1.0),
+      (12L, ts("2024-01-01 00:30:00"), "m", 3.0),  // same micros as 11...
+      (11L, ts("2024-01-01 00:30:00"), "m", 2.0)   // ...id 12 wins
+    ).toDF("event_id", "ts", "event_type", "value")
+    val row = WindowFns.locfFill(tied).collect().head
+    assert(row.getDouble(2) == 3.0 && row.getDouble(3) == 3.0)
+  }
+
+  test("LOCF plan: corpus is touched by ONE partial hash agg; the window runs grid-side") {
+    val qe = WindowFns.locfFill(gappy).queryExecution
+    val plan = qe.executedPlan.toString
+    // the only Window operates after the grid join (input = broadcast-joined
+    // lattice), so exactly one Window is fine — but the corpus-side agg
+    // must still be partial (map-side combined)
+    assert(plan.contains("partial_max_by") || plan.contains("partial_"),
+      "hourly reduction must be map-side partial")
+    val shuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+    assert(shuffles <= 6, s"too many exchanges:\n$plan")
+  }
 }
