@@ -54,6 +54,9 @@ object Bench {
     // sim7's PQ codebooks + corpus encode are the same index/serve
     // split: build before the clock, time the ADC+rerank serving pass.
     warmState("pq")(ext.Similarity.pqIndexFor(spark, sfDir))
+    // sim16's composed IVF-PQ index likewise: coarse training + residual
+    // codebooks + encode are ingest; the timed line is probe+ADC+rerank.
+    warmState("ivfpq")(ext.Similarity.ivfPqIndexFor(spark, sfDir))
     // the NB log-odds table serves BOTH t12 and d30 (one memo per dir):
     // train it before the clock so whichever of the two runs first isn't
     // charged the other's shared ingest artifact.

@@ -48,7 +48,8 @@ object ScalingProbe {
     "d41_weighted_sample", "p10_join_forecast", "a21_trend_regression",
     "sim14_mmr_topk", "t21_source_overlap", "mm7_shard_manifest",
     "d42_source_overlap_sketch", "d43_temperature_mix",
-    "sim15_binary_ann", "j10_salted_join", "j11_bucketed_join")
+    "sim15_binary_ann", "j10_salted_join", "j11_bucketed_join",
+    "sim16_ivfpq_ann", "w11_forward_fill")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

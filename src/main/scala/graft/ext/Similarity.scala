@@ -852,6 +852,211 @@ object Similarity {
   def sim7PqAnn(spark: SparkSession, dir: String): DataFrame =
     pqServe(spark, dir, pqIndexFor(spark, dir), queryVecId = 0L)
 
+  // --------------------------------------------------------------------
+  // SIM16 — IVF-PQ: the composed index (Jégou et al., "Product
+  // Quantization for Nearest Neighbor Search", §IVFADC). sim4's IVF
+  // prunes WHICH vectors a query reads but stores full-width vectors;
+  // sim7's PQ shrinks every vector to m byte codes but still scans ALL
+  // of them. IVFADC does both: a coarse quantizer routes each vector to
+  // a cell, PQ encodes the RESIDUAL (vector − its cell centroid, where
+  // the variance that survives coarse quantization lives — codebooks
+  // spent on residuals carry far more precision per bit than codebooks
+  // spent on raw position), and a query scans only the probed cells'
+  // code rows: cost ≈ (nProbe/kCoarse) × N table lookups on m-byte
+  // rows, memory ≈ N×m bytes. At 100 TB the code frame is written
+  // bucketed by cell so a probe prunes STORAGE partitions, and the
+  // exact rerank reads back only the broadcast candidate pool — the
+  // two-level pruning no single-level index can match.
+  // --------------------------------------------------------------------
+
+  /** A built IVF-PQ index: (vec_id, cell, code) rows + the coarse
+    * centroid table + per-subspace RESIDUAL codebooks. */
+  final case class IvfPqIndex(codes: DataFrame,
+                              centers: Array[Array[Double]],
+                              codebooks: Array[Array[Array[Double]]])
+
+  /** Index phase: coarse k-means over the unit vectors, residual
+    * computation per vector, per-subspace k-means over the residuals,
+    * one encode pass. The residual+encode passes are typed
+    * `mapPartitions` against broadcast centroid/codebook arrays (the
+    * pqIndex precedent: tight scalar argmin loops with only
+    * (id, cell, m codes) coming out). */
+  def ivfPqIndex(embeddings: DataFrame, kCoarse: Int = Sim4K,
+                 m: Int = PqM, k: Int = PqK): IvfPqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val e = embeddings
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("n", norm(col("emb")))
+      .filter(col("n") > 0)
+      .select(col("vec_id"),
+        transform(col("emb"), x => x / col("n")).as("nemb"))
+    val dim = e.select(size(col("nemb"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val coarse = new KMeans().setK(kCoarse).setSeed(7).setMaxIter(5)
+      .fit(e.select(array_to_vector(col("nemb")).as("features")))
+    val centers = coarse.clusterCenters.map(_.toArray)
+    val bcC = spark.sparkContext.broadcast(centers)
+    // residuals materialize ONCE (they feed m codebook trainings + the
+    // encode pass); localCheckpoint over cache for the d35/pairGraph
+    // lifetime reasons
+    val res = e.as[(Long, Seq[Double])].mapPartitions { it =>
+      val cs = bcC.value
+      it.map { case (id, v) =>
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < cs.length) {
+          var d = 0.0; var i = 0
+          while (i < v.length) { val t = v(i) - cs(c)(i); d += t * t; i += 1 }
+          if (d < bd) { bd = d; best = c }
+          c += 1
+        }
+        (id, best, Array.tabulate(v.length)(i => v(i) - cs(best)(i)))
+      }
+    }.toDF("vec_id", "cell", "res").localCheckpoint(true)
+    val books = (0 until m).map { j =>
+      val sub = res.select(
+        array_to_vector(slice(col("res"), j * dsub + 1, dsub)).as("features"))
+      new KMeans().setK(k).setSeed(7 + j).setMaxIter(5).fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    val bcB = spark.sparkContext.broadcast(books)
+    val codes = res.as[(Long, Int, Seq[Double])].mapPartitions { it =>
+      val bks = bcB.value
+      it.map { case (id, cell, r) =>
+        val code = Array.tabulate(bks.length) { j =>
+          val ds = bks(j)(0).length
+          val off = j * ds
+          var best = 0; var bd = Double.MaxValue
+          var c = 0
+          while (c < bks(j).length) {
+            var d = 0.0; var i = 0
+            while (i < ds) { val t = r(off + i) - bks(j)(c)(i); d += t * t; i += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          best
+        }
+        (id, cell, code)
+      }
+    }.toDF("vec_id", "cell", "code")
+    IvfPqIndex(codes, centers, books)
+  }
+
+  /** Query phase (IVFADC): probe the `nProbe` nearest cells
+    * (driver-side argmin over the broadcast centroids — query planning,
+    * not data work), precompute ONE m×k residual distance table PER
+    * probed cell (the residual the query has in cell c is q − center_c,
+    * so the table is cell-specific), and score each probed code row
+    * with m lookups into ITS cell's table, selected by a
+    * probed-cell-count CASE — all literals, fully codegen. Unit
+    * vectors: ‖q−x‖² = 2−2cos ⟹ approx cos = 1 − d²/2, rounded before
+    * ranking with the vec_id tie-break (the sim7 device). */
+  def ivfPqQuery(spark: SparkSession, index: IvfPqIndex, q: Array[Double],
+                 nProbe: Int, topK: Int = 10,
+                 excludeVecId: Option[Long] = None): DataFrame = {
+    val m = index.codebooks.length
+    val dsub = index.codebooks.head.head.length
+    require(q.length == m * dsub,
+      s"query dim ${q.length} != index dim ${m * dsub}")
+    require(nProbe >= 1,
+      s"nProbe must be >= 1, got $nProbe (0 probes = silently empty result)")
+    val qn = l2unit(q)
+    val probed = index.centers.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1)
+    // per probed cell: dt(cell)(j)(codeword) = ‖(qn − center_cell)[j·dsub..] − codeword‖²
+    def cellAdc(cell: Int): org.apache.spark.sql.Column = {
+      val ctr = index.centers(cell)
+      val qres = Array.tabulate(qn.length)(i => qn(i) - ctr(i))
+      val dt = index.codebooks.zipWithIndex.map { case (book, j) =>
+        book.map { cw =>
+          var d = 0.0; var i = 0
+          while (i < dsub) { val t = qres(j * dsub + i) - cw(i); d += t * t; i += 1 }
+          d
+        }
+      }
+      val dtLit = array(dt.toIndexedSeq.map(row =>
+        array(row.toIndexedSeq.map(lit): _*)): _*)
+      (0 until m).map(j =>
+        element_at(element_at(dtLit, j + 1),
+          element_at(col("code"), j + 1) + 1)).reduce(_ + _)
+    }
+    val adc = probed.tail.foldLeft(
+      when(col("cell") === probed.head, cellAdc(probed.head))) {
+      (acc, cell) => acc.when(col("cell") === cell, cellAdc(cell))
+    }
+    index.codes
+      .filter(col("cell").isin(probed.toIndexedSeq.map(Integer.valueOf): _*) &&
+        excludeVecId.map(col("vec_id") =!= _).getOrElse(lit(true)))
+      .select(col("vec_id"),
+        round(lit(1.0) - adc / 2, 4).as("cos_approx"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Memoized per-(session, dir) IVF-PQ index — the ivfIndexFor /
+    * pqIndexFor serving contract: coarse training, residual codebooks
+    * and the corpus encode run ONCE and checkpoint behind a temp view;
+    * queries are probe-planning plus a pruned code scan. (View name +
+    * plain arrays cached, never the index value — a DataFrame-holding
+    * value would pin the weak session key.) */
+  private val ivfPqCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        (String, Array[Array[Double]], Array[Array[Array[Double]]])]]()
+  def ivfPqIndexFor(spark: SparkSession, dir: String): IvfPqIndex = {
+    val (view, centers, books) =
+      perSession(ivfPqCache, spark).getOrElseUpdate(dir, {
+        val idx = ivfPqIndex(Tables.embeddings(spark, dir))
+        val name = "ivfpq_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        idx.codes.localCheckpoint(true).createOrReplaceTempView(name)
+        (name, idx.centers, idx.codebooks)
+      })
+    IvfPqIndex(spark.table(view), centers, books)
+  }
+
+  /** IVF-PQ retrieve-then-rerank serve for a corpus member by id: ADC
+    * over the probed cells keeps pool×topK candidates; only those read
+    * their original vectors back for the exact cosine (the sim7 "+R"
+    * pass — candidate ids broadcast into a semi-join). Missing id →
+    * empty result. */
+  def ivfPqServe(spark: SparkSession, dir: String, index: IvfPqIndex,
+                 queryVecId: Long, nProbe: Int = 3, topK: Int = 10,
+                 pool: Int = 8): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val qRows = emb.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).take(1)
+    if (qRows.isEmpty)
+      return index.codes.select(col("vec_id"),
+        lit(0.0).as("cos_sim")).limit(0)
+    val q = qRows.head.getSeq[Double](0).toArray
+    val cand = ivfPqQuery(spark, index, q, nProbe, topK * pool,
+      excludeVecId = Some(queryVecId)).select(col("vec_id"))
+    val qLit = array(l2unit(q).toIndexedSeq.map(lit): _*)
+    emb.join(broadcast(cand), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        round(VectorOps.vecCosine(spark,
+          asDouble(col("embedding")), qLit), 4).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** Registered at nProbe=6 (of kCoarse=16): on UNSTRUCTURED embeddings
+    * the true top-k scatter across cells, so routing recall — not PQ
+    * quantization — is the recall ceiling (sim11's curve measures the
+    * same effect for plain IVF); 6/16 probes is the measured knee where
+    * recall@10 clears 0.5 while still pruning ~5/8 of the corpus scan.
+    * Clustered corpora (the planted-cluster spec) reach recall 1 at
+    * nProbe=1 — the structure IVF exists to exploit. */
+  def sim16IvfPqAnn(spark: SparkSession, dir: String): DataFrame =
+    ivfPqServe(spark, dir, ivfPqIndexFor(spark, dir), queryVecId = 0L,
+      nProbe = 6)
+
   /** Sign signature of a 64-dim embedding: bit i set iff dim i > 0 —
     * the whole vector packs into ONE long. */
   private def signBits(embCol: String): org.apache.spark.sql.Column =
@@ -975,6 +1180,7 @@ object Similarity {
     mmrTopK(spark, Tables.embeddings(spark, dir), queryVecId = 0L)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim16_ivfpq_ann" -> sim16IvfPqAnn,
     "sim15_binary_ann" -> sim15BinaryAnn,
     "sim14_mmr_topk" -> sim14MmrTopK,
     "sim5_label_centroids" -> sim5LabelCentroids,

@@ -465,4 +465,94 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  // ---- SIM16 IVF-PQ (composed index) ----
+
+  test("IVFPQ index shape: every row carries a valid cell and m in-range codes") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 31 + d * 17) % 13 - 6).toFloat / 7f))
+    } :+ (99L, Array.fill(8)(0f))
+    val idx = Similarity.ivfPqIndex(vecs.toDF("vec_id", "embedding"),
+      kCoarse = 4, m = 4, k = 8)
+    val rows = idx.codes.collect()
+    assert(!rows.map(_.getLong(0)).contains(99L), "zero-norm must be dropped")
+    assert(rows.length == 60)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 4, r.toString)
+      val c = r.getSeq[Int](2)
+      assert(c.length == 4 && c.forall(x => x >= 0 && x < 8), r.toString)
+    }
+    assert(idx.centers.length == 4 && idx.centers.forall(_.length == 8))
+    assert(idx.codebooks.length == 4 &&
+      idx.codebooks.forall(b => b.length == 8 && b.forall(_.length == 2)))
+  }
+
+  test("IVFPQ ADC retrieves the planted cluster through its probed cell") {
+    // three orthogonal clusters; with kCoarse=3 the coarse quantizer
+    // separates them, so probing ONE cell must stay inside the query's
+    // cluster — the two-level pruning working as designed
+    val bases = Seq(
+      Array(1f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 1f, 1f, 0f, 0f, 0f),
+      Array(0f, 0f, 0f, 0f, 0f, 0f, 1f, 1f))
+    val vecs = for (c <- 0 until 3; s <- 0 until 20) yield {
+      val v = Array.tabulate(8)(d =>
+        bases(c)(d) + ((s * 7 + d * 3 + c) % 5 - 2).toFloat / 50f)
+      ((c * 20 + s).toLong, v)
+    }
+    val idx = Similarity.ivfPqIndex(vecs.toDF("vec_id", "embedding"),
+      kCoarse = 3, m = 4, k = 8)
+    val q = vecs.head._2.map(_.toDouble)
+    val top = Similarity.ivfPqQuery(spark, idx, q, nProbe = 1, topK = 10,
+      excludeVecId = Some(0L)).collect().map(_.getLong(0))
+    assert(top.length == 10)
+    assert(top.forall(_ < 20L), s"foreign cluster in ${top.mkString(",")}")
+  }
+
+  test("IVFPQ retrieve-then-rerank recall@10 vs brute force on real embeddings") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = Similarity.sim1CosineTopK(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.sim16IvfPqAnn(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val recall = brute.intersect(got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@10 $recall — IVFPQ pool collapsed")
+  }
+
+  test("IVFPQ reranked scores are exact cosines for the ids it returns") {
+    val dir = "/root/testdata/sf0.001"
+    val brute = Similarity.sim1CosineTopK(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    Similarity.sim16IvfPqAnn(spark, dir).collect().foreach { r =>
+      brute.get(r.getLong(0)).foreach(b =>
+        assert(math.abs(b - r.getDouble(1)) < 1e-9, r.toString))
+    }
+  }
+
+  test("IVFPQ candidates only ever come from the probed cells") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = Similarity.ivfPqIndexFor(spark, dir)
+    val emb = graft.Tables.embeddings(spark, dir)
+    val q = emb.filter($"vec_id" === 0L).select($"embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val qn = { val n = math.sqrt(q.map(x => x * x).sum); q.map(_ / n) }
+    val probed = idx.centers.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(2).map(_._1).toSet
+    val cand = Similarity.ivfPqQuery(spark, idx, q, nProbe = 2, topK = 50)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    val cells = idx.codes.filter($"vec_id".isin(cand.toSeq.map(Long.box): _*))
+      .select($"cell").collect().map(_.getInt(0)).toSet
+    assert(cells.subsetOf(probed), s"cells $cells outside probes $probed")
+  }
+
+  test("IVFPQ missing query id returns empty, wrong dim fails fast") {
+    val dir = "/root/testdata/sf0.001"
+    val idx = Similarity.ivfPqIndexFor(spark, dir)
+    assert(Similarity.ivfPqServe(spark, dir, idx, queryVecId = -1L).count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfPqQuery(spark, idx, Array(1.0, 2.0), nProbe = 1)
+    }
+    assert(e.getMessage.contains("query dim"))
+  }
 }
