@@ -437,6 +437,52 @@ object Dedup {
           .as("n_flagged"))
       .orderBy(col("source"))
 
+  /** D45 — the boilerplate-span LEADERBOARD: d19 tells each SOURCE how
+    * duplicated its docs are; this answers the editor's follow-up —
+    * WHICH spans, verbatim, so the worst offenders can become scrub
+    * rules (the c4/FineWeb "most common paragraphs" audit; Lee et al.
+    * 2022 §5's repeated-substring inspection). Reports the `topK`
+    * n-gram spans appearing in ≥ `minDocs` distinct docs, with doc
+    * count and the earliest carrying doc as the example pointer.
+    *
+    * 100 TB shape, two corpus passes and no full-text shuffle:
+    * pass 1 reduces (xxhash64(gram), doc_id) pairs — 16 bytes a row —
+    * through a map-side-combined count to the ≥minDocs hash set (the
+    * boilerplate slice, orders of magnitude smaller than the gram
+    * stream); pass 2 re-derives grams and recovers span TEXT only for
+    * hashes in that broadcast set, so text crosses the wire solely for
+    * actual boilerplate. At a corpus where even the ≥2-doc set is huge,
+    * `minDocs` is the knob — boilerplate worth scrubbing repeats
+    * thousands of times, not twice. Span identity is 64-bit-hash
+    * identity (the d2/minhash convention; collision odds ~1e-8 at 1e6
+    * distinct spans); the recovered text is min() over the hash's
+    * grams, deterministic either way. */
+  def boilerplateSpans(docs: DataFrame, n: Int = D19N, minDocs: Long = 2L,
+                       topK: Int = 20): DataFrame = {
+    val grams = docs
+      .withColumn("words", split(lower(col("text")), " "))
+      .filter(size(col("words")) >= n)
+      .select(col("doc_id"),
+        explode(array_distinct(graft.functions.TextGrams.gramsExpr(n)))
+          .as("gram"))
+    val hot = grams
+      .select(xxhash64(col("gram")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
+      .filter(col("n_docs") >= minDocs)
+    grams
+      .select(xxhash64(col("gram")).as("h"), col("gram"))
+      .join(broadcast(hot), Seq("h"))
+      .groupBy(col("h"), col("n_docs"), col("first_doc_id"))
+      .agg(min(col("gram")).as("span"))
+      .select(col("span"), col("n_docs"), col("first_doc_id"))
+      .orderBy(col("n_docs").desc, col("span"))
+      .limit(topK)
+  }
+
+  def d45BoilerplateSpans(spark: SparkSession, dir: String): DataFrame =
+    boilerplateSpans(Tables.documents(spark, dir))
+
   /** Word-window size for d21 segments and the corpus document-frequency
     * at which a segment counts as boilerplate — interpolated into the
     * oracle so both sides move together. */
@@ -962,6 +1008,7 @@ object Dedup {
     "d15_fuzzy_decontaminate" -> d15FuzzyDecontaminate,
     "d18_incremental_dedup" -> d18IncrementalDedup,
     "d19_dup_spans" -> d19DupSpans,
+    "d45_boilerplate_spans" -> d45BoilerplateSpans,
     "d21_segment_scrub" -> d21SegmentScrub,
     "d23_canonical_keep" -> d23CanonicalKeep,
     "d27_cluster_sizes" -> d27ClusterSizes,
@@ -1034,6 +1081,27 @@ object Dedup {
         |  CAST(sum(CASE WHEN CAST(n_dup AS DOUBLE) / n_grams >= 0.5
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged
         |FROM ds GROUP BY source ORDER BY source""".stripMargin
+    },
+    "d45_boilerplate_spans" -> {
+      // DuckDB needs no hash leg — it groups the span TEXT directly,
+      // which doubles as the hash-identity check on the Spark side
+      val gramConcat = (0 until D19N)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH words AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(w) - ${D19N - 2}),
+        |      i -> $gramConcat)) AS gs
+        |  FROM words WHERE len(w) >= $D19N),
+        |g AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        |c AS (
+        |  SELECT gram AS span, count(*) AS n_docs,
+        |    min(doc_id) AS first_doc_id
+        |  FROM g GROUP BY gram HAVING count(*) >= 2)
+        |SELECT span, CAST(n_docs AS BIGINT) AS n_docs, first_doc_id
+        |FROM c ORDER BY n_docs DESC, span LIMIT 20""".stripMargin
     },
     "d5_ngram_jaccard" ->
       s"""WITH $shingleCte

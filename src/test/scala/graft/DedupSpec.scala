@@ -453,6 +453,31 @@ class DedupSpec extends AnyFunSuite {
     assert(out(3L) == ((2L, 0L, "jj kk ll mm nn")))
   }
 
+  test("boilerplate leaderboard finds the planted span, counts docs not occurrences (D45)") {
+    // "copy right notice please read" planted in docs 0,1,5 (doc 5 twice —
+    // must still count as ONE doc); "aa bb cc dd ee" appears once only →
+    // never reported; order: higher n_docs first, then span text asc
+    val docs = Seq(
+      (5L, "zz copy right notice please read yy copy right notice please read"),
+      (0L, "copy right notice please read aa bb cc dd ee"),
+      (1L, "xx copy right notice please read"),
+      (2L, "one two three four five six"),
+      (3L, "one two three four five seven")   // shares the 5-gram "one..five"
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    val out = ext.Dedup.boilerplateSpans(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head == (("copy right notice please read", 3L, 0L)))
+    assert(out.contains(("one two three four five", 2L, 2L)))
+    // every reported span genuinely spans >= 2 docs; the singleton never shows
+    assert(out.forall(_._2 >= 2L))
+    assert(!out.exists(_._1.contains("aa bb cc")))
+    // deterministic under physical reorder
+    val again = ext.Dedup.boilerplateSpans(
+      docs.orderBy(col("doc_id").desc).repartition(4)).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("cluster-size histogram counts clusters and docs per component size") {
     // components: {0,1,2,3} (chain), {10,11}, {20}, {21} →
     // size 1 × 2 clusters, size 2 × 1, size 4 × 1; docs sum to 8
