@@ -51,6 +51,69 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = t(spark, dir, "embeddings")
 
+  /** The DECLARED testdata contract (TESTDATA.md tables, canonical type
+    * names) — the single source of truth interpolated into BOTH the p11
+    * Spark audit and its DuckDB oracle, the D10N discipline. Canonical
+    * names are engine-neutral on purpose: each engine maps its own type
+    * system onto them ([[canonicalType]] Spark-side, a CASE in the
+    * oracle SQL), so the contract never encodes one engine's spelling.
+    * Motivated by this round's drift incident: the events `ts` column
+    * changed physical encoding between testdata generations and took
+    * down 40 queries — this contract, checked as a query, is the alarm
+    * that fires FIRST next time. */
+  private[graft] val tableContract: Seq[(String, String, String)] = Seq(
+    ("customer", "c_custkey", "int64"), ("customer", "c_name", "string"),
+    ("customer", "c_nationkey", "int32"), ("customer", "c_acctbal", "float64"),
+    ("customer", "c_mktsegment", "string"),
+    ("documents", "doc_id", "int64"), ("documents", "text", "string"),
+    ("documents", "lang", "string"), ("documents", "source", "string"),
+    ("documents", "n_chars", "int64"),
+    ("embeddings", "vec_id", "int64"),
+    ("embeddings", "embedding", "list<float32>"),
+    ("embeddings", "label", "int32"),
+    ("events", "event_id", "int64"), ("events", "ts", "timestamp"),
+    ("events", "user_id", "int64"), ("events", "event_type", "string"),
+    ("events", "value", "float64"), ("events", "props", "string"),
+    ("lineitem", "l_orderkey", "int64"), ("lineitem", "l_partkey", "int64"),
+    ("lineitem", "l_suppkey", "int64"), ("lineitem", "l_linenumber", "int32"),
+    ("lineitem", "l_quantity", "float64"),
+    ("lineitem", "l_extendedprice", "float64"),
+    ("lineitem", "l_discount", "float64"), ("lineitem", "l_tax", "float64"),
+    ("lineitem", "l_returnflag", "string"),
+    ("lineitem", "l_linestatus", "string"),
+    ("lineitem", "l_shipdate", "timestamp"),
+    ("nation", "n_nationkey", "int32"), ("nation", "n_name", "string"),
+    ("nation", "n_regionkey", "int32"),
+    ("orders", "o_orderkey", "int64"), ("orders", "o_custkey", "int64"),
+    ("orders", "o_orderstatus", "string"), ("orders", "o_totalprice", "float64"),
+    ("orders", "o_orderdate", "timestamp"),
+    ("orders", "o_orderpriority", "string"),
+    ("part", "p_partkey", "int64"), ("part", "p_name", "string"),
+    ("part", "p_brand", "string"), ("part", "p_type", "string"),
+    ("part", "p_size", "int32"), ("part", "p_retailprice", "float64"),
+    ("region", "r_regionkey", "int32"), ("region", "r_name", "string"),
+    ("supplier", "s_suppkey", "int64"), ("supplier", "s_name", "string"),
+    ("supplier", "s_nationkey", "int32"), ("supplier", "s_acctbal", "float64")
+  )
+
+  /** Spark type → canonical contract name. TIMESTAMP and TIMESTAMP_NTZ
+    * both canonicalize to "timestamp": the contract is about what the
+    * engine SERVES (the loaders normalize to session-tz micros), not
+    * which parquet logical type this generation happened to write. */
+  private[graft] def canonicalType(dt: DataType): String = dt match {
+    case LongType                => "int64"
+    case IntegerType             => "int32"
+    case DoubleType              => "float64"
+    case FloatType               => "float32"
+    case StringType              => "string"
+    case TimestampType           => "timestamp"
+    case TimestampNTZType        => "timestamp"
+    case BooleanType             => "bool"
+    case BinaryType              => "binary"
+    case ArrayType(FloatType, _) => "list<float32>"
+    case other                   => other.simpleString
+  }
+
   /** The air-quality observation schema, mirroring the reference's
     * explicit 17-column StructType (spark_processor.py:34-52). Event time
     * is kept as STRING at ingest exactly like the reference (producer.py:81

@@ -168,10 +168,61 @@ object Projections {
       .join(right.groupBy(col(key)).agg(count(lit(1)).as("n_right")), Seq(key))
       .withColumn("n_pairs", col("n_left") * col("n_right"))
 
+  /** P11 — schema-contract audit: every (table, column) of the declared
+    * contract ([[Tables.tableContract]]) against what the engine
+    * actually serves from the directory, each row stamped ok / retyped /
+    * missing / extra — the Great-Expectations/Delta-enforcement verb,
+    * and the alarm that fires FIRST when an upstream producer changes
+    * an encoding (this round's events-ts drift broke 40 queries before
+    * any value check could complain; this query would have named the
+    * column in one row). Metadata-only by design: reading N schemas
+    * costs N parquet-footer reads whether the tables hold 60 k rows or
+    * 100 TB — the audit's cost is O(columns), never O(data). Events are
+    * audited AS SERVED (through [[Tables.events]]'s normalization), so
+    * the contract pins engine semantics, not which parquet logical type
+    * this generation happened to write. */
+  def p11SchemaAudit(spark: SparkSession, dir: String): DataFrame =
+    schemaAudit(spark,
+      Tables.tableContract.map(_._1).distinct.sorted.map { t =>
+        t -> (try {
+          Some((if (t == "events") Tables.events(spark, dir)
+                else Tables.t(spark, dir, t)).schema)
+        } catch { case _: Exception => None })
+      }.toMap)
+
+  /** The audit kernel over caller-supplied observed schemas (None = the
+    * table failed to load at all) — injectable so the spec plants
+    * retyped/missing/extra columns without touching testdata. */
+  def schemaAudit(spark: SparkSession,
+                  observed: Map[String, Option[org.apache.spark.sql.types.StructType]]): DataFrame = {
+    import spark.implicits._
+    val obs: Seq[(String, String, String)] = observed.toSeq.flatMap {
+      case (t, Some(st)) =>
+        st.fields.map(f => (t, f.name, Tables.canonicalType(f.dataType)))
+      case (_, None) => Seq.empty
+    }
+    val contract = Tables.tableContract
+      .map { case (t, c, ty) => (t, c) -> ty }.toMap
+    val obsMap = obs.map { case (t, c, ty) => (t, c) -> ty }.toMap
+    val keys = (contract.keySet ++ obsMap.keySet).toSeq.sorted
+    keys.map { case (t, c) =>
+      val exp = contract.get((t, c))
+      val got = obsMap.get((t, c))
+      val status = (exp, got) match {
+        case (Some(_), None)              => "missing"
+        case (None, Some(_))              => "extra"
+        case (Some(e), Some(g)) if e == g => "ok"
+        case _                            => "retyped"
+      }
+      (t, c, status, exp.orNull, got.orNull)
+    }.toDF("table_name", "col_name", "status", "expected_type", "actual_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_join_forecast" -> p10JoinForecast,
     "p9_skew_profile" -> p9SkewProfile,
     "p8_column_profile" -> p8ColumnProfile,
+    "p11_schema_audit" -> p11SchemaAudit,
     "p1_dedup_exact" -> p1DedupExact,
     "p2_null_filter" -> p2NullFilter,
     "p3_projection" -> p3Projection,
@@ -185,6 +236,38 @@ object Projections {
   )
 
   val oracle: Map[String, String] = Map(
+    "p11_schema_audit" -> {
+      // both sides interpolate the SAME contract constant; DuckDB maps
+      // its own type names onto the canonical vocabulary (pragma over
+      // the check harness's views of the same parquet files)
+      val contractValues = Tables.tableContract
+        .map { case (t, c, ty) => s"('$t', '$c', '$ty')" }.mkString(",\n|    ")
+      val tables = Tables.tableContract.map(_._1).distinct.sorted
+      val obsUnion = tables.map(t =>
+        s"""SELECT '$t' AS table_name, name AS col_name,
+           |  CASE type
+           |    WHEN 'BIGINT' THEN 'int64' WHEN 'INTEGER' THEN 'int32'
+           |    WHEN 'DOUBLE' THEN 'float64' WHEN 'FLOAT' THEN 'float32'
+           |    WHEN 'VARCHAR' THEN 'string' WHEN 'FLOAT[]' THEN 'list<float32>'
+           |    WHEN 'TIMESTAMP' THEN 'timestamp'
+           |    WHEN 'TIMESTAMP_NS' THEN 'timestamp'
+           |    WHEN 'TIMESTAMP WITH TIME ZONE' THEN 'timestamp'
+           |    WHEN 'BOOLEAN' THEN 'bool' WHEN 'BLOB' THEN 'binary'
+           |    ELSE lower(type) END AS actual_type
+           |FROM pragma_table_info('$t')""").mkString("\n|UNION ALL\n|")
+      s"""WITH contract(table_name, col_name, expected_type) AS (VALUES
+        |    $contractValues),
+        |obs AS (
+        |$obsUnion)
+        |SELECT table_name, col_name,
+        |  CASE WHEN o.actual_type IS NULL THEN 'missing'
+        |       WHEN c.expected_type IS NULL THEN 'extra'
+        |       WHEN c.expected_type = o.actual_type THEN 'ok'
+        |       ELSE 'retyped' END AS status,
+        |  c.expected_type, o.actual_type
+        |FROM contract c FULL OUTER JOIN obs o USING (table_name, col_name)
+        |ORDER BY table_name, col_name""".stripMargin
+    },
     "p10_join_forecast" ->
       """WITH l AS (SELECT user_id, count(*) AS n_left
         |           FROM events GROUP BY user_id),

@@ -43,4 +43,40 @@ class ForecastSpec extends AnyFunSuite {
       ((orders.count(), expOrd.count(),
         expOrd.agg(coalesce(sum(col("o_orderkey")), lit(0L))).head().getLong(0))))
   }
+
+  test("schema audit stamps ok/retyped/missing/extra from planted schemas (P11)") {
+    import org.apache.spark.sql.types._
+    // events: value retyped to string, props absent, rogue column added
+    val planted = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", StringType),          // retyped
+      StructField("rogue", DoubleType)))         // extra
+    val out = Projections.schemaAudit(spark, Map("events" -> Some(planted)))
+      .filter(col("table_name") === "events").collect()
+      .map(r => r.getString(1) -> ((r.getString(2),
+        Option(r.getString(3)), Option(r.getString(4))))).toMap
+    assert(out("event_id") == (("ok", Some("int64"), Some("int64"))))
+    assert(out("ts")       == (("ok", Some("timestamp"), Some("timestamp"))))
+    assert(out("value")    == (("retyped", Some("float64"), Some("string"))))
+    assert(out("props")    == (("missing", Some("string"), None)))
+    assert(out("rogue")    == (("extra", None, Some("float64"))))
+    // NTZ canonicalizes like TIMESTAMP: the drift this op exists to name
+    // is a retype AWAY from timestamp, not the tz flavor
+    val ntz = Projections.schemaAudit(spark, Map("events" -> Some(
+      StructType(Seq(StructField("ts", TimestampNTZType))))))
+      .filter(col("col_name") === "ts").head()
+    assert(ntz.getString(2) == "ok")
+    // a table that fails to load entirely: every contract column missing
+    val gone = Projections.schemaAudit(spark, Map("region" -> None))
+      .filter(col("table_name") === "region").collect()
+    assert(gone.length == 2 && gone.forall(_.getString(2) == "missing"))
+  }
+
+  test("schema audit over the real testdata is all-ok (P11)") {
+    val dir = "/root/testdata/sf0.001"
+    val bad = Projections.p11SchemaAudit(spark, dir)
+      .filter(col("status") =!= "ok").collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
 }
