@@ -49,7 +49,8 @@ object ScalingProbe {
     "sim14_mmr_topk", "t21_source_overlap", "mm7_shard_manifest",
     "d42_source_overlap_sketch", "d43_temperature_mix",
     "sim15_binary_ann", "j10_salted_join", "j11_bucketed_join",
-    "sim16_ivfpq_ann", "w11_forward_fill", "d45_boilerplate_spans")
+    "sim16_ivfpq_ann", "w11_forward_fill", "d45_boilerplate_spans",
+    "w12_concurrency")
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

@@ -126,6 +126,69 @@ object WindowFns {
         (max(col("epoch_s")) - min(col("epoch_s"))).as("duration_s"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** W12 — the concurrency curve: per hour, how many sessions ran AT
+    * ONCE at the peak (plus how many started) — the capacity-planning
+    * number behind every "do we need more serving replicas" decision,
+    * and the interval-overlap verb (sweep-line) the engine was missing:
+    * w6 counts sessions, this counts their OVERLAP.
+    *
+    * Distributed sweep-line, no global sort: each session interval
+    * becomes two deltas (+1 at start, −1 past end); deltas reduce to
+    * per-SECOND nets map-side (which also makes tie order moot — the
+    * running sum is over distinct seconds, a total order); the running
+    * concurrency then splits two-level, the a18/global-rank device: an
+    * intra-hour running sum partitioned by hour (parallel across
+    * hours), plus per-hour carry-ins from one tiny window over the
+    * hour-count frame (time-range-bounded, broadcast back). Peak-per-
+    * hour is greatest(carry-in, max point level) — between hour start
+    * and its first delta the curve still sits at the carry-in, which
+    * an hour of pure session-ends would otherwise under-report. */
+  def w12Concurrency(spark: SparkSession, dir: String): DataFrame =
+    concurrencyCurve(
+      sessionAssign(Tables.events(spark, dir), gapSeconds = 1800L,
+        orderCol = "event_id")
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s")))
+
+  /** The sweep-line kernel over caller-supplied [start_s, end_s] spans —
+    * split out so overlap semantics (inclusive bounds, carry-in peaks,
+    * tie collapsing) pin on planted intervals independent of the
+    * sessionizer. */
+  def concurrencyCurve(spans: DataFrame): DataFrame = {
+    // the per-second delta frame feeds BOTH the carry-in branch and the
+    // point branch — eager localCheckpoint (the d35 gram-set device) so
+    // the sessionize+union+reduce lineage runs ONCE, not once per
+    // consumer; the frame is narrow (4 columns) and bounded by distinct
+    // active seconds, so materializing it is the cheap side of the trade
+    val deltas = spans
+      .select(col("start_s").as("t"), lit(1L).as("d"))
+      .unionByName(spans.select((col("end_s") + 1L).as("t"), lit(-1L).as("d")))
+      .groupBy(col("t"))
+      .agg(sum(col("d")).as("net"),
+        sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_starts"))
+      .withColumn("hour_idx", floor(col("t") / 3600L).cast("long"))
+      .localCheckpoint(true)
+    val hourNet = deltas.groupBy(col("hour_idx"))
+      .agg(sum(col("net")).as("hour_net"))
+    // carry-in per hour: one running sum over the hour-count frame —
+    // single-partition by construction, bounded by the TIME RANGE
+    val wh = Window.orderBy(col("hour_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = hourNet
+      .withColumn("carry_in", coalesce(sum(col("hour_net")).over(wh), lit(0L)))
+      .select(col("hour_idx"), col("carry_in"))
+    val wi = Window.partitionBy(col("hour_idx")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.join(broadcast(offsets), Seq("hour_idx"))
+      .withColumn("conc", col("carry_in") + sum(col("net")).over(wi))
+      .groupBy(col("hour_idx"), col("carry_in"))
+      .agg(sum(col("n_starts")).as("n_starts"),
+        max(col("conc")).as("max_point"))
+      .select(col("hour_idx"), col("n_starts"),
+        greatest(col("carry_in"), col("max_point")).as("max_concurrent"))
+      .orderBy(col("hour_idx"))
+  }
+
   /** W7 — feed-gap detection: for each user's event stream, flag
     * inter-event gaps beyond a threshold and report the outage profile
     * per user — the "missing sensor readings" monitoring query the
@@ -340,6 +403,7 @@ object WindowFns {
     "w9_cohort_retention" -> w9CohortRetention,
     "w10_ohlc_bars" -> w10OhlcBars,
     "w11_forward_fill" -> w11ForwardFill,
+    "w12_concurrency" -> w12Concurrency,
     "w8_funnel" -> w8Funnel,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
@@ -351,6 +415,41 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    "w12_concurrency" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, epoch_s,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_seq
+        |  FROM g),
+        |spans AS (
+        |  SELECT user_id, session_seq,
+        |    min(epoch_s) AS start_s, max(epoch_s) AS end_s
+        |  FROM s GROUP BY user_id, session_seq),
+        |d AS (
+        |  SELECT start_s AS t, 1 AS dd FROM spans
+        |  UNION ALL SELECT end_s + 1, -1 FROM spans),
+        |p AS (
+        |  SELECT t, CAST(sum(dd) AS BIGINT) AS net,
+        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_starts
+        |  FROM d GROUP BY t),
+        |r AS (
+        |  SELECT t, net, n_starts,
+        |    CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS conc,
+        |    t // 3600 AS hour_idx
+        |  FROM p)
+        |SELECT hour_idx, CAST(sum(n_starts) AS BIGINT) AS n_starts,
+        |  greatest(first(conc - net ORDER BY t), max(conc)) AS max_concurrent
+        |FROM r GROUP BY hour_idx ORDER BY hour_idx""".stripMargin,
     "w11_forward_fill" ->
       """WITH e AS (
         |  SELECT event_type, value, event_id,
