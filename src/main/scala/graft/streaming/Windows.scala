@@ -75,6 +75,34 @@ object Windows {
         col("n_events"), col("value_sum"))
   }
 
+  /** W11' — the LOCF resample's LIVE leg: the per-(type, hour)
+    * last-observation frame maintained incrementally — `max_by` over
+    * the same (unix_micros, event_id) struct as the batch kernel, so a
+    * late-arriving earlier observation can never steal "last" from a
+    * truly-later one (the pick is ORDER-defined, not arrival-defined;
+    * that is the whole point of the struct). This is exactly the
+    * `hourly` frame [[graft.ext.WindowFns.locfFill]] builds its grid
+    * over — the non-gap rows of the batch output — pinned stream ≡
+    * batch in StreamingSpec. The grid synthesis + carry-forward stays a
+    * batch presentation over the accumulated hourly table: gaps are
+    * DEFINED by hours that never got state, which a per-key stream
+    * operator cannot emit incrementally (nothing arrives to trigger
+    * them); serving fills from the live hourly frame on read. O(1)
+    * state per open (type, hour) cell, watermark-evicted. */
+  def locfStream(events: DataFrame): DataFrame = {
+    val orderKey = struct(expr("unix_micros(ts)").as("us"), col("event_id"))
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(max_by(col("value"), orderKey).as("obs"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        floor(unix_timestamp(col("window.start")) / 3600L).cast("long")
+          .as("hour_idx"),
+        round(col("obs"), 2).as("obs_value"),
+        col("n_events"))
+  }
+
   /** T9a — 10-minute sliding window, 5-minute slide. */
   def sliding(events: DataFrame): DataFrame =
     events

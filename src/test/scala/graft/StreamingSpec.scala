@@ -816,6 +816,45 @@ class StreamingSpec extends AnyFunSuite {
     assert((h10._3, h10._6) == ((7.0, 3.25)))
   }
 
+  test("w11' live last-observation frame equals the batch LOCF's non-gap rows (parity)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val in = MemoryStream[OhlcEv]
+    val q = graft.streaming.Windows.locfStream(in.toDF())
+      .writeStream.format("memory").queryName("locf_live")
+      .outputMode("complete").start()
+    // the hour-10 LAST observation (id 3 @10:59) arrives in batch 1;
+    // batch 2 delivers a LATE EARLIER row (id 1 @10:01) — arrival order
+    // must not steal "last" from the (micros, event_id)-later row
+    val b1 = Seq(
+      OhlcEv(3L, t("2024-01-01 10:59:00"), "m", 3.25),
+      OhlcEv(0L, t("2024-01-01 10:05:00"), "m", 10.0),
+      OhlcEv(6L, t("2024-01-01 13:10:00"), "x", 1.0))   // hours 11-12: m-gaps
+    val b2 = Seq(
+      OhlcEv(1L, t("2024-01-01 10:01:00"), "m", 7.0),   // late, earlier — loses
+      OhlcEv(5L, t("2024-01-01 13:00:00"), "m", 6.0),
+      OhlcEv(4L, t("2024-01-01 13:00:00"), "m", 5.0))   // same ts: id 5 wins
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val live = spark.table("locf_live").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    val batch = graft.ext.WindowFns.locfFill((b1 ++ b2)
+        .toDF("event_id", "ts", "event_type", "value"))
+      .filter(!col("is_gap"))
+      .select(col("event_type"), col("hour_idx"), col("obs_value"),
+        col("n_events"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(live == batch)
+    // planted arithmetic: hour 10's last obs is 3.25 (id 3), NOT the
+    // late-arriving 7.0; hour 13's same-second tie goes to id 5 (6.0)
+    assert(live.contains(("m", 473362L, 3.25, 3L)))
+    assert(live.contains(("m", 473365L, 6.0, 2L)))
+  }
+
   test("a18' quantile stream fold: per-batch grid histograms fold to the " +
     "EXACT batch histogram; bounds serve through the shared a18 kernel") {
     import spark.implicits._
