@@ -182,6 +182,57 @@ object Joins {
       delta = 0.01)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** J12 — temporal interval self-join: which user pairs were active AT
+    * THE SAME TIME, and for how long — the co-presence query (fraud
+    * rings, shared-device detection, co-occurrence features), and the
+    * interval-overlap JOIN beside w12's overlap COUNT. Sessions from
+    * the same 30-min sessionizer as w6/w12.
+    *
+    * The naive predicate `a.start <= b.end AND b.start <= a.end` is a
+    * theta-join — O(N²) pairs at any scale. The Spark-first shape is
+    * the canonical bin trick: explode each interval into the hour bins
+    * it covers, EQUI-join on bin (hash-shuffleable, AQE-splittable),
+    * verify true overlap, and keep each session pair exactly once via
+    * bin OWNERSHIP — only the bin containing the overlap's start
+    * (greatest of the two starts) reports the pair, so a pair sharing
+    * five bins emits once, not five times. Bins-per-session is bounded
+    * by duration/3600 (sessions are gap-bounded); a corpus with a hot
+    * hour would salt within the bin, the j10 device. Overlap seconds
+    * are inclusive-bound integers, engine-exact. */
+  def j12IntervalJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalOverlapPairs(
+      WindowFns.sessionAssign(Tables.events(spark, dir), gapSeconds = 1800L,
+        orderCol = "event_id")
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s")))
+
+  /** The overlap kernel over caller-supplied (user_id, start_s, end_s)
+    * spans — injectable so ownership dedup, self-pair exclusion, and
+    * inclusive overlap arithmetic pin on planted intervals. The span
+    * frame is eager-checkpointed: both join sides read the materialized
+    * artifact instead of re-running the upstream lineage twice (the
+    * w12/d35 device). */
+  def intervalOverlapPairs(spans: DataFrame, topK: Int = 20): DataFrame = {
+    val s = spans.select(col("user_id"), col("start_s"), col("end_s"))
+      .localCheckpoint(true)
+    def binned(side: String) = s.select(
+        col("user_id").as(s"user_$side"),
+        col("start_s").as(s"start_$side"), col("end_s").as(s"end_$side"))
+      .withColumn("bin",
+        explode(expr(s"sequence(start_$side div 3600, end_$side div 3600)")))
+    binned("a").join(binned("b"), Seq("bin"))
+      .filter(col("user_a") < col("user_b") &&
+        col("start_a") <= col("end_b") && col("start_b") <= col("end_a") &&
+        expr("greatest(start_a, start_b) div 3600") === col("bin"))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(least(col("end_a"), col("end_b"))
+          - greatest(col("start_a"), col("start_b")) + lit(1L))
+          .as("overlap_s"))
+      .orderBy(col("overlap_s").desc, col("user_a"), col("user_b"))
+      .limit(topK)
+  }
+
   /** J8 — flagship multi-way analytic query (TPC-H Q3's shipping-priority
     * shape): customer ⋈ orders ⋈ lineitem with a selective dimension
     * filter on each leg, grouped revenue, top-10. Every other join query
@@ -357,10 +408,41 @@ object Joins {
     "j4_broadcast_hint" -> j4BroadcastHint,
     "j5_range_join" -> j5RangeJoin,
     "j6_asof_join" -> j6AsOfJoin,
-    "j8_shipping_priority" -> j8ShippingPriority
+    "j8_shipping_priority" -> j8ShippingPriority,
+    "j12_interval_join" -> j12IntervalJoin
   )
 
   val oracle: Map[String, String] = Map(
+    "j12_interval_join" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, epoch_s,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_seq
+        |  FROM g),
+        |spans AS (
+        |  SELECT user_id, session_seq,
+        |    min(epoch_s) AS start_s, max(epoch_s) AS end_s
+        |  FROM s GROUP BY user_id, session_seq),
+        |p AS (
+        |  SELECT a.user_id AS user_a, b.user_id AS user_b,
+        |    least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) + 1
+        |      AS ov
+        |  FROM spans a JOIN spans b
+        |    ON a.user_id < b.user_id
+        |   AND a.start_s <= b.end_s AND b.start_s <= a.end_s)
+        |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps,
+        |  CAST(sum(ov) AS BIGINT) AS overlap_s
+        |FROM p GROUP BY user_a, user_b
+        |ORDER BY overlap_s DESC, user_a, user_b LIMIT 20""".stripMargin,
     "j11_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,

@@ -124,4 +124,35 @@ class ScaleJoinsSpec extends AnyFunSuite {
     val rows = graft.ext.Joins.bandSelfJoin(df, "id", "v", delta = 1.0).count()
     assert(rows == brute.size)
   }
+
+  test("interval overlap pairs: bin ownership dedups multi-bin overlaps; " +
+    "inclusive arithmetic; no self-pairs (J12)") {
+    import spark.implicits._
+    // u1 [0, 7500] spans 3 hour-bins; u2 [3600, 7300] overlaps it across
+    // TWO shared bins → must count once, overlap = 7300-3600+1; u3
+    // [100, 200] overlaps u1 only (within bin 0), 101 s; u4 [20000,
+    // 20010] overlaps nobody; u1's second session [9000, 9100] and u2's
+    // [9050, 9060] overlap 11 s → same pair accumulates 2 overlaps
+    val spans = Seq(
+      (1L, 0L, 7500L), (1L, 9000L, 9100L),
+      (2L, 3600L, 7300L), (2L, 9050L, 9060L),
+      (3L, 100L, 200L), (4L, 20000L, 20010L)
+    ).toDF("user_id", "start_s", "end_s")
+    val out = graft.ext.Joins.intervalOverlapPairs(spans).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out == Map(
+      (1L, 2L) -> ((2L, (7300L - 3600L + 1) + 11L)),
+      (1L, 3L) -> ((1L, 101L))))
+  }
+
+  test("interval overlap join plans as an equi-join on bins, never a nested loop (J12)") {
+    import spark.implicits._
+    val spans = Seq((1L, 0L, 7500L), (2L, 3600L, 7300L))
+      .toDF("user_id", "start_s", "end_s")
+    val plan = graft.ext.Joins.intervalOverlapPairs(spans)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"theta-join shape leaked:\n$plan")
+  }
 }
