@@ -388,6 +388,59 @@ object Curate {
   private[ext] val CorpusScrubPatterns: Seq[String] =
     PiiPatterns :+ "\\bcustomer\\b"
 
+  /** The deterministic forget-set rule shared by the d46 Spark side and
+    * its oracle (a real deployment passes an explicit id frame). */
+  private[ext] val D46Mod = 101
+
+  /** D46 — right-to-be-forgotten cascade audit: given a forget-set of
+    * user ids, the per-table purge report a GDPR/CCPA deletion job
+    * publishes BEFORE committing — rows before/purged/after and a
+    * purged-key checksum per table, so the compliance trail proves
+    * WHICH rows left, not just how many (the j9 checksum device). The
+    * cascade covers direct holders (customer, events, orders on their
+    * user/customer key) and the TRANSITIVE hop — lineitems of purged
+    * orders — which is the step naive per-table deletes miss and the
+    * reason this is an operator rather than four filters.
+    *
+    * 100 TB shape: direct tables are ONE conditional aggregate each
+    * (no join, map-side combined). The transitive hop is a left-semi
+    * join on the purged order keys — deliberately un-hinted: the
+    * purged set scales with the corpus (Catalyst broadcasts while it
+    * fits, AQE splits a skewed key past that). Audit rows assemble via
+    * broadcast-singleton crossJoins (CensusSpec-allowlisted). */
+  def d46ForgetCascade(spark: SparkSession, dir: String): DataFrame = {
+    def direct(table: String, df: DataFrame, key: org.apache.spark.sql.Column,
+               ck: org.apache.spark.sql.Column): DataFrame = {
+      val flag = key % D46Mod === 0
+      df.agg(lit(table).as("table_name"),
+        count(lit(1)).as("n_before"),
+        sum(when(flag, 1L).otherwise(0L)).as("n_purged"),
+        (count(lit(1)) - sum(when(flag, 1L).otherwise(0L))).as("n_after"),
+        coalesce(sum(when(flag, ck)), lit(0L)).as("purged_key_sum"))
+    }
+    val li = Tables.lineitem(spark, dir)
+    val purgedOrders = Tables.orders(spark, dir)
+      .filter(col("o_custkey") % D46Mod === 0).select(col("o_orderkey"))
+    val liPurged = li.join(purgedOrders,
+      li("l_orderkey") === purgedOrders("o_orderkey"), "left_semi")
+    val liReport = li
+      .agg(lit("lineitem").as("table_name"), count(lit(1)).as("n_before"))
+      .crossJoin(broadcast(liPurged.agg(
+        count(lit(1)).as("n_purged"),
+        coalesce(sum(col("l_orderkey")), lit(0L)).as("purged_key_sum"))))
+      .select(col("table_name"), col("n_before"), col("n_purged"),
+        (col("n_before") - col("n_purged")).as("n_after"),
+        col("purged_key_sum"))
+    direct("customer", Tables.customer(spark, dir),
+        col("c_custkey"), col("c_custkey"))
+      .unionByName(direct("events", Tables.events(spark, dir),
+        col("user_id"), col("event_id")))
+      .unionByName(direct("orders", Tables.orders(spark, dir),
+        col("o_custkey"), col("o_orderkey")))
+      .unionByName(liReport)
+      .orderBy(col("table_name"))
+  }
+
   /** D13 — registered PII-scrub accounting: per source, docs flagged,
     * total redactions, and characters removed. The synthetic corpus is
     * digit-free word soup, so the three true PII patterns fire zero —
@@ -821,6 +874,7 @@ object Curate {
     "d43_temperature_mix" -> d43TemperatureMix,
     "d12_semantic_dedup" -> d12SemanticDedup,
     "d13_pii_redact" -> d13PiiRedact,
+    "d46_forget_cascade" -> d46ForgetCascade,
     "d14_quality_filter" -> d14QualityFilter,
     "d16_split_assign" -> d16SplitAssign,
     "d17_token_budget" -> d17TokenBudget,
@@ -972,6 +1026,45 @@ object Curate {
         |WHERE split <> 'train'
         |GROUP BY split ORDER BY split""".stripMargin
     },
+    "d46_forget_cascade" ->
+      s"""WITH po AS (
+        |  SELECT o_orderkey FROM orders WHERE o_custkey % $D46Mod = 0),
+        |lp AS (
+        |  SELECT count(*) AS n_purged,
+        |    CAST(coalesce(sum(l_orderkey), 0) AS BIGINT) AS ck
+        |  FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM po)),
+        |lt AS (SELECT count(*) AS n FROM lineitem)
+        |SELECT 'customer' AS table_name, count(*) AS n_before,
+        |  CAST(sum(CASE WHEN c_custkey % $D46Mod = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_purged,
+        |  CAST(count(*) - sum(CASE WHEN c_custkey % $D46Mod = 0 THEN 1
+        |    ELSE 0 END) AS BIGINT) AS n_after,
+        |  CAST(coalesce(sum(CASE WHEN c_custkey % $D46Mod = 0
+        |    THEN c_custkey END), 0) AS BIGINT) AS purged_key_sum
+        |FROM customer
+        |UNION ALL
+        |SELECT 'events', count(*),
+        |  CAST(sum(CASE WHEN user_id % $D46Mod = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(*) - sum(CASE WHEN user_id % $D46Mod = 0 THEN 1
+        |    ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN user_id % $D46Mod = 0
+        |    THEN event_id END), 0) AS BIGINT)
+        |FROM events
+        |UNION ALL
+        |SELECT 'orders', count(*),
+        |  CAST(sum(CASE WHEN o_custkey % $D46Mod = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT),
+        |  CAST(count(*) - sum(CASE WHEN o_custkey % $D46Mod = 0 THEN 1
+        |    ELSE 0 END) AS BIGINT),
+        |  CAST(coalesce(sum(CASE WHEN o_custkey % $D46Mod = 0
+        |    THEN o_orderkey END), 0) AS BIGINT)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem', lt.n, CAST(lp.n_purged AS BIGINT),
+        |  CAST(lt.n - lp.n_purged AS BIGINT), lp.ck
+        |FROM lt CROSS JOIN lp
+        |ORDER BY table_name""".stripMargin,
     "d10_decontaminate" -> d10OracleSql,
     // d35 computes the SAME answer through the Bloom-prune strategy —
     // sharing d10's oracle verbatim IS the exactness proof

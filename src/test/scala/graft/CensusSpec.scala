@@ -40,7 +40,8 @@ class CensusSpec extends AnyFunSuite {
     "j9_orphan_audit",          // broadcast orphan-count singletons
     "t17_pmi_phrases",          // broadcast token/bigram-total singletons
     "d36_cluster_quality",      // inherits d5's bounded pair kernel
-    "w11_forward_fill")         // hour-range singleton × tiny type frame
+    "w11_forward_fill",         // hour-range singleton × tiny type frame
+    "d46_forget_cascade")       // audit-row broadcast singletons (j9 shape)
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query

@@ -477,4 +477,31 @@ class CurateSpec extends AnyFunSuite {
     val aShare = wins.count(_ == 1L) / 2000.0
     assert(math.abs(aShare - 0.8) < 0.04, s"share $aShare, expected ~0.8")
   }
+
+  test("forget cascade: conservation per table and an exact transitive hop (D46)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val rows = ext.Curate.d46ForgetCascade(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet == Set("customer", "events", "orders", "lineitem"))
+    // conservation: nothing vanishes except what the audit says
+    rows.values.foreach { case (before, purged, after, _) =>
+      assert(before == purged + after)
+    }
+    // the transitive hop equals an independent recount: lineitems whose
+    // order belongs to a forgotten customer
+    val po = graft.Tables.orders(spark, dir)
+      .filter(col("o_custkey") % 101 === 0).select(col("o_orderkey"))
+    val li = graft.Tables.lineitem(spark, dir)
+    val expected = li.join(po, li("l_orderkey") === po("o_orderkey"), "left_semi")
+    assert(rows("lineitem")._2 == expected.count())
+    assert(rows("lineitem")._4 ==
+      expected.agg(coalesce(sum(col("l_orderkey")), lit(0L))).head().getLong(0))
+    // the checksum proves WHICH rows: events checksum is the purged
+    // slice's event_id sum, not the key sum
+    val ev = graft.Tables.events(spark, dir).filter(col("user_id") % 101 === 0)
+    assert(rows("events")._4 ==
+      ev.agg(coalesce(sum(col("event_id")), lit(0L))).head().getLong(0))
+  }
 }
