@@ -50,6 +50,9 @@ class CensusSpec extends AnyFunSuite {
   private val defaultMaxExchanges = 6
   private val exchangeBudget: Map[String, Int] = Map(
     "sim11_ivf_recall" -> 24,   // recall sweep: exact pass + per-probe plans
+    "sim17_ivfpq_recall" -> 28, // same sweep shape over the composed index:
+                                // 4 probe settings × (ADC pool window +
+                                // rerank join/window + hit semi + agg)
     "d24_curation_funnel" -> 9, // quality+decontam+dedup+funnel, composed
     "d11_rebalance" -> 8,       // per-stratum rate join + resample + order
     "d23_canonical_keep" -> 7,  // pair graph → components → keeper join

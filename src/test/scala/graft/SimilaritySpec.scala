@@ -546,6 +546,21 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cells.subsetOf(probed), s"cells $cells outside probes $probed")
   }
 
+  test("IVFPQ recall curve: probing more cells lifts recall up to the pool bound (SIM17)") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.sim17IvfPqRecall(spark, dir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 6, 16))
+    rows.foreach { case (_, (n, avg, mn)) =>
+      assert(n > 0 && avg >= 0.0 && avg <= 1.0 && mn >= 0.0 && mn <= avg)
+    }
+    val byProbe = rows.toMap
+    // routing is the ceiling below the default: 6 probes must clearly
+    // beat 1 (the registered sim16 operating point's evidence)
+    assert(byProbe(6)._2 > byProbe(1)._2,
+      s"recall curve flat: ${rows.mkString(", ")}")
+  }
+
   test("IVFPQ missing query id returns empty, wrong dim fails fast") {
     val dir = "/root/testdata/sf0.001"
     val idx = Similarity.ivfPqIndexFor(spark, dir)
