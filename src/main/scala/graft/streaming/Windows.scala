@@ -152,6 +152,29 @@ object Windows {
       "inner")
   }
 
+  /** T11b — the LEFT OUTER leg of the watermarked interval join: same
+    * key + [0, maxDelay] time bound, but a left row that finds no match
+    * EMITS with nulls once the watermark proves no match can still
+    * arrive — the "alert with no action taken" row, which the inner
+    * join silently ages out. The null-padded emission is deferred BY
+    * DESIGN until the watermark passes the interval's end (emitting
+    * earlier could contradict a late-but-valid match); both state
+    * stores stay bounded exactly as in the inner case. Same watermark +
+    * time-bound requirements — Spark rejects an unbounded outer
+    * stream-stream join outright rather than buffering forever. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+                        maxDelay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", "10 minutes")
+      .select(left.columns.map(c => col(c).as(s"l_$c")).toIndexedSeq: _*)
+    val r = right.withWatermark("ts", "10 minutes")
+      .select(right.columns.map(c => col(c).as(s"r_$c")).toIndexedSeq: _*)
+    l.join(r,
+      col(s"l_$key") === col(s"r_$key") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $maxDelay"),
+      "left_outer")
+  }
+
   /** The LIVE formulation of the j6 as-of enrichment
     * ([[graft.ext.Joins.asOfEnrich]]'s batch kernel): each purchase is
     * emitted with the latest click at-or-before it by the same user.

@@ -307,6 +307,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.length == 1) // user 2's late buy fell outside the interval
   }
 
+  test("stream-stream LEFT OUTER interval join emits null-padded no-match rows " +
+    "once the watermark proves them (T11b)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val clicks = MemoryStream[Ev]
+    val buys = MemoryStream[Ev]
+    val q = Windows.intervalJoinOuter(clicks.toDF(), buys.toDF(), "user_id")
+      .select(col("l_user_id"), col("l_ts"), col("r_ts"))
+      .writeStream.format("memory").queryName("ssjoin_outer_out")
+      .outputMode("append").start()
+    clicks.addData(Ev(t("2024-01-01 10:00:00"), "click", 1, 1.0))
+    clicks.addData(Ev(t("2024-01-01 10:00:00"), "click", 2, 1.0))
+    buys.addData(Ev(t("2024-01-01 10:05:00"), "buy", 1, 9.0))   // match
+    buys.addData(Ev(t("2024-01-01 10:30:00"), "buy", 2, 9.0))   // outside interval
+    q.processAllAvailable()
+    // BEFORE the watermark passes, user 2 must NOT have emitted: a
+    // valid match could still arrive late
+    val early = spark.table("ssjoin_outer_out").collect()
+    assert(!early.exists(r => r.getAs[Long]("l_user_id") == 2L),
+      "null-padded row emitted before the watermark proved no-match")
+    // advance both watermarks far past the interval end
+    clicks.addData(Ev(t("2024-01-01 12:00:00"), "click", 99, 0.0))
+    buys.addData(Ev(t("2024-01-01 12:00:00"), "buy", 98, 0.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("ssjoin_outer_out").collect()
+      .map(r => (r.getAs[Long]("l_user_id"), Option(r.getAs[java.sql.Timestamp]("r_ts"))))
+      .filter(_._1 != 99L) // the watermark-advancer click may itself emit later
+      .toSet
+    assert(out.contains((1L, Some(java.sql.Timestamp.valueOf("2024-01-01 10:05:00")))))
+    assert(out.contains((2L, None)), s"missing null-padded row in $out")
+  }
+
   test("restart on the same checkpoint: no loss, no duplicates (T3 crash recovery)") {
     import spark.implicits._
     import java.nio.file.{Files, Paths}
