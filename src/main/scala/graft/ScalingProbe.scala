@@ -50,7 +50,7 @@ object ScalingProbe {
     "d42_source_overlap_sketch", "d43_temperature_mix",
     "sim15_binary_ann", "j10_salted_join", "j11_bucketed_join",
     "sim16_ivfpq_ann", "w11_forward_fill", "d45_boilerplate_spans",
-    "w12_concurrency")
+    "w12_concurrency", "a22_active_users")
     // j12_interval_join is deliberately NOT in the default sweep: the
     // replica corpora multiply per-hour user density by R, so the
     // overlap join's OUTPUT grows ~R² (measured 128× pairs at 10×) —

@@ -381,7 +381,45 @@ object Analyze {
       .orderBy(col("event_type"))
   }
 
+  /** A22 — DAU / trailing-7-day WAU / stickiness: the product-analytics
+    * staple (how many distinct users act per day, per trailing week,
+    * and their ratio — the retention pulse every growth dashboard
+    * leads with). The naive sliding COUNT(DISTINCT) re-scans seven
+    * days of raw events per output day; the Spark-first shape dedups
+    * ONCE to (day, user) — bounded by users × active-days, typically
+    * orders of magnitude under the event count — then turns the
+    * sliding window into a bounded EXPLODE: each active (day, user)
+    * covers the 7 trailing windows it can influence, a second dedup
+    * collapses multi-day actives per window, and both counts are plain
+    * map-side-combined aggregates. No window function, no 7× raw-event
+    * re-scan; the ×7 blowup rides the deduped pair frame, not the
+    * corpus. Output restricted to days with activity (inner join). */
+  def a22ActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    activeUsers(Tables.events(spark, dir))
+
+  /** The DAU/WAU kernel over a caller-supplied (ts, user_id) frame —
+    * injectable so the trailing-window semantics pin on planted rows. */
+  private[graft] def activeUsers(events: DataFrame): DataFrame = {
+    val du = events
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(expr("sequence(d, date_add(d, 6))")).as("wd"),
+        col("user_id"))
+      .distinct()
+      .groupBy(col("wd")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, dau("d") === wau("wd"))
+      // ISO string, not DateType: the two engines' native date carriers
+      // differ at the driver-compare layer (datetime.date vs
+      // datetime64); a formatted day key compares byte-identically
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a22_active_users" -> a22ActiveUsers,
     "a21_trend_regression" -> a21TrendRegression,
     "a20_incremental_agg" -> a20IncrementalAgg,
     "a19_robust_outliers" -> a19RobustOutliers,
@@ -430,6 +468,21 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a22_active_users" ->
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+        |cover AS (
+        |  SELECT DISTINCT
+        |    CAST(unnest(generate_series(CAST(d AS TIMESTAMP),
+        |      CAST(d AS TIMESTAMP) + INTERVAL 6 DAY, INTERVAL 1 DAY))
+        |      AS DATE) AS wd,
+        |    user_id
+        |  FROM du),
+        |wau AS (SELECT wd, count(*) AS wau FROM cover GROUP BY wd)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, dau, wau,
+        |  round(dau * 1.0 / wau, 4) AS stickiness
+        |FROM dau JOIN wau ON d = wd ORDER BY day""".stripMargin,
     "a21_trend_regression" ->
       """WITH e AS (
         |  SELECT event_type,

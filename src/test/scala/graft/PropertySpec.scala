@@ -281,4 +281,28 @@ class PropertySpec extends AnyFunSuite {
     assert(a.getDouble(2) == b.getDouble(2) && a.getDouble(2) == 2.0)
     assert(a.getDouble(4) == 1.0 && b.getDouble(4) == 1.0)
   }
+
+  test("DAU/WAU: trailing window counts each user once; stickiness exact (A22)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1 active on d1 AND d2 (two events on d1 — dedup), u2 only d1,
+    // u3 only d8 (outside d1's window but d2 is within ITS trailing 7)
+    val events = Seq(
+      (ts("2024-03-01 10:00:00"), 1L), (ts("2024-03-01 11:00:00"), 1L),
+      (ts("2024-03-01 12:00:00"), 2L),
+      (ts("2024-03-02 09:00:00"), 1L),
+      (ts("2024-03-08 09:00:00"), 3L)
+    ).toDF("ts", "user_id")
+    val out = graft.etl.Analyze.activeUsers(events).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    // 03-01: dau {1,2}; wau = window [02-24..03-01] = {1,2}
+    assert(out("2024-03-01") == ((2L, 2L, 1.0)))
+    // 03-02: dau {1}; wau [02-25..03-02] = {1,2}; u1 counted ONCE
+    assert(out("2024-03-02") == ((1L, 2L, 0.5)))
+    // 03-08: dau {3}; wau [03-02..03-08] = {1,3} — d1's users aged out,
+    // d2's u1 still inside
+    assert(out("2024-03-08") == ((1L, 2L, 0.5)))
+    assert(out.size == 3) // only days WITH activity emit rows
+  }
 }
