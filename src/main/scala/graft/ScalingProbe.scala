@@ -51,12 +51,14 @@ object ScalingProbe {
     "sim15_binary_ann", "j10_salted_join", "j11_bucketed_join",
     "sim16_ivfpq_ann", "w11_forward_fill", "d45_boilerplate_spans",
     "w12_concurrency", "a22_active_users")
-    // j12_interval_join is deliberately NOT in the default sweep: the
-    // replica corpora multiply per-hour user density by R, so the
-    // overlap join's OUTPUT grows ~R² (measured 128× pairs at 10×) —
-    // no plan makes a join linear in under its own output. The 10×
-    // receipt (README) shows runtime 14.9× on 128× pairs: sublinear
-    // in output, which is the claim that CAN hold.
+    // j12_interval_join and g1_pagerank are deliberately NOT in the
+    // default sweep: the replica corpora multiply per-hour user density
+    // by R, so the overlap pair set grows ~R² (measured 128× at 10×) —
+    // no plan makes a join linear under its own output, and g1's edge
+    // list IS that output. Their 10× receipts (README) show runtime
+    // 14.9× / 9.1× on 128× pairs: sublinear in output, which is the
+    // claim that CAN hold. Probe them explicitly:
+    //   ScalingProbe sf0.1 /tmp/sfx10 10 j12_interval_join,g1_pagerank
 
   /** args: [baseDir bigDir [rowRatio [probe,probe,...]]] — rowRatio is
     * big/base row count (10 for sfx10, 100 for sfx100); alpha

@@ -15,7 +15,8 @@ object SparkEntry {
       ext.TextStats.queries ++ ext.Similarity.queries ++ ext.Dedup.queries ++
       sources.Sources.queries ++ functions.WelfordQueries.queries ++
       ext.Multimodal.queries ++ ext.Packing.queries ++ ext.Curate.queries ++
-      ext.Classify.queries ++ ext.TrainOrder.queries ++ ext.Snapshot.queries
+      ext.Classify.queries ++ ext.TrainOrder.queries ++
+      ext.Snapshot.queries ++ ext.Graph.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -25,5 +26,6 @@ object SparkEntry {
       ext.TextStats.oracle ++ ext.Similarity.oracle ++ ext.Dedup.oracle ++
       sources.Sources.oracle ++ functions.WelfordQueries.oracle ++
       ext.Multimodal.oracle ++ ext.Packing.oracle ++ ext.Curate.oracle ++
-      ext.Classify.oracle ++ ext.TrainOrder.oracle ++ ext.Snapshot.oracle
+      ext.Classify.oracle ++ ext.TrainOrder.oracle ++
+      ext.Snapshot.oracle ++ ext.Graph.oracle
 }

@@ -212,7 +212,14 @@ object Joins {
     * frame is eager-checkpointed: both join sides read the materialized
     * artifact instead of re-running the upstream lineage twice (the
     * w12/d35 device). */
-  def intervalOverlapPairs(spans: DataFrame, topK: Int = 20): DataFrame = {
+  def intervalOverlapPairs(spans: DataFrame, topK: Int = 20): DataFrame =
+    allOverlapPairs(spans)
+      .orderBy(col("overlap_s").desc, col("user_a"), col("user_b"))
+      .limit(topK)
+
+  /** The un-truncated pair frame behind [[intervalOverlapPairs]] — the
+    * co-presence EDGE LIST (g1's PageRank input). */
+  def allOverlapPairs(spans: DataFrame): DataFrame = {
     val s = spans.select(col("user_id"), col("start_s"), col("end_s"))
       .localCheckpoint(true)
     def binned(side: String) = s.select(
@@ -229,8 +236,6 @@ object Joins {
         sum(least(col("end_a"), col("end_b"))
           - greatest(col("start_a"), col("start_b")) + lit(1L))
           .as("overlap_s"))
-      .orderBy(col("overlap_s").desc, col("user_a"), col("user_b"))
-      .limit(topK)
   }
 
   /** J8 — flagship multi-way analytic query (TPC-H Q3's shipping-priority

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.Graph
+
+/** G1 PageRank: the recurrence must match hand arithmetic on planted
+  * graphs, conserve total mass (no dangling nodes by construction on an
+  * undirected edge list), and be deterministic under repartition. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("two-node graph: symmetry fixes both ranks at 1/2 every iteration") {
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val out = Graph.pageRank(edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 0.5, 2L -> 0.5))
+  }
+
+  test("star graph: the hub outranks every leaf; ranks match hand arithmetic") {
+    // center 0 — leaves 1..4. By symmetry leaves share one value L, the
+    // recurrence is C' = 0.03 + 0.85·4L, L' = 0.03 + 0.85·C/4 (n=5,
+    // base = 0.15/5), and exactly 10 iterations from the uniform 0.2
+    // start give C = 0.421402, L = 0.144649 (simulated to the digit —
+    // the star is near-bipartite, so this is NOT yet the 0.4757/0.1311
+    // fixpoint; pinning the exact iterate also pins the iteration
+    // count and the float arithmetic).
+    val edges = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val out = Graph.pageRank(edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val leaves = (1L to 4L).map(out)
+    assert(leaves.distinct.size == 1, s"leaves diverged: $out")
+    assert(out(0L) > leaves.head)
+    assert(math.abs(out(0L) - 0.421402) < 1e-6, s"hub ${out(0L)}")
+    assert(math.abs(leaves.head - 0.144649) < 1e-6, s"leaf ${leaves.head}")
+  }
+
+  test("rank mass is conserved: sums to 1 (undirected ⇒ no dangling loss)") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val total = Graph.pageRank(edges).agg(sum(col("rank"))).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6, s"mass leaked: $total")
+  }
+
+  test("self-loops and duplicate/reversed edges do not distort the graph") {
+    val clean = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val noisy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val a = Graph.pageRank(clean).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = Graph.pageRank(noisy).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b)
+  }
+
+  test("deterministic under repartition/reorder") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("src", "dst")
+    val a = Graph.pageRank(edges).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val b = Graph.pageRank(edges.orderBy(col("dst")).repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("registered g1 ranks the planted co-presence hub first at sf0.001") {
+    val out = Graph.g1PageRank(spark, "/root/testdata/sf0.001").collect()
+    assert(out.length > 0 && out.length <= 20)
+    // descending by rank with node tie-break, rank in (0, 1]
+    val ranks = out.map(_.getDouble(1))
+    assert(ranks.zip(ranks.tail).forall { case (x, y) => x >= y })
+    assert(ranks.forall(r => r > 0.0 && r <= 1.0))
+  }
+}
