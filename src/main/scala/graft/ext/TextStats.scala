@@ -475,6 +475,46 @@ object TextStats {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(Bm25TopK)
 
+  /** The t20 query phrase — one constant interpolated into both the
+    * Spark side and the oracle (the D10N discipline); chosen present at
+    * every shipped SF. */
+  private[ext] val T20Phrase = "stream data"
+
+  /** T20 — exact PHRASE search: documents containing the query tokens
+    * ADJACENT and in order, with per-doc occurrence counts — the
+    * capability t19's bag-of-words BM25 cannot express (it would score
+    * "data ... stream" identically). The real-engine shape: a posting
+    * join over (doc, token, position) — but the postings materialize
+    * ONLY for the query's own tokens (the filter runs before any
+    * shuffle), so the joined frames are term-frequency-sized, never
+    * corpus-token-sized; a k-token phrase chains k−1 equi-joins on
+    * (doc_id, pos + offset), each join input already filtered to one
+    * term. Per-doc counts are map-side combined; top-k fuses to
+    * TakeOrderedAndProject. */
+  def t20PhraseSearch(spark: SparkSession, dir: String): DataFrame =
+    phraseSearch(Tables.documents(spark, dir), T20Phrase)
+
+  /** The posting-join kernel over any (doc_id, source, text) frame and
+    * any multi-token phrase — injectable for planted-position specs. */
+  def phraseSearch(docs: DataFrame, phrase: String,
+                   topK: Int = 20): DataFrame = {
+    val toks = phrase.toLowerCase.split(" ").toSeq
+    require(toks.size >= 2, s"phrase needs >= 2 tokens, got '$phrase'")
+    val postings = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(toks.distinct: _*))
+    def leg(i: Int) = postings.filter(col("tok") === toks(i))
+      .select(col("doc_id"), col("source"), (col("pos") - i).as("p0"))
+    val matches = toks.indices.tail.foldLeft(leg(0)) { (acc, i) =>
+      acc.join(leg(i), Seq("doc_id", "source", "p0"))
+    }
+    matches.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_matches"))
+      .orderBy(col("n_matches").desc, col("doc_id"))
+      .limit(topK)
+  }
+
   /** T21 — source-vocabulary overlap: pairwise Jaccard between the
     * distinct token sets of every source pair — the corpus-comparison
     * card ("is crawl B just crawl A again?", "does the new source add
@@ -822,6 +862,7 @@ object TextStats {
     "t17_pmi_phrases" -> t17PmiPhrases,
     "t6_tfidf" -> t6TfIdf,
     "t19_bm25_topk" -> t19Bm25TopK,
+    "t20_phrase_search" -> t20PhraseSearch,
     "t21_source_overlap" -> t21SourceOverlap,
     "d42_source_overlap_sketch" -> d42SourceOverlapSketch,
     "t7_compression_ratio" -> t7CompressionRatio,
@@ -839,6 +880,22 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    "t20_phrase_search" -> {
+      val toks = T20Phrase.toLowerCase.split(" ")
+      val adj = toks.zipWithIndex
+        .map { case (t, i) => s"t[i + $i] = '$t'" }.mkString(" AND ")
+      s"""WITH w AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS t
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    len(list_filter(range(1, len(t) - ${toks.length - 2}),
+        |      i -> $adj)) AS n_matches
+        |  FROM w)
+        |SELECT doc_id, source, CAST(n_matches AS BIGINT) AS n_matches
+        |FROM m WHERE n_matches > 0
+        |ORDER BY n_matches DESC, doc_id LIMIT 20""".stripMargin
+    },
     "t15_zipf_fit" ->
       """WITH c AS (
         |  SELECT tok, count(*) AS n

@@ -204,4 +204,22 @@ class TextStatsSpec extends AnyFunSuite {
     assert(out(1L) == ((2, 1, 0, 0, score(1, 0, 0, 2))))
     assert(out(0L)._5 > out(1L)._5)                    // more hits rank higher
   }
+
+  test("phrase search: adjacency in order, never bag-of-words (T20)") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha beta", "s"),  // two matches of "alpha beta"
+      (1L, "beta alpha beta gamma", "s"),        // one match (not the reversed pair)
+      (2L, "alpha gamma beta", "s"),             // both words, NOT adjacent → no row
+      (3L, "beta alpha", "s"),                   // reversed only → no row
+      (4L, "nothing here", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = ext.TextStats.phraseSearch(docs, "alpha beta").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(0L -> 2L, 1L -> 1L), s"got $out")
+    // a 3-token phrase chains a second positional join
+    val tri = ext.TextStats.phraseSearch(docs, "alpha beta gamma").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(tri == Map(0L -> 1L, 1L -> 1L), s"got $tri")
+  }
 }
