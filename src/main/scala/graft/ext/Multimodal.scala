@@ -292,6 +292,45 @@ object Multimodal {
     }
   }
 
+  /** MM8 — header-only metadata probe: format magic + declared
+    * dimensions read straight off the payload BYTES (PNG signature,
+    * IHDR width/height at fixed offsets, big-endian) with zero codec
+    * involvement — the pass a 100 TB image corpus runs FIRST, because
+    * it touches ≤24 bytes per object while a decode touches every
+    * pixel; the header census (formats, dim distributions, corrupt
+    * candidates) then decides what the expensive mm2 decode pass even
+    * needs to read. Pure codegen column arithmetic
+    * (substring/hex/conv), embarrassingly parallel, one source-keyed
+    * aggregate.
+    *
+    * Runs over the planted-PNG corpus path, which makes it VALUE-
+    * oracled: the planted dims are doc_id arithmetic, so the DuckDB
+    * oracle recomputes expected sums from ids alone — a hash-match
+    * PROVES the byte-level parse extracted exactly the dims the
+    * generator encoded (the mm2 device, for headers). */
+  def mm8HeaderProbe(spark: SparkSession, dir: String): DataFrame =
+    headerProbe(mediaWithPlantedPng(spark, dir).toDF())
+
+  /** The header-sniff kernel over any (doc_id, source, payload) frame. */
+  def headerProbe(media: DataFrame): DataFrame = {
+    val isPng =
+      upper(hex(substring(col("payload"), 1, 8))) === lit("89504E470D0A1A0A")
+    val w = conv(hex(substring(col("payload"), 17, 4)), 16, 10).cast("long")
+    val h = conv(hex(substring(col("payload"), 21, 4)), 16, 10).cast("long")
+    media
+      .select(col("source"),
+        when(isPng, 1L).otherwise(0L).as("png"),
+        when(isPng, w).as("w"), when(isPng, h).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_payloads"),
+        sum(col("png")).as("n_png"),
+        coalesce(sum(col("w")), lit(0L)).as("sum_w"),
+        coalesce(sum(col("h")), lit(0L)).as("sum_h"),
+        coalesce(max(col("w")), lit(0L)).as("max_w"),
+        coalesce(max(col("h")), lit(0L)).as("max_h"))
+      .orderBy(col("source"))
+  }
+
   /** MM2 — decoded-feature summary per media type, over the planted-PNG
     * corpus with the REAL decoder: planted rows take the ImageIO header
     * path (n_raster counts them; their dims must equal the planted
@@ -467,6 +506,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm7_shard_manifest" -> mm7ShardManifest,
+    "mm8_header_probe" -> mm8HeaderProbe,
     "mm5_perceptual_neardup" -> mm5PerceptualNearDup,
     "mm2_decode_features" -> mm2DecodeFeatures,
     "mm3_frame_sample" -> mm3FrameSample,
@@ -477,6 +517,26 @@ object Multimodal {
     * can replicate it exactly — the oracle verifies the whole decode →
     * extract → sample dataflow, not just row counts. */
   val oracle: Map[String, String] = Map(
+    "mm8_header_probe" -> {
+      // expected header dims recomputed from doc_id arithmetic alone —
+      // the oracle never parses a byte; hash-match proves the Spark
+      // side's byte-offset parse decoded the generator's encoding
+      s"""WITH p AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % $PngMod = 0 THEN 1 ELSE 0 END AS png,
+        |    CASE WHEN doc_id % $PngMod = 0
+        |         THEN 16 + doc_id % 64 END AS w,
+        |    CASE WHEN doc_id % $PngMod = 0
+        |         THEN 16 + (doc_id * 3) % 48 END AS h
+        |  FROM documents)
+        |SELECT source, count(*) AS n_payloads,
+        |  CAST(sum(png) AS BIGINT) AS n_png,
+        |  CAST(coalesce(sum(w), 0) AS BIGINT) AS sum_w,
+        |  CAST(coalesce(sum(h), 0) AS BIGINT) AS sum_h,
+        |  CAST(coalesce(max(w), 0) AS BIGINT) AS max_w,
+        |  CAST(coalesce(max(h), 0) AS BIGINT) AS max_h
+        |FROM p GROUP BY source ORDER BY source""".stripMargin
+    },
     "mm4_alignment_filter" ->
       """WITH ref AS (
         |  SELECT CAST(embedding AS DOUBLE[]) AS ref

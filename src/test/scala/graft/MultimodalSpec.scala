@@ -239,4 +239,20 @@ class MultimodalSpec extends AnyFunSuite {
       assert(lsh == brute, s"b=$b: LSH ${lsh.size} pairs vs brute ${brute.size}")
     }
   }
+
+  test("header probe reads IHDR dims off the bytes; non-PNG payloads count only (MM8)") {
+    import spark.implicits._
+    // planted PNG for doc 100: w = 16 + 100%64 = 52, h = 16 + 300%48 = 28
+    val media = Seq(
+      Media(100L, "s", ext.Multimodal.plantedPng(100L)),
+      Media(1L, "s", "plain text bytes".getBytes("UTF-8")),
+      Media(2L, "t", Array[Byte](0x42, 0x4d, 0x00))  // BMP-ish magic, not PNG
+    ).toDF()
+    val out = ext.Multimodal.headerProbe(media).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(out("s") == ((2L, 1L, 52L, 28L, 52L, 28L)))
+    assert(out("t") == ((1L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
