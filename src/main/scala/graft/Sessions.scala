@@ -20,6 +20,13 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as TIMESTAMP(MICROS), not the deprecated INT96
+      // default: INT96 chunks carry NO min/max statistics, so every
+      // timestamp-clustered layout the engine writes would be
+      // footer-unprunable (s19's audit found this — a by-ts layout
+      // whose files cannot be pruned BY ts); micros also matches the
+      // driver testdata's own encoding
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // Managed (e.g. bucketed) tables land in tmp, not the launch cwd;
       // pid-suffixed so concurrent JVMs (Verify ∥ Bench) never collide.
       .config("spark.sql.warehouse.dir",

@@ -419,7 +419,101 @@ object Sources {
       .orderBy(col("z"))
   }
 
+  /** S19 — storage-layout audit from FOOTERS alone: write the same fact
+    * slice under three physical layouts (range-clustered on ts, on
+    * user_id, and s18's z-order of both), then measure each layout's
+    * min/max pruning quality per column WITHOUT reading a single data
+    * page — per-file column ranges come from the parquet footers
+    * (metadata, ~KB per file at any data scale), and the quality
+    * metric is the count of OVERLAPPING file pairs: a point/range
+    * predicate on a column must scan every file whose [min,max]
+    * contains it, so overlap mass IS lost pruning. The report shows
+    * the trade s18 exists to resolve — clustering on ts de-clusters
+    * user_id and vice versa; z-order pays a little of each dimension
+    * for pruning on both.
+    *
+    * Footer reads run distributed (mapPartitions over the file
+    * manifest — at a real table's file count this is the same shape a
+    * Delta/Iceberg OPTIMIZE metrics pass uses); only (file, col, min,
+    * max) tuples return, file-count-sized. Pair counting is driver
+    * arithmetic over nFiles² ≤ 64 entries. */
+  def s19LayoutAudit(spark: SparkSession, dir: String,
+                     nFiles: Int = 8): DataFrame =
+    roundtrip(spark, "s19") { tmp =>
+      import org.apache.spark.sql.functions.{col => c}
+      val ev = Tables.events(spark, dir)
+        .select(c("event_id"), c("ts"), c("user_id"), c("value"))
+      ev.repartitionByRange(nFiles, c("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/by_ts")
+      ev.repartitionByRange(nFiles, c("user_id"))
+        .write.mode("overwrite").parquet(s"$tmp/by_user")
+      zorderWrite(
+        withZKey(ev, expr("unix_seconds(ts)"), c("user_id")),
+        s"$tmp/zorder", nFiles)
+      val layouts = Seq("by_ts", "by_user", "zorder")
+      val stats = footerRanges(spark,
+        layouts.map(l => l -> s"$tmp/$l"), Seq("ts", "user_id"))
+      val rows = for {
+        layout <- layouts
+        column <- Seq("ts", "user_id")
+      } yield {
+        val fs = stats.filter(s => s._1 == layout && s._3 == column)
+        val pairs = fs.combinations(2).count { case Seq(a, b) =>
+          a._4 <= b._5 && b._4 <= a._5 // [min,max] ranges intersect
+        }
+        (layout, column, fs.size.toLong,
+          fs.map(_._6).sum, pairs.toLong)
+      }
+      import spark.implicits._
+      rows.toDF("layout", "column", "n_files", "n_rows",
+        "n_overlapping_pairs")
+        .orderBy(c("layout"), c("column"))
+    }
+
+  /** Distributed footer scan: (layout, file, column, min, max, n_rows)
+    * per target INT64-backed column (timestamps included — parquet
+    * stores TIMESTAMP(MICROS) stats as INT64), metadata reads only. */
+  private def footerRanges(spark: SparkSession,
+                           layouts: Seq[(String, String)],
+                           columns: Seq[String])
+      : Seq[(String, String, String, Long, Long, Long)] = {
+    import spark.implicits._
+    val files = layouts.flatMap { case (layout, path) =>
+      new java.io.File(path).listFiles
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(f => (layout, f.getPath))
+    }
+    val wanted = columns.toSet
+    spark.createDataset(files).mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      it.flatMap { case (layout, file) =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(file), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          import scala.jdk.CollectionConverters._
+          val blocks = r.getFooter.getBlocks.asScala.toSeq
+          val nRows = blocks.map(_.getRowCount).sum
+          // an empty range partition writes a 0-row file whose chunks
+          // carry no stats — skip those (they prune trivially anyway)
+          val per = blocks.flatMap(_.getColumns.asScala)
+            .filter { cc =>
+              val s = cc.getStatistics
+              wanted(cc.getPath.toDotString) && s != null && s.hasNonNullValue
+            }
+            .map(cc => (cc.getPath.toDotString,
+              cc.getStatistics.genericGetMin.asInstanceOf[java.lang.Long].longValue,
+              cc.getStatistics.genericGetMax.asInstanceOf[java.lang.Long].longValue))
+          per.groupBy(_._1).map { case (colName, xs) =>
+            (layout, file, colName, xs.map(_._2).min, xs.map(_._3).max, nRows)
+          }
+        } finally r.close()
+      }
+    }.collect().toSeq
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s19_layout_audit" -> ((s, d) => s19LayoutAudit(s, d)),
     "s18_zorder_layout" -> s18ZorderLayout,
     "s17_wap_roundtrip" -> s17WapRoundtrip,
     "s16_compact_roundtrip" -> s16CompactRoundtrip,

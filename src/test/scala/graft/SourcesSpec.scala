@@ -195,4 +195,28 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.storageLevel.useMemory)
     df.unpersist()
   }
+
+  test("layout audit: each clustering prunes its own column, z-order both (S19)") {
+    val out = sources.Sources
+      .s19LayoutAudit(spark, "/root/testdata/sf0.001", nFiles = 8)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val n = out(("by_ts", "ts"))._2
+    // every layout writes the same rows
+    assert(out.values.forall(_._2 == n) && n > 0)
+    val allPairs = {
+      val f = out(("by_ts", "user_id"))._1
+      f * (f - 1) / 2
+    }
+    // range-clustering on a column makes its file ranges disjoint...
+    assert(out(("by_ts", "ts"))._3 == 0L)
+    assert(out(("by_user", "user_id"))._3 == 0L)
+    // ...and leaves the OTHER column fully unprunable
+    assert(out(("by_ts", "user_id"))._3 == allPairs)
+    assert(out(("by_user", "ts"))._3 == allPairs)
+    // z-order: strictly better than the worst case on BOTH dimensions
+    assert(out(("zorder", "ts"))._3 < allPairs)
+    assert(out(("zorder", "user_id"))._3 < allPairs)
+  }
 }
