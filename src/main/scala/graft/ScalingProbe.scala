@@ -50,7 +50,8 @@ object ScalingProbe {
     "d42_source_overlap_sketch", "d43_temperature_mix",
     "sim15_binary_ann", "j10_salted_join", "j11_bucketed_join",
     "sim16_ivfpq_ann", "w11_forward_fill", "d45_boilerplate_spans",
-    "w12_concurrency", "a22_active_users", "t20_phrase_search")
+    "w12_concurrency", "a22_active_users", "t20_phrase_search",
+    "a23_rolling_anomaly")
     // j12_interval_join and g1_pagerank are deliberately NOT in the
     // default sweep: the replica corpora multiply per-hour user density
     // by R, so the overlap pair set grows ~R² (measured 128× at 10×) —

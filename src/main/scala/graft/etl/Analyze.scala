@@ -418,7 +418,41 @@ object Analyze {
       .orderBy(col("day"))
   }
 
+  /** A23 — rolling z-score anomaly detection: each reading scored
+    * against the TRAILING window of its own series (20 rows, current
+    * row EXCLUDED — an outlier must not inflate its own baseline), the
+    * live-monitor verb behind the reference's alerting domain and the
+    * robust cousin a19 computes globally. Per-type report: readings
+    * scored, anomalies at |z| > 3, and the worst excursion.
+    *
+    * Scale shape: ONE window shuffle on event_type (the same partition
+    * a2/a4 use), frame cost O(window) per row; rows with fewer than 10
+    * baseline points or zero variance are excluded BEFORE scoring (the
+    * d29/a21 degenerate-guard discipline — engines disagree on x/0).
+    * z rounds(4) before the threshold compare so both engines flag the
+    * identical row set. */
+  def a23RollingAnomaly(spark: SparkSession, dir: String): DataFrame =
+    rollingAnomaly(Tables.events(spark, dir))
+
+  private[graft] def rollingAnomaly(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(-20, -1)
+    events
+      .withColumn("mu", avg(col("value")).over(w))
+      .withColumn("sd", stddev_samp(col("value")).over(w))
+      .withColumn("n_base", count(col("value")).over(w))
+      .filter(col("n_base") >= 10 && col("sd") > 0)
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a23_rolling_anomaly" -> a23RollingAnomaly,
     "a22_active_users" -> a22ActiveUsers,
     "a21_trend_regression" -> a21TrendRegression,
     "a20_incremental_agg" -> a20IncrementalAgg,
@@ -468,6 +502,23 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a23_rolling_anomaly" ->
+      """WITH s AS (
+        |  SELECT event_type, value,
+        |    avg(value) OVER w AS mu,
+        |    stddev_samp(value) OVER w AS sd,
+        |    count(value) OVER w AS n_base
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT event_type, round((value - mu) / sd, 4) AS z
+        |  FROM s WHERE n_base >= 10 AND sd > 0)
+        |SELECT event_type, count(*) AS n_scored,
+        |  CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  round(max(abs(z)), 4) AS max_abs_z
+        |FROM z GROUP BY event_type ORDER BY event_type""".stripMargin,
     "a22_active_users" ->
       """WITH du AS (
         |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),

@@ -305,4 +305,24 @@ class PropertySpec extends AnyFunSuite {
     assert(out("2024-03-08") == ((1L, 2L, 0.5)))
     assert(out.size == 3) // only days WITH activity emit rows
   }
+
+  test("rolling anomaly: trailing-window z flags the planted spike, not the baseline (A23)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 30 alternating baseline readings (10/12 → sd>0), then one spike.
+    // The spike's own value must not join its baseline (frame ends at
+    // the PRECEDING row), and rows 0-9 have <10 baseline points → unscored.
+    val rows = (0 until 30).map(i =>
+      (i.toLong, ts("2024-01-01 00:00:00"), "m",
+        if (i % 2 == 0) 10.0 else 12.0)) :+
+      (30L, ts("2024-01-01 00:00:00"), "m", 100.0)
+    val events = rows.toDF("event_id", "ts", "event_type", "value")
+    val out = graft.etl.Analyze.rollingAnomaly(events).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "m")
+    assert(r.getLong(1) == 21L, s"scored ${r.getLong(1)}") // rows 10..30
+    assert(r.getLong(2) == 1L, "exactly the spike flags")
+    assert(r.getDouble(3) > 3.0)
+  }
 }
