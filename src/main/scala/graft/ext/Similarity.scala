@@ -84,6 +84,39 @@ object Similarity {
       .limit(10)
   }
 
+  /** SIM18 — FILTERED (hybrid) similarity search: top-k among only the
+    * vectors satisfying a metadata predicate — here "the query's own
+    * label", the same-category-neighbors ask every production vector
+    * store now serves (filtered kNN). The strategy choice is the
+    * pre/post-filter debate: POST-filtering an ANN candidate pool
+    * starves under a selective predicate (a pool of p×k candidates may
+    * contain fewer than k survivors — recall collapses exactly when the
+    * filter matters), while PRE-filtering scores only the qualifying
+    * slice and stays exact: at selectivity s the scan costs s×N fused
+    * cosine rows, which beats IVF-plus-overfetch for every s that makes
+    * filtering worth doing. This op takes the pre-filter side and makes
+    * it the registered, oracle-checked baseline; the predicate lands
+    * BEFORE the cosine in the plan, so non-qualifying vectors are never
+    * scored (and on a label-partitioned layout the scan itself would
+    * prune). */
+  def sim18FilteredAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0)
+      .select(asDouble(col("embedding")).as("qemb"),
+        col("label").as("qlabel"))
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("emb"))
+      .crossJoin(broadcast(q))
+      .filter(col("label") === col("qlabel"))
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
     * across runs and engines; no runtime entropy). */
   private[ext] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
@@ -1294,6 +1327,7 @@ object Similarity {
     "sim14_mmr_topk" -> sim14MmrTopK,
     "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,
+    "sim18_filtered_ann" -> sim18FilteredAnn,
     "sim2_ann_lsh" -> sim2AnnLsh,
     "sim3_neardup_pairs" -> sim3NearDupPairs,
     "sim4_ivf_ann" -> sim4IvfAnn,
@@ -1391,6 +1425,15 @@ object Similarity {
         |  round(avg(v), 4) AS centroid
         |FROM x WHERE dim < 8
         |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+    "sim18_filtered_ann" ->
+      """SELECT b.vec_id, b.label,
+        |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+        |    CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.vec_id = 0 AND b.vec_id <> 0 AND b.label = a.label
+        |WHERE NOT isnan(list_cosine_similarity(
+        |  CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+        |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
     "sim1_cosine_topk" ->
       """SELECT b.vec_id,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

@@ -561,6 +561,38 @@ class SimilaritySpec extends AnyFunSuite {
       s"recall curve flat: ${rows.mkString(", ")}")
   }
 
+  test("filtered ANN: the predicate excludes a closer cross-label vector (SIM18)") {
+    // the overall-nearest neighbor carries the WRONG label and must not
+    // appear; the best same-label vector (less aligned) wins instead —
+    // exactly the case where post-filtering a small ANN pool starves
+    val rows = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 1),    // query, label 1
+      (1L, Array(0.99f, 0.1f, 0f, 0f), 2), // closest overall — filtered out
+      (2L, Array(0.7f, 0.7f, 0f, 0f), 1),  // best label-1 match
+      (3L, Array(0f, 1f, 0f, 0f), 1),
+      (4L, Array(-1f, 0f, 0f, 0f), 2)
+    )
+    val df = rows.toDF("vec_id", "embedding", "label")
+    df.createOrReplaceTempView("sim18_planted")
+    // route through the registered shape by pointing Tables at a temp
+    // frame is not possible — call the same dataflow inline instead
+    val e = df
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qemb"), $"label".as("qlabel"))
+    import org.apache.spark.sql.functions.{broadcast => bc}
+    val out = e.filter($"vec_id" =!= 0)
+      .crossJoin(bc(q))
+      .filter($"label" === $"qlabel")
+      .select($"vec_id",
+        round(graft.functions.VectorOps.vecCosine(spark,
+          expr("transform(embedding, x -> cast(x as double))"),
+          expr("transform(qemb, x -> cast(x as double))")), 4).as("cos_sim"))
+      .orderBy($"cos_sim".desc, $"vec_id")
+      .collect().map(_.getLong(0))
+    assert(out.head == 2L, s"got ${out.mkString(",")}")
+    assert(!out.contains(1L) && !out.contains(4L))
+  }
+
   test("IVFPQ missing query id returns empty, wrong dim fails fast") {
     val dir = "/root/testdata/sf0.001"
     val idx = Similarity.ivfPqIndexFor(spark, dir)
