@@ -82,9 +82,94 @@ object Graph {
       .limit(20)
   }
 
+  /** G2 — triangle census + global clustering coefficient over the same
+    * co-presence graph: how CLIQUISH is the concurrency structure
+    * (3·triangles / wedges — near 0 means hub-and-spoke co-presence,
+    * near 1 means tight cohorts; the one-number community signal read
+    * before any clustering run, and the feature fraud models key on).
+    *
+    * The a<b-ordered edge list makes each triangle countable EXACTLY
+    * once through its middle vertex: wedges (a<b<c) come from ONE
+    * self-join of the edge list on the shared endpoint, closed by a
+    * left-semi probe against the same edges — two equi-joins, no
+    * nested loop, both AQE-splittable on a hub vertex. Wedge totals
+    * are exact integer arithmetic (d·(d−1) div 2) off the degree
+    * frame; the coefficient is the only float and divides two exact
+    * longs (identical on both engines), guarded NULL on a wedge-free
+    * graph. Unlike g1's iterated fixpoint this is fully SQL-expressible
+    * — the graph tier's VALUE-oracled leg. */
+  def g2TriangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val spans = WindowFns.sessionAssign(Tables.events(spark, dir),
+        gapSeconds = 1800L, orderCol = "event_id")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s"))
+    triangleStats(Joins.allOverlapPairs(spans)
+      .select(col("user_a").as("a"), col("user_b").as("b")))
+  }
+
+  /** The census kernel over an a<b-ordered edge list. */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val wedgeTotal = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val tri = e.select(col("a"), col("b"))
+      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
+      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    tri.crossJoin(broadcast(wedgeTotal))
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") === 0, lit(null).cast("double"))
+          .otherwise(round(col("n_triangles") * 3.0 / col("n_wedges"), 6))
+          .as("clustering_coeff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "g1_pagerank" -> g1PageRank
+    "g1_pagerank" -> g1PageRank,
+    "g2_triangle_count" -> g2TriangleCount
   )
 
-  val oracle: Map[String, String] = Map.empty
+  val oracle: Map[String, String] = Map(
+    "g2_triangle_count" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+        |    CAST(floor(epoch(ts)) AS BIGINT)
+        |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, epoch_s,
+        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS session_seq
+        |  FROM g),
+        |spans AS (
+        |  SELECT user_id, session_seq,
+        |    min(epoch_s) AS start_s, max(epoch_s) AS end_s
+        |  FROM s GROUP BY user_id, session_seq),
+        |pr AS (
+        |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        |  FROM spans a JOIN spans b
+        |    ON a.user_id < b.user_id
+        |   AND a.start_s <= b.end_s AND b.start_s <= a.end_s),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM pr UNION ALL SELECT b AS n FROM pr)
+        |  GROUP BY n),
+        |w AS (
+        |  SELECT CAST(coalesce(sum(d * (d - 1) // 2), 0) AS BIGINT)
+        |    AS n_wedges FROM deg),
+        |t AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
+        |    JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT CAST(t.n_triangles AS BIGINT) AS n_triangles, w.n_wedges,
+        |  CASE WHEN w.n_wedges = 0 THEN NULL
+        |       ELSE round(3.0 * t.n_triangles / w.n_wedges, 6)
+        |  END AS clustering_coeff
+        |FROM t CROSS JOIN w""".stripMargin
+  )
 }

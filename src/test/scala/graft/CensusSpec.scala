@@ -41,7 +41,8 @@ class CensusSpec extends AnyFunSuite {
     "t17_pmi_phrases",          // broadcast token/bigram-total singletons
     "d36_cluster_quality",      // inherits d5's bounded pair kernel
     "w11_forward_fill",         // hour-range singleton × tiny type frame
-    "d46_forget_cascade")       // audit-row broadcast singletons (j9 shape)
+    "d46_forget_cascade",       // audit-row broadcast singletons (j9 shape)
+    "g2_triangle_count")        // wedge-total broadcast singleton
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query
@@ -53,6 +54,8 @@ class CensusSpec extends AnyFunSuite {
     "sim17_ivfpq_recall" -> 28, // same sweep shape over the composed index:
                                 // 4 probe settings × (ADC pool window +
                                 // rerank join/window + hit semi + agg)
+    "g2_triangle_count" -> 7,   // degree agg + wedge total + the two
+                                // census joins + their aggregates
     "d24_curation_funnel" -> 9, // quality+decontam+dedup+funnel, composed
     "d11_rebalance" -> 8,       // per-stratum rate join + resample + order
     "d23_canonical_keep" -> 7,  // pair graph → components → keeper join

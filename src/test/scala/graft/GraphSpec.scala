@@ -64,6 +64,29 @@ class GraphSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("triangle census: hand-counted triangles/wedges on a planted graph (G2)") {
+    // K4 on {1,2,3,4} (4 triangles, every degree 3) plus pendant 5-6 and
+    // 4-5: degrees 1:3 2:3 3:3 4:4 5:2 6:1 → wedges 3+3+3+6+1+0 = 16;
+    // triangles stay 4 (the pendant edges close nothing)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("a", "b")
+    val r = Graph.triangleStats(edges).collect().head
+    assert(r.getLong(0) == 4L, s"triangles ${r.getLong(0)}")
+    assert(r.getLong(1) == 16L, s"wedges ${r.getLong(1)}")
+    assert(r.getDouble(2) == 0.75) // 3*4/16
+  }
+
+  test("triangle census: duplicate edges collapse; empty graph reports zero, null coeff (G2)") {
+    // distinct edges form one triangle: degrees all 2 → 3 wedges, coeff 1
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val r = Graph.triangleStats(dup).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((1L, 3L, 1.0)))
+    val e = Graph.triangleStats(
+      spark.emptyDataFrame.select(lit(0L).as("a"), lit(0L).as("b"))
+        .limit(0)).collect().head
+    assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
+  }
+
   test("registered g1 ranks the planted co-presence hub first at sf0.001") {
     val out = Graph.g1PageRank(spark, "/root/testdata/sf0.001").collect()
     assert(out.length > 0 && out.length <= 20)
