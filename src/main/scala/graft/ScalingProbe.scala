@@ -51,7 +51,8 @@ object ScalingProbe {
     "sim15_binary_ann", "j10_salted_join", "j11_bucketed_join",
     "sim16_ivfpq_ann", "w11_forward_fill", "d45_boilerplate_spans",
     "w12_concurrency", "a22_active_users", "t20_phrase_search",
-    "a23_rolling_anomaly")
+    "a23_rolling_anomaly", "sim18_filtered_ann", "mm8_header_probe",
+    "d46_forget_cascade")
     // j12_interval_join and g1_pagerank are deliberately NOT in the
     // default sweep: the replica corpora multiply per-hour user density
     // by R, so the overlap pair set grows ~R² (measured 128× at 10×) —
