@@ -51,10 +51,14 @@ object Graph {
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     for (_ <- 1 to iters) {
-      val contribs = bi
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      // rank/degree divides NODE-side first, so the iteration's only
+      // edge-sized join is the scatter itself — joining outDeg onto the
+      // edge frame would double the per-iteration edge-cardinality work
+      val perEdge = ranks.withColumnRenamed("node", "src")
         .join(outDeg, Seq("src"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
+        .select(col("src"), (col("rank") / col("deg")).as("rpd"))
+      val contribs = bi.join(perEdge, Seq("src"))
+        .select(col("dst").as("node"), col("rpd").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
       ranks = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
@@ -71,11 +75,7 @@ object Graph {
     * tractable SQL form); the recurrence itself is pinned on
     * hand-computed planted graphs in GraphSpec. */
   def g1PageRank(spark: SparkSession, dir: String): DataFrame = {
-    val spans = WindowFns.sessionAssign(Tables.events(spark, dir),
-        gapSeconds = 1800L, orderCol = "event_id")
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s"))
-    val edges = Joins.allOverlapPairs(spans)
+    val edges = Joins.allOverlapPairs(WindowFns.sessionSpans(spark, dir))
       .select(col("user_a").as("src"), col("user_b").as("dst"))
     pageRank(edges)
       .orderBy(col("rank").desc, col("node"))
@@ -98,18 +98,20 @@ object Graph {
     * longs (identical on both engines), guarded NULL on a wedge-free
     * graph. Unlike g1's iterated fixpoint this is fully SQL-expressible
     * — the graph tier's VALUE-oracled leg. */
-  def g2TriangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val spans = WindowFns.sessionAssign(Tables.events(spark, dir),
-        gapSeconds = 1800L, orderCol = "event_id")
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s"))
-    triangleStats(Joins.allOverlapPairs(spans)
+  def g2TriangleCount(spark: SparkSession, dir: String): DataFrame =
+    triangleStats(Joins.allOverlapPairs(WindowFns.sessionSpans(spark, dir))
       .select(col("user_a").as("a"), col("user_b").as("b")))
-  }
 
-  /** The census kernel over an a<b-ordered edge list. */
+  /** The census kernel over any undirected edge list — canonicalized to
+    * a<b internally (reversed duplicates collapse, self loops drop), so
+    * the kernel is total rather than precondition-bound: a caller
+    * passing (2,1) or both orientations still gets the right census. */
   def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b")).distinct().localCheckpoint(true)
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
     val wedgeTotal = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -132,25 +134,8 @@ object Graph {
 
   val oracle: Map[String, String] = Map(
     "g2_triangle_count" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-        |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
-        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, epoch_s,
-        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS session_seq
-        |  FROM g),
-        |spans AS (
-        |  SELECT user_id, session_seq,
-        |    min(epoch_s) AS start_s, max(epoch_s) AS end_s
-        |  FROM s GROUP BY user_id, session_seq),
-        |pr AS (
+      (s"WITH ${WindowFns.SessionSpansCte},\n" +
+      """pr AS (
         |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
         |  FROM spans a JOIN spans b
         |    ON a.user_id < b.user_id
@@ -170,6 +155,6 @@ object Graph {
         |  CASE WHEN w.n_wedges = 0 THEN NULL
         |       ELSE round(3.0 * t.n_triangles / w.n_wedges, 6)
         |  END AS clustering_coeff
-        |FROM t CROSS JOIN w""".stripMargin
+        |FROM t CROSS JOIN w""".stripMargin)
   )
 }

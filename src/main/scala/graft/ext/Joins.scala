@@ -200,11 +200,7 @@ object Joins {
     * hour would salt within the bin, the j10 device. Overlap seconds
     * are inclusive-bound integers, engine-exact. */
   def j12IntervalJoin(spark: SparkSession, dir: String): DataFrame =
-    intervalOverlapPairs(
-      WindowFns.sessionAssign(Tables.events(spark, dir), gapSeconds = 1800L,
-        orderCol = "event_id")
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s")))
+    intervalOverlapPairs(WindowFns.sessionSpans(spark, dir))
 
   /** The overlap kernel over caller-supplied (user_id, start_s, end_s)
     * spans — injectable so ownership dedup, self-pair exclusion, and
@@ -419,25 +415,8 @@ object Joins {
 
   val oracle: Map[String, String] = Map(
     "j12_interval_join" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-        |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
-        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, epoch_s,
-        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS session_seq
-        |  FROM g),
-        |spans AS (
-        |  SELECT user_id, session_seq,
-        |    min(epoch_s) AS start_s, max(epoch_s) AS end_s
-        |  FROM s GROUP BY user_id, session_seq),
-        |p AS (
+      (s"WITH ${WindowFns.SessionSpansCte},\n" +
+      """p AS (
         |  SELECT a.user_id AS user_a, b.user_id AS user_b,
         |    least(a.end_s, b.end_s) - greatest(a.start_s, b.start_s) + 1
         |      AS ov
@@ -447,7 +426,7 @@ object Joins {
         |SELECT user_a, user_b, CAST(count(*) AS BIGINT) AS n_overlaps,
         |  CAST(sum(ov) AS BIGINT) AS overlap_s
         |FROM p GROUP BY user_a, user_b
-        |ORDER BY overlap_s DESC, user_a, user_b LIMIT 20""".stripMargin,
+        |ORDER BY overlap_s DESC, user_a, user_b LIMIT 20""".stripMargin),
     "j11_bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
         |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,

@@ -979,6 +979,32 @@ object Similarity {
     IvfPqIndex(codes, centers, books)
   }
 
+  /** Driver-side coarse routing shared by every IVFPQ consumer: the
+    * nProbe cells nearest the (unit) query — one definition, so the
+    * literal-plan serve (sim16) and the batch recall sweep (sim17)
+    * can never probe differently. */
+  private def coarseProbes(centers: Array[Array[Double]],
+                           qn: Array[Double], nProbe: Int): Seq[Int] =
+    centers.zipWithIndex.map { case (c, i) =>
+      (i, c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
+    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+
+  /** The per-cell residual ADC table shared by the same consumers:
+    * dt(j)(codeword) = ‖(qn − center_cell)[j·dsub ..] − codeword‖². */
+  private def residualAdcTable(index: IvfPqIndex, qn: Array[Double],
+                               cell: Int): Array[Array[Double]] = {
+    val dsub = index.codebooks.head.head.length
+    val ctr = index.centers(cell)
+    val qres = Array.tabulate(qn.length)(i => qn(i) - ctr(i))
+    index.codebooks.zipWithIndex.map { case (book, j) =>
+      book.map { cw =>
+        var d = 0.0; var i = 0
+        while (i < dsub) { val t = qres(j * dsub + i) - cw(i); d += t * t; i += 1 }
+        d
+      }
+    }
+  }
+
   /** Query phase (IVFADC): probe the `nProbe` nearest cells
     * (driver-side argmin over the broadcast centroids — query planning,
     * not data work), precompute ONE m×k residual distance table PER
@@ -998,20 +1024,9 @@ object Similarity {
     require(nProbe >= 1,
       s"nProbe must be >= 1, got $nProbe (0 probes = silently empty result)")
     val qn = l2unit(q)
-    val probed = index.centers.zipWithIndex.map { case (c, i) =>
-      (i, c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
-    }.sortBy(_._2).take(nProbe).map(_._1)
-    // per probed cell: dt(cell)(j)(codeword) = ‖(qn − center_cell)[j·dsub..] − codeword‖²
+    val probed = coarseProbes(index.centers, qn, nProbe)
     def cellAdc(cell: Int): org.apache.spark.sql.Column = {
-      val ctr = index.centers(cell)
-      val qres = Array.tabulate(qn.length)(i => qn(i) - ctr(i))
-      val dt = index.codebooks.zipWithIndex.map { case (book, j) =>
-        book.map { cw =>
-          var d = 0.0; var i = 0
-          while (i < dsub) { val t = qres(j * dsub + i) - cw(i); d += t * t; i += 1 }
-          d
-        }
-      }
+      val dt = residualAdcTable(index, qn, cell)
       val dtLit = array(dt.toIndexedSeq.map(row =>
         array(row.toIndexedSeq.map(lit): _*)): _*)
       (0 until m).map(j =>
@@ -1095,20 +1110,8 @@ object Similarity {
     val dsub = index.codebooks.head.head.length
     val tabRows = qRows.toSeq.flatMap { case (qid, q) =>
       val qn = l2unit(q)
-      val probed = index.centers.zipWithIndex.map { case (c, i) =>
-        (i, c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
-      }.sortBy(_._2).take(nProbe).map(_._1)
-      probed.map { cell =>
-        val ctr = index.centers(cell)
-        val qres = Array.tabulate(qn.length)(i => qn(i) - ctr(i))
-        val dt = index.codebooks.zipWithIndex.map { case (book, j) =>
-          book.map { cw =>
-            var d = 0.0; var i = 0
-            while (i < dsub) { val t = qres(j * dsub + i) - cw(i); d += t * t; i += 1 }
-            d
-          }.toSeq
-        }.toSeq
-        (qid, cell, dt)
+      coarseProbes(index.centers, qn, nProbe).map { cell =>
+        (qid, cell, residualAdcTable(index, qn, cell).map(_.toSeq).toSeq)
       }
     }.toDF("q_id", "cell", "dt")
     val adc = (0 until m).map(j =>

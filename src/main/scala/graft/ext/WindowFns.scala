@@ -144,11 +144,40 @@ object WindowFns {
     * and its first delta the curve still sits at the carry-in, which
     * an hour of pure session-ends would otherwise under-report. */
   def w12Concurrency(spark: SparkSession, dir: String): DataFrame =
-    concurrencyCurve(
-      sessionAssign(Tables.events(spark, dir), gapSeconds = 1800L,
-        orderCol = "event_id")
-        .groupBy(col("user_id"), col("session_seq"))
-        .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s")))
+    concurrencyCurve(sessionSpans(spark, dir))
+
+  /** THE session-span frame (user_id, session_seq, start_s, end_s) —
+    * the single derivation w12, j12, g1 and g2 all build on (w6's
+    * 30-min gap rule, event_id order). One definition, so the overlap/
+    * graph tier can never drift off the sessionizer — and the matching
+    * oracle CTE below moves in lockstep (the D10N discipline). */
+  def sessionSpans(spark: SparkSession, dir: String): DataFrame =
+    sessionAssign(Tables.events(spark, dir), gapSeconds = 1800L,
+      orderCol = "event_id")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s"))
+
+  /** The DuckDB replay of [[sessionSpans]] (CTEs g → s → spans),
+    * interpolated into every oracle that consumes spans. */
+  private[ext] val SessionSpansCte: String =
+    """g AS (
+      |  SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      |    CAST(floor(epoch(ts)) AS BIGINT)
+      |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+      |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, epoch_s,
+      |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS session_seq
+      |  FROM g),
+      |spans AS (
+      |  SELECT user_id, session_seq,
+      |    min(epoch_s) AS start_s, max(epoch_s) AS end_s
+      |  FROM s GROUP BY user_id, session_seq)""".stripMargin
 
   /** The sweep-line kernel over caller-supplied [start_s, end_s] spans —
     * split out so overlap semantics (inclusive bounds, carry-in peaks,
@@ -183,9 +212,19 @@ object WindowFns {
       .withColumn("conc", col("carry_in") + sum(col("net")).over(wi))
       .groupBy(col("hour_idx"), col("carry_in"))
       .agg(sum(col("n_starts")).as("n_starts"),
+        min(col("t")).as("first_t"),
         max(col("conc")).as("max_point"))
+      // the carry-in level exists WITHIN the hour only if there is time
+      // before its first delta: a delta landing exactly on the hour
+      // boundary (second hour_idx·3600) means the pre-delta level never
+      // occurs inside this hour — counting it would report a phantom
+      // peak for an hour the curve spent entirely at the post-delta
+      // level (a session ending at second 3599 must not give hour 1 a
+      // peak of 1)
       .select(col("hour_idx"), col("n_starts"),
-        greatest(col("carry_in"), col("max_point")).as("max_concurrent"))
+        when(col("first_t") > col("hour_idx") * 3600L,
+          greatest(col("carry_in"), col("max_point")))
+          .otherwise(col("max_point")).as("max_concurrent"))
       .orderBy(col("hour_idx"))
   }
 
@@ -416,25 +455,8 @@ object WindowFns {
 
   val oracle: Map[String, String] = Map(
     "w12_concurrency" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id,
-        |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
-        |    CAST(floor(epoch(ts)) AS BIGINT)
-        |      - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
-        |        OVER (PARTITION BY user_id ORDER BY event_id) AS gap
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, epoch_s,
-        |    CAST(sum(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END)
-        |      OVER (PARTITION BY user_id ORDER BY event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS BIGINT) AS session_seq
-        |  FROM g),
-        |spans AS (
-        |  SELECT user_id, session_seq,
-        |    min(epoch_s) AS start_s, max(epoch_s) AS end_s
-        |  FROM s GROUP BY user_id, session_seq),
-        |d AS (
+      (s"WITH $SessionSpansCte,\n" +
+      """d AS (
         |  SELECT start_s AS t, 1 AS dd FROM spans
         |  UNION ALL SELECT end_s + 1, -1 FROM spans),
         |p AS (
@@ -448,8 +470,10 @@ object WindowFns {
         |    t // 3600 AS hour_idx
         |  FROM p)
         |SELECT hour_idx, CAST(sum(n_starts) AS BIGINT) AS n_starts,
-        |  greatest(first(conc - net ORDER BY t), max(conc)) AS max_concurrent
-        |FROM r GROUP BY hour_idx ORDER BY hour_idx""".stripMargin,
+        |  CASE WHEN min(t) > hour_idx * 3600
+        |       THEN greatest(first(conc - net ORDER BY t), max(conc))
+        |       ELSE max(conc) END AS max_concurrent
+        |FROM r GROUP BY hour_idx ORDER BY hour_idx""".stripMargin),
     "w11_forward_fill" ->
       """WITH e AS (
         |  SELECT event_type, value, event_id,

@@ -77,8 +77,11 @@ class GraphSpec extends AnyFunSuite {
   }
 
   test("triangle census: duplicate edges collapse; empty graph reports zero, null coeff (G2)") {
-    // distinct edges form one triangle: degrees all 2 → 3 wedges, coeff 1
-    val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    // distinct canonical edges form one triangle: degrees all 2 →
+    // 3 wedges, coeff 1 — the REVERSED (3,2) and the (2,2) self loop
+    // must collapse/drop, not distort degrees
+    val dup = Seq((1L, 2L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 2L),
+      (1L, 3L)).toDF("a", "b")
     val r = Graph.triangleStats(dup).collect().head
     assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((1L, 3L, 1.0)))
     val e = Graph.triangleStats(

@@ -121,6 +121,16 @@ class OhlcSpec extends AnyFunSuite {
     assert(out.toList == List((0L, 2L, 2L), (2L, 0L, 2L)))
   }
 
+  test("concurrency: a session ending at the hour boundary gives the next hour NO phantom peak (W12)") {
+    // [0, 3599]'s -1 delta lands exactly at t=3600 (hour 1's first
+    // second): hour 1 never holds the carry-in level, so its peak is 0 —
+    // greatest(carry_in, points) unguarded would report 1
+    val spans = Seq((0L, 3599L)).toDF("start_s", "end_s")
+    val out = WindowFns.concurrencyCurve(spans).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(0L -> ((1L, 1L)), 1L -> ((0L, 0L))), s"got $out")
+  }
+
   test("concurrency curve is deterministic under repartition (W12)") {
     val spans = Seq((0L, 10L), (5L, 20L), (100L, 110L), (3590L, 7300L),
       (7200L, 7210L)).toDF("start_s", "end_s")
