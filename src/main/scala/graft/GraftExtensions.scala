@@ -40,5 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => ShingleHashes(es.head, intArg(es(1)))))
     ext.injectFunction((FunctionIdentifier("rolling_chunks"), info("rolling_chunks"),
       (es: Seq[Expression]) => RollingChunks(es.head, intArg(es(1)), intArg(es(2)))))
+    // Spark's own runtime-filter probe expression, surfaced: codegen
+    // Bloom membership over a serialized filter image (see BloomProbe
+    // for the xxhash64 keying convention both sides share).
+    ext.injectFunction((FunctionIdentifier("might_contain"), info("might_contain"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0), es(1))))
   }
 }

@@ -73,10 +73,13 @@ object Curate {
     * BEFORE anything joins — and the exact semi-join then verifies only
     * that sliver, so Bloom false positives never reach the output: the
     * RESULT is exactly d10's (same oracle proves it), only the
-    * execution strategy changes. The probe is a Scala udf (the sketch
-    * library's contract); it breaks the codegen span for the one
-    * boolean it computes, which the ~1000× row reduction repays
-    * immediately. */
+    * execution strategy changes. The probe is Spark's own
+    * `BloomFilterMightContain` expression over the filter's serialized
+    * image ([[graft.functions.BloomProbe]]) — fully codegen, so the
+    * corpus-side gram scan keeps one whole-stage span; build and probe
+    * both key on `xxhash64(gram)`, and the exact semi-join verify
+    * strips hash-collision false positives along with the Bloom fpp
+    * ones. */
   def bloomDecontaminateDf(train: DataFrame, bench: DataFrame,
                            n: Int = D10N, fpp: Double = 0.001): DataFrame = {
     // ONE materialization of the bench gram set feeds all three
@@ -91,9 +94,10 @@ object Curate {
     val benchGrams = docGrams(bench, n).select(col("gram")).distinct()
       .localCheckpoint(true)
     val nGrams = math.max(1L, benchGrams.count())
-    val bloom = benchGrams.stat.bloomFilter("gram", nGrams, fpp)
-    val bc = train.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))
+    val bloomBytes = graft.functions.BloomProbe.serialize(
+      graft.functions.BloomProbe.buildHashed(benchGrams, "gram", nGrams, fpp))
+    val mightContain = (g: Column) =>
+      graft.functions.BloomProbe.mightContainHashed(train.sparkSession, bloomBytes, g)
     // the verify semi-join is deliberately UNHINTED: in the op's target
     // regime the bench gram set does NOT fit a broadcast, and both join
     // inputs are already small — the corpus side shrank to hits+fpp at

@@ -15,16 +15,20 @@ import org.apache.spark.util.sketch.BloomFilter
   * distinct documents pass (the streaming counterpart of d35's
   * Bloom-prune strategy, and the same `spark.util.sketch.BloomFilter`).
   *
-  * Scale shape per micro-batch: survivors are selected by broadcasting
-  * the CURRENT filter and testing `mightContain` DISTRIBUTED (a map
-  * filter — rows never collect); the batch's own fingerprints then fold
+  * Scale shape per micro-batch: survivors are selected by shipping the
+  * CURRENT filter's serialized image into the plan and probing with
+  * Spark's codegen `BloomFilterMightContain` expression
+  * ([[graft.functions.BloomProbe]] — keyed on `xxhash64(key)` on both
+  * build and probe sides; no per-row Scala closure, the batch scan
+  * keeps one whole-stage span); the batch's own fingerprints then fold
   * into the filter via `DataFrame.stat.bloomFilter`, a distributed
   * mergeable aggregate — only the fixed-size per-partition filters ride
   * to the driver, never the fingerprints (the MisraGries/MgStreamFold
   * discipline applied to set membership). Within-batch duplicates are
   * collapsed by a batch-local `dropDuplicates` BEFORE the filter test,
   * so the op is exact within a batch and Bloom-approximate across
-  * batches.
+  * batches (hashing folds the negligible 64-bit collision mass into the
+  * same spurious-drop budget).
   *
   * Approximation contract (the Bloom guarantee, inverted by the use):
   * a TRUE duplicate is ALWAYS dropped (no false negatives in
@@ -50,25 +54,28 @@ class BloomStreamDedup(expectedItems: Long, fpp: Double) extends Serializable {
     * rows: survivors flow to a distributed sink, not the driver. */
   def foldBatch(batch: DataFrame, key: String): DataFrame = {
     val f = synchronized(filter)
-    val bc = batch.sparkSession.sparkContext.broadcast(f)
-    val mightContain =
-      udf((k: String) => k != null && bc.value.mightContainString(k))
+    val bytes = graft.functions.BloomProbe.serialize(f)
+    val neverSeen = !graft.functions.BloomProbe.mightContainHashed(
+      batch.sparkSession, bytes, col(key))
     // Eager localCheckpoint: the survivor set is consumed twice (filter
     // build + sink) and must be decided against ONE filter snapshot.
-    val fresh = batch.dropDuplicates(key).filter(!mightContain(col(key)))
+    val fresh = batch.dropDuplicates(key).filter(neverSeen)
       .localCheckpoint(true)
-    val batchFilter = fresh.stat.bloomFilter(key, expectedItems, fpp)
+    val batchFilter =
+      graft.functions.BloomProbe.buildHashed(fresh, key, expectedItems, fpp)
     synchronized { filter.mergeInPlace(batchFilter) }
     fresh
   }
 
-  /** Current membership probe — exposed for specs and serving. */
-  def seen(key: String): Boolean = synchronized(filter.mightContainString(key))
+  /** Current membership probe — exposed for specs and serving; keyed
+    * identically to the distributed path. */
+  def seen(key: String): Boolean =
+    synchronized(graft.functions.BloomProbe.seenHashed(filter, key))
 
   /** Rebuild the filter from the landed corpus (the restart recipe):
     * one distributed aggregate, no driver-side row traffic. */
   def rebuildFrom(landed: DataFrame, key: String): Unit = synchronized {
-    filter = landed.stat.bloomFilter(key, expectedItems, fpp)
+    filter = graft.functions.BloomProbe.buildHashed(landed, key, expectedItems, fpp)
   }
 
   /** Wire a streaming frame into the fold, landing survivors via the

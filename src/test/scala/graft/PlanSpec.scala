@@ -464,4 +464,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
       s"a21 shuffle-joins or windows:\n$p")
   }
+
+  test("bloom decontaminate probes with the codegen expression, not a udf (d35)") {
+    // The r10 verdict's one built-in-exists-but-UDF-used spot: the Bloom
+    // probe must be BloomFilterMightContain (codegen, stays inside the
+    // whole-stage span), never a per-row Scala closure in the corpus pass.
+    val p = plan("d35_bloom_decontaminate")
+    assert(!p.contains("UDF"), s"d35 plans a Scala UDF:\n$p")
+    assert(p.contains("might_contain"), s"d35 lost the bloom probe:\n$p")
+  }
 }
