@@ -6,6 +6,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Gate.schemaContract(spark, sfDir)
     // Untimed warmup at the smallest sibling SF: pays session bring-up,
     // parquet footer reads, codegen compilation and JIT once, so the
     // timed loop below measures the PLANS — without this, whichever query
@@ -16,7 +17,15 @@ object Bench {
       val sibling = new java.io.File(new java.io.File(sfDir).getParent, "sf0.001")
       if (sibling.isDirectory) sibling.getPath else sfDir
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional name filter (regex, same contract as Verify's third arg):
+    // bench just the matching queries. For adjudication runs — "is this
+    // query slow in isolation or only inside the 179-query suite?" —
+    // where re-running the full sweep would bury the signal being chased.
+    val nameFilter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    def selected(name: String): Boolean =
+      nameFilter.forall(_.findFirstIn(name).isDefined)
+    val benched = SparkEntry.queries.filter { case (n, _) => selected(n) }
+    benched.foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup $name failed: ${e.getMessage}")
@@ -62,6 +71,12 @@ object Bench {
     // charged the other's shared ingest artifact.
     warmState("nb")(ext.Classify.queries("t12_nb_classifier")(spark, sfDir).count())
     warmState("t3-matrix")(ext.TextStats.queries("t3_lang_id")(spark, sfDir).count())
+    // j11's bucketed orders/customer tables are ingest artifacts too
+    // (written once; every later join serves off the layout). The r10
+    // bench missed this: rep 1 paid the 2.87 s bucket write, the median
+    // reported 1.27 s, while the zero-Exchange serve — the number the
+    // query exists to measure — is 0.11 s.
+    warmState("j11-buckets")(ext.Joins.bucketedPairFor(spark, sfDir))
     // Median-of-N timings (default 3): the r8 postmortem found single-shot
     // timings swinging 2-6x on untouched plans (GC / JIT re-profiling /
     // page-cache contention), which made per-query regression adjudication
@@ -81,7 +96,7 @@ object Bench {
     // line and the JSON file both carry a "failed" list.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     val runs: Seq[(String, Seq[Double])] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      benched.toSeq.sortBy(_._1).map { case (name, fn) =>
         val ts = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
           val ok = try { fn(spark, sfDir).count(); true }
@@ -101,20 +116,30 @@ object Bench {
       val good = xs.filter(_ >= 0).sorted
       if (good.isEmpty) -1.0 else good((good.size - 1) / 2)
     }
+    // min-of-N rides beside the median (r10 adjudication lesson): when
+    // in-clock contention hits 2 of 3 reps — j3_anti ran [3.15, 3.09,
+    // 0.36] — the median reports the contention, while the min is the
+    // best observed steady-state serve. Neither alone adjudicates a
+    // regression; the pair (plus the untruncated runs) does.
+    def minOf(xs: Seq[Double]): Double = {
+      val good = xs.filter(_ >= 0)
+      if (good.isEmpty) -1.0 else good.min
+    }
     val results = runs.map { case (n, ts) => n -> median(ts) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val totalMin = runs.map { case (_, ts) => minOf(ts) }.filter(_ >= 0).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val perQuery = runs.map { case (n, ts) =>
-      s""""$n":{"median":${median(ts)},"runs":[${ts.mkString(",")}]}"""
+      s""""$n":{"median":${median(ts)},"min":${minOf(ts)},"runs":[${ts.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val failedJson = failures.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val w = new java.io.PrintWriter(outPath)
     try w.println(
-      s"""{"sf":"$sfDir","reps":$reps,"total_median_sec":$total,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$perQuery}""")
+      s"""{"sf":"$sfDir","reps":$reps,"total_median_sec":$total,"total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$perQuery}""")
     finally w.close()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir","reps":$reps,"full_results":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir","reps":$reps,"full_results":"$outPath"}""")
     spark.stop()
   }
 }
