@@ -16,6 +16,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Gate.schemaContract(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(_._1.matches(nameRe)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -218,6 +218,30 @@ object Projections {
     }.toDF("table_name", "col_name", "status", "expected_type", "actual_type")
   }
 
+  /** The p11 audit as a RUN GATE: the breaking rows (retyped / missing
+    * — the classes that silently fail whole query tiers, as the r10
+    * events-ts regeneration did to 40 queries) rendered as one line
+    * each; empty when the contract holds. `extra` columns are additive
+    * drift — p11 reports them, the gate does not block on them.
+    * Bench and Verify call this BEFORE their first query and abort
+    * loudly on a non-empty result, so a regenerated-testdata drift
+    * names its column up front instead of surfacing as N cryptic
+    * failures downstream. */
+  def contractViolations(spark: SparkSession, dir: String): Seq[String] =
+    violationLines(p11SchemaAudit(spark, dir))
+
+  /** The gate's row rendering, split from the audit so the spec can
+    * drive it through [[schemaAudit]]'s injectable observed-schema map
+    * (planted retypes) without touching testdata. */
+  private[graft] def violationLines(audit: DataFrame): Seq[String] =
+    audit.filter(col("status").isin("retyped", "missing"))
+      .collect()
+      .map { r =>
+        val got = Option(r.getString(4)).getOrElse("nothing")
+        s"${r.getString(0)}.${r.getString(1)}: ${r.getString(2)} " +
+          s"(contract ${r.getString(3)}, observed $got)"
+      }.toSeq
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p10_join_forecast" -> p10JoinForecast,
     "p9_skew_profile" -> p9SkewProfile,

@@ -79,4 +79,24 @@ class ForecastSpec extends AnyFunSuite {
       .filter(col("status") =!= "ok").collect()
     assert(bad.isEmpty, bad.mkString(", "))
   }
+
+  test("pre-run gate names exactly the breaking drift rows; extras don't block") {
+    import org.apache.spark.sql.types._
+    // the r10 incident shape: one retyped column, one missing, one extra
+    val planted = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType), // retyped
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType),                               // props missing
+      StructField("rogue", DoubleType)))                              // extra
+    val lines = Projections.violationLines(
+      Projections.schemaAudit(spark, Map("events" -> Some(planted))))
+    assert(lines.exists(l => l.startsWith("events.ts: retyped") &&
+      l.contains("contract timestamp") && l.contains("observed int64")),
+      s"gate lines: $lines")
+    assert(lines.exists(_.startsWith("events.props: missing")), s"$lines")
+    assert(!lines.exists(_.contains("rogue")),
+      s"additive drift must not block: $lines")
+    // and the real testdata passes the gate end-to-end (empty = no abort)
+    assert(Projections.contractViolations(spark, "/root/testdata/sf0.001").isEmpty)
+  }
 }
