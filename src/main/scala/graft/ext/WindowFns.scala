@@ -183,32 +183,55 @@ object WindowFns {
     * split out so overlap semantics (inclusive bounds, carry-in peaks,
     * tie collapsing) pin on planted intervals independent of the
     * sessionizer. */
-  def concurrencyCurve(spans: DataFrame): DataFrame = {
-    // the per-second delta frame feeds BOTH the carry-in branch and the
-    // point branch — eager localCheckpoint (the d35 gram-set device) so
-    // the sessionize+union+reduce lineage runs ONCE, not once per
-    // consumer; the frame is narrow (4 columns) and bounded by distinct
-    // active seconds, so materializing it is the cheap side of the trade
-    val deltas = spans
+  def concurrencyCurve(spans: DataFrame): DataFrame =
+    curveFromDeltas(spanDeltas(spans))
+
+  /** The per-second delta reduction of a span frame: (t, net, n_starts).
+    * Sum-reduced, so it is ASSOCIATIVE and COMMUTATIVE over any split of
+    * the spans — which is exactly what lets micro-batches fold into an
+    * accumulated delta frame ([[graft.streaming.ConcurrencyStreamFold]],
+    * w12's live twin) and serve through the SAME curve synthesis as
+    * batch w12. */
+  private[graft] def spanDeltas(spans: DataFrame): DataFrame =
+    spans
       .select(col("start_s").as("t"), lit(1L).as("d"))
       .unionByName(spans.select((col("end_s") + 1L).as("t"), lit(-1L).as("d")))
       .groupBy(col("t"))
       .agg(sum(col("d")).as("net"),
         sum(when(col("d") > 0, 1L).otherwise(0L)).as("n_starts"))
+
+  /** Curve synthesis over an (already-reduced) delta frame. */
+  private[graft] def curveFromDeltas(points: DataFrame): DataFrame = {
+    // the per-second delta frame feeds BOTH the carry-in branch and the
+    // point branch — eager localCheckpoint (the d35 gram-set device) so
+    // the sessionize+union+reduce lineage runs ONCE, not once per
+    // consumer; the frame is narrow (4 columns) and bounded by distinct
+    // active seconds, so materializing it is the cheap side of the trade
+    val deltas = points
       .withColumn("hour_idx", floor(col("t") / 3600L).cast("long"))
       .localCheckpoint(true)
     val hourNet = deltas.groupBy(col("hour_idx"))
       .agg(sum(col("net")).as("hour_net"))
-    // carry-in per hour: one running sum over the hour-count frame —
-    // single-partition by construction, bounded by the TIME RANGE
+    // the FULL hour lattice lo..hi (the w11 grid device): an hour wholly
+    // inside a long session has no delta points, but the capacity curve
+    // still sits at a nonzero level there — for a capacity-planning
+    // output, silently omitting loaded hours misleads (r10 advice); the
+    // lattice is TIME-RANGE-bounded, never corpus-sized
+    val lattice = deltas
+      .agg(min(col("hour_idx")).as("lo"), max(col("hour_idx")).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("hour_idx"))
+    // carry-in per LATTICE hour: one running sum over the hour-count
+    // frame — single-partition by construction, bounded by the TIME
+    // RANGE (sum skips the left-join nulls of delta-free hours)
     val wh = Window.orderBy(col("hour_idx"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = hourNet
+    val offsets = lattice
+      .join(broadcast(hourNet), Seq("hour_idx"), "left")
       .withColumn("carry_in", coalesce(sum(col("hour_net")).over(wh), lit(0L)))
       .select(col("hour_idx"), col("carry_in"))
     val wi = Window.partitionBy(col("hour_idx")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.join(broadcast(offsets), Seq("hour_idx"))
+    val deltaHours = deltas.join(broadcast(offsets), Seq("hour_idx"))
       .withColumn("conc", col("carry_in") + sum(col("net")).over(wi))
       .groupBy(col("hour_idx"), col("carry_in"))
       .agg(sum(col("n_starts")).as("n_starts"),
@@ -225,6 +248,13 @@ object WindowFns {
         when(col("first_t") > col("hour_idx") * 3600L,
           greatest(col("carry_in"), col("max_point")))
           .otherwise(col("max_point")).as("max_concurrent"))
+    // densify: delta-free hours report zero starts at the carried level
+    // (both sides hour-count-bounded — broadcast keeps the lattice leg
+    // off the shuffle it would otherwise add to the batch plan)
+    offsets.join(broadcast(deltaHours), Seq("hour_idx"), "left")
+      .select(col("hour_idx"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        coalesce(col("max_concurrent"), col("carry_in")).as("max_concurrent"))
       .orderBy(col("hour_idx"))
   }
 
@@ -468,12 +498,30 @@ object WindowFns {
         |  SELECT t, net, n_starts,
         |    CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS conc,
         |    t // 3600 AS hour_idx
-        |  FROM p)
-        |SELECT hour_idx, CAST(sum(n_starts) AS BIGINT) AS n_starts,
-        |  CASE WHEN min(t) > hour_idx * 3600
-        |       THEN greatest(first(conc - net ORDER BY t), max(conc))
-        |       ELSE max(conc) END AS max_concurrent
-        |FROM r GROUP BY hour_idx ORDER BY hour_idx""".stripMargin),
+        |  FROM p),
+        |h AS (
+        |  SELECT hour_idx, CAST(sum(n_starts) AS BIGINT) AS n_starts,
+        |    CASE WHEN min(t) > hour_idx * 3600
+        |         THEN greatest(first(conc - net ORDER BY t), max(conc))
+        |         ELSE max(conc) END AS max_concurrent
+        |  FROM r GROUP BY hour_idx),
+        |hn AS (
+        |  SELECT hour_idx, CAST(sum(net) AS BIGINT) AS hour_net
+        |  FROM r GROUP BY hour_idx),
+        |rng AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM hn),
+        |lattice AS (
+        |  SELECT unnest(generate_series(lo, hi)) AS hour_idx FROM rng),
+        |c AS (
+        |  SELECT l.hour_idx,
+        |    CAST(coalesce(sum(hour_net) OVER (ORDER BY l.hour_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS carry_in
+        |  FROM lattice l LEFT JOIN hn USING (hour_idx))
+        |SELECT c.hour_idx,
+        |  CAST(coalesce(h.n_starts, 0) AS BIGINT) AS n_starts,
+        |  coalesce(h.max_concurrent, c.carry_in) AS max_concurrent
+        |FROM c LEFT JOIN h USING (hour_idx)
+        |ORDER BY hour_idx""".stripMargin),
     "w11_forward_fill" ->
       """WITH e AS (
         |  SELECT event_type, value, event_id,

@@ -103,22 +103,24 @@ class OhlcSpec extends AnyFunSuite {
 
   test("concurrency curve: overlaps, per-second tie collapsing, hour bucketing (W12)") {
     // A[0,10] B[5,20] overlap → peak 2; C[100,110] alone; D[3590,7300]
-    // spans hours 0→2 (hour 1 has no delta points → absent row, curve
-    // constant there); E[7200,7210] overlaps D's tail → hour-2 peak 2
+    // spans hours 0→2 (hour 1 has no delta points, but D runs through
+    // it — the densified curve reports the carried level 1, not an
+    // absent row); E[7200,7210] overlaps D's tail → hour-2 peak 2
     val spans = Seq((0L, 10L), (5L, 20L), (100L, 110L), (3590L, 7300L),
       (7200L, 7210L)).toDF("start_s", "end_s")
     val out = WindowFns.concurrencyCurve(spans).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(out == Map(0L -> ((4L, 2L)), 2L -> ((1L, 2L))))
+    assert(out == Map(0L -> ((4L, 2L)), 1L -> ((0L, 1L)), 2L -> ((1L, 2L))))
   }
 
   test("concurrency peak honors the carry-in when an hour only ever descends (W12)") {
     // both sessions start in hour 0 and END in hour 2: hour 2's deltas
-    // are all -1, so its peak is the CARRY-IN (2), never a point level
+    // are all -1, so its peak is the CARRY-IN (2), never a point level;
+    // hour 1 is delta-free mid-session — densified at the carried 2
     val spans = Seq((0L, 7400L), (10L, 7500L)).toDF("start_s", "end_s")
     val out = WindowFns.concurrencyCurve(spans).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.toList == List((0L, 2L, 2L), (2L, 0L, 2L)))
+    assert(out.toList == List((0L, 2L, 2L), (1L, 0L, 2L), (2L, 0L, 2L)))
   }
 
   test("concurrency: a session ending at the hour boundary gives the next hour NO phantom peak (W12)") {
