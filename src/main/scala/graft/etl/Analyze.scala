@@ -399,9 +399,15 @@ object Analyze {
 
   /** The DAU/WAU kernel over a caller-supplied (ts, user_id) frame —
     * injectable so the trailing-window semantics pin on planted rows. */
-  private[graft] def activeUsers(events: DataFrame): DataFrame = {
-    val du = events
-      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+  private[graft] def activeUsers(events: DataFrame): DataFrame =
+    activeUsersFromPairs(
+      events.select(to_date(col("ts")).as("d"), col("user_id")).distinct())
+
+  /** The serve half over an ALREADY-DEDUPED (d, user_id) pair frame —
+    * which is precisely the bounded state the live twin
+    * ([[graft.streaming.ActiveUsersStreamFold]]) accumulates, so stream
+    * and batch serve through ONE kernel and can never drift. */
+  private[graft] def activeUsersFromPairs(du: DataFrame): DataFrame = {
     val dau = du.groupBy(col("d")).agg(count(lit(1)).as("dau"))
     val wau = du
       .select(explode(expr("sequence(d, date_add(d, 6))")).as("wd"),

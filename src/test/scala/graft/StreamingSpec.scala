@@ -925,6 +925,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(fold.histogram == before)
   }
 
+  test("a22' active-users fold: stream serve equals batch DAU/WAU on the " +
+    "same rows; rebuild-from-landed and replays are content no-ops") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val fold = new graft.streaming.ActiveUsersStreamFold
+    val in = MemoryStream[(java.sql.Timestamp, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("aufold").toString
+    val q = fold.start(in.toDF().toDF("ts", "user_id"), ckpt)
+    // duplicates within AND across batches; batch 2 back-fills day 1
+    // with a user batch 1 never saw, so no single batch's DAU matches
+    val b1 = Seq((t("2024-01-01 10:00:00"), 1L), (t("2024-01-01 23:59:59"), 1L),
+      (t("2024-01-01 11:00:00"), 2L), (t("2024-01-02 09:00:00"), 1L))
+    val b2 = Seq((t("2024-01-01 12:00:00"), 3L), // late day-1 pair
+      (t("2024-01-05 08:00:00"), 1L),
+      (t("2024-01-02 10:00:00"), 1L))            // cross-batch dup
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val landed = (b1 ++ b2).toDF("ts", "user_id")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val live = rows(fold.serve())
+    assert(live == rows(graft.etl.Analyze.activeUsers(landed)))
+    // planted arithmetic: day 1 has 3 actives (u3 arrived in batch 2);
+    // day 2's WAU window [Dec 27..Jan 2] covers days 1+2 → users 1,2,3
+    assert(live.exists { case (d, dau, wau, _) => d == "2024-01-01" && dau == 3L })
+    assert(live.exists { case (d, dau, wau, _) => d == "2024-01-02" && dau == 1L && wau == 3L })
+    // state is bounded by users×days, never events: 7 events → 5 pairs
+    assert(fold.stateFrame.get.count() == 5L)
+    // restart recipe: one distributed dedup of the landed corpus
+    val f2 = new graft.streaming.ActiveUsersStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve()) == live)
+    // set semantics: re-folding an already-seen batch changes nothing
+    f2.foldBatch(b2.toDF("ts", "user_id"))
+    assert(rows(f2.serve()) == live)
+  }
+
+  test("w12' concurrency fold: planted intervals crossing micro-batch " +
+    "boundaries serve the exact batch curve; replays don't double") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.ConcurrencyStreamFold
+    val in = MemoryStream[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cfold").toString
+    val q = fold.start(in.toDF().toDF("start_s", "end_s"), ckpt)
+    // batch 1's long session D[3590, 7300] spans hours 0→2; batch 2
+    // lands E[7200, 7210] overlapping D's tail and B[5, 20] overlapping
+    // A — every overlap pair straddles the batch boundary
+    val b1 = Seq((0L, 10L), (100L, 110L), (3590L, 7300L))
+    val b2 = Seq((5L, 20L), (7200L, 7210L))
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val live = rows(fold.serve())
+    val landed = (b1 ++ b2).toDF("start_s", "end_s")
+    assert(live == rows(graft.ext.WindowFns.concurrencyCurve(landed)))
+    // planted arithmetic: A+B overlap → hour-0 peak 2; hour 1 is delta-
+    // free mid-D (densified carry 1); D+E overlap → hour-2 peak 2
+    assert(live == Seq((0L, 4L, 2L), (1L, 0L, 1L), (2L, 1L, 2L)))
+    // additive state: a re-delivered batchId must not double-count
+    fold.onBatch(b2.toDF("start_s", "end_s"), 1L)
+    assert(rows(fold.serve()) == live)
+    // restart recipe: one distributed re-reduction of the landed spans
+    val f2 = new graft.streaming.ConcurrencyStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve()) == live)
+  }
+
   test("a18' quantile fold fails fast (not OOM) when the value range " +
     "outgrows the bin cap") {
     import spark.implicits._
