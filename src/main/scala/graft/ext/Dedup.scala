@@ -956,7 +956,7 @@ object Dedup {
       scala.collection.concurrent.TrieMap[String, String]]()
   private[graft] def pairGraphFor(spark: SparkSession, dir: String): DataFrame = {
     val view = Similarity.perSession(pairGraphCache, spark).getOrElseUpdate(dir, {
-      val name = "d5pairs_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val name = "d5pairs_" + Similarity.dirTag(dir)
       d5NgramJaccard(spark, dir).localCheckpoint(true)
         .createOrReplaceTempView(name)
       name
@@ -972,7 +972,7 @@ object Dedup {
       // Table name derived from the FULL dir (sanitized), not a 32-bit
       // hash: a hash collision between two served dirs would silently
       // dedup one dir's batch against the other's index.
-      val name = "d18idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val name = "d18idx_" + Similarity.dirTag(dir)
       writeBandIndex(
         Tables.documents(spark, dir).filter(col("doc_id") % Curate.BenchMod =!= 0),
         name)

@@ -359,7 +359,7 @@ object Joins {
   private[graft] def bucketedPairFor(spark: SparkSession,
                                      dir: String): (String, String) =
     Similarity.perSession(bucketedCache, spark).getOrElseUpdate(dir, {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+      val tag = Similarity.dirTag(dir)
       val (o, c) = (s"j11ord_$tag", s"j11cust_$tag")
       graft.sources.Sources.writeBucketed(
         Tables.orders(spark, dir)

@@ -43,6 +43,17 @@ object Similarity {
   private val sizeCache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, Long]]()
+
+  /** Collision-proof temp-view/table name tag for a data dir: the
+    * readable sanitized form PLUS a hex hash of the RAW string. The
+    * sanitizer alone is lossy — `/tmp/sf0.1` and `/tmp/sf0_1` both
+    * sanitize to `_tmp_sf0_1`, and `createOrReplaceTempView` under the
+    * shared name would silently rebind the first dir's cache entry to
+    * the second dir's data, serving wrong-index results (r10 advice).
+    * Every *IndexFor-style cache keys its view/table through this. */
+  private[graft] def dirTag(dir: String): String =
+    dir.replaceAll("[^A-Za-z0-9]", "_") +
+      f"_${dir.hashCode & 0xffffffffL}%08x"
   private[ext] def perSession[K, V](
       cache: java.util.WeakHashMap[SparkSession,
         scala.collection.concurrent.TrieMap[K, V]],
@@ -356,7 +367,7 @@ object Similarity {
         // Eager localCheckpoint: pins the assignment so serving never
         // re-runs the scan+transform lineage (and a second builder racing
         // through getOrElseUpdate just builds a redundant, correct copy).
-        val name = s"ivf_idx_${k}_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val name = s"ivf_idx_${k}_" + dirTag(dir)
         idx.assigned.localCheckpoint(true).createOrReplaceTempView(name)
         (name, idx.centers)
       })
@@ -830,7 +841,7 @@ object Similarity {
   def pqIndexFor(spark: SparkSession, dir: String): PqIndex = {
     val (view, books) = perSession(pqCache, spark).getOrElseUpdate(dir, {
       val idx = pqIndex(Tables.embeddings(spark, dir))
-      val name = "pq_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+      val name = "pq_idx_" + dirTag(dir)
       idx.codes.localCheckpoint(true).createOrReplaceTempView(name)
       (name, idx.codebooks)
     })
@@ -1060,7 +1071,7 @@ object Similarity {
     val (view, centers, books) =
       perSession(ivfPqCache, spark).getOrElseUpdate(dir, {
         val idx = ivfPqIndex(Tables.embeddings(spark, dir))
-        val name = "ivfpq_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val name = "ivfpq_idx_" + dirTag(dir)
         idx.codes.localCheckpoint(true).createOrReplaceTempView(name)
         (name, idx.centers, idx.codebooks)
       })

@@ -478,14 +478,27 @@ object Sources {
                            columns: Seq[String])
       : Seq[(String, String, String, Long, Long, Long)] = {
     import spark.implicits._
+    // Manifest listing goes through Hadoop FileSystem, resolved per
+    // path SCHEME — so the "distributed footer scan" claim holds for
+    // remote tables (s3a/hdfs URIs list the same way local ones do),
+    // where java.io.File would silently see nothing. A missing layout
+    // dir contributes zero files instead of the listFiles NPE (r10
+    // advice); the executor side re-resolves its conf from the
+    // serializable broadcast session state, not a fresh local one.
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val serConf =
+      new org.apache.spark.util.SerializableConfiguration(hadoopConf)
     val files = layouts.flatMap { case (layout, path) =>
-      new java.io.File(path).listFiles
-        .filter(f => f.getName.endsWith(".parquet"))
-        .map(f => (layout, f.getPath))
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(hadoopConf)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(st => (layout, st.getPath.toString))
     }
     val wanted = columns.toSet
     spark.createDataset(files).mapPartitions { it =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = serConf.value
       it.flatMap { case (layout, file) =>
         val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(file), conf)
