@@ -1155,14 +1155,23 @@ object Similarity {
 
   /** SIM17 — the composed index's recall observability (sim11's
     * discipline applied to sim16): avg/min recall@topK of the FULL
-    * IVFPQ+rerank serving path vs exact brute force, per nProbe
-    * setting — the curve an operator reads to pick the probe budget,
-    * which IS the knob trading scan fraction for recall. Ground truth
-    * materializes once (localCheckpoint) and every probe setting
-    * re-joins it. */
+    * IVFPQ+rerank serving path vs exact brute force, on a (nProbe ×
+    * rerank-pool) GRID. Two axes because the path has two recall
+    * ceilings and one curve cannot attribute a miss to either: routing
+    * (the true neighbor's cell was never probed — more probes fix it)
+    * vs pool truncation (the cell was probed but ADC quantization noise
+    * ranked the neighbor below the pool cut — a bigger exact-rerank
+    * pool fixes it). The r10 single-axis curve DIPPED at full probe
+    * (0.65 → 0.60): probing everything floods the fixed pool with the
+    * whole corpus's quantization noise, so pool quality binds exactly
+    * when routing stops being the constraint — visible only with the
+    * pool axis separated. Ground truth materializes once
+    * (localCheckpoint) and every grid point re-joins it. */
   def ivfPqRecallCurve(spark: SparkSession, dir: String, probes: Seq[Int],
+                       pools: Seq[Int] = Seq(8),
                        nQueries: Int = 16, topK: Int = 10): DataFrame = {
     require(probes.nonEmpty, "need at least one nProbe to evaluate")
+    require(pools.nonEmpty, "need at least one pool size to evaluate")
     val idx = ivfPqIndexFor(spark, dir)
     val e = Tables.embeddings(spark, dir)
     val queries = e.filter(col("vec_id") % 97 === 0)
@@ -1174,8 +1183,8 @@ object Similarity {
     val qRows = queries
       .select(col("vec_id"), asDouble(col("embedding")).as("q"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val perProbe = probes.map { p =>
-      val hits = ivfPqServeBatch(spark, e, idx, qRows, p, topK)
+    val perPoint = for (p <- probes; pool <- pools) yield {
+      val hits = ivfPqServeBatch(spark, e, idx, qRows, p, topK, pool)
         .join(exact, Seq("q_id", "vec_id"), "left_semi")
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
       nExact.join(hits, Seq("q_id"), "left")
@@ -1185,21 +1194,25 @@ object Similarity {
           round(avg(col("recall")), 4).as("avg_recall"),
           round(min(col("recall")), 4).as("min_recall"))
         .withColumn("n_probe", lit(p))
+        .withColumn("pool", lit(pool))
     }
-    perProbe.reduce(_ unionByName _)
-      .select(col("n_probe"), col("n_queries"),
+    perPoint.reduce(_ unionByName _)
+      .select(col("n_probe"), col("pool"), col("n_queries"),
         col("avg_recall"), col("min_recall"))
-      .orderBy(col("n_probe"))
+      .orderBy(col("n_probe"), col("pool"))
   }
 
-  /** Probe settings bracket the sim16 default (6): measured sf0.01
-    * curve 0.18 → 0.47 → 0.65 → 0.60 — the dip at nProbe=kCoarse is
-    * real and worth surfacing: with every cell probed, the FIXED ADC
-    * pool is shared by the whole corpus's quantization noise, so pool
-    * quality (not routing) becomes the binding constraint. The curve
-    * is exactly the evidence behind registering sim16 at 6 probes. */
+  /** Probe settings bracket the sim16 default (6); the pool axis
+    * brackets the sim16 default (8) with the 4× setting that un-binds
+    * pool truncation at full probe — the sim15 discipline (size the
+    * exact-rerank pool so the approximate pre-rank can no longer cost
+    * recall at the operating point you read off the curve). At full
+    * probe the candidate set is the corpus, so pool=32 reranks
+    * 32·topK exact cosines and recall must approach 1 — holding the
+    * probe axis honest: any sub-1 recall THERE is pool truncation,
+    * never routing. */
   def sim17IvfPqRecall(spark: SparkSession, dir: String): DataFrame =
-    ivfPqRecallCurve(spark, dir, Seq(1, 2, 6, Sim4K))
+    ivfPqRecallCurve(spark, dir, Seq(1, 2, 6, Sim4K), pools = Seq(8, 32))
 
   /** Registered at nProbe=6 (of kCoarse=16): on UNSTRUCTURED embeddings
     * the true top-k scatter across cells, so routing recall — not PQ

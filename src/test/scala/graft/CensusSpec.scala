@@ -51,9 +51,10 @@ class CensusSpec extends AnyFunSuite {
   private val defaultMaxExchanges = 6
   private val exchangeBudget: Map[String, Int] = Map(
     "sim11_ivf_recall" -> 24,   // recall sweep: exact pass + per-probe plans
-    "sim17_ivfpq_recall" -> 28, // same sweep shape over the composed index:
-                                // 4 probe settings × (ADC pool window +
-                                // rerank join/window + hit semi + agg)
+    "sim17_ivfpq_recall" -> 56, // same sweep shape over the composed index:
+                                // 4 probe × 2 pool grid points × (ADC
+                                // pool window + rerank join/window +
+                                // hit semi + agg)
     "g2_triangle_count" -> 7,   // degree agg + wedge total + the two
                                 // census joins + their aggregates
     "d24_curation_funnel" -> 9, // quality+decontam+dedup+funnel, composed
@@ -61,10 +62,20 @@ class CensusSpec extends AnyFunSuite {
     "d23_canonical_keep" -> 7,  // pair graph → components → keeper join
     "t6_tfidf" -> 7,            // tf, df, N singleton, join, top-k
     "t17_pmi_phrases" -> 7,     // unigram+bigram counts + 2 joins + totals
-    "t21_source_overlap" -> 8   // 3 derivations of the vocab-bounded
+    "t21_source_overlap" -> 8,  // 3 derivations of the vocab-bounded
                                 // distinct frame, all codegen — measured
                                 // 3x faster than the 4-exchange
                                 // collect_set (ObjectHashAgg) shape
+    // r10-cohort pins BELOW the default ceiling (the r10 verdict's ask):
+    // these plans are structurally cheap and must STAY that way
+    "g1_pagerank" -> 1,         // serve = a scan of the checkpointed
+                                // fixpoint (+ output order); the 10
+                                // iterations' shuffles ran at build
+    "j12_interval_join" -> 2,   // bin equi-join rides the checkpointed
+                                // span frame; one agg + output order
+    "w12_concurrency" -> 5      // delta reduce + carry window + intra-
+                                // hour window + lattice legs (both
+                                // broadcast) + output order
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local
