@@ -453,10 +453,12 @@ object Dedup {
     * hashes in that broadcast set, so text crosses the wire solely for
     * actual boilerplate. At a corpus where even the ≥2-doc set is huge,
     * `minDocs` is the knob — boilerplate worth scrubbing repeats
-    * thousands of times, not twice. Span identity is 64-bit-hash
-    * identity (the d2/minhash convention; collision odds ~1e-8 at 1e6
-    * distinct spans); the recovered text is min() over the hash's
-    * grams, deterministic either way. */
+    * thousands of times, not twice. Span identity is (64-bit hash,
+    * byte length) — the length rides beside the hash for ~4 bytes a
+    * row and cuts collision odds to same-length collisions only (the
+    * r10 advice; a collision would merge two spans' doc counts), while
+    * text still never shuffles; the recovered text is min() over the
+    * key's grams, deterministic either way. */
   def boilerplateSpans(docs: DataFrame, n: Int = D19N, minDocs: Long = 2L,
                        topK: Int = 20): DataFrame = {
     val grams = docs
@@ -466,14 +468,16 @@ object Dedup {
         explode(array_distinct(graft.functions.TextGrams.gramsExpr(n)))
           .as("gram"))
     val hot = grams
-      .select(xxhash64(col("gram")).as("h"), col("doc_id"))
-      .groupBy(col("h"))
+      .select(xxhash64(col("gram")).as("h"), length(col("gram")).as("hl"),
+        col("doc_id"))
+      .groupBy(col("h"), col("hl"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc_id"))
       .filter(col("n_docs") >= minDocs)
     grams
-      .select(xxhash64(col("gram")).as("h"), col("gram"))
-      .join(broadcast(hot), Seq("h"))
-      .groupBy(col("h"), col("n_docs"), col("first_doc_id"))
+      .select(xxhash64(col("gram")).as("h"), length(col("gram")).as("hl"),
+        col("gram"))
+      .join(broadcast(hot), Seq("h", "hl"))
+      .groupBy(col("h"), col("hl"), col("n_docs"), col("first_doc_id"))
       .agg(min(col("gram")).as("span"))
       .select(col("span"), col("n_docs"), col("first_doc_id"))
       .orderBy(col("n_docs").desc, col("span"))
