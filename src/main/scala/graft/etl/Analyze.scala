@@ -457,7 +457,191 @@ object Analyze {
       .orderBy(col("event_type"))
   }
 
+  /** A24 — CUSUM changepoint detection (Page 1954): the sequential
+    * drift alarm a23's pointwise z-score cannot raise — a sustained
+    * small shift (say +0.8σ for 50 readings) never trips a |z|>3 gate,
+    * but its CUSUM climbs linearly until the alarm fires. Standard
+    * tabular form with slack k=0.5σ and decision threshold h=4σ, both
+    * sides: S⁺ᵢ = max(0, S⁺ᵢ₋₁ + xᵢ − k), S⁻ᵢ likewise on −xᵢ.
+    *
+    * The recurrence LOOKS inherently sequential (each S needs its
+    * predecessor), but it has a closed form every engine's running
+    * windows can compute: with Pᵢ = Σⱼ≤ᵢ(xⱼ−k),
+    *   S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)
+    * — a running SUM and a running MIN, two cumulative window columns
+    * over the same (event_type, event_id) order. No driver loop, no
+    * UDF with carried state, no mapPartitions: the whole detector is
+    * four codegen window expressions per side, partition-parallel
+    * across series.
+    *
+    * Cross-engine float discipline: μ/σ round(6) before standardizing,
+    * the standardized x rounds(6) before the prefix sum (both engines
+    * then accumulate IDENTICAL doubles in IDENTICAL frame order —
+    * running frames evaluate sequentially in both), S rounds(4) before
+    * the h-threshold compare so the alarm row set cannot drift on a
+    * ulp. Zero-variance series are dropped (x/0). */
+  def a24CusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepoint(Tables.events(spark, dir))
+
+  /** The two-sided CUSUM window pass over a frame carrying
+    * (event_type, event_id, x) plus per-type carry-in columns
+    * `s0_hi`/`s0_lo` (lit(0.0) for a from-scratch batch run). The
+    * carry generalizes the prefix-min identity:
+    *   Sᵢ = Pᵢ − min(−S₀, 0, min_{j≤i} Pⱼ)
+    * (at S₀=0 this collapses to the textbook closed form) — which is
+    * what lets the STREAMING twin fold each micro-batch with one
+    * distributed window pass instead of a sequential driver loop.
+    * Shared by batch a24 and [[graft.streaming.CusumStreamFold]] so
+    * the two legs cannot drift. */
+  private[graft] def cusumWindows(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val run = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scored
+      .withColumn("p_hi", sum(col("x") - lit(0.5)).over(run))
+      .withColumn("p_lo", sum(-col("x") - lit(0.5)).over(run))
+      .withColumn("s_hi",
+        round(col("p_hi") -
+          least(-col("s0_hi"), lit(0.0), min(col("p_hi")).over(run)), 4))
+      .withColumn("s_lo",
+        round(col("p_lo") -
+          least(-col("s0_lo"), lit(0.0), min(col("p_lo")).over(run)), 4))
+  }
+
+  private[graft] def cusumChangepoint(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type")).agg(
+      round(avg(col("value")), 6).as("mu"),
+      round(stddev_samp(col("value")), 6).as("sd"))
+    cusumReport(events, stats)
+  }
+
+  /** Fixed-reference CUSUM (the process-control mode: standardize
+    * against a TRAINED baseline instead of the full series) — what the
+    * live twin [[graft.streaming.CusumStreamFold]] monitors against;
+    * exposed batch-side so stream ≡ batch parity pins exactly. */
+  private[graft] def cusumChangepointWithRef(events: DataFrame,
+      ref: Map[String, (Double, Double)]): DataFrame = {
+    import events.sparkSession.implicits._
+    val stats = ref.toSeq.map { case (t, (mu, sd)) => (t, mu, sd) }
+      .toDF("event_type", "mu", "sd")
+    cusumReport(events, stats)
+  }
+
+  private def cusumReport(events: DataFrame, stats: DataFrame): DataFrame = {
+    val scored = cusumWindows(events
+      .join(broadcast(stats.filter(col("sd") > 0)), "event_type")
+      .withColumn("x", round((col("value") - col("mu")) / col("sd"), 6))
+      .withColumn("s0_hi", lit(0.0))
+      .withColumn("s0_lo", lit(0.0)))
+    // Per-SIDE alarm accounting, not a merged flag: under full-series
+    // standardization a level shift alarms BOTH sides — the pre-shift
+    // regime sits below the long-run mean exactly as far as the
+    // post-shift regime sits above it — so a changepoint localizes as
+    // "low-side alarm in the before, high-side alarm in the after".
+    // One merged first_alarm_id would always point at whichever regime
+    // came first and say nothing about the shift direction.
+    scored.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(max(col("s_hi")), 4).as("max_s_hi"),
+        round(max(col("s_lo")), 4).as("max_s_lo"),
+        sum(when(col("s_hi") > 4.0, 1L).otherwise(0L)).as("n_hi_alarms"),
+        sum(when(col("s_lo") > 4.0, 1L).otherwise(0L)).as("n_lo_alarms"),
+        min(when(col("s_hi") > 4.0, col("event_id"))).as("first_hi_alarm_id"),
+        min(when(col("s_lo") > 4.0, col("event_id"))).as("first_lo_alarm_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A25 — event-transition matrix (first-order Markov over each user's
+    * event sequence): P(next event type | current), the navigation/
+    * behavior model product analytics reads beside w8's fixed funnel —
+    * w8 asks "did users follow THIS path", a25 surfaces which paths
+    * exist and their strengths, plus self-loop rates (repetitive
+    * behavior) for free.
+    *
+    * Scale shape: ONE window shuffle partitioned by user_id (per-user
+    * sequences are independent; a hot user serializes only their own
+    * lag chain), then the pair frame collapses to at most |types|²
+    * rows via a map-side-combined count; the probability divides two
+    * exact longs per cell. No self-join on the event table (the lag
+    * window IS the adjacency), no driver state. */
+  def a25EventTransitions(spark: SparkSession, dir: String): DataFrame =
+    eventTransitions(Tables.events(spark, dir))
+
+  private[graft] def eventTransitions(events: DataFrame): DataFrame =
+    transitionReport(transitionPairs(events))
+
+  /** The adjacency extraction: one lag window per user, collapsed to
+    * (prev_type, next_type, n) — at most |types|² rows. Shared with the
+    * streaming twin [[graft.streaming.TransitionStreamFold]], whose
+    * batch-internal counting is exactly this pass. */
+  private[graft] def transitionPairs(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .withColumn("prev_type", lag(col("event_type"), 1).over(seq))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** The report over an already-counted (prev_type, next_type, n) pair
+    * frame — row probabilities divide exact longs, so batch and stream
+    * serve identical floats from identical counts. */
+  private[graft] def transitionReport(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val totals = Window.partitionBy(col("prev_type"))
+    pairs
+      .withColumn("p", round(col("n").cast("double") /
+        sum(col("n")).over(totals), 4))
+      .select(col("prev_type"), col("next_type"), col("n"), col("p"))
+      .orderBy(col("prev_type"), col("next_type"))
+  }
+
+  /** A26 — seasonal-profile anomaly detection: score each reading
+    * against its series' OWN hour-of-day baseline (the μ/σ of that
+    * event_type at that clock hour across the corpus). The third leg of
+    * the anomaly tier, closing the family: a19 fences against the
+    * GLOBAL distribution (a diurnal peak looks anomalous every day),
+    * a23 against the trailing WINDOW (a slow-onset daily pattern walks
+    * the baseline up), a26 against the SEASON — "is 95 at 3am normal
+    * FOR 3am" is the question a monitoring system actually asks of
+    * periodic telemetry (air quality is strongly diurnal: reference
+    * dashboard.py's hourly charts exist precisely because of it).
+    *
+    * Scale shape: the profile is a map-side-combined aggregate down to
+    * |types| × 24 cells — broadcast back over the corpus (never a
+    * shuffle of events); scoring is pure per-row arithmetic; the report
+    * re-collapses to the same 24-cell grid. Two corpus passes total
+    * (profile + score), zero event-sized shuffles. Degenerate guard:
+    * zero-variance cells are excluded before scoring (x/0, the a23
+    * discipline). Float discipline: μ/σ round(6) before standardizing,
+    * z rounds(4) before the |z|>3 compare — both engines flag the
+    * identical row set. */
+  def a26SeasonalAnomaly(spark: SparkSession, dir: String): DataFrame =
+    seasonalAnomaly(Tables.events(spark, dir))
+
+  private[graft] def seasonalAnomaly(events: DataFrame): DataFrame = {
+    val hod = events.withColumn("hod", hour(col("ts")))
+    val prof = hod.groupBy(col("event_type"), col("hod")).agg(
+      count(lit(1)).as("n"),
+      round(avg(col("value")), 6).as("mu"),
+      round(stddev_samp(col("value")), 6).as("sd"))
+    hod.join(broadcast(prof.filter(col("sd") > 0)), Seq("event_type", "hod"))
+      .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
+      .groupBy(col("event_type"), col("hod"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(first(col("mu")), 4).as("mu"),
+        round(first(col("sd")), 4).as("sd"),
+        sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
+        round(max(abs(col("z"))), 4).as("max_abs_z"))
+      .orderBy(col("event_type"), col("hod"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a26_seasonal_anomaly" -> a26SeasonalAnomaly,
+    "a25_event_transitions" -> a25EventTransitions,
+    "a24_cusum_changepoint" -> a24CusumChangepoint,
     "a23_rolling_anomaly" -> a23RollingAnomaly,
     "a22_active_users" -> a22ActiveUsers,
     "a21_trend_regression" -> a21TrendRegression,
@@ -508,6 +692,73 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "a26_seasonal_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(hour(ts) AS INT) AS hod, value
+        |  FROM events),
+        |prof AS (
+        |  SELECT event_type, hod, count(*) AS n,
+        |    round(avg(value), 6) AS mu,
+        |    round(stddev_samp(value), 6) AS sd
+        |  FROM h GROUP BY event_type, hod),
+        |scored AS (
+        |  SELECT h.event_type, h.hod, prof.mu, prof.sd,
+        |    round((h.value - prof.mu) / prof.sd, 4) AS z
+        |  FROM h JOIN prof USING (event_type, hod) WHERE prof.sd > 0)
+        |SELECT event_type, hod, count(*) AS n,
+        |  round(any_value(mu), 4) AS mu,
+        |  round(any_value(sd), 4) AS sd,
+        |  CAST(sum(CASE WHEN abs(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_anomalies,
+        |  round(max(abs(z)), 4) AS max_abs_z
+        |FROM scored GROUP BY event_type, hod
+        |ORDER BY event_type, hod""".stripMargin,
+    "a24_cusum_changepoint" ->
+      """WITH st AS (
+        |  SELECT event_type, round(avg(value), 6) AS mu,
+        |    round(stddev_samp(value), 6) AS sd
+        |  FROM events GROUP BY event_type),
+        |x AS (
+        |  SELECT e.event_type, e.event_id,
+        |    round((e.value - st.mu) / st.sd, 6) AS x
+        |  FROM events e JOIN st USING (event_type) WHERE st.sd > 0),
+        |p AS (
+        |  SELECT event_type, event_id,
+        |    sum(x - 0.5) OVER w AS p_hi,
+        |    sum(-x - 0.5) OVER w AS p_lo
+        |  FROM x
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT event_type, event_id,
+        |    round(p_hi - least(0.0, min(p_hi) OVER w), 4) AS s_hi,
+        |    round(p_lo - least(0.0, min(p_lo) OVER w), 4) AS s_lo
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT event_type, count(*) AS n,
+        |  round(max(s_hi), 4) AS max_s_hi,
+        |  round(max(s_lo), 4) AS max_s_lo,
+        |  CAST(sum(CASE WHEN s_hi > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hi_alarms,
+        |  CAST(sum(CASE WHEN s_lo > 4.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_lo_alarms,
+        |  min(CASE WHEN s_hi > 4.0 THEN event_id END) AS first_hi_alarm_id,
+        |  min(CASE WHEN s_lo > 4.0 THEN event_id END) AS first_lo_alarm_id
+        |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a25_event_transitions" ->
+      """WITH seqd AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS prev_type
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM seqd WHERE prev_type IS NOT NULL
+        |  GROUP BY prev_type, event_type)
+        |SELECT prev_type, next_type, n,
+        |  round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 4) AS p
+        |FROM pairs ORDER BY prev_type, next_type""".stripMargin,
     "a23_rolling_anomaly" ->
       """WITH s AS (
         |  SELECT event_type, value,

@@ -393,6 +393,64 @@ object WindowFns {
       .orderBy(col("event_type"), col("hour_idx"))
   }
 
+  /** W13 — time-weighted average (TWAP): the hourly mean under
+    * HOLD-UNTIL-NEXT semantics, where each reading's weight is the time
+    * it remained the live value — the correct aggregate over
+    * IRREGULARLY-sampled telemetry, and the number w10's per-event
+    * `avg` misreports whenever sampling density correlates with level
+    * (a sensor that reports every minute during spikes and hourly when
+    * quiet drags the naive mean toward the spikes; TWAP weights the
+    * quiet 59 minutes correctly). The financial twin is the
+    * TWAP/realized-average bar; the telemetry twin is "average
+    * concentration actually in the air this hour".
+    *
+    * Semantics: a reading holds from its own timestamp to the NEXT
+    * reading of the same series ((micros, event_id) order — the w10
+    * tie-break); the final reading of a series holds nothing (no
+    * defined horizon — stated contract, pinned in spec). A segment
+    * crossing hour boundaries contributes to EACH hour pro rata; hours
+    * wholly inside one segment are covered by the explode (the w11
+    * lattice lesson: a loaded-but-eventless hour must still report).
+    *
+    * Scale + float discipline: one lag-window shuffle on event_type
+    * (the a2/a4 partition), then the hour explode is bounded by each
+    * segment's own span (never a corpus × hours product), and the
+    * aggregate is map-side combined. All weights are EXACT micros
+    * longs; values quantize to an exact ×10⁴ integer basis (the sim19
+    * device) and the weighted sum accumulates in DECIMAL(38,0) (Spark
+    * long sum would wrap silently at 100 TB weight-mass; DuckDB's
+    * BIGINT sum auto-widens to HUGEINT — decimal makes both exact), so
+    * the ONLY float op is the final division, rounded(4). */
+  def w13Twap(spark: SparkSession, dir: String): DataFrame =
+    twapBars(Tables.events(spark, dir))
+
+  private val HourUs = 3600000000L
+
+  def twapBars(events: DataFrame): DataFrame = {
+    val seq = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    events
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("us"),
+        round(round(col("value"), 4) * 10000, 0).cast("long").as("v4"))
+      .withColumn("us_end", lead(col("us"), 1).over(seq))
+      .filter(col("us_end").isNotNull && col("us_end") > col("us"))
+      .withColumn("hour_idx", explode(sequence(
+        expr(s"us div $HourUs"), expr(s"(us_end - 1) div $HourUs"))))
+      .withColumn("w",
+        least(col("us_end"), (col("hour_idx") + 1) * HourUs) -
+          greatest(col("us"), col("hour_idx") * HourUs))
+      .filter(col("w") > 0)
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(
+        count(lit(1)).as("n_obs"),
+        round((sum((col("v4") * col("w")).cast("decimal(38,0)"))
+            .cast("double") / sum(col("w")).cast("double")) / 10000.0, 4)
+          .as("twap"),
+        round(sum(col("w")).cast("double") / 1000000.0, 2).as("coverage_s"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -471,6 +529,7 @@ object WindowFns {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w9_cohort_retention" -> w9CohortRetention,
     "w10_ohlc_bars" -> w10OhlcBars,
+    "w13_twap" -> w13Twap,
     "w11_forward_fill" -> w11ForwardFill,
     "w12_concurrency" -> w12Concurrency,
     "w8_funnel" -> w8Funnel,
@@ -484,6 +543,34 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    // w13 replays hold-until-next segments, the per-segment hour
+    // explode, and the exact-integer weighted sum (v4 × micros; DuckDB's
+    // BIGINT sum widens to HUGEINT ≡ Spark's DECIMAL(38,0) — both exact)
+    "w13_twap" ->
+      """WITH seg AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CAST(round(round(value, 4) * 10000, 0) AS BIGINT) AS v4,
+        |    lead(epoch_us(ts)) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY epoch_us(ts), event_id) AS us_end
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, v4, us, us_end,
+        |    unnest(range(us // 3600000000,
+        |                 ((us_end - 1) // 3600000000) + 1)) AS hour_idx
+        |  FROM seg WHERE us_end IS NOT NULL AND us_end > us),
+        |ov AS (
+        |  SELECT event_type, hour_idx, v4,
+        |    least(us_end, (hour_idx + 1) * 3600000000)
+        |      - greatest(us, hour_idx * 3600000000) AS w
+        |  FROM x)
+        |SELECT event_type, hour_idx, count(*) AS n_obs,
+        |  round(CAST(sum(v4 * w) AS DOUBLE)
+        |    / CAST(sum(w) AS DOUBLE) / 10000.0, 4) AS twap,
+        |  round(CAST(sum(w) AS DOUBLE) / 1000000.0, 2) AS coverage_s
+        |FROM ov WHERE w > 0
+        |GROUP BY event_type, hour_idx
+        |ORDER BY event_type, hour_idx""".stripMargin,
     "w12_concurrency" ->
       (s"WITH $SessionSpansCte,\n" +
       """d AS (

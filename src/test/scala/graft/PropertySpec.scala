@@ -325,4 +325,98 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getLong(2) == 1L, "exactly the spike flags")
     assert(r.getDouble(3) > 3.0)
   }
+
+  test("CUSUM flags the sustained small drift a23's pointwise z never sees (A24)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // 40 baseline readings alternating 10/12, then 30 at 13.0: each
+    // drift reading sits ~0.9σ above the full-series mean — far below
+    // any |z|>3 gate — but contributes ~+0.4σ per step to S⁺, which
+    // crosses h=4 about ten readings into the drift. Under full-series
+    // standardization the changepoint shows on BOTH sides: the
+    // baseline regime sits below the long-run mean, so the LOW-side
+    // CUSUM alarms in the before-segment while the HIGH side localizes
+    // the upward shift — which is why the report carries per-side
+    // first-alarm ids.
+    val rows = (0 until 40).map(i =>
+      (i.toLong, ts("2024-01-01 00:00:00"), "m",
+        if (i % 2 == 0) 10.0 else 12.0)) ++
+      (40 until 70).map(i => (i.toLong, ts("2024-01-01 00:00:00"), "m", 13.0))
+    val out = graft.etl.Analyze.cusumChangepoint(
+      rows.toDF("event_id", "ts", "event_type", "value")).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 70L)
+    assert(r.getDouble(2) > 4.0, s"max s_hi ${r.getDouble(2)} should alarm")
+    assert(r.getLong(4) > 0L, "high-side alarm count")
+    val firstHi = r.getLong(6)
+    assert(firstHi >= 40L && firstHi <= 55L,
+      s"high-side alarm should fire early in the drift segment, got $firstHi")
+    // the documented two-sided signature: low side fires in the BEFORE
+    assert(r.getDouble(3) > 4.0 && r.getLong(7) < 40L,
+      s"low-side should flag the pre-shift regime, got id ${r.getLong(7)}")
+  }
+
+  test("CUSUM closed form equals the sequential recurrence (A24 identity)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // the prefix-min identity S⁺ᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) vs the
+    // textbook fold max(0, S⁺ᵢ₋₁ + xᵢ − k), replayed on the driver with
+    // the operator's own rounding. Values quantize to 0.25 steps so no
+    // S lands within float noise of the h=4 boundary.
+    val rnd = new scala.util.Random(42)
+    val vals = (0 until 200).map(_ => math.round(rnd.nextGaussian() * 8) / 4.0)
+    val rows = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong, ts("2024-01-01 00:00:00"), "m", v) }
+    val out = graft.etl.Analyze.cusumChangepoint(
+      rows.toDF("event_id", "ts", "event_type", "value")).collect().head
+    // driver replay
+    val n = vals.size
+    val mu = BigDecimal(vals.sum / n)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean = vals.sum / n
+    val sd = BigDecimal(math.sqrt(
+        vals.map(v => (v - mean) * (v - mean)).sum / (n - 1)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val xs = vals.map(v => BigDecimal((v - mu) / sd)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    def r4d(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var sHi = 0.0; var sLo = 0.0; var maxHi = 0.0; var maxLo = 0.0
+    var hiAlarms = 0L; var loAlarms = 0L
+    xs.foreach { x =>
+      sHi = math.max(0.0, sHi + x - 0.5)
+      sLo = math.max(0.0, sLo - x - 0.5)
+      // the operator rounds each S to 4 decimals BEFORE both the max
+      // aggregate and the threshold compare — replay the same rounding
+      val rh = r4d(sHi); val rl = r4d(sLo)
+      maxHi = math.max(maxHi, rh); maxLo = math.max(maxLo, rl)
+      if (rh > 4.0) hiAlarms += 1
+      if (rl > 4.0) loAlarms += 1
+    }
+    assert(math.abs(out.getDouble(2) - maxHi) < 1e-9,
+      s"s_hi ${out.getDouble(2)} vs recurrence $maxHi")
+    assert(math.abs(out.getDouble(3) - maxLo) < 1e-9,
+      s"s_lo ${out.getDouble(3)} vs recurrence $maxLo")
+    assert(out.getLong(4) == hiAlarms && out.getLong(5) == loAlarms)
+  }
+
+  test("event transitions: per-user adjacency, no cross-user pairs (A25)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // u1: A B A B  → (A,B)×2, (B,A)×1 ; u2: A A → (A,A)×1.
+    // u1's last event and u2's first must not form a pair.
+    val rows = Seq(
+      (1L, 10L, "A"), (2L, 10L, "B"), (3L, 10L, "A"), (4L, 10L, "B"),
+      (5L, 20L, "A"), (6L, 20L, "A"))
+      .map { case (id, u, t) => (id, ts("2024-01-01 00:00:00"), u, t) }
+    val out = graft.etl.Analyze.eventTransitions(
+        rows.toDF("event_id", "ts", "user_id", "event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 3)
+    assert(out(("A", "B")) == ((2L, 0.6667)))
+    assert(out(("A", "A")) == ((1L, 0.3333)))
+    assert(out(("B", "A")) == ((1L, 1.0)))
+  }
 }

@@ -965,6 +965,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve()) == live)
   }
 
+  test("a24' CUSUM fold: drift crossing micro-batch boundaries alarms " +
+    "exactly like the fixed-reference batch kernel (carry-in parity)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val ref = Map("m" -> ((11.0, 1.0)))
+    val fold = new graft.streaming.CusumStreamFold(ref)
+    val in = MemoryStream[(Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cusumfold").toString
+    val q = fold.start(in.toDF().toDF("event_id", "event_type", "value"), ckpt)
+    // batch 1: in-control readings (x = ±0.5, both sides decay to 0);
+    // batches 2+3 drift at +1.5σ, with the S climb SPLIT mid-ramp so
+    // the alarm row (id 14, S crossing 4) can only be right if batch
+    // 3 resumed from batch 2's carried S=3 — the carry identity at work
+    val b1 = (0L until 10L).map(i =>
+      (i, "m", if (i % 2 == 0) 10.5 else 11.5))
+    val b2 = (10L until 13L).map(i => (i, "m", 12.5))
+    val b3 = (13L until 20L).map(i => (i, "m", 12.5))
+    Seq(b1, b2, b3).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6),
+        if (r.isNullAt(7)) -1L else r.getLong(7))).toSeq
+    val live = rows(fold.serve(spark))
+    val landed = (b1 ++ b2 ++ b3).toDF("event_id", "event_type", "value")
+    assert(live == rows(
+      graft.etl.Analyze.cusumChangepointWithRef(landed, ref)))
+    // planted arithmetic: drift steps add x−k = 1.0 each, S>4 first at
+    // the 5th drift reading (id 14, one row INTO batch 3); 6 alarm
+    // points (ids 14..19, S = 5..10); low side never fires
+    val r = live.head
+    assert(r._2 == 20L && r._3 == 10.0 && r._5 == 6L && r._7 == 14L)
+    assert(r._6 == 0L && r._8 == -1L)
+    // restart recipe: refold the landed corpus in one pass ≡ continuous
+    val f2 = new graft.streaming.CusumStreamFold(ref)
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
   test("w12' concurrency fold: planted intervals crossing micro-batch " +
     "boundaries serve the exact batch curve; replays don't double") {
     import spark.implicits._
