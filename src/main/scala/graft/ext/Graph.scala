@@ -127,9 +127,133 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** G3 — graph degree card: node/edge counts, degree spread, and
+    * degree ASSORTATIVITY (Newman 2002 — the Pearson correlation of
+    * degrees across edge endpoints: positive means hubs attach to
+    * hubs, negative means hub-and-spoke; the one number that says
+    * whether g1's central users cluster together or each anchor their
+    * own star). Read beside g2's clustering coefficient, the pair
+    * forms the standard two-line topology summary a graph pipeline
+    * prints before any expensive community/embedding run.
+    *
+    * Scale + determinism shape: the degree frame is node-sized (one
+    * map-side-combined count off the edge list); endpoint degrees
+    * land on edges via two node-keyed equi-joins (AQE-splittable; the
+    * symmetric union makes sx=sy so one join's moments serve both
+    * sides). Every moment is an EXACT LONG (degrees are integers) —
+    * the a21 device — so the only floats are one sqrt and one
+    * division, rounded(6), engine-identical. NULL assortativity on a
+    * degree-regular graph (zero variance: every star or clique —
+    * engines disagree on 0/0, we agree on NULL). */
+  def g3DegreeStats(spark: SparkSession, dir: String): DataFrame =
+    degreeStats(Joins.allOverlapPairs(WindowFns.sessionSpans(spark, dir))
+      .select(col("user_a").as("a"), col("user_b").as("b")))
+
+  /** The degree-card kernel over any undirected edge list (canonicalized
+    * like [[triangleStats]]: reversed duplicates collapse, self loops
+    * drop). One row out. */
+  def degreeStats(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val card = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      max(col("d")).as("max_degree"),
+      sum(col("d")).as("deg_sum"))
+    // endpoint-degree moments over the DIRECTED view (both directions):
+    // the symmetric union means sum(da)=sum(db) and sum(da²)=sum(db²),
+    // so the correlation needs only (n, sx, sxx, sxy) — all exact longs
+    val da = deg.select(col("n").as("a"), col("d").as("da"))
+    val db = deg.select(col("n").as("b"), col("d").as("db"))
+    val withDeg = e.join(da, Seq("a")).join(db, Seq("b"))
+    val moments = withDeg.agg(
+      count(lit(1)).as("m"),
+      sum(col("da") + col("db")).as("sx"),
+      sum(col("da") * col("da") + col("db") * col("db")).as("sxx"),
+      // each undirected edge contributes da·db twice in the directed
+      // view — keep the factor explicit rather than halving sx/sxx
+      sum(col("da") * col("db") * 2).as("sxy"))
+    card.crossJoin(broadcast(moments))
+      .select(
+        col("n_nodes"),
+        col("m").as("n_edges"),
+        col("max_degree"),
+        round(col("deg_sum").cast("double") / col("n_nodes"), 4)
+          .as("avg_degree"),
+        when(expr("2 * m * sxx - sx * sx") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(
+            (lit(2.0) * col("m") * col("sxy") -
+              col("sx").cast("double") * col("sx")) /
+            (lit(2.0) * col("m") * col("sxx") -
+              col("sx").cast("double") * col("sx")), 6))
+          .as("assortativity"))
+  }
+
+  /** G4 — k-core decomposition (Seidman 1983): the maximal subgraph
+    * where every node keeps ≥ k neighbors INSIDE the subgraph — the
+    * standard "dense cohort" extractor one notch past g3's degree card
+    * (degree says who has many edges; coreness says whose edges are to
+    * OTHER well-connected nodes — a bot ring shows as a high k-core
+    * even when every member's raw degree is modest). Reported for a
+    * small k sweep: (k, n_core_nodes, n_core_edges).
+    *
+    * 100 TB shape: the peeling fixpoint is the g1 discipline applied
+    * to subtraction — each round is one node-sized degree aggregate +
+    * two edge-sized anti-joins against the (broadcastable-when-small,
+    * AQE-handled otherwise) weak-node set, `localCheckpoint` per round
+    * truncating lineage. Rounds are data-bounded (each peels ≥ 1 node
+    * or terminates); the loop's only driver traffic is the weak-set
+    * count. Rows-only like g1: an iterated fixpoint has no tractable
+    * SQL form — the semantics pin is the planted K4+triangle+pendant
+    * spec where every core is hand-countable. */
+  def kCoreEdges(edges: DataFrame, k: Int): DataFrame = {
+    var e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    var done = false
+    while (!done) {
+      val deg = e.select(col("a").as("n"))
+        .unionByName(e.select(col("b").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val weak = deg.filter(col("d") < k).select(col("n"))
+        .localCheckpoint(true)
+      if (weak.isEmpty) done = true
+      else e = e
+        .join(weak.withColumnRenamed("n", "a"), Seq("a"), "left_anti")
+        .join(weak.withColumnRenamed("n", "b"), Seq("b"), "left_anti")
+        .select(col("a"), col("b"))
+        .localCheckpoint(true)
+    }
+    e
+  }
+
+  def g4KCore(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val edges = Joins.allOverlapPairs(WindowFns.sessionSpans(spark, dir))
+      .select(col("user_a").as("a"), col("user_b").as("b"))
+      .localCheckpoint(true)
+    val rows = Seq(2, 8, 32).map { k =>
+      val core = kCoreEdges(edges, k)
+      val nNodes = core.select(col("a").as("n"))
+        .unionByName(core.select(col("b").as("n"))).distinct().count()
+      (k, nNodes, core.count())
+    }
+    rows.toDF("k", "n_core_nodes", "n_core_edges").orderBy(col("k"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> g1PageRank,
-    "g2_triangle_count" -> g2TriangleCount
+    "g2_triangle_count" -> g2TriangleCount,
+    "g3_degree_stats" -> g3DegreeStats,
+    "g4_kcore" -> g4KCore
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +279,38 @@ object Graph {
         |  CASE WHEN w.n_wedges = 0 THEN NULL
         |       ELSE round(3.0 * t.n_triangles / w.n_wedges, 6)
         |  END AS clustering_coeff
-        |FROM t CROSS JOIN w""".stripMargin)
+        |FROM t CROSS JOIN w""".stripMargin),
+    "g3_degree_stats" ->
+      (s"WITH ${WindowFns.SessionSpansCte},\n" +
+      """pr AS (
+        |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        |  FROM spans a JOIN spans b
+        |    ON a.user_id < b.user_id
+        |   AND a.start_s <= b.end_s AND b.start_s <= a.end_s),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM pr UNION ALL SELECT b AS n FROM pr)
+        |  GROUP BY n),
+        |card AS (
+        |  SELECT count(*) AS n_nodes, max(d) AS max_degree,
+        |    sum(d) AS deg_sum FROM deg),
+        |mom AS (
+        |  SELECT count(*) AS m,
+        |    CAST(sum(da.d + db.d) AS BIGINT) AS sx,
+        |    CAST(sum(da.d * da.d + db.d * db.d) AS BIGINT) AS sxx,
+        |    CAST(sum(da.d * db.d * 2) AS BIGINT) AS sxy
+        |  FROM pr JOIN deg da ON pr.a = da.n JOIN deg db ON pr.b = db.n)
+        |SELECT CAST(card.n_nodes AS BIGINT) AS n_nodes,
+        |  CAST(mom.m AS BIGINT) AS n_edges,
+        |  CAST(card.max_degree AS BIGINT) AS max_degree,
+        |  round(CAST(card.deg_sum AS DOUBLE) / card.n_nodes, 4)
+        |    AS avg_degree,
+        |  CASE WHEN 2 * mom.m * mom.sxx - mom.sx * mom.sx = 0 THEN NULL
+        |       ELSE round((2.0 * mom.m * mom.sxy
+        |                   - CAST(mom.sx AS DOUBLE) * mom.sx)
+        |                / (2.0 * mom.m * mom.sxx
+        |                   - CAST(mom.sx AS DOUBLE) * mom.sx), 6)
+        |  END AS assortativity
+        |FROM card CROSS JOIN mom""".stripMargin)
   )
 }

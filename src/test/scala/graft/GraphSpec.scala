@@ -90,6 +90,64 @@ class GraphSpec extends AnyFunSuite {
     assert(e.getLong(0) == 0L && e.getLong(1) == 0L && e.isNullAt(2))
   }
 
+  test("degree card: star is perfectly disassortative, K4+pendant matches hand moments (G3)") {
+    // star K1,3: every edge joins degree 3 to degree 1 → assortativity
+    // exactly −1 (hand: n=6 directed samples, sx=12, sxx=30, sxy=18 →
+    // (6·18−144)/(6·30−144) = −1)
+    val star = (1L to 3L).map(l => (0L, l)).toDF("a", "b")
+    val s = Graph.degreeStats(star).collect().head
+    assert(s.getLong(0) == 4L && s.getLong(1) == 3L)
+    assert(s.getLong(2) == 3L)
+    assert(s.getDouble(3) == 1.5) // (3+1+1+1)/4
+    assert(s.getDouble(4) == -1.0, s"assortativity ${s.getDouble(4)}")
+    // K4 plus pendant 5 on node 1: degrees 4,3,3,3,1 → m=7, sx=44,
+    // sxx=146, sxy=134 → r = (14·134−1936)/(14·146−1936) = −60/108 =
+    // −0.555556 (hand-computed, rounds(6))
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("a", "b")
+    val r = Graph.degreeStats(k4p).collect().head
+    assert(r.getLong(0) == 5L && r.getLong(1) == 7L && r.getLong(2) == 4L)
+    assert(r.getDouble(3) == 2.8) // 14/5
+    assert(r.getDouble(4) == -0.555556, s"assortativity ${r.getDouble(4)}")
+  }
+
+  test("degree card: regular graph yields NULL assortativity; noisy edges canonicalize (G3)") {
+    // triangle: all degrees 2 → zero endpoint-degree variance → NULL
+    // (not NaN, not a crash); reversed duplicates and self loops must
+    // collapse first or the degrees (hence the NULL) would be wrong
+    val noisy = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (3L, 3L))
+      .toDF("a", "b")
+    val r = Graph.degreeStats(noisy).collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L && r.getLong(2) == 2L)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.isNullAt(4))
+  }
+
+  test("k-core peeling: hand-counted cores on K4 + triangle + pendant chain (G4)") {
+    // K4 on {1,2,3,4}, a DISJOINT triangle {7,8,9}, and pendant chain
+    // 4-5-6. 2-core: chain peels (6 has degree 1, then 5) → K4 +
+    // triangle = 9 edges over 7 nodes. 3-core: triangle peels (all
+    // degree 2) → K4 alone. 4-core: empty (K4's internal degree is 3).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("a", "b")
+    def stats(k: Int) = {
+      val core = Graph.kCoreEdges(edges, k)
+      val nodes = core.select(col("a").as("n"))
+        .unionByName(core.select(col("b").as("n")))
+        .distinct().count()
+      (nodes, core.count())
+    }
+    assert(stats(2) == ((7L, 9L)))
+    assert(stats(3) == ((4L, 6L)))
+    assert(stats(4) == ((0L, 0L)))
+    // the CASCADE matters: peeling 6 (degree 1) drops 5 to degree 1 —
+    // a single-round degree filter would keep 5; the fixpoint must not
+    val twoCore = Graph.kCoreEdges(edges, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!twoCore.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("registered g1 ranks the planted co-presence hub first at sf0.001") {
     val out = Graph.g1PageRank(spark, "/root/testdata/sf0.001").collect()
     assert(out.length > 0 && out.length <= 20)
