@@ -71,6 +71,11 @@ object Bench {
     // charged the other's shared ingest artifact.
     warmState("nb")(ext.Classify.queries("t12_nb_classifier")(spark, sfDir).count())
     warmState("t3-matrix")(ext.TextStats.queries("t3_lang_id")(spark, sfDir).count())
+    // t22's unigram+bigram count tables are the same train-once/serve
+    // artifact as the NB log-odds — build before the clock so the
+    // timed line measures the zero-shuffle scoring pass.
+    warmState("t22-bigrams")(
+      ext.TextStats.queries("t22_bigram_logprob")(spark, sfDir).count())
     // j11's bucketed orders/customer tables are ingest artifacts too
     // (written once; every later join serves off the layout). The r10
     // bench missed this: rep 1 paid the 2.87 s bucket write, the median

@@ -128,6 +128,66 @@ object Similarity {
       .limit(10)
   }
 
+  /** SIM19 — random-projection (Johnson–Lindenstrauss) dimensionality
+    * reduction QC: project 64-dim embeddings onto k=16 dims through a
+    * DETERMINISTIC ±1 matrix (Achlioptas 2001 — database-friendly JL:
+    * sign entries, no Gaussians needed) and report, per label, how much
+    * pairwise cosine geometry the projection kept. This is the go/no-go
+    * card before flipping an ANN fleet to reduced-dim vectors (4×
+    * memory + 4× scan speed, the same decision sim12 grades for int8):
+    * if avg |cos₆₄ − cos₁₆| is small, downstream LSH/IVF can run in the
+    * cheap space.
+    *
+    * Engine-portable randomness: entry s(i,j) = ±1 from the shared
+    * [[graft.functions.IdHash]] bucket of (i·16+j) — the d22/d41 device,
+    * so the DuckDB oracle reconstructs the IDENTICAL matrix and the
+    * whole report value-checks. No RNG state, no broadcast matrix (the
+    * matrix is ARITHMETIC, materialized nowhere on either engine).
+    *
+    * Scale shape: projection is 64×16 codegen fused multiply-adds per
+    * row in ONE scan, zero shuffle; the QC pairs are id-adjacent
+    * (vec_id, vec_id+1) — a self-join on an equi-key, never all pairs —
+    * and the report collapses to label-count rows. Cosines round(4)
+    * before the abs-error arithmetic (the t6 libm discipline). */
+  def sim19RandomProjection(spark: SparkSession, dir: String,
+                            k: Int = 16, dim: Int = 64): DataFrame = {
+    def project(emb: Column): Column =
+      transform(sequence(lit(0), lit(k - 1)), j =>
+        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) =>
+          acc + element_at(emb, i + 1).cast("double") *
+            when(graft.functions.IdHash.bucket(
+              (i * k + j).cast("long"), 2) === 0, 1.0).otherwise(-1.0)))
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("emb"))
+      .withColumn("proj", project(col("emb")))
+    val a = e.select(col("vec_id"), col("label"), col("emb").as("emb_a"),
+      col("proj").as("proj_a"))
+    val b = e.select((col("vec_id") - 1).as("vec_id"),
+      col("emb").as("emb_b"), col("proj").as("proj_b"))
+    // Rounded cosines convert to an EXACT INTEGER basis (×10⁴) before
+    // any aggregate: per-pair values are engine-identical after
+    // round(4), but a float SUM of them is summation-order-dependent
+    // and can land either side of the report's own rounding boundary —
+    // integer sums cannot (the a21/d40 exact-moments discipline).
+    a.join(b, Seq("vec_id"))
+      .withColumn("cos_orig",
+        round(cosine(col("emb_a"), col("emb_b")), 4))
+      .withColumn("cos_proj",
+        round(cosine(col("proj_a"), col("proj_b")), 4))
+      .filter(!isnan(col("cos_orig")) && !isnan(col("cos_proj")))
+      .withColumn("co", round(col("cos_orig") * 10000, 0).cast("long"))
+      .withColumn("cp", round(col("cos_proj") * 10000, 0).cast("long"))
+      .withColumn("err", abs(col("co") - col("cp")))
+      .groupBy(col("label")).agg(
+        count(lit(1)).as("n_pairs"),
+        round(sum(col("co")) / 10000.0 / count(lit(1)), 4).as("avg_cos_orig"),
+        round(sum(col("cp")) / 10000.0 / count(lit(1)), 4).as("avg_cos_proj"),
+        round(sum(col("err")) / 10000.0 / count(lit(1)), 4).as("avg_abs_err"),
+        round(max(col("err")) / 10000.0, 4).as("max_abs_err"))
+      .orderBy(col("label"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
     * across runs and engines; no runtime entropy). */
   private[ext] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
@@ -1355,6 +1415,7 @@ object Similarity {
     "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,
     "sim18_filtered_ann" -> sim18FilteredAnn,
+    "sim19_random_projection" -> ((s, d) => sim19RandomProjection(s, d)),
     "sim2_ann_lsh" -> sim2AnnLsh,
     "sim3_neardup_pairs" -> sim3NearDupPairs,
     "sim4_ivf_ann" -> sim4IvfAnn,
@@ -1369,6 +1430,49 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // sim19's oracle reconstructs the ±1 matrix from the SAME IdHash
+    // arithmetic (no matrix crosses engines — it exists only as the
+    // interpolated expression below) and replays projection, cosines,
+    // and the distortion report with explicit same-order list folds
+    "sim19_random_projection" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT vec_id, label, emb,
+        |    list_transform(range(0, 16), j ->
+        |      list_sum(list_transform(range(0, 64), i ->
+        |        emb[i + 1] *
+        |        CASE WHEN ${graft.functions.IdHash.sql("(i * 16 + j)", 2)} = 0
+        |             THEN 1.0 ELSE -1.0 END))) AS proj
+        |  FROM e),
+        |pairs AS (
+        |  SELECT a.label,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> a.emb[i] * b.emb[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> a.emb[i] * a.emb[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> b.emb[i] * b.emb[i])))), 4) AS cos_orig,
+        |    round(
+        |      list_sum(list_transform(range(1, 17), i -> a.proj[i] * b.proj[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 17),
+        |            i -> a.proj[i] * a.proj[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 17),
+        |            i -> b.proj[i] * b.proj[i])))), 4) AS cos_proj
+        |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1),
+        |f AS (
+        |  SELECT label,
+        |    CAST(round(cos_orig * 10000, 0) AS BIGINT) AS co,
+        |    CAST(round(cos_proj * 10000, 0) AS BIGINT) AS cp
+        |  FROM pairs
+        |  WHERE NOT isnan(cos_orig) AND NOT isnan(cos_proj))
+        |SELECT label, count(*) AS n_pairs,
+        |  round(sum(co) / 10000.0 / count(*), 4) AS avg_cos_orig,
+        |  round(sum(cp) / 10000.0 / count(*), 4) AS avg_cos_proj,
+        |  round(sum(abs(co - cp)) / 10000.0 / count(*), 4) AS avg_abs_err,
+        |  round(max(abs(co - cp)) / 10000.0, 4) AS max_abs_err
+        |FROM f GROUP BY label ORDER BY label""".stripMargin,
     "sim13_embedding_drift" ->
       s"""WITH v1 AS (
         |  SELECT label, CAST(embedding AS DOUBLE[]) AS v

@@ -788,11 +788,99 @@ object TextStats {
   private def t10Registered(spark: SparkSession, dir: String): DataFrame =
     t10BpeTrain(spark, dir)
 
+  /** T22 — bigram LM log-probability scoring: the CCNet/KenLM
+    * perplexity filter one order up from t9's unigram. A unigram model
+    * scores "are these words common"; the bigram model scores "do these
+    * words FOLLOW each other" — word salad built from common words
+    * (which sails through t9) scores poorly here, which is exactly the
+    * failure mode the perplexity gate exists to catch. Laplace-smoothed
+    * conditional: log10 P(wᵢ|wᵢ₋₁) = log10((c(wᵢ₋₁wᵢ)+1)/(c(wᵢ₋₁)+V)),
+    * averaged over a doc's bigram positions, reported per language with
+    * the t9 column contract so the two filters read side by side.
+    *
+    * Scale shape, same two-pass split as t9/t12: pass 1 builds the
+    * unigram and bigram count tables — both VOCABULARY-bounded, capped
+    * with limit-before-collect guards (the bigram cap is the binding
+    * one; beyond it the D20 hashed-bucket device is the documented
+    * escape: hash bigrams into fixed buckets and the table is B rows at
+    * any corpus size), memoized per (session, dir). Pass 2 scores
+    * per-row against the two broadcast literals with ZERO shuffle —
+    * the bigram enumeration is a sequence() transform over the doc's
+    * own token array, never an exploded corpus-token join. Because the
+    * model is trained on the corpus it scores, every lookup hits (no
+    * OOV path to diverge on); smoothing still shapes the scores.
+    * The fold is sequential per doc, score rounds(4) at the report. */
+  private val bigramCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[
+        (String, Int, Int), (Map[String, Long], Map[String, Long])]]()
+
+  private def bigramCounts(spark: SparkSession, dir: String,
+      maxVocab: Int, maxBigrams: Int): (Map[String, Long], Map[String, Long]) =
+    Similarity.perSession(bigramCache, spark)
+      .getOrElseUpdate((dir, maxVocab, maxBigrams), {
+      val toks = Tables.documents(spark, dir)
+        .select(filter(split(lower(col("text")), " "), w => w =!= "")
+          .as("toks"))
+      val uni = toks
+        .select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        .limit(maxVocab + 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      require(uni.length <= maxVocab,
+        s"vocabulary exceeds $maxVocab — hash-bucket the model (d20 " +
+          "device) before broadcasting it")
+      val bi = toks
+        .filter(size(col("toks")) >= 2)
+        .select(explode(transform(sequence(lit(2), size(col("toks"))),
+          i => concat(element_at(col("toks"), i - 1), lit(" "),
+            element_at(col("toks"), i)))).as("bg"))
+        .groupBy(col("bg")).agg(count(lit(1)).as("c"))
+        .limit(maxBigrams + 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      require(bi.length <= maxBigrams,
+        s"bigram table exceeds $maxBigrams — hash-bucket the model " +
+          "(d20 device) before broadcasting it")
+      (uni.toMap, bi.toMap)
+    })
+
+  def t22BigramLogprob(spark: SparkSession, dir: String,
+                       maxVocab: Int = 65536,
+                       maxBigrams: Int = 1 << 18): DataFrame = {
+    val (uni, bi) = bigramCounts(spark, dir, maxVocab, maxBigrams)
+    val umap = typedlit(uni)
+    val bmap = typedlit(bi)
+    val v = lit(uni.size.toDouble)
+    Tables.documents(spark, dir)
+      .withColumn("toks",
+        filter(split(lower(col("text")), " "), w => w =!= ""))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("score",
+        aggregate(
+          transform(sequence(lit(2), size(col("toks"))), i => {
+            val prev = element_at(col("toks"), i - 1)
+            val bg = concat(prev, lit(" "), element_at(col("toks"), i))
+            log10((element_at(bmap, bg) + lit(1.0)) /
+              (element_at(umap, prev) + v))
+          }),
+          lit(0.0), (acc, lp) => acc + lp) / (size(col("toks")) - 1))
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_logp"),
+        round(min(col("score")), 4).as("min_logp"),
+        round(max(col("score")), 4).as("max_logp"))
+      .orderBy(col("lang"))
+  }
+
+  private def t22Registered(spark: SparkSession, dir: String): DataFrame =
+    t22BigramLogprob(spark, dir)
+
   /** Drop this session's learned vocab/merge tables (see
     * [[Similarity.invalidateCaches]], which fans out here). */
   private[ext] def invalidateCaches(spark: SparkSession): Unit = {
     vocabCache.synchronized(vocabCache.remove(spark))
     mergeCache.synchronized(mergeCache.remove(spark))
+    bigramCache.synchronized(bigramCache.remove(spark))
   }
 
   /** T13 — per-document character statistics (the Gopher/C4 rule family
@@ -856,6 +944,7 @@ object TextStats {
     "t14_corpus_manifest" -> t14CorpusManifest,
     "t13_char_stats" -> t13CharStats,
     "t9_unigram_logprob" -> t9Registered,
+    "t22_bigram_logprob" -> t22Registered,
     "t10_bpe_train" -> t10Registered,
     "t5_vocab_topk" -> t5VocabTopK,
     "t16_heavy_hitters" -> t16HeavyHitters,
@@ -949,6 +1038,40 @@ object TextStats {
         |  SELECT doc_id, lang, avg(log10(c / total)) AS score
         |  FROM w2 JOIN f USING (tok) CROSS JOIN t
         |  GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(score), 4) AS avg_logp,
+        |  round(min(score), 4) AS min_logp,
+        |  round(max(score), 4) AS max_logp
+        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin,
+    "t22_bigram_logprob" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |uc AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+        |pairs AS (
+        |  SELECT doc_id, lang, b.prev AS prev, b.nxt AS nxt
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(range(2, len(toks) + 1),
+        |        i -> struct_pack(prev := toks[i-1], nxt := toks[i]))) AS b
+        |    FROM d WHERE len(toks) >= 2)),
+        |bc AS (
+        |  SELECT prev, nxt, count(*) AS c FROM pairs GROUP BY prev, nxt),
+        |scored AS (
+        |  SELECT p.doc_id, p.lang,
+        |    log10((bc.c + 1.0) / (uc.c + v.v)) AS lp
+        |  FROM pairs p
+        |  JOIN bc ON p.prev = bc.prev AND p.nxt = bc.nxt
+        |  JOIN uc ON p.prev = uc.tok
+        |  CROSS JOIN v),
+        |ds AS (
+        |  SELECT doc_id, lang, sum(lp) / count(*) AS score
+        |  FROM scored GROUP BY doc_id, lang)
         |SELECT lang, count(*) AS n_docs,
         |  round(avg(score), 4) AS avg_logp,
         |  round(min(score), 4) AS min_logp,

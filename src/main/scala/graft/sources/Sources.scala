@@ -525,7 +525,44 @@ object Sources {
     }.collect().toSeq
   }
 
+  /** S20 — Bloom file-skipping index + point lookup: the data-skipping
+    * leg s19's min/max audit proves IMPOSSIBLE for a scattered column.
+    * A time-partitioned fact layout leaves user_id spread across every
+    * file (s19 measures all pairs overlapping on the non-clustered
+    * column) — so a "this user's events" lookup scans the whole table
+    * under footer pruning. The per-file Bloom sidecar
+    * ([[graft.functions.FileBloom]]) answers at PLANNING time which
+    * files can possibly hold the probed keys; candidate files are
+    * scanned, the exact predicate runs after, so a Bloom false
+    * positive costs one file read and never a wrong row — which is why
+    * this registered query is VALUE-oracled (DuckDB replays the plain
+    * IN-filter; equality holds whatever the fpp did).
+    *
+    * Registered shape: events written range-clustered by ts (the
+    * adversarial layout for user probes), sidecar built distributed
+    * (mergeable per-file Bloom aggregate — file-count × ~KB moves,
+    * never rows), then the planted 3-user lookup served off the pruned
+    * file list. Pruning effectiveness is data-dependent (a user active
+    * across all of time touches every file; SourcesSpec plants
+    * time-local users and proves files drop out), correctness is not. */
+  def s20BloomSkipLookup(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, "s20") { tmp =>
+      val ev = Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(s"$tmp/by_ts")
+      val index = graft.functions.FileBloom.buildIndex(
+        spark, s"$tmp/by_ts", "user_id", expectedPerFile = 20000L)
+      graft.functions.FileBloom.lookup(
+          spark, s"$tmp/by_ts", index, "user_id", Seq(1L, 2L, 3L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("event_id"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s20_bloom_skip_lookup" -> s20BloomSkipLookup,
     "s19_layout_audit" -> ((s, d) => s19LayoutAudit(s, d)),
     "s18_zorder_layout" -> s18ZorderLayout,
     "s17_wap_roundtrip" -> s17WapRoundtrip,
@@ -538,6 +575,14 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    // s20's oracle is the PLAIN filter — the skipping index is an
+    // execution strategy, not a semantics change (the j10 salted-join
+    // discipline): equality proves no Bloom decision dropped a row
+    "s20_bloom_skip_lookup" ->
+      """SELECT event_id, user_id, event_type,
+        |  round(value, 2) AS value
+        |FROM events WHERE user_id IN (1, 2, 3)
+        |ORDER BY event_id""".stripMargin,
     // s18 replays BOTH dimensions' a18 fence device (cumulative grid
     // histogram → k−1 depth targets; a bin straddling several targets
     // repeats, matched by the count-of-bounds bucket assignment) and

@@ -42,7 +42,8 @@ class CensusSpec extends AnyFunSuite {
     "d36_cluster_quality",      // inherits d5's bounded pair kernel
     "w11_forward_fill",         // hour-range singleton × tiny type frame
     "d46_forget_cascade",       // audit-row broadcast singletons (j9 shape)
-    "g2_triangle_count")        // wedge-total broadcast singleton
+    "g2_triangle_count",        // wedge-total broadcast singleton
+    "g3_degree_stats")          // moments broadcast singleton (g2 shape)
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query
@@ -57,6 +58,10 @@ class CensusSpec extends AnyFunSuite {
                                 // hit semi + agg)
     "g2_triangle_count" -> 7,   // degree agg + wedge total + the two
                                 // census joins + their aggregates
+    "g3_degree_stats" -> 7,     // degree agg + card agg + the two
+                                // endpoint-degree joins (un-hinted: the
+                                // node-degree frame outgrows a broadcast
+                                // at real graph scale) + moments agg
     "d24_curation_funnel" -> 9, // quality+decontam+dedup+funnel, composed
     "d11_rebalance" -> 8,       // per-stratum rate join + resample + order
     "d23_canonical_keep" -> 7,  // pair graph → components → keeper join
@@ -83,7 +88,8 @@ class CensusSpec extends AnyFunSuite {
     * their writes here would only duplicate SourcesSpec. */
   private val skip: Set[String] = Set("s7_json_roundtrip",
     "s10_partitioned_roundtrip", "s11_csv_roundtrip", "s14_orc_roundtrip",
-    "s15_schema_evolution", "s16_compact_roundtrip", "s17_wap_roundtrip")
+    "s15_schema_evolution", "s16_compact_roundtrip", "s17_wap_roundtrip",
+    "s20_bloom_skip_lookup")
 
   test("census: no unlisted nested-loop/cartesian; exchange budgets hold") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -219,4 +219,48 @@ class SourcesSpec extends AnyFunSuite {
     assert(out(("zorder", "ts"))._3 < allPairs)
     assert(out(("zorder", "user_id"))._3 < allPairs)
   }
+
+  test("Bloom sidecar prunes files for time-local keys; lookup equals full scan (S20)") {
+    import spark.implicits._
+    import graft.functions.FileBloom
+    // user u is active ONLY in hour u — range-clustering by ts gives
+    // each of the 8 files a disjoint user subset, the layout where a
+    // Bloom sidecar prunes hard while min/max on user_id prunes nothing
+    val rows = for (u <- 0 until 8; i <- 0 until 50) yield
+      (u * 50L + i, java.sql.Timestamp.valueOf(f"2024-01-01 $u%02d:00:${i % 60}%02d"),
+        u.toLong, "t", 1.0)
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("s20test").toString
+    try {
+      ev.repartitionByRange(8, col("ts"))
+        .write.mode("overwrite").parquet(s"$root/by_ts")
+      val index = FileBloom.buildIndex(spark, s"$root/by_ts", "user_id",
+        expectedPerFile = 1000L)
+      assert(index.size == 8, s"expected 8 files, got ${index.size}")
+      // a time-local key prunes to a strict subset of files (typically
+      // 1; boundary rows may straddle 2)
+      val cand = FileBloom.candidateFiles(index, Seq(3L))
+      assert(cand.nonEmpty && cand.size <= 2,
+        s"expected 1-2 candidate files, got ${cand.size}")
+      // the composed lookup equals the plain filter row-for-row
+      val viaIndex = FileBloom.lookup(spark, s"$root/by_ts", index,
+        "user_id", Seq(3L, 5L)).select(col("event_id")).collect()
+        .map(_.getLong(0)).sorted.toSeq
+      val full = ev.filter(col("user_id").isin(3L, 5L))
+        .select(col("event_id")).collect().map(_.getLong(0)).sorted.toSeq
+      assert(viaIndex == full)
+      // an absent key prunes EVERY file (Bloom "no" is definitive) and
+      // the lookup short-circuits to empty with the layout's schema
+      assert(FileBloom.candidateFiles(index, Seq(999L)).isEmpty)
+      val empty = FileBloom.lookup(spark, s"$root/by_ts", index,
+        "user_id", Seq(999L))
+      assert(empty.count() == 0)
+      assert(empty.columns.contains("event_id"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
 }

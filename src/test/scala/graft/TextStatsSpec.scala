@@ -55,6 +55,60 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("bigram logprob matches hand-computed Laplace scores; short docs skip (T22)") {
+    val docs = Seq(
+      (0L, "a b a c", "en", "s", 7L),
+      (1L, "a b", "fr", "s", 3L),
+      (2L, "c", "fr", "s", 1L) // one token → no bigram → skipped
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocsDir(docs) { dir =>
+      val out = TextStats.t22BigramLogprob(spark, dir).collect()
+        .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+      // uni: a=3 b=2 c=1, V=3; bi: "a b"=2 "b a"=1 "a c"=1
+      // d0: (log10(3/6) + log10(2/5) + log10(2/6)) / 3 ; d1: log10(3/6)
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val d0 = (math.log10(3.0 / 6) + math.log10(2.0 / 5) +
+        math.log10(2.0 / 6)) / 3
+      assert(out("en")._1 == 1L)
+      assert(math.abs(out("en")._2 - r4(d0)) < 1e-9)
+      assert(out("fr") == ((1L, r4(math.log10(3.0 / 6)))))
+    }
+  }
+
+  test("bigram logprob separates word salad the unigram filter cannot see (T22)") {
+    // natural docs repeat one sentence; the salad doc is the SAME
+    // multiset of words scrambled so its bigrams are corpus-unique.
+    // t9 (unigram) scores identical multisets identically — the salad
+    // is invisible to it; t22's conditional model is the separator.
+    val nat = (0 until 10).map(i =>
+      (i.toLong, "the cat sat on the mat", "nat", "s", 22L))
+    val sal = Seq((10L, "mat the on sat cat the", "sal", "s", 22L))
+    val docs = (nat ++ sal).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocsDir(docs) { dir =>
+      val t22 = TextStats.t22BigramLogprob(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(t22("nat") > t22("sal") + 0.2,
+        s"bigram model should separate: nat=${t22("nat")} sal=${t22("sal")}")
+      val t9 = TextStats.t9UnigramLogprob(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(2)).toMap
+      assert(math.abs(t9("nat") - t9("sal")) < 1e-9,
+        "unigram scores identical multisets identically — the blind spot")
+    }
+  }
+
+  test("bigram logprob fails fast when the bigram table exceeds its cap (T22)") {
+    val docs = Seq(
+      (0L, "one two three four five", "en", "s", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocsDir(docs) { dir =>
+      val e = intercept[IllegalArgumentException] {
+        TextStats.t22BigramLogprob(spark, dir, maxBigrams = 3)
+      }
+      assert(e.getMessage.contains("bigram table exceeds 3"))
+    }
+  }
+
   test("compression ratio separates repetitive from varied text") {
     val rnd = new scala.util.Random(5)
     val varied = (0 until 300).map(_ =>
