@@ -249,11 +249,49 @@ object Graph {
     rows.toDF("k", "n_core_nodes", "n_core_edges").orderBy(col("k"))
   }
 
+  /** G5 — connected components over the co-presence graph: the
+    * community partition itself (who is transitively connected to whom
+    * through session overlaps), reported as a component-size census —
+    * the denominator every other graph number implicitly divides by
+    * (a clustering coefficient of 0.8 means something different inside
+    * one giant component vs forty islands), and the direct "is this
+    * graph one blob or many cohorts" readout.
+    *
+    * Engine shape: the SAME size-adaptive union-find / min-label
+    * pointer-jumping kernel the dedup tier trusts
+    * ([[graft.ext.Dedup.connectedComponents]] — D6/D7/D23's machinery,
+    * O(log diameter) rounds distributed), applied to the j12 pair
+    * graph; the census collapses node labels to component-count rows.
+    * Unlike g1's float fixpoint this IS SQL-expressible: the DuckDB
+    * oracle computes the identical partition via a recursive-CTE
+    * transitive closure (set-semantics UNION terminates it), so the
+    * iterative kernel is VALUE-checked end to end against a from-first-
+    * principles replay — the strongest cross-check any of the graph
+    * fixpoints has. */
+  def g5Components(spark: SparkSession, dir: String): DataFrame = {
+    val spans = WindowFns.sessionSpans(spark, dir)
+    componentCensus(
+      spans.select(col("user_id").as("node")).distinct(),
+      Joins.allOverlapPairs(spans)
+        .select(col("user_a").as("id_a"), col("user_b").as("id_b")))
+  }
+
+  /** The census kernel over caller-supplied nodes/pairs — split out so
+    * island/singleton semantics pin on planted graphs in GraphSpec,
+    * independent of the oracle's closure replay. */
+  private[graft] def componentCensus(nodes: DataFrame,
+      pairs: DataFrame): DataFrame =
+    Dedup.connectedComponents(nodes, pairs)
+      .groupBy(col("label").as("component_id"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("n_nodes").desc, col("component_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> g1PageRank,
     "g2_triangle_count" -> g2TriangleCount,
     "g3_degree_stats" -> g3DegreeStats,
-    "g4_kcore" -> g4KCore
+    "g4_kcore" -> g4KCore,
+    "g5_components" -> g5Components
   )
 
   val oracle: Map[String, String] = Map(
@@ -311,6 +349,27 @@ object Graph {
         |                / (2.0 * mom.m * mom.sxx
         |                   - CAST(mom.sx AS DOUBLE) * mom.sx), 6)
         |  END AS assortativity
-        |FROM card CROSS JOIN mom""".stripMargin)
+        |FROM card CROSS JOIN mom""".stripMargin),
+    // g5's oracle is a from-first-principles transitive closure
+    // (recursive CTE, set-semantics UNION = guaranteed termination):
+    // component id = min reachable node, exactly the min-label contract
+    // of the Spark kernel — two INDEPENDENT algorithms, one partition
+    "g5_components" ->
+      (s"WITH RECURSIVE ${WindowFns.SessionSpansCte},\n" +
+      """pr AS (
+        |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        |  FROM spans a JOIN spans b
+        |    ON a.user_id < b.user_id
+        |   AND a.start_s <= b.end_s AND b.start_s <= a.end_s),
+        |ed AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+        |nodes AS (SELECT DISTINCT user_id AS n FROM spans),
+        |reach(n, m) AS (
+        |  SELECT n, n FROM nodes
+        |  UNION
+        |  SELECT r.n, e.b FROM reach r JOIN ed e ON e.a = r.m),
+        |lab AS (SELECT n, min(m) AS component_id FROM reach GROUP BY n)
+        |SELECT component_id, count(*) AS n_nodes
+        |FROM lab GROUP BY component_id
+        |ORDER BY n_nodes DESC, component_id""".stripMargin)
   )
 }

@@ -397,7 +397,67 @@ object Joins {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** J13 — fuzzy (edit-distance) catalog lookup: match NOISY incoming
+    * records against a clean master catalog — the entity-resolution
+    * verb behind every dedup-across-sources pipeline (d5's n-gram
+    * Jaccard handles near-dup DOCUMENTS; this is its short-string
+    * sibling for keys/names, where Levenshtein is the right metric and
+    * Jaccard over shingles is noise). The probe side is a deterministic
+    * corruption of 5% of the catalog's own names (one character deleted
+    * at an IdHash-chosen position ≥ 2 — engine-replayable arithmetic,
+    * the d22 device), so ground truth is knowable: `recovered` marks
+    * probes whose best match lands back on the original name.
+    *
+    * 100 TB shape: the CATALOG never self-joins — candidates come from
+    * an equi-join on the blocking key (first character here; first
+    * token/phonetic key in production) with the length band and the
+    * distance threshold as pushed residual predicates, so the catalog
+    * is scanned once however large it is. The probe side is the small
+    * side by construction (incoming batch vs master data) and
+    * broadcasts; best-match is one bounded per-probe window. Deletion
+    * at position ≥ 2 keeps the blocking character stable — the
+    * documented contract of first-char blocking (a corrupted FIRST
+    * character needs a second blocking pass on, e.g., last char; same
+    * plan shape, doubled candidates). */
+  def j13FuzzyLookup(spark: SparkSession, dir: String): DataFrame =
+    fuzzyLookup(Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_name")))
+
+  /** The corruption + blocked-match kernel over a caller-supplied
+    * (p_partkey, p_name) catalog — split out so recovery semantics
+    * (hand-known deletions, blocking stability, best-match tiebreak)
+    * pin on planted rows in JoinSpec, independent of the oracle's
+    * shared-formula replay (the r10 w12 lesson). */
+  private[graft] def fuzzyLookup(catalog: DataFrame): DataFrame = {
+    val probes = catalog
+      .filter(graft.functions.IdHash.bucket(col("p_partkey"), 20) === 0)
+      .withColumn("pos",
+        (pmod(col("p_partkey"), length(col("p_name")).cast("long") - 1) + 2)
+          .cast("int"))
+      .select(col("p_partkey").as("probe_key"), col("p_name").as("src_name"),
+        concat(expr("substring(p_name, 1, pos - 1)"),
+          expr("substring(p_name, pos + 1)")).as("dirty_name"))
+    val cand = broadcast(probes)
+      .join(catalog,
+        substring(col("dirty_name"), 1, 1) === substring(col("p_name"), 1, 1) &&
+          abs(length(col("p_name")) - length(col("dirty_name"))) <= 2 &&
+          levenshtein(col("dirty_name"), col("p_name")) <= 2)
+      .select(col("probe_key"), col("dirty_name"), col("src_name"),
+        col("p_partkey").as("match_key"), col("p_name").as("match_name"),
+        levenshtein(col("dirty_name"), col("p_name")).as("dist"))
+    val best = Window.partitionBy(col("probe_key"))
+      .orderBy(col("dist"), col("match_key"))
+    cand
+      .withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("probe_key"), col("dirty_name"), col("match_key"),
+        col("match_name"), col("dist"),
+        (col("match_name") === col("src_name")).as("recovered"))
+      .orderBy(col("probe_key"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j13_fuzzy_lookup" -> j13FuzzyLookup,
     "j11_bucketed_join" -> j11BucketedJoin,
     "j10_salted_join" -> j10SaltedJoin,
     "j9_orphan_audit" -> j9OrphanAudit,
@@ -414,6 +474,34 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // j13 replays the deterministic corruption (IdHash pick + substring
+    // surgery) and the blocked best-match; DuckDB's levenshtein is the
+    // same unit-cost edit distance as Spark's
+    "j13_fuzzy_lookup" ->
+      (s"""WITH pr AS (
+        |  SELECT p_partkey AS probe_key, p_name AS src_name,
+        |    CAST((p_partkey % (length(p_name) - 1)) + 2 AS INT) AS pos
+        |  FROM part
+        |  WHERE ${graft.functions.IdHash.sql("p_partkey", 20)} = 0),
+        |d AS (
+        |  SELECT probe_key, src_name,
+        |    substring(src_name, 1, pos - 1)
+        |      || substring(src_name, pos + 1) AS dirty_name
+        |  FROM pr),
+        |cand AS (
+        |  SELECT d.probe_key, d.dirty_name, d.src_name,
+        |    c.p_partkey AS match_key, c.p_name AS match_name,
+        |    CAST(levenshtein(d.dirty_name, c.p_name) AS INT) AS dist
+        |  FROM d JOIN part c
+        |    ON substring(d.dirty_name, 1, 1) = substring(c.p_name, 1, 1)
+        |   AND abs(length(c.p_name) - length(d.dirty_name)) <= 2
+        |  WHERE levenshtein(d.dirty_name, c.p_name) <= 2),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_key
+        |    ORDER BY dist, match_key) AS rn FROM cand)
+        |SELECT probe_key, dirty_name, match_key, match_name, dist,
+        |  match_name = src_name AS recovered
+        |FROM best WHERE rn = 1 ORDER BY probe_key""").stripMargin,
     "j12_interval_join" ->
       (s"WITH ${WindowFns.SessionSpansCte},\n" +
       """p AS (

@@ -142,6 +142,50 @@ class OhlcSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("TWAP: hold-until-next pro-rata hours, covered-but-eventless hour, tail drops (W13)") {
+    // type m: reading 10 at 00:30 holds until 02:15 — 1800 s of hour 0,
+    // ALL of hour 1 (an hour with zero events must still report: the
+    // w11 lattice lesson), 900 s of hour 2; reading 20 at 02:15 holds
+    // 1800 s; reading 40 at 02:45 is the tail and holds NOTHING.
+    // type x: a single reading has no horizon → no rows at all.
+    // type y: same-timestamp pair → zero-length segment drops → no rows.
+    val ev = Seq(
+      (0L, ts("2024-01-01 00:30:00"), "m", 10.0),
+      (1L, ts("2024-01-01 02:15:00"), "m", 20.0),
+      (2L, ts("2024-01-01 02:45:00"), "m", 40.0),
+      (3L, ts("2024-01-01 00:10:00"), "x", 5.0),
+      (4L, ts("2024-01-01 00:20:00"), "y", 1.0),
+      (5L, ts("2024-01-01 00:20:00"), "y", 2.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = WindowFns.twapBars(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val h0 = 473352L
+    assert(out.size == 3, s"only m-hours report: $out")
+    assert(out(("m", h0)) == ((1L, 10.0, 1800.0)))
+    assert(out(("m", h0 + 1)) == ((1L, 10.0, 3600.0)))
+    // hour 2: 10 for 900 s then 20 for 1800 s → 45000/2700 = 16.6667
+    assert(out(("m", h0 + 2)) == ((2L, 16.6667, 2700.0)))
+  }
+
+  test("TWAP diverges from the per-event mean exactly when sampling density correlates with level (W13)") {
+    // burst sampling during a spike: nine readings at 50 packed into
+    // one minute, one reading at 10 holding the other 59 minutes of the
+    // hour (plus a sentinel next reading to close the last segment).
+    // Naive per-event mean ≈ 46; TWAP stays near 10 — the number the
+    // hour actually averaged.
+    val burst = (0 until 9).map(i =>
+      (i.toLong, ts(f"2024-01-01 00:00:${i * 6}%02d"), "m", 50.0))
+    val quiet = Seq((9L, ts("2024-01-01 00:01:00"), "m", 10.0),
+      (10L, ts("2024-01-01 01:00:00"), "m", 10.0))
+    val out = WindowFns.twapBars((burst ++ quiet)
+      .toDF("event_id", "ts", "event_type", "value")).collect()
+    val h0 = out.filter(_.getLong(1) == 473352L).head
+    assert(h0.getDouble(3) < 11.0,
+      s"TWAP ${h0.getDouble(3)} must sit near the held value 10")
+    assert(h0.getDouble(4) == 3600.0)
+  }
+
   test("LOCF plan: corpus is touched by ONE partial hash agg; the window runs grid-side") {
     val qe = WindowFns.locfFill(gappy).queryExecution
     val plan = qe.executedPlan.toString

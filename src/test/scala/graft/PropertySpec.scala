@@ -401,6 +401,31 @@ class PropertySpec extends AnyFunSuite {
     assert(out.getLong(4) == hiAlarms && out.getLong(5) == loAlarms)
   }
 
+  test("seasonal anomaly: a 3am spike flags against the 3am baseline, not the global one; zero-variance cells drop (A26)") {
+    import spark.implicits._
+    def at(day: Int, hod: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hod%02d:00:00")
+    // hod=3 cell: 20 days alternating 10/12 plus one 50-spike → the
+    // spike's z ≈ 4.3 against ITS OWN hour's baseline (mean 12.86,
+    // sd 8.57); the alternation keeps sd > 0. hod=5 cell: constant 7 →
+    // zero variance → excluded entirely (no x/0 row). A global-fence
+    // detector would also have to reconcile the hod=5 level — the
+    // seasonal split is what isolates the 3am spike cleanly.
+    val rows =
+      (1 to 20).map(d => (d.toLong, at(d, 3), "m",
+        if (d % 2 == 0) 10.0 else 12.0)) ++
+      Seq((21L, at(21, 3), "m", 50.0)) ++
+      (1 to 10).map(d => (100L + d, at(d, 5), "m", 7.0))
+    val out = graft.etl.Analyze.seasonalAnomaly(
+      rows.toDF("event_id", "ts", "event_type", "value")).collect()
+    assert(out.length == 1, s"only the hod=3 cell reports: ${out.toSeq}")
+    val r = out.head
+    assert(r.getInt(1) == 3 && r.getLong(2) == 21L)
+    assert(r.getLong(5) == 1L, "exactly the spike flags")
+    assert(r.getDouble(6) > 4.0 && r.getDouble(6) < 5.0,
+      s"spike z ${r.getDouble(6)} ≈ 4.3 against the seasonal baseline")
+  }
+
   test("event transitions: per-user adjacency, no cross-user pairs (A25)") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

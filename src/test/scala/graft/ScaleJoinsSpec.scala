@@ -155,4 +155,35 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"theta-join shape leaked:\n$plan")
   }
+
+  test("fuzzy lookup recovers a hand-deleted character; tiebreak is deterministic (J13)") {
+    // key 0 always probes (IdHash bucket of 0 is 0): "small ring" has
+    // pos = (0 % 9) + 2 = 2 → delete char 2 → "sall ring". The catalog
+    // carries the original at TWO keys (0 and 40) plus a decoy within
+    // the length band but beyond dist 2 — best match must be dist 1 on
+    // the SMALLEST key, and recovered = true because the name matches.
+    val catalog = Seq(
+      (0L, "small ring"), (40L, "small ring"), (41L, "steel rings"),
+      (42L, "brass bolt")).toDF("p_partkey", "p_name")
+    val out = graft.ext.Joins.fuzzyLookup(catalog).collect()
+    val r = out.filter(_.getLong(0) == 0L).head
+    assert(r.getString(1) == "sall ring", "deletion at pos 2")
+    assert(r.getLong(2) == 0L, "dist-1 tie breaks to the smallest key")
+    assert(r.getString(3) == "small ring" && r.getInt(4) == 1)
+    assert(r.getBoolean(5), "the original name is recovered")
+    // the blocking contract: only first-char-matching, length-banded
+    // candidates were ever considered — the decoy brass bolt (first
+    // char b) cannot appear even if Levenshtein were small
+    assert(out.forall(_.getString(3).startsWith("s")))
+  }
+
+  test("component census: islands and singletons count separately (G5)") {
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = graft.ext.Graph.componentCensus(nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // size-desc, id-asc: the chain {1,2,3}, the island {10,11}, the
+    // never-paired singleton {20} (it must not vanish from the census)
+    assert(out == Seq((1L, 3L), (10L, 2L), (20L, 1L)))
+  }
 }

@@ -1007,6 +1007,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve(spark)) == live)
   }
 
+  test("a25' transition fold: boundary pairs stitch across micro-batches; " +
+    "replays don't double; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.TransitionStreamFold
+    val in = MemoryStream[(Long, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("transfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "user_id", "event_type"), ckpt)
+    // u1's A B | A B splits mid-sequence: the B→A pair EXISTS ONLY as a
+    // batch-boundary stitch; u2's two A's land in different batches so
+    // its self-loop is boundary-only too. Ids are monotone per user
+    // across batches (the documented ordering contract).
+    val b1 = Seq((1L, 1L, "A"), (2L, 1L, "B"), (5L, 2L, "A"))
+    val b2 = Seq((3L, 1L, "A"), (4L, 1L, "B"), (6L, 2L, "A"))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val live = rows(fold.serve(spark))
+    assert(live == Seq(("A", "A", 1L, 0.3333), ("A", "B", 2L, 0.6667),
+      ("B", "A", 1L, 1.0)))
+    // the landed corpus through the BATCH kernel agrees exactly
+    val landed = (b1 ++ b2)
+      .map { case (id, u, t) =>
+        (id, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), u, t) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(live == rows(graft.etl.Analyze.eventTransitions(landed)))
+    // a foreachBatch RETRY re-delivers a batchId: additive counts must
+    // not double (the QuantileFold exactly-once device)
+    fold.onBatch(b2.toDF("event_id", "user_id", "event_type"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    // restart recipe: refold the landed corpus in one pass ≡ continuous
+    val f2 = new graft.streaming.TransitionStreamFold
+    f2.rebuildFrom(landed.select("event_id", "user_id", "event_type"))
+    assert(rows(f2.serve(spark)) == live)
+  }
+
   test("w12' concurrency fold: planted intervals crossing micro-batch " +
     "boundaries serve the exact batch curve; replays don't double") {
     import spark.implicits._
