@@ -82,6 +82,12 @@ object Bench {
     // reported 1.27 s, while the zero-Exchange serve — the number the
     // query exists to measure — is 0.11 s.
     warmState("j11-buckets")(ext.Joins.bucketedPairFor(spark, sfDir))
+    // the co-presence graph is the ingest artifact ALL FIVE graph-tier
+    // queries (g1-g5) serve from: build the memoized node/edge frames
+    // before the clock so each timed line measures its own graph
+    // computation (rank iterations, census joins, peeling), not a
+    // fifth rebuild of the same sessionize→overlap-join pipeline.
+    warmState("graph-edges")(ext.Graph.graphFor(spark, sfDir)._2.count())
     // Median-of-N timings (default 3): the r8 postmortem found single-shot
     // timings swinging 2-6x on untouched plans (GC / JIT re-profiling /
     // page-cache contention), which made per-query regression adjudication

@@ -623,9 +623,30 @@ object Analyze {
   private[graft] def seasonalAnomaly(events: DataFrame): DataFrame = {
     val hod = events.withColumn("hod", hour(col("ts")))
     val prof = hod.groupBy(col("event_type"), col("hod")).agg(
-      count(lit(1)).as("n"),
       round(avg(col("value")), 6).as("mu"),
       round(stddev_samp(col("value")), 6).as("sd"))
+    seasonalReport(hod, prof)
+  }
+
+  /** Fixed-reference seasonal scoring (the live-monitor mode: the
+    * profile comes from a TRAINED baseline, not the scored data — a
+    * stream cannot standardize by statistics it hasn't seen yet);
+    * exposed batch-side so [[graft.streaming.SeasonalStreamFold]]'s
+    * parity pin is exact. Ref keys are (event_type, hour-of-day). */
+  private[graft] def seasonalAnomalyWithRef(events: DataFrame,
+      ref: Map[(String, Int), (Double, Double)]): DataFrame = {
+    import events.sparkSession.implicits._
+    val prof = ref.toSeq.map { case ((t, h), (mu, sd)) => (t, h, mu, sd) }
+      .toDF("event_type", "hod", "mu", "sd")
+    seasonalReport(events.withColumn("hod", hour(col("ts"))), prof)
+  }
+
+  /** The scoring + report kernel over a (…, hod) frame and a
+    * (event_type, hod, mu, sd) profile — shared by the self-profiled
+    * batch query, the fixed-reference mode, and the streaming fold's
+    * per-batch pass, so the three legs cannot drift. */
+  private[graft] def seasonalReport(hod: DataFrame,
+      prof: DataFrame): DataFrame =
     hod.join(broadcast(prof.filter(col("sd") > 0)), Seq("event_type", "hod"))
       .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
       .groupBy(col("event_type"), col("hod"))
@@ -636,7 +657,6 @@ object Analyze {
         sum(when(abs(col("z")) > 3.0, 1L).otherwise(0L)).as("n_anomalies"),
         round(max(abs(col("z"))), 4).as("max_abs_z"))
       .orderBy(col("event_type"), col("hod"))
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a26_seasonal_anomaly" -> a26SeasonalAnomaly,

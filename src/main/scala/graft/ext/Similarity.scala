@@ -80,6 +80,7 @@ object Similarity {
     Dedup.invalidateCaches(spark)
     Classify.invalidateCaches(spark)
     TextStats.invalidateCaches(spark)
+    Graph.invalidateCaches(spark)
   }
 
   /** SIM1 — brute-force cosine top-k vs the vec_id=0 query vector. */

@@ -451,6 +451,64 @@ object WindowFns {
       .orderBy(col("event_type"), col("hour_idx"))
   }
 
+  /** W14 — rolling cross-correlation matrix: 24-hour windowed Pearson
+    * r between every pair of series (types), over hourly-mean resampled
+    * values — "do these two signals move together, and does the
+    * coupling drift" (pair monitoring / leading-indicator discovery;
+    * a15's single global r hides a coupling that flips sign by regime,
+    * which is exactly what the min_r/max_r spread surfaces).
+    *
+    * Scale shape: the corpus is touched ONCE by a map-side-combined
+    * aggregate down to the (types × hours) profile frame; the pair
+    * alignment self-join, the rolling windows, and the report all ride
+    * that bounded frame (|types|²/2 pairs × hours), never events.
+    *
+    * Float discipline: hourly means quantize to an exact ×10⁴ integer
+    * basis (the sim19 device), so every windowed moment (Σx, Σy, Σxy,
+    * Σx², Σy²) is an EXACT LONG — the classic five-sums Pearson form
+    * evaluates in one float expression per window, rounded(4), and r
+    * re-quantizes before the per-pair summary so avg/min/max fold
+    * integers. Windows require the full 24 aligned observations
+    * (partial windows at series edges are excluded — stated contract);
+    * zero-variance windows are excluded (x/0 guard). */
+  def w14RollingCorr(spark: SparkSession, dir: String): DataFrame =
+    rollingCorr(Tables.events(spark, dir))
+
+  private[graft] def rollingCorr(events: DataFrame): DataFrame = {
+    val h = events
+      .groupBy(col("event_type"),
+        expr(s"unix_micros(ts) div $HourUs").as("hour_idx"))
+      .agg(round(round(avg(col("value")), 4) * 10000, 0)
+        .cast("long").as("m4"))
+    val a = h.select(col("event_type").as("type_a"), col("hour_idx"),
+      col("m4").as("x"))
+    val b = h.select(col("event_type").as("type_b"), col("hour_idx"),
+      col("m4").as("y"))
+    val p = a.join(b, Seq("hour_idx")).filter(col("type_a") < col("type_b"))
+    val w = Window.partitionBy(col("type_a"), col("type_b"))
+      .orderBy(col("hour_idx")).rowsBetween(-23, 0)
+    val wins = p.select(col("type_a"), col("type_b"),
+        count(lit(1)).over(w).as("n"),
+        sum(col("x")).over(w).as("sx"), sum(col("y")).over(w).as("sy"),
+        sum(col("x") * col("y")).over(w).as("sxy"),
+        sum(col("x") * col("x")).over(w).as("sxx"),
+        sum(col("y") * col("y")).over(w).as("syy"))
+      .filter(col("n") === 24)
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .filter(col("vx") =!= 0 && col("vy") =!= 0)
+      .withColumn("r4", round(
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / (sqrt(col("vx").cast("double")) * sqrt(col("vy").cast("double"))),
+          4) * 10000, 0).cast("long"))
+    wins.groupBy(col("type_a"), col("type_b")).agg(
+        count(lit(1)).as("n_windows"),
+        round(avg(col("r4")) / 10000.0, 4).as("avg_r"),
+        round(min(col("r4")) / 10000.0, 4).as("min_r"),
+        round(max(col("r4")) / 10000.0, 4).as("max_r"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -530,6 +588,7 @@ object WindowFns {
     "w9_cohort_retention" -> w9CohortRetention,
     "w10_ohlc_bars" -> w10OhlcBars,
     "w13_twap" -> w13Twap,
+    "w14_rolling_corr" -> w14RollingCorr,
     "w11_forward_fill" -> w11ForwardFill,
     "w12_concurrency" -> w12Concurrency,
     "w8_funnel" -> w8Funnel,
@@ -543,6 +602,42 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    // w14 replays the hourly-mean quantization, the five exact integer
+    // window moments, and the one-float-expression Pearson form
+    "w14_rolling_corr" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+        |    CAST(round(round(avg(value), 4) * 10000, 0) AS BIGINT) AS m4
+        |  FROM events GROUP BY event_type, hour_idx),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.hour_idx, a.m4 AS x, b.m4 AS y
+        |  FROM h a JOIN h b ON a.hour_idx = b.hour_idx
+        |   AND a.event_type < b.event_type),
+        |wins AS (
+        |  SELECT type_a, type_b,
+        |    count(*) OVER w AS n,
+        |    sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        |    sum(x*y) OVER w AS sxy, sum(x*x) OVER w AS sxx,
+        |    sum(y*y) OVER w AS syy
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY type_a, type_b ORDER BY hour_idx
+        |    ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)),
+        |rr AS (
+        |  SELECT type_a, type_b,
+        |    CAST(round(round(
+        |      CAST(n*sxy - sx*sy AS DOUBLE)
+        |        / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |         * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) * 10000, 0)
+        |      AS BIGINT) AS r4
+        |  FROM wins
+        |  WHERE n = 24 AND n*sxx - sx*sx <> 0 AND n*syy - sy*sy <> 0)
+        |SELECT type_a, type_b, count(*) AS n_windows,
+        |  round(avg(r4) / 10000.0, 4) AS avg_r,
+        |  round(min(r4) / 10000.0, 4) AS min_r,
+        |  round(max(r4) / 10000.0, 4) AS max_r
+        |FROM rr GROUP BY type_a, type_b
+        |ORDER BY type_a, type_b""".stripMargin,
     // w13 replays hold-until-next segments, the per-segment hour
     // explode, and the exact-integer weighted sum (v4 × micros; DuckDB's
     // BIGINT sum widens to HUGEINT ≡ Spark's DECIMAL(38,0) — both exact)

@@ -561,7 +561,92 @@ object Sources {
         .orderBy(col("event_id"))
     }
 
+  /** S21 — incremental manifest-driven ingest (the Auto Loader /
+    * incremental-ETL shape): a landing directory receives files in
+    * waves; each sync LISTS the directory, anti-joins the processed-file
+    * manifest, reads ONLY the new files, and merges their partial
+    * aggregate into the persisted state (the a20 algebraic-merge verb,
+    * applied at the ingest boundary). This is the capability that turns
+    * "rescan 100 TB nightly" into "process today's arrivals": sync cost
+    * is O(new data) + O(state), never O(corpus).
+    *
+    * Mechanics: listing goes through Hadoop FileSystem (scheme-aware —
+    * the s19 discipline, so s3a/hdfs manifests list identically);
+    * the manifest and state persist as parquet, state written to a
+    * VERSIONED path per sync (the s17 write-audit-publish discipline —
+    * a reader never observes a half-written state, and Spark never
+    * overwrites a path it is lazily reading). Counts and cent-sums
+    * merge algebraically; a sync with zero new files is a content
+    * no-op. The registered query lands the corpus in two waves, syncs
+    * after each, and serves the final state; the ORACLE is the full
+    * recompute over all events — incremental ≡ batch, the
+    * execution-strategy-not-semantics discipline (j10/s20). File-level
+    * pruning (wave 2 reads only wave-2 files) is asserted in
+    * SourcesSpec off the sync's own audit. */
+  def incrementalSync(spark: SparkSession, landing: String,
+                      stateRoot: String): (DataFrame, Seq[String]) = {
+    import spark.implicits._
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val lp = new org.apache.hadoop.fs.Path(landing)
+    val fs = lp.getFileSystem(hadoopConf)
+    val listed =
+      if (!fs.exists(lp)) Seq.empty[String]
+      else fs.listStatus(lp).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
+    val manifestPath = s"$stateRoot/manifest"
+    val versionsPath = new org.apache.hadoop.fs.Path(s"$stateRoot/versions")
+    val sfs = versionsPath.getFileSystem(hadoopConf)
+    val versions =
+      if (!sfs.exists(versionsPath)) Seq.empty[Int]
+      else sfs.listStatus(versionsPath).toSeq
+        .filter(_.getPath.getName.startsWith("v"))
+        .map(_.getPath.getName.drop(1).toInt).sorted
+    val processed: Set[String] =
+      if (versions.isEmpty) Set.empty
+      else spark.read.parquet(manifestPath).as[String].collect().toSet
+    val newFiles = listed.filterNot(processed)
+    val prevState = versions.lastOption.map(v =>
+      spark.read.parquet(s"$stateRoot/versions/v$v"))
+    if (newFiles.isEmpty)
+      (prevState.getOrElse(
+        spark.emptyDataset[(String, String, Long, Long)]
+          .toDF("event_type", "d", "n_events", "cents_sum")), newFiles)
+    else {
+      val delta = spark.read.parquet(newFiles: _*)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("cents_sum"))
+      val merged = prevState.fold(delta)(_.unionByName(delta)
+        .groupBy(col("event_type"), col("d"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("cents_sum")).as("cents_sum")))
+      val next = versions.lastOption.getOrElse(0) + 1
+      merged.write.mode("overwrite").parquet(s"$stateRoot/versions/v$next")
+      listed.toDF("file").write.mode("overwrite").parquet(manifestPath)
+      (spark.read.parquet(s"$stateRoot/versions/v$next"), newFiles)
+    }
+  }
+
+  def s21IncrementalIngest(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, "s21") { tmp =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      // wave 1 lands, sync; wave 2 arrives later, sync again — the
+      // second sync must see ONLY wave-2 files (SourcesSpec asserts it)
+      ev.filter(dayofmonth(col("ts")) <= 20)
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/landing")
+      incrementalSync(spark, s"$tmp/landing", s"$tmp/state")
+      ev.filter(dayofmonth(col("ts")) > 20)
+        .repartition(2).write.mode("append").parquet(s"$tmp/landing")
+      val (state, _) = incrementalSync(spark, s"$tmp/landing", s"$tmp/state")
+      state.orderBy(col("event_type"), col("d"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s21_incremental_ingest" -> s21IncrementalIngest,
     "s20_bloom_skip_lookup" -> s20BloomSkipLookup,
     "s19_layout_audit" -> ((s, d) => s19LayoutAudit(s, d)),
     "s18_zorder_layout" -> s18ZorderLayout,
@@ -575,6 +660,16 @@ object Sources {
   )
 
   val oracle: Map[String, String] = Map(
+    // s21's oracle is the FULL recompute — incremental merge must be
+    // indistinguishable from rescanning everything (a20's law applied
+    // at the ingest boundary)
+    "s21_incremental_ingest" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM events GROUP BY event_type, d
+        |ORDER BY event_type, d""".stripMargin,
     // s20's oracle is the PLAIN filter — the skipping index is an
     // execution strategy, not a semantics change (the j10 salted-join
     // discipline): equality proves no Bloom decision dropped a row

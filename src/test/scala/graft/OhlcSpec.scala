@@ -186,6 +186,28 @@ class OhlcSpec extends AnyFunSuite {
     assert(h0.getDouble(4) == 3600.0)
   }
 
+  test("rolling correlation: exact ±1 on linear pairs, full-window contract (W14)") {
+    // 25 aligned hourly readings: B = 2A+3 (r ≡ +1), C = 30−A (r ≡ −1);
+    // 24-row windows ⇒ exactly 2 full windows per pair, partials at the
+    // series head are excluded by the n = 24 contract
+    val ev = (0 until 25).flatMap { h =>
+      val t = ts(f"2024-01-01 00:00:00")
+      val base = java.sql.Timestamp.from(
+        t.toInstant.plusSeconds(h * 3600L))
+      Seq((h * 3L, base, "A", (h + 1).toDouble),
+        (h * 3L + 1, base, "B", 2.0 * (h + 1) + 3),
+        (h * 3L + 2, base, "C", 30.0 - (h + 1)))
+    }.toDF("event_id", "ts", "event_type", "value")
+    val out = WindowFns.rollingCorr(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.size == 3)
+    assert(out(("A", "B")) == ((2L, 1.0, 1.0, 1.0)))
+    assert(out(("A", "C")) == ((2L, -1.0, -1.0, -1.0)))
+    assert(out(("B", "C")) == ((2L, -1.0, -1.0, -1.0)))
+  }
+
   test("LOCF plan: corpus is touched by ONE partial hash agg; the window runs grid-side") {
     val qe = WindowFns.locfFill(gappy).queryExecution
     val plan = qe.executedPlan.toString

@@ -220,6 +220,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(out(("zorder", "user_id"))._3 < allPairs)
   }
 
+  test("incremental sync processes ONLY new files; idle sync is a no-op; merge equals recompute (S21)") {
+    import graft.sources.Sources
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ev(ids: Range, day: Int, t: String, v: Double) = ids.map(i =>
+      (i.toLong, ts(f"2024-01-$day%02d 10:00:00"), i.toLong % 7, t, v))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("s21test").toString
+    try {
+      // wave 1: two files, day 1
+      ev(0 until 40, 1, "a", 1.5).repartition(2)
+        .write.mode("overwrite").parquet(s"$root/landing")
+      val (s1, new1) = Sources.incrementalSync(
+        spark, s"$root/landing", s"$root/state")
+      assert(new1.size == 2)
+      assert(s1.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet ==
+        Set(("a", "2024-01-01", 40L, 6000L)))
+      // idle sync: nothing new, state unchanged, no new version write
+      val (s1b, new1b) = Sources.incrementalSync(
+        spark, s"$root/landing", s"$root/state")
+      assert(new1b.isEmpty && s1b.collect().length == 1)
+      // wave 2: one more file, day 2 — the sync must name ONLY it
+      val before = new java.io.File(s"$root/landing")
+        .listFiles.map(_.getName).filter(_.endsWith(".parquet")).toSet
+      ev(100 until 120, 2, "a", 2.0).coalesce(1)
+        .write.mode("append").parquet(s"$root/landing")
+      val (s2, new2) = Sources.incrementalSync(
+        spark, s"$root/landing", s"$root/state")
+      assert(new2.size == 1 &&
+        !before.contains(new2.head.split("/").last),
+        s"wave-2 sync must read only the appended file, got $new2")
+      // merged state ≡ full recompute over both waves
+      val got = s2.collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSet
+      assert(got == Set(("a", "2024-01-01", 40L, 6000L),
+        ("a", "2024-01-02", 20L, 4000L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("Bloom sidecar prunes files for time-local keys; lookup equals full scan (S20)") {
     import spark.implicits._
     import graft.functions.FileBloom

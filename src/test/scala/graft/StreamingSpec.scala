@@ -1007,6 +1007,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve(spark)) == live)
   }
 
+  test("a26' seasonal fold: cells merge across micro-batches; " +
+    "serve ≡ fixed-reference batch kernel; replays don't double") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def at(day: Int, hod: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hod%02d:00:00")
+    // trained profile: 3am baseline (10, 1); 5am cell trained DEGENERATE
+    // (sd 0) — readings there must be excluded, not divided by zero
+    val ref = Map(("m", 3) -> ((10.0, 1.0)), ("m", 5) -> ((7.0, 0.0)))
+    val fold = new graft.streaming.SeasonalStreamFold(ref)
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("seasfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "event_type", "value"), ckpt)
+    val b1 = Seq((1L, at(1, 3), "m", 10.5), (2L, at(1, 5), "m", 7.0),
+      (3L, at(2, 3), "m", 9.5))
+    val b2 = Seq((4L, at(3, 3), "m", 50.0), (5L, at(4, 3), "m", 10.0))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toSeq
+    val live = rows(fold.serve(spark))
+    // one cell: hod 3 with 4 readings, the spike alone flags (z = 40);
+    // the degenerate hod-5 cell NEVER appears
+    assert(live == Seq(("m", 3, 4L, 10.0, 1.0, 1L, 40.0)))
+    val landed = (b1 ++ b2).toDF("event_id", "ts", "event_type", "value")
+    assert(live == rows(
+      graft.etl.Analyze.seasonalAnomalyWithRef(landed, ref)))
+    // retry replay must not double the additive counts
+    fold.onBatch(b2.toDF("event_id", "ts", "event_type", "value"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    // restart recipe
+    val f2 = new graft.streaming.SeasonalStreamFold(ref)
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
   test("a25' transition fold: boundary pairs stitch across micro-batches; " +
     "replays don't double; serve ≡ batch kernel") {
     import spark.implicits._
