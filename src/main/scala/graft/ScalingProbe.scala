@@ -102,7 +102,15 @@ object ScalingProbe {
       } catch { case e: Throwable =>
         // a probe whose tables are absent from a derived corpus (e.g.
         // an older /tmp dir predating events/orders) reports instead of
-        // killing the whole sweep
+        // killing the whole sweep; full diagnostics go to stderr so a
+        // REAL scale failure (not a missing table) is adjudicable
+        System.err.println(s"[probe] $n failed: ${e.getClass.getName}: " +
+          s"${e.getMessage}")
+        Option(e.getCause).foreach(c =>
+          System.err.println(s"[probe]   cause: ${c.getClass.getName}: " +
+            s"${c.getMessage}"))
+        e.getStackTrace.take(6).foreach(f =>
+          System.err.println(s"[probe]   at $f"))
         s"""{"query":"$n","error":"${e.getClass.getSimpleName}"}"""
       }
     }

@@ -658,7 +658,103 @@ object Analyze {
         round(max(abs(col("z"))), 4).as("max_abs_z"))
       .orderBy(col("event_type"), col("hod"))
 
+  /** A27 — A/B experiment readout (two-proportion z-test): split users
+    * into arms by the SAME deterministic IdHash assignment d16 uses for
+    * train/val/test, take per-user conversion (≥1 purchase event), and
+    * report arm sizes, rates, the pooled-variance z statistic, and the
+    * |z| > 1.96 verdict — the experiment card every product decision
+    * reads, and the statistical floor under d16's split machinery
+    * (assignment alone says nothing; the test says whether the arms
+    * actually differ). Under the null (IdHash arms are exchangeable)
+    * this is also a standing A/A harness: significance should appear
+    * ~5% of the time, so a persistent large |z| flags a BROKEN split.
+    *
+    * Scale + float shape: one map-side-combined per-user conversion
+    * aggregate (users-sized), one |arms|-row aggregate, then the
+    * statistic assembles via broadcast-singleton crossJoin (the j9
+    * audit-row shape, census-allowlisted). Counts stay exact longs to
+    * the end; rates and z are single compound float expressions written
+    * IDENTICALLY in both engines (same parenthesization ⇒ same IEEE
+    * ops), rounds(4); degenerate pooled variance (p̂ = 0 or 1) reports
+    * NULL z rather than x/0. */
+  def a27AbTest(spark: SparkSession, dir: String): DataFrame =
+    abTest(Tables.events(spark, dir))
+
+  private[graft] def abTest(events: DataFrame): DataFrame = {
+    val users = events.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+        .as("converted"))
+      .withColumn("arm",
+        when(graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+          .otherwise("B"))
+    val arms = users.groupBy(col("arm")).agg(
+      count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n_users").as("n_a"), col("n_conv").as("c_a"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n_users").as("n_b"), col("n_conv").as("c_b"))
+    a.crossJoin(broadcast(b))
+      .withColumn("p_pool",
+        (col("c_a") + col("c_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double"))
+      .withColumn("se", sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))))
+      .withColumn("z",
+        when(col("se") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("c_a").cast("double") / col("n_a") -
+            col("c_b").cast("double") / col("n_b")) / col("se"), 4)))
+      .select(col("n_a"), col("c_a"),
+        round(col("c_a").cast("double") / col("n_a"), 4).as("rate_a"),
+        col("n_b"), col("c_b"),
+        round(col("c_b").cast("double") / col("n_b"), 4).as("rate_b"),
+        col("z"), (abs(coalesce(col("z"), lit(0.0))) > 1.96)
+          .as("significant"))
+  }
+
+  /** A28 — RFM segmentation (recency / frequency / monetary — the
+    * classic customer-value partition marketing and lifecycle tooling
+    * run first): per user, days since last activity (recency, anchored
+    * to the corpus' own max day — deterministic, no wall clock),
+    * event count (frequency), and purchase value (monetary, exact
+    * cents), each bucketed 1-3 by fixed thresholds; the report is the
+    * segment census with per-segment averages.
+    *
+    * Scale shape: ONE map-side-combined per-user aggregate (the corpus
+    * never shuffles twice), the single-row anchor broadcast onto it
+    * (w11 grid device, census-allowlisted), and a ≤27-cell census agg.
+    * Integer discipline: days are exact epoch-day longs, money exact
+    * cents; the only floats are the report's averages, rounds(2). */
+  def a28RfmSegments(spark: SparkSession, dir: String): DataFrame =
+    rfmSegments(Tables.events(spark, dir))
+
+  private[graft] def rfmSegments(events: DataFrame): DataFrame = {
+    val perUser = events.groupBy(col("user_id")).agg(
+      max(expr("unix_timestamp(ts) div 86400")).as("last_day"),
+      count(lit(1)).as("freq"),
+      coalesce(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100, 0).cast("long"))), lit(0L)).as("cents"))
+    val anchor = perUser.agg(max(col("last_day")).as("anchor_day"))
+    perUser.crossJoin(broadcast(anchor))
+      .withColumn("recency_d", col("anchor_day") - col("last_day"))
+      .withColumn("r", when(col("recency_d") <= 1, 3)
+        .when(col("recency_d") <= 7, 2).otherwise(1))
+      .withColumn("f", when(col("freq") >= 50, 3)
+        .when(col("freq") >= 20, 2).otherwise(1))
+      .withColumn("m", when(col("cents") >= 5000, 3)
+        .when(col("cents") >= 1000, 2).otherwise(1))
+      .withColumn("segment", concat(lit("R"), col("r"), lit("F"), col("f"),
+        lit("M"), col("m")))
+      .groupBy(col("segment")).agg(
+        count(lit(1)).as("n_users"),
+        round(avg(col("recency_d")), 2).as("avg_recency_d"),
+        round(avg(col("freq")), 2).as("avg_freq"),
+        sum(col("cents")).as("cents_total"))
+      .orderBy(col("segment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a28_rfm_segments" -> a28RfmSegments,
+    "a27_ab_test" -> a27AbTest,
     "a26_seasonal_anomaly" -> a26SeasonalAnomaly,
     "a25_event_transitions" -> a25EventTransitions,
     "a24_cusum_changepoint" -> a24CusumChangepoint,
@@ -712,6 +808,64 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // a27 replays the IdHash arm split and the pooled z with the SAME
+    // parenthesization (identical IEEE op order on both engines)
+    "a27_ab_test" ->
+      (s"""WITH u AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted,
+        |    CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |ar AS (
+        |  SELECT arm, count(*) AS n, CAST(sum(converted) AS BIGINT) AS c
+        |  FROM u GROUP BY arm),
+        |aa AS (SELECT n AS n_a, c AS c_a FROM ar WHERE arm = 'A'),
+        |bb AS (SELECT n AS n_b, c AS c_b FROM ar WHERE arm = 'B'),
+        |s AS (
+        |  SELECT *, CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+        |    AS p_pool
+        |  FROM aa CROSS JOIN bb),
+        |s2 AS (
+        |  SELECT *, sqrt(p_pool * (1.0 - p_pool)
+        |    * (1.0 / n_a + 1.0 / n_b)) AS se
+        |  FROM s)
+        |SELECT n_a, c_a, round(CAST(c_a AS DOUBLE) / n_a, 4) AS rate_a,
+        |  n_b, c_b, round(CAST(c_b AS DOUBLE) / n_b, 4) AS rate_b,
+        |  CASE WHEN se = 0.0 THEN NULL
+        |       ELSE round((CAST(c_a AS DOUBLE) / n_a
+        |                   - CAST(c_b AS DOUBLE) / n_b) / se, 4)
+        |  END AS z,
+        |  abs(coalesce(CASE WHEN se = 0.0 THEN NULL
+        |       ELSE round((CAST(c_a AS DOUBLE) / n_a
+        |                   - CAST(c_b AS DOUBLE) / n_b) / se, 4)
+        |  END, 0.0)) > 1.96 AS significant
+        |FROM s2""").stripMargin,
+    "a28_rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day,
+        |    count(*) AS freq,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100, 0) AS BIGINT) END), 0) AS cents
+        |  FROM events GROUP BY user_id),
+        |an AS (SELECT max(last_day) AS anchor_day FROM pu),
+        |scored AS (
+        |  SELECT anchor_day - last_day AS recency_d, freq, cents,
+        |    CASE WHEN anchor_day - last_day <= 1 THEN 3
+        |         WHEN anchor_day - last_day <= 7 THEN 2 ELSE 1 END AS r,
+        |    CASE WHEN freq >= 50 THEN 3
+        |         WHEN freq >= 20 THEN 2 ELSE 1 END AS f,
+        |    CASE WHEN cents >= 5000 THEN 3
+        |         WHEN cents >= 1000 THEN 2 ELSE 1 END AS m
+        |  FROM pu CROSS JOIN an)
+        |SELECT 'R' || r || 'F' || f || 'M' || m AS segment,
+        |  count(*) AS n_users,
+        |  round(avg(recency_d), 2) AS avg_recency_d,
+        |  round(avg(freq), 2) AS avg_freq,
+        |  CAST(sum(cents) AS BIGINT) AS cents_total
+        |FROM scored GROUP BY segment ORDER BY segment""".stripMargin,
     "a26_seasonal_anomaly" ->
       """WITH h AS (
         |  SELECT event_type, CAST(hour(ts) AS INT) AS hod, value

@@ -151,13 +151,38 @@ object Graph {
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(true)
-    val wedgeTotal = e.select(col("a").as("n"))
+    val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val wedgeTotal = deg
       .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
-    val tri = e.select(col("a"), col("b"))
-      .join(e.select(col("a").as("b"), col("b").as("c")), Seq("b"))
-      .join(e.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+    // DEGREE-ordered orientation (compact-forward / Chiba–Nishizeki):
+    // point every edge from its lower-(degree, id) endpoint to the
+    // higher, so out-degree is O(sqrt m) for ANY degree distribution,
+    // and enumerate wedge candidates from OUT-pairs only — Σ outd²
+    // instead of Σ d². The first id-ordered formulation materialized
+    // Σ d² wedges, which on the 128×-denser 10× replica graph is
+    // ~billions of rows: the probe run filled the spill disk and died
+    // (SparkOutOfMemoryError: No space left on device) — a textbook
+    // case of an algorithm, not a knob, being the scale fix. Each
+    // triangle {x,y,z} is emitted EXACTLY once, by its minimum-
+    // (degree, id) vertex (the only vertex with out-edges to both
+    // others); the closing probe keeps left-side multiplicity, so two
+    // wedges closing onto the same (v, w) edge count as the two
+    // distinct triangles they are.
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
+    val cand = oriented
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .select(col("v").as("a"), col("w").as("b"))
+    val tri = cand.join(e, Seq("a", "b"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     tri.crossJoin(broadcast(wedgeTotal))
       .select(col("n_triangles"), col("n_wedges"),
@@ -322,12 +347,54 @@ object Graph {
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("component_id"))
 
+  /** G6 — bipartite audience-overlap projection: project the
+    * user↔event_type bipartite graph onto types, scoring each type pair
+    * by audience Jaccard and overlap coefficient — "which behaviors
+    * share an audience" (the co-engagement matrix recommenders and
+    * cannibalization analyses start from). The graph-tier cousin of
+    * t21/d42's SOURCE overlap: same verb, but over the behavioral
+    * bipartite graph instead of document fingerprints, and exact
+    * rather than sketched (the projected side is |types|-bounded, so
+    * exactness is free here — d42 exists for when it is not).
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct
+    * (user, type) incidence frame — bounded by users × types, the a22
+    * device — then the projection self-joins on user_id (each user
+    * contributes ≤ |types|² pairs, map-side combinable) and the report
+    * is ≤ |types|²/2 rows. Jaccard divides exact longs, rounds(4). */
+  def g6AudienceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    // the incidence frame feeds three subtrees (sizes + both join
+    // sides): eager checkpoint so its dedup shuffle runs once (the
+    // d35 twice-consumed device), keeping the census at 5 exchanges
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint(true)
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ut.join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")), 4).as("jaccard"),
+        round(col("n_common").cast("double") /
+          least(col("n_a"), col("n_b")), 4).as("overlap_coeff"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g1_pagerank" -> g1PageRank,
     "g2_triangle_count" -> g2TriangleCount,
     "g3_degree_stats" -> g3DegreeStats,
     "g4_kcore" -> g4KCore,
-    "g5_components" -> g5Components
+    "g5_components" -> g5Components,
+    "g6_audience_overlap" -> g6AudienceOverlap
   )
 
   val oracle: Map[String, String] = Map(
@@ -406,6 +473,26 @@ object Graph {
         |lab AS (SELECT n, min(m) AS component_id FROM reach GROUP BY n)
         |SELECT component_id, count(*) AS n_nodes
         |FROM lab GROUP BY component_id
-        |ORDER BY n_nodes DESC, component_id""".stripMargin)
+        |ORDER BY n_nodes DESC, component_id""".stripMargin),
+    "g6_audience_overlap" ->
+      """WITH ut AS (
+        |  SELECT DISTINCT user_id, event_type FROM events),
+        |sz AS (
+        |  SELECT event_type, count(*) AS n FROM ut GROUP BY event_type),
+        |pr AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_common
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |   AND a.event_type < b.event_type
+        |  GROUP BY type_a, type_b)
+        |SELECT type_a, type_b, sa.n AS n_a, sb.n AS n_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 4)
+        |    AS jaccard,
+        |  round(CAST(n_common AS DOUBLE) / least(sa.n, sb.n), 4)
+        |    AS overlap_coeff
+        |FROM pr
+        |JOIN sz sa ON pr.type_a = sa.event_type
+        |JOIN sz sb ON pr.type_b = sb.event_type
+        |ORDER BY type_a, type_b""".stripMargin
   )
 }

@@ -43,7 +43,9 @@ class CensusSpec extends AnyFunSuite {
     "w11_forward_fill",         // hour-range singleton × tiny type frame
     "d46_forget_cascade",       // audit-row broadcast singletons (j9 shape)
     "g2_triangle_count",        // wedge-total broadcast singleton
-    "g3_degree_stats")          // moments broadcast singleton (g2 shape)
+    "g3_degree_stats",          // moments broadcast singleton (g2 shape)
+    "a27_ab_test",              // arm-row broadcast singletons (j9 shape)
+    "a28_rfm_segments")         // anchor-day broadcast singleton (w11 grid)
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query

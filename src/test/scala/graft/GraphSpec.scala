@@ -148,6 +148,34 @@ class GraphSpec extends AnyFunSuite {
     assert(!twoCore.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("audience overlap: hand-computed Jaccard on planted audiences (G6)") {
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // X's audience {1,2,3}, Y's {2,3,4} (user 2 hits Y twice — the
+    // DISTINCT incidence collapse must count it once), Z's {9}
+    val rows = Seq((1L, "X"), (2L, "X"), (3L, "X"), (2L, "Y"), (3L, "Y"),
+      (4L, "Y"), (2L, "Y"), (9L, "Z"))
+      .zipWithIndex.map { case ((u, t), i) => (i.toLong, ts0, u, t, 1.0) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("g6test").toString
+    try {
+      rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val out = Graph.g6AudienceOverlap(spark, dir).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5),
+            r.getDouble(6)))).toMap
+      // only X↔Y overlaps: |∩|=2, J = 2/(3+3−2) = 0.5, overlap = 2/3;
+      // disjoint pairs (X,Z)/(Y,Z) emit no row (n_common would be 0 —
+      // the join simply finds no shared user)
+      assert(out.size == 1)
+      assert(out(("X", "Y")) == ((3L, 3L, 2L, 0.5, 0.6667)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("registered g1 ranks the planted co-presence hub first at sf0.001") {
     val out = Graph.g1PageRank(spark, "/root/testdata/sf0.001").collect()
     assert(out.length > 0 && out.length <= 20)

@@ -426,6 +426,57 @@ class PropertySpec extends AnyFunSuite {
       s"spike z ${r.getDouble(6)} ≈ 4.3 against the seasonal baseline")
   }
 
+  test("A/B test: planted arm asymmetry is significant; A/A with se=0 yields NULL z (A27)") {
+    import spark.implicits._
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // resolve each user's arm through the operator's own assignment,
+    // then plant: every A-user purchases, no B-user does — rates must
+    // be exactly 1.0 / 0.0 and the pooled z decisively significant
+    val userIds = (0L until 200L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(arms.values.toSet == Set("A", "B"), "both arms populated")
+    val events = userIds.map(u =>
+      (u, ts0, u, if (arms(u) == "A") "purchase" else "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.etl.Analyze.abTest(events).collect().head
+    assert(r.getDouble(2) == 1.0 && r.getDouble(5) == 0.0)
+    assert(math.abs(r.getDouble(6)) > 10.0, s"z ${r.getDouble(6)}")
+    assert(r.getBoolean(7))
+    // A/A where EVERYONE converts: p_pool = 1 → se = 0 → NULL z, not
+    // a division blowup, and not significant
+    val aa = userIds.map(u => (u, ts0, u, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r2 = graft.etl.Analyze.abTest(aa).collect().head
+    assert(r2.isNullAt(6) && !r2.getBoolean(7))
+  }
+
+  test("RFM: hand-bucketed users land in their segments; recency anchors to the corpus' own max day (A28)") {
+    import spark.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // u1: active day 30 (recency 0), 60 events, 6000 cents of purchases
+    //     → R3 F3 M3
+    // u2: active day 25 (recency 5), 25 events, no purchases → R2 F2 M1
+    // u3: active day 10 (recency 20), 3 events, 1500 cents → R1 F1 M2
+    val rows =
+      (0 until 59).map(i => (i.toLong, at(30), 1L, "view", 0.0)) ++
+        Seq((59L, at(30), 1L, "purchase", 60.0)) ++
+      (100 until 125).map(i => (i.toLong, at(25), 2L, "view", 9.9)) ++
+      Seq((200L, at(10), 3L, "purchase", 15.0), (201L, at(9), 3L, "view", 0.0),
+        (202L, at(8), 3L, "view", 0.0))
+    val out = graft.etl.Analyze.rfmSegments(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    assert(out.size == 3, s"segments: ${out.keySet}")
+    assert(out("R3F3M3") == ((1L, 0.0, 60.0, 6000L)))
+    assert(out("R2F2M1") == ((1L, 5.0, 25.0, 0L)))
+    assert(out("R1F1M2") == ((1L, 20.0, 3.0, 1500L)))
+  }
+
   test("event transitions: per-user adjacency, no cross-user pairs (A25)") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
