@@ -91,6 +91,40 @@ object Projections {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(10)
 
+  /** O6 — keyset (cursor) pagination: serve page 3 of a stable
+    * (event_type, event_id) total order by the CURSOR predicate
+    * `key > (last key of page 2)`, not by OFFSET. The distinction is
+    * the whole point at scale: OFFSET n must produce-and-discard n
+    * rows on every request (deep pages get linearly slower and the
+    * discard rides a global sort), while the keyset predicate PUSHES
+    * INTO THE SCAN (parquet row groups before the cursor prune via
+    * min/max stats) and the page itself is a TakeOrderedAndProject —
+    * per-partition heaps of 50, no global sort, constant work per
+    * page however deep. This is how every serious API paginates a
+    * 100 TB table; the oracle proves equivalence by being exactly the
+    * OFFSET form DuckDB can afford at test scale.
+    *
+    * The cursor fetch is one bounded driver collect (two pages = 100
+    * rows — a real server holds it from the previous response; the
+    * registered query derives it from data so the whole thing stays
+    * deterministic). Tie-safety: event_id is unique, so the composite
+    * key is a TOTAL order and the page boundary cannot split ties. */
+  def o6KeysetPage(spark: SparkSession, dir: String): DataFrame = {
+    val pageSize = 50
+    val ordered = Tables.events(spark, dir)
+      .select(col("event_type"), col("event_id"), col("user_id"),
+        round(col("value"), 2).as("value"))
+    val cursor = ordered
+      .orderBy(col("event_type"), col("event_id"))
+      .limit(2 * pageSize).collect().last
+    val (ct, cid) = (cursor.getString(0), cursor.getLong(1))
+    ordered
+      .filter(col("event_type") > ct ||
+        (col("event_type") === ct && col("event_id") > cid))
+      .orderBy(col("event_type"), col("event_id"))
+      .limit(pageSize)
+  }
+
   /** P8 — column data-quality profile (the Deequ/Great-Expectations
     * shape): per column of the fact table, null count and EXACT distinct
     * count, plus the row total — the first report any ingest pipeline
@@ -256,7 +290,8 @@ object Projections {
     "o1_sort_by_agg" -> o1SortByAgg,
     "o2_sort_asc_by_key" -> o2SortAscByKey,
     "o4_sort_by_timestamp" -> o4SortByTimestamp,
-    "o5_top_n" -> o5TopN
+    "o5_top_n" -> o5TopN,
+    "o6_keyset_page" -> o6KeysetPage
   )
 
   val oracle: Map[String, String] = Map(
@@ -362,6 +397,12 @@ object Projections {
         |FROM events ORDER BY ts_s, event_id LIMIT 100""".stripMargin,
     "o5_top_n" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    // o6's oracle is the OFFSET formulation the keyset predicate
+    // replaces - equivalence IS the correctness claim
+    "o6_keyset_page" ->
+      """SELECT event_type, event_id, user_id, round(value, 2) AS value
+        |FROM events ORDER BY event_type, event_id
+        |LIMIT 50 OFFSET 100""".stripMargin
   )
 }

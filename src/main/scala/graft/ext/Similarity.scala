@@ -189,6 +189,41 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** SIM20 — ANN recall scorecard: one table comparing EVERY index
+    * family in the tier (LSH bands / IVF / binary-quantized / IVF-PQ)
+    * against the brute-force ground truth on the shared benchmark
+    * lookup — the go/no-go card an ANN migration reads before flipping
+    * a fleet from exact to approximate (sim17 sweeps ONE index's probe
+    * axis; this compares ACROSS indexes at their registered operating
+    * points). Methods are ranked by recall@10; brute force rides along
+    * as the =1.0 sanity row.
+    *
+    * Shape: every method serves off its memoized per-(session, dir)
+    * index (ingest already split from serving — the scorecard adds
+    * zero index builds), and the comparison is driver arithmetic over
+    * five 10-row results (bounded collect). Rows-only by design: the
+    * ranking compares OUR index implementations, which have no DuckDB
+    * counterpart; the per-method semantics are each oracle/spec-pinned
+    * in their own right. */
+  def sim20AnnScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def ids(q: String): Set[Long] =
+      queries(q)(spark, dir).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+    val truth = ids("sim1_cosine_topk")
+    val methods = Seq("brute" -> "sim1_cosine_topk",
+      "lsh" -> "sim2_ann_lsh", "ivf" -> "sim4_ivf_ann",
+      "binary" -> "sim15_binary_ann", "ivfpq" -> "sim16_ivfpq_ann")
+    methods.map { case (name, q) =>
+      val got = ids(q)
+      val hit = (got & truth).size.toLong
+      (name, got.size.toLong, hit,
+        BigDecimal(hit.toDouble / truth.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("method", "k", "n_true_neighbors", "recall_at_10")
+      .orderBy(col("recall_at_10").desc, col("method"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
     * across runs and engines; no runtime entropy). */
   private[ext] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
@@ -1417,6 +1452,7 @@ object Similarity {
     "sim1_cosine_topk" -> sim1CosineTopK,
     "sim18_filtered_ann" -> sim18FilteredAnn,
     "sim19_random_projection" -> ((s, d) => sim19RandomProjection(s, d)),
+    "sim20_ann_scorecard" -> sim20AnnScorecard,
     "sim2_ann_lsh" -> sim2AnnLsh,
     "sim3_neardup_pairs" -> sim3NearDupPairs,
     "sim4_ivf_ann" -> sim4IvfAnn,

@@ -40,6 +40,18 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("sim1_cosine_topk").contains("TakeOrderedAndProject"))
   }
 
+  test("keyset page: cursor predicate reaches the scan; page is a fused top-k, no offset discard (o6)") {
+    val p = plan("o6_keyset_page")
+    // the whole point of keyset over OFFSET: the cursor comparison
+    // prunes at the parquet scan and the page itself is per-partition
+    // heaps — not a global sort producing-and-discarding 100 rows
+    assert(p.contains("PushedFilters: [") &&
+      (p.contains("GreaterThan(event_type") || p.contains("Or(")),
+      s"cursor predicate not pushed:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"no fused top-k:\n$p")
+    assert(!p.contains("GlobalLimit 150"), "offset-style discard leaked")
+  }
+
   test("aggregates run partial then final (map-side combine)") {
     val p = plan("a5_two_key_summary")
     assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)

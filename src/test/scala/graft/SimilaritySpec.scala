@@ -604,6 +604,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!out.contains(1L) && !out.contains(4L))
   }
 
+  test("ANN scorecard: brute anchors at 1.0, every method bounded, ranking well-formed (SIM20)") {
+    val out = Similarity.sim20AnnScorecard(spark, "/root/testdata/sf0.001")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size == 5)
+    assert(out("brute") == ((10L, 10L, 1.0)), "ground truth must self-score 1.0")
+    out.foreach { case (m, (k, hit, rec)) =>
+      assert(k <= 10L && hit <= k, s"$m overflows k")
+      assert(rec >= 0.0 && rec <= 1.0, s"$m recall $rec out of range")
+      assert(math.abs(rec - hit / 10.0) < 1e-9, s"$m recall inconsistent")
+    }
+  }
+
   test("IVFPQ missing query id returns empty, wrong dim fails fast") {
     val dir = "/root/testdata/sf0.001"
     val idx = Similarity.ivfPqIndexFor(spark, dir)
