@@ -752,7 +752,75 @@ object Analyze {
       .orderBy(col("segment"))
   }
 
+  /** A29 — Kaplan-Meier survival curve over user lifetimes (the
+    * retention statistician's view, where w9's cohort grid is the
+    * marketer's): per observed lifetime day d, the at-risk count, churn
+    * events, censored exits, and the product-limit survival estimate
+    * S(d) = Π_{k≤d} (1 − deaths_k / at_risk_k). Right-censoring is
+    * real here, not decorative: a user whose last activity falls within
+    * 7 days of the corpus' final day may simply not have churned yet —
+    * counting them as deaths biases S(d) down, the exact error the KM
+    * estimator exists to avoid (censored users leave the risk set
+    * without contributing a churn event). The anchor is the corpus' own
+    * max day (a28's device) — deterministic, no wall clock.
+    *
+    * Scale + float shape: ONE map-side-combined per-user aggregate
+    * (users-sized — the corpus shuffles once), the anchor broadcast
+    * onto it (census-allowlisted singleton), then a lifetime-histogram
+    * aggregate bounded by the DAY SPAN, on which the running windows
+    * operate — a single-partition window over a ≤|days| frame, never
+    * the corpus (the a18 boundedness argument). Counts stay exact longs
+    * end to end; the product limit runs as exp(Σ ln(1−h_k)) with the
+    * summation ordered by day (identical fold order in both engines),
+    * and a cumulative died-out flag short-circuits S to exactly 0 when
+    * some day's hazard hits 1 (Spark's ln(0) is NULL, DuckDB's is
+    * −inf — the flag keeps both engines off that edge), rounds(4). */
+  def a29SurvivalCurve(spark: SparkSession, dir: String): DataFrame =
+    survivalCurve(Tables.events(spark, dir))
+
+  private[graft] def survivalCurve(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the per-user lifetime frame feeds TWO subtrees (the anchor and
+    // the exits histogram): eager checkpoint so the corpus shuffles
+    // ONCE, not once per consumer (the d35/g6 twice-consumed device)
+    val perUser = events.groupBy(col("user_id")).agg(
+      min(expr("unix_timestamp(ts) div 86400")).as("first_day"),
+      max(expr("unix_timestamp(ts) div 86400")).as("last_day"))
+      .localCheckpoint(true)
+    val anchor = perUser.agg(max(col("last_day")).as("anchor_day"))
+    val u = perUser.crossJoin(broadcast(anchor))
+      .select((col("last_day") - col("first_day")).as("lifetime"),
+        (col("last_day") >= col("anchor_day") - 7).as("censored"))
+    val byDay = u.groupBy(col("lifetime").as("day")).agg(
+      count(lit(1)).as("exits"),
+      sum(when(col("censored"), 0L).otherwise(1L)).as("deaths"),
+      sum(when(col("censored"), 1L).otherwise(0L)).as("censored_exits"))
+    val ord = Window.orderBy(col("day"))
+    val prior = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the risk-set total is just Σ exits over the days histogram — a
+    // window over the ≤|days| frame, not a third corpus aggregate
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDay
+      .withColumn("n_total", sum(col("exits")).over(all))
+      .withColumn("at_risk",
+        col("n_total") - coalesce(sum(col("exits")).over(prior), lit(0L)))
+      .withColumn("died_out",
+        max((col("deaths") === col("at_risk")).cast("int")).over(upTo))
+      .withColumn("log_surv",
+        sum(when(col("deaths") < col("at_risk"),
+          log(lit(1.0) - col("deaths").cast("double") / col("at_risk")))
+          .otherwise(lit(0.0))).over(upTo))
+      .select(col("day"), col("at_risk"), col("deaths"),
+        col("censored_exits"),
+        when(col("died_out") === 1, lit(0.0))
+          .otherwise(round(exp(col("log_surv")), 4)).as("survival"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a29_survival_curve" -> a29SurvivalCurve,
     "a28_rfm_segments" -> a28RfmSegments,
     "a27_ab_test" -> a27AbTest,
     "a26_seasonal_anomaly" -> a26SeasonalAnomaly,
@@ -808,6 +876,52 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // a29 replays the product limit as exp(running sum of ln terms)
+    // ordered by day — same fold order, same guard flag as the Spark
+    // side, so the float tail is bit-identical
+    "a29_survival_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS first_day,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS last_day
+        |  FROM events GROUP BY user_id),
+        |an AS (SELECT max(last_day) AS anchor_day FROM pu),
+        |u AS (
+        |  SELECT last_day - first_day AS lifetime,
+        |    last_day >= anchor_day - 7 AS censored
+        |  FROM pu CROSS JOIN an),
+        |byday AS (
+        |  SELECT lifetime AS day, count(*) AS exits,
+        |    CAST(sum(CASE WHEN censored THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS deaths,
+        |    CAST(sum(CASE WHEN censored THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS censored_exits
+        |  FROM u GROUP BY lifetime),
+        |tot AS (SELECT count(*) AS n_total FROM u),
+        |risk AS (
+        |  SELECT *,
+        |    n_total - coalesce(sum(exits) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS at_risk
+        |  FROM byday CROSS JOIN tot),
+        |surv AS (
+        |  SELECT *,
+        |    max(CASE WHEN deaths = at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS died_out,
+        |    sum(CASE WHEN deaths < at_risk
+        |        THEN ln(1.0 - CAST(deaths AS DOUBLE) / at_risk)
+        |        ELSE 0.0 END)
+        |      OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS log_surv
+        |  FROM risk)
+        |SELECT day, CAST(at_risk AS BIGINT) AS at_risk, deaths,
+        |  censored_exits,
+        |  CASE WHEN died_out = 1 THEN 0.0
+        |       ELSE round(exp(log_surv), 4) END AS survival
+        |FROM surv ORDER BY day""".stripMargin,
     // a27 replays the IdHash arm split and the pooled z with the SAME
     // parenthesization (identical IEEE op order on both engines)
     "a27_ab_test" ->

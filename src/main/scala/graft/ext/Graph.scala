@@ -388,7 +388,67 @@ object Graph {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** G7 — bipartite HITS authority (Kleinberg 1999): the principal-
+    * eigenvector importance of each BEHAVIOR in the user↔event_type
+    * bipartite graph — "which behavior is most central to the
+    * co-engagement structure", the spectral refinement of g6's pairwise
+    * Jaccard card (g6 scores PAIRS; HITS turns the whole co-audience
+    * matrix into one per-type score where a type is important because
+    * important users touch it, recursively).
+    *
+    * The spectral shortcut that makes this scale: on a bipartite graph
+    * the HITS authority fixpoint is the principal eigenvector of AᵀA —
+    * and AᵀA is exactly the types×types CO-AUDIENCE matrix (g6's
+    * n_common plus the n_t diagonal). So the distributed work is ONE
+    * corpus collapse to the distinct incidence frame and ONE
+    * |types|²-bounded aggregate; the power iteration itself is
+    * O(|types|²) DRIVER arithmetic on that workload-sized matrix (the
+    * sim14 MMR precedent — the collect is bounded by the type
+    * vocabulary squared, never users or events). Running hub scores
+    * through the same machinery would be a users-sized frame — that
+    * projection stays distributed by design and is NOT collected.
+    *
+    * Determinism: the matrix entries are exact longs, the iteration
+    * folds in sorted-type order with a fixed 50 steps, so the float
+    * trajectory is identical run to run; rounds(6). Rows-only by
+    * design (a DuckDB replay would need matrix power iteration — the
+    * fixpoint is value-pinned on planted graphs in GraphSpec instead:
+    * disconnected blocks concentrate on the dominant block, symmetric
+    * audiences split 1/√2, and repartition cannot move the output). */
+  def g7Hits(spark: SparkSession, dir: String): DataFrame =
+    hitsAuthority(Tables.events(spark, dir))
+
+  private[graft] def hitsAuthority(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    // AᵀA via the g6 projection join — |types|² rows, bounded by the
+    // type vocabulary: safe to collect (documented bounded site)
+    val m: Map[(String, String), Long] = ut
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val types = m.keys.map(_._1).toSeq.distinct.sorted
+    var v = types.map(_ => 1.0 / math.sqrt(types.size.toDouble))
+    for (_ <- 1 to 50) {
+      val nv = types.map(a => types.zip(v).iterator
+        .map { case (b, x) => m.getOrElse((a, b), 0L) * x }.sum)
+      val norm = math.sqrt(nv.iterator.map(x => x * x).sum)
+      v = if (norm == 0.0) nv else nv.map(_ / norm)
+    }
+    import spark.implicits._
+    types.zip(v)
+      .map { case (t, a) => (t, m.getOrElse((t, t), 0L), a) }
+      .toDF("event_type", "n_users", "authority_raw")
+      .select(col("event_type"), col("n_users"),
+        round(col("authority_raw"), 6).as("authority"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g7_hits" -> g7Hits,
     "g1_pagerank" -> g1PageRank,
     "g2_triangle_count" -> g2TriangleCount,
     "g3_degree_stats" -> g3DegreeStats,

@@ -509,6 +509,73 @@ object WindowFns {
       .orderBy(col("type_a"), col("type_b"))
   }
 
+  /** W15 — exponentially-weighted hourly volume baseline (EWMA burst
+    * detector): per (event_type, hour), the EWMA of hourly event value
+    * volume over the trailing 24 hours with λ = 1/2, and the hour's
+    * burst ratio against that baseline — "is this hour's traffic an
+    * excursion from its own recent decay-weighted history", the
+    * smoothing a23's flat rolling mean can't give (a spike 23 hours
+    * ago weighs 2⁻²³ here but a full 1/24 there, so the EWMA baseline
+    * recovers from a transient in ~3 hours instead of dragging it for
+    * a day).
+    *
+    * Exactness device: λ = 1/2 makes every truncated weight a POWER OF
+    * TWO — scaled by 2²³ the lag-k weight is the exact long 2^(23−k),
+    * so the weighted numerator (weights × hourly cents) and the
+    * normalizing denominator both accumulate as EXACT LONG sums, immune
+    * to aggregation-order float drift across engines (the w13/w14
+    * integer-basis discipline, here closing over the weights too). The
+    * only floats are the two final divisions, rounds(4). Hours missing
+    * from a series contribute no weight — the denominator renormalizes
+    * over the hours actually present in the 24-hour tail (stated
+    * contract; the w11 grid would densify if a consumer needed the
+    * zero-filled reading).
+    *
+    * Scale shape: ONE map-side-combined corpus aggregate down to the
+    * (types × hours) hourly frame; the 24-way lag explode and both
+    * aggregates ride that bounded profile, never events, and the
+    * final attach is a broadcast join. */
+  def w15EwmaBaseline(spark: SparkSession, dir: String): DataFrame =
+    ewmaBaseline(Tables.events(spark, dir))
+
+  private[graft] def ewmaBaseline(events: DataFrame): DataFrame =
+    ewmaFromHourly(hourlyCents(events))
+
+  /** The corpus reduction behind w15: hourly exact-cents volume per
+    * series — ONE map-side-combined aggregate. Split out because this
+    * additive frame is ALSO the live fold's state shape
+    * ([[graft.streaming.EwmaStreamFold]] merges these per batch). */
+  private[graft] def hourlyCents(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"),
+        expr("unix_timestamp(ts) div 3600").as("hour_idx"))
+      .agg(sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+
+  /** The EWMA arithmetic over a caller-supplied hourly-cents frame —
+    * shared verbatim by the batch query and the streaming fold's serve
+    * pass, so the two legs cannot drift (the a26/seasonalReport
+    * discipline). */
+  private[graft] def ewmaFromHourly(h: DataFrame): DataFrame = {
+    val contrib = h
+      .withColumn("k", explode(sequence(lit(0), lit(23))))
+      .select(col("event_type"),
+        (col("hour_idx") + col("k")).as("hour_idx"),
+        expr("shiftleft(cast(1 as bigint), 23 - k)").as("w"),
+        col("cents").as("src_cents"))
+      .groupBy(col("event_type"), col("hour_idx"))
+      .agg(sum(col("w") * col("src_cents")).as("num"),
+        sum(col("w")).as("den"))
+    h.join(broadcast(contrib), Seq("event_type", "hour_idx"))
+      .select(col("event_type"), col("hour_idx"),
+        col("cents").as("volume_cents"),
+        round(col("num").cast("double") / (col("den") * lit(100.0)), 4)
+          .as("ewma_value"),
+        when(col("num") === 0L, lit(null).cast("double"))
+          .otherwise(round(col("cents").cast("double") * col("den")
+            / col("num"), 4)).as("burst_ratio"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -589,6 +656,7 @@ object WindowFns {
     "w10_ohlc_bars" -> w10OhlcBars,
     "w13_twap" -> w13Twap,
     "w14_rolling_corr" -> w14RollingCorr,
+    "w15_ewma_baseline" -> w15EwmaBaseline,
     "w11_forward_fill" -> w11ForwardFill,
     "w12_concurrency" -> w12Concurrency,
     "w8_funnel" -> w8Funnel,
@@ -602,6 +670,30 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    // w15 replays the power-of-two weight ladder as exact BIGINT
+    // shifts — both engines sum longs, so aggregation order can't
+    // drift the float tail; divisions are the only float ops
+    "w15_ewma_baseline" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2),
+        |contrib AS (
+        |  SELECT h.event_type, h.hour_idx + t.k AS hour_idx,
+        |    CAST(sum((CAST(1 AS BIGINT) << (23 - t.k)) * h.cents)
+        |      AS BIGINT) AS num,
+        |    CAST(sum(CAST(1 AS BIGINT) << (23 - t.k)) AS BIGINT) AS den
+        |  FROM h CROSS JOIN range(0, 24) t(k)
+        |  GROUP BY 1, 2)
+        |SELECT h.event_type, h.hour_idx, h.cents AS volume_cents,
+        |  round(CAST(c.num AS DOUBLE) / (c.den * 100.0), 4) AS ewma_value,
+        |  CASE WHEN c.num = 0 THEN NULL
+        |       ELSE round(CAST(h.cents AS DOUBLE) * c.den / c.num, 4)
+        |  END AS burst_ratio
+        |FROM h JOIN contrib c USING (event_type, hour_idx)
+        |ORDER BY event_type, hour_idx""".stripMargin,
     // w14 replays the hourly-mean quantization, the five exact integer
     // window moments, and the one-float-expression Pearson form
     "w14_rolling_corr" ->

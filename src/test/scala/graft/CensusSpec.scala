@@ -45,7 +45,8 @@ class CensusSpec extends AnyFunSuite {
     "g2_triangle_count",        // wedge-total broadcast singleton
     "g3_degree_stats",          // moments broadcast singleton (g2 shape)
     "a27_ab_test",              // arm-row broadcast singletons (j9 shape)
-    "a28_rfm_segments")         // anchor-day broadcast singleton (w11 grid)
+    "a28_rfm_segments",         // anchor-day broadcast singleton (w11 grid)
+    "a29_survival_curve")       // anchor-day + total-count singletons
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query

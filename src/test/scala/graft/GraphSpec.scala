@@ -176,6 +176,44 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("HITS authority: disconnected blocks concentrate on the dominant block (G7)") {
+    // A's audience is 10 users, B's a disjoint 2: AᵀA = diag(10, 2),
+    // so power iteration contracts the B component by (2/10) per step —
+    // 50 steps from uniform leave authority (1, 0) to beyond 1e-6
+    val ev = ((1L to 10L).map(u => (u, "A")) ++
+        Seq((11L, "B"), (12L, "B")))
+      .toDF("user_id", "event_type")
+    val out = Graph.hitsAuthority(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("A") == ((10L, 1.0)), out.mkString(", "))
+    assert(out("B")._1 == 2L && out("B")._2 == 0.0, out.mkString(", "))
+  }
+
+  test("HITS authority: symmetric co-audiences split 1/√2; duplicates collapse (G7)") {
+    // every user touches both types (some twice — the DISTINCT
+    // incidence collapse must not double-weight them): the co-audience
+    // matrix is constant, the eigenvector uniform, norm 1 ⇒ 0.707107
+    val ev = ((1L to 6L).flatMap(u => Seq((u, "A"), (u, "B"))) ++
+        Seq((3L, "A"), (5L, "B")))
+      .toDF("user_id", "event_type")
+    val out = Graph.hitsAuthority(ev).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out("A") == ((6L, 0.707107)), out.mkString(", "))
+    assert(out("B") == ((6L, 0.707107)), out.mkString(", "))
+  }
+
+  test("HITS authority is deterministic under repartition/reorder (G7)") {
+    val ev = Seq((1L, "A"), (1L, "B"), (2L, "A"), (3L, "A"), (3L, "C"),
+      (4L, "B"), (4L, "C"), (5L, "C"))
+      .toDF("user_id", "event_type")
+    val a = Graph.hitsAuthority(ev).collect().toSeq
+    val b = Graph.hitsAuthority(
+      ev.orderBy(col("event_type")).repartition(7)).collect().toSeq
+    assert(a == b)
+    val norm = a.map(_.getDouble(2)).map(x => x * x).sum
+    assert(math.abs(norm - 1.0) < 1e-3, s"authority norm drifted: $norm")
+  }
+
   test("registered g1 ranks the planted co-presence hub first at sf0.001") {
     val out = Graph.g1PageRank(spark, "/root/testdata/sf0.001").collect()
     assert(out.length > 0 && out.length <= 20)

@@ -477,6 +477,48 @@ class PropertySpec extends AnyFunSuite {
     assert(out("R1F1M2") == ((1L, 20.0, 3.0, 1500L)))
   }
 
+  test("survival curve: KM product limit with right-censoring, hand arithmetic (A29)") {
+    import spark.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // anchor = day 21; censor window = last_day >= 14.
+    // u1,u2: days 1..6   → lifetime 5, churned (deaths at 5)
+    // u3:    days 1,11   → lifetime 10, churned
+    // u4:    days 11,21  → lifetime 10, CENSORED (active in final week)
+    // u5:    days 19,21  → lifetime 2, CENSORED
+    // S(2)=1 (no deaths), S(5)=1·(1−2/4)=0.5, S(10)=0.5·(1−1/2)=0.25
+    val rows = Seq(
+      (1L, at(1)), (1L, at(3)), (1L, at(6)),
+      (2L, at(1)), (2L, at(6)),
+      (3L, at(1)), (3L, at(11)),
+      (4L, at(11)), (4L, at(21)),
+      (5L, at(19)), (5L, at(21)))
+    val out = graft.etl.Analyze.survivalCurve(rows.toDF("user_id", "ts"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      2L -> ((5L, 0L, 1L, 1.0)),
+      5L -> ((4L, 2L, 0L, 0.5)),
+      10L -> ((2L, 1L, 1L, 0.25))), out.mkString(", "))
+  }
+
+  test("survival curve: a day whose hazard hits 1 drives S to exactly 0, not NULL (A29)") {
+    import spark.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // u1,u2 churn at lifetime 3 while they are the WHOLE risk set
+    // (u3 exits censored at 2 first): deaths == at_risk ⇒ Spark's
+    // ln(0)=NULL path must not leak — the died-out flag pins S = 0.0
+    val rows = Seq(
+      (1L, at(1)), (1L, at(4)),
+      (2L, at(1)), (2L, at(4)),
+      (3L, at(19)), (3L, at(21)))
+    val out = graft.etl.Analyze.survivalCurve(rows.toDF("user_id", "ts"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))))
+    assert(out.toSeq == Seq(
+      2L -> ((3L, 0L, 1L, 1.0)),
+      3L -> ((2L, 2L, 0L, 0.0))), out.mkString(", "))
+  }
+
   test("event transitions: per-user adjacency, no cross-user pairs (A25)") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -1045,6 +1045,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve(spark)) == live)
   }
 
+  test("w15' EWMA fold: split hours merge additively across micro-batches; " +
+    "serve ≡ batch kernel; replays don't double") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.EwmaStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("ewmafold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "event_type", "value"), ckpt)
+    // hour 0 SPLITS across the batches (0.6 | 0.4): the additive merge
+    // must reassemble the 100-cent hour before the weights read it —
+    // a per-batch-computed EWMA could never recover this hour
+    val b1 = Seq((0L, t("2024-01-01 00:10:00"), "m", 0.6),
+      (2L, t("2024-01-01 01:30:00"), "m", 1.0))
+    val b2 = Seq((1L, t("2024-01-01 00:40:00"), "m", 0.4),
+      (3L, t("2024-01-01 02:30:00"), "m", 5.0))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val live = rows(fold.serve(spark))
+    // merged burst-hour baseline: (2³·500+2²·100+2¹·100)/(2³+2²+2¹)
+    // = 2300/7 cents → ewma 3.2857, burst 1.5217 (OhlcSpec arithmetic)
+    assert(live.map(r => (r._3, r._4, r._5)) ==
+      Seq((100L, 1.0, 1.0), (100L, 1.0, 1.0), (500L, 3.2857, 1.5217)),
+      live.mkString(", "))
+    val landed = (b1 ++ b2).toDF("event_id", "ts", "event_type", "value")
+    assert(live == rows(graft.ext.WindowFns.ewmaBaseline(landed)))
+    // retry replay must not double the additive cents
+    fold.onBatch(b2.toDF("event_id", "ts", "event_type", "value"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    // restart recipe: refold the landed corpus in one pass ≡ continuous
+    val f2 = new graft.streaming.EwmaStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
   test("a25' transition fold: boundary pairs stitch across micro-batches; " +
     "replays don't double; serve ≡ batch kernel") {
     import spark.implicits._
