@@ -213,7 +213,8 @@ object Similarity {
     val truth = ids("sim1_cosine_topk")
     val methods = Seq("brute" -> "sim1_cosine_topk",
       "lsh" -> "sim2_ann_lsh", "ivf" -> "sim4_ivf_ann",
-      "binary" -> "sim15_binary_ann", "ivfpq" -> "sim16_ivfpq_ann")
+      "binary" -> "sim15_binary_ann", "ivfpq" -> "sim16_ivfpq_ann",
+      "int8" -> "sim21_int8_ann")
     methods.map { case (name, q) =>
       val got = ids(q)
       val hit = (got & truth).size.toLong
@@ -1371,6 +1372,60 @@ object Similarity {
   def sim15BinaryAnn(spark: SparkSession, dir: String): DataFrame =
     binaryAnn(spark, Tables.embeddings(spark, dir), queryVecId = 0L)
 
+  /** SIM21 — int8 asymmetric ANN + exact rerank: the serving leg of
+    * sim12's quantization QC (sim12 grades whether int8 preserves the
+    * corpus; this query actually SEARCHES with it), completing the
+    * family's middle rung: binary (64×, sign only) < PQ (64×, trained)
+    * < int8 (4×, no training, near-lossless) < float32. Per-vector
+    * symmetric quantization (scale = max|v|/127, sim12's exact
+    * formula), and the first-pass score is the cosine of the CODE
+    * vector against the float query — asymmetric distance computation:
+    * the query stays full-precision, so the only error is the corpus
+    * side's direction snap, and the per-vector scale cancels out of
+    * the cosine entirely (s·c/‖s·c‖ = c/‖c‖). Where sim15's sign bits
+    * collapse every same-orthant vector onto ONE signature (Hamming 0
+    * to all of them), int8 keeps 255 levels per dimension — the
+    * recall-vs-memory trade the scorecard (sim20) prices.
+    *
+    * 100 TB shape: one codegen arithmetic pass over int codes (4× the
+    * scan density of float32, no codebook, no training job),
+    * TakeOrderedAndProject keeps the pool, and the exact rerank is
+    * sim7's verbatim: broadcast left-semi of pool ids, true cosine,
+    * top-k — approximate candidates, EXACT served scores. Zero-scale
+    * (all-zero) vectors drop at quantization (sim12's guard). */
+  def int8Ann(spark: SparkSession, emb: DataFrame, queryVecId: Long,
+              topK: Int = 10, pool: Int = 8): DataFrame = {
+    val codes = emb.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("scale",
+        array_max(transform(col("v"), x => abs(x))) / 127.0)
+      .filter(col("scale") > 0)
+      .withColumn("code",
+        transform(col("v"), x => round(x / col("scale"), 0)))
+    val qVecRow = emb.filter(col("vec_id") === queryVecId)
+      .select(asDouble(col("embedding"))).take(1)
+    if (qVecRow.isEmpty)
+      return emb.select(col("vec_id"), lit(0.0).as("cos_sim")).limit(0)
+    val qn = l2unit(qVecRow.head.getSeq[Double](0).toArray)
+    val qLit = array(qn.toIndexedSeq.map(lit): _*)
+    val cand = codes.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"),
+        VectorOps.vecCosine(spark, col("code"), qLit).as("acos"))
+      .filter(!isnan(col("acos")))
+      .orderBy(col("acos").desc, col("vec_id"))
+      .limit(topK * pool)
+    emb.join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"),
+        round(VectorOps.vecCosine(spark,
+          asDouble(col("embedding")), qLit), 4).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  def sim21Int8Ann(spark: SparkSession, dir: String): DataFrame =
+    int8Ann(spark, Tables.embeddings(spark, dir), queryVecId = 0L)
+
   /** Pool, k, and trade-off weight shared with SimilaritySpec. */
   private[ext] val Sim14Pool = 50
   private[ext] val Sim14K = 10
@@ -1447,6 +1502,7 @@ object Similarity {
     "sim16_ivfpq_ann" -> sim16IvfPqAnn,
     "sim17_ivfpq_recall" -> sim17IvfPqRecall,
     "sim15_binary_ann" -> sim15BinaryAnn,
+    "sim21_int8_ann" -> sim21Int8Ann,
     "sim14_mmr_topk" -> sim14MmrTopK,
     "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,

@@ -442,6 +442,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full == brute)
   }
 
+  test("int8 ANN: full pool degenerates to brute-force exact top-k (SIM21)") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(64)(d =>
+        (((i * 31 + d * 17) % 13) - 6).toFloat / 7f))
+    }.toDF("vec_id", "embedding")
+    val full = Similarity.int8Ann(spark, vecs, 0L, topK = 10, pool = 40)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("s21").toString
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = Similarity.sim1CosineTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == brute)
+  }
+
+  test("int8 ANN separates same-orthant vectors sign bits cannot (SIM21)") {
+    // the true cluster (ids 1-5) shares q's DIRECTION; the distractors
+    // (ids 10-30) share only its SIGN PATTERN (0.8/-0.6 swapped to
+    // 0.6/-0.8 → cosine 0.96, Hamming distance 0): sim15's signatures
+    // see all of them as identical to q, but the 255-level codes must
+    // pool exactly the cluster even at the tightest pool
+    val base = Array.tabulate(64)(d => if (d % 2 == 0) 0.8f else -0.6f)
+    def jig(eps: Float) = base.zipWithIndex.map { case (v, i) =>
+      v + (if (v > 0) eps else -eps) * ((i % 3) + 1) / 10f }
+    val swapped = Array.tabulate(64)(d => if (d % 2 == 0) 0.6f else -0.8f)
+    val vecs = (Seq((0L, base)) ++
+      (1 to 5).map(i => (i.toLong, jig(i / 50f))) ++
+      (10 to 30).map(i => (i.toLong,
+        swapped.map(v => v * (1 + (i % 4) / 10f))))).toDF("vec_id", "embedding")
+    val got = Similarity.int8Ann(spark, vecs, 0L, topK = 5, pool = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 4L, 5L),
+      s"int8 candidates missed the query's direction cluster: $got")
+  }
+
   test("binary ANN finds planted orthant clusters with exact served scores (SIM15)") {
     // query's cluster lives in one sign orthant; distractors flipped
     val base = Array.tabulate(64)(d => if (d % 2 == 0) 0.8f else -0.6f)
