@@ -819,7 +819,50 @@ object Analyze {
       .orderBy(col("day"))
   }
 
+  /** A30 — last-touch conversion attribution: every purchase credits
+    * the user's most recent PRECEDING non-purchase event type (their
+    * "channel"), and the report is the per-channel credit census —
+    * purchases, exact revenue cents, and credit share. The question
+    * marketing actually asks of the funnel (w8 says how many users
+    * convert; this says WHICH behavior gets the credit when they do);
+    * purchases with no preceding touch in the corpus report under
+    * '(none)' rather than vanishing — stated contract, a row consumers
+    * must see to know their attribution window truncates.
+    *
+    * Scale + determinism shape: ONE hash shuffle on user_id serves the
+    * carry window (`last(..., ignoreNulls)` over the (ts, event_id)-
+    * ordered user partition — deterministic under ties by the w10
+    * tie-break), then the census aggregate is map-side combined and
+    * ≤|types| rows; the share denominator is a window over THAT
+    * bounded frame (the a29 device), never a second corpus pass.
+    * Counts and cents stay exact longs; share is one division,
+    * rounds(4). */
+  def a30Attribution(spark: SparkSession, dir: String): DataFrame =
+    lastTouchAttribution(Tables.events(spark, dir))
+
+  private[graft] def lastTouchAttribution(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val carry = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    events
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(carry))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("(none)")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+      .withColumn("share",
+        round(col("n_purchases").cast("double")
+          / sum(col("n_purchases")).over(all), 4))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a30_attribution" -> a30Attribution,
     "a29_survival_curve" -> a29SurvivalCurve,
     "a28_rfm_segments" -> a28RfmSegments,
     "a27_ab_test" -> a27AbTest,
@@ -876,6 +919,27 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // a30 replays the carry window with the same (ts, event_id) order
+    // and row frame; counts/cents are exact longs, share one division
+    "a30_attribution" ->
+      """WITH seq AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events),
+        |p AS (
+        |  SELECT coalesce(touch, '(none)') AS channel,
+        |    count(*) AS n_purchases,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM seq WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT channel, n_purchases, cents,
+        |  round(CAST(n_purchases AS DOUBLE)
+        |    / sum(n_purchases) OVER (), 4) AS share
+        |FROM p ORDER BY channel""".stripMargin,
     // a29 replays the product limit as exp(running sum of ln terms)
     // ordered by day — same fold order, same guard flag as the Spark
     // side, so the float tail is bit-identical

@@ -519,6 +519,31 @@ class PropertySpec extends AnyFunSuite {
       3L -> ((2L, 2L, 0L, 0.0))), out.mkString(", "))
   }
 
+  test("last-touch attribution: preceding-touch carry, (none) bucket, tie order (A30)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // u1: view,click,P($5),view,P($2) → click and view get one credit
+    // u2: bare P($3) → (none); u3: P($1) THEN view → the view is after
+    // the purchase and must not attribute → (none)
+    // u4: view and P($4) at the SAME ts → event_id order credits view
+    val rows = Seq(
+      (1L, 1L, "view", 0.0), (2L, 1L, "click", 0.0),
+      (3L, 1L, "purchase", 5.0), (4L, 1L, "view", 0.0),
+      (5L, 1L, "purchase", 2.0),
+      (6L, 2L, "purchase", 3.0),
+      (7L, 3L, "purchase", 1.0), (8L, 3L, "view", 0.0),
+      (9L, 4L, "view", 0.0), (10L, 4L, "purchase", 4.0))
+      .map { case (id, u, ty, v) => (id, t0, u, ty, v) }
+    val out = graft.etl.Analyze.lastTouchAttribution(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toSeq
+    assert(out == Seq(
+      "(none)" -> ((2L, 400L, 0.4)),
+      "click" -> ((1L, 500L, 0.2)),
+      "view" -> ((2L, 600L, 0.4))), out.mkString(", "))
+  }
+
   test("event transitions: per-user adjacency, no cross-user pairs (A25)") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
