@@ -642,7 +642,7 @@ class SimilaritySpec extends AnyFunSuite {
     val out = Similarity.sim20AnnScorecard(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out.size == 5)
+    assert(out.size == 6) // brute, lsh, ivf, binary, ivfpq, int8
     assert(out("brute") == ((10L, 10L, 1.0)), "ground truth must self-score 1.0")
     out.foreach { case (m, (k, hit, rec)) =>
       assert(k <= 10L && hit <= k, s"$m overflows k")
