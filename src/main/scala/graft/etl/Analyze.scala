@@ -778,15 +778,29 @@ object Analyze {
   def a29SurvivalCurve(spark: SparkSession, dir: String): DataFrame =
     survivalCurve(Tables.events(spark, dir))
 
-  private[graft] def survivalCurve(events: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // the per-user lifetime frame feeds TWO subtrees (the anchor and
-    // the exits histogram): eager checkpoint so the corpus shuffles
-    // ONCE, not once per consumer (the d35/g6 twice-consumed device)
-    val perUser = events.groupBy(col("user_id")).agg(
+  private[graft] def survivalCurve(events: DataFrame): DataFrame =
+    survivalFromSpans(userSpans(events))
+
+  /** The corpus reduction behind a29: per-user (first_day, last_day)
+    * activity spans — ONE map-side-combined aggregate. Split out
+    * because min/max spans are a MERGEABLE MONOID, which makes this
+    * frame the live fold's state shape
+    * ([[graft.streaming.SurvivalStreamFold]] re-aggregates unioned
+    * partials through this same reduction). */
+  private[graft] def userSpans(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
       min(expr("unix_timestamp(ts) div 86400")).as("first_day"),
       max(expr("unix_timestamp(ts) div 86400")).as("last_day"))
-      .localCheckpoint(true)
+
+  /** The KM arithmetic over a caller-supplied spans frame — shared
+    * verbatim by the batch query and the streaming fold's serve pass
+    * (the w15/seasonalReport shared-kernel discipline). */
+  private[graft] def survivalFromSpans(spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the spans frame feeds TWO subtrees (the anchor and the exits
+    // histogram): eager checkpoint so the reduction runs ONCE, not
+    // once per consumer (the d35/g6 twice-consumed device)
+    val perUser = spans.localCheckpoint(true)
     val anchor = perUser.agg(max(col("last_day")).as("anchor_day"))
     val u = perUser.crossJoin(broadcast(anchor))
       .select((col("last_day") - col("first_day")).as("lifetime"),

@@ -1083,6 +1083,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve(spark)) == live)
   }
 
+  test("a29' survival fold: spans merge as a min/max monoid; the anchor " +
+    "advances with the stream; replay is a no-op; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val fold = new graft.streaming.SurvivalStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("survfold").toString
+    val q = fold.start(in.toDF().toDF("event_id", "ts", "user_id"), ckpt)
+    // every user's span SPLITS across the batches — the monoid merge
+    // (min of firsts, max of lasts) must reassemble each lifetime
+    val b1 = Seq((1L, at(1), 1L), (2L, at(3), 1L), (3L, at(1), 2L),
+      (4L, at(1), 3L), (5L, at(11), 4L), (6L, at(19), 5L))
+    val b2 = Seq((7L, at(6), 1L), (8L, at(6), 2L), (9L, at(11), 3L),
+      (10L, at(21), 4L), (11L, at(21), 5L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    in.addData(b1: _*); q.processAllAvailable()
+    // early serve: the anchor is day 19 (the stream's OWN horizon) and
+    // the censor window starts at 12 — u5 sits censored but u4
+    // (last=11) counts as a day-0 CHURN the later batches will
+    // overturn; S(0) = 1−3/5 = 0.4, and u1's solo churn at 2 exhausts
+    // the risk set (S = 0 exactly)
+    assert(rows(fold.serve()) == Seq((0L, 5L, 3L, 1L, 0.4),
+      (2L, 1L, 1L, 0L, 0.0)), rows(fold.serve()).mkString(", "))
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // after b2 the anchor advances to day 21: u2's day-0 look resolves
+    // into the merged lifetime 5, u3's into 10 — the A29 spec corpus
+    val live = rows(fold.serve())
+    assert(live == Seq((2L, 5L, 0L, 1L, 1.0), (5L, 4L, 2L, 0L, 0.5),
+      (10L, 2L, 1L, 1L, 0.25)), live.mkString(", "))
+    val landed = (b1 ++ b2).toDF("event_id", "ts", "user_id")
+    assert(live == rows(graft.etl.Analyze.survivalCurve(landed)))
+    // min/max idempotence: re-folding a batch is a content no-op
+    fold.foldBatch(b2.toDF("event_id", "ts", "user_id"))
+    assert(rows(fold.serve()) == live)
+    // restart recipe: refold the landed corpus in one pass ≡ continuous
+    val f2 = new graft.streaming.SurvivalStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve()) == live)
+  }
+
   test("a25' transition fold: boundary pairs stitch across micro-batches; " +
     "replays don't double; serve ≡ batch kernel") {
     import spark.implicits._
