@@ -576,6 +576,41 @@ object WindowFns {
       .orderBy(col("event_type"), col("hour_idx"))
   }
 
+  /** W16 — day-over-day hourly volume comparison: each (series, hour)
+    * against the SAME CLOCK HOUR yesterday — the "vs yesterday" number
+    * every metrics dashboard leads with, and the seasonal-aware
+    * complement to w15 (the EWMA baseline smooths the recent past; DoD
+    * compares like hour to like hour, so a daily traffic rhythm never
+    * reads as a burst). Hours with no same-hour-yesterday observation
+    * (series start, gaps) report NULL change rather than vanishing or
+    * faking a 0% — stated contract; a zero-volume prior hour also
+    * reports NULL (x/0, the d29 engine-divergence guard).
+    *
+    * Scale shape: the corpus collapses ONCE through the shared w15
+    * hourly-cents kernel (checkpointed — it feeds both sides of the
+    * lag join), and the hour_idx−24 self-join rides that bounded
+    * (types × hours) profile as an equi-join — a row-lag window would
+    * silently compare against "the previous OBSERVED hour" across
+    * gaps, which is exactly the wrong number. Cents stay exact longs;
+    * change is one float expression, rounds(4). */
+  def w16DayOverDay(spark: SparkSession, dir: String): DataFrame =
+    dayOverDay(Tables.events(spark, dir))
+
+  private[graft] def dayOverDay(events: DataFrame): DataFrame = {
+    val h = hourlyCents(events).localCheckpoint(true)
+    val prev = h.select(col("event_type"),
+      (col("hour_idx") + 24).as("hour_idx"),
+      col("cents").as("prev_cents"))
+    h.join(prev, Seq("event_type", "hour_idx"), "left")
+      .select(col("event_type"), col("hour_idx"),
+        col("cents").as("volume_cents"), col("prev_cents"),
+        when(col("prev_cents").isNull || col("prev_cents") === 0L,
+          lit(null).cast("double"))
+          .otherwise(round((col("cents") - col("prev_cents")) * 100.0
+            / col("prev_cents"), 4)).as("change_pct"))
+      .orderBy(col("event_type"), col("hour_idx"))
+  }
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -657,6 +692,7 @@ object WindowFns {
     "w13_twap" -> w13Twap,
     "w14_rolling_corr" -> w14RollingCorr,
     "w15_ewma_baseline" -> w15EwmaBaseline,
+    "w16_day_over_day" -> w16DayOverDay,
     "w11_forward_fill" -> w11ForwardFill,
     "w12_concurrency" -> w12Concurrency,
     "w8_funnel" -> w8Funnel,
@@ -670,6 +706,25 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    // w16 replays the hour_idx−24 equi-join on the same hourly exact
+    // cents — the NULL contract (no prior / zero prior) is explicit in
+    // both engines
+    "w16_day_over_day" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_idx,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT h.event_type, h.hour_idx, h.cents AS volume_cents,
+        |  p.cents AS prev_cents,
+        |  CASE WHEN p.cents IS NULL OR p.cents = 0 THEN NULL
+        |       ELSE round((h.cents - p.cents) * 100.0 / p.cents, 4)
+        |  END AS change_pct
+        |FROM h LEFT JOIN h p
+        |  ON p.event_type = h.event_type
+        | AND p.hour_idx = h.hour_idx - 24
+        |ORDER BY h.event_type, h.hour_idx""".stripMargin,
     // w15 replays the power-of-two weight ladder as exact BIGINT
     // shifts — both engines sum longs, so aggregation order can't
     // drift the float tail; divisions are the only float ops

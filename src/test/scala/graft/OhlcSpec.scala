@@ -249,6 +249,31 @@ class OhlcSpec extends AnyFunSuite {
     assert(shuffles <= 6, s"too many exchanges:\n$plan")
   }
 
+  test("day-over-day: same-clock-hour comparison, NULL on no-prior and zero-prior (W16)") {
+    // m: day-1 10:00 = 100¢, day-2 10:00 = 150¢ → +50%; day-1 11:00 =
+    // 0¢ (a zero-volume hour), day-2 11:00 = 80¢ → NULL (x/0 guard);
+    // day-2 12:00 has no same-hour-yesterday row at all → NULL. A
+    // row-lag formulation would wrongly compare 12:00 against 11:00.
+    val ev = Seq(
+      (0L, ts("2024-01-01 10:30:00"), "m", 1.0),
+      (1L, ts("2024-01-02 10:30:00"), "m", 1.5),
+      (2L, ts("2024-01-01 11:30:00"), "m", 0.0),
+      (3L, ts("2024-01-02 11:30:00"), "m", 0.8),
+      (4L, ts("2024-01-02 12:30:00"), "m", 2.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val out = WindowFns.dayOverDay(ev).collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -999.0 else r.getDouble(4))).toSeq
+    // sorted by hour: d1 10:00, d1 11:00, d2 10:00, d2 11:00, d2 12:00
+    // (-1/-999 are null sentinels — Scala numeric == on NaN is never
+    // true, even boxed, so NULL must not map to NaN here)
+    assert(out == Seq(
+      (100L, -1L, -999.0), (0L, -1L, -999.0),
+      (150L, 100L, 50.0), (80L, 0L, -999.0),
+      (200L, -1L, -999.0)), out.mkString(", "))
+  }
+
   test("LOCF plan: corpus is touched by ONE partial hash agg; the window runs grid-side") {
     val qe = WindowFns.locfFill(gappy).queryExecution
     val plan = qe.executedPlan.toString
