@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -408,27 +408,45 @@ object Joins {
     * the d22 device), so ground truth is knowable: `recovered` marks
     * probes whose best match lands back on the original name.
     *
-    * 100 TB shape: the CATALOG never self-joins — candidates come from
-    * an equi-join on the blocking key (first character here; first
-    * token/phonetic key in production) with the length band and the
-    * distance threshold as pushed residual predicates, so the catalog
-    * is scanned once however large it is. The probe side is the small
-    * side by construction (incoming batch vs master data) and
-    * broadcasts; best-match is one bounded per-probe window. Deletion
-    * at position ≥ 2 keeps the blocking character stable — the
-    * documented contract of first-char blocking (a corrupted FIRST
-    * character needs a second blocking pass on, e.g., last char; same
-    * plan shape, doubled candidates). */
+    * 100 TB shape (the r11 fix): the CATALOG never self-joins, and the
+    * blocking-key space GROWS WITH THE CATALOG — the same `blocksFor`
+    * discipline d4 applies to SimHash. The r10 first-char × length-band
+    * key had CONSTANT cardinality (≈ a few hundred buckets however
+    * large the catalog), so candidates per probe grew linearly and
+    * total work was O(N²/k). The replacement is symmetric-delete
+    * blocking (the SymSpell construction, Garbe 2012 — public
+    * algorithm): index every catalog name under itself PLUS each of
+    * its single-character-deletion variants; probe every dirty name
+    * the same way. Two strings within Damerau-Levenshtein distance 1
+    * PROVABLY share a variant (equal → identity; substitution /
+    * transposition → delete the differing char(s) from both; single
+    * insert/delete → one side's identity is the other's variant), so
+    * with the residual `levenshtein ≤ 1` filter the candidate set is
+    * EXACTLY the distance-≤1 pairs — blocking loses nothing. Key
+    * cardinality ≈ catalog × (avg length + 1), i.e. it scales with N
+    * and candidates per probe stay O(1) (pinned sublinear in
+    * ScaleJoinsSpec). The shuffle carries an 8-byte xxhash64 of each
+    * variant, never the variant strings themselves; hash collisions
+    * are screened by the same residual predicate that defines the
+    * match, so they cost a levenshtein call, not correctness. */
   def j13FuzzyLookup(spark: SparkSession, dir: String): DataFrame =
     fuzzyLookup(Tables.part(spark, dir)
       .select(col("p_partkey"), col("p_name")))
 
-  /** The corruption + blocked-match kernel over a caller-supplied
-    * (p_partkey, p_name) catalog — split out so recovery semantics
-    * (hand-known deletions, blocking stability, best-match tiebreak)
-    * pin on planted rows in JoinSpec, independent of the oracle's
-    * shared-formula replay (the r10 w12 lesson). */
-  private[graft] def fuzzyLookup(catalog: DataFrame): DataFrame = {
+  /** `name` itself plus every single-character-deletion variant — the
+    * SymSpell-1 blocking-key set (array column; callers explode). */
+  private def deleteVariants(name: Column): Column =
+    concat(array(name),
+      transform(sequence(lit(1), length(name)),
+        i => concat(name.substr(lit(1), i - 1),
+          name.substr(i + 1, length(name)))))
+
+  /** Candidate pairs BEFORE best-match selection — exposed so
+    * ScaleJoinsSpec can pin that candidates-per-probe is O(1) in the
+    * catalog size (the property the r10 constant-cardinality key
+    * violated). Distinct because two strings can share several
+    * variants (e.g. equal strings share all of them). */
+  private[graft] def fuzzyCandidates(catalog: DataFrame): DataFrame = {
     val probes = catalog
       .filter(graft.functions.IdHash.bucket(col("p_partkey"), 20) === 0)
       .withColumn("pos",
@@ -437,17 +455,46 @@ object Joins {
       .select(col("p_partkey").as("probe_key"), col("p_name").as("src_name"),
         concat(expr("substring(p_name, 1, pos - 1)"),
           expr("substring(p_name, pos + 1)")).as("dirty_name"))
-    val cand = broadcast(probes)
-      .join(catalog,
-        substring(col("dirty_name"), 1, 1) === substring(col("p_name"), 1, 1) &&
-          abs(length(col("p_name")) - length(col("dirty_name"))) <= 2 &&
-          levenshtein(col("dirty_name"), col("p_name")) <= 2)
+    val probeKeys = probes
+      .select(col("probe_key"), col("src_name"), col("dirty_name"),
+        explode(deleteVariants(col("dirty_name"))).as("variant"))
+      .select(col("probe_key"), col("src_name"), col("dirty_name"),
+        xxhash64(col("variant")).as("vh"))
+    // NAME-level variant index: distinct names, each carrying its
+    // minimal key. Equivalent to indexing every row — all rows of a
+    // name share its edit distance, and the (dist, match_key) best-row
+    // tiebreak picks exactly that name's min key — but the index is
+    // |distinct names| × length entries, not |rows| × length, and the
+    // candidate frame shrinks by the catalog's duplication factor (the
+    // sf0.1 part table carries 64 distinct names over 20k rows: ~320
+    // legitimate dist-≤1 row matches per probe collapse to ~2 name
+    // matches). At 100 TB this dedup-first normalization is the same
+    // win wherever SKUs/entities repeat across a master table.
+    val names = catalog.groupBy(col("p_name"))
+      .agg(min(col("p_partkey")).as("match_key"))
+    val catKeys = names
+      .select(col("match_key"), col("p_name").as("match_name"),
+        explode(deleteVariants(col("p_name"))).as("variant"))
+      .select(col("match_key"), col("match_name"),
+        xxhash64(col("variant")).as("vh"))
+    broadcast(probeKeys)
+      .join(catKeys, Seq("vh"))
+      .filter(levenshtein(col("dirty_name"), col("match_name")) <= 1)
       .select(col("probe_key"), col("dirty_name"), col("src_name"),
-        col("p_partkey").as("match_key"), col("p_name").as("match_name"),
-        levenshtein(col("dirty_name"), col("p_name")).as("dist"))
+        col("match_key"), col("match_name"),
+        levenshtein(col("dirty_name"), col("match_name")).as("dist"))
+      .distinct()
+  }
+
+  /** The corruption + blocked-match kernel over a caller-supplied
+    * (p_partkey, p_name) catalog — split out so recovery semantics
+    * (hand-known deletions, blocking-guarantee recall, best-match
+    * tiebreak) pin on planted rows in ScaleJoinsSpec, independent of
+    * the oracle's shared-formula replay (the r10 w12 lesson). */
+  private[graft] def fuzzyLookup(catalog: DataFrame): DataFrame = {
     val best = Window.partitionBy(col("probe_key"))
       .orderBy(col("dist"), col("match_key"))
-    cand
+    fuzzyCandidates(catalog)
       .withColumn("rn", row_number().over(best))
       .filter(col("rn") === 1)
       .select(col("probe_key"), col("dirty_name"), col("match_key"),
@@ -475,8 +522,16 @@ object Joins {
 
   val oracle: Map[String, String] = Map(
     // j13 replays the deterministic corruption (IdHash pick + substring
-    // surgery) and the blocked best-match; DuckDB's levenshtein is the
-    // same unit-cost edit distance as Spark's
+    // surgery) and the symmetric-delete blocking: both engines index
+    // name + every 1-deletion variant, equi-join on the variant, and
+    // apply the same `levenshtein <= 1` residual (DuckDB's levenshtein
+    // is the same unit-cost edit distance as Spark's). The oracle joins
+    // on the variant STRING where the engine joins on its xxhash64 —
+    // identical candidate sets, because hash collisions are screened by
+    // the shared residual predicate. DuckDB's range() accepts neither
+    // lateral column bounds nor subqueries, so the variant explode runs
+    // to a fixed 127 with a length filter — sound while names stay
+    // under 128 chars (TPC-H p_name ≤ 55).
     "j13_fuzzy_lookup" ->
       (s"""WITH pr AS (
         |  SELECT p_partkey AS probe_key, p_name AS src_name,
@@ -488,14 +543,31 @@ object Joins {
         |    substring(src_name, 1, pos - 1)
         |      || substring(src_name, pos + 1) AS dirty_name
         |  FROM pr),
+        |pv AS (
+        |  SELECT probe_key, src_name, dirty_name, dirty_name AS variant
+        |  FROM d
+        |  UNION ALL
+        |  SELECT probe_key, src_name, dirty_name,
+        |    substring(dirty_name, 1, CAST(t.i AS INT) - 1)
+        |      || substring(dirty_name, CAST(t.i AS INT) + 1)
+        |  FROM d CROSS JOIN range(1, 128) t(i)
+        |  WHERE t.i <= length(dirty_name)),
+        |cv AS (
+        |  SELECT p_partkey AS match_key, p_name AS match_name,
+        |    p_name AS variant
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, p_name,
+        |    substring(p_name, 1, CAST(t.i AS INT) - 1)
+        |      || substring(p_name, CAST(t.i AS INT) + 1)
+        |  FROM part CROSS JOIN range(1, 128) t(i)
+        |  WHERE t.i <= length(p_name)),
         |cand AS (
-        |  SELECT d.probe_key, d.dirty_name, d.src_name,
-        |    c.p_partkey AS match_key, c.p_name AS match_name,
-        |    CAST(levenshtein(d.dirty_name, c.p_name) AS INT) AS dist
-        |  FROM d JOIN part c
-        |    ON substring(d.dirty_name, 1, 1) = substring(c.p_name, 1, 1)
-        |   AND abs(length(c.p_name) - length(d.dirty_name)) <= 2
-        |  WHERE levenshtein(d.dirty_name, c.p_name) <= 2),
+        |  SELECT DISTINCT pv.probe_key, pv.dirty_name, pv.src_name,
+        |    cv.match_key, cv.match_name,
+        |    CAST(levenshtein(pv.dirty_name, cv.match_name) AS INT) AS dist
+        |  FROM pv JOIN cv ON pv.variant = cv.variant
+        |  WHERE levenshtein(pv.dirty_name, cv.match_name) <= 1),
         |best AS (
         |  SELECT *, row_number() OVER (PARTITION BY probe_key
         |    ORDER BY dist, match_key) AS rn FROM cand)

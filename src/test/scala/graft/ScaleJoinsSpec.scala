@@ -159,9 +159,13 @@ class ScaleJoinsSpec extends AnyFunSuite {
   test("fuzzy lookup recovers a hand-deleted character; tiebreak is deterministic (J13)") {
     // key 0 always probes (IdHash bucket of 0 is 0): "small ring" has
     // pos = (0 % 9) + 2 = 2 → delete char 2 → "sall ring". The catalog
-    // carries the original at TWO keys (0 and 40) plus a decoy within
-    // the length band but beyond dist 2 — best match must be dist 1 on
-    // the SMALLEST key, and recovered = true because the name matches.
+    // carries the original at TWO keys (0 and 40) plus decoys beyond
+    // edit distance 1 — best match must be dist 1 on the SMALLEST key,
+    // and recovered = true because the name matches. The symmetric-
+    // delete blocking guarantee: the dirty name IS a 1-deletion variant
+    // of the original, so the equi-join on variants can never miss the
+    // true match — the old first-char key needed a documented second
+    // pass for a corrupted first character; this scheme does not.
     val catalog = Seq(
       (0L, "small ring"), (40L, "small ring"), (41L, "steel rings"),
       (42L, "brass bolt")).toDF("p_partkey", "p_name")
@@ -171,10 +175,36 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L, "dist-1 tie breaks to the smallest key")
     assert(r.getString(3) == "small ring" && r.getInt(4) == 1)
     assert(r.getBoolean(5), "the original name is recovered")
-    // the blocking contract: only first-char-matching, length-banded
-    // candidates were ever considered — the decoy brass bolt (first
-    // char b) cannot appear even if Levenshtein were small
-    assert(out.forall(_.getString(3).startsWith("s")))
+    // decoys beyond distance 1 never become matches
+    assert(out.forall(_.getString(3) == "small ring"))
+  }
+
+  test("fuzzy candidates per probe are O(1) in catalog size, not O(N) (J13)") {
+    // The r10 first-char × length-band key had constant cardinality: a
+    // catalog of same-first-char, same-length names put EVERY name in
+    // one bucket, so candidates per probe grew linearly — on THIS
+    // catalog (all share "part" + same length) every probe would have
+    // seen all N names. The symmetric-delete key space grows with the
+    // catalog instead: tails triple every digit, so distinct names are
+    // pairwise ≥ 3 edits apart (one changed digit costs its 3 copies)
+    // and a 1-deletion probe is within distance 1 of its own original
+    // ONLY — candidates per probe must be exactly 1 at both sizes, the
+    // blocking guarantee (never misses the original) and the O(1)
+    // candidate bound (never drags neighbors) in one number.
+    def catalog(n: Int) =
+      (0 until n).map { i =>
+        val tail = f"$i%04d".flatMap(c => s"$c$c$c")
+        (i.toLong, s"part$tail item")
+      }.toDF("p_partkey", "p_name")
+    def candPerProbe(n: Int): Double = {
+      val c = graft.ext.Joins.fuzzyCandidates(catalog(n))
+      c.count().toDouble / c.select("probe_key").distinct().count()
+    }
+    val small = candPerProbe(200)
+    val big = candPerProbe(800)
+    assert(small == 1.0, s"candidates per probe at N=200: $small")
+    assert(big == 1.0,
+      s"candidates per probe grew with the catalog: $small -> $big")
   }
 
   test("component census: islands and singletons count separately (G5)") {
