@@ -190,18 +190,20 @@ object Similarity {
   }
 
   /** SIM20 — ANN recall scorecard: one table comparing EVERY index
-    * family in the tier (LSH bands / IVF / binary-quantized / IVF-PQ)
-    * against the brute-force ground truth on the shared benchmark
-    * lookup — the go/no-go card an ANN migration reads before flipping
-    * a fleet from exact to approximate (sim17 sweeps ONE index's probe
-    * axis; this compares ACROSS indexes at their registered operating
-    * points). Methods are ranked by recall@10; brute force rides along
-    * as the =1.0 sanity row.
+    * family in the tier (LSH bands / IVF / binary-quantized / IVF-PQ /
+    * int8) against the brute-force ground truth on the shared
+    * benchmark lookup — the go/no-go card an ANN migration reads
+    * before flipping a fleet from exact to approximate (sim17 sweeps
+    * ONE index's probe axis; this compares ACROSS indexes at their
+    * registered operating points). Methods are ranked by recall@10;
+    * brute force rides along as the =1.0 sanity row. Every SERVING row
+    * must clear 0.6 recall@10 at sf0.1 (pinned in SimilaritySpec —
+    * the bar that caught sim2's radius-1 point serving 0.2 in r11).
     *
     * Shape: every method serves off its memoized per-(session, dir)
     * index (ingest already split from serving — the scorecard adds
     * zero index builds), and the comparison is driver arithmetic over
-    * five 10-row results (bounded collect). Rows-only by design: the
+    * six 10-row results (bounded collect). Rows-only by design: the
     * ranking compares OUR index implementations, which have no DuckDB
     * counterpart; the per-method semantics are each oracle/spec-pinned
     * in their own right. */
@@ -289,35 +291,60 @@ object Similarity {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Probe radius for sim2's registered serving point. A true neighbor
+    * at angle θ agrees with the query on each sign bit with p = 1−θ/π,
+    * so its signature lands within Hamming distance r of the query's
+    * with probability Σ_{i≤r} C(b,i)·p^(b−i)·(1−p)^i. On near-random
+    * corpora (θ≈60°, p≈0.67 — LSH's worst case, and exactly what the
+    * testdata embeddings are) radius 1 at 8 planes caught ≈0.20 of the
+    * true top-10 (sim20's r11 scorecard measured 0.2 — the formula and
+    * the measurement agree); radius 3 lifts the same formula to ≈0.74.
+    * Candidate volume stays CONSTANT in the corpus: Σ_{i≤3} C(b,i)
+    * probe buckets × the [[planesFor]]-bounded ~256-row target bucket
+    * (≈24k rows at 8 planes, ≈0.6M at the 24-plane clamp) — the probes
+    * grow with the plane count, the plane count grows with log N, and
+    * the bucket size stays flat, so serving cost is O(polylog N). */
+  private[ext] val Sim2ProbeRadius = 3
+
   /** SIM2 — LSH-bucketed ANN top-k: candidates come from the query's
-    * signature bucket plus all 1-bit-flip probe buckets (multi-probe
-    * LSH); exact cosine only on candidates. The plane count scales with
-    * the corpus ([[planesFor]], min 8) so bucket size stays bounded as
-    * data grows. Rows-only for the driver — and PROVABLY so, not just
-    * convention: on the near-random test embeddings the ANN top-10
-    * shares 2/10 with the exact top-10 at sf0.1 and 0/10 at sf0.01
-    * (measured r9 — near-uniform cosine spectra are LSH's worst case;
-    * no exact oracle can replay an approximate result whose value IS
-    * the approximation). Recall vs brute force is asserted in ScalaTest
-    * at two plane counts, which is the correct check for this op. */
+    * signature bucket plus all probe buckets within Hamming distance
+    * [[Sim2ProbeRadius]] (multi-probe LSH, Lv et al. VLDB'07); exact
+    * cosine only on candidates. The plane count scales with the corpus
+    * ([[planesFor]], min 8) so bucket size stays bounded as data
+    * grows. Rows-only for the driver — near-uniform cosine spectra are
+    * LSH's worst case and no exact oracle can replay an approximate
+    * result whose value IS the approximation. Recall vs brute force is
+    * asserted in ScalaTest and priced against every other index family
+    * in sim20's scorecard (≥0.6 at the registered operating point —
+    * the r11 radius-1 point served 0.2, below serving grade). */
   def sim2AnnLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     sim2AnnLshDf(spark, e, planesFor(corpusSize(spark, dir), minPlanes = 8))
   }
 
+  /** All XOR masks over `nPlanes` bits with popcount ≤ radius —
+    * driver-side query planning (≤ 2,325 longs at the 24-plane clamp,
+    * radius 3), broadcast as the probe list. */
+  private[ext] def probeMasks(nPlanes: Int, radius: Int): Seq[Long] = {
+    def combos(start: Int, left: Int): Seq[Long] =
+      if (left == 0) Seq(0L)
+      else (start until nPlanes).flatMap(i =>
+        combos(i + 1, left - 1).map(_ | (1L << i)))
+    (0 to radius).flatMap(combos(0, _))
+  }
+
   /** Same ANN pipeline with an explicit plane count (unit-testable). */
   def sim2AnnLshDf(spark: SparkSession, embeddings: DataFrame,
-                   nPlanes: Int): DataFrame = {
+                   nPlanes: Int, radius: Int = Sim2ProbeRadius): DataFrame = {
     val planes = hyperplanes(nPlanes, 64)
     val e = embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("bucket", signature(spark, col("emb"), planes))
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qemb"), col("bucket").as("qbucket"))
-    // Multi-probe: query bucket + every 1-bit flip of it (1 + nPlanes probes).
+    val masks = probeMasks(nPlanes, radius)
     val probes = q.select(col("qemb"),
-      explode(array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*))
-        .as("flip"), col("qbucket"))
+      explode(array(masks.map(lit): _*)).as("flip"), col("qbucket"))
       .select(col("qemb"), (col("qbucket").bitwiseXOR(col("flip"))).as("bucket"))
     e.filter(col("vec_id") =!= 0)
       .join(broadcast(probes), Seq("bucket"))
@@ -1311,16 +1338,20 @@ object Similarity {
   def sim17IvfPqRecall(spark: SparkSession, dir: String): DataFrame =
     ivfPqRecallCurve(spark, dir, Seq(1, 2, 6, Sim4K), pools = Seq(8, 32))
 
-  /** Registered at nProbe=6 (of kCoarse=16): on UNSTRUCTURED embeddings
-    * the true top-k scatter across cells, so routing recall — not PQ
-    * quantization — is the recall ceiling (sim11's curve measures the
-    * same effect for plain IVF); 6/16 probes is the measured knee where
-    * recall@10 clears 0.5 while still pruning ~5/8 of the corpus scan.
-    * Clustered corpora (the planted-cluster spec) reach recall 1 at
-    * nProbe=1 — the structure IVF exists to exploit. */
+  /** Registered at nProbe=6 (of kCoarse=16), rerank pool=32: on
+    * UNSTRUCTURED embeddings the true top-k scatter across cells, so
+    * routing (sim11's effect for plain IVF) and ADC pool truncation
+    * BOTH bind — the sim17 grid separates them, and at the 6-probe
+    * knee the pool axis is the cheaper lever: pool 8→32 lifts sf0.1
+    * avg recall 0.40→0.68 (measured r12) for 240 extra exact cosines
+    * per query, while more probes would rescan corpus cells. 6/16
+    * probes still prunes ~5/8 of the corpus scan; the registered point
+    * clears sim20's ≥0.6 serving bar. Clustered corpora (the
+    * planted-cluster spec) reach recall 1 at nProbe=1 — the structure
+    * IVF exists to exploit. */
   def sim16IvfPqAnn(spark: SparkSession, dir: String): DataFrame =
     ivfPqServe(spark, dir, ivfPqIndexFor(spark, dir), queryVecId = 0L,
-      nProbe = 6)
+      nProbe = 6, pool = 32)
 
   /** Sign signature of a 64-dim embedding: bit i set iff dim i > 0 —
     * the whole vector packs into ONE long. */
@@ -1402,7 +1433,11 @@ object Similarity {
       .filter(col("scale") > 0)
       .withColumn("code",
         transform(col("v"), x => round(x / col("scale"), 0)))
-    val qVecRow = emb.filter(col("vec_id") === queryVecId)
+    // NULL-embedding query must hit the empty-result early return, not
+    // NPE inside l2unit — read the query row null-filtered, like sim15
+    // reads its qRow from the null-filtered sigs frame.
+    val qVecRow = emb.filter(col("vec_id") === queryVecId &&
+        col("embedding").isNotNull)
       .select(asDouble(col("embedding"))).take(1)
     if (qVecRow.isEmpty)
       return emb.select(col("vec_id"), lit(0.0).as("cos_sim")).limit(0)

@@ -651,6 +651,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ANN scorecard: every SERVING row clears 0.6 recall@10 at sf0.1 (SIM20)") {
+    // The serving-grade bar on near-random embeddings (LSH's and PQ's
+    // worst case — real clustered corpora only do better). This is the
+    // pin that caught r11's sim2 radius-1 operating point serving 0.2
+    // and sim16's pool-8 point serving 0.5; the registered points are
+    // radius-3 multi-probe (0.8 measured) and pool-32 rerank (0.8).
+    val out = Similarity.sim20AnnScorecard(spark, "/root/testdata/sf0.1")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    out.foreach { case (m, rec) =>
+      assert(rec >= 0.6, s"$m serves $rec recall@10 at sf0.1 — below serving grade")
+    }
+  }
+
   test("IVFPQ missing query id returns empty, wrong dim fails fast") {
     val dir = "/root/testdata/sf0.001"
     val idx = Similarity.ivfPqIndexFor(spark, dir)
