@@ -426,7 +426,20 @@ object WindowFns {
 
   private val HourUs = 3600000000L
 
-  def twapBars(events: DataFrame): DataFrame = {
+  def twapBars(events: DataFrame): DataFrame =
+    twapReport(hourlyTwapPartials(events))
+
+  /** The per-(series, hour) TWAP partials: closed hold segments explode
+    * pro-rata across the hours they cover and reduce to the ADDITIVE
+    * triple (n_obs, mass = Σ v4·w as DECIMAL(38,0), w = Σ micros).
+    * Split out because the triple is a MERGEABLE MONOID — plain
+    * addition merges partials across micro-batches — which makes this
+    * frame the live fold's state shape
+    * ([[graft.streaming.TwapStreamFold]] folds exactly these rows; the
+    * w15/a29 shared-state discipline). A series' final observation has
+    * no successor → no closed segment → contributes nothing, in batch
+    * and in the fold alike (where it is the pending carry). */
+  private[graft] def hourlyTwapPartials(events: DataFrame): DataFrame = {
     val seq = Window.partitionBy(col("event_type"))
       .orderBy(col("us"), col("event_id"))
     events
@@ -444,12 +457,20 @@ object WindowFns {
       .groupBy(col("event_type"), col("hour_idx"))
       .agg(
         count(lit(1)).as("n_obs"),
-        round((sum((col("v4") * col("w")).cast("decimal(38,0)"))
-            .cast("double") / sum(col("w")).cast("double")) / 10000.0, 4)
-          .as("twap"),
-        round(sum(col("w")).cast("double") / 1000000.0, 2).as("coverage_s"))
-      .orderBy(col("event_type"), col("hour_idx"))
+        sum((col("v4") * col("w")).cast("decimal(38,0)")).as("mass"),
+        sum(col("w")).as("w"))
   }
+
+  /** The report arithmetic over a caller-supplied partials frame —
+    * shared verbatim by the batch query and the fold's serve pass, so
+    * the division/round/order rules cannot drift. */
+  private[graft] def twapReport(partials: DataFrame): DataFrame =
+    partials
+      .select(col("event_type"), col("hour_idx"), col("n_obs"),
+        round((col("mass").cast("double") / col("w").cast("double"))
+          / 10000.0, 4).as("twap"),
+        round(col("w").cast("double") / 1000000.0, 2).as("coverage_s"))
+      .orderBy(col("event_type"), col("hour_idx"))
 
   /** W14 — rolling cross-correlation matrix: 24-hour windowed Pearson
     * r between every pair of series (types), over hourly-mean resampled
@@ -474,12 +495,34 @@ object WindowFns {
   def w14RollingCorr(spark: SparkSession, dir: String): DataFrame =
     rollingCorr(Tables.events(spark, dir))
 
-  private[graft] def rollingCorr(events: DataFrame): DataFrame = {
-    val h = events
+  private[graft] def rollingCorr(events: DataFrame): DataFrame =
+    rollingCorrFromHourly(hourlyMeanPartials(events))
+
+  /** The per-(series, hour) mean partials behind w14: per-event values
+    * quantize to the exact ×10⁴ integer basis FIRST (the w13/sim19
+    * discipline applied one op earlier than the r11 form, which
+    * averaged raw doubles and then quantized — same value on ≤4-dp
+    * inputs, but (Σ v4, n) is an ADDITIVE MONOID where a double avg is
+    * not), then reduce to (v4sum, n). Plain addition merges these
+    * across micro-batches, so this frame is the live fold's state
+    * shape ([[graft.streaming.RollingCorrStreamFold]]). */
+  private[graft] def hourlyMeanPartials(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"),
         expr(s"unix_micros(ts) div $HourUs").as("hour_idx"))
-      .agg(round(round(avg(col("value")), 4) * 10000, 0)
-        .cast("long").as("m4"))
+      .agg(sum(round(col("value") * 10000, 0).cast("long")).as("v4sum"),
+        count(lit(1)).as("n"))
+
+  /** The pair-alignment + rolling-window + report arithmetic over a
+    * caller-supplied hourly partials frame — shared verbatim by the
+    * batch query and the fold's serve pass. The hourly mean m4 is one
+    * exact-integer division rounded to the ×10⁴ grid; everything
+    * downstream folds integers (the w14 five-sums device). */
+  private[graft] def rollingCorrFromHourly(partials: DataFrame): DataFrame = {
+    val h = partials
+      .select(col("event_type"), col("hour_idx"),
+        round(col("v4sum").cast("double") / col("n"), 0)
+          .cast("long").as("m4"))
     val a = h.select(col("event_type").as("type_a"), col("hour_idx"),
       col("m4").as("x"))
     val b = h.select(col("event_type").as("type_b"), col("hour_idx"),
@@ -511,25 +554,36 @@ object WindowFns {
 
   /** W15 — exponentially-weighted hourly volume baseline (EWMA burst
     * detector): per (event_type, hour), the EWMA of hourly event value
-    * volume over the trailing 24 hours with λ = 1/2, and the hour's
-    * burst ratio against that baseline — "is this hour's traffic an
-    * excursion from its own recent decay-weighted history", the
-    * smoothing a23's flat rolling mean can't give (a spike 23 hours
-    * ago weighs 2⁻²³ here but a full 1/24 there, so the EWMA baseline
-    * recovers from a transient in ~3 hours instead of dragging it for
-    * a day).
+    * volume over the trailing 24 STRICTLY PRIOR hours with λ = 1/2,
+    * and the hour's burst ratio against that baseline — "is this
+    * hour's traffic an excursion from its own recent decay-weighted
+    * history", the smoothing a23's flat rolling mean can't give (a
+    * spike 23 hours ago weighs 2⁻²³ here but a full 1/24 there, so the
+    * EWMA baseline recovers from a transient in ~3 hours instead of
+    * dragging it for a day). The baseline EXCLUDES the current hour
+    * (lags 1..24): the r11 lag-0 form gave the scored hour itself the
+    * dominant weight, capping burst_ratio below 2 — a 100× spike read
+    * as ~1.9998. Against strictly prior history the ratio is unbounded
+    * and means what a burst detector needs it to mean; a series' first
+    * hour has no history and reports NULL baseline/ratio.
     *
     * Exactness device: λ = 1/2 makes every truncated weight a POWER OF
-    * TWO — scaled by 2²³ the lag-k weight is the exact long 2^(23−k),
+    * TWO — scaled by 2²⁴ the lag-k weight is the exact long 2^(24−k),
     * so the weighted numerator (weights × hourly cents) and the
     * normalizing denominator both accumulate as EXACT LONG sums, immune
     * to aggregation-order float drift across engines (the w13/w14
     * integer-basis discipline, here closing over the weights too). The
-    * only floats are the two final divisions, rounds(4). Hours missing
-    * from a series contribute no weight — the denominator renormalizes
-    * over the hours actually present in the 24-hour tail (stated
-    * contract; the w11 grid would densify if a consumer needed the
-    * zero-filled reading).
+    * only floats are the two final divisions, rounds(4). Headroom: the
+    * max weight is 2²³, so the long numerator is exact while per-hour
+    * volume stays under 2⁶³⁄2²³ ≈ 1.1e12 cents (10 billion dollars per
+    * series-hour) — beyond that, switch the accumulator to
+    * DECIMAL(38,0), the w13 device (DuckDB's BIGINT sum auto-widens to
+    * HUGEINT, so the oracle would error before Spark's non-ANSI sum
+    * wrapped — stated bound, not a silent edge). Hours missing from a
+    * series contribute no weight — the denominator renormalizes over
+    * the hours actually present in the 24-hour tail (stated contract;
+    * the w11 grid would densify if a consumer needed the zero-filled
+    * reading).
     *
     * Scale shape: ONE map-side-combined corpus aggregate down to the
     * (types × hours) hourly frame; the 24-way lag explode and both
@@ -556,21 +610,30 @@ object WindowFns {
     * pass, so the two legs cannot drift (the a26/seasonalReport
     * discipline). */
   private[graft] def ewmaFromHourly(h: DataFrame): DataFrame = {
+    // Lags 1..24: the baseline is STRICTLY PRIOR history. The r11 form
+    // included lag 0 with the dominant weight 2^23 (more than half the
+    // total), which mathematically capped burst_ratio below 2 — a 100×
+    // traffic spike read as ~1.9998, undercutting the detector's whole
+    // point. With the current hour excluded, a spike against a quiet
+    // baseline reads as the multiple it is. A series' FIRST hour has no
+    // prior history → left join → NULL baseline and ratio (stated
+    // contract, the w16 NULL-not-fake-zero rule).
     val contrib = h
-      .withColumn("k", explode(sequence(lit(0), lit(23))))
+      .withColumn("k", explode(sequence(lit(1), lit(24))))
       .select(col("event_type"),
         (col("hour_idx") + col("k")).as("hour_idx"),
-        expr("shiftleft(cast(1 as bigint), 23 - k)").as("w"),
+        expr("shiftleft(cast(1 as bigint), 24 - k)").as("w"),
         col("cents").as("src_cents"))
       .groupBy(col("event_type"), col("hour_idx"))
       .agg(sum(col("w") * col("src_cents")).as("num"),
         sum(col("w")).as("den"))
-    h.join(broadcast(contrib), Seq("event_type", "hour_idx"))
+    h.join(broadcast(contrib), Seq("event_type", "hour_idx"), "left")
       .select(col("event_type"), col("hour_idx"),
         col("cents").as("volume_cents"),
         round(col("num").cast("double") / (col("den") * lit(100.0)), 4)
           .as("ewma_value"),
-        when(col("num") === 0L, lit(null).cast("double"))
+        when(col("num").isNull || col("num") === 0L,
+          lit(null).cast("double"))
           .otherwise(round(col("cents").cast("double") * col("den")
             / col("num"), 4)).as("burst_ratio"))
       .orderBy(col("event_type"), col("hour_idx"))
@@ -737,25 +800,31 @@ object WindowFns {
         |  FROM events GROUP BY 1, 2),
         |contrib AS (
         |  SELECT h.event_type, h.hour_idx + t.k AS hour_idx,
-        |    CAST(sum((CAST(1 AS BIGINT) << (23 - t.k)) * h.cents)
+        |    CAST(sum((CAST(1 AS BIGINT) << (24 - t.k)) * h.cents)
         |      AS BIGINT) AS num,
-        |    CAST(sum(CAST(1 AS BIGINT) << (23 - t.k)) AS BIGINT) AS den
-        |  FROM h CROSS JOIN range(0, 24) t(k)
+        |    CAST(sum(CAST(1 AS BIGINT) << (24 - t.k)) AS BIGINT) AS den
+        |  FROM h CROSS JOIN range(1, 25) t(k)
         |  GROUP BY 1, 2)
         |SELECT h.event_type, h.hour_idx, h.cents AS volume_cents,
         |  round(CAST(c.num AS DOUBLE) / (c.den * 100.0), 4) AS ewma_value,
-        |  CASE WHEN c.num = 0 THEN NULL
+        |  CASE WHEN c.num IS NULL OR c.num = 0 THEN NULL
         |       ELSE round(CAST(h.cents AS DOUBLE) * c.den / c.num, 4)
         |  END AS burst_ratio
-        |FROM h JOIN contrib c USING (event_type, hour_idx)
+        |FROM h LEFT JOIN contrib c USING (event_type, hour_idx)
         |ORDER BY event_type, hour_idx""".stripMargin,
     // w14 replays the hourly-mean quantization, the five exact integer
     // window moments, and the one-float-expression Pearson form
     "w14_rolling_corr" ->
-      """WITH h AS (
+      """WITH hp AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
-        |    CAST(round(round(avg(value), 4) * 10000, 0) AS BIGINT) AS m4
+        |    CAST(sum(CAST(round(value * 10000, 0) AS BIGINT)) AS BIGINT)
+        |      AS v4sum,
+        |    count(*) AS n
         |  FROM events GROUP BY event_type, hour_idx),
+        |h AS (
+        |  SELECT event_type, hour_idx,
+        |    CAST(round(CAST(v4sum AS DOUBLE) / n, 0) AS BIGINT) AS m4
+        |  FROM hp),
         |p AS (
         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
         |    a.hour_idx, a.m4 AS x, b.m4 AS y

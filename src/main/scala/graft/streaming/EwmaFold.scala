@@ -17,9 +17,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Per micro-batch: ONE distributed pass
   * ([[graft.ext.WindowFns.hourlyCents]], the same map-side-combined
   * reduction) collapsed to per-(series, hour) partials; driver state is
-  * bounded by series × ACTIVE hours — the same cardinality the batch
-  * op's own hourly profile frame has, and the reason the batch op
-  * scales in the first place. Addition is a monoid ⇒ [[onBatch]]
+  * bounded by series × ALL OBSERVED hours — the map keeps every
+  * (series, hour) key ever folded, the same cardinality the batch op's
+  * own hourly profile frame has over the full corpus. That is exactly
+  * what full-corpus batch parity requires; a long-lived deployment that
+  * only serves the recent tail would add a retention trim (drop hours
+  * older than the serve horizon), intentionally diverging from
+  * full-history parity. Addition is a monoid ⇒ [[onBatch]]
   * carries the batchId and drops foreachBatch retries (the QuantileFold
   * exactly-once device); restart = [[rebuildFrom]] over the landed
   * corpus, exact by additivity.

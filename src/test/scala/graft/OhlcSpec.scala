@@ -208,14 +208,18 @@ class OhlcSpec extends AnyFunSuite {
     assert(out(("B", "C")) == ((2L, -1.0, -1.0, -1.0)))
   }
 
-  test("EWMA baseline: power-of-two weights, gap renormalization, burst ratio (W15)") {
-    // type m, consecutive hours, cents 100/100/500: the burst hour's
-    // baseline is (2³·500+2²·100+2¹·100)/(2³+2²+2¹) = 2300/7 cents
-    // (weights cancel the 2²¹), so ewma = 3.2857 and burst = 1.5217.
-    // Hour 0 sums TWO events (0.6+0.4) — pins the hourly cents sum.
-    // type x: hours 0, 10, 40 — h10's tail holds only lag-10's h0
-    // (den renormalizes over present hours), h40 is beyond every
-    // 24-hour tail and sees only itself.
+  test("EWMA baseline: strictly-prior weights, gap renormalization, burst ratio (W15)") {
+    // Lags 1..24 — the baseline is strictly prior history. type m,
+    // consecutive hours, cents 100/100/500: hour 0 has NO history →
+    // NULL baseline/ratio; hour 1's baseline is hour 0 alone → ewma
+    // 1.0, burst 1.0; the burst hour's baseline is
+    // (2²³·100+2²²·100)/(2²³+2²²) = 100 cents → ewma 1.0, burst 5.0 —
+    // the 5× spike reads as 5×, the property the r11 lag-0 form
+    // (which capped the ratio below 2) could not deliver. Hour 0 sums
+    // TWO events (0.6+0.4) — pins the hourly cents sum. type x: hours
+    // 0, 10, 40 — h10's tail holds only lag-10's h0 (den renormalizes
+    // over present hours), h40's 24-hour tail (hours 16..39) is empty
+    // → NULL, and the current hour never feeds its own baseline.
     val ev = Seq(
       (0L, ts("2024-01-01 00:10:00"), "m", 0.6),
       (1L, ts("2024-01-01 00:40:00"), "m", 0.4),
@@ -225,17 +229,17 @@ class OhlcSpec extends AnyFunSuite {
       (5L, ts("2024-01-01 10:30:00"), "x", 3.0),
       (6L, ts("2024-01-02 16:30:00"), "x", 2.0)
     ).toDF("event_id", "ts", "event_type", "value")
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      if (r.isNullAt(i)) None else Some(r.getDouble(i))
     val rows = WindowFns.ewmaBaseline(ev).collect()
       .map(r => (r.getString(0), r.getLong(1)) ->
-        ((r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        ((r.getLong(2), d(r, 3), d(r, 4))))
     val m = rows.filter(_._1._1 == "m").sortBy(_._1._2).map(_._2).toSeq
-    assert(m == Seq((100L, 1.0, 1.0), (100L, 1.0, 1.0),
-      (500L, 3.2857, 1.5217)), m.mkString(", "))
+    assert(m == Seq((100L, None, None), (100L, Some(1.0), Some(1.0)),
+      (500L, Some(1.0), Some(5.0))), m.mkString(", "))
     val x = rows.filter(_._1._1 == "x").sortBy(_._1._2).map(_._2).toSeq
-    // h10: (2²³·300 + 2¹³·100)/(2²³+2¹³) = 307300·2¹³/(1025·2¹³)
-    //   = 299.8049 cents → 2.998; burst = 300·1025/307300 = 1.0007
-    assert(x == Seq((100L, 1.0, 1.0), (300L, 2.998, 1.0007),
-      (200L, 2.0, 1.0)), x.mkString(", "))
+    assert(x == Seq((100L, None, None), (300L, Some(1.0), Some(3.0)),
+      (200L, None, None)), x.mkString(", "))
   }
 
   test("EWMA plan: ONE corpus agg; explode and windows ride the hourly profile (W15)") {

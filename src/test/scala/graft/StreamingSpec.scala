@@ -1065,12 +1065,15 @@ class StreamingSpec extends AnyFunSuite {
     q.stop()
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getDouble(3), r.getDouble(4))).toSeq
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
     val live = rows(fold.serve(spark))
-    // merged burst-hour baseline: (2³·500+2²·100+2¹·100)/(2³+2²+2¹)
-    // = 2300/7 cents → ewma 3.2857, burst 1.5217 (OhlcSpec arithmetic)
+    // strictly-prior baselines (OhlcSpec arithmetic): hour 0 has no
+    // history → NULL; the reassembled 100-cent hour baselines hour 1 at
+    // 1.0; the burst hour's prior-only baseline is 100 cents → burst 5×
     assert(live.map(r => (r._3, r._4, r._5)) ==
-      Seq((100L, 1.0, 1.0), (100L, 1.0, 1.0), (500L, 3.2857, 1.5217)),
+      Seq((100L, None, None), (100L, Some(1.0), Some(1.0)),
+        (500L, Some(1.0), Some(5.0))),
       live.mkString(", "))
     val landed = (b1 ++ b2).toDF("event_id", "ts", "event_type", "value")
     assert(live == rows(graft.ext.WindowFns.ewmaBaseline(landed)))
@@ -1079,6 +1082,104 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(fold.serve(spark)) == live)
     // restart recipe: refold the landed corpus in one pass ≡ continuous
     val f2 = new graft.streaming.EwmaStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
+  test("w13' TWAP fold: a hold segment crosses the micro-batch boundary " +
+    "AND an hour boundary; the pending tail holds nothing; replays don't " +
+    "double; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.TwapStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("twapfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "event_type", "value"), ckpt)
+    // b1 closes one interior segment (00:10→00:50 @ 2.0); b1's LAST
+    // observation (00:50 @ 4.0) is the carry — its segment cannot close
+    // until b2's 01:30 arrives, and when it does, the one segment spans
+    // BOTH the batch boundary and the 01:00 hour boundary (pro-rata
+    // split: 10 min in hour 0, 30 min in hour 1). Series x lands a
+    // single observation in b2: pending forever → absent from serve,
+    // exactly as the batch op's final-reading-holds-nothing contract.
+    val b1 = Seq((0L, t("2024-01-01 00:10:00"), "m", 2.0),
+      (1L, t("2024-01-01 00:50:00"), "m", 4.0))
+    val b2 = Seq((2L, t("2024-01-01 01:30:00"), "m", 6.0),
+      (3L, t("2024-01-01 05:00:00"), "x", 9.0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    in.addData(b1: _*); q.processAllAvailable()
+    // early serve: only the closed interior segment exists — 40 min of
+    // 2.0 in hour 0; the 00:50 observation is pending carry
+    val early = rows(fold.serve(spark))
+    assert(early.map(r => (r._1, r._3, r._4, r._5)) ==
+      Seq(("m", 1L, 2.0, 2400.0)), early.mkString(", "))
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    // hour 0: 2.0 held 40 min + 4.0 held 10 min → (2·2400+4·600)/3000 =
+    // 2.4 over 3000 s, 2 fragments; hour 1: 4.0 held 30 min → 4.0 over
+    // 1800 s; x never appears (single pending observation)
+    val live = rows(fold.serve(spark))
+    assert(live.map(r => (r._1, r._3, r._4, r._5)) ==
+      Seq(("m", 2L, 2.4, 3000.0), ("m", 1L, 4.0, 1800.0)),
+      live.mkString(", "))
+    assert(live(1)._2 == live(0)._2 + 1,
+      "the boundary-crossing segment must split across ADJACENT hours")
+    val landed = (b1 ++ b2).toDF("event_id", "ts", "event_type", "value")
+    assert(live == rows(graft.ext.WindowFns.twapBars(landed)))
+    // retry replay must neither re-add mass nor re-advance the carry
+    fold.onBatch(b2.toDF("event_id", "ts", "event_type", "value"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    // restart recipe: refold the landed corpus in one pass ≡ continuous
+    val f2 = new graft.streaming.TwapStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
+  test("w14' rolling-corr fold: an hour's events split across " +
+    "micro-batches and merge additively; replays don't double; " +
+    "serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.RollingCorrStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("corrfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "event_type", "value"), ckpt)
+    // the OhlcSpec W14 corpus (B = 2A+3 → r ≡ +1, C = 30−A → r ≡ −1,
+    // 25 aligned hours → exactly 2 full 24-hour windows), but every
+    // hour's mean is assembled from TWO events (v−0.5 and v+0.5) that
+    // land in DIFFERENT micro-batches — the (Σv4, n) state must merge
+    // across batches before the mean means anything
+    def at(h: Int) = java.sql.Timestamp.from(
+      t("2024-01-01 00:00:00").toInstant.plusSeconds(h * 3600L))
+    def halves(h: Int, tp: String, v: Double, base: Long) = (
+      (base, at(h), tp, v - 0.5), (base + 100000L, at(h), tp, v + 0.5))
+    val planted = (0 until 25).flatMap { h =>
+      Seq(halves(h, "A", h + 1.0, h * 3L),
+        halves(h, "B", 2.0 * (h + 1) + 3, h * 3L + 1),
+        halves(h, "C", 30.0 - (h + 1), h * 3L + 2))
+    }
+    val b1 = planted.map(_._1)
+    val b2 = planted.map(_._2)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val live = rows(fold.serve(spark))
+    assert(live == Seq(("A", "B", 2L, 1.0, 1.0, 1.0),
+      ("A", "C", 2L, -1.0, -1.0, -1.0), ("B", "C", 2L, -1.0, -1.0, -1.0)),
+      live.mkString(", "))
+    val landed = (b1 ++ b2).toDF("event_id", "ts", "event_type", "value")
+    assert(live == rows(graft.ext.WindowFns.rollingCorr(landed)))
+    // retry replay must not double the additive sums
+    fold.onBatch(b2.toDF("event_id", "ts", "event_type", "value"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    // restart recipe: refold the landed corpus in one pass ≡ continuous
+    val f2 = new graft.streaming.RollingCorrStreamFold
     f2.rebuildFrom(landed)
     assert(rows(f2.serve(spark)) == live)
   }
