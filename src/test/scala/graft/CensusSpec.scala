@@ -81,9 +81,34 @@ class CensusSpec extends AnyFunSuite {
                                 // iterations' shuffles ran at build
     "j12_interval_join" -> 2,   // bin equi-join rides the checkpointed
                                 // span frame; one agg + output order
-    "w12_concurrency" -> 5      // delta reduce + carry window + intra-
+    "w12_concurrency" -> 5,     // delta reduce + carry window + intra-
                                 // hour window + lattice legs (both
                                 // broadcast) + output order
+    // r11-cohort pins (the r11 verdict's ask): every round-11 query
+    // gets an EXPLICIT budget at measured-plan + 1 so a new shuffle
+    // cannot ride in under the default ceiling unnoticed. (s20/s21 are
+    // sink round-trips in `skip`; g3 is pinned above.)
+    "a24_cusum_changepoint" -> 4,  // corpus window pass + μσ agg/join legs
+    "a25_event_transitions" -> 5,  // lag window + pair agg + report order
+    "a26_seasonal_anomaly" -> 4,   // profile agg + broadcast-back + grid
+    "a27_ab_test" -> 5,            // per-user conv + arm agg + singletons
+    "a28_rfm_segments" -> 6,       // per-user agg + anchor + census + order
+    "a29_survival_curve" -> 4,     // span agg + day-frame windows + order
+    "a30_attribution" -> 4,        // carry window + census + share window
+    "g4_kcore" -> 2,               // peels on the checkpointed edge frame
+    "g5_components" -> 3,          // label-prop serve off checkpointed graph
+    "g6_audience_overlap" -> 5,    // incidence collapse + pair agg + report
+    "g7_hits" -> 2,                // incidence collapse + co-audience agg
+    "j13_fuzzy_lookup" -> 4,       // variant index agg + best-match window
+    "o6_keyset_page" -> 1,         // pushed cursor scan + fused top-k only
+    "sim19_random_projection" -> 3,// one projection scan + QC pair join/agg
+    "sim20_ann_scorecard" -> 2,    // driver arithmetic over served results
+    "sim21_int8_ann" -> 1,         // code scan top-k + broadcast rerank
+    "t22_bigram_logprob" -> 3,     // trained-table joins ride broadcasts
+    "w13_twap" -> 3,               // lag window + hour explode agg + order
+    "w14_rolling_corr" -> 5,       // hourly agg + pair join + windows + report
+    "w15_ewma_baseline" -> 5,      // hourly agg + contrib agg + attach
+    "w16_day_over_day" -> 2        // shared hourly kernel + self-join
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local
