@@ -92,6 +92,10 @@ object Bench {
     // reported 1.27 s, while the zero-Exchange serve — the number the
     // query exists to measure — is 0.11 s.
     warmState("j11-buckets")(ext.Joins.bucketedPairFor(spark, sfDir))
+    // j14's month-partitioned fact + month dim are the same ingest
+    // artifact class: write the layout before the clock so the timed
+    // line measures the dynamically-pruned serve, not the repartition.
+    warmState("j14-partitions")(ext.Joins.partitionedOrdersFor(spark, sfDir))
     // the co-presence graph is the ingest artifact ALL FIVE graph-tier
     // queries (g1-g5) serve from: build the memoized node/edge frames
     // before the clock so each timed line measures its own graph

@@ -854,28 +854,107 @@ object Analyze {
   def a30Attribution(spark: SparkSession, dir: String): DataFrame =
     lastTouchAttribution(Tables.events(spark, dir))
 
-  private[graft] def lastTouchAttribution(events: DataFrame): DataFrame = {
+  private[graft] def lastTouchAttribution(events: DataFrame): DataFrame =
+    attributionReport(attributionCensus(attributionCredits(events)))
+
+  /** Per-purchase credit assignment: each purchase row paired with its
+    * user's most recent PRECEDING non-purchase touch ((ts, event_id)
+    * order) — the one corpus-window pass. Split out because the
+    * boundary between batches is exactly a per-user carried touch row
+    * ([[graft.streaming.AttributionStreamFold]] folds the carried touch
+    * in FRONT of each batch through this same kernel). */
+  private[graft] def attributionCredits(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val carry = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val all = Window.rowsBetween(Window.unboundedPreceding,
-      Window.unboundedFollowing)
     events
       .withColumn("touch",
         last(when(col("event_type") =!= "purchase", col("event_type")),
           ignoreNulls = true).over(carry))
       .filter(col("event_type") === "purchase")
-      .groupBy(coalesce(col("touch"), lit("(none)")).as("channel"))
-      .agg(count(lit(1)).as("n_purchases"),
-        sum(expr("cast(round(value * 100, 0) as bigint)")).as("cents"))
+      .select(coalesce(col("touch"), lit("(none)")).as("channel"),
+        expr("cast(round(value * 100, 0) as bigint)").as("cents"))
+  }
+
+  /** The additive census — ≤|types| cells of (n, cents); merges across
+    * micro-batches by plain addition. */
+  private[graft] def attributionCensus(credits: DataFrame): DataFrame =
+    credits.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("cents"))
+
+  /** Report arithmetic over a caller-supplied census frame — the share
+    * denominator is a window over the ≤|types| census, never a second
+    * corpus pass; shared verbatim by batch and the fold's serve. */
+  private[graft] def attributionReport(census: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    census
       .withColumn("share",
         round(col("n_purchases").cast("double")
           / sum(col("n_purchases")).over(all), 4))
       .orderBy(col("channel"))
   }
 
+  /** A31 — frequent-path mining (top second-order journeys): the 20
+    * most-travelled 3-step event-type sequences across all user
+    * streams, with traversal counts AND distinct-traveller counts —
+    * the "what do users actually do" discovery card between w8 (did
+    * users follow THIS fixed path) and a25 (one-step transition
+    * strengths): a25's first-order matrix cannot distinguish
+    * view→click→purchase from view→click→view, which is exactly the
+    * difference a product team acts on. n_users rides beside n_paths
+    * because a path travelled 10k times by 40 bot-like users and one
+    * travelled 10k times by 9k users are different findings.
+    *
+    * Scale shape: ONE window shuffle partitioned by user_id (the a25
+    * adjacency device, two lag taps on the same sorted pass — a
+    * self-join formulation would shuffle the corpus three times); the
+    * path frame collapses map-side to ≤|types|³ cells for n_paths,
+    * and n_users dedups (path, user) pairs — bounded by users ×
+    * distinct-paths-per-user, far under the event count; top-20 is
+    * TakeOrderedAndProject. Counts exact longs; ordering fully
+    * tie-broken on the path triple. */
+  def a31PathMining(spark: SparkSession, dir: String): DataFrame =
+    pathMining(Tables.events(spark, dir))
+
+  private[graft] def pathMining(events: DataFrame): DataFrame =
+    pathReport(pathUserCounts(pathTriples(events)))
+
+  /** One row per path traversal (user kept): the two-lag-tap window
+    * pass. Split out because a micro-batch boundary only needs the
+    * user's last TWO events carried in front of the next batch to make
+    * this same kernel produce exactly the boundary-crossing triples
+    * ([[graft.streaming.PathStreamFold]]). */
+  private[graft] def pathTriples(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val seq = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    events
+      .withColumn("p1", lag(col("event_type"), 1).over(seq))
+      .withColumn("p2", lag(col("event_type"), 2).over(seq))
+      .filter(col("p2").isNotNull)
+      .select(col("user_id"), col("p2").as("step1"), col("p1").as("step2"),
+        col("event_type").as("step3"))
+  }
+
+  /** The additive per-(path, user) traversal counts — the state shape
+    * that makes BOTH report numbers mergeable: n_paths is the sum of
+    * these counts, n_users the number of these rows per path. */
+  private[graft] def pathUserCounts(triples: DataFrame): DataFrame =
+    triples.groupBy(col("step1"), col("step2"), col("step3"),
+      col("user_id")).agg(count(lit(1)).as("n"))
+
+  /** Top-20 report over a caller-supplied (path, user, n) frame —
+    * shared verbatim by batch and the fold's serve. */
+  private[graft] def pathReport(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("step1"), col("step2"), col("step3"))
+      .agg(sum(col("n")).as("n_paths"), count(lit(1)).as("n_users"))
+      .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
+      .limit(20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a31_path_mining" -> a31PathMining,
     "a30_attribution" -> a30Attribution,
     "a29_survival_curve" -> a29SurvivalCurve,
     "a28_rfm_segments" -> a28RfmSegments,
@@ -1112,6 +1191,20 @@ object Analyze {
         |  min(CASE WHEN s_hi > 4.0 THEN event_id END) AS first_hi_alarm_id,
         |  min(CASE WHEN s_lo > 4.0 THEN event_id END) AS first_lo_alarm_id
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a31_path_mining" ->
+      """WITH seqd AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS p1,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id)
+        |      AS p2
+        |  FROM events)
+        |SELECT p2 AS step1, p1 AS step2, event_type AS step3,
+        |  count(*) AS n_paths,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM seqd WHERE p2 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY n_paths DESC, step1, step2, step3 LIMIT 20""".stripMargin,
     "a25_event_transitions" ->
       """WITH seqd AS (
         |  SELECT user_id, event_id, event_type,

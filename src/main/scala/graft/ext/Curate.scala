@@ -138,6 +138,47 @@ object Curate {
       |FROM train LEFT JOIN c USING (source) ORDER BY source""".stripMargin
   }
 
+  /** D47 — per-benchmark-ITEM contamination report: for every doc of
+    * the benchmark split, what fraction of its distinct word n-grams
+    * appears ANYWHERE in the training corpus (containment, Broder's
+    * asymmetric overlap). The report direction d10/d15/d35 don't give:
+    * they flag TRAINING docs to drop; this scores each EVAL item's
+    * dirtiness so a benchmark maintainer can drop or reweight items the
+    * corpus has memorized — the per-item overlap appendix the GPT-3
+    * eval methodology publishes. Items cleaner than every train doc
+    * still report (containment 0 — a LEFT join, never an inner), and
+    * items with fewer than n words have no grams and are out of scope
+    * by the d10 contract.
+    *
+    * Scale shape: the corpus NEVER shuffles — the bench (doc, gram)
+    * frame is eval-sized and BROADCASTS; the training gram stream joins
+    * it map-side, and everything after (the distinct, both aggregates,
+    * the report join) rides bench-bounded frames. Containment divides
+    * two exact longs, rounds(4); ordered dirtiest-first with doc_id
+    * tie-break. */
+  def d47BenchContamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isBench = col("doc_id") % BenchMod === 0
+    benchContaminationDf(docs.filter(!isBench), docs.filter(isBench))
+  }
+
+  def benchContaminationDf(train: DataFrame, bench: DataFrame,
+                           n: Int = D10N): DataFrame = {
+    val bg = docGrams(bench, n)
+    val totals = bg.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_grams"))
+    val hits = docGrams(train, n).select(col("gram"))
+      .join(broadcast(bg.select(col("doc_id"), col("gram"))), Seq("gram"))
+      .select(col("doc_id"), col("gram")).distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    totals.join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_grams"), 4).as("containment"))
+      .orderBy(col("containment").desc, col("doc_id"))
+  }
+
   /** D35 registered — the d10 split through the Bloom path; its oracle
     * IS d10's oracle, which is the exactness proof. */
   def d35BloomDecontaminate(spark: SparkSession, dir: String): DataFrame = {
@@ -881,6 +922,7 @@ object Curate {
     "d46_forget_cascade" -> d46ForgetCascade,
     "d14_quality_filter" -> d14QualityFilter,
     "d16_split_assign" -> d16SplitAssign,
+    "d47_bench_contamination" -> d47BenchContamination,
     "d17_token_budget" -> d17TokenBudget,
     "d17_bpe_budget" -> d17BpeBudget,
     "d28_stratified_sample" -> d28StratifiedSample,
@@ -889,6 +931,37 @@ object Curate {
   )
 
   val oracle: Map[String, String] = Map(
+    // d47 composes the SAME gram CTE as d10 (one D10N/BenchMod change
+    // moves every consumer) into the per-bench-item containment
+    "d47_bench_contamination" -> {
+      val gramConcat = (0 until D10N)
+        .map(j => if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""WITH words AS (
+        |  SELECT doc_id, source, string_split(lower(text), ' ') AS w
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(range(1, len(w) - ${D10N - 2}),
+        |      i -> $gramConcat)) AS gs
+        |  FROM words WHERE len(w) >= $D10N),
+        |g AS (SELECT doc_id, source, unnest(gs) AS gram FROM grams),
+        |bench AS (SELECT doc_id, source, gram FROM g
+        |          WHERE doc_id % $BenchMod = 0),
+        |train_g AS (SELECT DISTINCT gram FROM g
+        |            WHERE doc_id % $BenchMod <> 0),
+        |tot AS (
+        |  SELECT doc_id, source, count(*) AS n_grams
+        |  FROM bench GROUP BY doc_id, source),
+        |hits AS (
+        |  SELECT b.doc_id, count(*) AS n_hit
+        |  FROM bench b JOIN train_g USING (gram) GROUP BY b.doc_id)
+        |SELECT t.doc_id, t.source, n_grams,
+        |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(coalesce(n_hit, 0) / CAST(n_grams AS DOUBLE), 4)
+        |    AS containment
+        |FROM tot t LEFT JOIN hits USING (doc_id)
+        |ORDER BY containment DESC, doc_id""".stripMargin
+    },
     "d43_temperature_mix" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang),
         |t AS (SELECT CAST(sum(n_lang) AS BIGINT) AS n_total,

@@ -486,6 +486,63 @@ object Joins {
       .distinct()
   }
 
+  /** The month-partitioned orders table + its observed month list, built
+    * ONCE per (session, dir) — the j11 ingest/serve split applied to
+    * PARTITION layout instead of bucket layout. The month list rides in
+    * the memo so the dim frame is driver-built without re-scanning. */
+  private val partitionedCache =
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, String)]]()
+  private[graft] def partitionedOrdersFor(spark: SparkSession,
+                                          dir: String): (String, String) =
+    Similarity.perSession(partitionedCache, spark).getOrElseUpdate(dir, {
+      val tag = Similarity.dirTag(dir)
+      val (t, d) = (s"j14ord_$tag", s"j14dim_$tag")
+      val withMonth = Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .as("o_month"))
+      graft.sources.Sources.writePartitionedTable(withMonth, "o_month", t)
+      // The month DIM must be a real (file-backed) table: a driver-built
+      // LocalRelation dim gets its filter constant-folded away by
+      // ConvertToLocalRelation, and with no surviving Filter node on the
+      // build side the PartitionPruning rule sees nothing selective to
+      // prune WITH — verified live: the fact scan planned
+      // isnotnull-only until the dim became a table.
+      val dim = spark.table(t).select(col("o_month")).distinct()
+        .withColumn("quarter", (col("o_month") % 100 - 1) / lit(3) + 1)
+      if (!spark.catalog.tableExists(d))
+        dim.write.mode("overwrite").saveAsTable(d)
+      (t, d)
+    })
+
+  /** J14 — dynamic-partition-pruned star join: the fact table persisted
+    * partitioned by month (one directory per month — the conformed
+    * layout every date-partitioned warehouse fact uses), joined against
+    * a month DIMENSION filtered to Q1. The month predicate is NOT in
+    * the query — it lives on the dim — so STATIC partition pruning
+    * cannot apply; Catalyst's dynamic partition pruning turns the
+    * filtered dim's build side into a runtime subquery on the fact's
+    * partition column, and whole month directories are skipped before a
+    * fact byte is read. At 100 TB this is THE mechanism that makes
+    * "revenue for Q1" read 3/48 of a four-year fact table instead of
+    * all of it, with the selector living in the dimension where the
+    * business defines it. PlanSpec pins `dynamicpruningexpression` in
+    * the fact scan's partition filters; the oracle is the plain-scan
+    * replay over the original parquet (the j11 layout-equivalence
+    * device), so the pruned read is value-checked every round. */
+  def j14DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (fact, dim) = partitionedOrdersFor(spark, dir)
+    spark.table(fact)
+      .join(broadcast(spark.table(dim).filter(col("quarter") === 1)),
+        Seq("o_month"))
+      .groupBy(col("o_month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_custkey")).as("cust_sum"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents_sum"))
+      .orderBy(col("o_month"))
+  }
+
   /** The corruption + blocked-match kernel over a caller-supplied
     * (p_partkey, p_name) catalog — split out so recovery semantics
     * (hand-known deletions, blocking-guarantee recall, best-match
@@ -504,6 +561,7 @@ object Joins {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "j14_dpp_join" -> j14DppJoin,
     "j13_fuzzy_lookup" -> j13FuzzyLookup,
     "j11_bucketed_join" -> j11BucketedJoin,
     "j10_salted_join" -> j10SaltedJoin,
@@ -521,6 +579,20 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // j14's oracle is the PLAIN-SCAN replay over the original parquet —
+    // the pruned partitioned layout must be value-equivalent to reading
+    // everything and filtering (the j11 layout-equivalence device); the
+    // Q1 rule is restated on the month arithmetic directly
+    "j14_dpp_join" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+        |    AS o_month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |  CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum
+        |FROM orders
+        |WHERE month(o_orderdate) <= 3
+        |GROUP BY 1 ORDER BY o_month""".stripMargin,
     // j13 replays the deterministic corruption (IdHash pick + substring
     // surgery) and the symmetric-delete blocking: both engines index
     // name + every 1-deletion variant, equi-join on the variant, and

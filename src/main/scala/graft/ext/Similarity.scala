@@ -1461,6 +1461,66 @@ object Similarity {
   def sim21Int8Ann(spark: SparkSession, dir: String): DataFrame =
     int8Ann(spark, Tables.embeddings(spark, dir), queryVecId = 0L)
 
+  /** Pool depth per retriever leg and the standard RRF constant
+    * (Cormack et al. 2009 use k=60) — shared with the oracle. */
+  private[ext] val Sim22Pool = 20
+  private[ext] val Sim22RrfK = 60
+
+  /** SIM22 — hybrid lexical + dense retrieval fused by reciprocal rank
+    * fusion: BM25 over the document text (t19's kernel, the fixed
+    * lexical query) and exact cosine against item 0's embedding (the
+    * mm-tier doc_id ≡ vec_id alignment), each keeping a top-[[Sim22Pool]]
+    * pool, fused by RRF(d) = Σ_legs 1/(k + rank_leg(d)) with k=60 —
+    * the score-free fusion every hybrid search stack runs, because
+    * BM25 logits and cosines live on incomparable scales and RRF only
+    * consumes RANKS. A doc in one pool only still scores (its missing
+    * leg contributes 0); the query item itself is excluded from both
+    * legs.
+    *
+    * Scale shape: each leg is its own documented serving pattern (BM25:
+    * literal-term tf filters + one broadcast stats row, no token
+    * explode; dense: one corpus scan against the broadcast query — at
+    * index scale the dense leg plugs any sim-tier ANN index, the pool
+    * contract is identical); fusion is a full-outer join of two
+    * ≤[[Sim22Pool]]-row frames — workload-sized, never corpus-sized.
+    * Determinism: ranks are row_numbers over (rounded score, doc_id),
+    * so both engines rank identically; RRF sums unit fractions of
+    * small integers, rounds(6). */
+  def sim22HybridRrf(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(spark, Tables.documents(spark, dir),
+      Tables.embeddings(spark, dir), queryVecId = 0L)
+
+  def hybridRrf(spark: SparkSession, docs: DataFrame, emb: DataFrame,
+                queryVecId: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLex = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lex = TextStats.bm25Scores(docs.filter(col("doc_id") =!= queryVecId))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(Sim22Pool)
+      .withColumn("lex_rank", row_number().over(wLex))
+      .select(col("doc_id"), col("bm25"), col("lex_rank"))
+    val q = emb.filter(col("vec_id") === queryVecId &&
+        col("embedding").isNotNull)
+      .select(asDouble(col("embedding")).as("qemb"))
+    val wDen = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+    val den = emb.filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(VectorOps.vecCosine(spark,
+          asDouble(col("embedding")), col("qemb")), 4).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("doc_id")).limit(Sim22Pool)
+      .withColumn("dense_rank", row_number().over(wDen))
+    lex.join(den, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        col("bm25"), col("cos_sim"),
+        round(
+          coalesce(lit(1.0) / (lit(Sim22RrfK) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(Sim22RrfK) + col("dense_rank")),
+              lit(0.0)), 6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Pool, k, and trade-off weight shared with SimilaritySpec. */
   private[ext] val Sim14Pool = 50
   private[ext] val Sim14K = 10
@@ -1538,6 +1598,7 @@ object Similarity {
     "sim17_ivfpq_recall" -> sim17IvfPqRecall,
     "sim15_binary_ann" -> sim15BinaryAnn,
     "sim21_int8_ann" -> sim21Int8Ann,
+    "sim22_hybrid_rrf" -> sim22HybridRrf,
     "sim14_mmr_topk" -> sim14MmrTopK,
     "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,
@@ -1558,6 +1619,75 @@ object Similarity {
   )
 
   val oracle: Map[String, String] = Map(
+    // sim22 replays both retriever legs — t19's BM25 formula verbatim
+    // (stats over the query-item-excluded corpus, like the Spark side)
+    // and the sim19-device explicit cosine folds — then the rank
+    // assignment and the RRF sum with the same interpolated constants
+    "sim22_hybrid_rrf" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(w) AS INT) AS dl,
+        |    CAST(len(list_filter(w, x -> x = 'spark')) AS INT) AS tf_spark,
+        |    CAST(len(list_filter(w, x -> x = 'vector')) AS INT) AS tf_vector,
+        |    CAST(len(list_filter(w, x -> x = 'stream')) AS INT) AS tf_stream
+        |  FROM (SELECT doc_id,
+        |          string_split(lower(coalesce(text, '')), ' ') AS w
+        |        FROM documents WHERE doc_id <> 0)),
+        |s AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |    sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |    sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+        |  FROM t),
+        |lexall AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln((n_docs - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+        |        * (tf_spark * 2.2)
+        |        / (tf_spark + 1.2 * (0.25
+        |             + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |      + ln((n_docs - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+        |        * (tf_vector * 2.2)
+        |        / (tf_vector + 1.2 * (0.25
+        |             + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |      + ln((n_docs - df_stream + 0.5) / (df_stream + 0.5) + 1.0)
+        |        * (tf_stream * 2.2)
+        |        / (tf_stream + 1.2 * (0.25
+        |             + 0.75 * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 4)
+        |      AS bm25
+        |  FROM t CROSS JOIN s
+        |  WHERE tf_spark + tf_vector + tf_stream > 0),
+        |lex AS (
+        |  SELECT doc_id, bm25,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        |      AS lex_rank
+        |  FROM lexall ORDER BY bm25 DESC, doc_id LIMIT $Sim22Pool),
+        |q AS (
+        |  SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings
+        |  WHERE vec_id = 0 AND embedding IS NOT NULL),
+        |denall AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(
+        |      list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qe[i]))
+        |      / (sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> e.v[i] * e.v[i])))
+        |       * sqrt(list_sum(list_transform(range(1, 65),
+        |            i -> q.qe[i] * q.qe[i])))), 4) AS cos_sim
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |        FROM embeddings
+        |        WHERE vec_id <> 0 AND embedding IS NOT NULL) e
+        |  CROSS JOIN q),
+        |den AS (
+        |  SELECT doc_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+        |      AS dense_rank
+        |  FROM denall WHERE NOT isnan(cos_sim)
+        |  ORDER BY cos_sim DESC, doc_id LIMIT $Sim22Pool)
+        |SELECT doc_id, lex_rank, dense_rank, bm25, cos_sim,
+        |  round(coalesce(1.0 / ($Sim22RrfK + lex_rank), 0)
+        |      + coalesce(1.0 / ($Sim22RrfK + dense_rank), 0), 6) AS rrf
+        |FROM lex FULL JOIN den USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
     // sim19's oracle reconstructs the ±1 matrix from the SAME IdHash
     // arithmetic (no matrix crosses engines — it exists only as the
     // interpolated expression below) and replays projection, cosines,

@@ -659,8 +659,15 @@ object WindowFns {
   def w16DayOverDay(spark: SparkSession, dir: String): DataFrame =
     dayOverDay(Tables.events(spark, dir))
 
-  private[graft] def dayOverDay(events: DataFrame): DataFrame = {
-    val h = hourlyCents(events).localCheckpoint(true)
+  private[graft] def dayOverDay(events: DataFrame): DataFrame =
+    dayOverDayFromHourly(hourlyCents(events))
+
+  /** The same-clock-hour comparison over a caller-supplied hourly-cents
+    * frame — shared verbatim by the batch query and
+    * [[graft.streaming.DayOverDayStreamFold]]'s serve pass (hourly
+    * cents are the SAME additive state w15's fold already proves). */
+  private[graft] def dayOverDayFromHourly(h0: DataFrame): DataFrame = {
+    val h = h0.localCheckpoint(true)
     val prev = h.select(col("event_type"),
       (col("hour_idx") + 24).as("hour_idx"),
       col("cents").as("prev_cents"))

@@ -73,6 +73,28 @@ object Sources {
       .saveAsTable(table)
   }
 
+  /** Persist `df` as a HIVE-STYLE PARTITIONED table (one directory per
+    * `key` value) — the layout dynamic partition pruning reads: a join
+    * against a filtered dim can then prune entire partition directories
+    * at RUNTIME, before any fact bytes are read. Same leftover-location
+    * hygiene as [[writeBucketed]]. */
+  def writePartitionedTable(df: DataFrame, key: String, table: String): Unit = {
+    val spark = df.sparkSession
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:")
+      val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+    }
+    df.write.mode("overwrite")
+      .partitionBy(key)
+      .saveAsTable(table)
+  }
+
   /** S2 — flatten the nested API payload shape
     * {location:{name,region,country,localtime},
     *  current:{temp_c,humidity,condition:{text},air_quality:{...}}}

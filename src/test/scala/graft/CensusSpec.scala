@@ -46,7 +46,8 @@ class CensusSpec extends AnyFunSuite {
     "g3_degree_stats",          // moments broadcast singleton (g2 shape)
     "a27_ab_test",              // arm-row broadcast singletons (j9 shape)
     "a28_rfm_segments",         // anchor-day broadcast singleton (w11 grid)
-    "a29_survival_curve")       // anchor-day + total-count singletons
+    "a29_survival_curve",       // anchor-day + total-count singletons
+    "sim22_hybrid_rrf")         // broadcast query vector + stats singletons
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query
@@ -108,7 +109,12 @@ class CensusSpec extends AnyFunSuite {
     "w13_twap" -> 3,               // lag window + hour explode agg + order
     "w14_rolling_corr" -> 5,       // hourly agg + pair join + windows + report
     "w15_ewma_baseline" -> 5,      // hourly agg + contrib agg + attach
-    "w16_day_over_day" -> 2        // shared hourly kernel + self-join
+    "w16_day_over_day" -> 2,       // shared hourly kernel + self-join
+    // r12-cohort pins, same discipline (measured plan + 1)
+    "a31_path_mining" -> 3,        // user window + path/traveller aggs
+    "j14_dpp_join" -> 3,           // pruned scan + census agg + order
+    "sim22_hybrid_rrf" -> 2,       // two pooled legs + tiny fusion join
+    "d47_bench_contamination" -> 5 // bench gram aggs + distinct + report
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

@@ -23,6 +23,31 @@ class CurateSpec extends AnyFunSuite {
   private def splitBench(all: org.apache.spark.sql.DataFrame, mod: Int = 97) =
     (all.filter(col("doc_id") % mod =!= 0), all.filter(col("doc_id") % mod === 0))
 
+  test("bench contamination: per-item containment, clean items stay, short items out of scope (D47)") {
+    // bench item 10: grams {a b c d, b c d e} — the train corpus
+    // carries "a b c d" (inside doc 1) but not "b c d e" → containment
+    // 1/2. bench item 20: nothing shared → containment 0 but the row
+    // MUST still report (left-join contract). bench item 30: three
+    // words < n=4 → no grams → out of scope. A train doc repeating the
+    // hit gram twice must not double n_hit (distinct contract).
+    val bench = Seq(
+      (10L, "a b c d e", "ev"),
+      (20L, "totally clean eval item words", "ev"),
+      (30L, "too short item", "ev")
+    ).toDF("doc_id", "text", "source")
+    val train = Seq(
+      (1L, "prefix a b c d suffix", "tr"),
+      (2L, "prefix a b c d suffix again a b c d", "tr"),
+      (3L, "unrelated training content entirely", "tr")
+    ).toDF("doc_id", "text", "source")
+    val out = Curate.benchContaminationDf(train, bench).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    assert(out == Seq(
+      (10L, "ev", 2L, 1L, 0.5),
+      (20L, "ev", 2L, 0L, 0.0)), out.mkString(", "))
+  }
+
   test("curation funnel composes quality → decontamination → dedup, in order") {
     // bench doc 0 (0 % 97 == 0) donates the 4-gram; docs 1/2 are exact
     // duplicates that pass everything (dedup keeps one); docs 3/4 fail

@@ -470,6 +470,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 2, s"bucketed join shuffles its inputs:\n$p")
   }
 
+  test("DPP join: the fact scan carries a dynamic-pruning partition filter (j14)") {
+    val p = plan("j14_dpp_join")
+    // the month predicate lives on the DIM — static pruning cannot see
+    // it, so the fact scan must plan a runtime dynamicpruning subquery
+    // on its partition column, or the whole layout is idle and every
+    // month directory is read
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"j14 fact scan is not dynamically pruned:\n$p")
+    assert(p.contains("PartitionFilters"),
+      s"j14 scan shows no partition filters at all:\n$p")
+  }
+
   test("trend regression: broadcast offset join, no corpus shuffle join (a21)") {
     val p = plan("a21_trend_regression")
     assert(p.contains("BroadcastHashJoin"), s"a21 offset join not broadcast:\n$p")

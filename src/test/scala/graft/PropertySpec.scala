@@ -544,6 +544,32 @@ class PropertySpec extends AnyFunSuite {
       "view" -> ((2L, 600L, 0.4))), out.mkString(", "))
   }
 
+  test("path mining: 3-step journeys, cross-user fences, traveller dedup (A31)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // u1: A B C D → paths ABC, BCD; u2: A B C → ABC (so ABC has 2
+    // traversals by 2 users); u3: A B C A B C → ABC twice by ONE user
+    // (n_paths 2 more, n_users only 1 more — the bot-vs-crowd split)
+    // plus BCA, CAB; u4: X Y → two events form no path; u2's tail and
+    // u3's head must not chain across the user fence.
+    val rows = Seq(
+      (1L, 1L, "A"), (2L, 1L, "B"), (3L, 1L, "C"), (4L, 1L, "D"),
+      (5L, 2L, "A"), (6L, 2L, "B"), (7L, 2L, "C"),
+      (8L, 3L, "A"), (9L, 3L, "B"), (10L, 3L, "C"),
+      (11L, 3L, "A"), (12L, 3L, "B"), (13L, 3L, "C"),
+      (14L, 4L, "X"), (15L, 4L, "Y"))
+      .map { case (id, u, ty) => (id, t0, u, ty) }
+    val out = graft.etl.Analyze.pathMining(
+        rows.toDF("event_id", "ts", "user_id", "event_type")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toSeq
+    assert(out == Seq(
+      ("A", "B", "C") -> ((4L, 3L)),
+      ("B", "C", "A") -> ((1L, 1L)),
+      ("B", "C", "D") -> ((1L, 1L)),
+      ("C", "A", "B") -> ((1L, 1L))), out.mkString(", "))
+  }
+
   test("event transitions: per-user adjacency, no cross-user pairs (A25)") {
     import spark.implicits._
     def ts(s: String) = java.sql.Timestamp.valueOf(s)

@@ -664,6 +664,35 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid RRF: both-leg docs outrank single-leg, missing legs are NULL ranks (SIM22)") {
+    // lex pool: doc1 (spark x3) rank 1, doc2 (vector) rank 2, doc3 has
+    // no query term -> lex-absent. dense pool vs query [1,0,0,0]:
+    // doc2 [1,.2,0,0] rank 1, doc3 [.5,.5,0,0] rank 2, doc1 [0,1,0,0]
+    // rank 3 (cos 0 stays in the pool -- only NaN drops). RRF:
+    //   doc2 = 1/62 + 1/61  (both legs, neither rank 1st overall)
+    //   doc1 = 1/61 + 1/63
+    //   doc3 = 0    + 1/62  (lex leg missing contributes exactly 0)
+    // doc2 must WIN despite topping neither leg -- rank fusion's point.
+    val docs = Seq(
+      (1L, "spark spark spark text"), (2L, "vector stuff here"),
+      (3L, "plain words only")).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(1f, 0.2f, 0f, 0f)), (3L, Array(0.5f, 0.5f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hybridRrf(spark, docs, emb, queryVecId = 0L)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getInt(2)),
+        r.getDouble(5))).toSeq
+    def rrf(ranks: Seq[Int]) = BigDecimal(ranks.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out == Seq(
+      (2L, Some(2), Some(1), rrf(Seq(2, 1))),
+      (1L, Some(1), Some(3), rrf(Seq(1, 3))),
+      (3L, None, Some(2), rrf(Seq(2)))), out.mkString(", "))
+  }
+
   test("IVFPQ missing query id returns empty, wrong dim fails fast") {
     val dir = "/root/testdata/sf0.001"
     val idx = Similarity.ivfPqIndexFor(spark, dir)

@@ -1138,6 +1138,132 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve(spark)) == live)
   }
 
+  test("w16' day-over-day fold: split hours merge additively; NULL " +
+    "no-prior rows; replays don't double; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.DayOverDayStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("dodfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "event_type", "value"), ckpt)
+    // day-1 10:00 splits 0.6|0.9 across batches (100+50=150 cents must
+    // reassemble BEFORE day-2's +100% compare means anything); day-2
+    // 10:00 = 300 cents → +100%; day-2 12:00 has no same-hour-yesterday
+    // → NULL change
+    val b1 = Seq((0L, t("2024-01-01 10:10:00"), "m", 0.6),
+      (2L, t("2024-01-02 10:20:00"), "m", 3.0))
+    val b2 = Seq((1L, t("2024-01-01 10:40:00"), "m", 0.9),
+      (3L, t("2024-01-02 12:30:00"), "m", 2.0))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    val live = rows(fold.serve(spark))
+    assert(live.map(r => (r._1, r._3, r._4, r._5)) == Seq(
+      ("m", 150L, None, None),
+      ("m", 300L, Some(150L), Some(100.0)),
+      ("m", 200L, None, None)), live.mkString(", "))
+    val landed = (b1 ++ b2).toDF("event_id", "ts", "event_type", "value")
+    assert(live == rows(graft.ext.WindowFns.dayOverDay(landed)))
+    fold.onBatch(b2.toDF("event_id", "ts", "event_type", "value"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    val f2 = new graft.streaming.DayOverDayStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
+  test("a30' attribution fold: a purchase credits a touch from an " +
+    "EARLIER micro-batch; replays don't double; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.AttributionStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("attrfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt)
+    def at(m: Int) = t(f"2024-01-01 00:$m%02d:00")
+    // u1: view(b1) … purchase(b2) — the credit crosses the boundary;
+    // u1's click AFTER the purchase (b2) then purchase (b2) — credits
+    // click, proving the carry advances; u2: purchase with no touch
+    // ever → (none); u3: touch in b1, NOTHING in b2 — carry must
+    // survive an absent-user batch and credit u3's b3... kept 2-batch:
+    // u3's purchase lands in b2 long after.
+    val b1 = Seq((1L, at(1), 1L, "view", 0.0),
+      (2L, at(2), 3L, "click", 0.0))
+    val b2 = Seq((3L, at(10), 1L, "purchase", 5.0),
+      (4L, at(11), 1L, "click", 0.0),
+      (5L, at(12), 1L, "purchase", 2.0),
+      (6L, at(13), 2L, "purchase", 3.0),
+      (7L, at(14), 3L, "purchase", 1.0))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val live = rows(fold.serve(spark))
+    // view: u1's first purchase (500¢); click: u1's second (200¢, the
+    // b2 click outranks the carried view) + u3's (100¢); (none): u2
+    assert(live == Seq(
+      ("(none)", 1L, 300L, 0.25),
+      ("click", 2L, 300L, 0.5),
+      ("view", 1L, 500L, 0.25)), live.mkString(", "))
+    val landed = (b1 ++ b2)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(live == rows(graft.etl.Analyze.lastTouchAttribution(landed)))
+    fold.onBatch(
+      b2.toDF("event_id", "ts", "user_id", "event_type", "value"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    val f2 = new graft.streaming.AttributionStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
+  test("a31' path fold: triples crossing the batch boundary form from " +
+    "the 2-event carry; replays don't double; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.PathStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("pathfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type"), ckpt)
+    val t0 = t("2024-01-01 00:00:00")
+    // u1: A B | C D → ABC and BCD BOTH cross the boundary (2-carried+1
+    // and 1-carried+2); u2: A B C | A B C → the second ABC straddles as
+    // C|AB plus interior, n_users must still count u2 once per path;
+    // u3: X | Y → two events, never a triple
+    val b1 = Seq((1L, t0, 1L, "A"), (2L, t0, 1L, "B"),
+      (10L, t0, 2L, "A"), (11L, t0, 2L, "B"), (12L, t0, 2L, "C"),
+      (20L, t0, 3L, "X"))
+    val b2 = Seq((3L, t0, 1L, "C"), (4L, t0, 1L, "D"),
+      (13L, t0, 2L, "A"), (14L, t0, 2L, "B"), (15L, t0, 2L, "C"),
+      (21L, t0, 3L, "Y"))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val live = rows(fold.serve(spark))
+    // hand expectation: ABC ×3 by 2 users (u1's boundary triple + u2's
+    // interior + u2's straddling second pass); BCA, BCD, CAB ×1 each
+    assert(live == Seq(
+      ("A", "B", "C", 3L, 2L), ("B", "C", "A", 1L, 1L),
+      ("B", "C", "D", 1L, 1L), ("C", "A", "B", 1L, 1L)),
+      live.mkString(", "))
+    val landed = (b1 ++ b2).toDF("event_id", "ts", "user_id", "event_type")
+    assert(live == rows(graft.etl.Analyze.pathMining(landed)),
+      live.mkString(", "))
+    fold.onBatch(b2.toDF("event_id", "ts", "user_id", "event_type"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    val f2 = new graft.streaming.PathStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
   test("w14' rolling-corr fold: an hour's events split across " +
     "micro-batches and merge additively; replays don't double; " +
     "serve ≡ batch kernel") {
