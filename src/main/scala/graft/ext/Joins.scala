@@ -143,6 +143,53 @@ object Joins {
       .select(col("user_id"), col("ts").as("p_ts"), col("last_click"))
   }
 
+  /** J15 — FORWARD as-of join: for each purchase, the EARLIEST click by
+    * the same user STRICTLY after it — pandas merge_asof
+    * direction='forward' / kdb's reverse aj, the mirror j6 doesn't
+    * give: j6 answers "what led to this purchase", j15 answers "what
+    * happened next" (post-purchase engagement, next-quote-after-trade,
+    * time-to-next-interaction). Tie rule mirrors j6 exactly: a click at
+    * the purchase's own timestamp belongs to the BACKWARD match (j6's
+    * inclusive at-or-before), so forward is strictly-after — the two
+    * queries partition tie clicks with no overlap and no gap.
+    *
+    * Same scale discipline as j6 — NOT a join: the equi-join-with-
+    * range-predicate plan is quadratic on a hot user inside one
+    * unsplittable key. One tagged union, one per-user window sorted by
+    * (ts, kind) — clicks order before purchases at ties, so a
+    * current-row-to-unbounded-FOLLOWING `first(click_ts, ignoreNulls)`
+    * frame sees exactly the strictly-after clicks. One hash shuffle,
+    * zero intermediate product. All-integer per-user summary. */
+  def j15ForwardAsof(spark: SparkSession, dir: String): DataFrame =
+    forwardAsOfEnrich(Tables.events(spark, dir))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        count(col("next_click")).as("n_matched"),
+        max(unix_timestamp(col("next_click")) - unix_timestamp(col("p_ts")))
+          .as("max_wait_s"))
+      .orderBy(col("user_id"))
+
+  /** The forward enrichment kernel behind [[j15ForwardAsof]]: one row
+    * per purchase with the earliest strictly-after click (`next_click`
+    * null when none follows). */
+  private[graft] def forwardAsOfEnrich(events: DataFrame): DataFrame = {
+    val tagged = events
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", lit(0)).otherwise(lit(1))
+          .as("kind"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+    val fwd = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("kind"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tagged
+      .withColumn("next_click", first(col("click_ts"), ignoreNulls = true)
+        .over(fwd))
+      .filter(col("kind") === 1)
+      .select(col("user_id"), col("ts").as("p_ts"), col("next_click"))
+  }
+
   /** Numeric band self-join kernel: all (id_a < id_b) pairs whose values
     * lie within `delta` — the fact↔fact companion to J5's broadcast
     * tier join, where BOTH sides are corpus-scale and a nested-loop
@@ -509,10 +556,14 @@ object Joins {
       // build side the PartitionPruning rule sees nothing selective to
       // prune WITH — verified live: the fact scan planned
       // isnotnull-only until the dim became a table.
+      // `div`, not `/`: Spark's `/` is true division even on ints (a
+      // Scala-intuition trap — (2-1)/3+1 = 1.33, and quarter === 1 then
+      // matches ONLY January: caught by the full-sweep oracle as 7 rows
+      // where Q1-of-7-years needs 21)
       val dim = spark.table(t).select(col("o_month")).distinct()
-        .withColumn("quarter", (col("o_month") % 100 - 1) / lit(3) + 1)
-      if (!spark.catalog.tableExists(d))
-        dim.write.mode("overwrite").saveAsTable(d)
+        .withColumn("quarter",
+          (floor((col("o_month") % 100 - 1) / 3) + 1).cast("int"))
+      graft.sources.Sources.writeTable(dim, d)
       (t, d)
     })
 
@@ -562,6 +613,7 @@ object Joins {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "j14_dpp_join" -> j14DppJoin,
+    "j15_forward_asof" -> j15ForwardAsof,
     "j13_fuzzy_lookup" -> j13FuzzyLookup,
     "j11_bucketed_join" -> j11BucketedJoin,
     "j10_salted_join" -> j10SaltedJoin,
@@ -579,6 +631,22 @@ object Joins {
   )
 
   val oracle: Map[String, String] = Map(
+    // j15 mirrors the j6 oracle with the strictly-after rule (tie
+    // clicks belong to j6's inclusive backward match) and min/earliest
+    "j15_forward_asof" ->
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+        |           FROM events WHERE event_type = 'purchase'),
+        |     c AS (SELECT user_id AS c_user, ts AS c_ts
+        |           FROM events WHERE event_type = 'click'),
+        |     m AS (SELECT p.user_id, p.p_id, p.p_ts, min(c.c_ts) AS next_click
+        |           FROM p LEFT JOIN c
+        |             ON p.user_id = c.c_user AND c.c_ts > p.p_ts
+        |           GROUP BY 1, 2, 3)
+        |SELECT user_id, count(*) AS n_purchases,
+        |  count(next_click) AS n_matched,
+        |  max(CAST(floor(epoch(next_click)) AS BIGINT)
+        |      - CAST(floor(epoch(p_ts)) AS BIGINT)) AS max_wait_s
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin,
     // j14's oracle is the PLAIN-SCAN replay over the original parquet —
     // the pruned partitioned layout must be value-equivalent to reading
     // everything and filtering (the j11 layout-equivalence device); the

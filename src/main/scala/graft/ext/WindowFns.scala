@@ -681,6 +681,46 @@ object WindowFns {
       .orderBy(col("event_type"), col("hour_idx"))
   }
 
+  /** W17 — conversion-latency distribution: over users who completed
+    * w8's ordered funnel (view → click ≥ view → purchase ≥ click), the
+    * one-row latency card — converter count, exact interpolated
+    * p50/p90 and max of total view→purchase seconds, and mean
+    * per-stage latencies. The funnel COUNTS (w8) say how many convert;
+    * this says how LONG conversion takes and where the time goes —
+    * the number an onboarding or checkout team actually optimizes.
+    *
+    * Scale + determinism shape: rides [[funnelStages]]'s single
+    * user_id shuffle verbatim (the per-user stage frame is the shared
+    * kernel — the two queries cannot disagree on what "converted"
+    * means); latencies are SECOND-truncated integer epochs (the w7
+    * device: both engines floor identically), the percentile is a14's
+    * exact interpolated convention (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`; approx would not hash-match), stage means
+    * average over CONVERTERS only (the p-join contract, stated). The
+    * exact percentile buffers converter latencies on one reducer —
+    * converters are user-bounded, orders of magnitude under events
+    * (the a14 boundedness argument). */
+  def w17ConversionLatency(spark: SparkSession, dir: String): DataFrame =
+    conversionLatency(Tables.events(spark, dir))
+
+  private[graft] def conversionLatency(events: DataFrame): DataFrame =
+    funnelStages(events)
+      .filter(col("p").isNotNull)
+      .select(
+        (expr("unix_timestamp(c)") - expr("unix_timestamp(v)"))
+          .as("view_to_click_s"),
+        (expr("unix_timestamp(p)") - expr("unix_timestamp(c)"))
+          .as("click_to_purchase_s"),
+        (expr("unix_timestamp(p)") - expr("unix_timestamp(v)"))
+          .as("total_s"))
+      .agg(count(lit(1)).as("n_converters"),
+        round(expr("percentile(total_s, 0.5)"), 2).as("p50_total_s"),
+        round(expr("percentile(total_s, 0.9)"), 2).as("p90_total_s"),
+        max(col("total_s")).as("max_total_s"),
+        round(avg(col("view_to_click_s")), 2).as("avg_view_to_click_s"),
+        round(avg(col("click_to_purchase_s")), 2)
+          .as("avg_click_to_purchase_s"))
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -766,6 +806,7 @@ object WindowFns {
     "w11_forward_fill" -> w11ForwardFill,
     "w12_concurrency" -> w12Concurrency,
     "w8_funnel" -> w8Funnel,
+    "w17_conversion_latency" -> w17ConversionLatency,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
     "w1_topn_per_group" -> w1TopNPerGroup,
@@ -776,6 +817,37 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    // w17 rides w8's funnel CTEs verbatim (shared stage semantics) and
+    // adds the latency card: second-floored epochs, quantile_cont = the
+    // a14 exact-interpolation convention, stage means over converters
+    "w17_conversion_latency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, ts FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |v AS (SELECT user_id, min(ts) AS vts FROM e
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS cts FROM e
+        |      JOIN v ON e.user_id = v.user_id AND e.ts >= v.vts
+        |      WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pts FROM e
+        |      JOIN c ON e.user_id = c.user_id AND e.ts >= c.cts
+        |      WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        |lat AS (
+        |  SELECT
+        |    CAST(floor(epoch(cts)) AS BIGINT)
+        |      - CAST(floor(epoch(vts)) AS BIGINT) AS view_to_click_s,
+        |    CAST(floor(epoch(pts)) AS BIGINT)
+        |      - CAST(floor(epoch(cts)) AS BIGINT) AS click_to_purchase_s,
+        |    CAST(floor(epoch(pts)) AS BIGINT)
+        |      - CAST(floor(epoch(vts)) AS BIGINT) AS total_s
+        |  FROM p JOIN c USING (user_id) JOIN v USING (user_id))
+        |SELECT count(*) AS n_converters,
+        |  round(quantile_cont(total_s, 0.5), 2) AS p50_total_s,
+        |  round(quantile_cont(total_s, 0.9), 2) AS p90_total_s,
+        |  max(total_s) AS max_total_s,
+        |  round(avg(view_to_click_s), 2) AS avg_view_to_click_s,
+        |  round(avg(click_to_purchase_s), 2) AS avg_click_to_purchase_s
+        |FROM lat""".stripMargin,
     // w16 replays the hour_idx−24 equi-join on the same hourly exact
     // cents — the NULL contract (no prior / zero prior) is explicit in
     // both engines

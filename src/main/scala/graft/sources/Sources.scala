@@ -51,13 +51,24 @@ object Sources {
     * joined repeatedly at 100 TB. */
   def writeBucketed(df: DataFrame, nBuckets: Int, key: String,
                     table: String): Unit = {
-    val spark = df.sparkSession
     // The warehouse dir is /tmp/graft_warehouse_<pid> (Sessions.scala):
     // PIDs recycle in a long-lived host, so a FRESH catalog can meet a
     // LEFTOVER location from a dead JVM — `overwrite` only drops
     // REGISTERED tables, and CREATE TABLE then fails with
     // LOCATION_ALREADY_EXISTS. An unregistered location is garbage by
     // construction (this session never wrote it): remove it.
+    clearLeftoverLocation(df.sparkSession, table)
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** The writeBucketed leftover-location hygiene, shared by every
+    * saveAsTable path: a fresh catalog (PID-recycled warehouse dir) can
+    * meet a dead JVM's unregistered location, which `overwrite` cannot
+    * clear — remove it before writing. */
+  private[graft] def clearLeftoverLocation(spark: org.apache.spark.sql.SparkSession,
+                                           table: String): Unit =
     if (!spark.catalog.tableExists(table)) {
       val wh = spark.conf.get("spark.sql.warehouse.dir")
         .stripPrefix("file:")
@@ -68,9 +79,11 @@ object Sources {
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
       }
     }
-    df.write.mode("overwrite")
-      .bucketBy(nBuckets, key).sortBy(key)
-      .saveAsTable(table)
+
+  /** Persist `df` as a plain managed table with the leftover hygiene. */
+  def writeTable(df: DataFrame, table: String): Unit = {
+    clearLeftoverLocation(df.sparkSession, table)
+    df.write.mode("overwrite").saveAsTable(table)
   }
 
   /** Persist `df` as a HIVE-STYLE PARTITIONED table (one directory per
@@ -79,17 +92,7 @@ object Sources {
     * at RUNTIME, before any fact bytes are read. Same leftover-location
     * hygiene as [[writeBucketed]]. */
   def writePartitionedTable(df: DataFrame, key: String, table: String): Unit = {
-    val spark = df.sparkSession
-    if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-        .stripPrefix("file:")
-      val loc = java.nio.file.Paths.get(wh, table.toLowerCase)
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      }
-    }
+    clearLeftoverLocation(df.sparkSession, table)
     df.write.mode("overwrite")
       .partitionBy(key)
       .saveAsTable(table)

@@ -114,7 +114,9 @@ class CensusSpec extends AnyFunSuite {
     "a31_path_mining" -> 3,        // user window + path/traveller aggs
     "j14_dpp_join" -> 3,           // pruned scan + census agg + order
     "sim22_hybrid_rrf" -> 2,       // two pooled legs + tiny fusion join
-    "d47_bench_contamination" -> 5 // bench gram aggs + distinct + report
+    "d47_bench_contamination" -> 5,// bench gram aggs + distinct + report
+    "j15_forward_asof" -> 3,       // one user window + summary + order
+    "w17_conversion_latency" -> 3  // funnel window + one-row latency card
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

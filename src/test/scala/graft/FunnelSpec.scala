@@ -45,6 +45,31 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == ((4L, 2L, 2L, 50.0)))
   }
 
+  test("conversion latency: converters only, exact percentiles, stage split (W17)") {
+    // u1 converts in 60+60 s; u2 converts in 600+1200 s; u3 views but
+    // never converts — must NOT dilute the latency stats; u4's click
+    // precedes its view (broken funnel) — also out.
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), "view"),
+      (1L, t("2024-01-01 10:01:00"), "click"),
+      (1L, t("2024-01-01 10:02:00"), "purchase"),
+      (2L, t("2024-01-01 11:00:00"), "view"),
+      (2L, t("2024-01-01 11:10:00"), "click"),
+      (2L, t("2024-01-01 11:30:00"), "purchase"),
+      (3L, t("2024-01-01 12:00:00"), "view"),
+      (4L, t("2024-01-01 13:01:00"), "click"),
+      (4L, t("2024-01-01 13:02:00"), "view"),
+      (4L, t("2024-01-01 13:03:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val got = WindowFns.conversionLatency(rows)
+      .as[(Long, Double, Double, Long, Double, Double)].collect().head
+    // totals: u1 120 s, u2 1800 s → p50 = interpolated midpoint 960,
+    // p90 = 120 + 0.9·1680 = 1632, max 1800; stage means over the TWO
+    // converters: view→click (60+600)/2 = 330, click→purchase
+    // (60+1200)/2 = 630
+    assert(got == ((2L, 960.0, 1632.0, 1800L, 330.0, 630.0)), got.toString)
+  }
+
   test("a view-free slice reports NULL conversion, not a division artifact") {
     val rows = Seq((1L, t("2024-01-01 10:00:00"), "click"),
       (1L, t("2024-01-01 10:01:00"), "purchase"))

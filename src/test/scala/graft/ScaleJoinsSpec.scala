@@ -207,6 +207,34 @@ class ScaleJoinsSpec extends AnyFunSuite {
       s"candidates per probe grew with the catalog: $small -> $big")
   }
 
+  test("forward as-of: strictly-after clicks only; tie clicks stay with j6 (J15)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1: click at the purchase's own ts is the BACKWARD match (j6's
+      // inclusive tie) — forward must skip it and take the 10:05 click
+      (1L, ts("2024-01-01 10:00:00"), 1L, "click"),
+      (2L, ts("2024-01-01 10:00:00"), 1L, "purchase"),
+      (3L, ts("2024-01-01 10:05:00"), 1L, "click"),
+      // u2: purchase with no later click → unmatched forward
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click"),
+      (5L, ts("2024-01-01 09:30:00"), 2L, "purchase"),
+      // noise kinds are filtered before the window
+      (6L, ts("2024-01-01 09:10:00"), 2L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = graft.ext.Joins.forwardAsOfEnrich(ev).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1),
+        Option(r.getTimestamp(2)))).toSet
+    assert(out == Set(
+      (1L, ts("2024-01-01 10:00:00"), Some(ts("2024-01-01 10:05:00"))),
+      (2L, ts("2024-01-01 09:30:00"), None)), out.mkString(", "))
+    // the same rows through j6's backward kernel: the tie click IS u1's
+    // match — the two directions partition tie clicks with no overlap
+    val back = graft.ext.Joins.asOfEnrich(ev).collect()
+      .map(r => (r.getLong(0), Option(r.getTimestamp(2)))).toMap
+    assert(back(1L) == Some(ts("2024-01-01 10:00:00")))
+  }
+
   test("component census: islands and singletons count separately (G5)") {
     val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("node")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
