@@ -412,8 +412,12 @@ object WindowFns {
     * wholly inside one segment are covered by the explode (the w11
     * lattice lesson: a loaded-but-eventless hour must still report).
     *
-    * Scale + float discipline: one lag-window shuffle on event_type
-    * (the a2/a4 partition), then the hour explode is bounded by each
+    * Scale + float discipline: the lead window partitions by (type,
+    * DAY BLOCK) — types × days parallelism; the r11 per-type-only
+    * window serialized the corpus sort over |types| partitions, the
+    * wall the r12 100× probe named — with block-crossing holds
+    * recovered from the bounded per-(type, block) ends frame (see
+    * [[hourlyTwapPartials]]); the hour explode is bounded by each
     * segment's own span (never a corpus × hours product), and the
     * aggregate is map-side combined. All weights are EXACT micros
     * longs; values quantize to an exact ×10⁴ integer basis (the sim19
@@ -439,15 +443,48 @@ object WindowFns {
     * w15/a29 shared-state discipline). A series' final observation has
     * no successor → no closed segment → contributes nothing, in batch
     * and in the fold alike (where it is the pending carry). */
+  /** Day-sized segmenting blocks for the two-level w13 plan. */
+  private val TwapBlockUs: Long = 24L * HourUs
+
   private[graft] def hourlyTwapPartials(events: DataFrame): DataFrame = {
-    val seq = Window.partitionBy(col("event_type"))
+    // TWO-LEVEL hold segmenting (the r12 parallelism fix): a single
+    // per-type window makes the corpus sort serialize over |types|
+    // partitions — a parallelism wall a 1000-executor cluster feels
+    // long before a 32-thread box does (the r12 100× probe read alpha
+    // 0.53 with the sort as the named cost). Instead the lead window
+    // partitions by (type, DAY BLOCK) — types × days parallelism — and
+    // the segments that CROSS a block boundary are recovered from the
+    // per-(type, block) ends frame: each block's last observation holds
+    // until the next PRESENT block's first event (one lag over that
+    // types×blocks-bounded frame, the w12 carry-in device — never the
+    // corpus). Interior + boundary segments union into the identical
+    // pro-rata explode, so the result is byte-identical to the
+    // single-window form — the oracle did not move.
+    val seq = Window.partitionBy(col("event_type"), col("blk"))
       .orderBy(col("us"), col("event_id"))
-    events
+    val ev = events
       .select(col("event_type"), col("event_id"),
         expr("unix_micros(ts)").as("us"),
         round(round(col("value"), 4) * 10000, 0).cast("long").as("v4"))
+      // interior window + ends frame each scan the narrow projection;
+      // at 100 TB two pushed-projection scans beat materializing the
+      // corpus-sized frame a checkpoint would pin
+      .withColumn("blk", expr(s"us div ${TwapBlockUs}L"))
+    val interior = ev
       .withColumn("us_end", lead(col("us"), 1).over(seq))
-      .filter(col("us_end").isNotNull && col("us_end") > col("us"))
+      .filter(col("us_end").isNotNull)
+      .select(col("event_type"), col("us"), col("v4"), col("us_end"))
+    val wBlk = Window.partitionBy(col("event_type")).orderBy(col("blk"))
+    val boundary = ev
+      .groupBy(col("event_type"), col("blk"))
+      .agg(min(struct(col("us"), col("event_id"))).as("first"),
+        max(struct(col("us"), col("event_id"), col("v4"))).as("last"))
+      .withColumn("next_first_us", lead(col("first.us"), 1).over(wBlk))
+      .filter(col("next_first_us").isNotNull)
+      .select(col("event_type"), col("last.us").as("us"),
+        col("last.v4").as("v4"), col("next_first_us").as("us_end"))
+    interior.unionByName(boundary)
+      .filter(col("us_end") > col("us"))
       .withColumn("hour_idx", explode(sequence(
         expr(s"us div $HourUs"), expr(s"(us_end - 1) div $HourUs"))))
       .withColumn("w",

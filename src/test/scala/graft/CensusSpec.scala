@@ -106,7 +106,11 @@ class CensusSpec extends AnyFunSuite {
     "sim20_ann_scorecard" -> 2,    // driver arithmetic over served results
     "sim21_int8_ann" -> 1,         // code scan top-k + broadcast rerank
     "t22_bigram_logprob" -> 3,     // trained-table joins ride broadcasts
-    "w13_twap" -> 3,               // lag window + hour explode agg + order
+    "w13_twap" -> 6,               // two-level segmenting (r12): per-block
+                                   // window + ends agg + block lag + the
+                                   // union's explode agg + order — the
+                                   // price of types×days parallelism over
+                                   // a |types|-partition sort wall
     "w14_rolling_corr" -> 5,       // hourly agg + pair join + windows + report
     "w15_ewma_baseline" -> 5,      // hourly agg + contrib agg + attach
     "w16_day_over_day" -> 2,       // shared hourly kernel + self-join

@@ -208,6 +208,28 @@ class OhlcSpec extends AnyFunSuite {
     assert(out(("B", "C")) == ((2L, -1.0, -1.0, -1.0)))
   }
 
+  test("TWAP two-level segmenting: a hold spanning day blocks — including an " +
+    "EMPTY middle block — reassembles through the boundary path (W13)") {
+    // One segment from day-1 23:30 to day-3 00:30: it crosses TWO block
+    // boundaries and day 2 has no events at all, so the per-block lead
+    // window never sees it — only the ends-frame lag (which must skip
+    // the absent block, not stop at it) can close this hold. 26 hour
+    // rows, value 2.0 throughout, 30-min edges, 24 full interior hours.
+    val ev = Seq(
+      (0L, ts("2024-01-01 23:30:00"), "m", 2.0),
+      (1L, ts("2024-01-03 00:30:00"), "m", 4.0)
+    ).toDF("event_id", "ts", "event_type", "value")
+    val rows = WindowFns.twapBars(ev).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.length == 26, s"expected 26 hour rows, got ${rows.length}")
+    assert(rows.forall { case (_, n, tw, _) => n == 1L && tw == 2.0 },
+      rows.mkString(", "))
+    val hours = rows.map(_._1)
+    assert(hours.max - hours.min == 25, "hour span must be contiguous")
+    assert(rows.head._4 == 1800.0 && rows.last._4 == 1800.0)
+    assert(rows.drop(1).dropRight(1).forall(_._4 == 3600.0))
+  }
+
   test("EWMA baseline: strictly-prior weights, gap renormalization, burst ratio (W15)") {
     // Lags 1..24 — the baseline is strictly prior history. type m,
     // consecutive hours, cents 100/100/500: hour 0 has NO history →
