@@ -28,6 +28,44 @@ class ExtensionsSpec extends AnyFunSuite {
       .head().getInt(0) == 8)
   }
 
+  test("SqlCatalog: a SQL-only client runs the surface — tables, joins, " +
+    "native functions — with no Scala") {
+    val dir = "/root/testdata/sf0.001"
+    val sqlOnly = spark.newSession() // a clone: no Scala-side frames at all
+    SqlCatalog.open(sqlOnly, dir)
+    // the flagship aggregate shape, pure SQL, must equal the DataFrame API
+    val viaSql = sqlOnly.sql(
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaDf = {
+      import org.apache.spark.sql.functions._
+      Tables.lineitem(spark, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    }
+    assert(viaSql == viaDf && viaSql.nonEmpty)
+    // a star join across registered views
+    assert(sqlOnly.sql(
+      """SELECT count(*) FROM customer c
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey""".stripMargin)
+      .head().getLong(0) > 0)
+    // the injected native expressions compose with the views in SQL text
+    val cos = sqlOnly.sql(
+      """SELECT round(vec_cosine(
+        |    transform(a.embedding, x -> cast(x as double)),
+        |    transform(a.embedding, x -> cast(x as double))), 4) AS c
+        |FROM embeddings a WHERE a.vec_id = 0 AND a.embedding IS NOT NULL""".stripMargin)
+      .head().getDouble(0)
+    assert(cos == 1.0)
+    // events views carry the normalized timestamp type
+    assert(sqlOnly.sql("SELECT count(*) FROM events WHERE ts IS NOT NULL")
+      .head().getLong(0) > 0)
+  }
+
   test("type errors from injected functions fail analysis, not execution") {
     val fresh = spark.newSession()
     val err = intercept[Exception] {
