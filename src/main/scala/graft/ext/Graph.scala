@@ -447,7 +447,64 @@ object Graph {
       .orderBy(col("event_type"))
   }
 
+  /** G8 — label-propagation communities (Raghavan-Albert-Kumara 2007):
+    * near-linear community detection over the co-presence graph — the
+    * sub-component structure g5 cannot see (components answer "who is
+    * CONNECTED at all"; on a social-style graph that is usually one
+    * giant blob, and communities are the dense regions inside it).
+    * Synchronous LPA with two determinism devices: every node casts a
+    * SELF-vote alongside its neighbor votes (damps the oscillation
+    * synchronous LPA is known for on bipartite-ish structure, and keeps
+    * isolated nodes labeled without a second join), and the argmax
+    * tie-breaks to the SMALLEST label via one max_by((count, −label))
+    * aggregate — no rand(), identical labels every run. Fixed 10
+    * rounds (the g1 fixed-iteration discipline).
+    *
+    * 100 TB shape: each round is ONE edge⋈label equi-join + two
+    * map-side-combined aggregates, `localCheckpoint` per round
+    * truncating lineage (the g1/g4 device); labels are node-sized,
+    * votes edge-sized — nothing quadratic anywhere. Report is the
+    * community census (label, n_members), top-20 by size. Rows-only
+    * like g1/g4: an iterated fixpoint has no tractable SQL form — the
+    * planted two-cliques-one-bridge spec pins the semantics. */
+  def lpaCommunities(nodes: DataFrame, pairs: DataFrame,
+                     rounds: Int = 10): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"),
+        col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var labels = nodes
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val votes = edges
+        .join(labels, col("dst") === col("node"))
+        .select(col("src"), col("label"))
+        .unionByName(labels.select(col("node").as("src"), col("label")))
+        .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
+      labels = votes
+        .groupBy(col("src"))
+        .agg(max_by(col("label"),
+          struct(col("cnt"), (col("label") * -1).as("neg"))).as("label"))
+        .select(col("src").as("node"), col("label"))
+        .localCheckpoint(true)
+    }
+    labels.groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_members"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(20)
+  }
+
+  def g8LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edges) = graphFor(spark, dir)
+    lpaCommunities(nodes,
+      edges.select(col("user_a").as("id_a"), col("user_b").as("id_b")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g8_lpa_communities" -> g8LpaCommunities,
     "g7_hits" -> g7Hits,
     "g1_pagerank" -> g1PageRank,
     "g2_triangle_count" -> g2TriangleCount,

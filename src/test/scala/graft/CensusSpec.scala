@@ -120,7 +120,10 @@ class CensusSpec extends AnyFunSuite {
     "sim22_hybrid_rrf" -> 2,       // two pooled legs + tiny fusion join
     "d47_bench_contamination" -> 5,// bench gram aggs + distinct + report
     "j15_forward_asof" -> 3,       // one user window + summary + order
-    "w17_conversion_latency" -> 3  // funnel window + one-row latency card
+    "w17_conversion_latency" -> 3, // funnel window + one-row latency card
+    "g8_lpa_communities" -> 2      // census over the checkpointed labels
+                                   // (the 10 rounds ran at build, g1's
+                                   // serve discipline)
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

@@ -214,6 +214,25 @@ class GraphSpec extends AnyFunSuite {
     assert(math.abs(norm - 1.0) < 1e-3, s"authority norm drifted: $norm")
   }
 
+  test("LPA communities: two bridged cliques split where components see one blob (G8)") {
+    import spark.implicits._
+    // K4 {1,2,3,4} — bridge 4–11 — K4 {11,12,13,14}, plus isolated 99.
+    // g5's components would report ONE 8-node blob + the singleton; LPA
+    // must find the two dense cliques as separate communities (the
+    // bridge's single vote never outnumbers three clique votes), with
+    // labels anchored to each clique's min id by the tie rule, plus 99
+    // keeping its own label via the self-vote.
+    val nodes = Seq(1L, 2L, 3L, 4L, 11L, 12L, 13L, 14L, 99L).toDF("node")
+    def k4(ids: Seq[Long]) = for {
+      a <- ids; b <- ids if a < b
+    } yield (a, b)
+    val pairs = (k4(Seq(1L, 2L, 3L, 4L)) ++ k4(Seq(11L, 12L, 13L, 14L)) ++
+      Seq((4L, 11L))).toDF("id_a", "id_b")
+    val out = graft.ext.Graph.lpaCommunities(nodes, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 4L), (11L, 4L), (99L, 1L)), out.mkString(", "))
+  }
+
   test("registered g1 ranks the planted co-presence hub first at sf0.001") {
     val out = Graph.g1PageRank(spark, "/root/testdata/sf0.001").collect()
     assert(out.length > 0 && out.length <= 20)
