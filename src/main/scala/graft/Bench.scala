@@ -76,6 +76,9 @@ object Bench {
     // sim16's composed IVF-PQ index likewise: coarse training + residual
     // codebooks + encode are ingest; the timed line is probe+ADC+rerank.
     warmState("ivfpq")(ext.Similarity.ivfPqIndexFor(spark, sfDir))
+    // sim21's int8 code frame is the same ingest artifact (r12: the
+    // registered query re-encoded the corpus per invocation).
+    warmState("int8")(ext.Similarity.int8CodesFor(spark, sfDir))
     // the NB log-odds table serves BOTH t12 and d30 (one memo per dir):
     // train it before the clock so whichever of the two runs first isn't
     // charged the other's shared ingest artifact.
