@@ -431,8 +431,19 @@ object Analyze {
     * robust cousin a19 computes globally. Per-type report: readings
     * scored, anomalies at |z| > 3, and the worst excursion.
     *
-    * Scale shape: ONE window shuffle on event_type (the same partition
-    * a2/a4 use), frame cost O(window) per row; rows with fewer than 10
+    * Scale shape (r12 rework — the w13 two-level device generalized to
+    * ROW-count windows): a per-type-only window serializes the corpus
+    * sort over |types| partitions. Instead (1) rows get a GLOBAL
+    * per-type index without a global sort — intra-block row_numbers
+    * over (type, id-range block), parallel, plus per-(type, block)
+    * cumulative offsets from one window over the bounded block frame,
+    * broadcast back; (2) the rolling window re-partitions by (type,
+    * INDEX block of 4096): each row scores in its own index block, and
+    * every row in a block's last 20 indices ALSO rides into the next
+    * block as a flagged context copy, so the −20..−1 frame sees exactly
+    * the global trailing rows — types × blocks parallelism, results
+    * byte-identical (same rows, same frame ORDER, so even the float
+    * fold matches; the oracle is untouched). Rows with fewer than 10
     * baseline points or zero variance are excluded BEFORE scoring (the
     * d29/a21 degenerate-guard discipline — engines disagree on x/0).
     * z rounds(4) before the threshold compare so both engines flag the
@@ -442,13 +453,46 @@ object Analyze {
 
   private[graft] def rollingAnomaly(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
-      .rowsBetween(-20, -1)
-    events
-      .withColumn("mu", avg(col("value")).over(w))
-      .withColumn("sd", stddev_samp(col("value")).over(w))
-      .withColumn("n_base", count(col("value")).over(w))
-      .filter(col("n_base") >= 10 && col("sd") > 0)
+    val idBlock = 65536L // id-range blocks for the parallel index pass
+    val ixBlock = 4096L  // index blocks for the parallel rolling pass
+    val trail = 20
+    val base = events.select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("blk", expr(s"event_id div ${idBlock}L"))
+    val wIntra = Window.partitionBy(col("event_type"), col("blk"))
+      .orderBy(col("event_id"))
+    val indexed0 = base.withColumn("intra", row_number().over(wIntra))
+    val wOff = Window.partitionBy(col("event_type")).orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = indexed0.groupBy(col("event_type"), col("blk"))
+      .agg(max(col("intra")).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("event_type"), col("blk"), col("off"))
+    val indexed = indexed0
+      .join(broadcast(offsets), Seq("event_type", "blk"))
+      .withColumn("idx", col("off") + col("intra") - 1)
+      .select(col("event_type"), col("event_id"), col("value"), col("idx"))
+    // one explode, not a two-leg union: a union would re-derive the
+    // whole index pipeline per leg (ReusedExchange dedupes the shuffle
+    // but not the window/join recomputation above it)
+    val fanned = indexed
+      .withColumn("home", expr(s"idx div ${ixBlock}L"))
+      .withColumn("copies",
+        when(expr(s"idx % ${ixBlock}L") >= ixBlock - trail,
+          array(struct(col("home").as("rblk"), lit(false).as("ctx")),
+            struct((col("home") + 1).as("rblk"), lit(true).as("ctx"))))
+          .otherwise(array(
+            struct(col("home").as("rblk"), lit(false).as("ctx")))))
+      .select(col("event_type"), col("event_id"), col("value"), col("idx"),
+        explode(col("copies")).as("c"))
+      .select(col("event_type"), col("event_id"), col("value"), col("idx"),
+        col("c.rblk").as("rblk"), col("c.ctx").as("ctx"))
+    val wRoll = Window.partitionBy(col("event_type"), col("rblk"))
+      .orderBy(col("idx")).rowsBetween(-trail, -1)
+    fanned
+      .withColumn("mu", avg(col("value")).over(wRoll))
+      .withColumn("sd", stddev_samp(col("value")).over(wRoll))
+      .withColumn("n_base", count(col("value")).over(wRoll))
+      .filter(!col("ctx") && col("n_base") >= 10 && col("sd") > 0)
       .withColumn("z", round((col("value") - col("mu")) / col("sd"), 4))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_scored"),
