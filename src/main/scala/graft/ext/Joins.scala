@@ -533,10 +533,10 @@ object Joins {
       .distinct()
   }
 
-  /** The month-partitioned orders table + its observed month list, built
+  /** The month-partitioned orders table + its month-dim table, built
     * ONCE per (session, dir) — the j11 ingest/serve split applied to
-    * PARTITION layout instead of bucket layout. The month list rides in
-    * the memo so the dim frame is driver-built without re-scanning. */
+    * PARTITION layout instead of bucket layout; the memo carries both
+    * table names. */
   private val partitionedCache =
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       scala.collection.concurrent.TrieMap[String, (String, String)]]()
