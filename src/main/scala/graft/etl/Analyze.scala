@@ -724,10 +724,23 @@ object Analyze {
   def a27AbTest(spark: SparkSession, dir: String): DataFrame =
     abTest(Tables.events(spark, dir))
 
-  private[graft] def abTest(events: DataFrame): DataFrame = {
-    val users = events.groupBy(col("user_id")).agg(
+  private[graft] def abTest(events: DataFrame): DataFrame =
+    abTestFromUsers(userConversions(events))
+
+  /** The corpus reduction behind a27: per-user converted-ever flags —
+    * ONE map-side-combined aggregate, and an OR (max) MONOID, so the
+    * frame merges across micro-batches and is the live fold's state
+    * shape ([[graft.streaming.AbTestStreamFold]]). */
+  private[graft] def userConversions(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
       max(when(col("event_type") === "purchase", 1L).otherwise(0L))
         .as("converted"))
+
+  /** The arm split + two-proportion z arithmetic over a caller-supplied
+    * (user_id, converted) frame — shared verbatim by batch and the
+    * fold's serve pass. */
+  private[graft] def abTestFromUsers(usersIn: DataFrame): DataFrame = {
+    val users = usersIn
       .withColumn("arm",
         when(graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
           .otherwise("B"))
@@ -771,12 +784,25 @@ object Analyze {
   def a28RfmSegments(spark: SparkSession, dir: String): DataFrame =
     rfmSegments(Tables.events(spark, dir))
 
-  private[graft] def rfmSegments(events: DataFrame): DataFrame = {
-    val perUser = events.groupBy(col("user_id")).agg(
+  private[graft] def rfmSegments(events: DataFrame): DataFrame =
+    rfmFromUsers(rfmPerUser(events))
+
+  /** The corpus reduction behind a28: per-user (last_day, freq, cents)
+    * — ONE map-side-combined aggregate whose three columns are a
+    * MERGEABLE MONOID (max / sum / sum), making this frame the live
+    * fold's state shape ([[graft.streaming.RfmStreamFold]]). */
+  private[graft] def rfmPerUser(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
       max(expr("unix_timestamp(ts) div 86400")).as("last_day"),
       count(lit(1)).as("freq"),
       coalesce(sum(when(col("event_type") === "purchase",
         round(col("value") * 100, 0).cast("long"))), lit(0L)).as("cents"))
+
+  /** Anchor + bucketing + census over a caller-supplied per-user frame
+    * — shared verbatim by batch and the fold's serve pass (the anchor
+    * recomputes from the folded state, so it ADVANCES with the stream,
+    * the a29 device). */
+  private[graft] def rfmFromUsers(perUser: DataFrame): DataFrame = {
     val anchor = perUser.agg(max(col("last_day")).as("anchor_day"))
     perUser.crossJoin(broadcast(anchor))
       .withColumn("recency_d", col("anchor_day") - col("last_day"))

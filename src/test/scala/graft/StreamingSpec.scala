@@ -1354,6 +1354,97 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve()) == live)
   }
 
+  test("a27' A/B fold: a conversion lands batches after the user's first " +
+    "event and the OR-monoid catches it; replay no-op; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.AbTestStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("abfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt)
+    val t0 = t("2024-01-01 00:00:00")
+    // 40 users browse in b1; four of them purchase only in b2 — the
+    // per-user max must flip those four without touching the rest, and
+    // b2 also introduces 10 brand-new users (one converting)
+    val b1 = (1L to 40L).map(u => (u, t0, u, "view", 0.0))
+    val b2 = Seq(3L, 7L, 11L, 19L).map(u => (100L + u, t0, u, "purchase", 1.0)) ++
+      (41L to 50L).map(u => (200L + u, t0, u, "view", 0.0)) :+
+      ((300L, t0, 44L, "purchase", 2.0))
+    in.addData(b1: _*); q.processAllAvailable()
+    val early = fold.serve(spark).collect().head
+    assert(early.getLong(1) + early.getLong(4) == 0L,
+      "no conversions before b2") // c_a + c_b
+    assert(early.getLong(0) + early.getLong(3) == 40L)
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        r.getBoolean(7))).toSeq
+    val live = rows(fold.serve(spark))
+    assert(live.head._1 + live.head._4 == 50L)
+    assert(live.head._2 + live.head._5 == 5L)
+    val landed = (b1 ++ b2)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(live == rows(graft.etl.Analyze.abTest(landed)))
+    fold.onBatch(
+      b2.toDF("event_id", "ts", "user_id", "event_type", "value"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    val f2 = new graft.streaming.AbTestStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
+  test("a28' RFM fold: per-user triples merge as (max, sum, sum); the " +
+    "recency anchor advances with the stream; replays don't double; " +
+    "serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.RfmStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("rfmfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt)
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // u1's activity and purchases SPLIT across batches (freq 2+2, cents
+    // 700+400); u2 appears only in b1 on day 1 — after b1 the anchor is
+    // day 2 (u2 recency 1 → R3), after b2 the anchor advances to day 20
+    // and u2's recency becomes 19 → R1: the same user degrades purely
+    // because the stream's horizon moved
+    val b1 = Seq((1L, at(1), 2L, "view", 0.0),
+      (2L, at(1), 1L, "purchase", 3.0), (3L, at(2), 1L, "purchase", 4.0))
+    val b2 = Seq((4L, at(20), 1L, "purchase", 4.0),
+      (5L, at(20), 1L, "view", 0.0))
+    def seg(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))).toMap
+    in.addData(b1: _*); q.processAllAvailable()
+    val early = seg(fold.serve(spark))
+    // both users recency ≤ 1 → R3; u1 700 cents → M1 (<1000), u2 M1
+    assert(early.keySet == Set("R3F1M1"), early.toString)
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val live = seg(fold.serve(spark))
+    // u1: last day 20 → R3, freq 4, cents 1100 → M2; u2: recency 19 →
+    // R1, freq 1, cents 0 → M1
+    assert(live.keySet == Set("R3F1M2", "R1F1M1"), live.toString)
+    assert(live("R3F1M2") == ((1L, 0.0, 4.0, 1100L)))
+    assert(live("R1F1M1") == ((1L, 19.0, 1.0, 0L)))
+    val landed = (b1 ++ b2)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    assert(live == seg(graft.etl.Analyze.rfmSegments(landed)))
+    fold.onBatch(
+      b2.toDF("event_id", "ts", "user_id", "event_type", "value"), 1L)
+    assert(seg(fold.serve(spark)) == live)
+    val f2 = new graft.streaming.RfmStreamFold
+    f2.rebuildFrom(landed)
+    assert(seg(f2.serve(spark)) == live)
+  }
+
   test("a25' transition fold: boundary pairs stitch across micro-batches; " +
     "replays don't double; serve ≡ batch kernel") {
     import spark.implicits._
