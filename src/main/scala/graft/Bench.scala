@@ -99,8 +99,8 @@ object Bench {
     // artifact class: write the layout before the clock so the timed
     // line measures the dynamically-pruned serve, not the repartition.
     warmState("j14-partitions")(ext.Joins.partitionedOrdersFor(spark, sfDir))
-    // the co-presence graph is the ingest artifact ALL FIVE graph-tier
-    // queries (g1-g5) serve from: build the memoized node/edge frames
+    // the co-presence graph is the ingest artifact the whole graph tier
+    // (g1-g8) serves from: build the memoized node/edge frames
     // before the clock so each timed line measures its own graph
     // computation (rank iterations, census joins, peeling), not a
     // fifth rebuild of the same sessionize→overlap-join pipeline.

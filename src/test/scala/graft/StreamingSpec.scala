@@ -1354,6 +1354,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve()) == live)
   }
 
+  test("a23' rolling-z fold: a spike's 20-row baseline spans the batch " +
+    "boundary via the depth-20 carry; replays don't double; serve ≡ " +
+    "batch kernel (which independently witnesses the r12 re-block)") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.RollingZStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("rollzfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "event_type", "value"), ckpt)
+    val t0 = t("2024-01-01 00:00:00")
+    // series m: 15 alternating readings land in b1, five more + a 100x
+    // spike in b2 — the spike's trailing-20 baseline is 14 carried rows
+    // + 5 batch rows, reassembled by the carry; rows 1-10 are unscored
+    // warmup (n_base < 10) in stream and batch alike
+    def v(i: Long) = if (i % 2 == 0) 2.0 else 1.0
+    val b1 = (1L to 15L).map(i => (i, t0, "m", v(i)))
+    val b2 = (16L to 20L).map(i => (i, t0, "m", v(i))) :+
+      ((21L, t0, "m", 100.0))
+    Seq(b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val live = rows(fold.serve(spark))
+    assert(live.size == 1 && live.head._1 == "m")
+    // rows 11..21 scored (11 of them), exactly the spike flags
+    assert(live.head._2 == 11L && live.head._3 == 1L, live.mkString(", "))
+    assert(live.head._4 > 100.0, "spike z must be enormous")
+    val landed = (b1 ++ b2).toDF("event_id", "ts", "event_type", "value")
+    assert(live == rows(graft.etl.Analyze.rollingAnomaly(landed)))
+    fold.onBatch(b2.toDF("event_id", "ts", "event_type", "value"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    val f2 = new graft.streaming.RollingZStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
   test("a27' A/B fold: a conversion lands batches after the user's first " +
     "event and the OR-monoid catches it; replay no-op; serve ≡ batch kernel") {
     import spark.implicits._
