@@ -818,16 +818,34 @@ object WindowFns {
     * (cohort, offset) rollup then shuffles rows bounded by
     * users×active-weeks, already deduplicated map-side. Weeks are
     * integer epoch-week indices so both engines bucket identically. */
-  def w9CohortRetention(spark: SparkSession, dir: String): DataFrame = {
-    val weeks = Tables.events(spark, dir)
-      .select(col("user_id"),
-        floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
+  def w9CohortRetention(spark: SparkSession, dir: String): DataFrame =
+    cohortFromWeeks(userWeeks(Tables.events(spark, dir)))
+
+  /** The corpus reduction behind w9: distinct (user, epoch-week) active
+    * pairs — bounded by users × active weeks, and a SET-UNION monoid
+    * (distinct of a union is the union of distincts), which makes this
+    * frame the live fold's state shape
+    * ([[graft.streaming.CohortFold]]). Deduplicating BEFORE the cohort
+    * window also shrinks that window's input (r12 refactor; results
+    * identical — the min over duplicated weeks equals the min over
+    * distinct ones). */
+  private[graft] def userWeeks(events: DataFrame): DataFrame =
+    events.select(col("user_id"),
+      floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
+      .distinct()
+
+  /** Cohort window + offsets + census over a caller-supplied distinct
+    * (user, week) frame — shared verbatim by batch and the fold's
+    * serve pass. Because the cohort (min week) recomputes here, the
+    * fold needs NO ordering contract at all: a late-arriving earlier
+    * week retroactively re-cohorts its user, exactly as a batch rerun
+    * would. */
+  private[graft] def cohortFromWeeks(pairs: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
-    weeks
+    pairs
       .withColumn("cohort", min(col("week")).over(byUser))
       .select(col("user_id"), col("cohort"),
         (col("week") - col("cohort")).as("week_offset"))
-      .distinct()
       .groupBy(col("cohort"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort"), col("week_offset"))

@@ -1354,6 +1354,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve()) == live)
   }
 
+  test("w9' cohort fold: set-union state; a LATE earlier week " +
+    "re-cohorts its user retroactively; replay no-op; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.CohortStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cohfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type"), ckpt)
+    def wk(w: Int) = java.sql.Timestamp.from(
+      java.time.Instant.ofEpochSecond(w * 604800L + 1000L))
+    // b1: u1 active weeks 10, 11; u2 week 10. b2 arrives OUT OF ORDER:
+    // u1's week-8 event — u1's cohort must retroactively move 10 → 8
+    // (offsets 0, 2, 3), the case every in-order fold in the family
+    // rejects by contract and this one must absorb; u3 appears fresh
+    // in week 11; u2's duplicate week-10 event must not double-count.
+    val b1 = Seq((1L, wk(10), 1L, "view"), (2L, wk(11), 1L, "view"),
+      (3L, wk(10), 2L, "view"))
+    val b2 = Seq((4L, wk(8), 1L, "view"), (5L, wk(11), 3L, "view"),
+      (6L, wk(10), 2L, "click"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(rows(fold.serve(spark)) == Seq((10L, 0L, 2L), (10L, 1L, 1L)))
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val live = rows(fold.serve(spark))
+    // u1 cohort 8 offsets {0,2,3}; u2 cohort 10 offset 0; u3 cohort 11
+    assert(live == Seq((8L, 0L, 1L), (8L, 2L, 1L), (8L, 3L, 1L),
+      (10L, 0L, 1L), (11L, 0L, 1L)), live.mkString(", "))
+    val landed = (b1 ++ b2)
+      .toDF("event_id", "ts", "user_id", "event_type")
+    assert(live == rows(graft.ext.WindowFns.cohortFromWeeks(
+      graft.ext.WindowFns.userWeeks(landed))))
+    fold.onBatch(b2.toDF("event_id", "ts", "user_id", "event_type"), 1L)
+    assert(rows(fold.serve(spark)) == live)
+    val f2 = new graft.streaming.CohortStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve(spark)) == live)
+  }
+
   test("a23' rolling-z fold: a spike's 20-row baseline spans the batch " +
     "boundary via the depth-20 carry; replays don't double; serve ≡ " +
     "batch kernel (which independently witnesses the r12 re-block)") {
