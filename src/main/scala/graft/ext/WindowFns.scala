@@ -821,31 +821,30 @@ object WindowFns {
   def w9CohortRetention(spark: SparkSession, dir: String): DataFrame =
     cohortFromWeeks(userWeeks(Tables.events(spark, dir)))
 
-  /** The corpus reduction behind w9: distinct (user, epoch-week) active
-    * pairs — bounded by users × active weeks, and a SET-UNION monoid
-    * (distinct of a union is the union of distincts), which makes this
-    * frame the live fold's state shape
-    * ([[graft.streaming.CohortFold]]). Deduplicating BEFORE the cohort
-    * window also shrinks that window's input (r12 refactor; results
-    * identical — the min over duplicated weeks equals the min over
-    * distinct ones). */
+  /** The (user, epoch-week) projection behind w9 — NOT deduplicated
+    * here: the batch plan's dedup rides the (user, cohort, offset)
+    * frame AFTER the cohort window so both share ONE user_id exchange
+    * (PlanSpec-pinned ≤ 3); the fold dedups its own state instead
+    * (distinct of a union ≡ union of distincts, so the two paths agree
+    * — [[graft.streaming.CohortStreamFold]]). */
   private[graft] def userWeeks(events: DataFrame): DataFrame =
     events.select(col("user_id"),
       floor(unix_timestamp(col("ts")) / 604800L).cast("long").as("week"))
-      .distinct()
 
-  /** Cohort window + offsets + census over a caller-supplied distinct
-    * (user, week) frame — shared verbatim by batch and the fold's
-    * serve pass. Because the cohort (min week) recomputes here, the
-    * fold needs NO ordering contract at all: a late-arriving earlier
-    * week retroactively re-cohorts its user, exactly as a batch rerun
-    * would. */
+  /** Cohort window + offset dedup + census over a caller-supplied
+    * (user, week) frame — shared verbatim by batch (raw projection) and
+    * the fold's serve pass (already-distinct state — the inner distinct
+    * is then a content no-op, keeping one kernel for both). Because the
+    * cohort (min week) recomputes here, the fold needs NO ordering
+    * contract at all: a late-arriving earlier week retroactively
+    * re-cohorts its user, exactly as a batch rerun would. */
   private[graft] def cohortFromWeeks(pairs: DataFrame): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
     pairs
       .withColumn("cohort", min(col("week")).over(byUser))
       .select(col("user_id"), col("cohort"),
         (col("week") - col("cohort")).as("week_offset"))
+      .distinct()
       .groupBy(col("cohort"), col("week_offset"))
       .agg(count(lit(1)).as("n_users"))
       .orderBy(col("cohort"), col("week_offset"))

@@ -26,7 +26,7 @@ class CohortStreamFold extends Serializable {
 
   /** Fold one micro-batch of raw events (ts, user_id, ...). */
   def foldBatch(batch: DataFrame): Unit = {
-    val partials = graft.ext.WindowFns.userWeeks(batch)
+    val partials = graft.ext.WindowFns.userWeeks(batch).distinct()
     val merged = synchronized(pairs) match {
       case Some(p) => p.unionByName(partials).distinct()
       case None => partials

@@ -206,6 +206,29 @@ class SnapshotSpec extends AnyFunSuite {
     assert(Snapshot.tableChecksum(doubled).collect().head.toSeq != baseSum)
   }
 
+  test("moved-content: stable / moved / gone / new, id-set checksum splits " +
+    "same-count shuffles (D44)") {
+    val old = frame(Seq((1L, "aaa", "s"), (2L, "bbb", "s"),
+      (3L, "ccc", "s"), (4L, "ddd", "s")))
+    // aaa keeps its id → stable; bbb re-crawls under id 9 → moved; ccc
+    // vanishes → gone; zzz appears → new; ddd keeps count=1 but swaps
+    // to id 5 → the id-sum/min/max checksum must flag it moved even
+    // though the counts match
+    val neu = frame(Seq((1L, "aaa", "s"), (9L, "bbb", "s"),
+      (30L, "zzz", "s"), (5L, "ddd", "s")))
+    val byText = Map("aaa" -> "stable", "bbb" -> "moved",
+      "ccc" -> "gone", "zzz" -> "new", "ddd" -> "moved")
+    val fpOf = (old.select($"text").distinct().collect() ++
+      neu.select($"text").distinct().collect())
+      .map(_.getString(0)).distinct
+      .map(t => graft.TestSpark.spark.sql(
+        s"SELECT substring(md5(CAST('$t' AS BINARY)), 1, 16)")
+        .head().getString(0) -> t).toMap
+    val got = graft.ext.Snapshot.movedContentDf(old, neu).collect()
+      .map(r => fpOf(r.getString(0)) -> r.getString(1)).toMap
+    assert(got == byText, got.toString)
+  }
+
   test("document text never enters the diff join (fingerprints only)") {
     val old = frame(Seq((1L, "some long body", "a")))
     val neu = frame(Seq((1L, "some long body", "a")))
