@@ -487,16 +487,54 @@ object Similarity {
   def ivfIndexFor(spark: SparkSession, dir: String, k: Int): IvfIndex = {
     val (view, centers) =
       perSession(ivfCache, spark).getOrElseUpdate((dir, k), {
-        val idx = ivfIndex(Tables.embeddings(spark, dir), k)
-        // Eager localCheckpoint: pins the assignment so serving never
-        // re-runs the scan+transform lineage (and a second builder racing
-        // through getOrElseUpdate just builds a redundant, correct copy).
+        // Load-or-train through the per-DATASET store (r13): k-means +
+        // corpus assignment run in whichever session first serves this
+        // (dataset fingerprint, k); every later session — including
+        // every future JVM — reads the published parquet and pays zero
+        // training jobs. The eager localCheckpoint then pins the LOADED
+        // assignment for this session's query stream, exactly as the
+        // freshly-trained copy was pinned before (and a second builder
+        // racing through getOrElseUpdate just loads the winner's copy).
+        val parts = IndexStore.loadOrBuild(spark, dir, "embeddings",
+          s"ivf_k$k") {
+          val idx = ivfIndex(Tables.embeddings(spark, dir), k)
+          Seq("assigned" -> idx.assigned,
+            "centers" -> centersFrame(spark, idx.centers))
+        }
         val name = s"ivf_idx_${k}_" + dirTag(dir)
-        idx.assigned.localCheckpoint(true).createOrReplaceTempView(name)
-        (name, idx.centers)
+        parts("assigned").localCheckpoint(true).createOrReplaceTempView(name)
+        (name, collectCenters(parts("centers")))
       })
     IvfIndex(spark.table(view), centers)
   }
+
+  /** Driver-side training constants (centroids, codebooks) rendered as
+    * tiny frames, so ONE atomic [[IndexStore]] publish carries the code
+    * frames AND the constants they were encoded against — a reader can
+    * never pair one training's codes with another's codebooks. */
+  private def centersFrame(spark: SparkSession,
+                           centers: Array[Array[Double]]): DataFrame = {
+    import spark.implicits._
+    centers.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cell", "center")
+  }
+  private def collectCenters(df: DataFrame): Array[Array[Double]] =
+    df.select(col("cell"), col("center")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2)
+  private def booksFrame(spark: SparkSession,
+                         books: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    (for {
+      (bk, j) <- books.toIndexedSeq.zipWithIndex
+      (c, code) <- bk.toIndexedSeq.zipWithIndex
+    } yield (j, code, c.toIndexedSeq)).toDF("subspace", "code", "center")
+  }
+  private def collectBooks(df: DataFrame): Array[Array[Array[Double]]] =
+    df.select(col("subspace"), col("code"), col("center")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3).toArray).toArray
 
   /** Serve one ANN lookup (query = a corpus member by id) from a BUILT
     * index. Missing query id → empty result, not a crash. */
@@ -964,10 +1002,15 @@ object Similarity {
         (String, Array[Array[Array[Double]]])]]()
   def pqIndexFor(spark: SparkSession, dir: String): PqIndex = {
     val (view, books) = perSession(pqCache, spark).getOrElseUpdate(dir, {
-      val idx = pqIndex(Tables.embeddings(spark, dir))
+      // load-or-train through the per-dataset store (ivfIndexFor note)
+      val parts = IndexStore.loadOrBuild(spark, dir, "embeddings", "pq") {
+        val idx = pqIndex(Tables.embeddings(spark, dir))
+        Seq("codes" -> idx.codes,
+          "books" -> booksFrame(spark, idx.codebooks))
+      }
       val name = "pq_idx_" + dirTag(dir)
-      idx.codes.localCheckpoint(true).createOrReplaceTempView(name)
-      (name, idx.codebooks)
+      parts("codes").localCheckpoint(true).createOrReplaceTempView(name)
+      (name, collectBooks(parts("books")))
     })
     PqIndex(spark.table(view), books)
   }
@@ -1194,10 +1237,18 @@ object Similarity {
   def ivfPqIndexFor(spark: SparkSession, dir: String): IvfPqIndex = {
     val (view, centers, books) =
       perSession(ivfPqCache, spark).getOrElseUpdate(dir, {
-        val idx = ivfPqIndex(Tables.embeddings(spark, dir))
+        // load-or-train through the per-dataset store (ivfIndexFor note)
+        val parts = IndexStore.loadOrBuild(spark, dir, "embeddings",
+          "ivfpq") {
+          val idx = ivfPqIndex(Tables.embeddings(spark, dir))
+          Seq("codes" -> idx.codes,
+            "centers" -> centersFrame(spark, idx.centers),
+            "books" -> booksFrame(spark, idx.codebooks))
+        }
         val name = "ivfpq_idx_" + dirTag(dir)
-        idx.codes.localCheckpoint(true).createOrReplaceTempView(name)
-        (name, idx.centers, idx.codebooks)
+        parts("codes").localCheckpoint(true).createOrReplaceTempView(name)
+        (name, collectCenters(parts("centers")),
+          collectBooks(parts("books")))
       })
     IvfPqIndex(spark.table(view), centers, books)
   }
@@ -1447,9 +1498,12 @@ object Similarity {
       scala.collection.concurrent.TrieMap[String, String]]()
   private[graft] def int8CodesFor(spark: SparkSession, dir: String): DataFrame = {
     val view = perSession(int8Cache, spark).getOrElseUpdate(dir, {
+      // load-or-encode through the per-dataset store (ivfIndexFor note)
+      val parts = IndexStore.loadOrBuild(spark, dir, "embeddings", "int8") {
+        Seq("codes" -> int8Codes(Tables.embeddings(spark, dir)))
+      }
       val name = "int8_codes_" + dirTag(dir)
-      int8Codes(Tables.embeddings(spark, dir))
-        .localCheckpoint(true).createOrReplaceTempView(name)
+      parts("codes").localCheckpoint(true).createOrReplaceTempView(name)
       name
     })
     spark.table(view)

@@ -1,0 +1,101 @@
+package graft
+
+import java.io.File
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{IndexStore, Similarity}
+
+/** The cross-session index lifecycle (r12 verdict ask #3): training is
+  * an INGEST job that runs once per dataset, and a fresh session — the
+  * stand-in for tomorrow's JVM — serves from the published store with
+  * ZERO training jobs. The detector is [[IndexStore.builds]], which
+  * appends only when a training closure actually executes; a serve
+  * path that silently retrains grows it and fails here. */
+class IndexStoreSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  // Point the store at a scratch root owned by this test JVM, wiped at
+  // class-load: every assertion below starts from a KNOWN-cold store
+  // instead of whatever a previous run published to the default root.
+  private val scratch = new File(
+    System.getProperty("java.io.tmpdir"),
+    s"graft_index_store_test_${ProcessHandle.current().pid()}")
+  locally {
+    def rm(f: File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(scratch)
+    sys.props("graft.index.store") = scratch.getPath
+  }
+
+  /** Each ANN family: session A trains + publishes; fresh session B
+    * (new catalog, empty per-session memo) must produce the identical
+    * result WITHOUT appending a build event. */
+  private val served = Seq(
+    "sim4_ivf_ann", "sim7_pq_ann", "sim16_ivfpq_ann", "sim21_int8_ann")
+
+  served.foreach { q =>
+    test(s"$q: fresh session serves from the store with zero training") {
+      val sA = spark.newSession()
+      val before = IndexStore.builds.size
+      val r1 = Similarity.queries(q)(sA, dir).collect().toSeq
+      assert(IndexStore.builds.size > before,
+        s"$q: cold store did not trigger a training run")
+      val sB = spark.newSession()
+      val mid = IndexStore.builds.size
+      val r2 = Similarity.queries(q)(sB, dir).collect().toSeq
+      assert(IndexStore.builds.size == mid,
+        s"$q: a FRESH session retrained instead of loading the store — " +
+          IndexStore.builds.toArray.drop(mid).mkString(", "))
+      assert(r1 == r2,
+        s"$q: stored-index serve diverged from the training session")
+    }
+  }
+
+  test("publish is complete-or-invisible: the OK marker gates loading") {
+    // after the serves above, each artifact dir carries the marker
+    val dsRoots = Option(scratch.listFiles()).getOrElse(Array.empty[File])
+    assert(dsRoots.nonEmpty, "no dataset root published")
+    val artifacts = dsRoots.flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty[File]))
+      .filter(_.isDirectory)
+    assert(artifacts.nonEmpty)
+    artifacts.foreach { a =>
+      assert(new File(a, "_GRAFT_OK").isFile,
+        s"published artifact ${a.getName} lacks the completeness marker")
+      assert(!a.getName.contains(".tmp"),
+        s"tmp build dir leaked into the store: ${a.getName}")
+    }
+  }
+
+  test("dataset fingerprint tracks the table's files — a rewritten " +
+    "dataset gets a NEW key instead of a stale index") {
+    // a private copy of the table whose mtime this test may mutate
+    val dataDir = new File(scratch, "fp_probe_data")
+    val tbl = new File(dataDir, "embeddings.parquet")
+    tbl.mkdirs()
+    val src = new File(dir, "embeddings.parquet")
+    val srcFile = if (src.isFile) src
+      else src.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(srcFile.toPath,
+      new File(tbl, "part-0.parquet").toPath)
+    val fp1 = IndexStore.fingerprint(dataDir.getPath, "embeddings")
+    assert(new File(tbl, "part-0.parquet")
+      .setLastModified(System.currentTimeMillis() + 123456))
+    val fp2 = IndexStore.fingerprint(dataDir.getPath, "embeddings")
+    assert(fp1 != fp2, "fingerprint ignored an mtime change")
+  }
+
+  test("invalidate() drops the published set and the next serve retrains") {
+    IndexStore.invalidate(dir, "embeddings")
+    val s = spark.newSession()
+    val before = IndexStore.builds.size
+    Similarity.queries("sim21_int8_ann")(s, dir).collect()
+    assert(IndexStore.builds.size > before,
+      "invalidate() did not force a rebuild")
+  }
+}
