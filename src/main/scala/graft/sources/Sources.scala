@@ -670,7 +670,48 @@ object Sources {
       state.orderBy(col("event_type"), col("d"))
     }
 
+  /** Read the ingest state AS OF sync `version` — the versioned-read
+    * ("time travel") verb that completes the snapshot family
+    * (d26 diff / d33 merge / d39 SCD2 / d40 checksum write history;
+    * s17/s21 write versions, this reads them). Because every sync
+    * PUBLISHES to a fresh `versions/v<k>` path and never rewrites an
+    * old one (the WAP discipline), an old version stays readable and
+    * byte-stable after any number of newer publishes — what Iceberg/
+    * Delta expose as `VERSION AS OF`, here carried by the same
+    * immutable-path layout. Cost is O(state), never O(corpus): time
+    * travel reads the k-th state, it does not replay the log. */
+  def readStateVersion(spark: SparkSession, stateRoot: String,
+                       version: Int): DataFrame =
+    spark.read.parquet(s"$stateRoot/versions/v$version")
+
+  /** S22 — time travel over the s21 ingest history: land the corpus in
+    * THREE waves (three syncs → versions v1..v3), then serve "state as
+    * of v2" — the result must see waves 1–2 and must NOT see wave 3,
+    * even though v3 exists and is newer. Oracle = direct recompute over
+    * the first two waves' rows (the s21 full-recompute discipline with
+    * the wave predicate restated); SourcesSpec additionally pins that
+    * the v2 bytes are IDENTICAL before and after the v3 publish. */
+  def s22TimeTravel(spark: SparkSession, dir: String): DataFrame =
+    roundtrip(spark, "s22") { tmp =>
+      val ev = graft.Tables.events(spark, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      ev.filter(dayofmonth(col("ts")) <= 10)
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/landing")
+      incrementalSync(spark, s"$tmp/landing", s"$tmp/state")
+      ev.filter(dayofmonth(col("ts")) > 10 && dayofmonth(col("ts")) <= 20)
+        .repartition(2).write.mode("append").parquet(s"$tmp/landing")
+      incrementalSync(spark, s"$tmp/landing", s"$tmp/state")
+      ev.filter(dayofmonth(col("ts")) > 20)
+        .repartition(2).write.mode("append").parquet(s"$tmp/landing")
+      incrementalSync(spark, s"$tmp/landing", s"$tmp/state")
+      readStateVersion(spark, s"$tmp/state", 2)
+        .withColumn("as_of_version", lit(2))
+        .orderBy(col("event_type"), col("d"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s22_time_travel" -> s22TimeTravel,
     "s21_incremental_ingest" -> s21IncrementalIngest,
     "s20_bloom_skip_lookup" -> s20BloomSkipLookup,
     "s19_layout_audit" -> ((s, d) => s19LayoutAudit(s, d)),
@@ -688,6 +729,17 @@ object Sources {
     // s21's oracle is the FULL recompute — incremental merge must be
     // indistinguishable from rescanning everything (a20's law applied
     // at the ingest boundary)
+    // s22's oracle recomputes waves 1..2 directly (day <= 20) — time
+    // travel to v2 must equal the state the first two syncs built,
+    // with wave 3 invisible despite a newer publish existing
+    "s22_time_travel" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |    AS cents_sum,
+        |  2 AS as_of_version
+        |FROM events WHERE day(ts) <= 20 GROUP BY event_type, d
+        |ORDER BY event_type, d""".stripMargin,
     "s21_incremental_ingest" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS d,
         |  count(*) AS n_events,

@@ -132,7 +132,7 @@ class CensusSpec extends AnyFunSuite {
   private val skip: Set[String] = Set("s7_json_roundtrip",
     "s10_partitioned_roundtrip", "s11_csv_roundtrip", "s14_orc_roundtrip",
     "s15_schema_evolution", "s16_compact_roundtrip", "s17_wap_roundtrip",
-    "s20_bloom_skip_lookup", "s21_incremental_ingest")
+    "s20_bloom_skip_lookup", "s21_incremental_ingest", "s22_time_travel")
 
   test("census: no unlisted nested-loop/cartesian; exchange budgets hold") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -264,6 +264,51 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("time travel: an old version stays readable and BYTE-stable " +
+    "after a newer publish; as-of-k sees exactly waves 1..k (S22)") {
+    import graft.sources.Sources
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def ev(ids: Range, day: Int, t: String, v: Double) = ids.map(i =>
+      (i.toLong, ts(f"2024-01-$day%02d 10:00:00"), i.toLong % 7, t, v))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val root = java.nio.file.Files.createTempDirectory("s22test").toString
+    try {
+      ev(0 until 40, 1, "a", 1.5).repartition(2)
+        .write.mode("overwrite").parquet(s"$root/landing")
+      Sources.incrementalSync(spark, s"$root/landing", s"$root/state")
+      ev(100 until 120, 2, "a", 2.0).coalesce(1)
+        .write.mode("append").parquet(s"$root/landing")
+      Sources.incrementalSync(spark, s"$root/landing", s"$root/state")
+      // snapshot v1's raw BYTES (not just its rows) before wave 3 lands
+      def bytesOf(version: Int): Seq[(String, Long, Seq[Byte])] = {
+        val d = new java.io.File(s"$root/state/versions/v$version")
+        d.listFiles().filter(_.isFile).sortBy(_.getName).toSeq.map(f =>
+          (f.getName, f.length,
+            java.nio.file.Files.readAllBytes(f.toPath).toSeq))
+      }
+      val v1Before = bytesOf(1)
+      ev(200 until 230, 3, "b", 1.0).coalesce(1)
+        .write.mode("append").parquet(s"$root/landing")
+      Sources.incrementalSync(spark, s"$root/landing", s"$root/state")
+      assert(bytesOf(1) == v1Before,
+        "v1 bytes changed after the v3 publish — versions must be immutable")
+      // as-of semantics: v1 sees wave 1 only; v2 waves 1-2; v3 all three
+      def rows(v: Int) = Sources.readStateVersion(spark, s"$root/state", v)
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3))).toSet
+      assert(rows(1) == Set(("a", "2024-01-01", 40L, 6000L)))
+      assert(rows(2) == Set(("a", "2024-01-01", 40L, 6000L),
+        ("a", "2024-01-02", 20L, 4000L)))
+      assert(rows(3) == Set(("a", "2024-01-01", 40L, 6000L),
+        ("a", "2024-01-02", 20L, 4000L), ("b", "2024-01-03", 30L, 3000L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("Bloom sidecar prunes files for time-local keys; lookup equals full scan (S20)") {
     import spark.implicits._
     import graft.functions.FileBloom
