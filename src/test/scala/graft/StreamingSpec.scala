@@ -1624,4 +1624,69 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept2.intersect(kept1).isEmpty)
     assert(kept2.subsetOf((0 until 20).map(i => s"new_$i").toSet))
   }
+
+  test("w17' conversion-latency fold: funnel completing ACROSS a batch " +
+    "boundary; a LATE earlier view retroactively unlocks a click; " +
+    "state compacts to the eligible frontier; replay no-op; serve ≡ batch") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.ConversionLatencyFold
+    val in = MemoryStream[(Long, Timestamp, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("convfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type"), ckpt)
+    def at(s: Int) = Timestamp.from(java.time.Instant.ofEpochSecond(s))
+    // u1 completes ACROSS the b1/b2 boundary (view+click in b1,
+    // purchase in b2). u2's click@50 lands BEFORE any view — dead until
+    // the LATE view@20 in b3 retroactively unlocks it (the case the
+    // in-order funnelStream rejects by contract). u3 converts inside b1
+    // and carries extra clicks AFTER its first eligible click — the
+    // compaction must drop exactly those.
+    val b1 = Seq((1L, at(100), 1L, "view"), (2L, at(200), 1L, "click"),
+      (3L, at(50), 2L, "click"), (4L, at(10), 3L, "view"),
+      (5L, at(20), 3L, "click"), (6L, at(30), 3L, "click"),
+      (7L, at(40), 3L, "click"), (8L, at(25), 3L, "purchase"))
+    val b2 = Seq((9L, at(300), 1L, "purchase"), (10L, at(70), 2L, "purchase"))
+    val b3 = Seq((11L, at(20), 2L, "view"))
+    def card(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    def batchCard(rows: Seq[(Long, Timestamp, Long, String)]) =
+      card(graft.ext.WindowFns.conversionLatency(
+        rows.toDF("event_id", "ts", "user_id", "event_type")))
+    in.addData(b1: _*); q.processAllAvailable()
+    // only u3 has converted; every serve must equal the batch kernel
+    // over everything landed so far
+    assert(card(fold.serve()) == Seq((1L, 15.0, 15.0, 15L, 10.0, 5.0)))
+    in.addData(b2: _*); q.processAllAvailable()
+    // u1's cross-boundary purchase lands; u2's purchase is still dead
+    // (its click has no view before it yet)
+    assert(card(fold.serve()) ==
+      Seq((2L, 107.5, 181.5, 200L, 55.0, 52.5)))
+    assert(card(fold.serve()) == batchCard(b1 ++ b2))
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    // the late view@20 retroactively converts u2 (v=20, c=50, p=70)
+    val live = card(fold.serve())
+    assert(live == Seq((3L, 50.0, 170.0, 200L, 46.67, 41.67)),
+      live.mkString(", "))
+    assert(live == batchCard(b1 ++ b2 ++ b3))
+    // state compaction: per user exactly (min view, clicks <= c,
+    // purchases <= p) survive — u3's clicks @30/@40 are provably dead
+    // and must be gone: 3 rows per user
+    val state = fold.stateFrame.get.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2))).toSet
+    assert(state == Set(
+      (1L, "view", at(100)), (1L, "click", at(200)), (1L, "purchase", at(300)),
+      (2L, "view", at(20)), (2L, "click", at(50)), (2L, "purchase", at(70)),
+      (3L, "view", at(10)), (3L, "click", at(20)), (3L, "purchase", at(25))),
+      state.mkString(", "))
+    // set-union idempotence: re-folding a batch is a content no-op
+    fold.foldBatch(b2.toDF("event_id", "ts", "user_id", "event_type"))
+    assert(card(fold.serve()) == live)
+    // restart recipe: one-pass rebuild from the landed corpus ≡ live
+    val f2 = new graft.streaming.ConversionLatencyFold
+    f2.rebuildFrom((b1 ++ b2 ++ b3).toDF("event_id", "ts", "user_id", "event_type"))
+    assert(card(f2.serve()) == live)
+  }
 }
