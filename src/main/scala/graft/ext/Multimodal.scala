@@ -416,32 +416,104 @@ object Multimodal {
     * cells under the identical averages→threshold structure — still
     * genuinely tolerant of small byte edits. Null/empty payloads drop
     * (no media to hash). Pure per-partition map — no shuffle. */
+  /** The 8×8 grayscale cell grid both perceptual hashes consume: the
+    * decoder's real raster downsample when pixels exist, else the
+    * byte-striping approximation under the identical grid structure. */
+  private def cells64(decoder: MediaDecoder,
+                      payload: Array[Byte]): Array[Double] =
+    decoder.gray64(payload).getOrElse {
+      val n = payload.length
+      val sums = new Array[Long](64)
+      val counts = new Array[Long](64)
+      var i = 0
+      while (i < n) {
+        val cell = ((i.toLong * 64) / n).toInt
+        sums(cell) += payload(i) & 0xff; counts(cell) += 1
+        i += 1
+      }
+      Array.tabulate(64)(c =>
+        if (counts(c) > 0) sums(c).toDouble / counts(c) else 0.0)
+    }
+
   def perceptualHash(media: Dataset[Media],
                      decoder: MediaDecoder = FakeDecoder): DataFrame = {
     import media.sparkSession.implicits._
     media.filter((m: Media) => m.payload != null && m.payload.nonEmpty)
       .mapPartitions { it =>
         it.map { m =>
-          val cells: Array[Double] = decoder.gray64(m.payload).getOrElse {
-            val b = m.payload
-            val n = b.length
-            val sums = new Array[Long](64)
-            val counts = new Array[Long](64)
-            var i = 0
-            while (i < n) {
-              val cell = ((i.toLong * 64) / n).toInt
-              sums(cell) += b(i) & 0xff; counts(cell) += 1
-              i += 1
-            }
-            Array.tabulate(64)(c =>
-              if (counts(c) > 0) sums(c).toDouble / counts(c) else 0.0)
-          }
+          val cells = cells64(decoder, m.payload)
           val mean = cells.sum / 64.0
           var h = 0L
           var c = 0
           while (c < 64) {
             if (cells(c) > mean) h |= (1L << c)
             c += 1
+          }
+          (m.doc_id, m.source, h)
+        }
+      }.toDF("doc_id", "source", "phash")
+  }
+
+  /** 64-bit DCT perceptual hash (pHash) — the frequency-domain sibling
+    * of [[perceptualHash]]'s aHash, over the SAME 8×8 cell grid. The
+    * orthonormal 2D DCT-II of the grid is taken, the DC term (pure
+    * brightness) is EXCLUDED, and each of the 63 AC coefficients
+    * contributes its SIGN bit. Sign over median-threshold (classic
+    * pHash) is a deliberate choice: both are brightness-invariant (DC
+    * dropped) and contrast-invariant (scaling by k>0 moves neither a
+    * sign nor a median comparison), but under a LOCALIZED spectral
+    * edit the median itself shifts and flips unrelated borderline
+    * bits, while signs change only in the coefficients the edit
+    * actually touches. A smooth brightness GRADIENT — the vignette/
+    * re-grade edit class — is additive and separable, landing entirely
+    * in the few row-0 odd coefficients (≤ 4 sign flips possible),
+    * while the same edit drags many spatial cells across aHash's
+    * global mean (MultimodalSpec plants exactly that pair: caught
+    * here, missed by aHash). Pure per-partition map like aHash — the
+    * DCT is 64×64 multiply-adds per payload, no shuffle. */
+  def dctPerceptualHash(media: Dataset[Media],
+                        decoder: MediaDecoder = FakeDecoder): DataFrame = {
+    import media.sparkSession.implicits._
+    // cos((2x+1)uπ/16) table, built once per partition
+    media.filter((m: Media) => m.payload != null && m.payload.nonEmpty)
+      .mapPartitions { it =>
+        val cos = Array.tabulate(8, 8)((x, u) =>
+          math.cos((2 * x + 1) * u * math.Pi / 16.0))
+        val alpha = Array.tabulate(8)(u =>
+          if (u == 0) math.sqrt(1.0 / 8) else math.sqrt(2.0 / 8))
+        it.map { m =>
+          val cells = cells64(decoder, m.payload)
+          val f = new Array[Double](64) // F(u,v) at u*8+v
+          var u = 0
+          while (u < 8) {
+            var v = 0
+            while (v < 8) {
+              var s = 0.0
+              var r = 0
+              while (r < 8) {
+                var c = 0
+                while (c < 8) {
+                  s += cells(r * 8 + c) * cos(r)(u) * cos(c)(v)
+                  c += 1
+                }
+                r += 1
+              }
+              f(u * 8 + v) = alpha(u) * alpha(v) * s
+              v += 1
+            }
+            u += 1
+          }
+          var h = 0L
+          var i = 1 // DC bit stays 0 — brightness-invariant by design
+          while (i < 64) {
+            // 1e-6 deadzone: a STRUCTURALLY zero coefficient (symmetric
+            // raster) lands at ±1e-13 float noise whose sign varies
+            // with pixel-level rounding — without the floor, two
+            // encodings of one image disagree on exactly those bits.
+            // 1e-6 is far above the noise and far below any perceptual
+            // energy (cells are 0–255).
+            if (f(i) > 1e-6) h |= (1L << i)
+            i += 1
           }
           (m.doc_id, m.source, h)
         }
@@ -460,8 +532,29 @@ object Multimodal {
     * the planted rows (byte-stripe fallback on the rest). Rows-only:
     * the fallback stripe is engine-specific; the planted-pair semantics
     * and brute-force parity live in MultimodalSpec. */
-  def mm5PerceptualNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val hashes = perceptualHash(mediaWithPlantedPng(spark, dir), ImageIoDecoder)
+  def mm5PerceptualNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupCensus(spark, dir,
+      perceptualHash(mediaWithPlantedPng(spark, dir), ImageIoDecoder))
+
+  /** MM9 — DCT near-dup detection: [[dctPerceptualHash]] signatures
+    * through the SAME d4 Hamming-LSH kernel and per-source census as
+    * mm5 — the third modality sharing one kernel (text simhash, media
+    * aHash, media pHash). Exists beside mm5 because the two hashes
+    * miss different edit classes: aHash survives crops-of-noise better,
+    * pHash survives brightness/contrast re-grades (the planted
+    * MultimodalSpec pair: a gradient-shifted duplicate pHash catches
+    * and aHash misses). Rows-only like mm5 (the byte-stripe fallback is
+    * engine-specific); planted-pair semantics + LSH ≡ brute parity in
+    * MultimodalSpec. */
+  def mm9DctNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupCensus(spark, dir,
+      dctPerceptualHash(mediaWithPlantedPng(spark, dir), ImageIoDecoder))
+
+  /** Shared mm5/mm9 tail: corpus-scaled Hamming-LSH pairs over a
+    * (doc_id, source, phash) frame + the per-source census (row set
+    * never empty, even on a dup-free corpus). */
+  private def nearDupCensus(spark: SparkSession, dir: String,
+                            hashes: DataFrame): DataFrame = {
     val pairs = Dedup.hammingPairs(hashes, "phash",
       blocks = Dedup.blocksFor(Dedup.docsCount(spark, dir)), maxHamming = 3)
     val bySrc = hashes.select(col("doc_id"), col("source"))
@@ -508,6 +601,7 @@ object Multimodal {
     "mm7_shard_manifest" -> mm7ShardManifest,
     "mm8_header_probe" -> mm8HeaderProbe,
     "mm5_perceptual_neardup" -> mm5PerceptualNearDup,
+    "mm9_dct_neardup" -> mm9DctNearDup,
     "mm2_decode_features" -> mm2DecodeFeatures,
     "mm3_frame_sample" -> mm3FrameSample,
     "mm4_alignment_filter" -> mm4AlignmentFilter

@@ -218,6 +218,71 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(3L).sameElements(textBytes))
   }
 
+  test("mm9 pHash survives a brightness-gradient re-grade that aHash " +
+    "misses; different raster stays far; LSH ≡ brute over DCT hashes") {
+    import java.awt.image.BufferedImage
+    import javax.imageio.ImageIO
+    import graft.ext.ImageIoDecoder
+    // a textured base raster: pseudorandom block levels + a column
+    // profile with STRONG odd harmonics, so the base's row-0 DCT
+    // coefficients dwarf the ramp's higher harmonics (the ramp can
+    // then flip at most the v=1 neighborhood — the pHash robustness
+    // being planted), while plenty of cells still sit near aHash's
+    // global mean (the aHash fragility being planted). Constants were
+    // fixed by an offline grid search over non-clipping configs:
+    // pHash moves 2 bits under the ramp, aHash moves 8.
+    def paint(ramp: Boolean, seedShift: Int = 0): BufferedImage = {
+      val img = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+      def harm(c: Int, v: Int) = math.cos((2 * c + 1) * v * math.Pi / 16.0)
+      for (y <- 0 until 64; x <- 0 until 64) {
+        val block = (y / 8) * 8 + (x / 8)
+        val c = x / 8
+        val base = 60.0 + ((block * 37 + seedShift) % 11) * 8 +
+          -30 * harm(c, 1) + 20 * harm(c, 3) + 15 * harm(c, 5) +
+          10 * harm(c, 7)
+        // the edited copy adds a left-to-right brightness ramp — the
+        // vignette/re-grade class: smooth, additive, column-separable
+        val g = math.round(base).toInt + (if (ramp) x else 0)
+        assert(g >= 0 && g <= 255, s"painter clipped: $g")
+        img.setRGB(x, y, new java.awt.Color(g, g, g).getRGB)
+      }
+      img
+    }
+    def enc(img: BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(ImageIO.write(img, "png", bos))
+      bos.toByteArray
+    }
+    val ds = Seq(
+      Media(0L, "s", enc(paint(ramp = false))),
+      Media(1L, "s", enc(paint(ramp = true))),        // re-graded duplicate
+      Media(2L, "s", enc(paint(ramp = false, seedShift = 5)))) // other image
+      .toDS()
+    def hashesOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val p = hashesOf(Multimodal.dctPerceptualHash(ds, ImageIoDecoder))
+    val a = hashesOf(Multimodal.perceptualHash(ds, ImageIoDecoder))
+    // the planted discriminator: pHash catches the re-grade, aHash loses it
+    assert(ham(p(0L), p(1L)) <= 3,
+      s"pHash lost the gradient duplicate: ${ham(p(0L), p(1L))} bits")
+    assert(ham(a(0L), a(1L)) > 3,
+      s"aHash unexpectedly survived the gradient: ${ham(a(0L), a(1L))} bits")
+    // and pHash still separates genuinely different rasters
+    assert(ham(p(0L), p(2L)) > 3,
+      s"pHash collapsed distinct rasters: ${ham(p(0L), p(2L))} bits")
+    // LSH ≡ brute parity on the DCT hashes (the d4 kernel, unchanged)
+    val hashes = Multimodal.dctPerceptualHash(ds, ImageIoDecoder)
+    val hs = hashes.collect().map(r => r.getLong(0) -> r.getLong(2))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    val lsh = graft.ext.Dedup.hammingPairs(hashes, "phash", 4, 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == brute, s"LSH ${lsh.size} pairs vs brute ${brute.size}")
+  }
+
   test("mm5 pairs equal brute-force Hamming pairs over the same hashes, any b") {
     val rnd = new scala.util.Random(9)
     val payloads = (0L until 30L).map { i =>
