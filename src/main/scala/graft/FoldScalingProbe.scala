@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scaling receipts for the LARGEST-STATE streaming folds (r12 verdict
+  * ask #8): a31' (per-(path, user) counts + 2-row/user carry), a30'
+  * (per-user last-touch carry) and w13' (per-(series, hour) partials +
+  * per-series pending carry). The batch ops they twin all carry 10×
+  * alpha receipts; this probe closes the gap for the folds themselves.
+  *
+  * Shape: the corpus splits into 4 event_id-range batches (the folds'
+  * per-user monotone-arrival contract), batches 1–3 fold to build up
+  * REAL state, then the probe times (a) the LAST batch's fold — the
+  * steady-state per-batch cost, paid against the largest state — and
+  * (b) a serve. alpha = log10(tbig/tbase)/log10(ratio) per phase; the
+  * fold-state designs are users- or series-bounded unions, so the
+  * design target is alpha ≈ 1 for fold (batch and state both grow
+  * ~linearly in the replica corpora) and ≤ 1 for serve. Batches are
+  * localCheckpoint-pinned before the clock so scan cost never rides a
+  * fold timing. */
+object FoldScalingProbe {
+  def main(args: Array[String]): Unit = {
+    val base = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val big = if (args.length > 1) args(1) else "/tmp/sfx10"
+    val ratio = if (args.length > 2) args(2).toDouble else 10.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def batchesOf(dir: String): Seq[DataFrame] = {
+      val ev = Tables.events(spark, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val r = ev.agg(min(col("event_id")), max(col("event_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val step = (mx - mn) / 4 + 1
+      (0 until 4).map(i =>
+        ev.filter(col("event_id") >= mn + i * step &&
+          col("event_id") < mn + (i + 1) * step).localCheckpoint(true))
+    }
+
+    // each entry: name -> build a fresh fold as (foldBatch, serveCount)
+    def folds: Seq[(String, (DataFrame => Unit, () => Long))] = Seq(
+      "a31_path_fold" -> {
+        val f = new streaming.PathStreamFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
+      },
+      "a30_attribution_fold" -> {
+        val f = new streaming.AttributionStreamFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
+      },
+      "w13_twap_fold" -> {
+        val f = new streaming.TwapStreamFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
+      })
+
+    def timed(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+
+    // warmup: one full fold+serve cycle at base (codegen/JIT)
+    batchesOf(base) match { case bs =>
+      folds.foreach { case (_, (fold, serve)) =>
+        bs.foreach(fold); serve()
+      }
+    }
+
+    def measure(dir: String): Map[String, (Double, Double)] = {
+      val bs = batchesOf(dir)
+      folds.map { case (name, (fold, serve)) =>
+        bs.dropRight(1).foreach(fold)
+        val tFold = timed(fold(bs.last))
+        val tServe = timed(serve())
+        name -> (tFold, tServe)
+      }.toMap
+    }
+
+    val atBase = measure(base)
+    val atBig = measure(big)
+    val rows = folds.map(_._1).map { n =>
+      val (f1, s1) = atBase(n)
+      val (fB, sB) = atBig(n)
+      val aF = math.log10(fB / f1) / math.log10(ratio)
+      val aS = math.log10(sB / s1) / math.log10(ratio)
+      f"""{"fold":"$n","fold_t1x":$f1%.3f,"fold_tbig":$fB%.3f,"fold_alpha":$aF%.2f,"serve_t1x":$s1%.3f,"serve_tbig":$sB%.3f,"serve_alpha":$aS%.2f}"""
+    }
+    println(rows.mkString("[", ",", "]"))
+    spark.stop()
+  }
+}

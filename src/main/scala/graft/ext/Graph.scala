@@ -70,9 +70,19 @@ object Graph {
     * (src, dst) — both directions are materialized internally; self
     * loops dropped. Returns (node, rank) for every node, rank
     * rounded(6) for cross-run determinism of the float fold. */
+  /** `checkpointEvery` sets the eager-materialization cadence of the
+    * iterate (1 = every round, the default; k = every k-th round, with
+    * the final round ALWAYS checkpointed so the serve plan stays a
+    * scan of the pinned fixpoint). Exists for the cadence probe
+    * ([[graft.GraphCadenceProbe]]): values are cadence-invariant (the
+    * recurrence is the same dataflow either way), only the
+    * materialize-vs-recompute trade moves. */
   def pageRank(edges: DataFrame, iters: Int = 10,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85,
+               checkpointEvery: Int = 1): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     // filter AFTER the direction union: a self loop reversed is still a
     // self loop, and filtering only the forward leg would re-admit it
     // through the reversed one (caught by GraphSpec's noisy-graph pin)
@@ -89,7 +99,7 @@ object Graph {
     val n = math.max(1L, nodes.count())
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // rank/degree divides NODE-side first, so the iteration's only
       // edge-sized join is the scatter itself — joining outDeg onto the
       // edge frame would double the per-iteration edge-cardinality work
@@ -103,7 +113,8 @@ object Graph {
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("in_rank"), lit(0.0)))
             .as("rank"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 || i == iters)
+        ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -116,7 +127,16 @@ object Graph {
   def g1PageRank(spark: SparkSession, dir: String): DataFrame = {
     val edges = graphFor(spark, dir)._2
       .select(col("user_a").as("src"), col("user_b").as("dst"))
-    pageRank(edges)
+    // checkpointEvery = 5 from the r13 cadence probe
+    // (BENCH_LOCAL_r13_graph_cadence.json): PageRank's per-iteration
+    // frame is node-sized and its recurrence linear, so materializing
+    // every round pays more in pinning overhead than the recompute it
+    // saves — cadence 5 runs 3.24→1.76 s at sf0.1 with BYTE-IDENTICAL
+    // output (probe-verified, 3 reps). LPA (g8) is the opposite — its
+    // unmaterialized vote lineage superlinearly explodes (2.4→37 s at
+    // cadence 10) — so it stays at 1; the final round always pins, so
+    // the serve plan is a checkpoint scan either way.
+    pageRank(edges, checkpointEvery = 5)
       .orderBy(col("rank").desc, col("node"))
       .limit(20)
   }
@@ -468,7 +488,10 @@ object Graph {
     * like g1/g4: an iterated fixpoint has no tractable SQL form — the
     * planted two-cliques-one-bridge spec pins the semantics. */
   def lpaCommunities(nodes: DataFrame, pairs: DataFrame,
-                     rounds: Int = 10): DataFrame = {
+                     rounds: Int = 10,
+                     checkpointEvery: Int = 1): DataFrame = {
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"),
@@ -478,7 +501,7 @@ object Graph {
     var labels = nodes
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+    for (i <- 1 to rounds) {
       val votes = edges
         .join(labels, col("dst") === col("node"))
         .select(col("src"), col("label"))
@@ -489,7 +512,8 @@ object Graph {
         .agg(max_by(col("label"),
           struct(col("cnt"), (col("label") * -1).as("neg"))).as("label"))
         .select(col("src").as("node"), col("label"))
-        .localCheckpoint(true)
+      if (i % checkpointEvery == 0 || i == rounds)
+        labels = labels.localCheckpoint(true)
     }
     labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
