@@ -453,7 +453,19 @@ object Analyze {
 
   private[graft] def rollingAnomaly(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val idBlock = 65536L // id-range blocks for the parallel index pass
+    // id-range block width for the parallel index pass, scaled to the
+    // observed id span so the block COUNT is capped at 4096 (advisor
+    // r12: a fixed 65536-wide block makes the broadcast offsets frame
+    // O(corpus/65536) rows — unbounded at scale; capping blocks keeps
+    // it ≤ types×4096 rows at ANY corpus size, a true 'bounded block
+    // frame'). Results are block-width-invariant — the pass just
+    // reconstructs the exact global per-type index — so only the
+    // parallelism/broadcast trade moves; the one extra min/max agg is
+    // a column-stats-cheap scan paid once per invocation.
+    val span = events.agg(min(col("event_id")), max(col("event_id"))).head()
+    val idBlock =
+      if (span.isNullAt(0)) 65536L
+      else math.max(65536L, (span.getLong(1) - span.getLong(0)) / 4096L + 1)
     val ixBlock = 4096L  // index blocks for the parallel rolling pass
     val trail = 20
     val base = events.select(col("event_type"), col("event_id"), col("value"))

@@ -492,7 +492,17 @@ object Joins {
     * ScaleJoinsSpec can pin that candidates-per-probe is O(1) in the
     * catalog size (the property the r10 constant-cardinality key
     * violated). Distinct because two strings can share several
-    * variants (e.g. equal strings share all of them). */
+    * variants (e.g. equal strings share all of them).
+    *
+    * Broadcast contract (advisor r12): the probe side BROADCASTS, so
+    * it must be a BOUNDED INCOMING BATCH — a lookup workload, not a
+    * catalog fraction (the knnJoinDf boundedness contract). The
+    * registered query derives its probes as a fixed 1/20 id-slice of
+    * the catalog ONLY to make the benchmark self-contained and its
+    * ground truth knowable; that slice grows with the catalog, so at
+    * real scale a caller feeds the day's dirty-lookup batch here
+    * instead, and the broadcast stays workload-sized while the
+    * catalog-sized variant INDEX stays distributed, never collected. */
   private[graft] def fuzzyCandidates(catalog: DataFrame): DataFrame = {
     val probes = catalog
       .filter(graft.functions.IdHash.bucket(col("p_partkey"), 20) === 0)

@@ -74,11 +74,17 @@ class ConcurrencyStreamFold extends Serializable {
   }
 
   /** Wire a streaming span frame into the fold. */
-  def start(spans: DataFrame, checkpoint: String): StreamingQuery =
+  def start(spans: DataFrame, checkpoint: String,
+            landed: Option[DataFrame] = None): StreamingQuery = {
+    // refuse to resume a used checkpoint with an empty fold
+    // (FoldRestart doc); `landed` is the rebuild corpus
+    FoldRestart.guard(checkpoint, synchronized(deltas.isDefined),
+      landed.map(l => () => rebuildFrom(l)))
     spans.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         onBatch(batch.toDF(), id)
       }
       .start()
+  }
 }

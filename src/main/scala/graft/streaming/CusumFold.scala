@@ -100,11 +100,17 @@ class CusumStreamFold(ref: Map[String, (Double, Double)])
     foldBatch(landed)
   }
 
-  def start(events: DataFrame, checkpoint: String): StreamingQuery =
+  def start(events: DataFrame, checkpoint: String,
+            landed: Option[DataFrame] = None): StreamingQuery = {
+    // refuse to resume a used checkpoint with an empty fold
+    // (FoldRestart doc); `landed` is the rebuild corpus
+    FoldRestart.guard(checkpoint, synchronized(state.nonEmpty),
+      landed.map(l => () => rebuildFrom(l)))
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         foldBatch(batch.toDF())
       }
       .start()
+  }
 }

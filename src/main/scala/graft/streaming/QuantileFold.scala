@@ -85,11 +85,17 @@ class QuantileStreamFold(grain: Double = 100.0, maxBins: Int = 100000)
   }
 
   /** Wire a streaming frame into the fold. */
-  def start(rows: DataFrame, valueCol: String, checkpoint: String): StreamingQuery =
+  def start(rows: DataFrame, valueCol: String, checkpoint: String,
+            landed: Option[DataFrame] = None): StreamingQuery = {
+    // refuse to resume a used checkpoint with an empty fold
+    // (FoldRestart doc); `landed` is the rebuild corpus
+    FoldRestart.guard(checkpoint, synchronized(hist.nonEmpty),
+      landed.map(l => () => rebuildFrom(l, valueCol)))
     rows.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         onBatch(batch.toDF(), id, valueCol)
       }
       .start()
+  }
 }

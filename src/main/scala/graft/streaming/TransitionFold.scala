@@ -109,11 +109,17 @@ class TransitionStreamFold extends Serializable {
   }
 
   /** Wire a streaming events frame into the fold. */
-  def start(events: DataFrame, checkpoint: String): StreamingQuery =
+  def start(events: DataFrame, checkpoint: String,
+            landed: Option[DataFrame] = None): StreamingQuery = {
+    // refuse to resume a used checkpoint with an empty fold
+    // (FoldRestart doc); `landed` is the rebuild corpus
+    FoldRestart.guard(checkpoint, synchronized(counts.nonEmpty || lastByUser.isDefined),
+      landed.map(l => () => rebuildFrom(l)))
     events.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], id: Long) =>
         onBatch(batch.toDF(), id)
       }
       .start()
+  }
 }

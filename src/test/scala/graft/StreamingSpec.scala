@@ -1625,6 +1625,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept2.subsetOf((0 until 20).map(i => s"new_$i").toSet))
   }
 
+  test("fold restart guard: a used checkpoint + an empty fold is refused " +
+    "without a rebuild corpus, rebuilt with one, and a live fold resumes") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def at(d: Int) = Timestamp.from(
+      java.time.Instant.ofEpochSecond(d * 86400L))
+    val fold = new graft.streaming.SurvivalStreamFold
+    val in = MemoryStream[(Long, Timestamp, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("restartguard").toString
+    val q = fold.start(in.toDF().toDF("event_id", "ts", "user_id"), ckpt)
+    val b1 = Seq((1L, at(1), 1L), (2L, at(9), 1L), (3L, at(1), 2L))
+    in.addData(b1: _*); q.processAllAvailable(); q.stop()
+    val live = fold.serve().collect().map(_.toString).toSeq
+    // (1) a FRESH fold on the SAME checkpoint with no rebuild corpus
+    // must refuse loudly — resuming would skip batch 0 silently
+    val fresh = new graft.streaming.SurvivalStreamFold
+    val err = intercept[IllegalStateException] {
+      fresh.start(in.toDF().toDF("event_id", "ts", "user_id"), ckpt)
+    }
+    assert(err.getMessage.contains("committed batches"))
+    // (2) the same call WITH the landed corpus rebuilds and may resume
+    val fresh2 = new graft.streaming.SurvivalStreamFold
+    val q2 = fresh2.start(in.toDF().toDF("event_id", "ts", "user_id"), ckpt,
+      landed = Some(b1.toDF("event_id", "ts", "user_id")))
+    q2.stop()
+    assert(fresh2.serve().collect().map(_.toString).toSeq == live)
+    // (3) the ORIGINAL fold (state intact) resumes without complaint —
+    // the live-continuation case the guard must not break
+    val q3 = fold.start(in.toDF().toDF("event_id", "ts", "user_id"), ckpt)
+    q3.stop()
+    assert(fold.serve().collect().map(_.toString).toSeq == live)
+  }
+
   test("w17' conversion-latency fold: funnel completing ACROSS a batch " +
     "boundary; a LATE earlier view retroactively unlocks a click; " +
     "state compacts to the eligible frontier; replay no-op; serve ≡ batch") {
