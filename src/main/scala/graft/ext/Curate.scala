@@ -868,9 +868,51 @@ object Curate {
       .orderBy(col("source"))
   }
 
+  /** Anonymity threshold shared with the d48 oracle and spec. */
+  private[ext] val D48K = 5L
+
+  /** D48 — k-anonymity audit (Sweeney 2002): group the corpus by its
+    * QUASI-IDENTIFIER combination — attributes that are individually
+    * harmless but jointly re-identifying (here lang × source ×
+    * 500-char length bucket, the release-shaped metadata a dataset
+    * card exposes) — and report, per source, how many combinations
+    * have FEWER than k members and how much of the corpus sits in
+    * them. The governance read before releasing or licensing a
+    * corpus slice: a (lang, source, size) combination with 2 members
+    * narrows "which document" to 2 candidates, and d46's forget
+    * cascade can't help with what the metadata itself leaks.
+    *
+    * 100 TB shape: one map-side-combined groupBy over the QI columns
+    * (group count bounded by the QI domain, not the corpus), then a
+    * |sources|-bounded rollup — text never shuffles, no window, no
+    * driver traffic. */
+  def d48KAnonymity(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityDf(Tables.documents(spark, dir), D48K)
+
+  /** The audit over a caller-supplied documents-shaped frame — split
+    * out so CurateSpec pins the group-size edges (a group of exactly k
+    * is SAFE; k−1 is risky) on planted rows, independent of the
+    * oracle's shared-formula replay. */
+  private[graft] def kAnonymityDf(docs: DataFrame, k: Long): DataFrame =
+    docs
+      .groupBy(col("source"), col("lang"),
+        expr("n_chars div 500").as("len_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_risky_groups"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L))
+          .as("n_risky_docs"),
+        sum(col("cnt")).as("n_docs"))
+      .select(col("source"), col("n_groups"), col("n_risky_groups"),
+        col("n_risky_docs"), col("n_docs"),
+        round(col("n_risky_docs") * 100.0 / col("n_docs"), 4)
+          .as("risk_pct"))
+      .orderBy(col("source"))
+
   /** Seed and sample size shared with the d41 oracle. */
-  private[ext] val D41Seed = 11L
-  private[ext] val D41K = 20
+  private[graft] val D41Seed = 11L
+  private[graft] val D41K = 20
 
   /** D41 — weighted priority sampling (Efraimidis–Spirakis 2006): a
     * without-replacement sample where row i's inclusion odds are
@@ -912,6 +954,7 @@ object Curate {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d41_weighted_sample" -> d41WeightedSample,
+    "d48_k_anonymity" -> d48KAnonymity,
     "d24_curation_funnel" -> d24CurationFunnel,
     "d10_decontaminate" -> d10Decontaminate,
     "d35_bloom_decontaminate" -> d35BloomDecontaminate,
@@ -982,6 +1025,22 @@ object Curate {
         |SELECT r2.lang, n_lang, q, rate,
         |  CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept
         |FROM r2 LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+    // d48: the oracle restates the QI rollup directly; sums cast to
+    // BIGINT (DuckDB sums ints to HUGEINT)
+    "d48_k_anonymity" ->
+      s"""WITH g AS (
+        |  SELECT source, lang, n_chars // 500 AS len_bucket,
+        |    count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT source, count(*) AS n_groups,
+        |  CAST(sum(CASE WHEN cnt < $D48K THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_risky_groups,
+        |  CAST(sum(CASE WHEN cnt < $D48K THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_risky_docs,
+        |  CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |  round(100.0 * sum(CASE WHEN cnt < $D48K THEN cnt ELSE 0 END)
+        |    / sum(cnt), 4) AS risk_pct
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     "d41_weighted_sample" ->
       s"""WITH k AS (
         |  SELECT doc_id, lang, source, n_chars,

@@ -83,19 +83,7 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    // filter AFTER the direction union: a self loop reversed is still a
-    // self loop, and filtering only the forward leg would re-admit it
-    // through the reversed one (caught by GraphSpec's noisy-graph pin)
-    val bi = edges
-      .select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint(true)
-    val outDeg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val nodes = bi.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
+    val (bi, outDeg, nodes) = undirectedPrep(edges)
     val n = math.max(1L, nodes.count())
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
@@ -117,6 +105,80 @@ object Graph {
         ranks = ranks.localCheckpoint(true)
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** Shared undirected-graph prep for the rank family: bidirectional
+    * edge frame (self loops filtered AFTER the direction union — a
+    * reversed self loop is still a self loop), out-degrees, node set —
+    * each pinned with eager `localCheckpoint` (iterations re-read all
+    * three every round). */
+  private def undirectedPrep(edges: DataFrame)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val bi = edges
+      .select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val outDeg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val nodes = bi.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    (bi, outDeg, nodes)
+  }
+
+  /** Personalized PageRank (random walk with restart, Page et al. 1999
+    * §6 "personalized" vector; the Pixie/recommender serving shape):
+    * identical dataflow to [[pageRank]] — one edge-sized scatter join +
+    * map-side-combined gather per iteration — but ALL reset mass
+    * returns to the SEED node instead of spreading uniformly, so the
+    * fixpoint scores every node by its random-walk proximity to the
+    * seed. The graph-tier retrieval verb: "entities most connected to
+    * THIS one" (similar users by co-presence here; related products /
+    * candidate neighbors for curation elsewhere), where sim-tier ANN
+    * answers the same question in embedding space. A seed absent from
+    * the graph returns the empty frame (no in-band sentinel). */
+  def personalizedPageRank(edges: DataFrame, seedNode: Long,
+                           iters: Int = 10, damping: Double = 0.85,
+                           checkpointEvery: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val (bi, outDeg, nodes) = undirectedPrep(edges)
+    if (nodes.filter(col("node") === seedNode).isEmpty)
+      return nodes.withColumn("rank", lit(0.0)).limit(0)
+    val seedMass =
+      when(col("node") === seedNode, lit(1.0)).otherwise(lit(0.0))
+    var ranks = nodes.withColumn("rank", seedMass)
+    for (i <- 1 to iters) {
+      val perEdge = ranks.withColumnRenamed("node", "src")
+        .join(outDeg, Seq("src"))
+        .select(col("src"), (col("rank") / col("deg")).as("rpd"))
+      val contribs = bi.join(perEdge, Seq("src"))
+        .select(col("dst").as("node"), col("rpd").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (seedMass * lit(1.0 - damping) +
+            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+      if (i % checkpointEvery == 0 || i == iters)
+        ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+  }
+
+  /** G9 — registered: personalized PageRank from the co-presence
+    * graph's minimum user id (a deterministic, always-present seed),
+    * top-20 by proximity. Rows-only like g1 (iterated float fixpoint);
+    * the recurrence is pinned on the hand-simulated star spec. */
+  def g9PersonalizedPageRank(spark: SparkSession, dir: String): DataFrame = {
+    val (nodes, edgesRaw) = graphFor(spark, dir)
+    val seed = nodes.agg(min(col("node"))).head().getLong(0)
+    personalizedPageRank(
+      edgesRaw.select(col("user_a").as("src"), col("user_b").as("dst")),
+      seed)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(20)
   }
 
   /** G1 — registered: PageRank over the j12 co-presence edges (users
@@ -529,6 +591,7 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g8_lpa_communities" -> g8LpaCommunities,
+    "g9_personalized_pagerank" -> g9PersonalizedPageRank,
     "g7_hits" -> g7Hits,
     "g1_pagerank" -> g1PageRank,
     "g2_triangle_count" -> g2TriangleCount,

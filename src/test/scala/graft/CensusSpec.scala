@@ -121,9 +121,13 @@ class CensusSpec extends AnyFunSuite {
     "d47_bench_contamination" -> 5,// bench gram aggs + distinct + report
     "j15_forward_asof" -> 3,       // one user window + summary + order
     "w17_conversion_latency" -> 3, // funnel window + one-row latency card
-    "g8_lpa_communities" -> 2      // census over the checkpointed labels
+    "g8_lpa_communities" -> 2,     // census over the checkpointed labels
                                    // (the 10 rounds ran at build, g1's
                                    // serve discipline)
+    // r13-cohort pins, same discipline (measured plan + 1)
+    "d48_k_anonymity" -> 4,        // QI agg + source rollup + order
+    "g9_personalized_pagerank" -> 1 // serve = checkpointed-fixpoint scan
+                                   // (g1's serve discipline)
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

@@ -529,4 +529,28 @@ class CurateSpec extends AnyFunSuite {
     assert(rows("events")._4 ==
       ev.agg(coalesce(sum(col("event_id")), lit(0L))).head().getLong(0))
   }
+
+  test("d48 k-anonymity: a QI group of exactly k is SAFE, k-1 is risky; " +
+    "length buckets split groups; risk accounting is per source") {
+    // srcA: ("en", bucket 0) has exactly 3 members (k=3 → SAFE);
+    //       ("en", bucket 1) has 2 (risky); ("fr", bucket 0) has 1 (risky).
+    // srcB: one group of 4 (safe) — zero risk.
+    def d(id: Long, lang: String, src: String, chars: Long) =
+      (id, lang, src, chars)
+    val docs = Seq(
+      d(1, "en", "srcA", 10), d(2, "en", "srcA", 450), d(3, "en", "srcA", 499),
+      d(4, "en", "srcA", 500), d(5, "en", "srcA", 999),
+      d(6, "fr", "srcA", 40),
+      d(7, "de", "srcB", 10), d(8, "de", "srcB", 20),
+      d(9, "de", "srcB", 30), d(10, "de", "srcB", 40)
+    ).toDF("doc_id", "lang", "source", "n_chars")
+    val out = graft.ext.Curate.kAnonymityDf(docs, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(out == Seq(
+      // srcA: 3 groups; risky = (en,b1) 2 docs + (fr,b0) 1 doc = 3/6 docs
+      ("srcA", 3L, 2L, 3L, 6L, 50.0),
+      // srcB: 1 group of 4 — safe
+      ("srcB", 1L, 0L, 0L, 4L, 0.0)), out.mkString(", "))
+  }
 }

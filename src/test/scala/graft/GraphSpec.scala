@@ -241,4 +241,27 @@ class GraphSpec extends AnyFunSuite {
     assert(ranks.zip(ranks.tail).forall { case (x, y) => x >= y })
     assert(ranks.forall(r => r > 0.0 && r <= 1.0))
   }
+
+  test("g9 personalized PageRank: star seeded at the hub matches the " +
+    "hand-simulated iterate; mass conserves; absent seed is empty") {
+    // center 0 — leaves 1..4, seed = 0, start r0 = e_seed. By symmetry
+    // C' = 0.15 + 0.85·4L, L' = 0.85·C/4; exactly 10 iterations give
+    // C = 0.630996, L = 0.092251 (simulated to the digit — pins
+    // iteration count, seed-restart arithmetic, and the start vector).
+    val edges = (1L to 4L).map(l => (0L, l)).toDF("src", "dst")
+    val out = Graph.personalizedPageRank(edges, seedNode = 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val leaves = (1L to 4L).map(out)
+    assert(leaves.distinct.size == 1, s"leaves diverged: $out")
+    assert(math.abs(out(0L) - 0.630996) < 1e-6, s"hub ${out(0L)}")
+    assert(math.abs(leaves.head - 0.092251) < 1e-6, s"leaf ${leaves.head}")
+    assert(math.abs(out.values.sum - 1.0) < 1e-5, "restart mass leaked")
+    // proximity, not centrality: seeded at a LEAF, that leaf's direct
+    // neighbor (the hub) outranks the other leaves
+    val fromLeaf = Graph.personalizedPageRank(edges, seedNode = 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fromLeaf(0L) > fromLeaf(2L) && fromLeaf(1L) > fromLeaf(2L))
+    // a seed that is not in the graph returns empty, not a crash
+    assert(Graph.personalizedPageRank(edges, seedNode = 99L).isEmpty)
+  }
 }

@@ -1658,6 +1658,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(fold.serve().collect().map(_.toString).toSeq == live)
   }
 
+  test("d41' weighted reservoir fold: k-row state, late high-priority " +
+    "rows evict earlier picks, replay no-op, serve ≡ batch draw exactly") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // k = 3 over a corpus larger than k, split so batch 2 carries rows
+    // that must EVICT batch-1 picks (priorities are deterministic in
+    // doc_id, so the reference draw is the batch kernel itself)
+    val fold = new graft.streaming.ReservoirStreamFold(k = 3)
+    val in = MemoryStream[(Long, String, String, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("resfold").toString
+    val q = fold.start(
+      in.toDF().toDF("doc_id", "lang", "source", "n_chars"), ckpt)
+    def docs(ids: Seq[Long]) =
+      ids.map(i => (i, "en", "s", 100L + i)).toDF(
+        "doc_id", "lang", "source", "n_chars")
+    def draw(ids: Seq[Long]) = graft.ext.Curate
+      .weightedSampleDf(docs(ids), 3, graft.ext.Curate.D41Seed)
+      .collect().map(_.toString).toSeq
+    def served() = fold.serve(spark).collect().map(_.toString).toSeq
+    val b1 = (1L to 10L)
+    val b2 = (11L to 25L)
+    in.addData(b1.map(i => (i, "en", "s", 100L + i)): _*)
+    q.processAllAvailable()
+    assert(served() == draw(b1))
+    in.addData(b2.map(i => (i, "en", "s", 100L + i)): _*)
+    q.processAllAvailable()
+    q.stop()
+    // exact batch parity over the union — and batch 2 actually changed
+    // the sample (otherwise this pins nothing)
+    assert(served() == draw(b1 ++ b2))
+    assert(served() != draw(b1), "batch 2 never evicted a pick")
+    // replay no-op (deterministic priorities dedup by doc_id)
+    fold.foldBatch(docs(b2))
+    assert(served() == draw(b1 ++ b2))
+    // restart recipe
+    val f2 = new graft.streaming.ReservoirStreamFold(k = 3)
+    f2.rebuildFrom(docs(b1 ++ b2))
+    assert(f2.serve(spark).collect().map(_.toString).toSeq == served())
+  }
+
   test("w17' conversion-latency fold: funnel completing ACROSS a batch " +
     "boundary; a LATE earlier view retroactively unlocks a click; " +
     "state compacts to the eligible frontier; replay no-op; serve ≡ batch") {
