@@ -497,4 +497,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), s"d35 plans a Scala UDF:\n$p")
     assert(p.contains("might_contain"), s"d35 lost the bloom probe:\n$p")
   }
+
+  test("d48 k-anonymity: scan prunes to the three QI columns (text " +
+    "never read) and the QI aggregate partial-combines map-side") {
+    val p = plan("d48_k_anonymity")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("text"), s"audit read the text:\n$readSchema")
+    assert(readSchema.contains("n_chars") && readSchema.contains("lang"),
+      s"missing QI columns:\n$readSchema")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"no map-side combine:\n$p")
+  }
 }
