@@ -39,37 +39,62 @@ object FoldScalingProbe {
           col("event_id") < mn + (i + 1) * step).localCheckpoint(true))
     }
 
-    // each entry: name -> build a fresh fold as (foldBatch, serveCount)
-    def folds: Seq[(String, (DataFrame => Unit, () => Long))] = Seq(
-      "a31_path_fold" -> {
+    def docBatchesOf(dir: String): Seq[DataFrame] = {
+      val docs = Tables.documents(spark, dir).select(col("doc_id"),
+        col("lang"), col("source"), col("n_chars"))
+      val r = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val step = (mx - mn) / 4 + 1
+      (0 until 4).map(i =>
+        docs.filter(col("doc_id") >= mn + i * step &&
+          col("doc_id") < mn + (i + 1) * step).localCheckpoint(true))
+    }
+
+    // each entry: name -> (events|docs source, fresh fold as
+    // (foldBatch, serveCount))
+    def folds: Seq[(String, String, (DataFrame => Unit, () => Long))] = Seq(
+      ("a31_path_fold", "events", {
         val f = new streaming.PathStreamFold
         ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
-      },
-      "a30_attribution_fold" -> {
+      }),
+      ("a30_attribution_fold", "events", {
         val f = new streaming.AttributionStreamFold
         ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
-      },
-      "w13_twap_fold" -> {
+      }),
+      ("w13_twap_fold", "events", {
         val f = new streaming.TwapStreamFold
         ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
-      })
+      }),
+      // the r13 folds carry receipts from day one: w17' state is
+      // users-bounded (compacted funnel frontier), d41' k-bounded
+      ("w17_convlat_fold", "events", {
+        val f = new streaming.ConversionLatencyFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serve().count())
+      }),
+      ("d41_reservoir_fold", "docs", {
+        val f = new streaming.ReservoirStreamFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
+      }))
 
     def timed(body: => Unit): Double = {
       val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
 
     // warmup: one full fold+serve cycle at base (codegen/JIT)
-    batchesOf(base) match { case bs =>
-      folds.foreach { case (_, (fold, serve)) =>
-        bs.foreach(fold); serve()
+    locally {
+      val bs = batchesOf(base); val ds = docBatchesOf(base)
+      folds.foreach { case (_, src, (fold, serve)) =>
+        (if (src == "docs") ds else bs).foreach(fold); serve()
       }
     }
 
     def measure(dir: String): Map[String, (Double, Double)] = {
       val bs = batchesOf(dir)
-      folds.map { case (name, (fold, serve)) =>
-        bs.dropRight(1).foreach(fold)
-        val tFold = timed(fold(bs.last))
+      val ds = docBatchesOf(dir)
+      folds.map { case (name, src, (fold, serve)) =>
+        val batches = if (src == "docs") ds else bs
+        batches.dropRight(1).foreach(fold)
+        val tFold = timed(fold(batches.last))
         val tServe = timed(serve())
         name -> (tFold, tServe)
       }.toMap

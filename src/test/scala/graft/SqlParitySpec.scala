@@ -143,6 +143,29 @@ class SqlParitySpec extends AnyFunSuite {
         |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)
   }
 
+  test("sql-parity a30_attribution: hand-written Spark twin (ignore-" +
+    "nulls spelled last_value(expr, true) vs DuckDB's trailing clause)") {
+    assertParity("a30_attribution",
+      """WITH seq AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |      THEN event_type END, true)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events),
+        |p AS (
+        |  SELECT coalesce(touch, '(none)') AS channel,
+        |    count(*) AS n_purchases,
+        |    CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM seq WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT channel, n_purchases, cents,
+        |  round(CAST(n_purchases AS DOUBLE)
+        |    / sum(n_purchases) OVER (), 4) AS share
+        |FROM p ORDER BY channel""".stripMargin)
+  }
+
   test("sql-parity sim1_cosine_topk: injected vec_cosine from SQL text " +
     "≡ DataFrame top-k") {
     // The DuckDB oracle spells cosine as list_cosine_similarity; the
