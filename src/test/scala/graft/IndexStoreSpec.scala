@@ -90,6 +90,32 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(fp1 != fp2, "fingerprint ignored an mtime change")
   }
 
+  test("publish race: when another publisher wins between check and " +
+    "rename, the winner's copy is served and the loser's is discarded") {
+    import org.apache.spark.sql.DataFrame
+    // the build closure itself publishes the SAME artifact first — a
+    // deterministic stand-in for a concurrent process winning the race
+    // in the check→build→rename window
+    val out: Map[String, DataFrame] =
+      IndexStore.loadOrBuild(spark, dir, "embeddings", "race_probe") {
+        IndexStore.loadOrBuild(spark, dir, "embeddings", "race_probe") {
+          Seq("x" -> spark.range(5).toDF("v")) // the winner's content
+        }
+        Seq("x" -> spark.range(99).toDF("v")) // the loser's content
+      }
+    // losing the rename must mean SERVING THE WINNER — not an error,
+    // and never the loser's divergent copy
+    assert(out("x").count() == 5,
+      "race loser's copy leaked into the store")
+    // the loser's tmp build dir must not linger beside the artifact
+    val dsRoots = Option(scratch.listFiles()).getOrElse(Array.empty[File])
+    val leftovers = dsRoots.flatMap(d =>
+      Option(d.listFiles()).getOrElse(Array.empty[File]))
+      .filter(_.getName.contains(".tmp"))
+    assert(leftovers.isEmpty,
+      s"tmp dirs leaked: ${leftovers.map(_.getName).mkString(", ")}")
+  }
+
   test("invalidate() drops the published set and the next serve retrains") {
     IndexStore.invalidate(dir, "embeddings")
     val s = spark.newSession()
