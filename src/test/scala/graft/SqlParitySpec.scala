@@ -100,8 +100,12 @@ class SqlParitySpec extends AnyFunSuite {
     "a25_event_transitions", "a26_seasonal_anomaly", "a31_path_mining",
     "a5_two_key_summary", "a6_distinct_count",
     "a7_total_count", "a9_value_counts",
-    // (a30/d6/d7/d23/d27/mm1 stay DuckDB-only: IGNORE NULLS placement,
-    // list_distinct in the shared shingle CTE, 1-arg encode)
+    // Still DuckDB-only: d6/d7/d23/d27 — their transitive-closure
+    // oracles terminate through WITH RECURSIVE's UNION set semantics,
+    // and Spark 4.1 supports recursive CTEs with UNION ALL only
+    // (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so no faithful Spark
+    // twin exists yet; mm1 — 1-arg encode. (a30 has a hand twin
+    // below: ignore-nulls is spelled last_value(expr, true).)
     "d11_rebalance", "d16_split_assign", "d1_exact_dedup",
     "d39_scd2",
     "d43_temperature_mix", "d46_forget_cascade", "d8_hash_sample",
