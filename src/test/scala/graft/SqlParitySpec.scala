@@ -128,6 +128,59 @@ class SqlParitySpec extends AnyFunSuite {
     }
   }
 
+  /** Tier 2a: mechanical-respelling twins — same structure as the
+    * DuckDB oracle, only the builtin NAME differs (quantile_cont →
+    * percentile, strftime → date_format, strptime → to_timestamp,
+    * json_extract_string → get_json_object, len → size, 1-based →
+    * 0-based array index, regexp_replace's explicit 'g' → Spark's
+    * global default). Together with tier 1 these put every F-tier
+    * scalar function and the exact-percentile aggregate on the
+    * verified SQL surface. */
+  private val respelledTwins = Seq(
+    "a14_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(percentile(l_quantity, 0.25), 2) AS p25,
+        |  round(percentile(l_quantity, 0.5), 2) AS p50,
+        |  round(percentile(l_quantity, 0.75), 2) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "f4_dateparts_roundtrip" ->
+      """SELECT CAST(year(t) AS INT) AS y, CAST(month(t) AS INT) AS m,
+        |  count(*) AS n, CAST(max(day(t)) AS INT) AS max_day
+        |FROM (SELECT to_timestamp(
+        |    date_format(o_orderdate, 'yyyy-MM-dd HH:mm:ss'),
+        |    'yyyy-MM-dd HH:mm:ss') AS t FROM orders)
+        |GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "f9_date_format" ->
+      """SELECT date_format(o_orderdate, 'yyyy-MM') AS order_month,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS month_total
+        |FROM orders GROUP BY 1 ORDER BY order_month""".stripMargin,
+    "f11_json_extract" ->
+      """SELECT CAST(get_json_object(props, '$.k') AS INT) % 10 AS k_mod,
+        |  count(*) AS n, round(avg(value), 2) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+    "f14_array_fns" ->
+      """SELECT label, count(*) AS n, CAST(max(size(embedding)) AS INT) AS dim,
+        |  round(avg(embedding[0]), 4) AS avg_first
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "f8_regexp_replace" ->
+      """SELECT doc_id,
+        |  substr(regexp_replace(text, '[aeiou]', '*'), 1, 40) AS frag
+        |FROM documents ORDER BY doc_id LIMIT 100""".stripMargin,
+    "t1_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 2) AS avg_chars,
+        |  round(avg(size(split(coalesce(text, ''), ' '))), 2) AS avg_ws_tokens,
+        |  round(avg(size(regexp_extract_all(lower(coalesce(text, '')),
+        |    '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))), 2) AS avg_re_tokens,
+        |  CAST(max(length(text)) AS INT) AS max_len
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+
+  respelledTwins.foreach { case (name, sql) =>
+    test(s"sql-parity $name: respelled Spark twin ≡ DataFrame") {
+      assertParity(name, sql)
+    }
+  }
+
   test("sql-parity j15_forward_asof: hand-written Spark twin (oracle " +
     "spells seconds-since-epoch as DuckDB's epoch())") {
     // identical CTE structure to the DuckDB oracle; only the epoch
