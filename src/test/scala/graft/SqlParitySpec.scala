@@ -181,6 +181,44 @@ class SqlParitySpec extends AnyFunSuite {
     }
   }
 
+  /** Tier 2b: AUTO-respelled twins — oracle texts whose only
+    * DuckDB-isms are mechanical builtin-name differences. The
+    * respelling is a token map applied to the RUNTIME oracle text (so
+    * interpolated constants like thresholds ride along verbatim), and
+    * every result still value-compares against the DataFrame query —
+    * a substitution that changes semantics fails loudly, it cannot
+    * pass silently. */
+  private def respell(sql: String): String =
+    sql.replace("epoch_ns(ts) // 1000", "unix_micros(ts)")
+      .replace("epoch_us(", "unix_micros(")
+      .replace("list_filter(", "filter(")
+      .replace("string_split(", "split(")
+      .replace("quantile_cont(", "percentile(")
+      .replace("len(", "size(")
+      .replace("epoch(", "unix_timestamp(")
+      .replace(" // ", " div ")
+      // DuckDB's ordered-aggregate spelling → Spark's argmin/argmax
+      // equivalents (unique (us, event_id) makes them identical)
+      .replace("first(value ORDER BY us, event_id)",
+        "min_by(value, struct(us, event_id))")
+      .replace("last(value ORDER BY us, event_id)",
+        "max_by(value, struct(us, event_id))")
+
+  private val autoRespelled = Seq(
+    "a19_robust_outliers", "a21_trend_regression", "a28_rfm_segments",
+    "a29_survival_curve", "d17_token_budget", "d29_quality_cutoff",
+    "d48_k_anonymity", "j6_asof_join", "t14_corpus_manifest",
+    "t19_bm25_topk", "t2_quality_score", "w10_ohlc_bars",
+    "w14_rolling_corr", "w16_day_over_day", "w17_conversion_latency",
+    "w3_moving_avg", "w6_sessionize", "w7_gap_detection",
+    "w9_cohort_retention")
+
+  autoRespelled.foreach { name =>
+    test(s"sql-parity $name: auto-respelled oracle text ≡ DataFrame") {
+      assertParity(name, respell(SparkEntry.oracleSql(name)))
+    }
+  }
+
   test("sql-parity j15_forward_asof: hand-written Spark twin (oracle " +
     "spells seconds-since-epoch as DuckDB's epoch())") {
     // identical CTE structure to the DuckDB oracle; only the epoch
