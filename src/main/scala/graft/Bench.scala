@@ -47,10 +47,20 @@ object Bench {
     val skipWarm: Set[String] = sys.env.get("SPARK_GRAFT_BENCH_SKIP_WARM")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty)
+    // Per-artifact warmup seconds ride into the JSON (r13): with the
+    // IndexStore the ANN artifacts LOAD from the per-dataset store in
+    // a warm round and TRAIN only on a cold one — the per-artifact
+    // times are the receipt distinguishing the two, and the cold→warm
+    // delta prices exactly what cross-session persistence saves.
+    val warmSecs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def warmState(what: String)(build: => Unit): Unit =
       if (skipWarm.contains("all") || skipWarm.contains(what))
         System.err.println(s"[bench] SKIPPED $what warmup (adjudication)")
-      else try build catch { case e: Throwable =>
+      else try {
+        val t0 = System.nanoTime()
+        build
+        warmSecs(what) = (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $what warmup failed: ${e.getMessage}")
       }
     warmState("ivf") {
@@ -166,7 +176,10 @@ object Bench {
     val skipWarmJson = skipWarm.toSeq.sorted.map("\"" + _ + "\"")
       .mkString("[", ",", "]")
     val filterJson = nameFilter.map(r => "\"" + r.regex + "\"").getOrElse("null")
-    val probeJson = s""""skip_warm":$skipWarmJson,"name_filter":$filterJson"""
+    val warmJson = warmSecs.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val probeJson =
+      s""""skip_warm":$skipWarmJson,"name_filter":$filterJson,"warm_sec":$warmJson"""
     val perQuery = runs.map { case (n, ts) =>
       s""""$n":{"median":${median(ts)},"min":${minOf(ts)},"runs":[${ts.mkString(",")}]}"""
     }.mkString("{", ",", "}")

@@ -203,6 +203,28 @@ class SqlParitySpec extends AnyFunSuite {
         "min_by(value, struct(us, event_id))")
       .replace("last(value ORDER BY us, event_id)",
         "max_by(value, struct(us, event_id))")
+      // list functions → array functions (identical semantics)
+      .replace("list_distinct(", "array_distinct(")
+      .replace("list_concat(", "concat(")
+      .replace("list_intersect(", "array_intersect(")
+      .replace("list_sort(", "array_sort(")
+      .replace("list_transform(", "transform(")
+      .replace("array_to_string(", "array_join(")
+      .replace("unnest(", "explode(")
+      // strftime/strptime + their C-style formats → Spark names/patterns
+      .replace("strftime(", "date_format(")
+      .replace("strptime(", "to_timestamp(")
+      .replace("%Y-%m-%d %H:%M:%S", "yyyy-MM-dd HH:mm:ss")
+      .replace("%Y-%m-%d", "yyyy-MM-dd")
+      .replace("%Y-%m", "yyyy-MM")
+      .replace("epoch_ms(", "unix_millis(")
+      // DuckDB's explicit global-replace flag is Spark's default
+      .replace(", 'g')", ")")
+      .replace("json_extract_string(", "get_json_object(")
+      .replace(" AS VARCHAR)", " AS STRING)")
+      // DuckDB parses hex via CAST('0x…' AS BIGINT); Spark via conv(…,16,10)
+      .replace("('0x' || substr(", "conv(substr(")
+      .replace(", 1, 15)) AS BIGINT", ", 1, 15), 16, 10) AS BIGINT")
 
   private val autoRespelled = Seq(
     "a19_robust_outliers", "a21_trend_regression", "a28_rfm_segments",
@@ -211,13 +233,30 @@ class SqlParitySpec extends AnyFunSuite {
     "t19_bm25_topk", "t2_quality_score", "w10_ohlc_bars",
     "w14_rolling_corr", "w16_day_over_day", "w17_conversion_latency",
     "w3_moving_avg", "w6_sessionize", "w7_gap_detection",
-    "w9_cohort_retention")
+    "w9_cohort_retention",
+    // second wave (strftime/list_*/unnest/hex-cast respellings):
+    "a8_column_means", "d22_epoch_order", "d25_curriculum_order",
+    "d26_snapshot_diff", "d28_stratified_sample", "d30_nb_cutoff",
+    "d33_merge_upsert", "d38_dedup_savings", "d40_table_checksum",
+    "d41_weighted_sample", "d44_moved_content", "o4_sort_by_timestamp",
+    "s21_incremental_ingest", "s22_time_travel", "t12_nb_classifier",
+    "t15_zipf_fit", "t16_heavy_hitters", "t21_source_overlap",
+    "t5_vocab_topk", "t6_tfidf", "t9_unigram_logprob",
+    "w15_ewma_baseline")
+  // Not respellable (each was TRIED and failed honestly): the
+  // recursive-closure family (UNION set semantics), range()/
+  // generate_series (end-exclusive vs sequence's inclusive), DuckDB
+  // list-slice [a:b] indexing, setseed/hash (engine-specific), d2's
+  // regex-normalized md5 (subtle regex semantics moved the hashes),
+  // and the sim tier's list_cosine_similarity formulations.
 
   autoRespelled.foreach { name =>
     test(s"sql-parity $name: auto-respelled oracle text ≡ DataFrame") {
       assertParity(name, respell(SparkEntry.oracleSql(name)))
     }
   }
+
+
 
   test("sql-parity j15_forward_asof: hand-written Spark twin (oracle " +
     "spells seconds-since-epoch as DuckDB's epoch())") {
