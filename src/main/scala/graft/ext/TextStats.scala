@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -844,26 +844,36 @@ object TextStats {
       (uni.toMap, bi.toMap)
     })
 
+  /** The per-doc mean bigram log-probability over a `toks` column —
+    * ONE definition shared by t22's per-language report and t23's
+    * quality gate, so a smoothing change moves both consumers (the
+    * d24-fragment discipline). The two count tables arrive as broadcast
+    * map literals; the fold walks the doc's own token array, so scoring
+    * is a zero-shuffle projection at any corpus size. */
+  private def bigramDocScore(uni: Map[String, Long],
+                             bi: Map[String, Long]): Column = {
+    val umap = typedlit(uni)
+    val bmap = typedlit(bi)
+    val v = lit(uni.size.toDouble)
+    aggregate(
+      transform(sequence(lit(2), size(col("toks"))), i => {
+        val prev = element_at(col("toks"), i - 1)
+        val bg = concat(prev, lit(" "), element_at(col("toks"), i))
+        log10((element_at(bmap, bg) + lit(1.0)) /
+          (element_at(umap, prev) + v))
+      }),
+      lit(0.0), (acc, lp) => acc + lp) / (size(col("toks")) - 1)
+  }
+
   def t22BigramLogprob(spark: SparkSession, dir: String,
                        maxVocab: Int = 65536,
                        maxBigrams: Int = 1 << 18): DataFrame = {
     val (uni, bi) = bigramCounts(spark, dir, maxVocab, maxBigrams)
-    val umap = typedlit(uni)
-    val bmap = typedlit(bi)
-    val v = lit(uni.size.toDouble)
     Tables.documents(spark, dir)
       .withColumn("toks",
         filter(split(lower(col("text")), " "), w => w =!= ""))
       .filter(size(col("toks")) >= 2)
-      .withColumn("score",
-        aggregate(
-          transform(sequence(lit(2), size(col("toks"))), i => {
-            val prev = element_at(col("toks"), i - 1)
-            val bg = concat(prev, lit(" "), element_at(col("toks"), i))
-            log10((element_at(bmap, bg) + lit(1.0)) /
-              (element_at(umap, prev) + v))
-          }),
-          lit(0.0), (acc, lp) => acc + lp) / (size(col("toks")) - 1))
+      .withColumn("score", bigramDocScore(uni, bi))
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
         round(avg(col("score")), 4).as("avg_logp"),
@@ -874,6 +884,41 @@ object TextStats {
 
   private def t22Registered(spark: SparkSession, dir: String): DataFrame =
     t22BigramLogprob(spark, dir)
+
+  /** T23 — perplexity quality gate, the CCNet selection rule itself:
+    * score every doc by its mean bigram log-probability under the
+    * corpus's own LM (t22's scorer, the SAME [[bigramDocScore]]
+    * expression) and keep the best-scoring fraction — low perplexity ≡
+    * high mean logprob, so "keep lowest-perplexity docs" is exactly
+    * d29's keep-best-by-score verb with the LM as the scorer. Scores
+    * are rounded to 1e-4 (the [[Curate.cutoffOn]] histogram contract),
+    * the global threshold comes from the bounded score histogram (no
+    * corpus-sized sort, no nondeterministic approxQuantile), and the
+    * report is per-source docs/kept/threshold — tie-INCLUSIVE at the
+    * boundary, so the curated set is a pure function of the corpus.
+    *
+    * Scale shape: pass 1 is t22's memoized vocabulary-bounded count
+    * tables; pass 2 scores per-row against the broadcast literals with
+    * zero shuffle; the cutoff adds one O(bins) histogram aggregate and
+    * a per-source census — nothing corpus-sized ever sorts or
+    * shuffles twice. Reference behavior: spark_processor.py:89-132
+    * filters rows by quality thresholds; this is that verb at
+    * training-corpus scale with a learned scorer. */
+  private[graft] val T23Frac = 0.5
+  def t23PerplexityFilter(spark: SparkSession, dir: String,
+                          frac: Double = T23Frac): DataFrame = {
+    val (uni, bi) = bigramCounts(spark, dir, 65536, 1 << 18)
+    Curate.cutoffOn(
+      Tables.documents(spark, dir)
+        .withColumn("toks",
+          filter(split(lower(col("text")), " "), w => w =!= ""))
+        .filter(size(col("toks")) >= 2)
+        .withColumn("score", round(bigramDocScore(uni, bi), 4))
+        .select(col("source"), col("score")),
+      frac)
+  }
+  private def t23Registered(spark: SparkSession, dir: String): DataFrame =
+    t23PerplexityFilter(spark, dir)
 
   /** Drop this session's learned vocab/merge tables (see
     * [[Similarity.invalidateCaches]], which fans out here). */
@@ -945,6 +990,7 @@ object TextStats {
     "t13_char_stats" -> t13CharStats,
     "t9_unigram_logprob" -> t9Registered,
     "t22_bigram_logprob" -> t22Registered,
+    "t23_perplexity_filter" -> t23Registered,
     "t10_bpe_train" -> t10Registered,
     "t5_vocab_topk" -> t5VocabTopK,
     "t16_heavy_hitters" -> t16HeavyHitters,
@@ -1077,6 +1123,49 @@ object TextStats {
         |  round(min(score), 4) AS min_logp,
         |  round(max(score), 4) AS max_logp
         |FROM ds GROUP BY lang ORDER BY lang""".stripMargin,
+    // t23 composes t22's scored CTE (same smoothing arithmetic) with
+    // d29's histogram-threshold machinery (same tie-inclusive rule) —
+    // an edit to either shared device moves this oracle too
+    "t23_perplexity_filter" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |uc AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY tok),
+        |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+        |pairs AS (
+        |  SELECT doc_id, source, b.prev AS prev, b.nxt AS nxt
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(range(2, len(toks) + 1),
+        |        i -> struct_pack(prev := toks[i-1], nxt := toks[i]))) AS b
+        |    FROM d WHERE len(toks) >= 2)),
+        |bc AS (
+        |  SELECT prev, nxt, count(*) AS c FROM pairs GROUP BY prev, nxt),
+        |scored AS (
+        |  SELECT p.doc_id, p.source,
+        |    log10((bc.c + 1.0) / (uc.c + v.v)) AS lp
+        |  FROM pairs p
+        |  JOIN bc ON p.prev = bc.prev AND p.nxt = bc.nxt
+        |  JOIN uc ON p.prev = uc.tok
+        |  CROSS JOIN v),
+        |ds AS (
+        |  SELECT doc_id, source, round(sum(lp) / count(*), 4) AS score
+        |  FROM scored GROUP BY doc_id, source),
+        |h AS (SELECT score, count(*) AS c FROM ds GROUP BY score),
+        |cum AS (SELECT score, sum(c) OVER (ORDER BY score DESC) AS cum
+        |        FROM h),
+        |tot AS (SELECT count(*) AS total FROM ds),
+        |t AS (SELECT max(score) AS thr FROM cum, tot
+        |      WHERE cum >= ceil($T23Frac * total))
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score >= (SELECT thr FROM t) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept,
+        |  round((SELECT thr FROM t), 4) AS threshold
+        |FROM ds GROUP BY source ORDER BY source""".stripMargin,
     "t5_vocab_topk" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token

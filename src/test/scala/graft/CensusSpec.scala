@@ -126,8 +126,12 @@ class CensusSpec extends AnyFunSuite {
                                    // serve discipline)
     // r13-cohort pins, same discipline (measured plan + 1)
     "d48_k_anonymity" -> 4,        // QI agg + source rollup + order
-    "g9_personalized_pagerank" -> 1 // serve = checkpointed-fixpoint scan
+    "g9_personalized_pagerank" -> 1, // serve = checkpointed-fixpoint scan
                                    // (g1's serve discipline)
+    "t23_perplexity_filter" -> 3   // zero-shuffle LM scoring pass +
+                                   // per-source census + report order
+                                   // (the threshold histogram resolves
+                                   // at build, d29's discipline)
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

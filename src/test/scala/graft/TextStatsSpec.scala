@@ -276,4 +276,50 @@ class TextStatsSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(tri == Map(0L -> 1L, 1L -> 1L), s"got $tri")
   }
+
+  test("perplexity gate keeps the highest-logprob half, hand-computed (T23)") {
+    // uni: a=3 b=3 c=2 d=2, V=4; bi: "a b"=3 "b a"=1 "c d"=1 "d c"=1.
+    // d0 = (2·lg(4/7)+lg(2/7))/3 ≈ −0.3434, d1 = lg(4/7) ≈ −0.2430,
+    // d2 = d3 = lg(2/6) ≈ −0.4771. frac 0.5 over 4 docs → target 2 →
+    // threshold −0.3434 → exactly the two web docs survive.
+    val docs = Seq(
+      (0L, "a b a b", "en", "web", 7L),
+      (1L, "a b", "en", "web", 3L),
+      (2L, "c d", "en", "spam", 3L),
+      (3L, "d c", "en", "spam", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocsDir(docs) { dir =>
+      val out = TextStats.t23PerplexityFilter(spark, dir).collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+          r.getDouble(3)))).toMap
+      def r4(x: Double) =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val thr = r4((2 * math.log10(4.0 / 7) + math.log10(2.0 / 7)) / 3)
+      assert(out("web") == ((2L, 2L, thr)), s"got $out")
+      assert(out("spam") == ((2L, 0L, thr)), s"got $out")
+    }
+  }
+
+  test("perplexity gate is tie-inclusive at the boundary (T23)") {
+    // Four identical-score docs at the top: uni a=5 b=5 V=2, "a b"=4
+    // "b a"=1 → the 'a b' docs all score lg(5/7) ≈ −0.1461, 'b a'
+    // scores lg(2/7) ≈ −0.5441. frac 0.4 over 5 docs → target 2, but
+    // the boundary score has 4 members — ALL four kept (the member
+    // set must be a pure function of the corpus, never an arbitrary
+    // tie cut), so each source keeps its 2 'a b' docs.
+    val docs = Seq(
+      (0L, "a b", "en", "web", 3L),
+      (1L, "a b", "en", "web", 3L),
+      (2L, "a b", "en", "spam", 3L),
+      (3L, "a b", "en", "spam", 3L),
+      (4L, "b a", "en", "spam", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    withDocsDir(docs) { dir =>
+      val out = TextStats.t23PerplexityFilter(spark, dir, frac = 0.4)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(out == Map("web" -> ((2L, 2L)), "spam" -> ((3L, 2L))),
+        s"got $out")
+    }
+  }
 }
