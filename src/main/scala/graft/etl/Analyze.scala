@@ -751,11 +751,15 @@ object Analyze {
   /** The arm split + two-proportion z arithmetic over a caller-supplied
     * (user_id, converted) frame — shared verbatim by batch and the
     * fold's serve pass. */
+  /** The deterministic 50/50 arm split shared by a27 and a32 — the
+    * SAME IdHash assignment d16's splits ride, extracted so the two
+    * experiment readouts can never disagree on who is in which arm. */
+  private[graft] def armCol: Column =
+    when(graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+      .otherwise("B")
+
   private[graft] def abTestFromUsers(usersIn: DataFrame): DataFrame = {
-    val users = usersIn
-      .withColumn("arm",
-        when(graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
-          .otherwise("B"))
+    val users = usersIn.withColumn("arm", armCol)
     val arms = users.groupBy(col("arm")).agg(
       count(lit(1)).as("n_users"), sum(col("converted")).as("n_conv"))
     val a = arms.filter(col("arm") === "A")
@@ -1035,7 +1039,93 @@ object Analyze {
       .orderBy(col("n_paths").desc, col("step1"), col("step2"), col("step3"))
       .limit(20)
 
+  /** A32 — sequential A/B monitoring, the peeking problem made
+    * explicit (Armitage et al. 1969 measured it; group-sequential
+    * designs à la O'Brien-Fleming 1979 are the classical fix; Johari
+    * et al. 2017 its always-valid modern form). a27 reads ONE
+    * two-proportion z at the end of the experiment; a live product
+    * team reads the dashboard EVERY DAY, and under daily peeking the
+    * naive |z| > 1.96 rule's false-positive rate inflates several-fold
+    * — the most common way experiments "win". The card: one row per
+    * analysis day with cumulative arm enrollments (a user enrolls at
+    * their FIRST event day) and conversions (first purchase day), the
+    * pooled z at that day, the naive verdict, and the
+    * O'Brien-Fleming-style boundary 1.96/√t (t = information fraction
+    * = cumulative enrollments / final enrollments) with ITS verdict —
+    * a z that crosses 1.96 on day 3 but never clears the early
+    * boundary is exactly the experiment a27 alone would mis-call.
+    *
+    * Scale + determinism shape: ONE map-side-combined per-user
+    * aggregate (both days are MIN-monoids — the live fold's state,
+    * [[graft.streaming.SeqAbStreamFold]]), checkpointed once for its
+    * two consumers (enrollment and conversion deltas — the a29
+    * twice-consumed device), a day-keyed delta aggregate bounded by
+    * the DAY SPAN, and single-partition windows over that ≤|days|
+    * frame, never the corpus (the a18/a29 boundedness argument).
+    * Counts stay exact longs; z and the boundary are the only floats,
+    * rounds(4), and both verdicts compare the ROUNDED values so the
+    * booleans cannot sit on a cross-engine ulp. */
+  def a32SequentialAb(spark: SparkSession, dir: String): DataFrame =
+    sequentialAb(Tables.events(spark, dir))
+
+  private[graft] def sequentialAb(events: DataFrame): DataFrame =
+    sequentialAbFromJourneys(userJourneys(events))
+
+  /** The corpus reduction behind a32: per-user (enrollment day,
+    * conversion day) — both min-monoids, so the frame merges across
+    * micro-batches and is the fold's state shape. */
+  private[graft] def userJourneys(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
+      min(expr("unix_timestamp(ts) div 86400")).as("enroll_day"),
+      min(when(col("event_type") === "purchase",
+        expr("unix_timestamp(ts) div 86400"))).as("conv_day"))
+
+  /** The daily monitoring card over a caller-supplied journeys frame —
+    * shared verbatim by batch and the fold's serve pass. */
+  private[graft] def sequentialAbFromJourneys(j0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = j0.withColumn("arm", armCol).localCheckpoint(true)
+    val enr = j.select(col("arm"), col("enroll_day").as("day"),
+      lit(1L).as("e"), lit(0L).as("c"))
+    val cnv = j.filter(col("conv_day").isNotNull)
+      .select(col("arm"), col("conv_day").as("day"),
+        lit(0L).as("e"), lit(1L).as("c"))
+    val byDay = enr.unionByName(cnv).groupBy(col("day")).agg(
+      sum(when(col("arm") === "A", col("e")).otherwise(0L)).as("e_a"),
+      sum(when(col("arm") === "A", col("c")).otherwise(0L)).as("dc_a"),
+      sum(when(col("arm") === "B", col("e")).otherwise(0L)).as("e_b"),
+      sum(when(col("arm") === "B", col("c")).otherwise(0L)).as("dc_b"))
+    val upTo = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    byDay
+      .withColumn("n_a", sum(col("e_a")).over(upTo))
+      .withColumn("c_a", sum(col("dc_a")).over(upTo))
+      .withColumn("n_b", sum(col("e_b")).over(upTo))
+      .withColumn("c_b", sum(col("dc_b")).over(upTo))
+      .withColumn("n_final", sum(col("e_a") + col("e_b")).over(all))
+      .withColumn("t",
+        (col("n_a") + col("n_b")).cast("double") / col("n_final"))
+      .withColumn("p_pool", when(col("n_a") > 0 && col("n_b") > 0,
+        (col("c_a") + col("c_b")).cast("double") /
+          (col("n_a") + col("n_b"))))
+      .withColumn("se", when(col("p_pool").isNotNull,
+        sqrt(col("p_pool") * (lit(1.0) - col("p_pool")) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))))
+      .withColumn("z", when(col("se").isNotNull && col("se") > 0.0,
+        round((col("c_a").cast("double") / col("n_a") -
+          col("c_b").cast("double") / col("n_b")) / col("se"), 4)))
+      .withColumn("of_bound", round(lit(1.96) / sqrt(col("t")), 4))
+      .select(col("day"), col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        col("z"), col("of_bound"),
+        (abs(coalesce(col("z"), lit(0.0))) > 1.96).as("sig_naive"),
+        (abs(coalesce(col("z"), lit(0.0))) > col("of_bound")).as("sig_of"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a32_sequential_ab" -> a32SequentialAb,
     "a31_path_mining" -> a31PathMining,
     "a30_attribution" -> a30Attribution,
     "a29_survival_curve" -> a29SurvivalCurve,
@@ -1273,6 +1363,60 @@ object Analyze {
         |  min(CASE WHEN s_hi > 4.0 THEN event_id END) AS first_hi_alarm_id,
         |  min(CASE WHEN s_lo > 4.0 THEN event_id END) AS first_lo_alarm_id
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "a32_sequential_ab" ->
+      (s"""WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |         THEN 'A' ELSE 'B' END AS arm,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS enroll_day,
+        |    min(CASE WHEN event_type = 'purchase'
+        |        THEN CAST(floor(epoch(ts)) AS BIGINT) // 86400 END)
+        |      AS conv_day
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT arm, enroll_day AS day, 1 AS e, 0 AS c FROM u
+        |  UNION ALL
+        |  SELECT arm, conv_day AS day, 0 AS e, 1 AS c FROM u
+        |  WHERE conv_day IS NOT NULL),
+        |bd AS (
+        |  SELECT day,
+        |    sum(CASE WHEN arm = 'A' THEN e ELSE 0 END) AS e_a,
+        |    sum(CASE WHEN arm = 'A' THEN c ELSE 0 END) AS dc_a,
+        |    sum(CASE WHEN arm = 'B' THEN e ELSE 0 END) AS e_b,
+        |    sum(CASE WHEN arm = 'B' THEN c ELSE 0 END) AS dc_b
+        |  FROM d GROUP BY day),
+        |cum AS (
+        |  SELECT day,
+        |    sum(e_a) OVER w AS n_a, sum(dc_a) OVER w AS c_a,
+        |    sum(e_b) OVER w AS n_b, sum(dc_b) OVER w AS c_b,
+        |    sum(e_a + e_b) OVER () AS n_final
+        |  FROM bd
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (
+        |  SELECT *,
+        |    CAST(n_a + n_b AS DOUBLE) / n_final AS t,
+        |    CASE WHEN n_a > 0 AND n_b > 0
+        |         THEN CAST(c_a + c_b AS DOUBLE) / (n_a + n_b) END AS p_pool
+        |  FROM cum),
+        |s2 AS (
+        |  SELECT *, CASE WHEN p_pool IS NOT NULL THEN
+        |    sqrt(p_pool * (1.0 - p_pool) * (1.0 / n_a + 1.0 / n_b)) END AS se
+        |  FROM s),
+        |s3 AS (
+        |  SELECT day, n_a, c_a, n_b, c_b,
+        |    CASE WHEN se IS NOT NULL AND se > 0.0 THEN
+        |      round((CAST(c_a AS DOUBLE) / n_a
+        |             - CAST(c_b AS DOUBLE) / n_b) / se, 4) END AS z,
+        |    round(1.96 / sqrt(t), 4) AS of_bound
+        |  FROM s2)
+        |SELECT CAST(day AS BIGINT) AS day,
+        |  CAST(n_a AS BIGINT) AS n_a, CAST(c_a AS BIGINT) AS c_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(c_b AS BIGINT) AS c_b,
+        |  z, of_bound,
+        |  abs(coalesce(z, 0.0)) > 1.96 AS sig_naive,
+        |  abs(coalesce(z, 0.0)) > of_bound AS sig_of
+        |FROM s3 ORDER BY day""").stripMargin,
     "a31_path_mining" ->
       """WITH seqd AS (
         |  SELECT user_id, event_type,

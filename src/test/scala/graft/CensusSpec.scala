@@ -128,10 +128,12 @@ class CensusSpec extends AnyFunSuite {
     "d48_k_anonymity" -> 4,        // QI agg + source rollup + order
     "g9_personalized_pagerank" -> 1, // serve = checkpointed-fixpoint scan
                                    // (g1's serve discipline)
-    "t23_perplexity_filter" -> 3   // zero-shuffle LM scoring pass +
+    "t23_perplexity_filter" -> 3,  // zero-shuffle LM scoring pass +
                                    // per-source census + report order
                                    // (the threshold histogram resolves
                                    // at build, d29's discipline)
+    "a32_sequential_ab" -> 4       // day-delta agg off the checkpointed
+                                   // journeys + day-frame windows + order
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

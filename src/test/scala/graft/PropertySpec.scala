@@ -454,6 +454,79 @@ class PropertySpec extends AnyFunSuite {
     assert(r2.isNullAt(6) && !r2.getBoolean(7))
   }
 
+  test("sequential A/B: an early naive 'win' does not clear the O'Brien-Fleming boundary (A32)") {
+    import spark.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // Resolve arms through the operator's own assignment, then plant
+    // THE peeking scenario: day 1 enrolls 10 per arm and every A-user
+    // converts (z = 1/√(.25·.2) = 4.4721 — a decisive naive win), but
+    // only 20 of the eventual 400 users have arrived (t = 0.05 →
+    // boundary 1.96/√.05 = 8.7654) — the sequential card must refuse
+    // the early call. Day 2 enrolls the other 380 with no conversions;
+    // at full information the boundary relaxes to exactly 1.96.
+    val userIds = (0L until 400L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val earlyA = userIds.filter(arms(_) == "A").take(10)
+    val earlyB = userIds.filter(arms(_) == "B").take(10)
+    val late = userIds.filterNot((earlyA ++ earlyB).toSet)
+    val events =
+      earlyA.map(u => (u, at(1), u, "purchase", 1.0)) ++
+        earlyB.map(u => (u, at(1), u, "view", 1.0)) ++
+        late.map(u => (u, at(2), u, "view", 1.0))
+    val out = graft.etl.Analyze.sequentialAb(
+      events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+    assert(out.length == 2)
+    val d1 = out(0)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3), d1.getLong(4)) ==
+      ((10L, 10L, 10L, 0L)))
+    assert(d1.getDouble(5) == 4.4721 && d1.getDouble(6) == 8.7654,
+      s"z=${d1.getDouble(5)} bound=${d1.getDouble(6)}")
+    assert(d1.getBoolean(7) && !d1.getBoolean(8),
+      "day 1 must read: naive says ship, sequential says wait")
+    // full information: boundary = 1.96 exactly; z recomputed on the
+    // diluted rates via the same closed form
+    val d2 = out(1)
+    val (nA, nB) = (d2.getLong(1).toDouble, d2.getLong(3).toDouble)
+    assert(nA + nB == 400.0 && d2.getLong(2) == 10L && d2.getLong(4) == 0L)
+    assert(d2.getDouble(6) == 1.96)
+    val pPool = 10.0 / 400
+    val se = math.sqrt(pPool * (1 - pPool) * (1 / nA + 1 / nB))
+    val zExp = BigDecimal((10.0 / nA - 0.0) / se)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(d2.getDouble(5) == zExp)
+    assert(d2.getBoolean(7) == (math.abs(zExp) > 1.96))
+    assert(d2.getBoolean(8) == (math.abs(zExp) > 1.96))
+  }
+
+  test("sequential A/B: a single-arm day yields NULL z, never a division blowup (A32)") {
+    import spark.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // day 1 enrolls ONLY A-arm users (n_b = 0 → z must be NULL and not
+    // significant under either rule); B arrives day 2
+    val userIds = (0L until 100L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aUsers = userIds.filter(arms(_) == "A")
+    val bUsers = userIds.filter(arms(_) == "B")
+    val events =
+      aUsers.map(u => (u, at(1), u, "purchase", 1.0)) ++
+        bUsers.map(u => (u, at(2), u, "view", 1.0))
+    val out = graft.etl.Analyze.sequentialAb(
+      events.toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .collect()
+    val d1 = out(0)
+    assert(d1.getLong(3) == 0L && d1.isNullAt(5))
+    assert(!d1.getBoolean(7) && !d1.getBoolean(8))
+  }
+
   test("RFM: hand-bucketed users land in their segments; recency anchors to the corpus' own max day (A28)") {
     import spark.implicits._
     def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")

@@ -1477,6 +1477,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve(spark)) == live)
   }
 
+  test("a32' sequential-A/B fold: the boundary TIGHTENS retroactively as " +
+    "enrollment arrives; a late earlier event moves an enrollment day " +
+    "back; replay no-op; serve ≡ batch kernel") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val fold = new graft.streaming.SeqAbStreamFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("seqabfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type"), ckpt)
+    // the A32 batch spec's peeking corpus, streamed: b1 is day 1 (10
+    // A-purchases, 10 B-views); b2 lands the other 380 users on day 2;
+    // b3 is a LATE day-1 view for one day-2 user (enroll_day min-moves
+    // 2 → 1 retroactively)
+    val userIds = (0L until 400L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val earlyA = userIds.filter(arms(_) == "A").take(10)
+    val earlyB = userIds.filter(arms(_) == "B").take(10)
+    val late = userIds.filterNot((earlyA ++ earlyB).toSet)
+    val b1 = earlyA.map(u => (u, at(1), u, "purchase")) ++
+      earlyB.map(u => (u, at(1), u, "view"))
+    val b2 = late.map(u => (u, at(2), u, "view"))
+    val b3 = Seq((9000L, at(1), late.head, "view"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4),
+        if (r.isNullAt(5)) None else Some(r.getDouble(5)),
+        r.getDouble(6), r.getBoolean(7), r.getBoolean(8))).toSeq
+    in.addData(b1: _*); q.processAllAvailable()
+    // within b1's horizon enrollment looks COMPLETE: t = 1, boundary
+    // 1.96, and the planted z = 4.4721 clears it — the fold honestly
+    // calls the experiment on the information folded so far
+    val d1Early = rows(fold.serve()).head
+    assert(d1Early._6.contains(4.4721) && d1Early._7 == 1.96
+      && d1Early._9, s"$d1Early")
+    in.addData(b2: _*); q.processAllAvailable()
+    // b2's 380 enrollments shrink day 1's information fraction to
+    // 0.05 — the SAME day-1 row now carries boundary 8.7654 and the
+    // early win un-calls itself (the peeking correction, live)
+    val d1Mid = rows(fold.serve()).head
+    assert(d1Mid._7 == 8.7654 && d1Mid._8 && !d1Mid._9, s"$d1Mid")
+    in.addData(b3: _*); q.processAllAvailable()
+    q.stop()
+    // the late day-1 view re-days its user: day 1 now has 21
+    // enrollments, and serve ≡ the batch kernel over the landed corpus
+    val live = rows(fold.serve())
+    assert(live.head._2 + live.head._4 == 21L, s"${live.head}")
+    val landed = (b1 ++ b2 ++ b3).toDF("event_id", "ts", "user_id",
+      "event_type")
+    assert(live == rows(graft.etl.Analyze.sequentialAb(landed)))
+    // min-monoid idempotence: re-folding b2 is a content no-op
+    fold.foldBatch(b2.toDF("event_id", "ts", "user_id", "event_type"))
+    assert(rows(fold.serve()) == live)
+    // restart recipe: one-pass rebuild ≡ continuous fold
+    val f2 = new graft.streaming.SeqAbStreamFold
+    f2.rebuildFrom(landed)
+    assert(rows(f2.serve()) == live)
+  }
+
   test("a28' RFM fold: per-user triples merge as (max, sum, sum); the " +
     "recency anchor advances with the stream; replays don't double; " +
     "serve ≡ batch kernel") {
