@@ -844,36 +844,28 @@ object TextStats {
       (uni.toMap, bi.toMap)
     })
 
-  /** The per-doc mean bigram log-probability over a `toks` column —
-    * ONE definition shared by t22's per-language report and t23's
-    * quality gate, so a smoothing change moves both consumers (the
-    * d24-fragment discipline). The two count tables arrive as broadcast
-    * map literals; the fold walks the doc's own token array, so scoring
-    * is a zero-shuffle projection at any corpus size. */
-  private def bigramDocScore(uni: Map[String, Long],
-                             bi: Map[String, Long]): Column = {
-    val umap = typedlit(uni)
-    val bmap = typedlit(bi)
-    val v = lit(uni.size.toDouble)
-    aggregate(
-      transform(sequence(lit(2), size(col("toks"))), i => {
-        val prev = element_at(col("toks"), i - 1)
-        val bg = concat(prev, lit(" "), element_at(col("toks"), i))
-        log10((element_at(bmap, bg) + lit(1.0)) /
-          (element_at(umap, prev) + v))
-      }),
-      lit(0.0), (acc, lp) => acc + lp) / (size(col("toks")) - 1)
-  }
+  /** The per-doc mean bigram log-probability — ONE definition shared
+    * by t22's per-language report and t23's quality gate, so a
+    * smoothing change moves both consumers (the d24-fragment
+    * discipline). The scorer is the [[graft.functions.LmScore]]
+    * expression: one per-row token walk with O(1) hash lookups into
+    * the count tables riding the expression closure — the HOF +
+    * map-literal formulation it replaced paid a LINEAR key-array scan
+    * per `element_at` (135 s vs 0.6 s on the 10×-vocab replica
+    * corpus, and O(|table|)/token worse from there; see LmScore's
+    * scaladoc for the measurement). NULL for docs with fewer than two
+    * tokens — callers filter, which is the old size(toks) ≥ 2 gate. */
+  private def bigramDocScore(spark: SparkSession, uni: Map[String, Long],
+                             bi: Map[String, Long]): Column =
+    graft.functions.LmScore.score(spark, col("text"), uni, bi)
 
   def t22BigramLogprob(spark: SparkSession, dir: String,
                        maxVocab: Int = 65536,
                        maxBigrams: Int = 1 << 18): DataFrame = {
     val (uni, bi) = bigramCounts(spark, dir, maxVocab, maxBigrams)
     Tables.documents(spark, dir)
-      .withColumn("toks",
-        filter(split(lower(col("text")), " "), w => w =!= ""))
-      .filter(size(col("toks")) >= 2)
-      .withColumn("score", bigramDocScore(uni, bi))
+      .withColumn("score", bigramDocScore(spark, uni, bi))
+      .filter(col("score").isNotNull)
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
         round(avg(col("score")), 4).as("avg_logp"),
@@ -910,15 +902,14 @@ object TextStats {
     val (uni, bi) = bigramCounts(spark, dir, 65536, 1 << 18)
     Curate.cutoffOn(
       Tables.documents(spark, dir)
-        .withColumn("toks",
-          filter(split(lower(col("text")), " "), w => w =!= ""))
-        .filter(size(col("toks")) >= 2)
-        .withColumn("score", round(bigramDocScore(uni, bi), 4))
+        .withColumn("score", round(bigramDocScore(spark, uni, bi), 4))
+        .filter(col("score").isNotNull)
         .select(col("source"), col("score")),
       frac)
   }
   private def t23Registered(spark: SparkSession, dir: String): DataFrame =
     t23PerplexityFilter(spark, dir)
+
 
   /** Drop this session's learned vocab/merge tables (see
     * [[Similarity.invalidateCaches]], which fans out here). */
