@@ -107,7 +107,7 @@ object FoldScalingProbe {
       val (fB, sB) = atBig(n)
       val aF = math.log10(fB / f1) / math.log10(ratio)
       val aS = math.log10(sB / s1) / math.log10(ratio)
-      f"""{"fold":"$n","fold_t1x":$f1%.3f,"fold_tbig":$fB%.3f,"fold_alpha":$aF%.2f,"serve_t1x":$s1%.3f,"serve_tbig":$sB%.3f,"serve_alpha":$aS%.2f}"""
+      s"""{"fold":"$n","fold_t1x":${J.f3(f1)},"fold_tbig":${J.f3(fB)},"fold_alpha":${J.f2(aF)},"serve_t1x":${J.f3(s1)},"serve_tbig":${J.f3(sB)},"serve_alpha":${J.f2(aS)}}"""
     }
     println(rows.mkString("[", ",", "]"))
     spark.stop()

@@ -42,7 +42,7 @@ object OphBench {
     }
     val tc = time(classic)
     val to = time(oph)
-    println(f"""{"dir":"$dir","classic_sec":$tc%.3f,"oph_sec":$to%.3f,"speedup":${tc / to}%.2f}""")
+    println(s"""{"dir":"$dir","classic_sec":${J.f3(tc)},"oph_sec":${J.f3(to)},"speedup":${J.f2(tc / to)}}""")
     spark.stop()
   }
 }

@@ -98,7 +98,7 @@ object ScalingProbe {
         val t1 = time(n, base)
         val t10 = time(n, big)
         val alpha = math.log10(t10 / t1) / math.log10(ratio)
-        f"""{"query":"$n","t1x":$t1%.3f,"tbig":$t10%.3f,"alpha":$alpha%.2f}"""
+        s"""{"query":"$n","t1x":${J.f3(t1)},"tbig":${J.f3(t10)},"alpha":${J.f2(alpha)}}"""
       } catch { case e: Throwable =>
         // a probe whose tables are absent from a derived corpus (e.g.
         // an older /tmp dir predating events/orders) reports instead of

@@ -33,3 +33,13 @@ object Sessions {
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 }
+
+/** Locale-proof float rendering for probe/bench JSON artifacts: the
+  * f-interpolator honors the DEFAULT locale, so a comma-decimal host
+  * would emit 0,123 and invalidate the JSON (advisor r13). */
+object J {
+  def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+  def f2(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+}

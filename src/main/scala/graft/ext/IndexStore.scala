@@ -1,6 +1,6 @@
 package graft.ext
 
-import java.io.File
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -15,108 +15,170 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scheduled ingest job, and every serving session from then on pays
   * one parquet scan.
   *
-  * Layout: `<root>/<dirTag>_<fingerprint>/<artifact>/<part>/…parquet`.
+  * The store speaks `org.apache.hadoop.fs.FileSystem` throughout (the
+  * s19/s21 Sources discipline, r13 verdict ask #3) — the root may live
+  * on ANY registered scheme (`file:`, `hdfs:`, an object store), not
+  * just the local disk the old `java.io.File` form assumed. Because an
+  * object store's rename is copy-then-delete (NOT atomic), the rename
+  * is an optimization, never the correctness carrier: completeness is
+  * carried by the [[OkMarker]], written strictly LAST, and a reader
+  * loads a published dir only when the marker is present.
+  *
+  * Layout: `<root>/<dirTag>_<fingerprint>/<artifact>_v<F>/<part>/…`.
   *
   *  - `root` defaults to `java.io.tmpdir/graft_index_store`; override
   *    with system property `graft.index.store` (specs point it at a
-  *    scratch dir so store state can be controlled per test).
+  *    scratch dir — or a non-`file:` scheme — so store state can be
+  *    controlled per test).
   *  - `fingerprint` hashes every (name, size, mtime) under the source
   *    table's path. The driver regenerates testdata between rounds;
   *    with the fingerprint in the KEY, a stale index is simply
   *    unreachable — there is no "is it fresh?" check to forget, the
   *    same device as content-addressed build caches.
-  *  - publish is atomic: artifacts build in a `.tmp<pid>` sibling and
-  *    a single directory rename makes them visible, so a concurrent
-  *    builder in another process either wins the rename or discards
-  *    its copy and reads the winner's — never a half-written index.
+  *  - `_v<F>` is [[FormatVersion]] — the CODE's artifact-layout
+  *    version, folded into the path (advisor r13): the dataset
+  *    fingerprint alone cannot see a change to the training code or
+  *    codebook schema, so without the version a new binary would
+  *    silently serve a stale index published by the old code from the
+  *    shared store. Bump it on ANY training/layout change and the old
+  *    publishes become unreachable, exactly like a rewritten dataset.
+  *  - publish is complete-or-invisible: artifacts build in a
+  *    `.tmp<pid>` sibling, the marker is written last INSIDE the tmp
+  *    dir, and the tmp dir moves to the final path — a concurrent
+  *    builder in another process either wins the move or discards its
+  *    copy and reads the winner's; a reader that arrives mid-copy on a
+  *    non-atomic store sees no marker and does not load.
   *
-  * [[builds]] records every actual training run; the IndexStoreSpec
+  * [[builds]] records every actual build run; the IndexStoreSpec
   * "fresh session serves with zero training" pin reads it, which keeps
-  * the no-retrain claim a TESTED property rather than a comment. */
+  * the no-retrain claim a TESTED property rather than a comment.
+  * Delta artifacts (sim23's incremental maintenance) log here too —
+  * their entries are named, so a spec can distinguish "assigned one
+  * appended batch" (cheap, expected) from "retrained the quantizer"
+  * (the failure the log exists to catch). */
 object IndexStore {
 
-  private def root: File = new File(
+  /** Artifact-layout version — part of every published path. Bump on
+    * any change to what the build closures write (schemas, encoding,
+    * k-means params) so old publishes can never be served by new code. */
+  private val FormatVersion = 2
+
+  private def hadoopConf(spark: SparkSession) =
+    spark.sparkContext.hadoopConfiguration
+
+  private def root(spark: SparkSession): Path = new Path(
     sys.props.getOrElse("graft.index.store",
       sys.env.getOrElse("SPARK_GRAFT_INDEX_STORE",
         System.getProperty("java.io.tmpdir") + "/graft_index_store")))
 
-  /** Marker written LAST inside the tmp dir, so after the rename its
+  /** Marker written LAST inside the tmp dir, so after the move its
     * presence proves every artifact under the published dir is
     * complete (parquet's own _SUCCESS only covers one frame). */
   private val OkMarker = "_GRAFT_OK"
 
-  /** Training-run event log (artifact@dir). Appended ONLY when a build
+  /** Build-run event log (artifact@dir). Appended ONLY when a build
     * closure actually executes — the observable the zero-retrain spec
     * pins. Bounded: one entry per (artifact, dataset fingerprint) per
     * process lifetime. */
   val builds = new java.util.concurrent.CopyOnWriteArrayList[String]()
 
-  private def walk(f: File): Seq[File] =
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[File])
-        .toSeq.sortBy(_.getName).flatMap(walk)
-    else Seq(f)
+  /** (dir, table) pairs this session has served through the store —
+    * lets [[Similarity.invalidateCaches]] drop the published indexes
+    * for everything the session was serving (advisor r13: the session
+    * memo cleared but the store kept serving a stale publish whenever
+    * an in-place rewrite preserved file metadata). Weak session keys,
+    * same lifetime contract as every per-session memo. */
+  private val servedBySession =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), Unit]]()
+
+  /** Drop every published index for each (dir, table) this session has
+    * served — the store half of [[Similarity.invalidateCaches]]. */
+  def invalidateServed(spark: SparkSession): Unit = {
+    val served = servedBySession.synchronized {
+      Option(servedBySession.remove(spark))
+    }
+    served.foreach(_.keys.foreach { case (d, t) =>
+      invalidate(spark, d, t)
+    })
+  }
 
   /** Content fingerprint of `<dir>/<table>.parquet` from file metadata
-    * (names, sizes, mtimes) — cheap (one listing, no data read) and
-    * changes whenever the driver rewrites the table. */
-  private[graft] def fingerprint(dir: String, table: String): String = {
-    val base = new File(dir, table + ".parquet")
+    * (names, sizes, mtimes) — cheap (one recursive listing, no data
+    * read) and changes whenever the driver rewrites the table. */
+  private[graft] def fingerprint(spark: SparkSession, dir: String,
+                                 table: String): String = {
+    val base = new Path(dir, table + ".parquet")
+    val fs = base.getFileSystem(hadoopConf(spark))
+    def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.sortBy(_.getPath.getName)
+          .flatMap(s => walk(s.getPath))
+      else Seq(st)
+    }
     val sig = walk(base)
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
       .mkString("|")
     f"${scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL}%08x"
   }
 
-  private def datasetRoot(dir: String, table: String): File =
-    new File(root, Similarity.dirTag(dir) + "_" + fingerprint(dir, table))
+  private def datasetRoot(spark: SparkSession, dir: String,
+                          table: String): Path =
+    new Path(root(spark),
+      Similarity.dirTag(dir) + "_" + fingerprint(spark, dir, table))
 
   /** Serve the named artifact set for (dir, table): load it if a
     * complete publish exists, otherwise run `build` (the training
-    * job), publish atomically, and load the published copy. Returns
-    * sub-artifact name → DataFrame read FROM THE STORE — even the
-    * builder session serves off the published files, so the serve
+    * job), publish complete-or-invisible, and load the published copy.
+    * Returns sub-artifact name → DataFrame read FROM THE STORE — even
+    * the builder session serves off the published files, so the serve
     * lineage is identical for builder and reader sessions (no
     * builder-only fast path to hide a broken store). */
   def loadOrBuild(spark: SparkSession, dir: String, table: String,
                   name: String)(build: => Seq[(String, DataFrame)])
       : Map[String, DataFrame] = {
-    val path = new File(datasetRoot(dir, table), name)
-    if (!new File(path, OkMarker).isFile) {
+    Similarity.perSession(servedBySession, spark)
+      .update((dir, table), ())
+    val path = new Path(datasetRoot(spark, dir, table),
+      s"${name}_v$FormatVersion")
+    val fs = path.getFileSystem(hadoopConf(spark))
+    if (!fs.exists(new Path(path, OkMarker))) {
       builds.add(s"$name@$dir")
       val parts = build
-      val tmp = new File(path.getParentFile,
+      val tmp = new Path(path.getParent,
         path.getName + ".tmp" + ProcessHandle.current().pid())
       parts.foreach { case (sub, df) =>
-        df.write.mode("overwrite").parquet(new File(tmp, sub).getPath)
+        df.write.mode("overwrite").parquet(new Path(tmp, sub).toString)
       }
-      new java.io.FileOutputStream(new File(tmp, OkMarker)).close()
-      path.getParentFile.mkdirs()
-      if (!tmp.renameTo(path)) {
-        // Lost the publish race (or a concurrent publish landed between
-        // the check and here): the winner's copy is complete — discard
-        // ours and serve theirs.
-        deleteRecursively(tmp)
-        if (!new File(path, OkMarker).isFile)
-          sys.error(s"index publish failed for ${path.getPath}")
+      fs.create(new Path(tmp, OkMarker), true).close()
+      fs.mkdirs(path.getParent)
+      // The move is best-effort: losing it (concurrent publish landed
+      // between the check and here, or the FS moved tmp INSIDE an
+      // already-present dst — POSIX mv semantics) means the winner's
+      // copy is complete — discard ours and serve theirs. On stores
+      // where the move is non-atomic, the marker (written last, moved
+      // with the dir) still gates readers.
+      if (fs.exists(path) || !fs.rename(tmp, path)) {
+        fs.delete(tmp, true)
+        // mv-into-existing leaves tmp as a CHILD of dst — sweep it
+        fs.delete(new Path(path, tmp.getName), true)
+        if (!fs.exists(new Path(path, OkMarker)))
+          sys.error(s"index publish failed for $path")
       }
     }
-    val subs = Option(path.listFiles()).getOrElse(Array.empty[File])
-      .filter(f => f.isDirectory)
-    subs.map(f => f.getName -> spark.read.parquet(f.getPath)).toMap
+    fs.listStatus(path).toSeq
+      .filter(_.isDirectory)
+      .map(s => s.getPath.getName -> spark.read.parquet(s.getPath.toString))
+      .toMap
   }
 
   /** Drop every published index for (dir, table) — the store-side
     * companion of [[Similarity.invalidateCaches]] for callers that
     * rewrote a served dir in place (same mtime/size, e.g. a test
     * fixture) and need the fingerprint shortcut overridden. */
-  def invalidate(dir: String, table: String): Unit =
-    deleteRecursively(datasetRoot(dir, table))
-
-  private def deleteRecursively(f: File): Unit = {
-    if (f.isDirectory)
-      Option(f.listFiles()).getOrElse(Array.empty[File])
-        .foreach(deleteRecursively)
-    f.delete(): Unit
+  def invalidate(spark: SparkSession, dir: String, table: String): Unit = {
+    val p = datasetRoot(spark, dir, table)
+    p.getFileSystem(hadoopConf(spark)).delete(p, true): Unit
   }
 }

@@ -72,11 +72,18 @@ object Similarity {
 
   /** Drop this session's memoized corpus sizes (embeddings AND
     * documents) and IVF indexes — the one public invalidation entry
-    * point; call after rewriting a served dir's data in place. */
+    * point; call after rewriting a served dir's data in place. Also
+    * drops the [[IndexStore]] publishes for every (dir, table) this
+    * session served through the store: an in-place rewrite that
+    * preserves file names/sizes/mtimes leaves the store's dataset
+    * fingerprint unchanged, so clearing the session memo alone would
+    * let the NEXT serve reload the stale published index (advisor
+    * r13 — the exact case this doc names). */
   def invalidateCaches(spark: SparkSession): Unit = {
     sizeCache.synchronized(sizeCache.remove(spark))
     ivfCache.synchronized(ivfCache.remove(spark))
     pqCache.synchronized(pqCache.remove(spark))
+    IndexStore.invalidateServed(spark)
     Dedup.invalidateCaches(spark)
     Classify.invalidateCaches(spark)
     TextStats.invalidateCaches(spark)

@@ -856,15 +856,23 @@ object TextStats {
     * scaladoc for the measurement). NULL for docs with fewer than two
     * tokens — callers filter, which is the old size(toks) ≥ 2 gate. */
   private def bigramDocScore(spark: SparkSession, uni: Map[String, Long],
-                             bi: Map[String, Long]): Column =
-    graft.functions.LmScore.score(spark, col("text"), uni, bi)
+                             bi: Map[String, Long], key: String): Column =
+    graft.functions.LmScore.score(spark, col("text"), uni, bi, key)
+
+  /** Registry-name content key for a (dir, caps) table pair — the
+    * bigramCounts memo key rendered as an identifier, so the temp-
+    * function name is DETERMINISTIC per table set (advisor r13: the
+    * identityHashCode form could collide across distinct instances). */
+  private def lmKey(dir: String, a: Int, b: Int): String =
+    s"${Similarity.dirTag(dir)}_${a}_$b"
 
   def t22BigramLogprob(spark: SparkSession, dir: String,
                        maxVocab: Int = 65536,
                        maxBigrams: Int = 1 << 18): DataFrame = {
     val (uni, bi) = bigramCounts(spark, dir, maxVocab, maxBigrams)
     Tables.documents(spark, dir)
-      .withColumn("score", bigramDocScore(spark, uni, bi))
+      .withColumn("score",
+        bigramDocScore(spark, uni, bi, lmKey(dir, maxVocab, maxBigrams)))
       .filter(col("score").isNotNull)
       .groupBy(col("lang")).agg(
         count(lit(1)).as("n_docs"),
@@ -902,13 +910,99 @@ object TextStats {
     val (uni, bi) = bigramCounts(spark, dir, 65536, 1 << 18)
     Curate.cutoffOn(
       Tables.documents(spark, dir)
-        .withColumn("score", round(bigramDocScore(spark, uni, bi), 4))
+        .withColumn("score",
+          round(bigramDocScore(spark, uni, bi,
+            lmKey(dir, 65536, 1 << 18)), 4))
         .filter(col("score").isNotNull)
         .select(col("source"), col("score")),
       frac)
   }
   private def t23Registered(spark: SparkSession, dir: String): DataFrame =
     t23PerplexityFilter(spark, dir)
+
+  /** Hashed LM count tables: unigram and bigram counts folded into
+    * FIXED bucket domains via [[graft.functions.TokenHash]] — Bu and
+    * Bb rows at ANY corpus size, so unlike [[bigramCounts]] there is
+    * no cap and no `require` fail-fast: the collect is bounded BY
+    * CONSTRUCTION (the d20 device). Dense Long arrays, not maps —
+    * the scorer indexes them directly. Memoized per (session, dir,
+    * buckets) like every trained artifact here. */
+  private val hashedLmCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[
+        (String, Int, Int), (Array[Long], Array[Long])]]()
+
+  private[graft] def hashedLmCounts(spark: SparkSession, dir: String,
+      uniBuckets: Int, biBuckets: Int): (Array[Long], Array[Long]) =
+    Similarity.perSession(hashedLmCache, spark)
+      .getOrElseUpdate((dir, uniBuckets, biBuckets), {
+        val toks = Tables.documents(spark, dir)
+          .select(filter(split(lower(col("text")), " "), w => w =!= "")
+            .as("toks"))
+        def dense(rows: Array[(Int, Long)], b: Int): Array[Long] = {
+          val a = new Array[Long](b)
+          rows.foreach { case (i, c) => a(i) = c }
+          a
+        }
+        val uni = toks.select(explode(col("toks")).as("tok"))
+          .groupBy(graft.functions.TokenHash.bucket(col("tok"), uniBuckets)
+            .as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+        val bi = toks.filter(size(col("toks")) >= 2)
+          .select(explode(transform(sequence(lit(2), size(col("toks"))),
+            i => concat(element_at(col("toks"), i - 1), lit(" "),
+              element_at(col("toks"), i)))).as("bg"))
+          .groupBy(graft.functions.TokenHash.bucket(col("bg"), biBuckets)
+            .as("b"))
+          .agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+        (dense(uni, uniBuckets), dense(bi, biBuckets))
+      })
+
+  /** T24 — hashed-bucket bigram LM scoring: t22's perplexity scorer
+    * with the count tables keyed by [[graft.functions.TokenHash]]
+    * bucket instead of by token — the r13 verdict's #1 ask, removing
+    * the engine's one registered fail-fast scale wall. The exact
+    * model's tables grow with the VOCABULARY and had to be capped
+    * (bigramCounts' 65k/256k `require`s); the hashed tables are Bu and
+    * Bb longs at any corpus size — a 10⁹-type web vocabulary and this
+    * corpus's 31 words cost the same 4096+65536-slot broadcast, so
+    * the op has NO fail-fast path at all. Collisions merge counts and
+    * are part of the estimator (hashing trick); the Laplace alphabet
+    * becomes the bucket domain (V = Bu), so with a collision-free
+    * vocabulary the score differs from t22's exact score only through
+    * that denominator — bounded in [−log10(Bu/V), 0], the bracket
+    * TextStatsSpec pins on the planted corpus.
+    *
+    * Same two-pass shape as t22: pass 1 aggregates counts BY BUCKET
+    * (the shuffle key domain is Bu/Bb — smaller than the vocabulary
+    * one it replaces) and collects ≤ Bu+Bb rows; pass 2 scores
+    * per-row via [[graft.functions.LmScoreHashed]] — one token walk,
+    * two MD5s per position, zero shuffle — then rolls up per
+    * language under t22's column contract so the exact and hashed
+    * filters read side by side. Oracle: DuckDB rebuilds the bucketed
+    * tables through the SAME [[graft.functions.TokenHash.sql]]
+    * fragment d20's oracle already replays. */
+  private[graft] val T24UniBuckets = 4096
+  private[graft] val T24BiBuckets = 1 << 16
+  def t24HashedLm(spark: SparkSession, dir: String,
+                  uniBuckets: Int = T24UniBuckets,
+                  biBuckets: Int = T24BiBuckets): DataFrame = {
+    val (uc, bc) = hashedLmCounts(spark, dir, uniBuckets, biBuckets)
+    Tables.documents(spark, dir)
+      .withColumn("score", graft.functions.LmScore.scoreHashed(
+        spark, col("text"), uc, bc, lmKey(dir, uniBuckets, biBuckets)))
+      .filter(col("score").isNotNull)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_logp"),
+        round(min(col("score")), 4).as("min_logp"),
+        round(max(col("score")), 4).as("max_logp"))
+      .orderBy(col("lang"))
+  }
+  private def t24Registered(spark: SparkSession, dir: String): DataFrame =
+    t24HashedLm(spark, dir)
 
 
   /** Drop this session's learned vocab/merge tables (see
@@ -917,6 +1011,7 @@ object TextStats {
     vocabCache.synchronized(vocabCache.remove(spark))
     mergeCache.synchronized(mergeCache.remove(spark))
     bigramCache.synchronized(bigramCache.remove(spark))
+    hashedLmCache.synchronized(hashedLmCache.remove(spark))
   }
 
   /** T13 — per-document character statistics (the Gopher/C4 rule family
@@ -982,6 +1077,7 @@ object TextStats {
     "t9_unigram_logprob" -> t9Registered,
     "t22_bigram_logprob" -> t22Registered,
     "t23_perplexity_filter" -> t23Registered,
+    "t24_hashed_lm" -> t24Registered,
     "t10_bpe_train" -> t10Registered,
     "t5_vocab_topk" -> t5VocabTopK,
     "t16_heavy_hitters" -> t16HeavyHitters,
@@ -1157,6 +1253,48 @@ object TextStats {
         |    AS BIGINT) AS n_kept,
         |  round((SELECT thr FROM t), 4) AS threshold
         |FROM ds GROUP BY source ORDER BY source""".stripMargin,
+    // t24 rebuilds the bucketed count tables through the SAME
+    // TokenHash.sql fragment d20's oracle replays — the one bucket
+    // definition emits the Spark column, the JVM walk, AND this SQL,
+    // so the three spellings cannot drift
+    "t24_hashed_lm" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '')
+        |      AS toks
+        |  FROM documents),
+        |uc AS (
+        |  SELECT ${graft.functions.TokenHash.sql("tok", T24UniBuckets)}
+        |      AS b, count(*) AS c
+        |  FROM (SELECT unnest(toks) AS tok FROM d) GROUP BY 1),
+        |pairs AS (
+        |  SELECT doc_id, lang, b.prev AS prev, b.nxt AS nxt
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |      unnest(list_transform(range(2, len(toks) + 1),
+        |        i -> struct_pack(prev := toks[i-1], nxt := toks[i]))) AS b
+        |    FROM d WHERE len(toks) >= 2)),
+        |bc AS (
+        |  SELECT ${graft.functions.TokenHash.sql("prev || ' ' || nxt",
+                     T24BiBuckets)} AS b,
+        |    count(*) AS c
+        |  FROM pairs GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id, p.lang,
+        |    log10((bc.c + 1.0) / (uc.c + $T24UniBuckets.0)) AS lp
+        |  FROM pairs p
+        |  JOIN bc ON ${graft.functions.TokenHash.sql(
+                        "p.prev || ' ' || p.nxt", T24BiBuckets)} = bc.b
+        |  JOIN uc ON ${graft.functions.TokenHash.sql("p.prev",
+                        T24UniBuckets)} = uc.b),
+        |ds AS (
+        |  SELECT doc_id, lang, sum(lp) / count(*) AS score
+        |  FROM scored GROUP BY doc_id, lang)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(score), 4) AS avg_logp,
+        |  round(min(score), 4) AS min_logp,
+        |  round(max(score), 4) AS max_logp
+        |FROM ds GROUP BY lang ORDER BY lang""".stripMargin,
     "t5_vocab_topk" ->
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(lower(text), ' ')) AS token

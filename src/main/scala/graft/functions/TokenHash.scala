@@ -29,4 +29,24 @@ object TokenHash {
   def sql(tokExpr: String, buckets: Int): String =
     s"CAST(CAST(concat('0x', substr(md5($tokExpr), 1, 12)) AS BIGINT)" +
       s" % $buckets AS INT)"
+
+  private val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** The same bucket as a driver/executor-side JVM function — the
+    * per-row twin a codegen expression ([[LmScoreHashed]]) walks with,
+    * pinned ≡ [[bucket]] over every corpus token in TextStatsSpec so
+    * the three spellings (Column, DuckDB, JVM) can never drift. First
+    * 48 bits of MD5 over the token's UTF-8 bytes (what both
+    * `md5(tok.cast("binary"))` and DuckDB's `md5(tok)` hash), big-
+    * endian — exactly the 12-hex-char prefix the other two parse. */
+  def bucketJvm(tok: String, buckets: Int): Int = {
+    val d = mdLocal.get().digest(
+      tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((d(0) & 0xffL) << 40) | ((d(1) & 0xffL) << 32) |
+      ((d(2) & 0xffL) << 24) | ((d(3) & 0xffL) << 16) |
+      ((d(4) & 0xffL) << 8) | (d(5) & 0xffL)
+    (v % buckets).toInt
+  }
 }

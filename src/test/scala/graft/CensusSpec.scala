@@ -132,8 +132,13 @@ class CensusSpec extends AnyFunSuite {
                                    // per-source census + report order
                                    // (the threshold histogram resolves
                                    // at build, d29's discipline)
-    "a32_sequential_ab" -> 4       // day-delta agg off the checkpointed
+    "a32_sequential_ab" -> 4,      // day-delta agg off the checkpointed
                                    // journeys + day-frame windows + order
+    // r14-cohort pins, same discipline (measured plan + 1)
+    "t24_hashed_lm" -> 3           // zero-shuffle hashed scoring pass +
+                                   // per-lang census + report order
+                                   // (t22's serve shape; the bucketed
+                                   // count tables resolve at build)
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

@@ -83,10 +83,10 @@ class IndexStoreSpec extends AnyFunSuite {
       else src.listFiles().filter(_.getName.endsWith(".parquet")).head
     java.nio.file.Files.copy(srcFile.toPath,
       new File(tbl, "part-0.parquet").toPath)
-    val fp1 = IndexStore.fingerprint(dataDir.getPath, "embeddings")
+    val fp1 = IndexStore.fingerprint(spark, dataDir.getPath, "embeddings")
     assert(new File(tbl, "part-0.parquet")
       .setLastModified(System.currentTimeMillis() + 123456))
-    val fp2 = IndexStore.fingerprint(dataDir.getPath, "embeddings")
+    val fp2 = IndexStore.fingerprint(spark, dataDir.getPath, "embeddings")
     assert(fp1 != fp2, "fingerprint ignored an mtime change")
   }
 
@@ -116,8 +116,44 @@ class IndexStoreSpec extends AnyFunSuite {
       s"tmp dirs leaked: ${leftovers.map(_.getName).mkString(", ")}")
   }
 
+  test("store speaks Hadoop FileSystem, not java.io.File: a non-file: " +
+    "scheme root publishes, gates on the marker, and serves retrain-free") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.graftfs.impl", classOf[GraftProbeFileSystem].getName)
+    val backing = new File(scratch.getPath + "_scheme")
+    val saved = sys.props("graft.index.store")
+    sys.props("graft.index.store") = "graftfs://" + backing.getPath
+    try {
+      val sA = spark.newSession()
+      val before = IndexStore.builds.size
+      val r1 = Similarity.queries("sim7_pq_ann")(sA, dir).collect().toSeq
+      assert(IndexStore.builds.size > before,
+        "cold scheme store did not trigger a training run")
+      val sB = spark.newSession()
+      val mid = IndexStore.builds.size
+      val r2 = Similarity.queries("sim7_pq_ann")(sB, dir).collect().toSeq
+      assert(IndexStore.builds.size == mid,
+        "a fresh session retrained instead of loading the scheme store")
+      assert(r1 == r2,
+        "scheme-store serve diverged from the training session")
+      // the publish really went through the registered FS: its backing
+      // dir exists, carries the marker, and no tmp dir leaked
+      assert(backing.isDirectory, "scheme store published nothing")
+      val artifacts = Option(backing.listFiles()).getOrElse(Array.empty)
+        .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[File]))
+        .filter(_.isDirectory)
+      assert(artifacts.nonEmpty)
+      artifacts.foreach { a =>
+        assert(new File(a, "_GRAFT_OK").isFile,
+          s"scheme-published ${a.getName} lacks the completeness marker")
+        assert(!a.getName.contains(".tmp"),
+          s"tmp build dir leaked into the scheme store: ${a.getName}")
+      }
+    } finally sys.props("graft.index.store") = saved
+  }
+
   test("invalidate() drops the published set and the next serve retrains") {
-    IndexStore.invalidate(dir, "embeddings")
+    IndexStore.invalidate(spark, dir, "embeddings")
     val s = spark.newSession()
     val before = IndexStore.builds.size
     Similarity.queries("sim21_int8_ann")(s, dir).collect()

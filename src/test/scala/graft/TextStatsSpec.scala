@@ -109,6 +109,126 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("TokenHash bucketJvm ≡ bucket Column over every corpus token " +
+    "and bigram — the three-spelling pin behind T24") {
+    import graft.functions.TokenHash
+    val dir = "/root/testdata/sf0.001"
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(filter(split(lower(col("text")), " "),
+        w => w =!= "")).as("tok")).distinct()
+    val uniRows = toks
+      .withColumn("b", TokenHash.bucket(col("tok"), TextStats.T24UniBuckets))
+      .collect()
+    assert(uniRows.nonEmpty)
+    uniRows.foreach { r =>
+      assert(TokenHash.bucketJvm(r.getString(0), TextStats.T24UniBuckets)
+        == r.getInt(1), s"jvm/column bucket drift on token '${r.getString(0)}'")
+    }
+    val bgRows = graft.Tables.documents(spark, dir)
+      .select(filter(split(lower(col("text")), " "), w => w =!= "").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("ts"))),
+        i => concat(element_at(col("ts"), i - 1), lit(" "),
+          element_at(col("ts"), i)))).as("bg")).distinct()
+      .withColumn("b", TokenHash.bucket(col("bg"), TextStats.T24BiBuckets))
+      .collect()
+    assert(bgRows.nonEmpty)
+    bgRows.foreach { r =>
+      assert(TokenHash.bucketJvm(r.getString(0), TextStats.T24BiBuckets)
+        == r.getInt(1), s"jvm/column bucket drift on bigram '${r.getString(0)}'")
+    }
+  }
+
+  test("hashed LM matches a driver-side bucket-Laplace walk on a " +
+    "planted corpus — tiny bucket domains, so collisions are LIVE (T24)") {
+    import graft.functions.TokenHash
+    val docs = Seq(
+      (0L, "a b a c", "en", "s", 7L),
+      (1L, "b a b", "en", "s", 5L),
+      (2L, "c c a", "fr", "s", 5L),
+      (3L, "solo", "fr", "s", 4L) // <2 tokens → NULL score, filtered
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val (bu, bb) = (7, 11) // tiny ON PURPOSE: force bucket collisions
+    withDocsDir(docs) { dir =>
+      // independent reimplementation: count by bucketJvm, walk each doc.
+      // "solo" scores no bigram but still counts in the UNIGRAM table —
+      // exactly as the corpus-wide pass-1 aggregate sees it.
+      val corpus = Seq(
+        Seq("a", "b", "a", "c"), Seq("b", "a", "b"), Seq("c", "c", "a"))
+      val uniC = new Array[Long](bu)
+      (corpus.flatten :+ "solo").foreach(t =>
+        uniC(TokenHash.bucketJvm(t, bu)) += 1)
+      val biC = new Array[Long](bb)
+      corpus.foreach(ts => ts.sliding(2).foreach(p =>
+        biC(TokenHash.bucketJvm(p.mkString(" "), bb)) += 1))
+      def docScore(ts: Seq[String]): Double =
+        ts.sliding(2).map { p =>
+          math.log10((biC(TokenHash.bucketJvm(p.mkString(" "), bb)) + 1.0) /
+            (uniC(TokenHash.bucketJvm(p.head, bu)) + bu))
+        }.sum / (ts.length - 1)
+      val expEn = Seq(docScore(corpus(0)), docScore(corpus(1)))
+      val expFr = Seq(docScore(corpus(2)))
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val out = TextStats.t24HashedLm(spark, dir, bu, bb).collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+      assert(out("en") == ((2L, r4(expEn.sum / 2), r4(expEn.min), r4(expEn.max))))
+      assert(out("fr") == ((1L, r4(expFr.head), r4(expFr.head), r4(expFr.head))))
+    }
+  }
+
+  test("hashed LM brackets the exact LM: collision-free corpus scores " +
+    "sit within [exact − log10(Bu/V), exact] (T24 vs T22)") {
+    import graft.functions.TokenHash
+    val dir = "/root/testdata/sf0.001"
+    // Bu at the registered operating point (the bound below involves
+    // only Bu); Bb raised to 2²² for THIS test — at the registered 2¹⁶
+    // the sf0.001 corpus already carries a handful of birthday-expected
+    // bigram collisions (916 bigrams → 911 buckets measured), which the
+    // estimator absorbs by design but which would make the exact
+    // bracket below unsound.
+    val (bu, bb) = (TextStats.T24UniBuckets, 1 << 22)
+    // precondition: no bucket collisions at the registered operating
+    // point on this corpus — the bracket below is exact only then
+    val toks = graft.Tables.documents(spark, dir)
+      .select(explode(filter(split(lower(col("text")), " "),
+        w => w =!= "")).as("tok"))
+    val v = toks.distinct().count()
+    val uniBuckets = toks.distinct()
+      .select(TokenHash.bucket(col("tok"), bu)).distinct().count()
+    assert(uniBuckets == v, "unigram bucket collision — bracket not exact")
+    val bgs = graft.Tables.documents(spark, dir)
+      .select(filter(split(lower(col("text")), " "), w => w =!= "").as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("ts"))),
+        i => concat(element_at(col("ts"), i - 1), lit(" "),
+          element_at(col("ts"), i)))).as("bg")).distinct()
+    assert(bgs.select(TokenHash.bucket(col("bg"), bb)).distinct().count()
+      == bgs.count(), "bigram bucket collision — bracket not exact")
+    // per-position: lp_hashed − lp_exact = log10((cUni+V)/(cUni+Bu)),
+    // which lies in (−log10(Bu/V), 0] for Bu ≥ V — and so does every
+    // average of such terms, including the per-lang report columns
+    val bound = math.log10(bu.toDouble / v) + 1e-6
+    val exact = TextStats.t22BigramLogprob(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val hashed = TextStats.t24HashedLm(spark, dir, bu, bb).collect()
+      .map(r => r.getString(0) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(hashed.keySet == exact.keySet)
+    hashed.foreach { case (lang, (avg, mn, mx)) =>
+      val (eAvg, eMn, eMx) = exact(lang)
+      // ±1e-4 absorbs the report columns' own round(4)
+      Seq((avg, eAvg, "avg"), (mn, eMn, "min"), (mx, eMx, "max")).foreach {
+        case (h, e, w) =>
+          assert(h <= e + 1e-4 && h >= e - bound - 1e-4,
+            s"$lang $w: hashed $h outside [${e - bound}, $e]")
+      }
+    }
+  }
+
   test("compression ratio separates repetitive from varied text") {
     val rnd = new scala.util.Random(5)
     val varied = (0 until 300).map(_ =>
