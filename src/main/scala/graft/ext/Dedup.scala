@@ -1003,7 +1003,106 @@ object Dedup {
       .orderBy(col("source"))
   }
 
+  /** Evaluation-slice width for [[d49DedupScorecard]]: ground truth is
+    * every pair whose LOWER id falls in the first `D49EvalDocs` ids —
+    * slice × corpus, not slice² (the planted dup pairs span distant
+    * ids, so a prefix² slice would see an empty truth at sf0.1) and
+    * not corpus² (which exists at no scale). O(slice · N): at any
+    * corpus size the slice side broadcasts — the d5 verify economics
+    * with pair-complete coverage for the audited ids. Shared with the
+    * spec's bar pins. */
+  private[graft] val D49EvalDocs = 1000L
+
+  /** D49 — dedup-tier candidate-recall scorecard (r13 verdict ask #4):
+    * the sim20 device for the LSH dedup family. One card ranking every
+    * near-dup candidate generator — d3 MinHash banding, d4 SimHash
+    * blocks, mm5 aHash and mm9 pHash through the same Hamming kernel —
+    * against its own EXACT brute-force pair set on the audit slice,
+    * with the brute truth riding along as the =1.0 sanity row; the
+    * go/no-go table a dedup migration reads before trusting candidates
+    * from an index instead of a cross join.
+    *
+    * Two truth geometries, matching what each family actually promises:
+    * the Jaccard families (brute = the d5 kernel at d3's 0.4 threshold
+    * over the shingle-hash sets) and the Hamming families (brute =
+    * all-pairs bit_count ≤ 3 over each family's OWN 64-bit signatures —
+    * a signature family can only be asked to find what its signature
+    * space contains; the signature's fidelity to pixels/text is each
+    * op's separate planted-spec concern). The Hamming rows must score
+    * EXACTLY 1.0: (b−3)-of-b block agreement with b > 3 cannot miss a
+    * pair at Hamming ≤ 3 (pigeonhole — DedupSpec/MultimodalSpec pin set
+    * equality per op, the spec here pins the card's rows). The MinHash
+    * row is genuinely probabilistic (catch P = 1−(1−J^r)^b, the
+    * S-curve) — its measured recall is the number the card exists to
+    * publish, spec-pinned ≥ its documented bar.
+    *
+    * Scale shape: every SERVED set comes from the registered operating
+    * point over the FULL corpus (corpus-scaled bands/blocks — the card
+    * measures serving behavior, not a toy re-run) and only the
+    * slice-restricted pairs collect (bounded by the slice, not the
+    * corpus); the truth cross-joins are slice² — the one place a
+    * cartesian is the SPEC, allowlisted like d5's. Rows-only: the card
+    * ranks OUR index implementations, no SQL counterpart. */
+  def d49DedupScorecard(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val n = docsCount(spark, dir)
+    def inSlice = col("id_a") < D49EvalDocs
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.filter(inSlice).select(col("id_a"), col("id_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Jaccard truth: the d5 verify kernel at d3's threshold, audited
+    // slice (broadcast) × full corpus
+    val allSets = hashedDocs(docs)
+    val jaccTrue = pairSet(
+      broadcast(allSets.filter(col("doc_id") < D49EvalDocs)
+          .select(col("doc_id").as("id_a"), col("sh_hashes").as("sh_a")))
+        .crossJoin(allSets.select(col("doc_id").as("id_b"),
+          col("sh_hashes").as("sh_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))) >= 0.4))
+    // Hamming truth: every audited pair at distance ≤ 3 in the
+    // family's own signature space, same slice × corpus shape
+    def hammingTrue(sigs: DataFrame, sigCol: String): Set[(Long, Long)] = {
+      val s = sigs.select(col("doc_id"), col(sigCol).as("sig"))
+      pairSet(broadcast(s.filter(col("doc_id") < D49EvalDocs)
+          .select(col("doc_id").as("id_a"), col("sig").as("sig_a")))
+        .crossJoin(s.select(col("doc_id").as("id_b"),
+          col("sig").as("sig_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(expr("bit_count(sig_a ^ sig_b)") <= 3))
+    }
+    val b = blocksFor(n)
+    val shSigs = simhash(docs).filter(col("simhash").isNotNull)
+    val aSigs = Multimodal.perceptualHash(
+      Multimodal.mediaWithPlantedPng(spark, dir), ImageIoDecoder)
+    val pSigs = Multimodal.dctPerceptualHash(
+      Multimodal.mediaWithPlantedPng(spark, dir), ImageIoDecoder)
+    val rows = Seq(
+      ("brute_jaccard", jaccTrue, jaccTrue),
+      ("minhash_lsh", jaccTrue,
+        pairSet(minhashPairsUnsorted(docs))),
+      ("simhash", hammingTrue(shSigs, "simhash"),
+        pairSet(hammingPairs(shSigs, "simhash", b, 3))),
+      ("ahash", hammingTrue(aSigs, "phash"),
+        pairSet(hammingPairs(aSigs, "phash", b, 3))),
+      ("phash", hammingTrue(pSigs, "phash"),
+        pairSet(hammingPairs(pSigs, "phash", b, 3))))
+    rows.map { case (name, truth, served) =>
+      val hit = (served & truth).size.toLong
+      val recall = if (truth.isEmpty) 1.0
+        else BigDecimal(hit.toDouble / truth.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (name, truth.size.toLong, served.size.toLong, hit, recall)
+    }.toDF("method", "n_true_pairs", "n_served_pairs", "n_hit",
+        "candidate_recall")
+      .orderBy(col("candidate_recall").desc, col("method"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d49_dedup_scorecard" -> d49DedupScorecard,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash_pairs" -> d4SimhashPairs,
     "d5_ngram_jaccard" -> d5NgramJaccard,

@@ -1686,7 +1686,96 @@ object Similarity {
   def sim14MmrTopK(spark: SparkSession, dir: String): DataFrame =
     mmrTopK(spark, Tables.embeddings(spark, dir), queryVecId = 0L)
 
+  /** Assign vectors to EXISTING IVF centroids — the quantizer-frozen
+    * maintenance verb (encode, never train). One map pass: per row the
+    * k squared distances fold over the broadcast center literal and
+    * argmin picks the cell (first index on ties — KMeans' own
+    * scanning order). This is what a daily vector append costs:
+    * O(batch · k · d) arithmetic, zero iterations, zero shuffles. */
+  private[graft] def ivfAssign(batch: DataFrame,
+                               centers: Array[Array[Double]]): DataFrame = {
+    val cLit = array(centers.toIndexedSeq
+      .map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    batch
+      .withColumn("dists", transform(cLit, c =>
+        aggregate(zip_with(col("emb"), c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+      .withColumn("cell",
+        (array_position(col("dists"), array_min(col("dists"))) - 1)
+          .cast("int"))
+      .drop("dists")
+  }
+
+  /** SIM23 — incremental ANN index maintenance (r13 verdict ask #2):
+    * the d18 batch-vs-persisted-index discipline applied to the
+    * quantization family. An appended vector batch assigns to the
+    * EXISTING published IVF centroids ([[ivfAssign]] — encode, never
+    * train) and the delta publishes into the [[IndexStore]] BESIDE the
+    * base index; the maintained index is base ∪ delta. This is the
+    * daily-crawl shape for vectors: without it an append-only corpus
+    * pays a full k-means retrain + corpus re-encode per batch — O(corpus)
+    * per day — where the maintenance path is O(batch).
+    *
+    * The card per delta-touched cell: base/delta occupancy plus two
+    * VERIFIED flags — `encode_match` (the incrementally-maintained
+    * assignment is row-identical to a frozen-centroid encode of the
+    * full union: execution strategy, not semantics — the j10/s20
+    * discipline) and `serve_match` (the top-10 serve for the standard
+    * query is identical from either index). The planted batch derives
+    * deterministically from the corpus itself (tail ids re-keyed past
+    * max(vec_id), dimensions rolled by one so the appends are new
+    * vectors, not exact dups — the sfx10 replica device). Rows-only:
+    * the flags and census compare OUR index maintenance, which has no
+    * SQL counterpart; IndexStoreSpec pins the zero-retrain property
+    * through the `builds` log and the scorecard-grade serve.
+    *
+    * The full-union re-encode here is the card's self-check, priced
+    * O(corpus · k · d) — a production run maintains the index WITHOUT
+    * it (the delta branch alone) and audits on a sampled slice, the
+    * d5-verify economics. */
+  def sim23IncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
+    val k = Sim4K
+    val base = ivfIndexFor(spark, dir, k)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    def batchRaw = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"),
+        concat(expr("slice(emb, 2, size(emb) - 1)"),
+          expr("slice(emb, 1, 1)")).as("emb"))
+    // the delta publishes through the store — a fresh session serves
+    // base AND delta with zero jobs of any kind; the build closure,
+    // when it does run, is the cheap frozen-centroid encode
+    val delta = IndexStore.loadOrBuild(spark, dir, "embeddings",
+      s"ivf_k${k}_delta_b5")(
+      Seq("assigned" -> ivfAssign(batchRaw, base.centers)))("assigned")
+    val inc = base.assigned.select(col("vec_id"), col("emb"), col("cell"))
+      .unionByName(delta.select(col("vec_id"), col("emb"), col("cell")))
+    val full = ivfAssign(emb.unionByName(batchRaw), base.centers)
+    val mismatches = inc.select(col("vec_id"), col("cell"))
+      .join(full.select(col("vec_id"), col("cell").as("cell_full")),
+        Seq("vec_id"))
+      .filter(col("cell") =!= col("cell_full")).count()
+    val qEmb = emb.filter(col("vec_id") === 0).select(col("emb")).head()
+      .getSeq[Double](0).toArray
+    def serve(idx: IvfIndex) =
+      ivfQuery(spark, idx, qEmb, nProbe = 3, excludeVecId = Some(0L))
+        .collect().toSeq
+    val serveMatch =
+      serve(IvfIndex(inc, base.centers)) ==
+        serve(IvfIndex(full, base.centers))
+    base.assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+      .join(delta.groupBy(col("cell")).agg(count(lit(1)).as("n_delta")),
+        Seq("cell"), "right")
+      .na.fill(0L, Seq("n_base"))
+      .select(col("cell"), col("n_base"), col("n_delta"),
+        lit(mismatches == 0).as("encode_match"),
+        lit(serveMatch).as("serve_match"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim16_ivfpq_ann" -> sim16IvfPqAnn,
     "sim17_ivfpq_recall" -> sim17IvfPqRecall,
     "sim15_binary_ann" -> sim15BinaryAnn,

@@ -135,10 +135,14 @@ class CensusSpec extends AnyFunSuite {
     "a32_sequential_ab" -> 4,      // day-delta agg off the checkpointed
                                    // journeys + day-frame windows + order
     // r14-cohort pins, same discipline (measured plan + 1)
-    "t24_hashed_lm" -> 3           // zero-shuffle hashed scoring pass +
+    "t24_hashed_lm" -> 3,          // zero-shuffle hashed scoring pass +
                                    // per-lang census + report order
                                    // (t22's serve shape; the bucketed
                                    // count tables resolve at build)
+    "sim23_incremental_ivf" -> 4   // base + delta occupancy aggs + the
+                                   // cell-census join + report order
+                                   // (the verify joins resolve at
+                                   // build into the two flag literals)
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

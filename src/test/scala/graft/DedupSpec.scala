@@ -478,6 +478,33 @@ class DedupSpec extends AnyFunSuite {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("d49 scorecard at sf0.1: Hamming rows serve EXACTLY 1.0 " +
+    "(pigeonhole), minhash holds its banding bar, brute is the 1.0 row") {
+    val card = ext.Dedup.queries("d49_dedup_scorecard")(
+      spark, "/root/testdata/sf0.1").collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(card.keySet == Set(
+      "brute_jaccard", "minhash_lsh", "simhash", "ahash", "phash"))
+    // brute truth vs itself: the =1.0 sanity row with a NON-EMPTY truth
+    // (an empty truth would make every recall vacuous — the slice must
+    // actually contain planted pairs at this SF)
+    val (bt, bs, bh, br) = card("brute_jaccard")
+    assert(bt > 0 && bs == bt && bh == bt && br == 1.0)
+    // the (b−3)-of-b block kernel CANNOT miss a pair at Hamming ≤ 3 —
+    // exactly 1.0, not a soft bar (DedupSpec/MultimodalSpec pin the
+    // per-op set equality; this pins the published card rows)
+    Seq("simhash", "ahash", "phash").foreach { m =>
+      val (t, s, h, r) = card(m)
+      assert(h == t && s == t && r == 1.0,
+        s"$m: served $s / hit $h of $t true pairs — kernel exactness broken")
+    }
+    // minhash banding is probabilistic (catch P = 1−(1−J⁴)⁸): measured
+    // 1.0 on this corpus (planted dups are high-J); documented bar 0.9
+    assert(card("minhash_lsh")._4 >= 0.9,
+      s"minhash candidate recall ${card("minhash_lsh")._4} below bar")
+  }
+
   test("cluster-size histogram counts clusters and docs per component size") {
     // components: {0,1,2,3} (chain), {10,11}, {20}, {21} →
     // size 1 × 2 clusters, size 2 × 1, size 4 × 1; docs sum to 8

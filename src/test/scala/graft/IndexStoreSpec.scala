@@ -116,6 +116,66 @@ class IndexStoreSpec extends AnyFunSuite {
       s"tmp dirs leaked: ${leftovers.map(_.getName).mkString(", ")}")
   }
 
+  test("sim23: an appended batch delta-encodes into the published " +
+    "store — no retraining on a warm base, and the maintained index " +
+    "verifies against the full frozen-centroid encode") {
+    val sA = spark.newSession()
+    // warm the base index (published by the earlier sim4 test or here)
+    Similarity.queries("sim4_ivf_ann")(sA, dir).collect()
+    val before = IndexStore.builds.size
+    val r1 = Similarity.queries("sim23_incremental_ivf")(sA, dir)
+      .collect().toSeq
+    val newEntries = IndexStore.builds.toArray.drop(before).map(_.toString)
+    assert(newEntries.forall(_.contains("delta")),
+      s"maintenance ran a NON-delta build: ${newEntries.mkString(", ")}")
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getBoolean(3), "encode_match false: incremental ≠ full encode")
+      assert(r.getBoolean(4), "serve_match false: maintained index serves differently")
+    }
+    // a FRESH session serves base + delta with zero builds of any kind
+    val sB = spark.newSession()
+    val mid = IndexStore.builds.size
+    val r2 = Similarity.queries("sim23_incremental_ivf")(sB, dir)
+      .collect().toSeq
+    assert(IndexStore.builds.size == mid,
+      "a fresh session rebuilt instead of loading base + delta: " +
+        IndexStore.builds.toArray.drop(mid).mkString(", "))
+    assert(r1 == r2, "store-served maintenance card diverged")
+  }
+
+  test("sim23: an index maintained by delta-appends serves at " +
+    "scorecard grade — recall@10 vs brute force over the full corpus") {
+    import org.apache.spark.sql.functions._
+    // sf0.1 — the SF the sim20 serving bar is defined at (probed: at
+    // sf0.01's 200-vector/16-cell regime even the FULL-trained index
+    // serves 0.4 at nProbe 3; the bar is a serving-scale property)
+    val d01 = "/root/testdata/sf0.1"
+    val raw = graft.Tables.embeddings(spark, d01)
+    val emb = raw.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("emb"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val cut = maxId * 4 / 5
+    // quantizer trained on the first 80% ONLY; the last 20% arrives as
+    // an append and is encoded against the frozen centroids — the
+    // sim20 discipline then demands the maintained index still serve
+    val baseIdx = Similarity.ivfIndex(
+      raw.filter(col("vec_id") <= cut), Similarity.Sim4K)
+    val delta = Similarity.ivfAssign(
+      emb.filter(col("vec_id") > cut), baseIdx.centers)
+    val maintained = Similarity.IvfIndex(
+      baseIdx.assigned.select(col("vec_id"), col("emb"), col("cell"))
+        .unionByName(delta.select(col("vec_id"), col("emb"), col("cell"))),
+      baseIdx.centers)
+    val got = Similarity.ivfServe(spark, maintained, queryVecId = 0L,
+      nProbe = 3).select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val brute = Similarity.queries("sim1_cosine_topk")(spark, d01)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val recall = (got & brute).size.toDouble / brute.size
+    assert(recall >= 0.6,
+      s"maintained-index recall@10 $recall below the sim20 serving bar")
+  }
+
   test("store speaks Hadoop FileSystem, not java.io.File: a non-file: " +
     "scheme root publishes, gates on the marker, and serves retrain-free") {
     val conf = spark.sparkContext.hadoopConfiguration
