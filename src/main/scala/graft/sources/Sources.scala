@@ -608,6 +608,36 @@ object Sources {
     * execution-strategy-not-semantics discipline (j10/s20). File-level
     * pruning (wave 2 reads only wave-2 files) is asserted in
     * SourcesSpec off the sync's own audit. */
+  /** The per-sync aggregate kernel — ONE definition shared by the
+    * manifest path below and the s21' FileStreamSource twin
+    * ([[graft.streaming.IngestSync]]), so the two execution modes
+    * cannot drift (the w6'/d33' discipline applied to ingest). */
+  private[graft] def eventDelta(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("d"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents_sum"))
+
+  /** Algebraic state merge — counts and cent-sums add. */
+  private[graft] def mergeState(prev: Option[DataFrame],
+                                delta: DataFrame): DataFrame =
+    prev.fold(delta)(_.unionByName(delta)
+      .groupBy(col("event_type"), col("d"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("cents_sum")).as("cents_sum")))
+
+  /** Sorted committed version numbers under `stateRoot/versions`. */
+  private[graft] def stateVersions(spark: SparkSession,
+                                   stateRoot: String): Seq[Int] = {
+    val versionsPath = new org.apache.hadoop.fs.Path(s"$stateRoot/versions")
+    val sfs = versionsPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    if (!sfs.exists(versionsPath)) Seq.empty[Int]
+    else sfs.listStatus(versionsPath).toSeq
+      .filter(_.getPath.getName.startsWith("v"))
+      .map(_.getPath.getName.drop(1).toInt).sorted
+  }
+
   def incrementalSync(spark: SparkSession, landing: String,
                       stateRoot: String): (DataFrame, Seq[String]) = {
     import spark.implicits._
@@ -620,13 +650,7 @@ object Sources {
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .map(_.getPath.toString).sorted
     val manifestPath = s"$stateRoot/manifest"
-    val versionsPath = new org.apache.hadoop.fs.Path(s"$stateRoot/versions")
-    val sfs = versionsPath.getFileSystem(hadoopConf)
-    val versions =
-      if (!sfs.exists(versionsPath)) Seq.empty[Int]
-      else sfs.listStatus(versionsPath).toSeq
-        .filter(_.getPath.getName.startsWith("v"))
-        .map(_.getPath.getName.drop(1).toInt).sorted
+    val versions = stateVersions(spark, stateRoot)
     val processed: Set[String] =
       if (versions.isEmpty) Set.empty
       else spark.read.parquet(manifestPath).as[String].collect().toSet
@@ -638,15 +662,8 @@ object Sources {
         spark.emptyDataset[(String, String, Long, Long)]
           .toDF("event_type", "d", "n_events", "cents_sum")), newFiles)
     else {
-      val delta = spark.read.parquet(newFiles: _*)
-        .groupBy(col("event_type"),
-          date_format(col("ts"), "yyyy-MM-dd").as("d"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(round(col("value") * 100, 0).cast("long")).as("cents_sum"))
-      val merged = prevState.fold(delta)(_.unionByName(delta)
-        .groupBy(col("event_type"), col("d"))
-        .agg(sum(col("n_events")).as("n_events"),
-          sum(col("cents_sum")).as("cents_sum")))
+      val delta = eventDelta(spark.read.parquet(newFiles: _*))
+      val merged = mergeState(prevState, delta)
       val next = versions.lastOption.getOrElse(0) + 1
       merged.write.mode("overwrite").parquet(s"$stateRoot/versions/v$next")
       listed.toDF("file").write.mode("overwrite").parquet(manifestPath)

@@ -314,6 +314,135 @@ class SqlParitySpec extends AnyFunSuite {
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin)
   }
 
+  // --- sim-tier hand twins (r13 verdict ask #5): the batch-retrieval
+  // family through the injected vec_cosine — the largest family whose
+  // oracles lean on DuckDB list builtins but whose SEMANTICS are plain
+  // ANSI + one registered codegen expression. Float literals carry the
+  // D suffix so the arithmetic stays IEEE-double end to end (a bare
+  // 0.5 parses as DECIMAL in Spark SQL and would reroute the BM25 /
+  // RRF arithmetic through decimal division).
+
+  test("sql-parity sim6_knn_join: batch k-NN through vec_cosine from " +
+    "SQL text ≡ DataFrame window top-k") {
+    assertParity("sim6_knn_join",
+      """WITH q AS (
+        |  SELECT vec_id AS q_id,
+        |    transform(embedding, x -> CAST(x AS double)) AS qemb
+        |  FROM embeddings WHERE vec_id % 97 = 0
+        |  ORDER BY vec_id LIMIT 32),
+        |s AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(vec_cosine(transform(e.embedding, x -> CAST(x AS double)),
+        |      q.qemb), 4) AS cos_sim
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+        |r AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id) AS rn
+        |  FROM s WHERE NOT isnan(cos_sim))
+        |SELECT q_id, vec_id, cos_sim FROM r WHERE rn <= 3
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)
+  }
+
+  test("sql-parity sim8_radius_search: threshold retrieval through " +
+    "vec_cosine from SQL text ≡ DataFrame radius join") {
+    assertParity("sim8_radius_search",
+      """WITH q AS (
+        |  SELECT vec_id AS q_id,
+        |    transform(embedding, x -> CAST(x AS double)) AS qemb
+        |  FROM embeddings WHERE vec_id % 97 = 0
+        |  ORDER BY vec_id LIMIT 32)
+        |SELECT q_id, vec_id, cos_sim FROM (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(vec_cosine(transform(e.embedding, x -> CAST(x AS double)),
+        |      q.qemb), 4) AS cos_sim
+        |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+        |WHERE NOT isnan(cos_sim) AND cos_sim >= 0.3D
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin)
+  }
+
+  test("sql-parity sim18_filtered_ann: pre-filtered top-k through " +
+    "vec_cosine from SQL text ≡ DataFrame") {
+    assertParity("sim18_filtered_ann",
+      """WITH q AS (
+        |  SELECT transform(embedding, x -> CAST(x AS double)) AS qemb,
+        |    label AS qlabel
+        |  FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id, label, cos_sim FROM (
+        |  SELECT e.vec_id, e.label,
+        |    round(vec_cosine(transform(e.embedding, x -> CAST(x AS double)),
+        |      q.qemb), 4) AS cos_sim
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> 0 AND e.label = q.qlabel)
+        |WHERE NOT isnan(cos_sim)
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin)
+  }
+
+  test("sql-parity sim22_hybrid_rrf: both retrieval legs + RRF fusion " +
+    "from SQL text ≡ DataFrame (BM25 spelled out, dense via vec_cosine)") {
+    assertParity("sim22_hybrid_rrf",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(size(w) AS INT) AS dl,
+        |    CAST(size(filter(w, x -> x = 'spark')) AS INT) AS tf_spark,
+        |    CAST(size(filter(w, x -> x = 'vector')) AS INT) AS tf_vector,
+        |    CAST(size(filter(w, x -> x = 'stream')) AS INT) AS tf_stream
+        |  FROM (SELECT doc_id,
+        |          split(lower(coalesce(text, '')), ' ') AS w
+        |        FROM documents WHERE doc_id <> 0)),
+        |s AS (
+        |  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl,
+        |    sum(CASE WHEN tf_spark  > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS df_vector,
+        |    sum(CASE WHEN tf_stream > 0 THEN 1 ELSE 0 END) AS df_stream
+        |  FROM t),
+        |lexall AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln((n_docs - df_spark + 0.5D) / (df_spark + 0.5D) + 1.0D)
+        |        * (tf_spark * 2.2D)
+        |        / (tf_spark + 1.2D * (0.25D
+        |             + 0.75D * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |      + ln((n_docs - df_vector + 0.5D) / (df_vector + 0.5D) + 1.0D)
+        |        * (tf_vector * 2.2D)
+        |        / (tf_vector + 1.2D * (0.25D
+        |             + 0.75D * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))
+        |      + ln((n_docs - df_stream + 0.5D) / (df_stream + 0.5D) + 1.0D)
+        |        * (tf_stream * 2.2D)
+        |        / (tf_stream + 1.2D * (0.25D
+        |             + 0.75D * dl / (CAST(sum_dl AS DOUBLE) / n_docs))), 4)
+        |      AS bm25
+        |  FROM t CROSS JOIN s
+        |  WHERE tf_spark + tf_vector + tf_stream > 0),
+        |lex AS (
+        |  SELECT doc_id, bm25,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+        |      AS lex_rank
+        |  FROM (SELECT * FROM lexall ORDER BY bm25 DESC, doc_id LIMIT 20)),
+        |denall AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(vec_cosine(transform(e.embedding, x -> CAST(x AS double)),
+        |      q.qemb), 4) AS cos_sim
+        |  FROM embeddings e
+        |  CROSS JOIN (SELECT transform(embedding, x -> CAST(x AS double))
+        |                AS qemb
+        |              FROM embeddings
+        |              WHERE vec_id = 0 AND embedding IS NOT NULL) q
+        |  WHERE e.vec_id <> 0),
+        |den AS (
+        |  SELECT doc_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS INT)
+        |      AS dense_rank
+        |  FROM (SELECT * FROM denall WHERE NOT isnan(cos_sim)
+        |        ORDER BY cos_sim DESC, doc_id LIMIT 20))
+        |SELECT doc_id, lex_rank, dense_rank, bm25, cos_sim,
+        |  round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0.0D)
+        |    + coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), 0.0D), 6)
+        |    AS rrf
+        |FROM lex FULL OUTER JOIN den USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
+  }
+
   test("sql-parity j14_dpp_join: star join over the partitioned layout " +
     "— DPP fires from SQL text and values match the DataFrame build") {
     // The partitioned fact + month dim are persistent tables (shared

@@ -1826,4 +1826,52 @@ class StreamingSpec extends AnyFunSuite {
     f2.rebuildFrom((b1 ++ b2 ++ b3).toDF("event_id", "ts", "user_id", "event_type"))
     assert(card(f2.serve()) == live)
   }
+
+  test("s21' streaming landing sync ≡ manifest incrementalSync on the " +
+    "same waves; a replayed batch does not advance the version history") {
+    import graft.sources.Sources
+    import graft.streaming.IngestSync
+    val root = java.nio.file.Files.createTempDirectory("s21stream").toString
+    val (landing, stateS, stateM, ckpt) =
+      (s"$root/landing", s"$root/stateS", s"$root/stateM", s"$root/ckpt")
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def stateRows(stateRoot: String): Seq[Seq[String]] = {
+      val vs = Sources.readStateVersion(spark, stateRoot,
+        version = {
+          val dirF = new java.io.File(s"$stateRoot/versions")
+          dirF.listFiles().map(_.getName.drop(1).toInt).max
+        })
+      vs.orderBy(col("event_type"), col("d")).collect()
+        .map(r => (0 until r.length).map(i => String.valueOf(r.get(i))))
+        .toSeq
+    }
+    // wave 1 lands; both modes sync
+    ev.filter(dayofmonth(col("ts")) <= 20)
+      .repartition(4).write.mode("overwrite").parquet(landing)
+    Sources.incrementalSync(spark, landing, stateM)
+    val q1 = IngestSync.start(spark, landing, stateS, ckpt)
+    q1.awaitTermination()
+    // wave 2 appends; the stream resumes from its checkpoint and must
+    // read ONLY the new files (the Auto Loader contract)
+    ev.filter(dayofmonth(col("ts")) > 20)
+      .repartition(2).write.mode("append").parquet(landing)
+    Sources.incrementalSync(spark, landing, stateM)
+    val q2 = IngestSync.start(spark, landing, stateS, ckpt)
+    q2.awaitTermination()
+    assert(stateRows(stateS) == stateRows(stateM),
+      "stream-maintained state diverged from the manifest-based sync")
+    // WAP under retry: re-deliver an ALREADY-COMMITTED batch id — the
+    // body must no-op; the version history must not advance
+    val versionsBefore = new java.io.File(s"$stateS/versions")
+      .listFiles().map(_.getName).sorted.toSeq
+    IngestSync.onBatch(stateS, spark.read.parquet(landing), batchId = 0L)
+    val versionsAfter = new java.io.File(s"$stateS/versions")
+      .listFiles().map(_.getName).sorted.toSeq
+    assert(versionsAfter == versionsBefore,
+      s"replayed batch advanced the history: $versionsBefore → $versionsAfter")
+    // and the replay left the served state untouched
+    assert(stateRows(stateS) == stateRows(stateM))
+  }
 }
