@@ -913,29 +913,28 @@ object Similarity {
     * Deflater/decoder resource pattern: tight scalar loops beat an
     * m×k-term Catalyst expression here, and only (vec_id, m codes)
     * rows come out, which is the entire point of PQ. */
-  def pqIndex(embeddings: DataFrame, m: Int = PqM, k: Int = PqK): PqIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val e = embeddings
+  /** L2-normalized (vec_id, nemb) rows — PQ's input space (zero-norm
+    * vectors drop; they cannot be cosine-served anyway). */
+  private[graft] def pqNormalize(embeddings: DataFrame): DataFrame =
+    embeddings
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("n", norm(col("emb")))
       .filter(col("n") > 0)
       .select(col("vec_id"),
         transform(col("emb"), x => x / col("n")).as("nemb"))
-    val dim = e.select(size(col("nemb"))).head().getInt(0)
-    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
-    val dsub = dim / m
-    val books = (0 until m).map { j =>
-      val sub = e.select(
-        array_to_vector(slice(col("nemb"), j * dsub + 1, dsub))
-          .as("features"))
-      new KMeans().setK(k).setSeed(7 + j).setMaxIter(5).fit(sub)
-        .clusterCenters.map(_.toArray)
-    }.toArray
+
+  /** Encode normalized vectors against EXISTING codebooks — the
+    * quantizer-frozen maintenance verb (sim23's PQ sibling: an
+    * appended batch encodes in O(batch · m · k · dsub) against the
+    * published books, never retraining them; int8 needs no analogue —
+    * its per-vector scale has no trained state at all). One
+    * mapPartitions pass over the broadcast books. */
+  private[graft] def pqEncode(normalized: DataFrame,
+                              books: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = normalized.sparkSession
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(books)
-    val codes = e.as[(Long, Seq[Double])].mapPartitions { it =>
+    normalized.as[(Long, Seq[Double])].mapPartitions { it =>
       val bks = bc.value
       it.map { case (id, v) =>
         val code = Array.tabulate(bks.length) { j =>
@@ -958,7 +957,23 @@ object Similarity {
         (id, code)
       }
     }.toDF("vec_id", "code")
-    PqIndex(codes, books)
+  }
+
+  def pqIndex(embeddings: DataFrame, m: Int = PqM, k: Int = PqK): PqIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = pqNormalize(embeddings)
+    val dim = e.select(size(col("nemb"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val books = (0 until m).map { j =>
+      val sub = e.select(
+        array_to_vector(slice(col("nemb"), j * dsub + 1, dsub))
+          .as("features"))
+      new KMeans().setK(k).setSeed(7 + j).setMaxIter(5).fit(sub)
+        .clusterCenters.map(_.toArray)
+    }.toArray
+    PqIndex(pqEncode(e, books), books)
   }
 
   /** Query phase (ADC — asymmetric distance computation): the query

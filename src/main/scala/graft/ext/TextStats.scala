@@ -828,8 +828,9 @@ object TextStats {
         .limit(maxVocab + 1)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       require(uni.length <= maxVocab,
-        s"vocabulary exceeds $maxVocab — hash-bucket the model (d20 " +
-          "device) before broadcasting it")
+        s"vocabulary exceeds $maxVocab — use t24_hashed_lm (the d20 " +
+          "hashed-bucket model: fixed-width tables at any vocabulary) " +
+          "instead of the exact model")
       val bi = toks
         .filter(size(col("toks")) >= 2)
         .select(explode(transform(sequence(lit(2), size(col("toks"))),
@@ -839,8 +840,9 @@ object TextStats {
         .limit(maxBigrams + 1)
         .collect().map(r => r.getString(0) -> r.getLong(1))
       require(bi.length <= maxBigrams,
-        s"bigram table exceeds $maxBigrams — hash-bucket the model " +
-          "(d20 device) before broadcasting it")
+        s"bigram table exceeds $maxBigrams — use t24_hashed_lm (the " +
+          "d20 hashed-bucket model: fixed-width tables at any " +
+          "vocabulary) instead of the exact model")
       (uni.toMap, bi.toMap)
     })
 

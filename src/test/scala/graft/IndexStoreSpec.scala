@@ -144,6 +144,35 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(r1 == r2, "store-served maintenance card diverged")
   }
 
+  test("sim23/PQ: an appended batch delta-encodes against the " +
+    "PUBLISHED codebooks — zero retraining, union ≡ full re-encode") {
+    import org.apache.spark.sql.functions._
+    val s = spark.newSession()
+    val idx = Similarity.pqIndexFor(s, dir) // store-served books
+    val before = IndexStore.builds.size
+    val emb = graft.Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("embedding"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    // the sim23 planted-append device: tail re-keyed, dims rolled
+    val batch = emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"),
+        concat(expr("slice(embedding, 2, size(embedding) - 1)"),
+          expr("slice(embedding, 1, 1)")).as("embedding"))
+    val delta = Similarity.pqEncode(
+      Similarity.pqNormalize(batch), idx.codebooks)
+    val union = idx.codes.select(col("vec_id"), col("code"))
+      .unionByName(delta.select(col("vec_id"), col("code")))
+    val full = Similarity.pqEncode(
+      Similarity.pqNormalize(emb.unionByName(batch)), idx.codebooks)
+    def codeMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(codeMap(union) == codeMap(full),
+      "delta-encoded codes diverge from a full re-encode on frozen books")
+    assert(IndexStore.builds.size == before,
+      "the PQ delta path ran a store build: " +
+        IndexStore.builds.toArray.drop(before).mkString(", "))
+  }
+
   test("sim23: an index maintained by delta-appends serves at " +
     "scorecard grade — recall@10 vs brute force over the full corpus") {
     import org.apache.spark.sql.functions._
