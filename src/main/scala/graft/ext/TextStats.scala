@@ -934,33 +934,62 @@ object TextStats {
       scala.collection.concurrent.TrieMap[
         (String, Int, Int), (Array[Long], Array[Long])]]()
 
+  /** The frame-level kernel — shared by the memoized per-dir tables
+    * below and the t24′ live fold ([[graft.streaming.HashedLmFold]]),
+    * whose per-batch counts ADD into the running tables (bucket counts
+    * are an additive monoid over disjoint batches, so fold ≡ batch
+    * train exactly, at every point in the stream). */
+  private[graft] def hashedLmCountsOf(docs: DataFrame,
+      uniBuckets: Int, biBuckets: Int): (Array[Long], Array[Long]) = {
+    val toks = docs
+      .select(filter(split(lower(col("text")), " "), w => w =!= "")
+        .as("toks"))
+    def dense(rows: Array[(Int, Long)], b: Int): Array[Long] = {
+      val a = new Array[Long](b)
+      rows.foreach { case (i, c) => a(i) = c }
+      a
+    }
+    val uni = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(graft.functions.TokenHash.bucket(col("tok"), uniBuckets)
+        .as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val bi = toks.filter(size(col("toks")) >= 2)
+      .select(explode(transform(sequence(lit(2), size(col("toks"))),
+        i => concat(element_at(col("toks"), i - 1), lit(" "),
+          element_at(col("toks"), i)))).as("bg"))
+      .groupBy(graft.functions.TokenHash.bucket(col("bg"), biBuckets)
+        .as("b"))
+      .agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    (dense(uni, uniBuckets), dense(bi, biBuckets))
+  }
+
   private[graft] def hashedLmCounts(spark: SparkSession, dir: String,
       uniBuckets: Int, biBuckets: Int): (Array[Long], Array[Long]) =
     Similarity.perSession(hashedLmCache, spark)
-      .getOrElseUpdate((dir, uniBuckets, biBuckets), {
-        val toks = Tables.documents(spark, dir)
-          .select(filter(split(lower(col("text")), " "), w => w =!= "")
-            .as("toks"))
-        def dense(rows: Array[(Int, Long)], b: Int): Array[Long] = {
-          val a = new Array[Long](b)
-          rows.foreach { case (i, c) => a(i) = c }
-          a
-        }
-        val uni = toks.select(explode(col("toks")).as("tok"))
-          .groupBy(graft.functions.TokenHash.bucket(col("tok"), uniBuckets)
-            .as("b"))
-          .agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1))
-        val bi = toks.filter(size(col("toks")) >= 2)
-          .select(explode(transform(sequence(lit(2), size(col("toks"))),
-            i => concat(element_at(col("toks"), i - 1), lit(" "),
-              element_at(col("toks"), i)))).as("bg"))
-          .groupBy(graft.functions.TokenHash.bucket(col("bg"), biBuckets)
-            .as("b"))
-          .agg(count(lit(1)).as("c"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1))
-        (dense(uni, uniBuckets), dense(bi, biBuckets))
-      })
+      .getOrElseUpdate((dir, uniBuckets, biBuckets),
+        hashedLmCountsOf(Tables.documents(spark, dir),
+          uniBuckets, biBuckets))
+
+  /** The t24 report tail over ANY docs frame and count tables — the
+    * serve half shared with [[graft.streaming.HashedLmFold]]. `key`
+    * names the scorer registration (must be unique per table VERSION:
+    * call_function resolves at analysis time, so a rebind under a
+    * reused name would point an earlier unexecuted frame at newer
+    * tables). */
+  private[graft] def hashedLmReport(spark: SparkSession, docs: DataFrame,
+      uniC: Array[Long], biC: Array[Long], key: String): DataFrame =
+    docs
+      .withColumn("score", graft.functions.LmScore.scoreHashed(
+        spark, col("text"), uniC, biC, key))
+      .filter(col("score").isNotNull)
+      .groupBy(col("lang")).agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_logp"),
+        round(min(col("score")), 4).as("min_logp"),
+        round(max(col("score")), 4).as("max_logp"))
+      .orderBy(col("lang"))
 
   /** T24 — hashed-bucket bigram LM scoring: t22's perplexity scorer
     * with the count tables keyed by [[graft.functions.TokenHash]]
@@ -992,16 +1021,8 @@ object TextStats {
                   uniBuckets: Int = T24UniBuckets,
                   biBuckets: Int = T24BiBuckets): DataFrame = {
     val (uc, bc) = hashedLmCounts(spark, dir, uniBuckets, biBuckets)
-    Tables.documents(spark, dir)
-      .withColumn("score", graft.functions.LmScore.scoreHashed(
-        spark, col("text"), uc, bc, lmKey(dir, uniBuckets, biBuckets)))
-      .filter(col("score").isNotNull)
-      .groupBy(col("lang")).agg(
-        count(lit(1)).as("n_docs"),
-        round(avg(col("score")), 4).as("avg_logp"),
-        round(min(col("score")), 4).as("min_logp"),
-        round(max(col("score")), 4).as("max_logp"))
-      .orderBy(col("lang"))
+    hashedLmReport(spark, Tables.documents(spark, dir), uc, bc,
+      lmKey(dir, uniBuckets, biBuckets))
   }
   private def t24Registered(spark: SparkSession, dir: String): DataFrame =
     t24HashedLm(spark, dir)

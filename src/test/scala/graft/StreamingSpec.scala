@@ -7,6 +7,8 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.{Ingest, Windows}
 
 case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+case class TDoc(doc_id: Long, text: String, lang: String, source: String,
+                n_chars: Long)
 case class OhlcEv(event_id: Long, ts: Timestamp, event_type: String, value: Double)
 case class KafkaMsg(value: String, offset: Long, partition: Int)
 
@@ -1825,6 +1827,50 @@ class StreamingSpec extends AnyFunSuite {
     val f2 = new graft.streaming.ConversionLatencyFold
     f2.rebuildFrom((b1 ++ b2 ++ b3).toDF("event_id", "ts", "user_id", "event_type"))
     assert(card(f2.serve()) == live)
+  }
+
+  test("t24' live hashed-LM training: fold ≡ batch train at every " +
+    "point in the stream; replay no-op; rebuild-from-landed ≡ live") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    import graft.ext.TextStats
+    import graft.streaming.HashedLmFold
+    val ckpt = java.nio.file.Files.createTempDirectory("t24fold").toString
+    val (bu, bb) = (64, 128) // tiny: collisions live, like the t24 spec
+    val in = MemoryStream[TDoc]
+    val fold = new HashedLmFold(bu, bb)
+    val q = fold.start(in.toDF(), ckpt)
+    val b1 = Seq(TDoc(0, "a b a c", "en", "s", 7),
+      TDoc(1, "b a b", "en", "s", 5))
+    val b2 = Seq(TDoc(2, "c c a", "fr", "s", 5),
+      TDoc(3, "solo", "fr", "s", 4))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    def batchTrained(landed: Seq[TDoc], tag: String): Seq[String] = {
+      val df = landed.toDF()
+      val (u, b) = TextStats.hashedLmCountsOf(df, bu, bb)
+      canon(TextStats.hashedLmReport(spark, df, u, b, s"t24test_$tag"))
+    }
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(canon(fold.serve(spark, b1.toDF())) == batchTrained(b1, "w1"),
+      "fold model after batch 1 diverged from a batch train on wave 1")
+    in.addData(b2: _*); q.processAllAvailable()
+    val all = b1 ++ b2
+    val live = canon(fold.serve(spark, all.toDF()))
+    assert(live == batchTrained(all, "w2"),
+      "fold model after batch 2 diverged from a batch train on all waves")
+    // a re-delivered committed batch id must not double-count
+    fold.onBatch(b1.toDF(), 0L)
+    assert(canon(fold.serve(spark, all.toDF())) == live, "replay double-counted")
+    q.stop()
+    // restart recipe: rebuild-from-landed is exact (the fold IS the
+    // batch kernel's sum)
+    val f2 = new HashedLmFold(bu, bb)
+    f2.rebuildFrom(all.toDF())
+    assert(canon(f2.serve(spark, all.toDF())) == live)
+    // and a used checkpoint + an EMPTY fold refuses loudly (FoldRestart)
+    val f3 = new HashedLmFold(bu, bb)
+    intercept[IllegalStateException] { f3.start(in.toDF(), ckpt) }
   }
 
   test("s21' streaming landing sync ≡ manifest incrementalSync on the " +
