@@ -1123,8 +1123,110 @@ object Dedup {
     }
   }
 
+  private[graft] val D50Tau = 0.95
+
+  /** D50 — semantic dedup (SemDeDup, Abbas et al. 2023): near-duplicate
+    * removal by EMBEDDING similarity rather than lexical overlap — the
+    * pass that catches paraphrases and re-renders d3/d4's n-gram
+    * machinery cannot see (same meaning, different words). The
+    * published recipe: cluster the embedding space, call two members
+    * semantic dups when their cosine clears tau WITHIN a cluster, and
+    * keep from each dup group the member FARTHEST from its cluster
+    * centroid (the least redundant representative). Clustering is the
+    * scale device: candidate pairs form only inside a cell, so the
+    * pair stage is O(Σ cellsize²) — never corpus² — and the cells come
+    * FREE here: the quantizer is sim4's published IVF index
+    * ([[Similarity.ivfIndexFor]] — k-means trained once per corpus
+    * fingerprint, served cross-session through the IndexStore), so the
+    * semantic-dedup pass adds no second clustering job to the
+    * pipeline. Cross-cell near-dups are sacrificed by construction —
+    * the paper's own approximation — and that loss is PRICED, not
+    * hidden: it is exactly what d49's recall-card discipline measures
+    * for the lexical tier (a d50 row there would read the co-celled
+    * fraction of true pairs).
+    *
+    * Keep rule: connected components over the tau graph (pair-incident
+    * ids only, the d7 discipline) + [[keepBest]] with priority = LOW
+    * centroid similarity; `cent_sim` rounds(4) before the compare so a
+    * float-noise tie cannot flip the keeper, and exact ties keep the
+    * LOWEST id. */
+  private[graft] def semDedupParts(assigned: DataFrame,
+      centers: Array[Array[Double]], tau: Double)
+      : (DataFrame, DataFrame) = {
+    val m = assigned.select(col("cell"), col("vec_id"), col("emb"))
+    // within-cell candidates: the equi-join co-partitions both sides on
+    // the cell key — each vector rides the shuffle twice, and the pair
+    // fan-out happens post-shuffle, bounded by the cell size.
+    val pairs = m.toDF("cell", "id_a", "emb_a")
+      .join(m.toDF("cell", "id_b", "emb_b"), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
+        >= tau)
+      .select(col("cell"), col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val cLit = array(centers.toIndexedSeq
+      .map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    val prioDocs = assigned.select(col("vec_id").as("doc_id"),
+      col("cell"),
+      round(Similarity.cosine(col("emb"),
+        element_at(cLit, col("cell") + 1)), 4).as("cent_sim"))
+    val kept = keepBest(prioDocs,
+      pairs.select(col("id_a"), col("id_b")), -col("cent_sim"))
+      .join(prioDocs.select(col("doc_id"), col("cell")), Seq("doc_id"))
+    (pairs, kept)
+  }
+
+  /** The d50 census card: per IVF cell, members / within-cell dup
+    * pairs / dropped members / keep rate. */
+  def semDedupReport(spark: SparkSession, assigned: DataFrame,
+                     centers: Array[Array[Double]],
+                     tau: Double = D50Tau): DataFrame = {
+    val (pairs, kept) = semDedupParts(assigned, centers, tau)
+    assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_members"))
+      .join(pairs.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_dup_pairs")), Seq("cell"), "left")
+      .join(kept.filter(col("doc_id") =!= col("keeper_id"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n_dropped")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("n_dup_pairs", "n_dropped"))
+      .withColumn("keep_rate",
+        round(lit(1.0) - col("n_dropped") / col("n_members"), 4))
+      .orderBy(col("cell"))
+  }
+
+  /** The registered query plants the sim23 batch device (every 7th
+    * vector re-keyed past max id, scaled 1.02 — cosine with its source
+    * exactly 1.0, cosine-to-centroid IDENTICAL because cosine is
+    * scale-invariant, so the tie rule visibly keeps the ORIGINAL)
+    * because the synthetic corpus has no natural semantic dups (max
+    * pairwise cosine 0.60 at sf0.1); a production pass calls
+    * [[semDedupReport]] on the corpus index directly. Rows-only:
+    * k-means cells have no SQL counterpart; DedupSpec pins the
+    * hand-built-cell semantics (farthest-from-centroid keeper, tie →
+    * lowest id, cross-cell pair NOT formed) and the planted-copy
+    * census at sf0.01. */
+  private[graft] def d50Assigned(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Double]], Long) = {
+    val base = Similarity.ivfIndexFor(spark, dir, Similarity.Sim4K)
+    val emb = base.assigned.select(col("vec_id"), col("emb"), col("cell"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    val planted = Similarity.ivfAssign(
+      emb.filter(col("vec_id") % 7 === 3)
+        .select((col("vec_id") + maxId + 1).as("vec_id"),
+          transform(col("emb"), x => x * 1.02).as("emb")),
+      base.centers)
+      .select(col("vec_id"), col("emb"), col("cell"))
+    (emb.unionByName(planted), base.centers, maxId)
+  }
+
+  def d50SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (assigned, centers, _) = d50Assigned(spark, dir)
+    semDedupReport(spark, assigned, centers)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d49_dedup_scorecard" -> d49DedupScorecard,
+    "d50_semdedup" -> d50SemDedup,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash_pairs" -> d4SimhashPairs,
     "d5_ngram_jaccard" -> d5NgramJaccard,

@@ -1789,8 +1789,64 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** SIM24 — delete from the published ANN index WITHOUT retraining:
+    * the right-to-be-forgotten verb (d46's cascade) reaching the
+    * vector store. A forget request becomes a TOMBSTONE artifact
+    * published beside the base index through the [[IndexStore]]
+    * (sim23's delta discipline in reverse): serving anti-joins the
+    * tombstones, so a deletion costs O(|forgotten|) rows written once
+    * — never a k-means retrain or a corpus re-encode — and a later
+    * compaction can fold tombstones into the base at leisure (the s16
+    * compaction shape). At 100 TB this is the difference between a
+    * compliance deadline met in seconds and one gated on a full
+    * training job. Tombstones carry (vec_id, cell) — the cell from the
+    * base assignment rides along so the per-cell audit is join-free.
+    *
+    * Card per tombstone-touched cell: base/tombstone/after occupancy
+    * plus two VERIFIED flags — `conservation` (after ≡ base −
+    * tombstoned per cell, the d46 accounting device) and `purge_clean`
+    * (a FULL-probe serve of the standard query returns zero forgotten
+    * ids — the deletion reaches the SERVING path, not just the storage
+    * view). The forget set is deterministic (vec_id % 101 = 7 — a GDPR
+    * request is an id list, which is exactly what the tombstone
+    * artifact is). Rows-only: the card audits OUR index maintenance;
+    * IndexStoreSpec pins the zero-retrain property via the `builds`
+    * log and that a fresh session serves the tombstoned index with
+    * zero training jobs. */
+  def sim24AnnForget(spark: SparkSession, dir: String): DataFrame = {
+    val k = Sim4K
+    val base = ivfIndexFor(spark, dir, k)
+    val tomb = IndexStore.loadOrBuild(spark, dir, "embeddings",
+      s"ivf_k${k}_tombstones_m101")(
+      Seq("tombstones" -> base.assigned
+        .filter(col("vec_id") % 101 === 7)
+        .select(col("vec_id"), col("cell"))))("tombstones")
+    val served = base.assigned
+      .join(tomb.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val qEmb = base.assigned.filter(col("vec_id") === 0)
+      .select(col("emb")).head().getSeq[Double](0).toArray
+    // full probe (nProbe = k): the strongest serving check — no cell
+    // can hide a forgotten id behind probe selection
+    val purgeClean = ivfQuery(spark, IvfIndex(served, base.centers),
+      qEmb, nProbe = k, excludeVecId = Some(0L))
+      .join(tomb.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .isEmpty
+    tomb.groupBy(col("cell")).agg(count(lit(1)).as("n_tomb"))
+      .join(base.assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_base")), Seq("cell"))
+      .join(served.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_after")), Seq("cell"), "left")
+      .na.fill(0L, Seq("n_after"))
+      .select(col("cell"), col("n_base"), col("n_tomb"), col("n_after"),
+        (col("n_after") === col("n_base") - col("n_tomb"))
+          .as("conservation"),
+        lit(purgeClean).as("purge_clean"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
+    "sim24_ann_forget" -> sim24AnnForget,
     "sim16_ivfpq_ann" -> sim16IvfPqAnn,
     "sim17_ivfpq_recall" -> sim17IvfPqRecall,
     "sim15_binary_ann" -> sim15BinaryAnn,

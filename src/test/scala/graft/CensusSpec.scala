@@ -139,10 +139,20 @@ class CensusSpec extends AnyFunSuite {
                                    // per-lang census + report order
                                    // (t22's serve shape; the bucketed
                                    // count tables resolve at build)
-    "sim23_incremental_ivf" -> 4   // base + delta occupancy aggs + the
+    "sim23_incremental_ivf" -> 4,  // base + delta occupancy aggs + the
                                    // cell-census join + report order
                                    // (the verify joins resolve at
                                    // build into the two flag literals)
+    "d50_semdedup" -> 11           // planted-batch union + the within-
+                                   // cell pair self-join, then keeper
+                                   // assembly (component labels +
+                                   // priority join + keep groupBy) and
+                                   // the three census aggs — every
+                                   // post-pair stage runs on the
+                                   // CHECKPOINTED pair-incident frame,
+                                   // so the count is wide but each
+                                   // exchange is pair-graph-sized, not
+                                   // corpus-sized (measured 10 + 1)
   )
 
   /** Sink round-trips execute inside their builders and RETURN a local

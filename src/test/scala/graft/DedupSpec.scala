@@ -505,6 +505,68 @@ class DedupSpec extends AnyFunSuite {
       s"minhash candidate recall ${card("minhash_lsh")._4} below bar")
   }
 
+  test("d50 SemDeDup on hand-built cells: keeps the farthest-from-" +
+    "centroid member, ties to lowest id, cross-cell near-dups not paired") {
+    val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val assigned = Seq(
+      (0L, Seq(1.0, 0.0), 0),       // cent_sim 1.0 — the redundant one
+      (1L, Seq(0.9962, 0.0872), 0), // cos(0,1)=0.9962 ≥ τ; cent_sim 0.9962
+      (2L, Seq(0.0, 1.0), 1),       // no ≥ τ partner in its cell
+      (3L, Seq(0.7071, 0.7071), 1), // cos(2,3)=0.7071 < τ — kept
+      (4L, Seq(1.0, 0.001), 1),     // ≈dup of 0 but OTHER cell: unpaired
+      (10L, Seq(0.5, 0.0), 0),      // scaled copy of 11: cos 1.0,
+      (11L, Seq(1.5, 0.0), 0)       //   cent_sim both 1.0 → tie → keep 10
+    ).toDF("vec_id", "emb", "cell")
+    val (pairs, kept) = Dedup.semDedupParts(assigned, centers, 0.95)
+    val pairSet = pairs.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    // every cell-0 pair clears τ (0,1,10,11 all within 5°); (0,4) must
+    // be ABSENT even at cosine ≈ 1.0 — the cross-cell loss is the
+    // documented SemDeDup approximation, pinned here as a decision,
+    // not a bug — and (2,3) sits below τ
+    assert(pairSet == Set((0L, 1L), (0L, 10L), (0L, 11L), (1L, 10L),
+      (1L, 11L), (10L, 11L)))
+    val keeper = kept.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the cell-0 component {0,1,10,11}: member 1 has the unique lowest
+    // cent_sim (0.9962 vs 1.0) → it is the keeper for all four
+    assert(Seq(0L, 1L, 10L, 11L).forall(keeper(_) == 1L),
+      s"farthest-from-centroid keeper rule broken: $keeper")
+    assert(keeper(2L) == 2L && keeper(3L) == 3L && keeper(4L) == 4L)
+  }
+
+  test("d50 SemDeDup hand cells: exact tie on cent_sim keeps the lowest id") {
+    val centers = Array(Array(1.0, 0.0))
+    val assigned = Seq(
+      (10L, Seq(0.5, 0.0), 0),
+      (11L, Seq(1.5, 0.0), 0) // same direction: cos 1.0, cent_sim 1.0
+    ).toDF("vec_id", "emb", "cell")
+    val (_, kept) = Dedup.semDedupParts(assigned, centers, 0.95)
+    val keeper = kept.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keeper == Map(10L -> 10L, 11L -> 10L))
+  }
+
+  test("d50 registered: the planted scaled copies — and only they — are " +
+    "dropped, each keeper is its source (ties keep the ORIGINAL)") {
+    val dir = "/root/testdata/sf0.01"
+    val (assigned, centers, maxId) = Dedup.d50Assigned(spark, dir)
+    val (_, kept) = Dedup.semDedupParts(assigned, centers, Dedup.D50Tau)
+    val cellOf = assigned.select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    // a planted copy is dropped iff it landed in its source's cell
+    // (cosine exactly 1.0; cent_sim identical — scale-invariant — so
+    // the tie rule must keep the lower-id original)
+    val expectDropped = cellOf.keySet.filter(_ > maxId)
+      .filter(p => cellOf(p) == cellOf(p - maxId - 1))
+    assert(expectDropped.nonEmpty, "no planted copy co-celled — vacuous")
+    val keeper = kept.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dropped = keeper.filter { case (id, kp) => id != kp }.keySet
+    assert(dropped == expectDropped,
+      s"drop set ${dropped.size} != planted co-celled ${expectDropped.size}")
+    expectDropped.foreach(p => assert(keeper(p) == p - maxId - 1,
+      s"planted $p kept over its original ${p - maxId - 1}"))
+  }
+
   test("cluster-size histogram counts clusters and docs per component size") {
     // components: {0,1,2,3} (chain), {10,11}, {20}, {21} →
     // size 1 × 2 clusters, size 2 × 1, size 4 × 1; docs sum to 8

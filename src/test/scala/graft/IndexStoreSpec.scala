@@ -205,6 +205,35 @@ class IndexStoreSpec extends AnyFunSuite {
       s"maintained-index recall@10 $recall below the sim20 serving bar")
   }
 
+  test("sim24: the forget set publishes as a tombstone artifact — no " +
+    "retraining on a warm base, a fresh session serves the tombstoned " +
+    "index with zero builds, and the card's flags verify") {
+    val sA = spark.newSession()
+    Similarity.queries("sim4_ivf_ann")(sA, dir).collect() // warm base
+    val before = IndexStore.builds.size
+    val r1 = Similarity.queries("sim24_ann_forget")(sA, dir)
+      .collect().toSeq
+    val newEntries = IndexStore.builds.toArray.drop(before).map(_.toString)
+    assert(newEntries.forall(_.contains("tombstones")),
+      s"the forget path ran a NON-tombstone build: ${newEntries.mkString(", ")}")
+    assert(r1.nonEmpty, "empty forget card — the mod-101 set missed")
+    r1.foreach { r =>
+      assert(r.getBoolean(4), "conservation false: after ≠ base − tombstoned")
+      assert(r.getBoolean(5), "purge_clean false: a forgotten id is still serveable")
+    }
+    // a FRESH session (tomorrow's JVM) anti-joins the published
+    // tombstones with zero builds of any kind — the compliance
+    // deadline is a parquet read, not a training job
+    val sB = spark.newSession()
+    val mid = IndexStore.builds.size
+    val r2 = Similarity.queries("sim24_ann_forget")(sB, dir)
+      .collect().toSeq
+    assert(IndexStore.builds.size == mid,
+      "a fresh session rebuilt instead of loading base + tombstones: " +
+        IndexStore.builds.toArray.drop(mid).mkString(", "))
+    assert(r1 == r2, "store-served forget card diverged")
+  }
+
   test("store speaks Hadoop FileSystem, not java.io.File: a non-file: " +
     "scheme root publishes, gates on the marker, and serves retrain-free") {
     val conf = spark.sparkContext.hadoopConfiguration
