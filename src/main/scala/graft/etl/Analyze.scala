@@ -1065,6 +1065,82 @@ object Analyze {
     * Counts stay exact longs; z and the boundary are the only floats,
     * rounds(4), and both verdicts compare the ROUNDED values so the
     * booleans cannot sit on a cross-engine ulp. */
+  /** A33 — Mann–Whitney U rank-sum test between the experiment arms
+    * over per-user purchase REVENUE: the continuous-metric companion
+    * to a27's two-proportion z. A revenue metric is heavy-tailed and
+    * zero-inflated — a t-test's normality assumption is exactly wrong
+    * there, and a27's conversion flag cannot see a treatment that
+    * moves HOW MUCH converters spend. The rank test is the standard
+    * nonparametric readout (Mann & Whitney 1947), tie-corrected
+    * normal approximation.
+    *
+    * Scale shape: the corpus collapses ONCE to per-user cents (an
+    * additive monoid over exact integer cents — the ×100 grid, so
+    * aggregation order cannot drift the sum — and the live fold's
+    * state shape, [[graft.streaming.MannWhitneyFold]]); users bin to
+    * whole currency units (the d29/a18 bounded-grid device: the
+    * registered statistic is the BINNED U, deterministic and
+    * engine-replayable; the sole window runs over the BIN frame,
+    * value-range-bounded, never user-sized). Rank arithmetic stays in
+    * INTEGER half-units (`midrank2` = 2·rank): every distributed sum
+    * is exact-integer and order-immune; floats appear only in the
+    * final scalar z / effect-size expressions, parenthesized
+    * identically to the DuckDB oracle. Arm split = the SAME IdHash
+    * assignment a27/a32 ride ([[armCol]]), so the three experiment
+    * readouts can never disagree on who is in which arm. */
+  def a33MannWhitney(spark: SparkSession, dir: String): DataFrame =
+    mannWhitney(Tables.events(spark, dir))
+
+  private[graft] def mannWhitney(events: DataFrame): DataFrame =
+    mannWhitneyFromUsers(userValueCents(events))
+
+  /** The corpus reduction behind a33: per-user purchase revenue in
+    * exact integer cents — an additive monoid, the fold's state. */
+  private[graft] def userValueCents(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id")).agg(
+      sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L))
+        .as("cents"))
+
+  private[graft] def mannWhitneyFromUsers(usersIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = usersIn.withColumn("arm", armCol)
+      .withColumn("bin", expr("cents div 100"))
+    val hist = users.groupBy(col("bin")).agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+      .withColumn("t", col("na") + col("nb"))
+    // the ONE ordered window runs over the bin frame — bounded by the
+    // currency grid, not the user count
+    val w = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = hist
+      .withColumn("cumb", coalesce(sum(col("t")).over(w), lit(0L)))
+      // midrank in HALF-UNITS: 2·midrank = 2·cumBefore + t + 1 stays
+      // integer through ties, so the rank-sum aggregate is exact
+      .withColumn("midrank2",
+        lit(2L) * col("cumb") + col("t") + lit(1L))
+    val g = ranked.agg(
+      sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"),
+      sum(col("na") * col("midrank2")).as("ra2"),
+      sum(col("t") * col("t") * col("t") - col("t")).as("tie_sum"))
+    val n = col("n_a") + col("n_b")
+    val uA = round((col("ra2") - col("n_a") * (col("n_a") + 1))
+      / lit(2.0), 1)
+    g.select(col("n_a"), col("n_b"), uA.as("u_a"), col("tie_sum"))
+      .withColumn("mu", col("n_a") * col("n_b") / lit(2.0))
+      .withColumn("sigma", sqrt(col("n_a") * col("n_b") / lit(12.0) *
+        ((n + lit(1L)) - col("tie_sum") / (n * (n - lit(1.0))))))
+      .select(col("n_a"), col("n_b"), col("u_a"),
+        when(col("sigma") === 0.0, lit(null).cast("double"))
+          .otherwise(round((col("u_a") - col("mu")) / col("sigma"), 4))
+          .as("z"),
+        round(lit(1.0) - lit(2.0) * col("u_a")
+          / (col("n_a") * col("n_b")), 4).as("effect_r"))
+      .withColumn("significant",
+        abs(coalesce(col("z"), lit(0.0))) > 1.96)
+  }
+
   def a32SequentialAb(spark: SparkSession, dir: String): DataFrame =
     sequentialAb(Tables.events(spark, dir))
 
@@ -1125,6 +1201,7 @@ object Analyze {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a33_mann_whitney" -> a33MannWhitney,
     "a32_sequential_ab" -> a32SequentialAb,
     "a31_path_mining" -> a31PathMining,
     "a30_attribution" -> a30Attribution,
@@ -1363,6 +1440,53 @@ object Analyze {
         |  min(CASE WHEN s_hi > 4.0 THEN event_id END) AS first_hi_alarm_id,
         |  min(CASE WHEN s_lo > 4.0 THEN event_id END) AS first_lo_alarm_id
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // a33 replays the IdHash arm split, the exact-cents reduction, the
+    // whole-unit binning, and the half-unit (2·rank) integer rank
+    // arithmetic; floats appear only in the final scalar z / effect
+    // expressions, parenthesized identically to the Spark column tree
+    "a33_mann_whitney" ->
+      (s"""WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS cents,
+        |    CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT cents // 100 AS bin,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT *, na + nb AS t,
+        |    coalesce(sum(na + nb) OVER (ORDER BY bin
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cumb
+        |  FROM h),
+        |g AS (
+        |  SELECT CAST(sum(na) AS BIGINT) AS n_a,
+        |    CAST(sum(nb) AS BIGINT) AS n_b,
+        |    CAST(sum(na * (2 * cumb + t + 1)) AS BIGINT) AS ra2,
+        |    CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+        |  FROM r),
+        |s AS (
+        |  SELECT n_a, n_b,
+        |    round((ra2 - n_a * (n_a + 1)) / 2.0, 1) AS u_a, tie_sum,
+        |    n_a * n_b / 2.0 AS mu,
+        |    sqrt(n_a * n_b / 12.0 * (((n_a + n_b) + 1)
+        |      - tie_sum / ((n_a + n_b) * ((n_a + n_b) - 1.0)))) AS sigma
+        |  FROM g)
+        |SELECT n_a, n_b, u_a,
+        |  CASE WHEN sigma = 0.0 THEN NULL
+        |       ELSE round((u_a - mu) / sigma, 4) END AS z,
+        |  round(1.0 - 2.0 * u_a / (n_a * n_b), 4) AS effect_r,
+        |  abs(coalesce(CASE WHEN sigma = 0.0 THEN NULL
+        |       ELSE round((u_a - mu) / sigma, 4) END, 0.0)) > 1.96
+        |    AS significant
+        |FROM s""").stripMargin,
     "a32_sequential_ab" ->
       (s"""WITH u AS (
         |  SELECT user_id,

@@ -454,6 +454,51 @@ class PropertySpec extends AnyFunSuite {
     assert(r2.isNullAt(6) && !r2.getBoolean(7))
   }
 
+  test("Mann-Whitney U: hand-computed tie-corrected z on planted arm " +
+    "revenues; identical distributions give z = 0; all-equal gives NULL (A33)") {
+    import spark.implicits._
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // resolve arms through the operator's own assignment, then plant
+    // whole-unit revenues A = {1, 2, 2}, B = {2, 3}:
+    // ranks 1,(2,3,4 → midrank 3),5; R_A = 1+3+3 = 7, U_A = 7−6 = 1,
+    // μ = 3, tie_sum = 3³−3 = 24,
+    // σ = sqrt(0.5·(6 − 24/20)) = sqrt(2.4) → z = −2/σ = −1.2910,
+    // rank-biserial effect = 1 − 2·1/6 = 0.6667
+    val userIds = (0L until 300L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aIds = userIds.filter(arms(_) == "A")
+    val bIds = userIds.filter(arms(_) == "B")
+    def events(pairs: Seq[(Long, Int)]) =
+      (pairs.zipWithIndex.map { case ((u, units), i) =>
+        (i.toLong, ts0, u, "purchase", units.toDouble)
+      } :+ ((999L, ts0, pairs.head._1, "view", 777.0))) // ignored metric
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.etl.Analyze.mannWhitney(events(
+      aIds.take(3).zip(Seq(1, 2, 2)) ++ bIds.take(2).zip(Seq(2, 3))))
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 1.0, s"u_a ${r.getDouble(2)}")
+    assert(r.getDouble(3) == -1.291, s"z ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.6667, s"effect ${r.getDouble(4)}")
+    assert(!r.getBoolean(5))
+    // identical distributions {5,7} vs {5,7}: U_A = μ → z exactly 0
+    val r2 = graft.etl.Analyze.mannWhitney(events(
+      aIds.take(2).zip(Seq(5, 7)) ++ bIds.take(2).zip(Seq(5, 7))))
+      .collect().head
+    assert(r2.getDouble(3) == 0.0 && r2.getDouble(4) == 0.0
+      && !r2.getBoolean(5))
+    // every user identical: one bin, full-tie correction → σ = 0 →
+    // NULL z, not a division blowup, and not significant
+    val r3 = graft.etl.Analyze.mannWhitney(events(
+      aIds.take(2).zip(Seq(5, 5)) ++ bIds.take(2).zip(Seq(5, 5))))
+      .collect().head
+    assert(r3.isNullAt(3) && !r3.getBoolean(5))
+  }
+
   test("sequential A/B: an early naive 'win' does not clear the O'Brien-Fleming boundary (A32)") {
     import spark.implicits._
     def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")

@@ -1479,6 +1479,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(f2.serve(spark)) == live)
   }
 
+  test("a33' Mann-Whitney fold: revenue accumulates ACROSS batches per " +
+    "user (sum monoid); replay would double-count and the guard stops " +
+    "it; serve ≡ batch kernel at every wave") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val fold = new graft.streaming.MannWhitneyFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("mwfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt)
+    val t0 = t("2024-01-01 00:00:00")
+    // b1: users 1–20 purchase small; b2: users 1–5 purchase AGAIN —
+    // unlike a27's idempotent max, their revenue must ACCUMULATE (the
+    // same user's bin moves), and 10 fresh users arrive
+    val b1 = (1L to 20L).map(u => (u, t0, u, "purchase", 5.0))
+    val b2 = (1L to 5L).map(u => (100L + u, t0, u, "purchase", 7.0)) ++
+      (21L to 30L).map(u => (200L + u, t0, u, "view", 9.0))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    def landedDf(evs: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(rows(fold.serve(spark)) ==
+      rows(graft.etl.Analyze.mannWhitney(landedDf(b1))),
+      "fold after wave 1 diverged from the batch kernel")
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val live = rows(fold.serve(spark))
+    assert(live == rows(graft.etl.Analyze.mannWhitney(landedDf(b1 ++ b2))),
+      "fold after wave 2 diverged — repeat purchases must accumulate")
+    // a re-delivered committed batch would DOUBLE revenue; the batchId
+    // guard must make it a no-op
+    fold.onBatch(landedDf(b2), 1L)
+    assert(rows(fold.serve(spark)) == live, "replay double-counted revenue")
+    val f2 = new graft.streaming.MannWhitneyFold
+    f2.rebuildFrom(landedDf(b1 ++ b2))
+    assert(rows(f2.serve(spark)) == live)
+    // used checkpoint + empty fold refuses loudly
+    val f3 = new graft.streaming.MannWhitneyFold
+    intercept[IllegalStateException] { f3.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt) }
+  }
+
   test("a32' sequential-A/B fold: the boundary TIGHTENS retroactively as " +
     "enrollment arrives; a late earlier event moves an enrollment day " +
     "back; replay no-op; serve ≡ batch kernel") {
