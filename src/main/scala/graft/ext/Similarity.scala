@@ -1748,22 +1748,53 @@ object Similarity {
     * O(corpus · k · d) — a production run maintains the index WITHOUT
     * it (the delta branch alone) and audits on a sampled slice, the
     * d5-verify economics. */
+  /** The sim23 planted-append device: tail ids re-keyed past max id,
+    * dimensions rolled by one so the appends are NEW vectors, not
+    * exact dups. Shared by sim23 and sim25's lifecycle composition. */
+  private[graft] def appendBatchFor(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    emb.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + maxId + 1).as("vec_id"),
+        concat(expr("slice(emb, 2, size(emb) - 1)"),
+          expr("slice(emb, 1, 1)")).as("emb"))
+  }
+
+  /** The published sim23 delta artifact (frozen-centroid encode of the
+    * planted append batch) — load-or-build through the store. */
+  private[graft] def ivfDeltaFor(spark: SparkSession, dir: String,
+                                 k: Int): DataFrame = {
+    val base = ivfIndexFor(spark, dir, k)
+    IndexStore.loadOrBuild(spark, dir, "embeddings",
+      s"ivf_k${k}_delta_b5")(
+      Seq("assigned" ->
+        ivfAssign(appendBatchFor(spark, dir), base.centers)))("assigned")
+  }
+
+  /** The published sim24 tombstone artifact ((vec_id, cell) rows for
+    * the deterministic forget set) — load-or-build through the store. */
+  private[graft] def ivfTombstonesFor(spark: SparkSession, dir: String,
+                                      k: Int): DataFrame = {
+    val base = ivfIndexFor(spark, dir, k)
+    IndexStore.loadOrBuild(spark, dir, "embeddings",
+      s"ivf_k${k}_tombstones_m101")(
+      Seq("tombstones" -> base.assigned
+        .filter(col("vec_id") % 101 === 7)
+        .select(col("vec_id"), col("cell"))))("tombstones")
+  }
+
   def sim23IncrementalIvf(spark: SparkSession, dir: String): DataFrame = {
     val k = Sim4K
     val base = ivfIndexFor(spark, dir, k)
     val emb = Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
-    def batchRaw = emb.filter(col("vec_id") % 5 === 0)
-      .select((col("vec_id") + maxId + 1).as("vec_id"),
-        concat(expr("slice(emb, 2, size(emb) - 1)"),
-          expr("slice(emb, 1, 1)")).as("emb"))
+    def batchRaw = appendBatchFor(spark, dir)
     // the delta publishes through the store — a fresh session serves
     // base AND delta with zero jobs of any kind; the build closure,
     // when it does run, is the cheap frozen-centroid encode
-    val delta = IndexStore.loadOrBuild(spark, dir, "embeddings",
-      s"ivf_k${k}_delta_b5")(
-      Seq("assigned" -> ivfAssign(batchRaw, base.centers)))("assigned")
+    val delta = ivfDeltaFor(spark, dir, k)
     val inc = base.assigned.select(col("vec_id"), col("emb"), col("cell"))
       .unionByName(delta.select(col("vec_id"), col("emb"), col("cell")))
     val full = ivfAssign(emb.unionByName(batchRaw), base.centers)
@@ -1816,11 +1847,7 @@ object Similarity {
   def sim24AnnForget(spark: SparkSession, dir: String): DataFrame = {
     val k = Sim4K
     val base = ivfIndexFor(spark, dir, k)
-    val tomb = IndexStore.loadOrBuild(spark, dir, "embeddings",
-      s"ivf_k${k}_tombstones_m101")(
-      Seq("tombstones" -> base.assigned
-        .filter(col("vec_id") % 101 === 7)
-        .select(col("vec_id"), col("cell"))))("tombstones")
+    val tomb = ivfTombstonesFor(spark, dir, k)
     val served = base.assigned
       .join(tomb.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val qEmb = base.assigned.filter(col("vec_id") === 0)
@@ -1844,9 +1871,71 @@ object Similarity {
       .orderBy(col("cell"))
   }
 
+  /** SIM25 — index COMPACTION: the maintenance verbs close into a
+    * lifecycle. sim23's delta-append and sim24's tombstone-delete keep
+    * writes O(batch)/O(|forgotten|), but each leaves the SERVING plan
+    * a little wider (a union, an anti-join); compaction folds
+    * base ∪ delta ∖ tombstones into ONE published artifact (a new
+    * store generation, `compacted_g1`) so serving returns to a single
+    * scan — exactly parquet-compaction's s16 contract lifted to the
+    * index tier: background cost buys back per-query plan width, and
+    * the switch is atomic because the generation publishes through the
+    * same marker-gated store path every artifact uses. No retraining:
+    * compaction never touches the quantizer — it is a row-level
+    * merge of already-encoded artifacts.
+    *
+    * Card per cell: base/delta/tombstone/compacted occupancy + two
+    * VERIFIED flags — `compact_match` (the compacted artifact is
+    * row-identical to the composed view, both directions) and
+    * `serve_match` (the standard full-probe query serves identically
+    * from the one-scan generation and the composed three-way plan).
+    * Rows-only: audits OUR index maintenance; IndexStoreSpec pins
+    * that compaction is the only build on a warm lifecycle and that a
+    * fresh session serves the compacted generation with zero builds. */
+  def sim25IndexCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val k = Sim4K
+    val base = ivfIndexFor(spark, dir, k)
+    val delta = ivfDeltaFor(spark, dir, k)
+    val tomb = ivfTombstonesFor(spark, dir, k)
+    def composed = base.assigned
+      .select(col("vec_id"), col("emb"), col("cell"))
+      .unionByName(delta.select(col("vec_id"), col("emb"), col("cell")))
+      .join(tomb.select(col("vec_id")), Seq("vec_id"), "left_anti")
+    val compacted = IndexStore.loadOrBuild(spark, dir, "embeddings",
+      s"ivf_k${k}_compacted_g1")(Seq("assigned" -> composed))("assigned")
+    val compactMatch =
+      compacted.select(col("vec_id"), col("cell"))
+        .except(composed.select(col("vec_id"), col("cell"))).isEmpty &&
+      composed.select(col("vec_id"), col("cell"))
+        .except(compacted.select(col("vec_id"), col("cell"))).isEmpty
+    val qEmb = base.assigned.filter(col("vec_id") === 0)
+      .select(col("emb")).head().getSeq[Double](0).toArray
+    def serve(assigned: DataFrame) =
+      ivfQuery(spark, IvfIndex(assigned, base.centers), qEmb,
+        nProbe = k, excludeVecId = Some(0L)).collect().toSeq
+    val serveMatch = serve(compacted) == serve(composed)
+    base.assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_base"))
+      .join(delta.groupBy(col("cell")).agg(count(lit(1)).as("n_delta")),
+        Seq("cell"), "left")
+      .join(tomb.groupBy(col("cell")).agg(count(lit(1)).as("n_tomb")),
+        Seq("cell"), "left")
+      .join(compacted.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_compacted")), Seq("cell"), "left")
+      .na.fill(0L, Seq("n_delta", "n_tomb", "n_compacted"))
+      .select(col("cell"), col("n_base"), col("n_delta"), col("n_tomb"),
+        col("n_compacted"),
+        (col("n_compacted") ===
+          col("n_base") + col("n_delta") - col("n_tomb"))
+          .as("conservation"),
+        lit(compactMatch).as("compact_match"),
+        lit(serveMatch).as("serve_match"))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
+    "sim25_index_compaction" -> sim25IndexCompaction,
     "sim16_ivfpq_ann" -> sim16IvfPqAnn,
     "sim17_ivfpq_recall" -> sim17IvfPqRecall,
     "sim15_binary_ann" -> sim15BinaryAnn,

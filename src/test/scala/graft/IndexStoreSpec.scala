@@ -234,6 +234,38 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(r1 == r2, "store-served forget card diverged")
   }
 
+  test("sim25: compaction is the ONLY build on a warm lifecycle " +
+    "(base + delta + tombstones already published), a fresh session " +
+    "serves the compacted generation with zero builds, flags verify") {
+    val sA = spark.newSession()
+    // warm the full lifecycle the compaction folds: base index, the
+    // sim23 delta, the sim24 tombstones
+    Similarity.queries("sim23_incremental_ivf")(sA, dir).collect()
+    Similarity.queries("sim24_ann_forget")(sA, dir).collect()
+    val before = IndexStore.builds.size
+    val r1 = Similarity.queries("sim25_index_compaction")(sA, dir)
+      .collect().toSeq
+    val newEntries = IndexStore.builds.toArray.drop(before).map(_.toString)
+    assert(newEntries.forall(_.contains("compacted")),
+      s"compaction ran a NON-compaction build: ${newEntries.mkString(", ")}")
+    assert(r1.nonEmpty)
+    r1.foreach { r =>
+      assert(r.getBoolean(5), "conservation false")
+      assert(r.getBoolean(6), "compact_match false: generation ≠ composed view")
+      assert(r.getBoolean(7), "serve_match false: one-scan serve diverged")
+    }
+    // tomorrow's JVM reads the generation; no union, no anti-join, no
+    // build of any kind
+    val sB = spark.newSession()
+    val mid = IndexStore.builds.size
+    val r2 = Similarity.queries("sim25_index_compaction")(sB, dir)
+      .collect().toSeq
+    assert(IndexStore.builds.size == mid,
+      "a fresh session rebuilt instead of loading the compacted " +
+        "generation: " + IndexStore.builds.toArray.drop(mid).mkString(", "))
+    assert(r1 == r2, "store-served compaction card diverged")
+  }
+
   test("store speaks Hadoop FileSystem, not java.io.File: a non-file: " +
     "scheme root publishes, gates on the marker, and serves retrain-free") {
     val conf = spark.sparkContext.hadoopConfiguration
