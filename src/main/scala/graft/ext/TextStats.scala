@@ -1093,7 +1093,54 @@ object TextStats {
         col("n_docs"), col("n_tokens"), col("sum_chars"), col("avg_chars"))
       .orderBy(col("lang"), col("source"))
 
+  /** T25 — tokenizer fertility card (Rust et al., ACL 2021): per
+    * language, subword tokens per word (fertility) and characters per
+    * token (compression) under a merge table TRAINED ON THIS CORPUS
+    * (T10's Sennrich trainer) — the multilingual tokenizer-health
+    * readout a team checks before committing to a tokenizer: a
+    * language with fertility ≫ 1 pays proportionally more context
+    * window and compute per sentence, the classic under-served-script
+    * failure a shared vocabulary hides.
+    *
+    * Scale shape: training is T10's split — the corpus-sized work is
+    * ONE vocabulary-bounded word-count aggregate (limit-before-collect
+    * cap; at web scale the trainer runs on a corpus SAMPLE, which is
+    * how production tokenizers are actually trained), the merge loop
+    * is driver arithmetic on that bounded vocab; scoring is the
+    * per-partition cached encoder (broadcast merge table, text never
+    * leaves its scan partition, only five longs per doc move). All
+    * per-lang sums are exact integers; the two ratios are final
+    * scalar divisions rounds(4). `mergesOverride` lets the spec pin
+    * hand-computed fertility under the fixed demo table. */
+  def t25TokenizerFertility(spark: SparkSession, dir: String,
+      nMerges: Int = 64,
+      mergesOverride: Option[Seq[(String, String)]] = None): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val merges = mergesOverride.getOrElse(
+      graft.functions.BpeTokenizer.trainMerges(docs, nMerges))
+    fertilityCardOf(
+      graft.functions.BpeTokenizer.bpeTokenCounts(docs, merges))
+  }
+
+  /** The per-lang report tail over any (lang, n_tokens, n_words,
+    * n_chars) frame — shared by t25 and its spec. */
+  private[graft] def fertilityCardOf(tok: DataFrame): DataFrame =
+    tok.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_words")).as("n_words"),
+      sum(col("n_tokens")).as("n_tokens"),
+      sum(col("n_chars")).as("n_chars"))
+      .withColumn("fertility", round(
+        col("n_tokens").cast("double") / col("n_words"), 4))
+      .withColumn("chars_per_token", round(
+        col("n_chars").cast("double") / col("n_tokens"), 4))
+      .orderBy(col("lang"))
+
+  private def t25Registered(spark: SparkSession, dir: String): DataFrame =
+    t25TokenizerFertility(spark, dir)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_tokenizer_fertility" -> t25Registered,
     "t15_zipf_fit" -> t15ZipfFit,
     "t14_corpus_manifest" -> t14CorpusManifest,
     "t13_char_stats" -> t13CharStats,

@@ -121,10 +121,14 @@ object BpeTokenizer {
     merges.toSeq
   }
 
-  /** (doc_id, lang, n_tokens) for every document, n_tokens = subword
-    * count under `merges`. Null text counts 0 tokens (there is nothing
-    * to budget — unlike wsTokens' ''=1 oracle convention, this count
-    * feeds no SQL oracle). */
+  /** (doc_id, lang, n_tokens, n_words, n_chars) for every document:
+    * n_tokens = subword count under `merges`, n_words / n_chars the
+    * whitespace-word and word-character counts of the SAME text the
+    * encoder saw (so t25's fertility = tokens/words and chars/token
+    * ratios are internally consistent by construction). Null text
+    * counts 0 everywhere (there is nothing to budget — unlike
+    * wsTokens' ''=1 oracle convention, this count feeds no SQL
+    * oracle). */
   def bpeTokenCounts(docs: DataFrame,
                      merges: Seq[(String, String)] = DefaultMerges): DataFrame = {
     val spark = docs.sparkSession
@@ -139,13 +143,18 @@ object BpeTokenizer {
         val cache = scala.collection.mutable.HashMap.empty[String, Int]
         it.map { case (id, lang, text) =>
           var n = 0L
+          var words = 0L
+          var chars = 0L
           text.split(' ').foreach { w =>
-            if (w.nonEmpty)
+            if (w.nonEmpty) {
               n += cache.getOrElseUpdate(w, encodeWord(w, ranks).length)
+              words += 1
+              chars += w.length
+            }
           }
-          (id, lang, n)
+          (id, lang, n, words, chars)
         }
       }
-      .toDF("doc_id", "lang", "n_tokens")
+      .toDF("doc_id", "lang", "n_tokens", "n_words", "n_chars")
   }
 }

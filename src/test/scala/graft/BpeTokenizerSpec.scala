@@ -108,4 +108,38 @@ class BpeTokenizerSpec extends AnyFunSuite {
     assert(out("de")._3 == 6L)            // rate 1 keeps everything
     assert(out("en")._3 <= out("en")._1)  // kept never exceeds total
   }
+
+  test("t25 fertility card: hand-computed tokens/words and chars/token " +
+    "per lang under the fixed demo table; null text contributes zeros") {
+    val docs = Seq(
+      // "the"→1 token, "thinking"→ th,in,k,ing = 4: 2 words, 5 tokens,
+      // 11 chars → fertility 2.5, chars/token 2.2
+      (0L, "the thinking", "en"),
+      // "zz"→ z,z (no ranked pair): per doc 2 words... one word, 2 toks
+      (1L, "zz zz", "fr"),
+      (2L, null.asInstanceOf[String], "fr")
+    ).toDF("doc_id", "text", "lang")
+    val card = graft.ext.TextStats.fertilityCardOf(
+        BpeTokenizer.bpeTokenCounts(docs))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    assert(card("en") == ((1L, 2L, 5L, 11L, 2.5, 2.2)))
+    // fr: doc 1 → 2 words, 4 tokens, 4 chars; null doc → zeros but
+    // still counted in n_docs
+    assert(card("fr") == ((2L, 2L, 4L, 4L, 2.0, 1.0)))
+  }
+
+  test("t25 registered card at sf0.001: fertility >= 1 for every lang " +
+    "(a word is at least one subword) and the corpus-trained table " +
+    "compresses at least as well as character splitting") {
+    val card = graft.ext.TextStats
+      .queries("t25_tokenizer_fertility")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(card.nonEmpty)
+    card.foreach { r =>
+      assert(r.getDouble(5) >= 1.0, s"fertility < 1 for ${r.getString(0)}")
+      assert(r.getDouble(6) >= 1.0, s"chars/token < 1 for ${r.getString(0)}")
+    }
+  }
 }
