@@ -1205,8 +1205,10 @@ object Dedup {
     * hand-built-cell semantics (farthest-from-centroid keeper, tie →
     * lowest id, cross-cell pair NOT formed) and the planted-copy
     * census at sf0.01. */
-  private[graft] def d50Assigned(spark: SparkSession, dir: String)
-      : (DataFrame, Array[Array[Double]], Long) = {
+  /** The corpus index + the planted scaled-copy batch, separately —
+    * d50 unions them; d51 keeps them apart (batch vs served index). */
+  private[graft] def d50Parts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Array[Array[Double]], Long) = {
     val base = Similarity.ivfIndexFor(spark, dir, Similarity.Sim4K)
     val emb = base.assigned.select(col("vec_id"), col("emb"), col("cell"))
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
@@ -1216,7 +1218,13 @@ object Dedup {
           transform(col("emb"), x => x * 1.02).as("emb")),
       base.centers)
       .select(col("vec_id"), col("emb"), col("cell"))
-    (emb.unionByName(planted), base.centers, maxId)
+    (emb, planted, base.centers, maxId)
+  }
+
+  private[graft] def d50Assigned(spark: SparkSession, dir: String)
+      : (DataFrame, Array[Array[Double]], Long) = {
+    val (corpus, planted, centers, maxId) = d50Parts(spark, dir)
+    (corpus.unionByName(planted), centers, maxId)
   }
 
   def d50SemDedup(spark: SparkSession, dir: String): DataFrame = {
@@ -1224,9 +1232,52 @@ object Dedup {
     semDedupReport(spark, assigned, centers)
   }
 
+  /** D51 — INCREMENTAL semantic dedup: d18's daily-crawl discipline
+    * lifted to the embedding tier. A new batch assigns to the EXISTING
+    * IVF cells (frozen centroids — sim23's maintenance verb) and
+    * compares ONLY against the served index members of exactly those
+    * cells: per day the work is O(batch · cellsize), and the corpus is
+    * never re-clustered, re-scanned pairwise, or re-shuffled — at
+    * scale the published `assigned` artifact is stored bucketed by
+    * cell (the IvfIndex docstring's layout), so the batch-side shuffle
+    * is the only exchange the join needs, exactly d18's zero-index-
+    * side-Exchange economics. The keep rule is the incremental one:
+    * the corpus member WINS (it is already served); a batch doc with
+    * any ≥ τ match is rejected. Because cells are frozen, incremental
+    * candidates are EXACTLY the full d50 pair set restricted to
+    * batch × corpus — an equality, not an approximation, and the spec
+    * pins it as one. */
+  private[graft] def incrementalSemPairs(batch: DataFrame,
+      corpus: DataFrame, tau: Double): DataFrame =
+    batch.select(col("cell"), col("vec_id").as("id_b"),
+        col("emb").as("emb_b"))
+      .join(corpus.select(col("cell"), col("vec_id").as("id_a"),
+        col("emb").as("emb_a")), Seq("cell"))
+      .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
+        >= tau)
+      .select(col("cell"), col("id_a"), col("id_b"))
+
+  def d51IncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (corpus, batch, _, _) = d50Parts(spark, dir)
+    val pairs = incrementalSemPairs(batch, corpus, D50Tau)
+      .localCheckpoint(true)
+    batch.groupBy(col("cell")).agg(count(lit(1)).as("n_batch"))
+      .join(corpus.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_index")), Seq("cell"), "left")
+      .join(pairs.groupBy(col("cell")).agg(
+        count(lit(1)).as("n_matches"),
+        count_distinct(col("id_b")).as("n_rejected")),
+        Seq("cell"), "left")
+      .na.fill(0L, Seq("n_index", "n_matches", "n_rejected"))
+      .withColumn("accept_rate",
+        round(lit(1.0) - col("n_rejected") / col("n_batch"), 4))
+      .orderBy(col("cell"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d49_dedup_scorecard" -> d49DedupScorecard,
     "d50_semdedup" -> d50SemDedup,
+    "d51_incremental_semdedup" -> d51IncrementalSemDedup,
     "d3_minhash_lsh" -> d3MinhashLsh,
     "d4_simhash_pairs" -> d4SimhashPairs,
     "d5_ngram_jaccard" -> d5NgramJaccard,

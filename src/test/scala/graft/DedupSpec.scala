@@ -567,6 +567,30 @@ class DedupSpec extends AnyFunSuite {
       s"planted $p kept over its original ${p - maxId - 1}"))
   }
 
+  test("d51 incremental semantic dedup: batch-vs-index candidates are " +
+    "EXACTLY the full d50 pair set restricted to batch × corpus " +
+    "(frozen cells make it an equality, not an approximation)") {
+    val dir = "/root/testdata/sf0.01"
+    val (corpus, batch, centers, maxId) = Dedup.d50Parts(spark, dir)
+    val inc = Dedup.incrementalSemPairs(batch, corpus, Dedup.D50Tau)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val (fullPairs, _) = Dedup.semDedupParts(
+      corpus.unionByName(batch), centers, Dedup.D50Tau)
+    val fullSet: Set[(Long, Long)] = fullPairs.select("id_a", "id_b")
+      .as[(Long, Long)].collect().toSet
+    val fullRestricted = fullSet
+      .filter { case (a, b) => a <= maxId && b > maxId }
+    assert(inc.nonEmpty, "no incremental candidates — vacuous")
+    assert(inc == fullRestricted,
+      s"incremental ${inc.size} pairs != full-restricted ${fullRestricted.size}")
+    // the incremental keep rule: every planted batch copy that matches
+    // is rejected; the corpus member it duplicates is untouched
+    val card = Dedup.queries("d51_incremental_semdedup")(spark, dir)
+      .agg(sum(col("n_rejected")), sum(col("n_batch"))).collect().head
+    assert(card.getLong(0) == inc.map(_._2).size &&
+      card.getLong(0) <= card.getLong(1))
+  }
+
   test("cluster-size histogram counts clusters and docs per component size") {
     // components: {0,1,2,3} (chain), {10,11}, {20}, {21} →
     // size 1 × 2 clusters, size 2 × 1, size 4 × 1; docs sum to 8
