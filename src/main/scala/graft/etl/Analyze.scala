@@ -1141,6 +1141,60 @@ object Analyze {
         abs(coalesce(col("z"), lit(0.0))) > 1.96)
   }
 
+  /** A34 — two-sample Kolmogorov–Smirnov test between the arms over
+    * the same per-user revenue metric as a33: D = max ECDF gap. The
+    * two tests answer DIFFERENT questions and a real experiment reads
+    * both — Mann–Whitney is powered for location shift ("did spend
+    * move up?"), KS for ANY distribution change (a treatment that
+    * widens the spread or splits the population moves D while leaving
+    * the rank-sum untouched). Shares a33's entire reduction: per-user
+    * exact cents (the same fold state serves both live readouts —
+    * [[graft.streaming.MannWhitneyFold.serveKs]]), whole-unit bins,
+    * the one bounded-bin-frame window.
+    *
+    * Exactness: D is computed as an INTEGER numerator max —
+    * |cumA·n_b − cumB·n_a| — over the bin frame, divided once at the
+    * end, so the statistic is order-immune with zero float
+    * accumulation (long-safe to ~10⁹ users per arm; past that the
+    * numerator ratio moves to double). The asymptotic p uses the
+    * first Smirnov term 2·exp(−2·ne·D²) on the ROUNDED D, so both
+    * engines feed libm the identical input. */
+  def a34KsTest(spark: SparkSession, dir: String): DataFrame =
+    ksTest(Tables.events(spark, dir))
+
+  private[graft] def ksTest(events: DataFrame): DataFrame =
+    ksTestFromUsers(userValueCents(events))
+
+  private[graft] def ksTestFromUsers(usersIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val users = usersIn.withColumn("arm", armCol)
+      .withColumn("bin", expr("cents div 100"))
+    val hist = users.groupBy(col("bin")).agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("na"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("nb"))
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val g = hist
+      .withColumn("cum_a", sum(col("na")).over(wCum))
+      .withColumn("cum_b", sum(col("nb")).over(wCum))
+      .withColumn("n_a", sum(col("na")).over(wAll))
+      .withColumn("n_b", sum(col("nb")).over(wAll))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("dnum"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+    val d = round(col("dnum").cast("double") / (col("n_a") * col("n_b")), 4)
+    g.select(col("n_a"), col("n_b"), d.as("d_stat"))
+      .withColumn("ne", col("n_a").cast("double") * col("n_b")
+        / (col("n_a") + col("n_b")))
+      .select(col("n_a"), col("n_b"), col("d_stat"),
+        round(least(lit(1.0), lit(2.0) *
+          exp(lit(-2.0) * col("ne") * col("d_stat") * col("d_stat"))), 4)
+          .as("p_value"))
+      .withColumn("significant", col("p_value") < 0.05)
+  }
+
   def a32SequentialAb(spark: SparkSession, dir: String): DataFrame =
     sequentialAb(Tables.events(spark, dir))
 
@@ -1201,6 +1255,7 @@ object Analyze {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a34_ks_test" -> a34KsTest,
     "a33_mann_whitney" -> a33MannWhitney,
     "a32_sequential_ab" -> a32SequentialAb,
     "a31_path_mining" -> a31PathMining,
@@ -1440,6 +1495,50 @@ object Analyze {
         |  min(CASE WHEN s_hi > 4.0 THEN event_id END) AS first_hi_alarm_id,
         |  min(CASE WHEN s_lo > 4.0 THEN event_id END) AS first_lo_alarm_id
         |FROM s GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // a34 replays a33's cents/binning reduction and the integer
+    // ECDF-gap numerator; the rounded D feeds libm's exp identically
+    // on both engines
+    "a34_ks_test" ->
+      (s"""WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS cents,
+        |    CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT cents // 100 AS bin,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS na,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS nb
+        |  FROM u GROUP BY 1),
+        |r AS (
+        |  SELECT *,
+        |    sum(na) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_a,
+        |    sum(nb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS cum_b,
+        |    sum(na) OVER () AS n_a, sum(nb) OVER () AS n_b
+        |  FROM h),
+        |g AS (
+        |  SELECT CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT)
+        |      AS dnum,
+        |    CAST(max(n_a) AS BIGINT) AS n_a,
+        |    CAST(max(n_b) AS BIGINT) AS n_b
+        |  FROM r),
+        |s AS (
+        |  SELECT n_a, n_b,
+        |    round(CAST(dnum AS DOUBLE) / (n_a * n_b), 4) AS d_stat,
+        |    CAST(n_a AS DOUBLE) * n_b / (n_a + n_b) AS ne
+        |  FROM g)
+        |SELECT n_a, n_b, d_stat,
+        |  round(least(1.0, 2.0 * exp(-2.0 * ne * d_stat * d_stat)), 4)
+        |    AS p_value,
+        |  round(least(1.0, 2.0 * exp(-2.0 * ne * d_stat * d_stat)), 4)
+        |    < 0.05 AS significant
+        |FROM s""").stripMargin,
     // a33 replays the IdHash arm split, the exact-cents reduction, the
     // whole-unit binning, and the half-unit (2·rank) integer rank
     // arithmetic; floats appear only in the final scalar z / effect

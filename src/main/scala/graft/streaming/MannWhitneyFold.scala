@@ -60,6 +60,17 @@ class MannWhitneyFold extends Serializable {
         Seq.empty[(Long, Long)].toDF("user_id", "cents"))
   }
 
+  /** The a34-shaped KS card over the SAME folded state — one per-user
+    * cents reduction serves both live experiment readouts (rank-sum
+    * for location, ECDF gap for any distribution change). */
+  def serveKs(spark: SparkSession): DataFrame = synchronized(users) match {
+    case Some(u) => graft.etl.Analyze.ksTestFromUsers(u)
+    case None =>
+      import spark.implicits._
+      graft.etl.Analyze.ksTestFromUsers(
+        Seq.empty[(Long, Long)].toDF("user_id", "cents"))
+  }
+
   /** Rebuild from the landed corpus (the restart recipe). */
   def rebuildFrom(landed: DataFrame): Unit = {
     synchronized { users = None; lastBatchId = -1L }

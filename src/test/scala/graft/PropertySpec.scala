@@ -499,6 +499,44 @@ class PropertySpec extends AnyFunSuite {
     assert(r3.isNullAt(3) && !r3.getBoolean(5))
   }
 
+  test("KS two-sample: hand-computed ECDF gap on planted arm revenues; " +
+    "disjoint supports give D = 1; identical samples give D = 0 (A34)") {
+    import spark.implicits._
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val userIds = (0L until 300L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aIds = userIds.filter(arms(_) == "A")
+    val bIds = userIds.filter(arms(_) == "B")
+    def events(pairs: Seq[(Long, Int)]) =
+      pairs.zipWithIndex.map { case ((u, units), i) =>
+        (i.toLong, ts0, u, "purchase", units.toDouble)
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // A = {1,2,2}, B = {2,3}: ECDF gaps (in 1/6ths) are 2,3,0 → D = 0.5;
+    // ne = 6/5 → p = min(1, 2·e^(−2·1.2·0.25)) = min(1, 1.0976) = 1.0
+    val r = graft.etl.Analyze.ksTest(events(
+      aIds.take(3).zip(Seq(1, 2, 2)) ++ bIds.take(2).zip(Seq(2, 3))))
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 0.5, s"D ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0 && !r.getBoolean(4))
+    // disjoint supports: every A below every B → D exactly 1
+    val r2 = graft.etl.Analyze.ksTest(events(
+      aIds.take(2).zip(Seq(1, 1)) ++ bIds.take(2).zip(Seq(9, 9))))
+      .collect().head
+    assert(r2.getDouble(2) == 1.0)
+    assert(r2.getDouble(3) == 0.2707, s"p ${r2.getDouble(3)}") // 2e^(−2)
+    // identical samples bin-for-bin → D = 0, p = 1
+    val r3 = graft.etl.Analyze.ksTest(events(
+      aIds.take(2).zip(Seq(5, 7)) ++ bIds.take(2).zip(Seq(5, 7))))
+      .collect().head
+    assert(r3.getDouble(2) == 0.0 && r3.getDouble(3) == 1.0
+      && !r3.getBoolean(4))
+  }
+
   test("sequential A/B: an early naive 'win' does not clear the O'Brien-Fleming boundary (A32)") {
     import spark.implicits._
     def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")

@@ -1512,6 +1512,11 @@ class StreamingSpec extends AnyFunSuite {
     val live = rows(fold.serve(spark))
     assert(live == rows(graft.etl.Analyze.mannWhitney(landedDf(b1 ++ b2))),
       "fold after wave 2 diverged — repeat purchases must accumulate")
+    // the SAME folded state serves the a34 KS readout
+    assert(fold.serveKs(spark).collect().map(_.toString).toSeq ==
+      graft.etl.Analyze.ksTest(landedDf(b1 ++ b2))
+        .collect().map(_.toString).toSeq,
+      "KS serve over the shared state diverged from the batch kernel")
     // a re-delivered committed batch would DOUBLE revenue; the batchId
     // guard must make it a no-op
     fold.onBatch(landedDf(b2), 1L)
