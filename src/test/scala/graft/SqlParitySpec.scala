@@ -242,7 +242,9 @@ class SqlParitySpec extends AnyFunSuite {
     "s21_incremental_ingest", "s22_time_travel", "t12_nb_classifier",
     "t15_zipf_fit", "t16_heavy_hitters", "t21_source_overlap",
     "t5_vocab_topk", "t6_tfidf", "t9_unigram_logprob",
-    "w15_ewma_baseline")
+    "w15_ewma_baseline",
+    // third wave: the experiment-statistics pair (only `//` respells)
+    "a33_mann_whitney", "a34_ks_test")
   // Not respellable (each was TRIED and failed honestly): the
   // recursive-closure family (UNION set semantics), range()/
   // generate_series (end-exclusive vs sequence's inclusive), DuckDB
