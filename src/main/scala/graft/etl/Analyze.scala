@@ -1195,6 +1195,273 @@ object Analyze {
       .withColumn("significant", col("p_value") < 0.05)
   }
 
+  /** A35 — CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM
+    * 2013): the experiment readout that uses PRE-experiment behaviour
+    * to shrink the variance of the revenue metric. The corpus day span
+    * splits in half — the first half is the covariate window (X =
+    * per-user pre-period purchase cents), the second the experiment
+    * window (Y = post-period cents); Y_cuped = Y − θ·(X − X̄) with
+    * θ = cov(X,Y)/var(X) estimated POOLED across arms (unbiased under
+    * randomization — the paper's own recommendation), and the card
+    * reads the raw and adjusted two-sample z side by side plus the
+    * realized variance-reduction fraction ρ²: on a metric where
+    * pre-period spend predicts post-period spend, the same experiment
+    * needs (1−ρ²)× the users for the same power — the planted spec's
+    * whole point is one corpus that reads NOT significant raw and
+    * clearly significant adjusted.
+    *
+    * Scale + determinism shape: ONE per-user conditional-sum aggregate
+    * (two exact-cents additive monoids — the live fold's state,
+    * [[graft.streaming.CupedFold]]); users bin to whole currency units
+    * per axis (the a33/d29 bounded-grid device — the registered
+    * statistic is the BINNED CUPED) and every distributed moment is an
+    * exact-integer sum over the (arm, xbin, ybin) histogram, so
+    * aggregation order cannot drift a bit (long-safe to bin·√n ~ 3e9;
+    * past that the second moments move to DECIMAL(38,0)). Floats
+    * appear only in the final ONE-ROW scalar θ/z/ρ² expressions,
+    * parenthesized identically to the DuckDB oracle, with θ rounded
+    * to 6 dp BEFORE reuse so both engines adjust by the identical
+    * scalar. Arm split = the SAME IdHash assignment every experiment
+    * readout rides ([[armCol]]). */
+  def a35Cuped(spark: SparkSession, dir: String): DataFrame =
+    cuped(Tables.events(spark, dir))
+
+  private[graft] def cuped(events: DataFrame): DataFrame = {
+    // deterministic pre/post boundary: the midpoint of the corpus day
+    // span (a real deployment passes the experiment start date — the
+    // fold does exactly that)
+    val span = events.agg(
+      min(expr("unix_timestamp(ts) div 86400")).as("d0"),
+      max(expr("unix_timestamp(ts) div 86400")).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    cupedFromUsers(userPrePostCents(
+      events.crossJoin(broadcast(span)), col("split")))
+  }
+
+  /** The corpus reduction behind a35: per-user (pre, post) purchase
+    * cents around the split day — two additive monoids, the fold's
+    * state. `split` is a joined column (batch) or a literal (the
+    * fold's fixed experiment start). */
+  private[graft] def userPrePostCents(events: DataFrame,
+                                      split: Column): DataFrame =
+    events
+      .withColumn("day", expr("unix_timestamp(ts) div 86400"))
+      .groupBy(col("user_id")).agg(
+        sum(when(col("event_type") === "purchase" && col("day") < split,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("pre_cents"),
+        sum(when(col("event_type") === "purchase" && col("day") >= split,
+          round(col("value") * 100).cast("long")).otherwise(0L))
+          .as("post_cents"))
+
+  private[graft] def cupedFromUsers(usersIn: DataFrame): DataFrame = {
+    val users = usersIn.withColumn("arm", armCol)
+      .withColumn("xb", expr("pre_cents div 100"))
+      .withColumn("yb", expr("post_cents div 100"))
+    // bounded by the currency grid², never user-sized
+    val hist = users.groupBy(col("arm"), col("xb"), col("yb"))
+      .agg(count(lit(1)).as("c"))
+    def s(a: String, e: Column) =
+      sum(when(col("arm") === a, e).otherwise(0L))
+    val g = hist.agg(
+      s("A", col("c")).as("n_a"), s("B", col("c")).as("n_b"),
+      s("A", col("c") * col("xb")).as("sx_a"),
+      s("A", col("c") * col("yb")).as("sy_a"),
+      s("B", col("c") * col("xb")).as("sx_b"),
+      s("B", col("c") * col("yb")).as("sy_b"),
+      s("A", col("c") * col("xb") * col("xb")).as("sxx_a"),
+      s("A", col("c") * col("xb") * col("yb")).as("sxy_a"),
+      s("A", col("c") * col("yb") * col("yb")).as("syy_a"),
+      s("B", col("c") * col("xb") * col("xb")).as("sxx_b"),
+      s("B", col("c") * col("xb") * col("yb")).as("sxy_b"),
+      s("B", col("c") * col("yb") * col("yb")).as("syy_b"))
+    // ONE-ROW scalar math from here down; every sum above is exact
+    // integer, so both engines start from identical inputs
+    val m = g
+      .withColumn("n", col("n_a") + col("n_b"))
+      .withColumn("sx", col("sx_a") + col("sx_b"))
+      .withColumn("sy", col("sy_a") + col("sy_b"))
+      .withColumn("covn", col("n").cast("double")
+        * (col("sxy_a") + col("sxy_b"))
+        - col("sx").cast("double") * col("sy"))
+      .withColumn("varxn", col("n").cast("double")
+        * (col("sxx_a") + col("sxx_b"))
+        - col("sx").cast("double") * col("sx"))
+      .withColumn("varyn", col("n").cast("double")
+        * (col("syy_a") + col("syy_b"))
+        - col("sy").cast("double") * col("sy"))
+      .withColumn("theta", when(col("varxn") > 0.0,
+        round(col("covn") / col("varxn"), 6)))
+      .withColumn("var_reduction",
+        when(col("varxn") > 0.0 && col("varyn") > 0.0,
+          round(col("covn") * col("covn")
+            / (col("varxn") * col("varyn")), 4)))
+      // a covariate with no variance degrades CUPED to the raw test
+      .withColumn("th", coalesce(col("theta"), lit(0.0)))
+    val v = m
+      .withColumn("mx_a",
+        col("sx_a").cast("double") / expr("nullif(n_a, 0)"))
+      .withColumn("my_a",
+        col("sy_a").cast("double") / expr("nullif(n_a, 0)"))
+      .withColumn("mx_b",
+        col("sx_b").cast("double") / expr("nullif(n_b, 0)"))
+      .withColumn("my_b",
+        col("sy_b").cast("double") / expr("nullif(n_b, 0)"))
+      .withColumn("mxp", col("sx").cast("double") / expr("nullif(n, 0)"))
+      .withColumn("adj_a",
+        col("my_a") - col("th") * (col("mx_a") - col("mxp")))
+      .withColumn("adj_b",
+        col("my_b") - col("th") * (col("mx_b") - col("mxp")))
+      .withColumn("vy_a", col("syy_a").cast("double")
+        / expr("nullif(n_a, 0)") - col("my_a") * col("my_a"))
+      .withColumn("vy_b", col("syy_b").cast("double")
+        / expr("nullif(n_b, 0)") - col("my_b") * col("my_b"))
+      .withColumn("va_a",
+        (col("syy_a") - lit(2.0) * col("th") * col("sxy_a")
+          + col("th") * col("th") * col("sxx_a"))
+          / expr("nullif(n_a, 0)")
+          - (col("my_a") - col("th") * col("mx_a"))
+          * (col("my_a") - col("th") * col("mx_a")))
+      .withColumn("va_b",
+        (col("syy_b") - lit(2.0) * col("th") * col("sxy_b")
+          + col("th") * col("th") * col("sxx_b"))
+          / expr("nullif(n_b, 0)")
+          - (col("my_b") - col("th") * col("mx_b"))
+          * (col("my_b") - col("th") * col("mx_b")))
+      .withColumn("se_raw",
+        sqrt(col("vy_a") / col("n_a") + col("vy_b") / col("n_b")))
+      .withColumn("se_cuped",
+        sqrt(col("va_a") / col("n_a") + col("va_b") / col("n_b")))
+    v.select(col("n_a"), col("n_b"), col("theta"), col("var_reduction"),
+      round(col("my_a") - col("my_b"), 4).as("diff_raw"),
+      round(col("adj_a") - col("adj_b"), 4).as("diff_cuped"),
+      when(col("se_raw") > 0.0,
+        round((col("my_a") - col("my_b")) / col("se_raw"), 4))
+        .as("z_raw"),
+      when(col("se_cuped") > 0.0,
+        round((col("adj_a") - col("adj_b")) / col("se_cuped"), 4))
+        .as("z_cuped"))
+      .withColumn("sig_raw",
+        abs(coalesce(col("z_raw"), lit(0.0))) > 1.96)
+      .withColumn("sig_cuped",
+        abs(coalesce(col("z_cuped"), lit(0.0))) > 1.96)
+  }
+
+  /** A36 — the multi-metric experiment panel with Benjamini–Hochberg
+    * FDR control (Benjamini & Hochberg 1995): one two-sample z per
+    * metric (per-user event counts, one metric per event type) and the
+    * step-up correction across the panel at q = 0.05. This is the
+    * multiple-comparisons discipline every experiment platform applies
+    * (Kohavi et al., "Trustworthy Online Controlled Experiments"): a
+    * dashboard reading m metrics at naive p < 0.05 false-positives on
+    * ~m/20 of them per experiment — the planted spec's corpus has a
+    * metric that is "significant" naively and correctly NOT after BH.
+    *
+    * The two-sided p comes from the Abramowitz–Stegun 7.1.26 erfc
+    * polynomial (max error 1.5e-7 — far below the q-threshold scale),
+    * evaluated on the ROUNDED z so both engines feed libm identical
+    * inputs; the panel frame is |event_types|-sized, so the BH sort
+    * and step-up cummax are label-space windows, never corpus-sized
+    * (the a18 boundedness argument). Per-user counts and per-(metric,
+    * arm) moment sums are exact integers — no binning needed, the
+    * metric IS a count. NULL-variance metrics carry NULL z/p and sit
+    * outside the BH family (m counts only testable metrics). */
+  def a36BhPanel(spark: SparkSession, dir: String): DataFrame =
+    bhPanel(Tables.events(spark, dir))
+
+  private[graft] def bhPanel(events: DataFrame): DataFrame = {
+    // per-user per-metric counts (additive monoid — the fold's state)
+    val uc = userMetricCounts(events)
+    bhPanelFromCounts(uc)
+  }
+
+  /** The corpus reduction behind a36: per-(user, event_type) event
+    * counts — an additive monoid, the fold's state. */
+  private[graft] def userMetricCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Two-sided normal tail 2·(1−Φ(|z|)) = erfc(|z|/√2) via the
+    * Abramowitz–Stegun 7.1.26 polynomial — both engines carry the
+    * same five constants and the same parenthesization, so the
+    * scalar is engine-replayable. Input must already be rounded. */
+  private[graft] def normTwoSided(z: Column): Column = {
+    val x = abs(z) / sqrt(lit(2.0))
+    val t = lit(1.0) / (lit(1.0) + lit(0.3275911) * x)
+    val poly = t * (lit(0.254829592) + t * (lit(-0.284496736)
+      + t * (lit(1.421413741) + t * (lit(-1.453152027)
+      + t * lit(1.061405429)))))
+    round(poly * exp(-(x * x)), 6)
+  }
+
+  private[graft] def bhPanelFromCounts(uc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withArm = uc.withColumn("arm", armCol)
+    // total users per arm (zero-inflation: a user with no events of a
+    // metric still counts in that metric's denominator)
+    val armTotals = uc.select(col("user_id")).distinct()
+      .withColumn("arm", armCol)
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
+    // per-(metric, arm) exact-integer moments over the counts
+    val m = withArm.groupBy(col("event_type")).agg(
+      sum(when(col("arm") === "A", col("c")).otherwise(0L)).as("s_a"),
+      sum(when(col("arm") === "A", col("c") * col("c")).otherwise(0L))
+        .as("s2_a"),
+      sum(when(col("arm") === "B", col("c")).otherwise(0L)).as("s_b"),
+      sum(when(col("arm") === "B", col("c") * col("c")).otherwise(0L))
+        .as("s2_b"))
+      .crossJoin(broadcast(armTotals))
+    val v = m
+      .withColumn("mean_a", col("s_a").cast("double")
+        / expr("nullif(n_a, 0)"))
+      .withColumn("mean_b", col("s_b").cast("double")
+        / expr("nullif(n_b, 0)"))
+      .withColumn("var_a", col("s2_a").cast("double")
+        / expr("nullif(n_a, 0)") - col("mean_a") * col("mean_a"))
+      .withColumn("var_b", col("s2_b").cast("double")
+        / expr("nullif(n_b, 0)") - col("mean_b") * col("mean_b"))
+      .withColumn("se",
+        sqrt(col("var_a") / col("n_a") + col("var_b") / col("n_b")))
+      .withColumn("z", when(col("se") > 0.0,
+        round((col("mean_a") - col("mean_b")) / col("se"), 4)))
+      .withColumn("p", normTwoSided(col("z")))
+    // the BH family = testable metrics only; windows run over the
+    // |event_types|-sized panel
+    // explicit null placement on BOTH window orders: Spark's asc
+    // default is NULLS FIRST where DuckDB's is NULLS LAST — an
+    // implicit order would shift every rank by the untestable-metric
+    // count on one engine only
+    val nTests = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val byP = Window.orderBy(
+      col("p").asc_nulls_last, col("event_type").asc)
+    val stepUp = Window.orderBy(
+      col("p").desc_nulls_first, col("event_type").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = v
+      .withColumn("m_tests",
+        sum(when(col("p").isNotNull, 1L).otherwise(0L)).over(nTests))
+      .withColumn("bh_rank",
+        when(col("p").isNotNull, row_number().over(byP)))
+      .withColumn("bh_threshold", when(col("p").isNotNull,
+        round(col("bh_rank").cast("double") * lit(0.05)
+          / col("m_tests"), 6)))
+      // step-up: reject rank k iff ANY rank j ≥ k clears its threshold
+      // (untestable metrics sort FIRST in the desc cummax, so they
+      // inherit nothing and contribute nothing)
+      .withColumn("sig_bh", when(col("p").isNotNull,
+        max(when(col("p") <= col("bh_threshold"), 1).otherwise(0))
+          .over(stepUp) === 1).otherwise(false))
+    ranked.select(col("event_type").as("metric"), col("n_a"), col("n_b"),
+      round(col("mean_a"), 4).as("mean_a"),
+      round(col("mean_b"), 4).as("mean_b"),
+      col("z"), col("p"), col("bh_rank"), col("bh_threshold"),
+      (coalesce(col("p"), lit(1.0)) < 0.05).as("sig_naive"),
+      col("sig_bh"))
+      .orderBy(col("p").asc_nulls_last, col("metric"))
+  }
+
   def a32SequentialAb(spark: SparkSession, dir: String): DataFrame =
     sequentialAb(Tables.events(spark, dir))
 
@@ -1255,6 +1522,8 @@ object Analyze {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a36_bh_panel" -> a36BhPanel,
+    "a35_cuped" -> a35Cuped,
     "a34_ks_test" -> a34KsTest,
     "a33_mann_whitney" -> a33MannWhitney,
     "a32_sequential_ab" -> a32SequentialAb,
@@ -1539,6 +1808,203 @@ object Analyze {
         |  round(least(1.0, 2.0 * exp(-2.0 * ne * d_stat * d_stat)), 4)
         |    < 0.05 AS significant
         |FROM s""").stripMargin,
+    // a36 replays the per-(user, metric) counts, the distinct-user arm
+    // totals, the integer moments, the A&S 7.1.26 erfc polynomial on
+    // the rounded z, and the BH rank/step-up windows with EXPLICIT
+    // null placement (Spark asc defaults NULLS FIRST, DuckDB LAST)
+    "a36_bh_panel" ->
+      (s"""WITH uc AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |at AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM (SELECT user_id,
+        |      CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |           THEN 'A' ELSE 'B' END AS arm
+        |    FROM (SELECT DISTINCT user_id FROM uc))),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c ELSE 0 END) AS BIGINT)
+        |      AS s_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c * c ELSE 0 END)
+        |      AS BIGINT) AS s2_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c ELSE 0 END) AS BIGINT)
+        |      AS s_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c * c ELSE 0 END)
+        |      AS BIGINT) AS s2_b
+        |  FROM (SELECT *,
+        |      CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |           THEN 'A' ELSE 'B' END AS arm FROM uc)
+        |  GROUP BY event_type),
+        |mm AS (SELECT m.*, at.n_a, at.n_b FROM m CROSS JOIN at),
+        |v1 AS (
+        |  SELECT *,
+        |    CAST(s_a AS DOUBLE) / nullif(n_a, 0) AS mean_a,
+        |    CAST(s_b AS DOUBLE) / nullif(n_b, 0) AS mean_b
+        |  FROM mm),
+        |v2 AS (
+        |  SELECT *,
+        |    CAST(s2_a AS DOUBLE) / nullif(n_a, 0) - mean_a * mean_a
+        |      AS var_a,
+        |    CAST(s2_b AS DOUBLE) / nullif(n_b, 0) - mean_b * mean_b
+        |      AS var_b
+        |  FROM v1),
+        |v3 AS (SELECT *, sqrt(var_a / n_a + var_b / n_b) AS se FROM v2),
+        |v4 AS (
+        |  SELECT *, CASE WHEN se > 0.0
+        |    THEN round((mean_a - mean_b) / se, 4) END AS z
+        |  FROM v3),
+        |v5 AS (SELECT *, abs(z) / sqrt(2.0) AS x FROM v4),
+        |v6 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM v5),
+        |v7 AS (
+        |  SELECT *, round(t * (0.254829592 + t * (-0.284496736
+        |    + t * (1.421413741 + t * (-1.453152027
+        |    + t * 1.061405429)))) * exp(-(x * x)), 6) AS p
+        |  FROM v6),
+        |r AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN p IS NOT NULL THEN 1 ELSE 0 END) OVER ()
+        |      AS BIGINT) AS m_tests,
+        |    CASE WHEN p IS NOT NULL THEN CAST(row_number() OVER (
+        |      ORDER BY p ASC NULLS LAST, event_type ASC) AS INT) END
+        |      AS bh_rank
+        |  FROM v7),
+        |r2 AS (
+        |  SELECT *, CASE WHEN p IS NOT NULL
+        |    THEN round(CAST(bh_rank AS DOUBLE) * 0.05 / m_tests, 6) END
+        |    AS bh_threshold
+        |  FROM r),
+        |r3 AS (
+        |  SELECT *, CASE WHEN p IS NOT NULL THEN
+        |      max(CASE WHEN p <= bh_threshold THEN 1 ELSE 0 END) OVER (
+        |        ORDER BY p DESC NULLS FIRST, event_type DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1
+        |    ELSE FALSE END AS sig_bh
+        |  FROM r2)
+        |SELECT event_type AS metric, n_a, n_b,
+        |  round(mean_a, 4) AS mean_a, round(mean_b, 4) AS mean_b,
+        |  z, p, bh_rank, bh_threshold,
+        |  coalesce(p, 1.0) < 0.05 AS sig_naive, sig_bh
+        |FROM r3 ORDER BY p ASC NULLS LAST, metric""").stripMargin,
+    // a35 replays the midpoint split, the exact-cents pre/post
+    // reduction, the whole-unit 2-D binning, and the exact-integer
+    // moment sums; floats appear only in the one-row scalar θ/z/ρ²
+    // chain, parenthesized identically to the Spark column tree, with
+    // θ rounded to 6 dp before reuse on both engines
+    "a35_cuped" ->
+      (s"""WITH sp AS (
+        |  SELECT (min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+        |        + max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 1) // 2
+        |    AS split FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      AND CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        |        < (SELECT split FROM sp)
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS pre_cents,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      AND CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        |        >= (SELECT split FROM sp)
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS post_cents,
+        |    CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT arm, pre_cents // 100 AS xb, post_cents // 100 AS yb,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM u GROUP BY 1, 2, 3),
+        |g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c * xb ELSE 0 END)
+        |      AS BIGINT) AS sx_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c * yb ELSE 0 END)
+        |      AS BIGINT) AS sy_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c * xb ELSE 0 END)
+        |      AS BIGINT) AS sx_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c * yb ELSE 0 END)
+        |      AS BIGINT) AS sy_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c * xb * xb ELSE 0 END)
+        |      AS BIGINT) AS sxx_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c * xb * yb ELSE 0 END)
+        |      AS BIGINT) AS sxy_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c * yb * yb ELSE 0 END)
+        |      AS BIGINT) AS syy_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c * xb * xb ELSE 0 END)
+        |      AS BIGINT) AS sxx_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c * xb * yb ELSE 0 END)
+        |      AS BIGINT) AS sxy_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c * yb * yb ELSE 0 END)
+        |      AS BIGINT) AS syy_b
+        |  FROM h),
+        |g2 AS (
+        |  SELECT *, n_a + n_b AS n, sx_a + sx_b AS sx, sy_a + sy_b AS sy
+        |  FROM g),
+        |m AS (
+        |  SELECT *,
+        |    CAST(n AS DOUBLE) * (sxy_a + sxy_b)
+        |      - CAST(sx AS DOUBLE) * sy AS covn,
+        |    CAST(n AS DOUBLE) * (sxx_a + sxx_b)
+        |      - CAST(sx AS DOUBLE) * sx AS varxn,
+        |    CAST(n AS DOUBLE) * (syy_a + syy_b)
+        |      - CAST(sy AS DOUBLE) * sy AS varyn
+        |  FROM g2),
+        |m2 AS (
+        |  SELECT *,
+        |    CASE WHEN varxn > 0.0 THEN round(covn / varxn, 6) END
+        |      AS theta,
+        |    CASE WHEN varxn > 0.0 AND varyn > 0.0
+        |         THEN round(covn * covn / (varxn * varyn), 4) END
+        |      AS var_reduction
+        |  FROM m),
+        |m3 AS (
+        |  SELECT *, coalesce(theta, 0.0) AS th FROM m2),
+        |v1 AS (
+        |  SELECT *,
+        |    CAST(sx_a AS DOUBLE) / nullif(n_a, 0) AS mx_a,
+        |    CAST(sy_a AS DOUBLE) / nullif(n_a, 0) AS my_a,
+        |    CAST(sx_b AS DOUBLE) / nullif(n_b, 0) AS mx_b,
+        |    CAST(sy_b AS DOUBLE) / nullif(n_b, 0) AS my_b,
+        |    CAST(sx AS DOUBLE) / nullif(n, 0) AS mxp
+        |  FROM m3),
+        |v2 AS (
+        |  SELECT *,
+        |    my_a - th * (mx_a - mxp) AS adj_a,
+        |    my_b - th * (mx_b - mxp) AS adj_b,
+        |    CAST(syy_a AS DOUBLE) / nullif(n_a, 0) - my_a * my_a AS vy_a,
+        |    CAST(syy_b AS DOUBLE) / nullif(n_b, 0) - my_b * my_b AS vy_b,
+        |    (syy_a - 2.0 * th * sxy_a + th * th * sxx_a) / nullif(n_a, 0)
+        |      - (my_a - th * mx_a) * (my_a - th * mx_a) AS va_a,
+        |    (syy_b - 2.0 * th * sxy_b + th * th * sxx_b) / nullif(n_b, 0)
+        |      - (my_b - th * mx_b) * (my_b - th * mx_b) AS va_b
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT *,
+        |    sqrt(vy_a / n_a + vy_b / n_b) AS se_raw,
+        |    sqrt(va_a / n_a + va_b / n_b) AS se_cuped
+        |  FROM v2),
+        |f AS (
+        |  SELECT n_a, n_b, theta, var_reduction,
+        |    round(my_a - my_b, 4) AS diff_raw,
+        |    round(adj_a - adj_b, 4) AS diff_cuped,
+        |    CASE WHEN se_raw > 0.0
+        |         THEN round((my_a - my_b) / se_raw, 4) END AS z_raw,
+        |    CASE WHEN se_cuped > 0.0
+        |         THEN round((adj_a - adj_b) / se_cuped, 4) END AS z_cuped
+        |  FROM v3)
+        |SELECT *,
+        |  abs(coalesce(z_raw, 0.0)) > 1.96 AS sig_raw,
+        |  abs(coalesce(z_cuped, 0.0)) > 1.96 AS sig_cuped
+        |FROM f""").stripMargin,
     // a33 replays the IdHash arm split, the exact-cents reduction, the
     // whole-unit binning, and the half-unit (2·rank) integer rank
     // arithmetic; floats appear only in the final scalar z / effect

@@ -22,6 +22,8 @@ class CensusSpec extends AnyFunSuite {
     * candidate set is bounded upstream by the d3 band join. Anything not
     * listed here that plans a nested loop is a new O(N·M) — fail. */
   private val nestedLoopAllowed: Set[String] = Set(
+    "a35_cuped",                // broadcast split-day singleton
+    "a36_bh_panel",             // broadcast arm-totals singleton
     "d5_ngram_jaccard",         // bounded candidate kernel (d3 pre-filter)
     "d11_rebalance",            // broadcast per-stratum rate singleton
     "d20_dsir_weights",         // broadcast global-mean singleton
@@ -143,6 +145,13 @@ class CensusSpec extends AnyFunSuite {
                                    // cell-census join + report order
                                    // (the verify joins resolve at
                                    // build into the two flag literals)
+    "a36_bh_panel" -> 6,           // (user, metric) counts + metric
+                                   // moments + distinct-user arm totals
+                                   // + the panel's single-partition BH
+                                   // windows (measured 5 + 1)
+    "a35_cuped" -> 5,              // span agg + per-user reduction +
+                                   // (arm, xbin, ybin) histogram + the
+                                   // one-row moment agg (measured 4 + 1)
     "d50_semdedup" -> 11           // planted-batch union + the within-
                                    // cell pair self-join, then keeper
                                    // assembly (component labels +

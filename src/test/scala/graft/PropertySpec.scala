@@ -537,6 +537,131 @@ class PropertySpec extends AnyFunSuite {
       && !r3.getBoolean(4))
   }
 
+  test("CUPED: hand-computed θ/ρ²; the planted corpus reads NOT " +
+    "significant raw and significant adjusted; zero covariate variance " +
+    "degrades to the raw test (A35)") {
+    import spark.implicits._
+    // day 1 = pre-period, day 3 = post: span midpoint split = day 2
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val userIds = (0L until 300L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aIds = userIds.filter(arms(_) == "A")
+    val bIds = userIds.filter(arms(_) == "B")
+    // plant whole-unit (pre, post) revenue per user; x = 0 users get a
+    // day-1 VIEW instead (non-purchase revenue must not count, and the
+    // zero-inflated covariate path is exercised)
+    def events(pairs: Seq[(Long, (Int, Int))]) =
+      pairs.zipWithIndex.flatMap { case ((u, (x, y)), i) =>
+        val pre: Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+          if (x > 0) Seq((i.toLong, at(1), u, "purchase", x.toDouble))
+          else Seq((i.toLong, at(1), u, "view", 9.0))
+        val post: Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+          if (y > 0) Seq((1000L + i, at(3), u, "purchase", y.toDouble))
+          else Seq.empty
+        pre ++ post
+      }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    // A = {(0,1),(2,2),(4,4)}, B = {(0,0),(2,2),(4,3)} (x, y) in units:
+    // pooled n=6 sx=12 sy=12 sxx=40 sxy=36 syy=34 →
+    // covn = 6·36−144 = 72, varxn = 6·40−144 = 96, varyn = 6·34−144=60
+    // θ = 72/96 = 0.75, ρ² = 72²/(96·60) = 0.9 exactly;
+    // means: mx_a=mx_b=x̄=2 → adjustment shifts nothing ON AVERAGE but
+    // shrinks within-arm variance 14/9 → 1/18: z_raw = √(3/7) = 0.6547
+    // (NOT significant), z_cuped = 2√3 = 3.4641 (significant) — the
+    // same experiment, the same users, 28× less metric variance
+    val r = graft.etl.Analyze.cuped(events(
+      aIds.take(3).zip(Seq((0, 1), (2, 2), (4, 4))) ++
+        bIds.take(3).zip(Seq((0, 0), (2, 2), (4, 3)))))
+      .collect().head
+    assert(r.getLong(0) == 3 && r.getLong(1) == 3)
+    assert(r.getDouble(2) == 0.75, s"theta ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 0.9, s"var_reduction ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 0.6667 && r.getDouble(5) == 0.6667)
+    assert(r.getDouble(6) == 0.6547, s"z_raw ${r.getDouble(6)}")
+    assert(r.getDouble(7) == 3.4641, s"z_cuped ${r.getDouble(7)}")
+    assert(!r.getBoolean(8) && r.getBoolean(9),
+      "the card's point: raw misses, CUPED detects")
+    // zero covariate variance (every pre identical): θ/ρ² NULL, the
+    // adjustment degrades to the raw test (both z exactly 0 here), no
+    // division blowup
+    val r2 = graft.etl.Analyze.cuped(events(
+      aIds.take(2).zip(Seq((2, 5), (2, 7))) ++
+        bIds.take(2).zip(Seq((2, 5), (2, 7)))))
+      .collect().head
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
+    assert(r2.getDouble(6) == 0.0 && r2.getDouble(7) == 0.0)
+    assert(!r2.getBoolean(8) && !r2.getBoolean(9))
+  }
+
+  test("BH panel: A&S normal tail matches table values; a metric " +
+    "significant ALONE dies inside a 5-test family; a decisive metric " +
+    "survives; zero-variance metrics sit outside the family (A36)") {
+    import spark.implicits._
+    // the normal-tail kernel against standard-table values (the
+    // independent pin the shared-formula oracle cannot give)
+    def pOf(zv: Double): Double =
+      Seq(zv).toDF("z")
+        .select(graft.etl.Analyze.normTwoSided(col("z")).as("p"))
+        .collect().head.getDouble(0)
+    assert(pOf(0.0) == 1.0)
+    assert(math.abs(pOf(1.96) - 0.0499958) <= 1e-6, s"p(1.96) ${pOf(1.96)}")
+    assert(math.abs(pOf(2.5758) - 0.01) <= 1e-5)
+    assert(pOf(-1.96) == pOf(1.96), "two-sided symmetry")
+    // resolve arms, then plant per-(user, metric) counts: "hot" is
+    // z = 2.4495 → p = 0.014306 — significant READ ALONE (p < 0.05),
+    // but rank 1 of a 5-test family needs p ≤ 0.05/5 = 0.01: BH kills
+    // it. flat1..flat4 are identical across arms (z = 0, p = 1);
+    // "same" has zero variance in both arms → outside the family
+    // (m_tests stays 5 — pinned through hot's threshold)
+    val userIds = (0L until 300L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val Seq(a1, a2, a3) = userIds.filter(arms(_) == "A").take(3)
+    val Seq(b1, b2, b3) = userIds.filter(arms(_) == "B").take(3)
+    def counts(hotA: Seq[Long]): org.apache.spark.sql.DataFrame = {
+      val flats = (1 to 4).flatMap(i => Seq(
+        (a1, s"flat$i", 1L), (a2, s"flat$i", 1L),
+        (b1, s"flat$i", 1L), (b2, s"flat$i", 1L)))
+      val same = Seq(a1, a2, a3, b1, b2, b3).map(u => (u, "same", 1L))
+      (Seq(a1, a2, a3).zip(hotA).map { case (u, c) => (u, "hot", c) } ++
+        Seq((b1, "hot", 1L), (b2, "hot", 1L)) ++ flats ++ same)
+        .toDF("user_id", "event_type", "c")
+    }
+    // hot A = {3,2,1}, B = {1,1,0}: z = (4/3)/√(8/27) = 2.4495
+    val out = graft.etl.Analyze.bhPanelFromCounts(counts(Seq(3L, 2L, 1L)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hot = out("hot")
+    assert(hot.getLong(1) == 3 && hot.getLong(2) == 3)
+    assert(hot.getDouble(5) == 2.4495, s"z ${hot.getDouble(5)}")
+    assert(math.abs(hot.getDouble(6) - 0.014306) <= 5e-5,
+      s"p ${hot.getDouble(6)}")
+    assert(hot.getInt(7) == 1 && hot.getDouble(8) == 0.01,
+      "rank-1 threshold must divide by the TESTABLE family size (5)")
+    assert(hot.getBoolean(9) && !hot.getBoolean(10),
+      "the card's point: significant alone, not in a family of five")
+    (1 to 4).foreach { i =>
+      val f = out(s"flat$i")
+      assert(f.getDouble(5) == 0.0 && f.getDouble(6) == 1.0)
+      assert(!f.getBoolean(9) && !f.getBoolean(10))
+    }
+    val same = out("same")
+    assert(same.isNullAt(5) && same.isNullAt(6) && same.isNullAt(7))
+    assert(!same.getBoolean(9) && !same.getBoolean(10))
+    // a decisive hot (A = {6,5,4}: z = 7.96, p rounds to 0) SURVIVES
+    // BH at the same rank-1 threshold, and the flats stay dead
+    val out2 = graft.etl.Analyze.bhPanelFromCounts(counts(Seq(6L, 5L, 4L)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out2("hot").getDouble(6) == 0.0)
+    assert(out2("hot").getBoolean(10), "a decisive metric must survive BH")
+    (1 to 4).foreach(i => assert(!out2(s"flat$i").getBoolean(10)))
+  }
+
   test("sequential A/B: an early naive 'win' does not clear the O'Brien-Fleming boundary (A32)") {
     import spark.implicits._
     def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")

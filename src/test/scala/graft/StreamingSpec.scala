@@ -1531,6 +1531,116 @@ class StreamingSpec extends AnyFunSuite {
       ckpt) }
   }
 
+  test("a36' metric-panel fold: a batch touching ONE metric can flip " +
+    "another metric's BH verdict (the family threshold moves); replay " +
+    "no-op; serve ≡ batch kernel at every wave") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    val fold = new graft.streaming.MetricPanelFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("bhfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt)
+    // wave 1: three metrics with a spread of effects; wave 2 piles
+    // more users onto ONE metric — m_tests and every rank threshold
+    // move, so the other metrics' sig_bh can flip without receiving a
+    // single event (the panel is a FAMILY, not independent readouts)
+    val b1 = (1L to 40L).flatMap { u =>
+      val base = Seq((u * 10, ts0, u, "view", 1.0))
+      val click = if (u % 2 == 0) Seq((u * 10 + 1, ts0, u, "click", 1.0))
+        else Seq.empty
+      base ++ click
+    }
+    val b2 = (41L to 60L).map(u => (u * 10 + 2, ts0, u, "purchase", 1.0)) ++
+      (1L to 10L).map(u => (u * 10 + 3, ts0, u, "click", 1.0))
+    def landedDf(evs: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(rows(fold.serve(spark)) ==
+      rows(graft.etl.Analyze.bhPanel(landedDf(b1))),
+      "fold after wave 1 diverged from the batch kernel")
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val live = rows(fold.serve(spark))
+    assert(live == rows(graft.etl.Analyze.bhPanel(landedDf(b1 ++ b2))),
+      "fold after wave 2 diverged — the family thresholds must move")
+    // a re-delivered committed batch would double counts; the batchId
+    // guard must make it a no-op
+    fold.onBatch(landedDf(b2), 1L)
+    assert(rows(fold.serve(spark)) == live, "replay double-counted")
+    val f2 = new graft.streaming.MetricPanelFold
+    f2.rebuildFrom(landedDf(b1 ++ b2))
+    assert(rows(f2.serve(spark)) == live)
+    // used checkpoint + empty fold refuses loudly
+    val f3 = new graft.streaming.MetricPanelFold
+    intercept[IllegalStateException] { f3.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt) }
+  }
+
+  test("a35' CUPED fold: a late PRE-period purchase retroactively moves " +
+    "a user's covariate; replay would double both X and Y and the guard " +
+    "stops it; serve ≡ batch kernel at every wave") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    // the full planned corpus spans day 1..3, so the batch op's derived
+    // midpoint split (day 2) is stable from wave 1 on — the fold takes
+    // it as configuration (a live experiment knows its start date)
+    val b1: Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (1L to 10L).map(u =>
+      (u, at(1), u, "purchase", u.toDouble)) ++
+      (1L to 10L).map(u => (100L + u, at(3), u, "purchase", u + 1.0))
+    // wave 2: user 1 purchases AGAIN in the PRE period (their covariate
+    // must move retroactively), user 2 adds post revenue, user 11 is
+    // new with post-only revenue (zero covariate)
+    val b2: Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      Seq((201L, at(1), 1L, "purchase", 5.0),
+      (202L, at(3), 2L, "purchase", 4.0),
+      (203L, at(3), 11L, "purchase", 6.0),
+      (204L, at(1), 3L, "view", 777.0))
+    def landedDf(evs: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      evs.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val split = landedDf(b1 ++ b2).agg(expr(
+      "(min(unix_timestamp(ts) div 86400)" +
+        " + max(unix_timestamp(ts) div 86400) + 1) div 2"))
+      .collect().head.getLong(0)
+    val fold = new graft.streaming.CupedFold(split)
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("cupedfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(rows(fold.serve(spark)) ==
+      rows(graft.etl.Analyze.cuped(landedDf(b1))),
+      "fold after wave 1 diverged from the batch kernel")
+    in.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+    val live = rows(fold.serve(spark))
+    assert(live == rows(graft.etl.Analyze.cuped(landedDf(b1 ++ b2))),
+      "fold after wave 2 diverged — the late pre-period purchase must " +
+        "move user 1's covariate retroactively")
+    // a re-delivered committed batch would double X and Y; the batchId
+    // guard must make it a no-op
+    fold.onBatch(landedDf(b2), 1L)
+    assert(rows(fold.serve(spark)) == live, "replay double-counted")
+    val f2 = new graft.streaming.CupedFold(split)
+    f2.rebuildFrom(landedDf(b1 ++ b2))
+    assert(rows(f2.serve(spark)) == live)
+    // used checkpoint + empty fold refuses loudly
+    val f3 = new graft.streaming.CupedFold(split)
+    intercept[IllegalStateException] { f3.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt) }
+  }
+
   test("a32' sequential-A/B fold: the boundary TIGHTENS retroactively as " +
     "enrollment arrives; a late earlier event moves an enrollment day " +
     "back; replay no-op; serve ≡ batch kernel") {
