@@ -243,8 +243,10 @@ class SqlParitySpec extends AnyFunSuite {
     "t15_zipf_fit", "t16_heavy_hitters", "t21_source_overlap",
     "t5_vocab_topk", "t6_tfidf", "t9_unigram_logprob",
     "w15_ewma_baseline",
-    // third wave: the experiment-statistics pair (only `//` respells)
-    "a33_mann_whitney", "a34_ks_test")
+    // third wave: the experiment-statistics family (`//`/epoch()
+    // respells only — incl. a36's scalar subqueries, A&S polynomial,
+    // and NULLS FIRST/LAST window orders, all shared syntax)
+    "a33_mann_whitney", "a34_ks_test", "a35_cuped", "a36_bh_panel")
   // Not respellable (each was TRIED and failed honestly): the
   // recursive-closure family (UNION set semantics), range()/
   // generate_series (end-exclusive vs sequence's inclusive), DuckDB
