@@ -223,7 +223,8 @@ object Similarity {
     val methods = Seq("brute" -> "sim1_cosine_topk",
       "lsh" -> "sim2_ann_lsh", "ivf" -> "sim4_ivf_ann",
       "binary" -> "sim15_binary_ann", "ivfpq" -> "sim16_ivfpq_ann",
-      "int8" -> "sim21_int8_ann")
+      "int8" -> "sim21_int8_ann",
+      "matryoshka" -> "sim26_matryoshka_ann")
     methods.map { case (name, q) =>
       val got = ids(q)
       val hit = (got & truth).size.toLong
@@ -232,6 +233,59 @@ object Similarity {
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
     }.toDF("method", "k", "n_true_neighbors", "recall_at_10")
       .orderBy(col("recall_at_10").desc, col("method"))
+  }
+
+  /** SIM26 — Matryoshka (coarse-to-fine) ANN: score the corpus on the
+    * FIRST d0 dims only, keep a top-C overfetch, rerank those C
+    * exactly at full dimension (Kusupati et al. 2022, "Matryoshka
+    * Representation Learning" — the serving pattern MRL embeddings are
+    * trained for; the "shortened embeddings" contract hosted model
+    * APIs now ship). The scale economics: stage 1 touches d0/d of the
+    * vector arithmetic per row — and at scale the prefix is stored as
+    * its OWN column (the MRL deployment shape), so the SCAN shrinks
+    * d/d0× too; stage 2 is O(C·d) on a candidate set that fits one
+    * task. On UNTRAINED near-random embeddings a d/4 prefix carries
+    * only ~1/4 of the signal — the worst case for this index, which is
+    * exactly why the registered operating point overfetches C = 10·k
+    * and the sf0.1 recall rides sim20's ≥ 0.6 serving bar beside the
+    * other families (MRL-trained embeddings concentrate leading-dim
+    * variance so real deployments do strictly better).
+    *
+    * Exactness devices: prefix cosine = the same fused `vec_cosine`
+    * over `slice`d arrays (the DuckDB oracle replays with [1:d0] list
+    * slices); both scores round(4) BEFORE ranking with vec_id
+    * tie-breaks, so the candidate SET and the final order are
+    * engine-identical; NaN (zero-norm-prefix) rows drop explicitly at
+    * each stage (the keyedNearDupPairs guard — a zero prefix must not
+    * outrank every number). C ≥ corpus degenerates to brute force,
+    * spec-pinned ≡ sim1. */
+  def sim26MatryoshkaAnn(spark: SparkSession, dir: String): DataFrame =
+    matryoshkaTopK(spark, Tables.embeddings(spark, dir))
+
+  private[graft] def matryoshkaTopK(spark: SparkSession,
+      embeddings: DataFrame, d0: Int = 16, overfetch: Int = 100,
+      k: Int = 10): DataFrame = {
+    val e = embeddings.select(col("vec_id"),
+      asDouble(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") === 0).select(col("emb").as("qemb"))
+    // stage 1: prefix-dim scan, fused top-C (TakeOrderedAndProject —
+    // per-partition heads + one singleton merge, never a full sort)
+    val coarse = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_coarse",
+        round(VectorOps.vecCosine(spark,
+          slice(col("emb"), 1, d0), slice(col("qemb"), 1, d0)), 4))
+      .filter(!isnan(col("cos_coarse")))
+      .orderBy(col("cos_coarse").desc, col("vec_id"))
+      .limit(overfetch)
+    // stage 2: exact full-dim rerank of the C candidates
+    coarse
+      .withColumn("cos_sim",
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4))
+      .filter(!isnan(col("cos_sim")))
+      .select(col("vec_id"), col("cos_coarse"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
   }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
@@ -1944,6 +1998,7 @@ object Similarity {
     "sim14_mmr_topk" -> sim14MmrTopK,
     "sim5_label_centroids" -> sim5LabelCentroids,
     "sim1_cosine_topk" -> sim1CosineTopK,
+    "sim26_matryoshka_ann" -> sim26MatryoshkaAnn,
     "sim18_filtered_ann" -> sim18FilteredAnn,
     "sim19_random_projection" -> ((s, d) => sim19RandomProjection(s, d)),
     "sim20_ann_scorecard" -> sim20AnnScorecard,
@@ -2165,6 +2220,29 @@ object Similarity {
         |WHERE NOT isnan(list_cosine_similarity(
         |  CAST(b.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    // sim26 replays the two-stage shape: prefix-slice cosine top-C,
+    // then exact full-dim rerank — both scores rounded BEFORE ranking
+    // with vec_id tie-breaks so candidate set and order are identical
+    "sim26_matryoshka_ann" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT b.vec_id, b.embedding,
+        |    round(list_cosine_similarity(
+        |      CAST(b.embedding[1:16] AS DOUBLE[]),
+        |      CAST(a.embedding[1:16] AS DOUBLE[])), 4) AS cos_coarse
+        |  FROM embeddings b, q a
+        |  WHERE b.vec_id <> 0
+        |    AND NOT isnan(round(list_cosine_similarity(
+        |      CAST(b.embedding[1:16] AS DOUBLE[]),
+        |      CAST(a.embedding[1:16] AS DOUBLE[])), 4))
+        |  ORDER BY cos_coarse DESC, b.vec_id LIMIT 100)
+        |SELECT c.vec_id, c.cos_coarse,
+        |  round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+        |    CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM c, q a
+        |WHERE NOT isnan(round(list_cosine_similarity(
+        |    CAST(c.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])), 4))
+        |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin,
     "sim1_cosine_topk" ->
       """SELECT b.vec_id,
         |  round(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),

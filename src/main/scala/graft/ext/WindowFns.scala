@@ -758,6 +758,56 @@ object WindowFns {
         round(avg(col("click_to_purchase_s")), 2)
           .as("avg_click_to_purchase_s"))
 
+  /** W18 — event-time lateness audit: how far out of event-time order
+    * does the arrival log run? For every event, lateness = how far its
+    * timestamp sits BEHIND the latest timestamp already arrived for
+    * the same user (event_id is the arrival order — the producer→
+    * consumer contract the ST tier replays), bucketed
+    * {in_order, ≤60 s, ≤1 h, >1 h} per event type with counts, shares,
+    * and the worst case. This is the batch diagnostic that SETS a
+    * watermark: Structured Streaming's `withWatermark` horizon is
+    * exactly "the lateness beyond which events drop" — a real team
+    * reads this card and picks the boundary whose loss share it can
+    * live with, instead of folklore-copying "10 minutes".
+    *
+    * Scale + determinism shape: ONE user-partitioned window ordered by
+    * event_id (the w5/w7 shuffle — never a global order), running max
+    * over PRECEDING rows only; lateness in SECOND-truncated integer
+    * epochs (the w7 device); shares round(4) off exact long counts
+    * over the ≤|types×buckets| grouped frame. The frontier is per-user
+    * BY CONSTRUCTION: a cross-user frontier would depend on executor
+    * interleaving — a non-deterministic quantity no registered
+    * statistic may touch. No fold twin by design: the audit is a
+    * property of the ARRIVAL LOG itself, and the landed corpus with
+    * event_id IS that log — a fold would re-derive the same frame from
+    * the same rows. */
+  def w18LatenessAudit(spark: SparkSession, dir: String): DataFrame =
+    latenessAudit(Tables.events(spark, dir))
+
+  private[graft] def latenessAudit(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val late = events
+      .withColumn("us", expr("unix_timestamp(ts)"))
+      .withColumn("frontier", max(col("us")).over(w))
+      .withColumn("late_s",
+        when(col("frontier").isNull, 0L)
+          .otherwise(greatest(col("frontier") - col("us"), lit(0L))))
+      .withColumn("bucket",
+        when(col("late_s") === 0L, "in_order")
+          .when(col("late_s") <= 60L, "late_1m")
+          .when(col("late_s") <= 3600L, "late_1h")
+          .otherwise("late_over_1h"))
+    late.groupBy(col("event_type"), col("bucket"))
+      .agg(count(lit(1)).as("n"), max(col("late_s")).as("max_late_s"))
+      .withColumn("share",
+        round(col("n").cast("double") * lit(100.0)
+          / sum(col("n")).over(
+            Window.partitionBy(col("event_type"))), 4))
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -861,6 +911,7 @@ object WindowFns {
     "w12_concurrency" -> w12Concurrency,
     "w8_funnel" -> w8Funnel,
     "w17_conversion_latency" -> w17ConversionLatency,
+    "w18_lateness_audit" -> w18LatenessAudit,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
     "w1_topn_per_group" -> w1TopNPerGroup,
@@ -871,6 +922,39 @@ object WindowFns {
   )
 
   val oracle: Map[String, String] = Map(
+    // w18 replays the per-user arrival-order frontier, the second-
+    // truncated integer lateness, the bucket CASE, and the share off
+    // exact counts (CAST AS DOUBLE before the 100.0 product — a bare
+    // decimal would pull DuckDB into decimal division)
+    "w18_lateness_audit" ->
+      """WITH l AS (
+        |  SELECT event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS us,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS frontier
+        |  FROM events),
+        |l2 AS (
+        |  SELECT event_type,
+        |    CASE WHEN frontier IS NULL THEN 0
+        |         ELSE greatest(frontier - us, 0) END AS late_s
+        |  FROM l),
+        |l3 AS (
+        |  SELECT event_type,
+        |    CASE WHEN late_s = 0 THEN 'in_order'
+        |         WHEN late_s <= 60 THEN 'late_1m'
+        |         WHEN late_s <= 3600 THEN 'late_1h'
+        |         ELSE 'late_over_1h' END AS bucket, late_s
+        |  FROM l2),
+        |g AS (
+        |  SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(max(late_s) AS BIGINT) AS max_late_s
+        |  FROM l3 GROUP BY 1, 2)
+        |SELECT event_type, bucket, n, max_late_s,
+        |  round(CAST(n AS DOUBLE) * 100.0
+        |    / sum(n) OVER (PARTITION BY event_type), 4) AS share
+        |FROM g ORDER BY event_type, bucket""".stripMargin,
     // w17 rides w8's funnel CTEs verbatim (shared stage semantics) and
     // adds the latency card: second-floored epochs, quantile_cont = the
     // a14 exact-interpolation convention, stage means over converters

@@ -30,6 +30,7 @@ class CensusSpec extends AnyFunSuite {
     "j5_range_join",            // broadcast 4-row literal tier table
     "mm4_alignment_filter",     // broadcast reference-vector singleton
     "sim1_cosine_topk",         // broadcast single query vector
+    "sim26_matryoshka_ann",     // broadcast single query vector
     "sim4_ivf_ann",             // broadcast probed-centroid list
     "sim6_knn_join",            // broadcast capped query frame
     "sim8_radius_search",       // broadcast single query vector
@@ -145,6 +146,12 @@ class CensusSpec extends AnyFunSuite {
                                    // cell-census join + report order
                                    // (the verify joins resolve at
                                    // build into the two flag literals)
+    "w18_lateness_audit" -> 5,     // user window + type×bucket agg +
+                                   // share window + order (measured
+                                   // 4 + 1)
+    "sim26_matryoshka_ann" -> 1,   // both stages fuse into
+                                   // TakeOrderedAndProject — zero
+                                   // shuffles (measured 0 + 1)
     "a36_bh_panel" -> 6,           // (user, metric) counts + metric
                                    // moments + distinct-user arm totals
                                    // + the panel's single-partition BH

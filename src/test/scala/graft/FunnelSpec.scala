@@ -45,6 +45,33 @@ class FunnelSpec extends AnyFunSuite {
     assert(got == ((4L, 2L, 2L, 50.0)))
   }
 
+  test("lateness audit: per-user arrival frontier, bucket boundaries " +
+    "inclusive, cross-user interleaving invisible, shares per metric (W18)") {
+    import spark.implicits._
+    // user 1's arrival log (event_id order): 10:00, 10:05, then 10:04
+    // (exactly 60 s behind the frontier — the ≤60 boundary is
+    // inclusive), then 09:00 (3900 s — past the hour), then 10:06
+    // (frontier advances, in order). user 2 interleaves in event_id but
+    // its frontier is its OWN: both events in order.
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1L, "view"),
+      (6L, t("2024-01-01 08:00:00"), 2L, "click"),
+      (2L, t("2024-01-01 10:05:00"), 1L, "view"),
+      (3L, t("2024-01-01 10:04:00"), 1L, "view"),
+      (4L, t("2024-01-01 09:00:00"), 1L, "view"),
+      (7L, t("2024-01-01 08:30:00"), 2L, "click"),
+      (5L, t("2024-01-01 10:06:00"), 1L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val got = WindowFns.latenessAudit(rows)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(got == Seq(
+      ("click", "in_order", 2L, 0L, 100.0),
+      ("view", "in_order", 3L, 0L, 60.0),
+      ("view", "late_1m", 1L, 60L, 20.0),
+      ("view", "late_over_1h", 1L, 3900L, 20.0)), s"got $got")
+  }
+
   test("conversion latency: converters only, exact percentiles, stage split (W17)") {
     // u1 converts in 60+60 s; u2 converts in 600+1200 s; u3 views but
     // never converts — must NOT dilute the latency stats; u4's click

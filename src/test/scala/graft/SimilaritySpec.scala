@@ -642,7 +642,8 @@ class SimilaritySpec extends AnyFunSuite {
     val out = Similarity.sim20AnnScorecard(spark, "/root/testdata/sf0.001")
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
-    assert(out.size == 6) // brute, lsh, ivf, binary, ivfpq, int8
+    assert(out.size == 7) // brute, lsh, ivf, binary, ivfpq, int8,
+                          // matryoshka
     assert(out("brute") == ((10L, 10L, 1.0)), "ground truth must self-score 1.0")
     out.foreach { case (m, (k, hit, rec)) =>
       assert(k <= 10L && hit <= k, s"$m overflows k")
@@ -662,6 +663,53 @@ class SimilaritySpec extends AnyFunSuite {
     out.foreach { case (m, rec) =>
       assert(rec >= 0.6, s"$m serves $rec recall@10 at sf0.1 — below serving grade")
     }
+  }
+
+  test("Matryoshka ANN: overfetch ≥ corpus degenerates to brute force; " +
+    "a scaled copy is exact at both stages; a prefix-blind neighbor is " +
+    "honestly missed at small C and found at large C; a zero prefix " +
+    "cannot outrank numbers (SIM26)") {
+    import spark.implicits._
+    // full-corpus overfetch ⇒ identical to sim1 row for row
+    val brute = Similarity.sim1CosineTopK(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val degen = Similarity.matryoshkaTopK(spark,
+      graft.Tables.embeddings(spark, "/root/testdata/sf0.001"),
+      overfetch = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(degen == brute, "C ≥ corpus must reproduce brute force")
+    // planted geometry (64-dim): query has energy in dim 1 (prefix)
+    // and dim 17 (beyond the d0=16 prefix)
+    def v(pairs: (Int, Float)*): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      pairs.foreach { case (i, x) => a(i - 1) = x }
+      a
+    }
+    val emb = Seq(
+      0L -> v(1 -> 1f, 17 -> 1f),          // query
+      1L -> v(1 -> 2f, 17 -> 2f),          // scaled copy: cos 1.0 twice
+      2L -> v(17 -> 1f),                   // ZERO prefix: NaN coarse
+      3L -> v(1 -> 1f, 2 -> 1f),           // filler, prefix cos .7071
+      4L -> v(1 -> 1f, 2 -> 0.2f),         // filler, prefix cos .9806
+      5L -> v(1 -> 0.3f, 2 -> 0.3f, 17 -> 2f) // best FULL cos after the
+                                           // copy, weak prefix (.7071)
+    ).toDF("vec_id", "embedding")
+    // the scaled copy is rank 1 with BOTH scores exactly 1.0, at any C
+    val tight = Similarity.matryoshkaTopK(spark, emb, overfetch = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(tight.head == ((1L, 1.0, 1.0)), s"got ${tight.toSeq}")
+    // at C = 2 the candidates are {copy, vec4} — vec5 (the best
+    // full-dim neighbor after the copy) is MISSED: the approximation's
+    // honest failure mode, and vec2's NaN prefix never ranks at all
+    assert(!tight.map(_._1).contains(5L),
+      "small C must miss the prefix-blind neighbor BY DESIGN")
+    assert(!tight.map(_._1).contains(2L),
+      "a zero prefix must drop, not outrank numbers")
+    // at C = corpus the same neighbor is found and outranks the fillers
+    val wide = Similarity.matryoshkaTopK(spark, emb,
+      overfetch = Int.MaxValue, k = 3)
+      .collect().map(r => r.getLong(0))
+    assert(wide.take(2).toSeq == Seq(1L, 5L), s"got ${wide.toSeq}")
   }
 
   test("hybrid RRF: both-leg docs outrank single-leg, missing legs are NULL ranks (SIM22)") {

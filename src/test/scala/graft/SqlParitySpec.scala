@@ -246,7 +246,8 @@ class SqlParitySpec extends AnyFunSuite {
     // third wave: the experiment-statistics family (`//`/epoch()
     // respells only — incl. a36's scalar subqueries, A&S polynomial,
     // and NULLS FIRST/LAST window orders, all shared syntax)
-    "a33_mann_whitney", "a34_ks_test", "a35_cuped", "a36_bh_panel")
+    "a33_mann_whitney", "a34_ks_test", "a35_cuped", "a36_bh_panel",
+    "w18_lateness_audit")
   // Not respellable (each was TRIED and failed honestly): the
   // recursive-closure family (UNION set semantics), range()/
   // generate_series (end-exclusive vs sequence's inclusive), DuckDB
