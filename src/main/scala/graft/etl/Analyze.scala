@@ -1394,16 +1394,17 @@ object Analyze {
     round(poly * exp(-(x * x)), 6)
   }
 
-  private[graft] def bhPanelFromCounts(uc: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The shared per-metric statistics frame behind a36 AND a37: per-
+    * (metric, arm) exact-integer moments over the per-user counts,
+    * the distinct-user arm totals (zero-inflation: a user with no
+    * events of a metric still counts in its denominator), and the
+    * scalar mean/var/se/z/p chain — |event_types| rows. */
+  private[graft] def panelStats(uc: DataFrame): DataFrame = {
     val withArm = uc.withColumn("arm", armCol)
-    // total users per arm (zero-inflation: a user with no events of a
-    // metric still counts in that metric's denominator)
     val armTotals = uc.select(col("user_id")).distinct()
       .withColumn("arm", armCol)
       .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
         sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"))
-    // per-(metric, arm) exact-integer moments over the counts
     val m = withArm.groupBy(col("event_type")).agg(
       sum(when(col("arm") === "A", col("c")).otherwise(0L)).as("s_a"),
       sum(when(col("arm") === "A", col("c") * col("c")).otherwise(0L))
@@ -1412,7 +1413,7 @@ object Analyze {
       sum(when(col("arm") === "B", col("c") * col("c")).otherwise(0L))
         .as("s2_b"))
       .crossJoin(broadcast(armTotals))
-    val v = m
+    m
       .withColumn("mean_a", col("s_a").cast("double")
         / expr("nullif(n_a, 0)"))
       .withColumn("mean_b", col("s_b").cast("double")
@@ -1426,6 +1427,11 @@ object Analyze {
       .withColumn("z", when(col("se") > 0.0,
         round((col("mean_a") - col("mean_b")) / col("se"), 4)))
       .withColumn("p", normTwoSided(col("z")))
+  }
+
+  private[graft] def bhPanelFromCounts(uc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = panelStats(uc)
     // the BH family = testable metrics only; windows run over the
     // |event_types|-sized panel
     // explicit null placement on BOTH window orders: Spark's asc
@@ -1460,6 +1466,51 @@ object Analyze {
       (coalesce(col("p"), lit(1.0)) < 0.05).as("sig_naive"),
       col("sig_bh"))
       .orderBy(col("p").asc_nulls_last, col("metric"))
+  }
+
+  /** A37 — power / minimum-detectable-effect card: for every metric in
+    * a36's panel, the absolute and relative effect the CURRENT sample
+    * could reliably detect (α = 0.05 two-sided, power 0.8 — z-sum
+    * 1.96 + 0.8416 = 2.8016), and the per-arm enrollment a 2% lift
+    * would need. This is the question a team asks BEFORE the
+    * experiment ("is this test even powered for the lift we expect?")
+    * and the one a36's verdicts cannot answer after it ("was that
+    * non-significant because there is no effect, or because we never
+    * had the power to see one?"). MDE = z_sum·se at the observed
+    * variances; required n per arm = z_sum²·(var_a+var_b)/Δ² at
+    * Δ = 2% of the pooled mean (equal allocation).
+    *
+    * Shares [[panelStats]] with a36 verbatim — the two cards cannot
+    * disagree on a variance — and the fold serves it off the SAME
+    * per-(user, metric) count state
+    * ([[graft.streaming.MetricPanelFold.serveMde]], the a34
+    * shared-state pattern). All distributed sums are a36's exact
+    * integers; the z-sum constants are literals in both engines. */
+  def a37PowerMde(spark: SparkSession, dir: String): DataFrame =
+    powerMde(Tables.events(spark, dir))
+
+  private[graft] def powerMde(events: DataFrame): DataFrame =
+    powerMdeFromCounts(userMetricCounts(events))
+
+  private[graft] def powerMdeFromCounts(uc: DataFrame): DataFrame = {
+    val v = panelStats(uc)
+      .withColumn("mean_pool", (col("s_a") + col("s_b")).cast("double")
+        / expr("nullif(n_a + n_b, 0)"))
+      .withColumn("mde_abs",
+        when(col("se") > 0.0, round(lit(2.8016) * col("se"), 4)))
+      .withColumn("target", lit(0.02) * col("mean_pool"))
+    v.select(col("event_type").as("metric"), col("n_a"), col("n_b"),
+      round(col("mean_pool"), 4).as("mean_pool"),
+      col("mde_abs"),
+      when(col("mde_abs").isNotNull && col("mean_pool") > 0.0,
+        round(col("mde_abs") * lit(100.0) / col("mean_pool"), 4))
+        .as("mde_rel_pct"),
+      when(col("target") > 0.0 &&
+        (col("var_a") + col("var_b")) > 0.0,
+        ceil(lit(2.8016) * lit(2.8016) * (col("var_a") + col("var_b"))
+          / (col("target") * col("target"))).cast("long"))
+        .as("n_per_arm_2pct"))
+      .orderBy(col("metric"))
   }
 
   def a32SequentialAb(spark: SparkSession, dir: String): DataFrame =
@@ -1522,6 +1573,7 @@ object Analyze {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a37_power_mde" -> a37PowerMde,
     "a36_bh_panel" -> a36BhPanel,
     "a35_cuped" -> a35Cuped,
     "a34_ks_test" -> a34KsTest,
@@ -1808,6 +1860,72 @@ object Analyze {
         |  round(least(1.0, 2.0 * exp(-2.0 * ne * d_stat * d_stat)), 4)
         |    < 0.05 AS significant
         |FROM s""").stripMargin,
+    // a37 replays a36's moment chain verbatim, then the MDE/power
+    // arithmetic (z-sum constants CAST to DOUBLE before multiplying —
+    // a decimal-exact square then one conversion could sit an ulp off
+    // Spark's double×double product)
+    "a37_power_mde" ->
+      (s"""WITH uc AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY user_id, event_type),
+        |at AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b
+        |  FROM (SELECT user_id,
+        |      CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |           THEN 'A' ELSE 'B' END AS arm
+        |    FROM (SELECT DISTINCT user_id FROM uc))),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c ELSE 0 END) AS BIGINT)
+        |      AS s_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN c * c ELSE 0 END)
+        |      AS BIGINT) AS s2_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c ELSE 0 END) AS BIGINT)
+        |      AS s_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN c * c ELSE 0 END)
+        |      AS BIGINT) AS s2_b
+        |  FROM (SELECT *,
+        |      CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |           THEN 'A' ELSE 'B' END AS arm FROM uc)
+        |  GROUP BY event_type),
+        |mm AS (SELECT m.*, at.n_a, at.n_b FROM m CROSS JOIN at),
+        |v1 AS (
+        |  SELECT *,
+        |    CAST(s_a AS DOUBLE) / nullif(n_a, 0) AS mean_a,
+        |    CAST(s_b AS DOUBLE) / nullif(n_b, 0) AS mean_b
+        |  FROM mm),
+        |v2 AS (
+        |  SELECT *,
+        |    CAST(s2_a AS DOUBLE) / nullif(n_a, 0) - mean_a * mean_a
+        |      AS var_a,
+        |    CAST(s2_b AS DOUBLE) / nullif(n_b, 0) - mean_b * mean_b
+        |      AS var_b
+        |  FROM v1),
+        |v3 AS (SELECT *, sqrt(var_a / n_a + var_b / n_b) AS se FROM v2),
+        |v4 AS (
+        |  SELECT *,
+        |    CAST(s_a + s_b AS DOUBLE) / nullif(n_a + n_b, 0)
+        |      AS mean_pool,
+        |    CASE WHEN se > 0.0
+        |         THEN round(CAST(2.8016 AS DOUBLE) * se, 4) END
+        |      AS mde_abs
+        |  FROM v3),
+        |v5 AS (
+        |  SELECT *, CAST(0.02 AS DOUBLE) * mean_pool AS target FROM v4)
+        |SELECT event_type AS metric, n_a, n_b,
+        |  round(mean_pool, 4) AS mean_pool, mde_abs,
+        |  CASE WHEN mde_abs IS NOT NULL AND mean_pool > 0.0
+        |       THEN round(mde_abs * 100.0 / mean_pool, 4) END
+        |    AS mde_rel_pct,
+        |  CASE WHEN target > 0.0 AND (var_a + var_b) > 0.0
+        |       THEN CAST(ceil(CAST(2.8016 AS DOUBLE) * 2.8016
+        |         * (var_a + var_b) / (target * target)) AS BIGINT) END
+        |    AS n_per_arm_2pct
+        |FROM v5 ORDER BY metric""").stripMargin,
     // a36 replays the per-(user, metric) counts, the distinct-user arm
     // totals, the integer moments, the A&S 7.1.26 erfc polynomial on
     // the rounded z, and the BH rank/step-up windows with EXPLICIT

@@ -58,6 +58,18 @@ class MetricPanelFold extends Serializable {
         .toDF("user_id", "event_type", "c"))
   }
 
+  /** The a37-shaped power/MDE card over the SAME folded state — one
+    * per-(user, metric) count reduction serves both live readouts
+    * (verdicts AND the power to believe them; the a33/a34
+    * shared-state pattern). */
+  def serveMde(spark: SparkSession): DataFrame = synchronized(counts) match {
+    case Some(u) => graft.etl.Analyze.powerMdeFromCounts(u)
+    case None =>
+      import spark.implicits._
+      graft.etl.Analyze.powerMdeFromCounts(Seq.empty[(Long, String, Long)]
+        .toDF("user_id", "event_type", "c"))
+  }
+
   /** Rebuild from the landed corpus (the restart recipe). */
   def rebuildFrom(landed: DataFrame): Unit = {
     synchronized { counts = None; lastBatchId = -1L }

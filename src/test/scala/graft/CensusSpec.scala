@@ -24,6 +24,7 @@ class CensusSpec extends AnyFunSuite {
   private val nestedLoopAllowed: Set[String] = Set(
     "a35_cuped",                // broadcast split-day singleton
     "a36_bh_panel",             // broadcast arm-totals singleton
+    "a37_power_mde",            // broadcast arm-totals singleton
     "d5_ngram_jaccard",         // bounded candidate kernel (d3 pre-filter)
     "d11_rebalance",            // broadcast per-stratum rate singleton
     "d20_dsir_weights",         // broadcast global-mean singleton
@@ -152,6 +153,9 @@ class CensusSpec extends AnyFunSuite {
     "sim26_matryoshka_ann" -> 1,   // both stages fuse into
                                    // TakeOrderedAndProject — zero
                                    // shuffles (measured 0 + 1)
+    "a37_power_mde" -> 6,          // a36's moment chain (shared
+                                   // panelStats) + the metric-order
+                                   // sort (measured 5 + 1)
     "a36_bh_panel" -> 6,           // (user, metric) counts + metric
                                    // moments + distinct-user arm totals
                                    // + the panel's single-partition BH

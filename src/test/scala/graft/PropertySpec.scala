@@ -662,6 +662,41 @@ class PropertySpec extends AnyFunSuite {
     (1 to 4).foreach(i => assert(!out2(s"flat$i").getBoolean(10)))
   }
 
+  test("power/MDE: hand-computed detectable effect and required " +
+    "enrollment off a36's shared moments; zero variance → NULL, " +
+    "not a blowup (A37)") {
+    import spark.implicits._
+    val userIds = (0L until 300L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val Seq(a1, a2, a3) = userIds.filter(arms(_) == "A").take(3)
+    val Seq(b1, b2, b3) = userIds.filter(arms(_) == "B").take(3)
+    // metric "m": counts A = {1,1,0}, B = {1,1,0} (n = 3 per arm):
+    // mean 2/3, var 2/9 each; se = √(4/27) = 0.38490;
+    // mde_abs = 2.8016·se = 1.0783 (the rounded value is REUSED);
+    // mde_rel = 1.0783·100/(2/3) = 161.745%; a 2% lift of the pooled
+    // mean needs ceil(2.8016²·(4/9)/(0.02·2/3)²) = 19623 per arm —
+    // the card saying "this metric is hopeless at this n", which is
+    // exactly what it exists to say. "same" (constant 1 for all six
+    // users) has zero variance → NULL mde/n, no division artifact.
+    val uc = (Seq(a1, a2, b1, b2).map(u => (u, "m", 1L)) ++
+      Seq(a1, a2, a3, b1, b2, b3).map(u => (u, "same", 1L)))
+      .toDF("user_id", "event_type", "c")
+    val out = graft.etl.Analyze.powerMdeFromCounts(uc)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val m = out("m")
+    assert(m.getLong(1) == 3 && m.getLong(2) == 3)
+    assert(m.getDouble(3) == 0.6667, s"mean_pool ${m.getDouble(3)}")
+    assert(m.getDouble(4) == 1.0783, s"mde_abs ${m.getDouble(4)}")
+    assert(m.getDouble(5) == 161.745, s"mde_rel ${m.getDouble(5)}")
+    assert(m.getLong(6) == 19623L, s"n_req ${m.getLong(6)}")
+    val s = out("same")
+    assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6))
+  }
+
   test("sequential A/B: an early naive 'win' does not clear the O'Brien-Fleming boundary (A32)") {
     import spark.implicits._
     def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")

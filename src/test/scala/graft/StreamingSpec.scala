@@ -1568,6 +1568,10 @@ class StreamingSpec extends AnyFunSuite {
     val live = rows(fold.serve(spark))
     assert(live == rows(graft.etl.Analyze.bhPanel(landedDf(b1 ++ b2))),
       "fold after wave 2 diverged — the family thresholds must move")
+    // the SAME folded state serves the a37 power/MDE readout
+    assert(rows(fold.serveMde(spark)) ==
+      rows(graft.etl.Analyze.powerMde(landedDf(b1 ++ b2))),
+      "MDE serve over the shared state diverged from the batch kernel")
     // a re-delivered committed batch would double counts; the batchId
     // guard must make it a no-op
     fold.onBatch(landedDf(b2), 1L)
