@@ -50,9 +50,18 @@ object FoldScalingProbe {
           col("doc_id") < mn + (i + 1) * step).localCheckpoint(true))
     }
 
+    /** The a35 fold's configured experiment start for a dir — the same
+      * midpoint the batch op derives (the replica corpora duplicate
+      * rows in time, so base and big agree on the day span). */
+    def splitOf(dir: String): Long =
+      Tables.events(spark, dir).agg(expr(
+        "(min(unix_timestamp(ts) div 86400)" +
+          " + max(unix_timestamp(ts) div 86400) + 1) div 2"))
+        .head().getLong(0)
+
     // each entry: name -> (events|docs source, fresh fold as
     // (foldBatch, serveCount))
-    def folds: Seq[(String, String, (DataFrame => Unit, () => Long))] = Seq(
+    def folds(split: Long): Seq[(String, String, (DataFrame => Unit, () => Long))] = Seq(
       ("a31_path_fold", "events", {
         val f = new streaming.PathStreamFold
         ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
@@ -74,6 +83,16 @@ object FoldScalingProbe {
       ("d41_reservoir_fold", "docs", {
         val f = new streaming.ReservoirStreamFold
         ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
+      }),
+      // the r14 folds: a35' state is users-bounded (pre/post cents
+      // pairs), a36' is (users × metrics)-bounded counts
+      ("a35_cuped_fold", "events", {
+        val f = new streaming.CupedFold(split)
+        ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
+      }),
+      ("a36_panel_fold", "events", {
+        val f = new streaming.MetricPanelFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
       }))
 
     def timed(body: => Unit): Double = {
@@ -83,7 +102,7 @@ object FoldScalingProbe {
     // warmup: one full fold+serve cycle at base (codegen/JIT)
     locally {
       val bs = batchesOf(base); val ds = docBatchesOf(base)
-      folds.foreach { case (_, src, (fold, serve)) =>
+      folds(splitOf(base)).foreach { case (_, src, (fold, serve)) =>
         (if (src == "docs") ds else bs).foreach(fold); serve()
       }
     }
@@ -91,7 +110,7 @@ object FoldScalingProbe {
     def measure(dir: String): Map[String, (Double, Double)] = {
       val bs = batchesOf(dir)
       val ds = docBatchesOf(dir)
-      folds.map { case (name, src, (fold, serve)) =>
+      folds(splitOf(dir)).map { case (name, src, (fold, serve)) =>
         val batches = if (src == "docs") ds else bs
         batches.dropRight(1).foreach(fold)
         val tFold = timed(fold(batches.last))
@@ -102,7 +121,7 @@ object FoldScalingProbe {
 
     val atBase = measure(base)
     val atBig = measure(big)
-    val rows = folds.map(_._1).map { n =>
+    val rows = folds(0L).map(_._1).map { n =>
       val (f1, s1) = atBase(n)
       val (fB, sB) = atBig(n)
       val aF = math.log10(fB / f1) / math.log10(ratio)

@@ -1572,7 +1572,53 @@ object Analyze {
       .orderBy(col("day"))
   }
 
+  /** A38 — sample-ratio-mismatch (SRM) guard: per analysis day, does
+    * the cumulative arm split still look like the 50/50 the assignment
+    * promises? SRM is the experimentation literature's #1 trust check
+    * (Fabijan et al. 2019; Kohavi's handbook makes it the first gate):
+    * a redirect bug, a bot filter, or a logging drop that touches one
+    * arm silently biases EVERY downstream readout, and the cure is to
+    * refuse to read the dashboard at all. z = (n_a − n_b)/√n is the
+    * 1-dof chi-square in disguise (χ² = z², and the chi-square tail at
+    * 1 dof IS the two-sided normal tail — so [[normTwoSided]] serves a
+    * third family), alarmed at the literature's p < 0.001 (an SRM
+    * threshold looser than that pages teams weekly on noise; tighter
+    * misses real bugs).
+    *
+    * Rides a32's [[userJourneys]] reduction VERBATIM — enrollment day
+    * = first event day, the same min-monoid fold state — so the SRM
+    * guard and the sequential monitor cannot disagree on who enrolled
+    * when ([[graft.streaming.SeqAbStreamFold.serveSrm]] serves it live
+    * off the same frame). Counts stay exact longs through the
+    * day-bounded cumulative window; z rounds(4) feeds the polynomial
+    * tail. */
+  def a38SrmGuard(spark: SparkSession, dir: String): DataFrame =
+    srmGuard(Tables.events(spark, dir))
+
+  private[graft] def srmGuard(events: DataFrame): DataFrame =
+    srmFromJourneys(userJourneys(events))
+
+  private[graft] def srmFromJourneys(j0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val j = j0.withColumn("arm", armCol)
+    val byDay = j.groupBy(col("enroll_day").as("day")).agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("e_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("e_b"))
+    val upTo = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byDay
+      .withColumn("n_a", sum(col("e_a")).over(upTo))
+      .withColumn("n_b", sum(col("e_b")).over(upTo))
+      .withColumn("z", round((col("n_a") - col("n_b")).cast("double")
+        / sqrt((col("n_a") + col("n_b")).cast("double")), 4))
+      .withColumn("p", normTwoSided(col("z")))
+      .select(col("day"), col("n_a"), col("n_b"), col("z"), col("p"),
+        (col("p") < 0.001).as("srm_alarm"))
+      .orderBy(col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a38_srm_guard" -> a38SrmGuard,
     "a37_power_mde" -> a37PowerMde,
     "a36_bh_panel" -> a36BhPanel,
     "a35_cuped" -> a35Cuped,
@@ -1860,6 +1906,42 @@ object Analyze {
         |  round(least(1.0, 2.0 * exp(-2.0 * ne * d_stat * d_stat)), 4)
         |    < 0.05 AS significant
         |FROM s""").stripMargin,
+    // a38 replays a32's journeys reduction, the day-cumulative counts,
+    // the (n_a − n_b)/√n z, and the shared A&S tail on the rounded z
+    "a38_srm_guard" ->
+      (s"""WITH u AS (
+        |  SELECT user_id,
+        |    CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |         THEN 'A' ELSE 'B' END AS arm,
+        |    min(CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS enroll_day
+        |  FROM events GROUP BY user_id),
+        |bd AS (
+        |  SELECT enroll_day AS day,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS e_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS e_b
+        |  FROM u GROUP BY enroll_day),
+        |cum AS (
+        |  SELECT day,
+        |    CAST(sum(e_a) OVER w AS BIGINT) AS n_a,
+        |    CAST(sum(e_b) OVER w AS BIGINT) AS n_b
+        |  FROM bd
+        |  WINDOW w AS (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |zz AS (
+        |  SELECT *, round(CAST(n_a - n_b AS DOUBLE)
+        |    / sqrt(CAST(n_a + n_b AS DOUBLE)), 4) AS z
+        |  FROM cum),
+        |v5 AS (SELECT *, abs(z) / sqrt(2.0) AS x FROM zz),
+        |v6 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM v5),
+        |v7 AS (
+        |  SELECT *, round(t * (0.254829592 + t * (-0.284496736
+        |    + t * (1.421413741 + t * (-1.453152027
+        |    + t * 1.061405429)))) * exp(-(x * x)), 6) AS p
+        |  FROM v6)
+        |SELECT day, n_a, n_b, z, p, p < 0.001 AS srm_alarm
+        |FROM v7 ORDER BY day""").stripMargin,
     // a37 replays a36's moment chain verbatim, then the MDE/power
     // arithmetic (z-sum constants CAST to DOUBLE before multiplying —
     // a decimal-exact square then one conversion could sit an ulp off

@@ -64,6 +64,16 @@ class SeqAbStreamFold extends Serializable {
     graft.etl.Analyze.sequentialAbFromJourneys(j)
   }
 
+  /** The a38-shaped SRM guard over the SAME folded state — one
+    * per-user journeys reduction serves both live readouts (the
+    * monitor, and the trust check that says whether to believe it;
+    * the a33/a34 shared-state pattern). */
+  def serveSrm(): DataFrame = synchronized {
+    val j = journeys.getOrElse(
+      throw new IllegalStateException("no batches folded yet"))
+    graft.etl.Analyze.srmFromJourneys(j)
+  }
+
   /** The accumulated per-user journeys frame — exposed for specs. */
   def stateFrame: Option[DataFrame] = synchronized(journeys)
 

@@ -153,6 +153,9 @@ class CensusSpec extends AnyFunSuite {
     "sim26_matryoshka_ann" -> 1,   // both stages fuse into
                                    // TakeOrderedAndProject — zero
                                    // shuffles (measured 0 + 1)
+    "a38_srm_guard" -> 4,          // journeys agg + day agg + the
+                                   // day-frame cumulative window
+                                   // (measured 3 + 1)
     "a37_power_mde" -> 6,          // a36's moment chain (shared
                                    // panelStats) + the metric-order
                                    // sort (measured 5 + 1)

@@ -697,6 +697,40 @@ class PropertySpec extends AnyFunSuite {
     assert(s.isNullAt(4) && s.isNullAt(5) && s.isNullAt(6))
   }
 
+  test("SRM guard: balanced enrollment stays quiet; a mid-experiment " +
+    "one-arm logging drop alarms from that day on (A38)") {
+    import spark.implicits._
+    def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+    val userIds = (0L until 600L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val aIds = userIds.filter(arms(_) == "A")
+    val bIds = userIds.filter(arms(_) == "B")
+    // day 1 enrolls 80 per arm (healthy); day 2 "enrolls" 70 more but a
+    // bug drops arm B's logging — all 70 land in A. Cumulatively:
+    // day 1 → z = 0, p = 1 (quiet); day 2 → 150 vs 80, z = 70/√230 =
+    // 4.6157, p ≈ 4e-6 → ALARM. The guard must stay quiet on the
+    // healthy day and fire from the broken one on.
+    val events =
+      (aIds.take(80) ++ bIds.take(80)).map(u => (u, at(1), u, "view")) ++
+        aIds.slice(80, 150).map(u => (u, at(2), u, "view"))
+    val out = graft.etl.Analyze.srmGuard(events
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("value", lit(1.0)))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(out.size == 2)
+    assert(out(0) == ((80L, 80L, 0.0, 1.0, false)),
+      s"healthy day must be quiet: ${out(0)}")
+    val (na2, nb2, z2, p2, alarm2) = out(1)
+    assert(na2 == 150L && nb2 == 80L)
+    assert(z2 == 4.6157, s"z $z2")
+    assert(p2 <= 0.00001 && alarm2, s"p $p2 must alarm")
+  }
+
   test("sequential A/B: an early naive 'win' does not clear the O'Brien-Fleming boundary (A32)") {
     import spark.implicits._
     def at(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")

@@ -1700,6 +1700,11 @@ class StreamingSpec extends AnyFunSuite {
     val landed = (b1 ++ b2 ++ b3).toDF("event_id", "ts", "user_id",
       "event_type")
     assert(live == rows(graft.etl.Analyze.sequentialAb(landed)))
+    // the SAME folded journeys serve the a38 SRM guard (the trust
+    // check that says whether to believe the monitor at all)
+    assert(fold.serveSrm().collect().map(_.toString).toSeq ==
+      graft.etl.Analyze.srmGuard(landed).collect().map(_.toString).toSeq,
+      "SRM serve over the shared state diverged from the batch kernel")
     // min-monoid idempotence: re-folding b2 is a content no-op
     fold.foldBatch(b2.toDF("event_id", "ts", "user_id", "event_type"))
     assert(rows(fold.serve()) == live)
