@@ -1104,6 +1104,26 @@ object Dedup {
       Multimodal.mediaWithPlantedPng(spark, dir), ImageIoDecoder)
     val pSigs = Multimodal.dctPerceptualHash(
       Multimodal.mediaWithPlantedPng(spark, dir), ImageIoDecoder)
+    // Semantic truth: round-4 cosine ≥ τ over the SAME planted-union
+    // embedding frame d50 serves (slice side broadcasts — O(slice·N)
+    // fused flops); served = d50's within-cell pair set. The gap
+    // between the two IS the cross-cell loss the SemDeDup paper
+    // accepts — the row the d50 docstring promised this card, now
+    // measured beside the lexical families instead of assumed.
+    val (semAssigned, semCenters, _) = d50Assigned(spark, dir)
+    val semE = semAssigned.select(col("vec_id"), col("emb"))
+      .localCheckpoint(true)
+    val semTrue = pairSet(
+      broadcast(semE.filter(col("vec_id") < D49EvalDocs)
+          .select(col("vec_id").as("id_a"), col("emb").as("emb_a")))
+        .crossJoin(semE.select(col("vec_id").as("id_b"),
+          col("emb").as("emb_b")))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
+          >= D50Tau))
+    val semServed = pairSet(
+      semDedupParts(semAssigned, semCenters, D50Tau)._1
+        .select(col("id_a"), col("id_b")))
     val rows = Seq(
       ("brute_jaccard", jaccTrue, jaccTrue),
       ("minhash_lsh", jaccTrue,
@@ -1113,7 +1133,8 @@ object Dedup {
       ("ahash", hammingTrue(aSigs, "phash"),
         pairSet(hammingPairs(aSigs, "phash", b, 3))),
       ("phash", hammingTrue(pSigs, "phash"),
-        pairSet(hammingPairs(pSigs, "phash", b, 3))))
+        pairSet(hammingPairs(pSigs, "phash", b, 3))),
+      ("semdedup_cosine", semTrue, semServed))
     rows.map { case (name, truth, served) =>
       val hit = (served & truth).size.toLong
       val recall = if (truth.isEmpty) 1.0

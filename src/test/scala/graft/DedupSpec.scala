@@ -485,7 +485,8 @@ class DedupSpec extends AnyFunSuite {
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
     assert(card.keySet == Set(
-      "brute_jaccard", "minhash_lsh", "simhash", "ahash", "phash"))
+      "brute_jaccard", "minhash_lsh", "simhash", "ahash", "phash",
+      "semdedup_cosine"))
     // brute truth vs itself: the =1.0 sanity row with a NON-EMPTY truth
     // (an empty truth would make every recall vacuous — the slice must
     // actually contain planted pairs at this SF)
@@ -503,6 +504,15 @@ class DedupSpec extends AnyFunSuite {
     // 1.0 on this corpus (planted dups are high-J); documented bar 0.9
     assert(card("minhash_lsh")._4 >= 0.9,
       s"minhash candidate recall ${card("minhash_lsh")._4} below bar")
+    // the semantic row measures SemDeDup's PRICED approximation: only
+    // co-celled true-cosine pairs can be found, and the L2 assignment
+    // moves exactly one 1.02-scaled copy across a cell boundary at
+    // this SF — measured 142/143 = 0.993. Bar 0.95; a 1.0 pin would
+    // be WRONG (the loss is the paper's own design decision)
+    val (st, _, sh, sr) = card("semdedup_cosine")
+    assert(st > 0, "semantic truth must be non-vacuous (planted copies)")
+    assert(sr >= 0.95, s"semdedup co-celled recall $sr below bar")
+    assert(sh <= st, "hit count cannot exceed truth")
   }
 
   test("d50 SemDeDup on hand-built cells: keeps the farthest-from-" +
