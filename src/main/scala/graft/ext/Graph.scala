@@ -298,6 +298,46 @@ object Graph {
   /** The degree-card kernel over any undirected edge list (canonicalized
     * like [[triangleStats]]: reversed duplicates collapse, self loops
     * drop). One row out. */
+  /** G10 — degree power-law fit: OLS slope of ln(count) ~ ln(degree)
+    * over the degree histogram — t15's Zipf device pointed at the
+    * graph tier. The degree tail is the first thing a graph pipeline
+    * should ask before sizing anything skew-sensitive: a shallow slope
+    * (heavy tail) says the hottest nodes will dominate every per-node
+    * join and j10's salting / AQE skew handling is NOT optional; a
+    * steep slope says degrees are homogeneous and plain equi-joins
+    * hold. Natural social graphs read ≈ −2..−3 (Barabási–Albert); the
+    * card PUBLISHES the number for this corpus instead of assuming the
+    * folklore — the same epistemic job as w18's watermark card.
+    *
+    * Scale + determinism: degree frame node-sized (one map-side
+    * combine off the shared memoized edge list), histogram
+    * ≤ max-degree rows, the regression runs over that bounded frame
+    * (`regr_slope`/`regr_r2` ≡ DuckDB — the t15 treatment); degrees
+    * and counts exact longs, ln/regression the only floats,
+    * rounds(4). */
+  def g10DegreePowerlaw(spark: SparkSession, dir: String): DataFrame =
+    degreePowerlaw(graphFor(spark, dir)._2
+      .select(col("user_a").as("a"), col("user_b").as("b")))
+
+  /** The power-law kernel over any undirected edge list (canonicalized
+    * like [[degreeStats]]). One row out. */
+  def degreePowerlaw(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    hist.agg(
+      count(lit(1)).as("n_degree_levels"),
+      max(col("d")).as("max_degree"),
+      round(expr("regr_slope(ln(cnt), ln(d))"), 4).as("slope"),
+      round(expr("regr_r2(ln(cnt), ln(d))"), 4).as("r2"))
+  }
+
   def degreeStats(edges: DataFrame): DataFrame = {
     val e = edges
       .select(least(col("a"), col("b")).as("a"),
@@ -598,10 +638,32 @@ object Graph {
     "g3_degree_stats" -> g3DegreeStats,
     "g4_kcore" -> g4KCore,
     "g5_components" -> g5Components,
-    "g6_audience_overlap" -> g6AudienceOverlap
+    "g6_audience_overlap" -> g6AudienceOverlap,
+    "g10_degree_powerlaw" -> g10DegreePowerlaw
   )
 
   val oracle: Map[String, String] = Map(
+    // g10 replays the shared spans→pairs edge derivation, the degree
+    // histogram, and the same (y=ln cnt, x=ln d) regression as t15
+    "g10_degree_powerlaw" ->
+      (s"WITH ${WindowFns.SessionSpansCte},\n" +
+      """pr AS (
+        |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        |  FROM spans a JOIN spans b
+        |    ON a.user_id < b.user_id
+        |   AND a.start_s <= b.end_s AND b.start_s <= a.end_s),
+        |deg AS (
+        |  SELECT n, count(*) AS d FROM (
+        |    SELECT a AS n FROM pr UNION ALL SELECT b AS n FROM pr)
+        |  GROUP BY n),
+        |h AS (
+        |  SELECT CAST(d AS BIGINT) AS d, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM deg GROUP BY d)
+        |SELECT CAST(count(*) AS BIGINT) AS n_degree_levels,
+        |  CAST(max(d) AS BIGINT) AS max_degree,
+        |  round(regr_slope(ln(cnt), ln(d)), 4) AS slope,
+        |  round(regr_r2(ln(cnt), ln(d)), 4) AS r2
+        |FROM h""".stripMargin),
     "g2_triangle_count" ->
       (s"WITH ${WindowFns.SessionSpansCte},\n" +
       """pr AS (

@@ -153,6 +153,10 @@ class CensusSpec extends AnyFunSuite {
     "sim26_matryoshka_ann" -> 1,   // both stages fuse into
                                    // TakeOrderedAndProject — zero
                                    // shuffles (measured 0 + 1)
+    "g10_degree_powerlaw" -> 6,    // edge dedup + degree agg +
+                                   // histogram agg + the one-row
+                                   // regression (measured 5 + 1; the
+                                   // spans build itself is memoized)
     "a38_srm_guard" -> 4,          // journeys agg + day agg + the
                                    // day-frame cumulative window
                                    // (measured 3 + 1)

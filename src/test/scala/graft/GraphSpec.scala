@@ -111,6 +111,25 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getDouble(4) == -0.555556, s"assortativity ${r.getDouble(4)}")
   }
 
+  test("degree power-law: two-level histogram matches the hand slope " +
+    "with r² = 1; a regular graph has one level and NULL slope (G10)") {
+    // star K1,4 plus the disjoint edge 5–6: degrees {0→4, five 1s,
+    // 6→1} → histogram (d=1: 6 nodes), (d=4: 1 node). Two log-log
+    // points ⇒ slope = (ln1 − ln6)/(ln4 − ln1) = −ln6/ln4 = −1.2925
+    // and r² exactly 1 (a 2-point OLS is exact)
+    val star = (1L to 4L).map(l => (0L, l)) ++ Seq((5L, 6L))
+    val r = Graph.degreePowerlaw(star.toDF("a", "b")).collect().head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 4L)
+    assert(r.getDouble(2) == -1.2925, s"slope ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 1.0, s"r2 ${r.getDouble(3)}")
+    // triangle: every degree 2 → ONE histogram level → zero x-variance
+    // → NULL slope (not NaN, not a crash), the g3 NULL discipline
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val t = Graph.degreePowerlaw(tri).collect().head
+    assert(t.getLong(0) == 1L && t.getLong(1) == 2L)
+    assert(t.isNullAt(2))
+  }
+
   test("degree card: regular graph yields NULL assortativity; noisy edges canonicalize (G3)") {
     // triangle: all degrees 2 → zero endpoint-degree variance → NULL
     // (not NaN, not a crash); reversed duplicates and self loops must

@@ -247,7 +247,8 @@ class SqlParitySpec extends AnyFunSuite {
     // respells only — incl. a36's scalar subqueries, A&S polynomial,
     // and NULLS FIRST/LAST window orders, all shared syntax)
     "a33_mann_whitney", "a34_ks_test", "a35_cuped", "a36_bh_panel",
-    "a37_power_mde", "a38_srm_guard", "w18_lateness_audit")
+    "a37_power_mde", "a38_srm_guard", "g10_degree_powerlaw",
+    "w18_lateness_audit")
   // Not respellable (each was TRIED and failed honestly): the
   // recursive-closure family (UNION set semantics), range()/
   // generate_series (end-exclusive vs sequence's inclusive), DuckDB
