@@ -84,6 +84,82 @@ object TextStats {
       .orderBy(col("source"))
   }
 
+  /** T26 — quality-drift PSI card: the population stability index of
+    * t2's stop-ratio distribution between the corpus's two doc_id
+    * halves ("yesterday's crawl" vs "today's"), per source. PSI =
+    * Σ (q_i − p_i)·ln(q_i/p_i) over a FIXED bin domain (−1 for
+    * null-score docs + ten equal-width ratio bins) with Laplace-
+    * smoothed proportions — the production data-drift metric a crawl
+    * pipeline reads before retraining its quality filters: industry
+    * folklore calls PSI ≥ 0.2 a major shift, and the card PUBLISHES
+    * the per-source number instead of assuming stability (the
+    * w18/g10 epistemic job; sim13 is this card's embedding-space
+    * sibling). Smoothing makes every proportion strictly positive, so
+    * a source entirely absent from one half reads a large finite PSI,
+    * never a ln(0) artifact.
+    *
+    * Scale + determinism shape: ONE corpus pass to (source, half,
+    * bin) counts — bounded by |sources|·2·11, the a18 argument —
+    * then all arithmetic on that frame; counts exact longs; the only
+    * floats are the smoothed proportions and ln terms, each term
+    * rounds(6) before the 11-term sum rounds(4) (the t9/a15 float
+    * discipline). The split day is the a35 midpoint device on the
+    * doc_id span. */
+  def t26QualityPsi(spark: SparkSession, dir: String): DataFrame =
+    qualityPsi(Tables.documents(spark, dir))
+
+  private[graft] def qualityPsi(docs: DataFrame): DataFrame = {
+    val words = split(lower(col("text")), " ")
+    val nWords = size(words)
+    val nStop = size(filter(words, w =>
+      w.isin("the", "a", "of", "to", "and", "in", "is", "on")))
+    val span = docs.agg(min(col("doc_id")).as("d0"),
+      max(col("doc_id")).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val scored = docs.crossJoin(broadcast(span))
+      .withColumn("stop_ratio",
+        round(nStop.cast("double") / nWords, 4))
+      .withColumn("half",
+        when(col("doc_id") < col("split"), "ref").otherwise("cur"))
+      .withColumn("bin", when(col("stop_ratio").isNull, lit(-1L))
+        .otherwise(least(lit(9L), floor(col("stop_ratio") * 10))))
+    // pin the (source, half, bin) counts: |sources|·2·11 rows feeding
+    // THREE consumers (domain, ref side, cur side) — without the pin
+    // each one re-runs the corpus scan + aggregate (13 exchanges
+    // measured; 4 with it)
+    val counts = scored.groupBy(col("source"), col("half"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // fixed bin domain per source: missing bins must count as zero on
+    // BOTH sides or the smoothed masses would not sum comparably
+    val domain = counts.select(col("source")).distinct()
+      .select(col("source"),
+        explode(sequence(lit(-1L), lit(9L))).as("bin"))
+    val full = domain
+      .join(counts.filter(col("half") === "ref")
+        .select(col("source"), col("bin"), col("c").as("cr")),
+        Seq("source", "bin"), "left")
+      .join(counts.filter(col("half") === "cur")
+        .select(col("source"), col("bin"), col("c").as("cc")),
+        Seq("source", "bin"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+      .localCheckpoint(true)
+    val tot = full.groupBy(col("source"))
+      .agg(sum(col("cr")).as("n_ref"), sum(col("cc")).as("n_cur"))
+    full.join(tot, Seq("source"))
+      .withColumn("p",
+        (col("cr") + lit(0.5)) / (col("n_ref") + lit(5.5)))
+      .withColumn("q",
+        (col("cc") + lit(0.5)) / (col("n_cur") + lit(5.5)))
+      .withColumn("term",
+        round((col("q") - col("p")) * log(col("q") / col("p")), 6))
+      .groupBy(col("source"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        round(sum(col("term")), 4).as("psi"))
+      .withColumn("drift_major", col("psi") >= 0.2)
+      .orderBy(col("source"))
+  }
+
   /** Memoized per (session, dir): the confusion-matrix rows behind t3
     * and t18. The corpus scoring pass is an ingest-time artifact (the
     * NB-model / IVF-index precedent) — without the memo t18 re-ran t3's
@@ -1164,6 +1240,7 @@ object TextStats {
     "d2_fingerprint" -> d2Fingerprint,
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
+    "t26_quality_psi" -> t26QualityPsi,
     "t3_lang_id" -> t3LangId,
     "t18_classifier_metrics" -> t18ClassifierMetrics,
     "d38_dedup_savings" -> d38DedupSavings,
@@ -1460,6 +1537,64 @@ object TextStats {
         |  round(avg(len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))), 2) AS avg_re_tokens,
         |  CAST(max(length(text)) AS INT) AS max_len
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // t26 replays t2's stop-ratio fragment verbatim, the a35 midpoint
+    // split on doc_id, the fixed −1..9 bin domain, and the smoothed
+    // PSI terms (CAST AS DOUBLE before the +0.5/+5.5 — bare decimals
+    // would pull DuckDB into decimal division)
+    "t26_quality_psi" ->
+      """WITH sp AS (
+        |  SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS split
+        |  FROM documents),
+        |q AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id < (SELECT split FROM sp)
+        |         THEN 'ref' ELSE 'cur' END AS half,
+        |    round(len(list_filter(string_split(lower(text), ' '),
+        |      w -> w IN ('the','a','of','to','and','in','is','on')))
+        |      / CAST(len(string_split(lower(text), ' ')) AS DOUBLE), 4)
+        |      AS stop_ratio
+        |  FROM documents),
+        |b AS (
+        |  SELECT source, half,
+        |    CASE WHEN stop_ratio IS NULL THEN -1
+        |         ELSE least(9, CAST(floor(stop_ratio * 10) AS BIGINT))
+        |    END AS bin
+        |  FROM q),
+        |c AS (
+        |  SELECT source, half, bin, CAST(count(*) AS BIGINT) AS c
+        |  FROM b GROUP BY 1, 2, 3),
+        |dom AS (
+        |  SELECT source, bin
+        |  FROM (SELECT DISTINCT source FROM c)
+        |  CROSS JOIN (SELECT unnest(generate_series(-1, 9)) AS bin)),
+        |f AS (
+        |  SELECT dom.source, dom.bin,
+        |    coalesce(cr.c, 0) AS cr, coalesce(cc.c, 0) AS cc
+        |  FROM dom
+        |  LEFT JOIN (SELECT source, bin, c FROM c WHERE half = 'ref') cr
+        |    ON dom.source = cr.source AND dom.bin = cr.bin
+        |  LEFT JOIN (SELECT source, bin, c FROM c WHERE half = 'cur') cc
+        |    ON dom.source = cc.source AND dom.bin = cc.bin),
+        |t AS (
+        |  SELECT source,
+        |    CAST(sum(cr) AS BIGINT) AS n_ref,
+        |    CAST(sum(cc) AS BIGINT) AS n_cur
+        |  FROM f GROUP BY source),
+        |terms AS (
+        |  SELECT f.source, t.n_ref, t.n_cur,
+        |    round(((CAST(f.cc AS DOUBLE) + 0.5)
+        |        / (CAST(t.n_cur AS DOUBLE) + 5.5)
+        |      - (CAST(f.cr AS DOUBLE) + 0.5)
+        |        / (CAST(t.n_ref AS DOUBLE) + 5.5))
+        |      * ln(((CAST(f.cc AS DOUBLE) + 0.5)
+        |          / (CAST(t.n_cur AS DOUBLE) + 5.5))
+        |        / ((CAST(f.cr AS DOUBLE) + 0.5)
+        |          / (CAST(t.n_ref AS DOUBLE) + 5.5))), 6) AS term
+        |  FROM f JOIN t ON f.source = t.source)
+        |SELECT source, max(n_ref) AS n_ref, max(n_cur) AS n_cur,
+        |  round(sum(term), 4) AS psi,
+        |  round(sum(term), 4) >= 0.2 AS drift_major
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
     "t2_quality_score" ->
       """WITH q AS (
         |  SELECT source,

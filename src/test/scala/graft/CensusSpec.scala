@@ -25,6 +25,7 @@ class CensusSpec extends AnyFunSuite {
     "a35_cuped",                // broadcast split-day singleton
     "a36_bh_panel",             // broadcast arm-totals singleton
     "a37_power_mde",            // broadcast arm-totals singleton
+    "t26_quality_psi",          // broadcast split-point singleton
     "d5_ngram_jaccard",         // bounded candidate kernel (d3 pre-filter)
     "d11_rebalance",            // broadcast per-stratum rate singleton
     "d20_dsir_weights",         // broadcast global-mean singleton
@@ -153,6 +154,11 @@ class CensusSpec extends AnyFunSuite {
     "sim26_matryoshka_ann" -> 1,   // both stages fuse into
                                    // TakeOrderedAndProject — zero
                                    // shuffles (measured 0 + 1)
+    "t26_quality_psi" -> 4,        // one corpus pass to (source, half,
+                                   // bin) counts + the bounded-frame
+                                   // joins/aggs (measured 3 + 1; the
+                                   // counts/full pins stop the scan
+                                   // from re-running per consumer)
     "g10_degree_powerlaw" -> 6,    // edge dedup + degree agg +
                                    // histogram agg + the one-row
                                    // regression (measured 5 + 1; the

@@ -24,6 +24,30 @@ class TextStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality PSI: a total bin shift reads the hand-computed 1.8503; " +
+    "a stable source reads exactly 0 with null-text docs in the -1 bin " +
+    "on both sides (T26)") {
+    // global doc_id span 0..7 → midpoint split 4 (ref = 0..3).
+    // source s: every ref doc stop_ratio 0.25 (bin 2), every cur doc
+    // 0.0 (bin 0) — total mass shift. With n=4 per half and 11
+    // smoothed bins (denominator 9.5): both nonzero terms are
+    // (4/9.5)·ln(9) = 0.925147 → PSI 1.8503, a major drift.
+    // source t: identical halves incl. ONE null-text doc each (the −1
+    // bin) → every term 0 → PSI exactly 0.0.
+    val docs = (
+      (0L to 3L).map(i => (i, "the b c d", "s")) ++
+        (4L to 7L).map(i => (i, "b c d e", "s")) ++
+        (0L to 2L).map(i => (i, "the b c d", "t")) ++ Seq((3L, null, "t")) ++
+        (4L to 6L).map(i => (i, "the b c d", "t")) ++ Seq((7L, null, "t"))
+      ).toDF("doc_id", "text", "source")
+    val out = TextStats.qualityPsi(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    assert(out == Seq(
+      ("s", 4L, 4L, 1.8503, true),
+      ("t", 4L, 4L, 0.0, false)), s"got $out")
+  }
+
   test("unigram logprob matches hand-computed scores; null text is skipped") {
     val docs = Seq(
       (0L, "a a b", "en", "s", 5L),
