@@ -1295,7 +1295,65 @@ object Dedup {
       .orderBy(col("cell"))
   }
 
+  /** D52 — chunk-level CONTAINMENT detection: document pairs sharing a
+    * large fraction of content-defined chunk fingerprints — the
+    * partial-duplication case whole-document dedup cannot see. A doc
+    * quoting half of another is invisible to d2's md5 and scores low
+    * Jaccard for d3's whole-doc MinHash (the shared half drowns in the
+    * union); Broder 1997 separates resemblance from CONTAINMENT for
+    * exactly this case, and CDC chunking (t4's rolling hash) makes the
+    * shared passage keep its fingerprints under insertion because
+    * boundaries re-align by content.
+    *
+    * Scale devices: (1) candidates come from a fingerprint EQUI-JOIN
+    * (posting lists), never all-pairs; (2) fingerprints appearing in
+    * more than `cap` docs are DROPPED before the join — the classic
+    * posting-list cap: boilerplate chunks (d45's subject) would
+    * otherwise fan out quadratically and claim every doc contains
+    * every other. The cap is a RECALL trade priced in the spec (a
+    * passage shared by more than `cap` docs stops being containment
+    * evidence and starts being boilerplate — exactly d45's
+    * definition). Containment = shared / min-side distinct chunks,
+    * rounds(4) before the threshold compare. Rows-only: the chunking
+    * scheme is engine-specific (the t4 treatment); planted specs pin
+    * full-prefix containment, insertion survival, the unrelated-pair
+    * zero, and the boilerplate-cap refusal. */
+  def d52ChunkContainment(spark: SparkSession, dir: String): DataFrame =
+    chunkContainment(Tables.documents(spark, dir))
+
+  private[graft] def chunkContainment(docs: DataFrame, cap: Int = 20,
+      threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    val fps = docs.select(col("doc_id"),
+        explode(graft.functions.RollingChunks.rollingChunks(
+          spark, col("text"), 16, 5)).as("fp"))
+      .distinct()
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+    val fpFreq = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+    // pin the capped posting frame: BOTH sides of the self-join read it
+    val kept = fps.join(fpFreq.filter(col("df") <= cap), Seq("fp"))
+      .select(col("fp"), col("doc_id"))
+      .localCheckpoint(true)
+    val pairs = kept.select(col("fp"), col("doc_id").as("id_a"))
+      .join(kept.select(col("fp"), col("doc_id").as("id_b")), Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"),
+        col("n_chunks").as("ca")), Seq("id_a"))
+      .join(sizes.select(col("doc_id").as("id_b"),
+        col("n_chunks").as("cb")), Seq("id_b"))
+      .withColumn("containment",
+        round(col("shared") / least(col("ca"), col("cb")), 4))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        least(col("ca"), col("cb")).as("smaller_chunks"),
+        col("containment"))
+      .orderBy(col("containment").desc, col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d52_chunk_containment" -> d52ChunkContainment,
     "d49_dedup_scorecard" -> d49DedupScorecard,
     "d50_semdedup" -> d50SemDedup,
     "d51_incremental_semdedup" -> d51IncrementalSemDedup,

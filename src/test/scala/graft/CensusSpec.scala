@@ -154,6 +154,10 @@ class CensusSpec extends AnyFunSuite {
     "sim26_matryoshka_ann" -> 1,   // both stages fuse into
                                    // TakeOrderedAndProject — zero
                                    // shuffles (measured 0 + 1)
+    "d52_chunk_containment" -> 7,  // chunk distinct + sizes + posting
+                                   // freq + the capped self-join +
+                                   // pair agg + size joins (measured
+                                   // 6 + 1)
     "t26_quality_psi" -> 4,        // one corpus pass to (source, half,
                                    // bin) counts + the bounded-frame
                                    // joins/aggs (measured 3 + 1; the

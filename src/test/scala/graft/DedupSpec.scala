@@ -515,6 +515,46 @@ class DedupSpec extends AnyFunSuite {
     assert(sh <= st, "hit count cannot exceed truth")
   }
 
+  test("d52 containment: a half-quote is detected where whole-doc " +
+    "resemblance would miss it; an insertion survives (CDC " +
+    "re-alignment); unrelated docs never pair; a passage shared by " +
+    "more than cap docs is boilerplate, not containment") {
+    import spark.implicits._
+    def soup(seed: Int, n: Int): String =
+      (0 until n).map(i => s"w${seed}x$i").mkString(" ")
+    val base = soup(1, 120)
+    val half = base.split(" ").take(60).mkString(" ")
+    // docB is A's first half plus a short new tail: min-side
+    // normalization reads ~0.8 containment while whole-doc Jaccard
+    // would read ~0.33 — the case this op exists for
+    val docB = half + " " + soup(2, 10)
+    // docC is A with a sentence INSERTED mid-way: content-defined
+    // boundaries re-align after the insertion, so only the chunks
+    // spanning the edit are lost
+    val docC = half + " zzz inserted qqq " +
+      base.split(" ").drop(60).mkString(" ")
+    val unrelated = soup(3, 120)
+    // 25 docs (> cap = 20) share ONE long boilerplate run and tiny
+    // unique tails: without the posting cap every pair would clear the
+    // threshold (~300 pairs); the cap must kill ALL of them
+    val boiler = soup(9, 40)
+    val boilDocs = (0 until 25).map(i =>
+      (100L + i, boiler + " " + soup(200 + i, 5)))
+    val docs = (Seq((1L, base), (2L, docB), (3L, docC), (4L, unrelated))
+      ++ boilDocs).toDF("doc_id", "text")
+    val out = Dedup.chunkContainment(docs).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(4))).toMap
+    assert(out.contains((1L, 2L)),
+      s"the half-quote must be detected; got ${out.keySet}")
+    assert(out((1L, 2L)) >= 0.5)
+    assert(out.contains((1L, 3L)),
+      "an insertion must not break containment (CDC re-alignment)")
+    assert(!out.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "unrelated docs must not pair")
+    assert(!out.keySet.exists { case (a, b) => a >= 100L && b >= 100L },
+      "boilerplate-only overlap past the posting cap must not pair")
+  }
+
   test("d50 SemDeDup on hand-built cells: keeps the farthest-from-" +
     "centroid member, ties to lowest id, cross-cell near-dups not paired") {
     val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
