@@ -498,6 +498,34 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("might_contain"), s"d35 lost the bloom probe:\n$p")
   }
 
+  test("d52 containment: text and fingerprints coexist ONLY inside the " +
+    "chunking expression — every post-chunk node (incl. every exchange " +
+    "input) carries fingerprints without text") {
+    val p = plan("d52_chunk_containment")
+    assert(p.contains("rolling_chunks"), "chunking expression missing")
+    // the signature scale claim, stated as a plan property: any line
+    // where a text column and a fingerprint column appear together
+    // must BE the chunking expression; afterwards only (doc_id, fp)
+    // flows, so no shuffle ever moves document text
+    val both = p.linesIterator
+      .filter(l => l.contains("text#") && l.contains("fp#")).toSeq
+    assert(both.nonEmpty && both.forall(_.contains("rolling_chunks")),
+      s"text escaped past the chunker:\n${both.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("t26 PSI: the served plan reads the PINNED bounded count frame " +
+    "— the corpus scan ran once at build and never re-runs per consumer") {
+    val p = plan("t26_quality_psi")
+    // the one corpus pass happened at localCheckpoint time; the
+    // registered query's own plan must be pure bounded-frame work
+    // (ExistingRDD scans), with no parquet re-scan of documents
+    assert(p.contains("ExistingRDD"),
+      s"expected the pinned count frame to serve the plan:\n$p")
+    assert(!p.contains("ReadSchema: struct<doc_id"),
+      s"the drift card re-scanned the corpus per consumer:\n$p")
+  }
+
   test("d48 k-anonymity: scan prunes to the three QI columns (text " +
     "never read) and the QI aggregate partial-combines map-side") {
     val p = plan("d48_k_anonymity")
