@@ -581,12 +581,15 @@ object Curate {
       .orderBy(col("lang"), col("split"))
 
   /** The d16 split rule as a column — ONE definition for the assigner
-    * (d16) and the leak checker (d32), so the two can never disagree on
-    * membership. */
-  private def splitCol: Column = {
-    val bucket = graft.functions.IdHash.bucket(col("doc_id"), 100)
+    * (d16), the leak checker (d32), and the group-aware assigner (d53,
+    * which feeds it the dedup-component representative instead of the
+    * doc's own id), so none of the three can disagree on the rule. */
+  private[graft] def splitOf(id: Column): Column = {
+    val bucket = graft.functions.IdHash.bucket(id, 100)
     when(bucket < 98, "train").when(bucket === 98, "val").otherwise("test")
   }
+
+  private def splitCol: Column = splitOf(col("doc_id"))
 
   /** D32 — split-leakage audit: after d16 assigns train/val/test, does
     * any word n-gram cross from train into a holdout doc? The hygiene

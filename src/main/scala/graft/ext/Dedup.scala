@@ -1352,7 +1352,64 @@ object Dedup {
       .orderBy(col("containment").desc, col("id_a"), col("id_b"))
   }
 
+  /** D53 — leakage-safe train/val/test split: d16's hash rule applied
+    * to each document's DEDUP-COMPONENT representative instead of its
+    * own id, so every member of a near-dup group lands on the SAME
+    * side. This is the split-time fix for the leak d32 detects after
+    * the fact: a train doc's near-copy sitting in val is an eval leak
+    * even though the per-doc hash is perfectly deterministic — which
+    * is why serious pretraining pipelines dedup ACROSS the split
+    * boundary, not within sides. Docs in no near-dup pair keep their
+    * own id as representative, so for the singleton majority d53 ≡ d16
+    * exactly; group-aware assignment costs only the minority that
+    * needs it.
+    *
+    * The card carries its own argument: per-split doc counts plus the
+    * cross-split near-dup pair census under BOTH rules — exactly 0
+    * under the group rule BY CONSTRUCTION (both members share a
+    * representative, and one input to a pure function gives one
+    * output), and the measured nonzero leak the same corpus suffers
+    * under the per-doc rule. Components run over pair-incident ids
+    * only (the d7 discipline); the corpus is touched once to attach
+    * representatives. Rows-only: the pair source is d3's engine-
+    * specific LSH (the d50/d52 treatment); the planted spec pins the
+    * forced-leak pair, the zero under the group rule, and singleton
+    * d53 ≡ d16. */
+  def d53LeakSafeSplit(spark: SparkSession, dir: String): DataFrame =
+    leakSafeSplit(Tables.documents(spark, dir),
+      minhashPairsUnsorted(Tables.documents(spark, dir)))
+
+  private[graft] def leakSafeSplit(docs: DataFrame,
+                                   pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val incident = p.select(col("id_a").as("node"))
+      .union(p.select(col("id_b").as("node"))).distinct()
+    val labels = connectedComponentsPinned(incident, p)
+    val assigned = docs.select(col("doc_id"))
+      .join(labels.select(col("node").as("doc_id"), col("label")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        Curate.splitOf(coalesce(col("label"), col("doc_id")))
+          .as("split"),
+        Curate.splitOf(col("doc_id")).as("split_doc_rule"))
+      .localCheckpoint(true)
+    val crossed = p
+      .join(assigned.select(col("doc_id").as("id_a"),
+        col("split").as("sa"), col("split_doc_rule").as("da")), Seq("id_a"))
+      .join(assigned.select(col("doc_id").as("id_b"),
+        col("split").as("sb"), col("split_doc_rule").as("db")), Seq("id_b"))
+      .agg(
+        coalesce(sum(when(col("sa") =!= col("sb"), 1L).otherwise(0L)),
+          lit(0L)).as("leaked_pairs_group_rule"),
+        coalesce(sum(when(col("da") =!= col("db"), 1L).otherwise(0L)),
+          lit(0L)).as("leaked_pairs_doc_rule"))
+    assigned.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(crossed))
+      .orderBy(col("split"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d53_leak_safe_split" -> d53LeakSafeSplit,
     "d52_chunk_containment" -> d52ChunkContainment,
     "d49_dedup_scorecard" -> d49DedupScorecard,
     "d50_semdedup" -> d50SemDedup,

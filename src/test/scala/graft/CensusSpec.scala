@@ -26,6 +26,7 @@ class CensusSpec extends AnyFunSuite {
     "a36_bh_panel",             // broadcast arm-totals singleton
     "a37_power_mde",            // broadcast arm-totals singleton
     "t26_quality_psi",          // broadcast split-point singleton
+    "d53_leak_safe_split",      // broadcast 1-row leak-census frame
     "d5_ngram_jaccard",         // bounded candidate kernel (d3 pre-filter)
     "d11_rebalance",            // broadcast per-stratum rate singleton
     "d20_dsir_weights",         // broadcast global-mean singleton
@@ -154,6 +155,10 @@ class CensusSpec extends AnyFunSuite {
     "sim26_matryoshka_ann" -> 1,   // both stages fuse into
                                    // TakeOrderedAndProject — zero
                                    // shuffles (measured 0 + 1)
+    "d53_leak_safe_split" -> 8,    // LSH pair build + incident distinct
+                                   // + component rounds on the pair
+                                   // graph + the two census joins
+                                   // (measured 7 + 1)
     "d52_chunk_containment" -> 7,  // chunk distinct + sizes + posting
                                    // freq + the capped self-join +
                                    // pair agg + size joins (measured

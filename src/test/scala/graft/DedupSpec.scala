@@ -515,6 +515,42 @@ class DedupSpec extends AnyFunSuite {
     assert(sh <= st, "hit count cannot exceed truth")
   }
 
+  test("d53 leak-safe split: a near-dup pair straddling the doc-rule " +
+    "boundary co-locates under the group rule (zero leaked pairs by " +
+    "construction); singletons keep their d16 assignment exactly") {
+    import spark.implicits._
+    // resolve the documented 98/1/1 rule to find a train-bucket doc and
+    // a holdout-bucket doc, then PAIR them — the exact leak d16 permits
+    val buckets = (0L until 3000L).toDF("doc_id")
+      .withColumn("b", graft.functions.IdHash.bucket(col("doc_id"), 100))
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toInt)
+    def split(b: Int) = if (b < 98) "train" else if (b == 98) "val" else "test"
+    val trainDup = buckets.find(_._2 < 98).get._1
+    val holdDup = buckets.find(_._2 >= 98).get._1
+    val singles = buckets.filterNot(x =>
+      x._1 == trainDup || x._1 == holdDup).take(6)
+    val docs = (Seq(trainDup, holdDup) ++ singles.map(_._1)).toDF("doc_id")
+    val pairs = Seq((math.min(trainDup, holdDup),
+      math.max(trainDup, holdDup))).toDF("id_a", "id_b")
+    val out = Dedup.leakSafeSplit(docs, pairs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    // the census columns ride every row: zero group-rule leaks BY
+    // CONSTRUCTION, and exactly the one planted doc-rule leak
+    out.values.foreach { case (_, g, d) =>
+      assert(g == 0L, "the group rule must never split a dup pair")
+      assert(d == 1L, "the planted doc-rule leak must be counted")
+    }
+    // expected assignment: both dup members land on the side of the
+    // component representative (the min id); singletons keep d16
+    val repSide = split(buckets.toMap.apply(math.min(trainDup, holdDup)))
+    val expected = (Seq(repSide, repSide) ++
+      singles.map(x => split(x._2))).groupBy(identity)
+      .map { case (k, v) => k -> v.size.toLong }
+    assert(out.view.mapValues(_._1).toMap == expected,
+      s"got ${out.view.mapValues(_._1).toMap}, expected $expected")
+  }
+
   test("d52 containment: a half-quote is detected where whole-doc " +
     "resemblance would miss it; an insertion survives (CDC " +
     "re-alignment); unrelated docs never pair; a passage shared by " +
