@@ -1046,13 +1046,16 @@ object Dedup {
     * ranks OUR index implementations, no SQL counterpart.
     *
     * The card is an INGEST-TIME AUDIT artifact (a migration computes
-    * it once per corpus, then reads it), so it memoizes per (session,
-    * dir) like the d5 pair graph — plain tuples, no frame pinning the
-    * weak session key — and the bench warms it (`warmState("d49-
-    * card")`): the r14 cold run measured the unmemoized form at 49 s
-    * PER INVOCATION (four brute truths + four full served pair sets,
-    * re-run three reps), which is the build cost of an audit, not the
-    * serving cost of a query. warm_sec carries the true build price. */
+    * it once per corpus, then reads it): it publishes through the
+    * [[IndexStore]] keyed over documents AND embeddings (r14 verdict
+    * ask #2), so the ~49–87 s brute-truth build runs once per corpus
+    * FINGERPRINT — every later session, including every future JVM,
+    * pays one tiny parquet read. The per-(session, dir) memo below
+    * only skips the store round-trip within a session — plain tuples,
+    * no frame pinning the weak session key. The bench's
+    * `warmState("d49-card")` prices whichever of build/load the store
+    * state implies; IndexStoreSpec pins the fresh-session zero-build
+    * serve. */
   private val d49Cache =
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String,
@@ -1061,7 +1064,28 @@ object Dedup {
   def d49DedupScorecard(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     Similarity.perSession(d49Cache, spark)
-      .getOrElseUpdate(dir, d49Compute(spark, dir))
+      .getOrElseUpdate(dir, {
+        // Cross-SESSION persistence (r14 verdict ask #2): the card is
+        // a deterministic once-per-corpus audit artifact whose inputs
+        // are exactly the fingerprint-keyed tables the IndexStore
+        // already versions — so it publishes there too, keyed over
+        // BOTH source tables (media derives from documents; the
+        // semantic row from embeddings). A fresh JVM serves it with
+        // one tiny parquet read instead of re-paying the ~49–87 s
+        // brute-truth build; the session memo above only skips the
+        // store round-trip.
+        val served = IndexStore.loadOrBuild(spark, dir,
+          Seq("documents", "embeddings"), "d49card") {
+          Seq("card" -> d49Compute(spark, dir).toDF("method",
+            "n_true_pairs", "n_served_pairs", "n_hit",
+            "candidate_recall"))
+        }("card")
+        served.select(col("method"), col("n_true_pairs"),
+            col("n_served_pairs"), col("n_hit"), col("candidate_recall"))
+          .collect().toSeq
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4)))
+      })
       .toDF("method", "n_true_pairs", "n_served_pairs", "n_hit",
         "candidate_recall")
       .orderBy(col("candidate_recall").desc, col("method"))
@@ -1155,12 +1179,15 @@ object Dedup {
     * keep from each dup group the member FARTHEST from its cluster
     * centroid (the least redundant representative). Clustering is the
     * scale device: candidate pairs form only inside a cell, so the
-    * pair stage is O(Σ cellsize²) — never corpus² — and the cells come
-    * FREE here: the quantizer is sim4's published IVF index
+    * pair stage is O(Σ cellsize²) — never corpus², PROVIDED the cell
+    * count grows with the corpus: d50 serves from the CORPUS-SCALED
+    * quantizer ([[Similarity.cellsFor]] — k = max(16, N/256), the d12
+    * device; r14 verdict ask #1) published through the IndexStore
     * ([[Similarity.ivfIndexFor]] — k-means trained once per corpus
-    * fingerprint, served cross-session through the IndexStore), so the
-    * semantic-dedup pass adds no second clustering job to the
-    * pipeline. Cross-cell near-dups are sacrificed by construction —
+    * fingerprint per k), so cells hold ~256 members at any N and the
+    * pair stage stays O(N·256). At both test SFs cellsFor lands on
+    * Sim4K, so the served artifact IS sim4's index and the pass adds
+    * no second clustering job to the pipeline. Cross-cell near-dups are sacrificed by construction —
     * the paper's own approximation — and that loss is PRICED, not
     * hidden: it is exactly what d49's recall-card discipline measures
     * for the lexical tier (a d50 row there would read the co-celled
@@ -1174,15 +1201,17 @@ object Dedup {
   private[graft] def semDedupParts(assigned: DataFrame,
       centers: Array[Array[Double]], tau: Double)
       : (DataFrame, DataFrame) = {
-    val m = assigned.select(col("cell"), col("vec_id"), col("emb"))
-    // within-cell candidates: the equi-join co-partitions both sides on
-    // the cell key — each vector rides the shuffle twice, and the pair
-    // fan-out happens post-shuffle, bounded by the cell size.
-    val pairs = m.toDF("cell", "id_a", "emb_a")
-      .join(m.toDF("cell", "id_b", "emb_b"), Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
-      .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
-        >= tau)
+    // within-cell candidates through the ONE shared keyed kernel
+    // ([[Similarity.keyedNearDupPairs]] — the same cell-join +
+    // rounded-threshold + NaN guard d12 rides via
+    // [[Curate.cellNearDupPairs]], r14 verdict ask #3: a threshold or
+    // kernel edit now cannot drift the two SemDeDup surfaces apart).
+    // The equi-join co-partitions both sides on the cell key — each
+    // vector rides the shuffle twice, and the pair fan-out happens
+    // post-shuffle, bounded by the cell size.
+    val pairs = Similarity.keyedNearDupPairs(
+        assigned.select(col("cell"), col("vec_id"), col("emb")),
+        "cell", tau)
       .select(col("cell"), col("id_a"), col("id_b"))
       .localCheckpoint(true)
     val cLit = array(centers.toIndexedSeq
@@ -1230,7 +1259,15 @@ object Dedup {
     * d50 unions them; d51 keeps them apart (batch vs served index). */
   private[graft] def d50Parts(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, Array[Array[Double]], Long) = {
-    val base = Similarity.ivfIndexFor(spark, dir, Similarity.Sim4K)
+    // CORPUS-SCALED quantizer (r14 verdict ask #1): cellsFor keeps the
+    // within-cell pair stage O(N · targetCell) as the corpus grows — a
+    // constant k would make Σ cellsize² = N²/k, corpus-quadratic at
+    // 100×. Same device as d12 (Curate.scala); at both test SFs
+    // cellsFor lands exactly on Sim4K, so the served artifact is the
+    // SAME published `ivf_k16` index sim4 trains — answers and pins
+    // hold bit-identical while the 100× posture becomes real.
+    val k = Similarity.cellsFor(Similarity.corpusSize(spark, dir))
+    val base = Similarity.ivfIndexFor(spark, dir, k)
     val emb = base.assigned.select(col("vec_id"), col("emb"), col("cell"))
     val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
     val planted = Similarity.ivfAssign(
@@ -1269,14 +1306,22 @@ object Dedup {
     * batch × corpus — an equality, not an approximation, and the spec
     * pins it as one. */
   private[graft] def incrementalSemPairs(batch: DataFrame,
-      corpus: DataFrame, tau: Double): DataFrame =
+      corpus: DataFrame, tau: Double): DataFrame = {
+    val spark = batch.sparkSession
+    // same fused cosine + rounded threshold + NaN guard as the shared
+    // d50/d12 pair kernel, so the spec's "incremental ≡ full d50
+    // restricted to batch × corpus" equality can never drift on a
+    // borderline or zero-norm vector
     batch.select(col("cell"), col("vec_id").as("id_b"),
         col("emb").as("emb_b"))
       .join(corpus.select(col("cell"), col("vec_id").as("id_a"),
         col("emb").as("emb_a")), Seq("cell"))
-      .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
-        >= tau)
+      .select(col("cell"), col("id_a"), col("id_b"),
+        round(graft.functions.VectorOps.vecCosine(spark,
+          col("emb_a"), col("emb_b")), 4).as("cos_sim"))
+      .filter(!isnan(col("cos_sim")) && col("cos_sim") >= tau)
       .select(col("cell"), col("id_a"), col("id_b"))
+  }
 
   def d51IncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
     val (corpus, batch, _, _) = d50Parts(spark, dir)

@@ -110,6 +110,10 @@ object IndexStore {
                                  table: String): String = {
     val base = new Path(dir, table + ".parquet")
     val fs = base.getFileSystem(hadoopConf(spark))
+    // A missing table is a benign constant signature, not a throw
+    // (advisor r14): invalidate()/cleanup paths must stay no-ops when
+    // the table was deleted or never written.
+    if (!fs.exists(base)) return "absent00"
     def walk(p: Path): Seq[org.apache.hadoop.fs.FileStatus] = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory)
@@ -123,10 +127,39 @@ object IndexStore {
     f"${scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL}%08x"
   }
 
+  /** Fingerprint over a SET of source tables — for artifacts derived
+    * from more than one (the d49 card reads documents AND embeddings).
+    * The single-table form returns [[fingerprint]] verbatim so every
+    * pre-existing published path stays reachable. */
+  private[graft] def combinedFingerprint(spark: SparkSession, dir: String,
+                                         tables: Seq[String]): String =
+    if (tables.sizeIs == 1) fingerprint(spark, dir, tables.head)
+    else {
+      val sig = tables.map(t => s"$t=${fingerprint(spark, dir, t)}")
+        .mkString("|")
+      f"${scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL}%08x"
+    }
+
   private def datasetRoot(spark: SparkSession, dir: String,
-                          table: String): Path =
+                          tables: Seq[String]): Path =
     new Path(root(spark),
-      Similarity.dirTag(dir) + "_" + fingerprint(spark, dir, table))
+      Similarity.dirTag(dir) + "_" + combinedFingerprint(spark, dir, tables))
+
+  /** Self-description record at each dataset root: the source tables
+    * its fingerprint was computed from, so [[gcStore]] can re-derive
+    * the CURRENT fingerprint and recognize a stale root without any
+    * external registry. */
+  private val TablesRecord = "_GRAFT_TABLES"
+
+  private def recordTables(fs: FileSystem, dsRoot: Path,
+                           tables: Seq[String]): Unit = {
+    val p = new Path(dsRoot, TablesRecord)
+    if (!fs.exists(p)) {
+      val out = fs.create(p, true)
+      out.write(tables.mkString(",").getBytes("UTF-8"))
+      out.close()
+    }
+  }
 
   /** Serve the named artifact set for (dir, table): load it if a
     * complete publish exists, otherwise run `build` (the training
@@ -137,11 +170,18 @@ object IndexStore {
     * builder-only fast path to hide a broken store). */
   def loadOrBuild(spark: SparkSession, dir: String, table: String,
                   name: String)(build: => Seq[(String, DataFrame)])
+      : Map[String, DataFrame] =
+    loadOrBuild(spark, dir, Seq(table), name)(build)
+
+  /** Multi-table form: the artifact's fingerprint covers EVERY listed
+    * source table, so a rewrite of any one of them re-keys it. */
+  def loadOrBuild(spark: SparkSession, dir: String, tables: Seq[String],
+                  name: String)(build: => Seq[(String, DataFrame)])
       : Map[String, DataFrame] = {
-    Similarity.perSession(servedBySession, spark)
-      .update((dir, table), ())
-    val path = new Path(datasetRoot(spark, dir, table),
-      s"${name}_v$FormatVersion")
+    tables.foreach(t => Similarity.perSession(servedBySession, spark)
+      .update((dir, t), ()))
+    val dsRoot = datasetRoot(spark, dir, tables)
+    val path = new Path(dsRoot, s"${name}_v$FormatVersion")
     val fs = path.getFileSystem(hadoopConf(spark))
     if (!fs.exists(new Path(path, OkMarker))) {
       builds.add(s"$name@$dir")
@@ -154,21 +194,26 @@ object IndexStore {
       fs.create(new Path(tmp, OkMarker), true).close()
       fs.mkdirs(path.getParent)
       // The move is best-effort: losing it (concurrent publish landed
-      // between the check and here, or the FS moved tmp INSIDE an
-      // already-present dst — POSIX mv semantics) means the winner's
-      // copy is complete — discard ours and serve theirs. On stores
-      // where the move is non-atomic, the marker (written last, moved
-      // with the dir) still gates readers.
-      if (fs.exists(path) || !fs.rename(tmp, path)) {
-        fs.delete(tmp, true)
-        // mv-into-existing leaves tmp as a CHILD of dst — sweep it
-        fs.delete(new Path(path, tmp.getName), true)
-        if (!fs.exists(new Path(path, OkMarker)))
-          sys.error(s"index publish failed for $path")
-      }
+      // between the check and here) means the winner's copy is
+      // complete — discard ours and serve theirs. The sweep runs
+      // UNCONDITIONALLY (advisor r14): when dst appears between the
+      // exists check and the rename, POSIX/HDFS rename moves tmp
+      // INSIDE dst and still returns TRUE, so gating the sweep on the
+      // rename's result would leave a stray .tmp child under the
+      // published dir. Win or lose: drop any sibling tmp, drop any
+      // stray copy of it under dst, then let the marker adjudicate.
+      if (!fs.exists(path)) fs.rename(tmp, path): Unit
+      fs.delete(tmp, true)
+      fs.delete(new Path(path, tmp.getName), true)
+      if (!fs.exists(new Path(path, OkMarker)))
+        sys.error(s"index publish failed for $path")
     }
+    recordTables(fs, dsRoot, tables)
     fs.listStatus(path).toSeq
       .filter(_.isDirectory)
+      // defense in depth for publishes by PRE-sweep binaries: a stray
+      // .tmp<pid> child is a lost race's debris, never a sub-artifact
+      .filterNot(_.getPath.getName.contains(".tmp"))
       .map(s => s.getPath.getName -> spark.read.parquet(s.getPath.toString))
       .toMap
   }
@@ -176,9 +221,103 @@ object IndexStore {
   /** Drop every published index for (dir, table) — the store-side
     * companion of [[Similarity.invalidateCaches]] for callers that
     * rewrote a served dir in place (same mtime/size, e.g. a test
-    * fixture) and need the fingerprint shortcut overridden. */
+    * fixture) and need the fingerprint shortcut overridden. Sweeps the
+    * single-table root AND any multi-table root whose recorded source
+    * set includes the table. */
   def invalidate(spark: SparkSession, dir: String, table: String): Unit = {
-    val p = datasetRoot(spark, dir, table)
-    p.getFileSystem(hadoopConf(spark)).delete(p, true): Unit
+    val p = datasetRoot(spark, dir, Seq(table))
+    val fs = p.getFileSystem(hadoopConf(spark))
+    fs.delete(p, true)
+    val r = root(spark)
+    if (fs.exists(r))
+      fs.listStatus(r).toSeq.filter(_.isDirectory)
+        .filter(st => isRootOfTag(st.getPath.getName,
+          Similarity.dirTag(dir)))
+        .foreach { st =>
+          val rec = new Path(st.getPath, TablesRecord)
+          if (fs.exists(rec) &&
+              readSmall(fs, rec).split(",").contains(table))
+            fs.delete(st.getPath, true): Unit
+        }
+  }
+
+  /** `<dirTag>_<8-hex-fingerprint>` shape check — how [[gcStore]] and
+    * [[invalidate]] recognize which store roots belong to a dir
+    * without a registry (prefix tests alone would cross-match tags
+    * that prefix each other). */
+  private def isRootOfTag(name: String, tag: String): Boolean =
+    name.length == tag.length + 9 && name.startsWith(tag + "_") &&
+      name.drop(tag.length + 1).forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f'))
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private val VersionSuffix = "_v(\\d+)$".r.unanchored
+
+  /** Store GARBAGE COLLECTION (r14 verdict ask #7) — s16's compaction
+    * economics at the store tier. Publishes are content-addressed, so
+    * nothing ever overwrites: every dataset rewrite (new fingerprint),
+    * every [[FormatVersion]] bump, and every superseded maintenance
+    * generation (sim25 folds delta + tombstones into a compacted
+    * generation) leaves its predecessor on disk forever unless swept.
+    *
+    * Deletes, for each store root belonging to one of `dirs`:
+    *  - whole dataset roots whose recorded source tables no longer
+    *    fingerprint to the root's key (the dataset was rewritten — the
+    *    root is unreachable by construction);
+    *  - inside LIVE roots: artifacts published under a non-current
+    *    `_v<k>` (unreachable since the code bump), `.tmp` debris from
+    *    crashed pre-sweep binaries, and artifacts the caller names in
+    *    `superseded` (the compaction contract: after sim25 publishes
+    *    `..._compacted_g1`, a pipeline that has cut serving over to
+    *    the generation declares the delta/tombstone artifacts folded
+    *    — GC never infers this itself, because sim23/sim24 may still
+    *    legitimately serve them).
+    *
+    * Roots whose name does not match a known dir tag, or that predate
+    * the `_GRAFT_TABLES` record, are left untouched (possibly another
+    * pipeline's data — GC only removes what it can PROVE unreachable
+    * or was explicitly declared superseded). Returns the deleted
+    * paths so callers and specs can audit the sweep. */
+  def gcStore(spark: SparkSession, dirs: Seq[String],
+              superseded: Seq[String] = Nil): Seq[String] = {
+    val r = root(spark)
+    val fs = r.getFileSystem(hadoopConf(spark))
+    if (!fs.exists(r)) return Seq.empty
+    val byTag = dirs.map(d => Similarity.dirTag(d) -> d).toMap
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    def drop(p: Path): Unit = {
+      fs.delete(p, true)
+      deleted += p.toString
+    }
+    fs.listStatus(r).toSeq.filter(_.isDirectory).foreach { st =>
+      val name = st.getPath.getName
+      byTag.collectFirst {
+        case (tag, d) if isRootOfTag(name, tag) => (tag, d)
+      }.foreach { case (tag, d) =>
+        val rec = new Path(st.getPath, TablesRecord)
+        if (fs.exists(rec)) {
+          val tables = readSmall(fs, rec).split(",").toSeq
+          if (tag + "_" + combinedFingerprint(spark, d, tables) != name)
+            drop(st.getPath) // stale fingerprint: unreachable root
+          else fs.listStatus(st.getPath).toSeq
+            .filter(_.getPath.getName != TablesRecord)
+            .foreach { sub =>
+              val sn = sub.getPath.getName
+              val staleVersion = VersionSuffix.findFirstMatchIn(sn)
+                .exists(_.group(1).toInt != FormatVersion)
+              val folded =
+                superseded.exists(s => sn == s"${s}_v$FormatVersion")
+              if (sn.contains(".tmp") || staleVersion || folded)
+                drop(sub.getPath)
+            }
+        }
+      }
+    }
+    deleted.toSeq
   }
 }

@@ -327,14 +327,17 @@ object Similarity {
     * guard a single zero vector would pass any threshold, pair with its
     * entire bucket, and link the bucket into one dedup component — mass
     * false deletion downstream. */
-  private[ext] def keyedNearDupPairs(keyed: DataFrame, key: String,
-                                     threshold: Double): DataFrame = {
+  private[graft] def keyedNearDupPairs(keyed: DataFrame, key: String,
+                                       threshold: Double): DataFrame = {
     val spark = keyed.sparkSession
     val l = keyed.select(col(key), col("vec_id").as("id_a"), col("emb").as("emb_a"))
     val r = keyed.select(col(key), col("vec_id").as("id_b"), col("emb").as("emb_b"))
     l.join(r, Seq(key))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
+      // the key rides along (SemDeDup's census groups by cell; sim3
+      // drops it before its distinct) — r14 verdict ask #3: ONE pair
+      // kernel for every keyed near-dup caller
+      .select(col(key), col("id_a"), col("id_b"),
         round(VectorOps.vecCosine(spark, col("emb_a"), col("emb_b")), 4)
           .as("cos_sim"))
       .filter(!isnan(col("cos_sim")) && col("cos_sim") >= threshold)
@@ -441,6 +444,9 @@ object Similarity {
       .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
       .withColumn("bucket", signature(spark, col("emb"), planes))
     keyedNearDupPairs(e, "bucket", threshold = 0.25)
+      // a pair co-bucketed under several keys must report once: drop
+      // the key before the distinct
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
       .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -23,11 +23,37 @@ import graft.sources.Sources
   * duplicate version — double-counting the batch in the history s22
   * serves. The WAP answer: a per-batch marker commits LAST, and a
   * batch id whose marker exists is a no-op — the version count must
-  * not advance under replay (spec-pinned). Unlike the fold family
-  * this twin needs no [[FoldRestart]] guard: its state lives in the
-  * versioned store, not the JVM, so a restart resumes correctly from
-  * whatever the markers say is done. */
+  * not advance under replay (spec-pinned).
+  *
+  * The marker alone leaves one window open (advisor r14): a crash
+  * BETWEEN the version write and the marker write makes the orphan
+  * version the visible latest, and a naive replay would read it as
+  * `prev` and merge the same delta AGAIN — a double count published
+  * into the history s22 serves. Closed by making the version publish
+  * idempotent ON THE BATCH ID: the merged state stages under a
+  * non-version name, a `_batch_b<id>` tag (underscore-prefixed, so
+  * parquet readers skip it) is written INSIDE the staging dir, and
+  * one rename publishes state and tag together. On re-delivery the
+  * latest version's tag adjudicates: tagged with THIS batch id → the
+  * publish already completed, re-commit the marker only (no second
+  * merge); tagged with a batch whose marker is absent and which is
+  * not this one → a lost batch's orphan, deleted before merging (its
+  * delta is re-delivered by the checkpoint). Untagged versions are
+  * manifest-published ([[Sources.incrementalSync]]) and always
+  * trusted. Unlike the fold family this twin needs no [[FoldRestart]]
+  * guard: its state lives in the versioned store, not the JVM, so a
+  * restart resumes correctly from whatever the markers and tags say
+  * is done. */
 object IngestSync {
+
+  /** The batch-id tag riding inside a stream-published version dir
+    * (None for manifest-published versions). */
+  private def versionBatchTag(fs: org.apache.hadoop.fs.FileSystem,
+                              vdir: Path): Option[Long] =
+    if (!fs.exists(vdir)) None
+    else fs.listStatus(vdir).toSeq.map(_.getPath.getName)
+      .find(_.startsWith("_batch_b"))
+      .map(_.drop("_batch_b".length).toLong)
 
   /** The foreachBatch body — public so the replay spec can re-deliver
     * a committed batch id directly and assert the no-op. */
@@ -36,13 +62,34 @@ object IngestSync {
     val marker = new Path(s"$stateRoot/batches/b$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return // re-delivered batch: WAP no-op
-    if (!batch.isEmpty) {
+    // Crash-window repair: inspect the latest version's batch tag
+    // BEFORE reading it as prev (docstring above).
+    val alreadyPublished =
+      Sources.stateVersions(spark, stateRoot).lastOption.exists { last =>
+        val vdir = new Path(s"$stateRoot/versions/v$last")
+        versionBatchTag(fs, vdir) match {
+          case Some(`batchId`) => true // crashed after publish: re-commit only
+          case Some(other)
+              if !fs.exists(new Path(s"$stateRoot/batches/b$other")) =>
+            fs.delete(vdir, true) // a lost batch's orphan — sweep it
+            false
+          case _ => false
+        }
+      }
+    if (!alreadyPublished && !batch.isEmpty) {
       val versions = Sources.stateVersions(spark, stateRoot)
       val prev = versions.lastOption.map(v =>
         spark.read.parquet(s"$stateRoot/versions/v$v"))
       val merged = Sources.mergeState(prev, Sources.eventDelta(batch))
       val next = versions.lastOption.getOrElse(0) + 1
-      merged.write.mode("overwrite").parquet(s"$stateRoot/versions/v$next")
+      // stage → tag → one rename: the tag can never be seen without
+      // the state it describes, and a half-written staging dir is
+      // invisible to stateVersions (name is not v<digits>)
+      val staging = new Path(s"$stateRoot/versions/staging_b$batchId")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      fs.create(new Path(staging, s"_batch_b$batchId"), true).close()
+      if (!fs.rename(staging, new Path(s"$stateRoot/versions/v$next")))
+        sys.error(s"version publish v$next failed for batch $batchId")
     }
     fs.create(marker, true).close() // commit marker LAST
   }

@@ -687,4 +687,46 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toList
     assert(hist == List((1L, 2L, 2L), (2L, 1L, 2L), (4L, 1L, 4L)))
   }
+
+  test("one SemDeDup kernel, two keep rules (r14 ask #3): d12's min-id " +
+    "and d50's farthest-from-centroid resolve the SAME shared-kernel " +
+    "pair set") {
+    import graft.ext.Similarity
+    // planted: cell 0 holds three mutual dups at DISTINCT centroid
+    // similarities; cell 1 a singleton near-dup of v0 that must NOT
+    // pair (cross-cell, the SemDeDup approximation)
+    val assigned = Seq(
+      (0L, Seq(1.0, 0.0), 0),     // cent_sim 1.0 (the centroid itself)
+      (1L, Seq(0.999, 0.02), 0),  // cent_sim ≈ 0.9998
+      (2L, Seq(0.98, 0.1), 0),    // cent_sim ≈ 0.9948 — farthest
+      (3L, Seq(1.0, 0.001), 1))   // near v0 but in the other cell
+      .toDF("vec_id", "emb", "cell")
+    val centers = Array(Array(1.0, 0.0), Array(0.0, 1.0))
+    val tau = 0.95
+    // the ONE shared pair kernel both rules consume
+    val pairs = Similarity.keyedNearDupPairs(assigned, "cell", tau)
+    val pairSet = pairs.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"shared kernel pair set wrong: $pairSet")
+    // keep rule A — min-id (the d12 resolution): component {0,1,2}
+    // keeps 0; the cross-cell singleton keeps itself
+    val keptMin = Dedup.dedupedCorpus(
+        assigned.withColumnRenamed("vec_id", "doc_id"),
+        pairs.select(col("id_a"), col("id_b")))
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptMin == Set(0L, 3L), s"min-id rule kept $keptMin")
+    // keep rule B — farthest-from-centroid (the d50 resolution) over
+    // the SAME kernel: v2 has the lowest centroid similarity, so the
+    // whole component maps to keeper 2
+    val (p2, kept) = Dedup.semDedupParts(assigned, centers, tau)
+    val p2Set = p2.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(p2Set == pairSet,
+      "semDedupParts diverged from the shared kernel's pair set")
+    val keepers = kept.select(col("doc_id"), col("keeper_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(keepers == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 3L),
+      s"farthest-from-centroid rule resolved $keepers")
+  }
 }

@@ -310,4 +310,99 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(IndexStore.builds.size > before,
       "invalidate() did not force a rebuild")
   }
+
+  test("a stray .tmp child inside a published artifact (a pre-sweep " +
+    "binary's lost race, advisor r14) is not read as a sub-artifact") {
+    IndexStore.loadOrBuild(spark, dir, "embeddings", "tmp_probe") {
+      Seq("x" -> spark.range(4).toDF("v"))
+    }
+    // plant the advisor's debris: an empty tmp dir beside the real
+    // sub-artifact, inside the PUBLISHED path
+    val published = Option(scratch.listFiles()).get
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty[File]))
+      .filter(_.getName.startsWith("tmp_probe_v"))
+    assert(published.nonEmpty, "tmp_probe not published")
+    published.foreach(p => assert(new File(p, "tmp_probe_v2.tmp999").mkdirs()))
+    val s = spark.newSession()
+    val out = IndexStore.loadOrBuild(s, dir, "embeddings", "tmp_probe") {
+      sys.error("stray tmp child forced a rebuild")
+    }
+    assert(out.keySet == Set("x"),
+      s"stray tmp child surfaced as a sub-artifact: ${out.keySet}")
+    assert(out("x").count() == 4)
+  }
+
+  test("fingerprint on a missing table is a benign constant, and " +
+    "invalidate on it is a no-op (advisor r14) — not a throw") {
+    assert(IndexStore.fingerprint(spark, scratch.getPath, "no_such_table")
+      == "absent00")
+    IndexStore.invalidate(spark, scratch.getPath, "no_such_table")
+  }
+
+  test("d49 card persists cross-session (r14 ask #2): a fresh session " +
+    "serves the scorecard from the store with ZERO builds") {
+    val sA = spark.newSession()
+    val before = IndexStore.builds.size
+    val r1 = graft.ext.Dedup.queries("d49_dedup_scorecard")(sA, dir)
+      .collect().toSeq
+    assert(IndexStore.builds.toArray.drop(before)
+      .exists(_.toString.startsWith("d49card@")),
+      "cold store did not build+publish the card")
+    val sB = spark.newSession()
+    val mid = IndexStore.builds.size
+    val r2 = graft.ext.Dedup.queries("d49_dedup_scorecard")(sB, dir)
+      .collect().toSeq
+    assert(IndexStore.builds.size == mid,
+      "a fresh session re-ran the brute-truth build instead of " +
+        "loading the published card: " +
+        IndexStore.builds.toArray.drop(mid).mkString(", "))
+    assert(r1 == r2, "store-served card diverged from the build session")
+  }
+
+  test("gcStore (r14 ask #7): sweeps stale-fingerprint roots, " +
+    "non-current versions, tmp debris, and caller-declared superseded " +
+    "generations — while served indexes survive and a fresh session " +
+    "still serves with zero builds") {
+    IndexStore.loadOrBuild(spark, dir, "embeddings", "gc_keep") {
+      Seq("x" -> spark.range(7).toDF("v"))
+    }
+    IndexStore.loadOrBuild(spark, dir, "embeddings", "gc_folded") {
+      Seq("x" -> spark.range(9).toDF("v"))
+    }
+    val tag = Similarity.dirTag(dir)
+    val liveRoot = Option(scratch.listFiles()).get
+      .filter(f => f.getName.startsWith(tag + "_") &&
+        new File(f, "_GRAFT_TABLES").isFile &&
+        Option(f.listFiles()).get.exists(_.getName.startsWith("gc_keep")))
+      .head
+    // plant: (a) a stale root — right shape, recorded tables, but a
+    // fingerprint no rewrite can ever produce again
+    val staleRoot = new File(scratch, s"${tag}_0000dead")
+    new File(staleRoot, "stale_art_v2").mkdirs()
+    java.nio.file.Files.write(
+      new File(staleRoot, "_GRAFT_TABLES").toPath,
+      "embeddings".getBytes("UTF-8"))
+    // (b) a previous-FormatVersion artifact and tmp debris in the live root
+    new File(liveRoot, "gc_old_v1").mkdirs()
+    new File(liveRoot, "gc_keep_v2.tmp777").mkdirs()
+    val deleted = IndexStore.gcStore(spark, Seq(dir),
+      superseded = Seq("gc_folded"))
+    def deletedName(n: String) = deleted.exists(_.endsWith(n))
+    assert(deletedName(s"${tag}_0000dead"), s"stale root survived: $deleted")
+    assert(deletedName("gc_old_v1"), s"stale version survived: $deleted")
+    assert(deletedName("gc_keep_v2.tmp777"), s"tmp debris survived: $deleted")
+    assert(deletedName("gc_folded_v2"), s"superseded artifact survived: $deleted")
+    assert(!staleRoot.exists() && !new File(liveRoot, "gc_old_v1").exists())
+    // the served artifact and its siblings survive...
+    assert(new File(liveRoot, "gc_keep_v2").isDirectory,
+      "GC deleted a served artifact")
+    // ...and a fresh session still serves it with zero builds
+    val s = spark.newSession()
+    val before = IndexStore.builds.size
+    val out = IndexStore.loadOrBuild(s, dir, "embeddings", "gc_keep") {
+      sys.error("GC broke the published artifact — rebuild forced")
+    }
+    assert(out("x").count() == 7)
+    assert(IndexStore.builds.size == before)
+  }
 }

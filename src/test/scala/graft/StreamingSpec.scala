@@ -2091,4 +2091,58 @@ class StreamingSpec extends AnyFunSuite {
     // and the replay left the served state untouched
     assert(stateRows(stateS) == stateRows(stateM))
   }
+
+  test("s21' WAP crash windows (advisor r14): a batch that crashed " +
+    "AFTER its version publish but BEFORE the marker re-commits " +
+    "without double-merging; a lost batch's orphan version is swept, " +
+    "never read as prev") {
+    import graft.streaming.IngestSync
+    val root = java.nio.file.Files.createTempDirectory("s21crash").toString
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val w1 = ev.filter(dayofmonth(col("ts")) <= 10)
+    val w2 = ev.filter(dayofmonth(col("ts")) > 10 &&
+      dayofmonth(col("ts")) <= 20)
+    val w3 = ev.filter(dayofmonth(col("ts")) > 20)
+    def rows(stateRoot: String): Seq[String] = {
+      val latest = new java.io.File(s"$stateRoot/versions").listFiles()
+        .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+      spark.read.parquet(s"$stateRoot/versions/v$latest")
+        .orderBy(col("event_type"), col("d"))
+        .collect().map(_.toString).toSeq
+    }
+    // the clean reference history: three batches, no crashes
+    val ref = s"$root/ref"
+    IngestSync.onBatch(ref, w1, 0L)
+    IngestSync.onBatch(ref, w2, 1L)
+    IngestSync.onBatch(ref, w3, 2L)
+    // crash window 1: batch 1's version v2 published (tag riding in
+    // the dir), marker lost — exactly the advisor's double-count window
+    val st = s"$root/st"
+    IngestSync.onBatch(st, w1, 0L)
+    IngestSync.onBatch(st, w2, 1L)
+    assert(new java.io.File(s"$st/batches/b1").delete(), "test setup")
+    val before = new java.io.File(s"$st/versions").listFiles()
+      .map(_.getName).sorted.toSeq
+    IngestSync.onBatch(st, w2, 1L) // foreachBatch re-delivery
+    val after = new java.io.File(s"$st/versions").listFiles()
+      .map(_.getName).sorted.toSeq
+    assert(after == before,
+      s"re-delivery after the crash window re-merged the delta: " +
+        s"$before → $after")
+    assert(new java.io.File(s"$st/batches/b1").isFile,
+      "re-delivery did not re-commit the marker")
+    // crash window 2: an orphan version from a LOST batch id (tagged,
+    // marker never written) sits as the visible latest — it must be
+    // swept, NOT read as prev, and the real batch publishes in its place
+    val orphan = new java.io.File(s"$st/versions/v3")
+    spark.range(3).toDF("junk").write.parquet(orphan.getPath)
+    assert(new java.io.File(orphan, "_batch_b99").createNewFile())
+    IngestSync.onBatch(st, w3, 2L)
+    assert(new java.io.File(s"$st/versions/v3/_batch_b2").isFile,
+      "batch 2's publish did not replace the orphan version")
+    assert(rows(st) == rows(ref),
+      "crash-window history diverged from the clean three-batch history")
+  }
 }
