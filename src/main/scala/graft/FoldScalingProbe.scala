@@ -93,6 +93,23 @@ object FoldScalingProbe {
       ("a36_panel_fold", "events", {
         val f = new streaming.MetricPanelFold
         ((b: DataFrame) => f.foldBatch(b), () => f.serve(spark).count())
+      }),
+      // the SECONDARY serves off shared fold state (r14 verdict ask
+      // #8): a34 serves KS off a33's per-user-cents state, a37 the
+      // power/MDE card off a36's panel moments, a38 SRM off a32's
+      // journeys — the folds' receipts above cover the state build;
+      // these rows price the extra readout each shared state funds
+      ("a34_ks_serve", "events", {
+        val f = new streaming.MannWhitneyFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serveKs(spark).count())
+      }),
+      ("a37_mde_serve", "events", {
+        val f = new streaming.MetricPanelFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serveMde(spark).count())
+      }),
+      ("a38_srm_serve", "events", {
+        val f = new streaming.SeqAbStreamFold
+        ((b: DataFrame) => f.foldBatch(b), () => f.serveSrm().count())
       }))
 
     def timed(body: => Unit): Double = {
