@@ -784,16 +784,25 @@ object WindowFns {
   def w18LatenessAudit(spark: SparkSession, dir: String): DataFrame =
     latenessAudit(Tables.events(spark, dir))
 
-  private[graft] def latenessAudit(events: DataFrame): DataFrame = {
+  /** The shared per-event lateness frame (w18's kernel, split out so
+    * w19's horizon derivation reads the SAME definition of "late"): one
+    * user-partitioned window ordered by arrival, running max over
+    * PRECEDING rows, second-truncated integer lateness. */
+  private def lateness(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val late = events
+    events
       .withColumn("us", expr("unix_timestamp(ts)"))
       .withColumn("frontier", max(col("us")).over(w))
       .withColumn("late_s",
         when(col("frontier").isNull, 0L)
           .otherwise(greatest(col("frontier") - col("us"), lit(0L))))
+  }
+
+  private[graft] def latenessAudit(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val late = lateness(events)
       .withColumn("bucket",
         when(col("late_s") === 0L, "in_order")
           .when(col("late_s") <= 60L, "late_1m")
@@ -807,6 +816,66 @@ object WindowFns {
             Window.partitionBy(col("event_type"))), 4))
       .orderBy(col("event_type"), col("bucket"))
   }
+
+  /** W19 — watermark HORIZON derivation: the CONSUMER w18's card was
+    * written for (r14 verdict ask #4). w18 measures how late arrivals
+    * run; w19 executes the "read the card, pick the boundary" step: it
+    * walks the fixed boundary ladder {0 s, 60 s, 3600 s, max-observed}
+    * over the SAME lateness kernel and marks CHOSEN the smallest
+    * boundary whose cumulative arrival coverage clears 99% — exactly
+    * the number `withWatermark` wants, with the loss share the team
+    * accepted printed beside it. The streaming twin
+    * ([[graft.streaming.Windows.latenessBoundedCounts]]) feeds this
+    * horizon to a real watermarked window, and StreamingSpec pins that
+    * the horizon admits/drops exactly the shares this card predicts on
+    * planted lateness.
+    *
+    * Scale shape: the corpus reduces through ONE aggregate on the
+    * lateness frame (the same w5/w7 user-partition shuffle w18 pays);
+    * the ladder is a 4-row explode of that single aggregate row —
+    * never a per-boundary rescan. Shares round(4) off exact longs
+    * before the coverage compare, so both engines pick the same rung
+    * on a borderline corpus. */
+  def w19WatermarkHorizon(spark: SparkSession, dir: String): DataFrame =
+    watermarkHorizon(Tables.events(spark, dir))
+
+  private[graft] def watermarkHorizon(events: DataFrame,
+                                      coverage: Double = 0.99): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = lateness(events).agg(
+      count(lit(1)).as("n"),
+      sum(when(col("late_s") <= 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("late_s") <= 60L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("late_s") <= 3600L, 1L).otherwise(0L)).as("n2"),
+      max(col("late_s")).as("mx"))
+    val cand = agg.select(explode(array(
+        struct(lit(1).as("prec"), lit("in_order").as("bucket"),
+          lit(0L).as("boundary_s"), col("n0").as("n_within"), col("n")),
+        struct(lit(2).as("prec"), lit("late_1m").as("bucket"),
+          lit(60L).as("boundary_s"), col("n1").as("n_within"), col("n")),
+        struct(lit(3).as("prec"), lit("late_1h").as("bucket"),
+          lit(3600L).as("boundary_s"), col("n2").as("n_within"), col("n")),
+        struct(lit(4).as("prec"), lit("max_late").as("bucket"),
+          col("mx").as("boundary_s"), col("n").as("n_within"), col("n"))))
+        .as("c"))
+      .select(col("c.*"))
+      .withColumn("cum_share",
+        round(col("n_within").cast("double") / col("n"), 4))
+    cand
+      .withColumn("chosen", col("prec") ===
+        min(when(col("cum_share") >= coverage, col("prec")))
+          .over(Window.partitionBy(lit(1))))
+      .select(col("bucket"), col("boundary_s"), col("n_within"),
+        col("cum_share"), col("chosen"))
+      .orderBy(col("boundary_s"), col("bucket"))
+  }
+
+  /** The chosen horizon in seconds, for callers wiring a stream — the
+    * one-value read of the w19 card. */
+  def chosenHorizonSeconds(events: DataFrame,
+                           coverage: Double = 0.99): Long =
+    watermarkHorizon(events, coverage)
+      .filter(col("chosen")).head().getAs[Long]("boundary_s")
 
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
@@ -912,6 +981,7 @@ object WindowFns {
     "w8_funnel" -> w8Funnel,
     "w17_conversion_latency" -> w17ConversionLatency,
     "w18_lateness_audit" -> w18LatenessAudit,
+    "w19_watermark_horizon" -> w19WatermarkHorizon,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
     "w1_topn_per_group" -> w1TopNPerGroup,
@@ -955,6 +1025,43 @@ object WindowFns {
         |  round(CAST(n AS DOUBLE) * 100.0
         |    / sum(n) OVER (PARTITION BY event_type), 4) AS share
         |FROM g ORDER BY event_type, bucket""".stripMargin,
+    // w19 rides w18's lateness CTE verbatim (ONE definition of "late"),
+    // then the fixed boundary ladder off a single aggregate row and the
+    // chosen-rung rule on the rounded coverage — exact longs until the
+    // final round(4), so both engines pick the same rung
+    "w19_watermark_horizon" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS us,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS frontier
+        |  FROM events),
+        |l2 AS (
+        |  SELECT CASE WHEN frontier IS NULL THEN 0
+        |         ELSE greatest(frontier - us, 0) END AS late_s
+        |  FROM l),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN late_s <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |    CAST(sum(CASE WHEN late_s <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN late_s <= 3600 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(max(late_s) AS BIGINT) AS mx
+        |  FROM l2),
+        |c AS (
+        |  SELECT 1 AS prec, 'in_order' AS bucket,
+        |    CAST(0 AS BIGINT) AS boundary_s, n0 AS n_within, n FROM s
+        |  UNION ALL SELECT 2, 'late_1m', CAST(60 AS BIGINT), n1, n FROM s
+        |  UNION ALL SELECT 3, 'late_1h', CAST(3600 AS BIGINT), n2, n FROM s
+        |  UNION ALL SELECT 4, 'max_late', mx, n, n FROM s),
+        |c2 AS (
+        |  SELECT prec, bucket, boundary_s, n_within,
+        |    round(CAST(n_within AS DOUBLE) / n, 4) AS cum_share FROM c)
+        |SELECT bucket, boundary_s, n_within, cum_share,
+        |  prec = min(CASE WHEN cum_share >= CAST(0.99 AS DOUBLE)
+        |                  THEN prec END) OVER () AS chosen
+        |FROM c2 ORDER BY boundary_s, bucket""".stripMargin,
     // w17 rides w8's funnel CTEs verbatim (shared stage semantics) and
     // adds the latency card: second-floored epochs, quantile_cont = the
     // a14 exact-interpolation convention, stage means over converters

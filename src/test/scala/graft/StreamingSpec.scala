@@ -2145,4 +2145,73 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(st) == rows(ref),
       "crash-window history diverged from the clean three-batch history")
   }
+
+  test("w19'/ST13 the watermark loop closes (r14 ask #4): the horizon " +
+    "DERIVED from the lateness audit admits/drops exactly the shares " +
+    "the card predicts on planted lateness") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val base = t("2024-01-01 10:00:00").getTime
+    def ts(offsetS: Long) = new Timestamp(base + offsetS * 1000L)
+    // arrival log (event_id = arrival order), one user so the per-user
+    // frontier IS the stream's global watermark driver:
+    //   240 in-order events every 29 s (hours 10 and 11),
+    //   one in-order event at 12:30, three 50–80 s-late around 12:29,
+    //   one 3-hours-late event (09:30), one in-order closer at 14:00
+    val inOrder = (0 until 240).map(i => (i.toLong, ts(i * 29L)))
+    val tail = Seq(
+      (240L, ts(9000L)),         // 12:30:00 — frontier advances
+      (241L, ts(9000L - 50L)),   // 12:29:10 — late 50 s (admit)
+      (242L, ts(9000L - 60L)),   // 12:29:00 — late 60 s (admit)
+      (243L, ts(9000L - 55L)),   // 12:29:05 — late 55 s (admit)
+      (244L, ts(-1800L)),        // 09:30:00 — late 10 800 s (drop)
+      (245L, ts(14400L)))        // 14:00:00 — closes hours 11–12
+    val all = inOrder ++ tail
+    val arrivalLog = all.map { case (id, t0) => (id, t0, 1L, "click") }
+      .toDF("event_id", "ts", "user_id", "event_type")
+    // the card: in-order 242/246 = 0.9837 < 0.99; ≤60 s 245/246 =
+    // 0.9959 ≥ 0.99 → chosen horizon = 60 s, predicted drops = 1
+    val card = graft.ext.WindowFns.watermarkHorizon(arrivalLog).collect()
+    val chosen = card.filter(_.getAs[Boolean]("chosen"))
+    assert(chosen.map(_.getAs[String]("bucket")).toSeq == Seq("late_1m"),
+      s"card chose ${chosen.mkString(",")}")
+    val horizon = graft.ext.WindowFns.chosenHorizonSeconds(arrivalLog)
+    assert(horizon == 60L)
+    // n = the max_late rung's n_within (that rung covers everything)
+    val n = card.map(_.getAs[Long]("n_within")).max
+    val admitted = card.filter(_.getAs[String]("bucket") == "late_1m")
+      .head.getAs[Long]("n_within")
+    assert(n - admitted == 1L, "planted corpus should predict ONE drop")
+    // the stream: same rows in the same ARRIVAL order, watermark set
+    // from the card's chosen horizon
+    val in = MemoryStream[Ev]
+    val q = Windows.latenessBoundedCounts(
+        in.toDF(), horizonS = horizon)
+      .writeStream.format("memory").queryName("w19_out")
+      .outputMode("append").start()
+    def ev(t0: Timestamp) = Ev(t0, "click", 1L, 1.0)
+    in.addData(inOrder.map(p => ev(p._2)))          // batch 1
+    q.processAllAvailable()
+    in.addData(tail.take(5).map(p => ev(p._2)))     // batch 2 incl. drop
+    q.processAllAvailable()
+    in.addData(ev(tail.last._2))                    // batch 3: closer
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("w19_out")
+      .select(col("hour"), col("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    // hour 10: i*29 < 3600 → 125 rows; hour 11: the other 115; hour 12:
+    // the in-order 12:30 + all three ≤60 s-late admits; hour 09: the
+    // beyond-horizon event DROPPED — exactly the card's predicted loss
+    assert(out.get(ts(0L)).contains(125L), s"hour 10: $out")
+    assert(out.get(ts(3600L)).contains(115L), s"hour 11: $out")
+    assert(out.get(ts(7200L)).contains(4L),
+      s"hour 12 must include the three within-horizon late events: $out")
+    assert(!out.keys.exists(_.getTime < base),
+      s"the beyond-horizon event leaked into a published window: $out")
+    // total = n − 1 predicted drop − 1 closer riding the still-open
+    // 14:00 window (append mode only emits closed windows)
+    assert(out.values.sum == n - 2,
+      s"streamed total ${out.values.sum} != corpus $n minus the card's " +
+        "predicted drop and the unclosed closer")
+  }
 }
