@@ -192,7 +192,10 @@ class SqlParitySpec extends AnyFunSuite {
     sql.replace("epoch_ns(ts) // 1000", "unix_micros(ts)")
       .replace("epoch_us(", "unix_micros(")
       .replace("list_filter(", "filter(")
+      .replace("string_split_regex(", "split(")
       .replace("string_split(", "split(")
+      // DuckDB's T[] array-type syntax → Spark's ARRAY<T>
+      .replace(" AS DOUBLE[])", " AS ARRAY<DOUBLE>)")
       .replace("quantile_cont(", "percentile(")
       .replace("len(", "size(")
       .replace("epoch(", "unix_timestamp(")
@@ -248,7 +251,18 @@ class SqlParitySpec extends AnyFunSuite {
     // and NULLS FIRST/LAST window orders, all shared syntax)
     "a33_mann_whitney", "a34_ks_test", "a35_cuped", "a36_bh_panel",
     "a37_power_mde", "a38_srm_guard", "g10_degree_powerlaw",
-    "w18_lateness_audit")
+    "w18_lateness_audit",
+    // fourth wave (r14 verdict ask #6 — the enumerated respellable
+    // tail: oracles whose only DuckDB-isms are epoch()/`//`/unnest,
+    // or none at all; see README "SQL-parity surface"):
+    "a27_ab_test", "a32_sequential_ab", "g2_triangle_count",
+    "g3_degree_stats", "j12_interval_join", "mm8_header_probe",
+    "p8_column_profile", "w19_watermark_horizon",
+    "t13_char_stats")
+  // p11_schema_audit was TRIED in this wave and is blocked honestly:
+  // its oracle reads DuckDB's pragma_table_info catalog TVF, which has
+  // no Spark SQL equivalent surface (DESCRIBE output is a command, not
+  // a composable relation with the same columns).
   // Not respellable (each was TRIED and failed honestly): the
   // recursive-closure family (UNION set semantics), range()/
   // generate_series (end-exclusive vs sequence's inclusive), DuckDB
@@ -304,6 +318,20 @@ class SqlParitySpec extends AnyFunSuite {
         |  round(CAST(n_purchases AS DOUBLE)
         |    / sum(n_purchases) OVER (), 4) AS share
         |FROM p ORDER BY channel""".stripMargin)
+  }
+
+  test("sql-parity sim5_label_centroids: hand-written Spark twin " +
+    "(DuckDB's unnest + generate_subscripts pair is Spark's ONE " +
+    "posexplode generator — a positional respell no token map can do)") {
+    assertParity("sim5_label_centroids",
+      """WITH x AS (
+        |  SELECT label, dim, v FROM embeddings
+        |  LATERAL VIEW posexplode(
+        |    transform(embedding, e -> CAST(e AS DOUBLE))) t AS dim, v)
+        |SELECT label, count(*) AS n_vecs, CAST(dim AS INT) AS dim,
+        |  round(avg(v), 4) AS centroid
+        |FROM x WHERE dim < 8
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin)
   }
 
   test("sql-parity sim1_cosine_topk: injected vec_cosine from SQL text " +
