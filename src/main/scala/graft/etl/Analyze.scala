@@ -1394,6 +1394,212 @@ object Analyze {
     round(poly * exp(-(x * x)), 6)
   }
 
+  /** A39 — difference-in-differences: the experiment readout for a
+    * NON-randomized rollout, where arms differ before treatment and a
+    * raw post-period compare would credit pre-existing gaps to the
+    * change. DiD subtracts each arm's own pre-period baseline — the
+    * estimator is the mean of per-user (post − pre) deltas, compared
+    * across arms — so any time-invariant arm difference cancels by
+    * construction (the parallel-trends assumption is the price, which
+    * is why the card prints both arm deltas, not just their gap).
+    * Completes the experiment console: a27 compares conversion, a35
+    * adjusts variance with a covariate, a39 handles the biased-split
+    * case both assume away.
+    *
+    * Scale + determinism shape: the corpus reduces through a35's OWN
+    * per-user exact-cents reduction ([[userPrePostCents]] — shared
+    * state, so a39 and a35 cannot disagree on membership or split
+    * day); deltas and both moments are exact longs; the z/p chain is
+    * one-row scalar math off the single aggregate (A&S 7.1.26 via
+    * [[normTwoSided]], pinned against table values). Zero pooled
+    * variance → NULL z/p, not a division artifact. Streaming twin:
+    * [[graft.streaming.CupedFold.serveDid]] replays this kernel off
+    * a35's fold state — a fourth readout funded by an existing
+    * reduction, the a34/a37/a38 shared-state discipline. */
+  def a39Did(spark: SparkSession, dir: String): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val span = events.agg(
+      min(expr("unix_timestamp(ts) div 86400")).as("d0"),
+      max(expr("unix_timestamp(ts) div 86400")).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    didFromUsers(userPrePostCents(
+      events.crossJoin(broadcast(span)), col("split")))
+  }
+
+  private[graft] def didFromUsers(users: DataFrame): DataFrame = {
+    def s(a: String, e: Column) =
+      sum(when(col("arm") === a, e).otherwise(0L))
+    val g = users.withColumn("arm", armCol)
+      .withColumn("delta", col("post_cents") - col("pre_cents"))
+      .agg(
+        s("A", lit(1L)).as("n_a"), s("B", lit(1L)).as("n_b"),
+        s("A", col("delta")).as("sd_a"), s("B", col("delta")).as("sd_b"),
+        s("A", col("delta") * col("delta")).as("sdd_a"),
+        s("B", col("delta") * col("delta")).as("sdd_b"))
+    g
+      .withColumn("ma", col("sd_a").cast("double") / expr("nullif(n_a, 0)"))
+      .withColumn("mb", col("sd_b").cast("double") / expr("nullif(n_b, 0)"))
+      .withColumn("va", col("sdd_a").cast("double") / expr("nullif(n_a, 0)")
+        - col("ma") * col("ma"))
+      .withColumn("vb", col("sdd_b").cast("double") / expr("nullif(n_b, 0)")
+        - col("mb") * col("mb"))
+      .withColumn("se", sqrt(col("va") / col("n_a") + col("vb") / col("n_b")))
+      .withColumn("z", when(col("se") > 0.0,
+        round((col("mb") - col("ma")) / col("se"), 4)))
+      .withColumn("p_value", normTwoSided(col("z")))
+      .select(col("n_a"), col("n_b"),
+        round(col("ma"), 4).as("mean_delta_a"),
+        round(col("mb"), 4).as("mean_delta_b"),
+        round(col("mb") - col("ma"), 4).as("did_cents"),
+        col("z"), col("p_value"),
+        coalesce(col("p_value") < 0.05, lit(false)).as("significant"))
+  }
+
+  /** A40 — winsorized / trimmed means: heavy-tail-robust location
+    * estimates per event type. A single whale purchase can move a raw
+    * mean by more than a real treatment effect; production metric
+    * pipelines winsorize (clamp to the [p1, p99] band) or trim (drop
+    * outside it) before any comparison. The card prints raw, both
+    * robust variants, and the clamp bounds — the analyst sees exactly
+    * what the tails were doing.
+    *
+    * Scale + determinism: values enter as exact cents; the bounds are
+    * a14's exact-interpolation percentiles ROUNDED TO WHOLE CENTS
+    * (HALF_UP, both engines) before any row touches them, so the
+    * clamp/trim sums are pure integer arithmetic — aggregation order
+    * cannot drift a tail. Two passes over the corpus (bounds, then
+    * clamped sums) with the |types|-row bounds frame broadcast back;
+    * an order statistic is not map-side-mergeable, which is also why
+    * this card is batch-only by design (a streaming robust mean rides
+    * a18's quantile-fold grid instead). */
+  def a40WinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(spark, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c"))
+    val bounds = cents.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"),
+      sum(col("c")).as("sc"),
+      round(expr("percentile(c, 0.01D)")).cast("long").as("lo_cents"),
+      round(expr("percentile(c, 0.99D)")).cast("long").as("hi_cents"))
+    cents.join(broadcast(bounds), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("sc")).as("sc"),
+        first(col("lo_cents")).as("lo_cents"),
+        first(col("hi_cents")).as("hi_cents"),
+        sum(least(greatest(col("c"), col("lo_cents")), col("hi_cents")))
+          .as("wsum"),
+        sum(when(col("c").between(col("lo_cents"), col("hi_cents")),
+          col("c")).otherwise(0L)).as("tsum"),
+        sum(when(col("c").between(col("lo_cents"), col("hi_cents")), 1L)
+          .otherwise(0L)).as("n_kept"))
+      .select(col("event_type"), col("n"), col("lo_cents"), col("hi_cents"),
+        round(col("sc").cast("double") / (col("n") * 100.0), 4)
+          .as("raw_mean"),
+        round(col("wsum").cast("double") / (col("n") * 100.0), 4)
+          .as("winsorized_mean"),
+        round(col("tsum").cast("double") / (col("n_kept") * 100.0), 4)
+          .as("trimmed_mean"),
+        col("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  /** A41 — Benford first-digit audit: the classic fabricated-data /
+    * broken-pipeline detector. Organically-generated positive amounts
+    * spread across magnitudes follow P(d) = log10(1 + 1/d); a data
+    * drop that truncated a magnitude band, a default value flooding
+    * one digit, or synthetic padding all bend the distribution, and
+    * the chi-square against Benford prices the bend in one number.
+    * The card is an AUDIT — a corpus that genuinely isn't Benford
+    * (narrow price bands) reports large chi2 honestly, which is why
+    * per-digit observed/expected rows ride beside the statistic.
+    *
+    * Scale + determinism: one map-side-combinable count per digit (9
+    * rows); the first significant digit comes from the CENTS long's
+    * leading character (×100 shifts the decimal point, never the
+    * leading digit — no float log in the extraction path); expected
+    * shares and chi2 are scalar math over the 9-row frame, rounds(4).
+    * Streaming twin: [[graft.streaming.BenfordFold]] folds the digit
+    * counts (a 9-long additive monoid) and serves this same kernel. */
+  def a41Benford(spark: SparkSession, dir: String): DataFrame =
+    benfordFromCounts(benfordDigitCounts(Tables.events(spark, dir)))
+
+  /** The corpus reduction: purchase-cents first-digit counts — the
+    * fold's whole state (≤9 rows). */
+  private[graft] def benfordDigitCounts(events: DataFrame): DataFrame =
+    events
+      .filter(col("event_type") === "purchase" && col("value").isNotNull)
+      .select(round(col("value") * 100).cast("long").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(substring(col("cents").cast("string"), 1, 1).cast("int")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+
+  private[graft] def benfordFromCounts(countsIn: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(lit(1))
+    val spark = countsIn.sparkSession
+    import spark.implicits._
+    // all 9 digits always present (a digit with zero observations is
+    // evidence, not a missing row)
+    val digits = (1 to 9).toDF("digit")
+    val counts = digits.join(countsIn, Seq("digit"), "left")
+      .na.fill(0L, Seq("n"))
+    counts
+      .withColumn("total", sum(col("n")).over(w))
+      .withColumn("share", round(col("n").cast("double") / col("total"), 4))
+      .withColumn("benford",
+        round(log10(lit(1.0) + lit(1.0) / col("digit")), 4))
+      .withColumn("exp_n",
+        col("total") * log10(lit(1.0) + lit(1.0) / col("digit")))
+      .withColumn("chi2_term",
+        (col("n") - col("exp_n")) * (col("n") - col("exp_n"))
+          / col("exp_n"))
+      .withColumn("chi2_total", round(sum(col("chi2_term")).over(w), 4))
+      .select(col("digit"), col("n"), col("share"), col("benford"),
+        col("chi2_total"))
+      .orderBy(col("digit"))
+  }
+
+  /** A42 — source-concentration card (HHI): per language, how
+    * concentrated is the corpus across sources? The
+    * Herfindahl–Hirschman index (Σ share²) is the standard one-number
+    * answer; a training-data pipeline reads it before sampling —
+    * a lang whose HHI ≈ 1 is effectively single-source (its "diversity"
+    * is an illusion d43's temperature mix cannot fix), and the top
+    * source's share says who dominates. Map-side-combinable counts per
+    * (lang, source) — a frame bounded by the label-space product, never
+    * corpus-sized; shares and HHI are exact-count ratios rounded(4);
+    * the top source breaks count ties toward the LEXICALLY FIRST name
+    * so the card is rerun-stable. */
+  def a42HhiConcentration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cs = Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("lang"))
+    val ranked = cs
+      .withColumn("n_docs", sum(col("c")).over(w))
+      .withColumn("rk", row_number().over(
+        w.orderBy(col("c").desc, col("source").asc)))
+    ranked
+      .groupBy(col("lang"))
+      .agg(
+        first(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        max(when(col("rk") === 1, col("source"))).as("top_source"),
+        max(when(col("rk") === 1, col("c"))).as("top_n"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .select(col("lang"), col("n_docs"), col("n_sources"),
+        col("top_source"),
+        round(col("top_n").cast("double") / col("n_docs"), 4)
+          .as("top_share"),
+        round(col("sum_sq").cast("double")
+          / (col("n_docs") * col("n_docs")), 4).as("hhi"))
+      .orderBy(col("lang"))
+  }
+
   /** The shared per-metric statistics frame behind a36 AND a37: per-
     * (metric, arm) exact-integer moments over the per-user counts,
     * the distinct-user arm totals (zero-inflation: a user with no
@@ -1618,6 +1824,10 @@ object Analyze {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a39_did" -> a39Did,
+    "a40_winsorized_mean" -> a40WinsorizedMean,
+    "a41_benford" -> a41Benford,
+    "a42_hhi_concentration" -> a42HhiConcentration,
     "a38_srm_guard" -> a38SrmGuard,
     "a37_power_mde" -> a37PowerMde,
     "a36_bh_panel" -> a36BhPanel,
@@ -1683,6 +1893,146 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // a39 rides a35's sp/u CTEs verbatim (ONE per-user pre/post
+    // reduction for the whole experiment console), then exact-long
+    // delta moments, the guarded z, and the shared A&S tail
+    "a39_did" ->
+      (s"""WITH sp AS (
+        |  SELECT (min(CAST(floor(epoch(ts)) AS BIGINT) // 86400)
+        |        + max(CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 1) // 2
+        |    AS split FROM events),
+        |u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      AND CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        |        < (SELECT split FROM sp)
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS pre_cents,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      AND CAST(floor(epoch(ts)) AS BIGINT) // 86400
+        |        >= (SELECT split FROM sp)
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS post_cents,
+        |    CASE WHEN ${graft.functions.IdHash.sql("user_id", 100)} < 50
+        |         THEN 'A' ELSE 'B' END AS arm
+        |  FROM events GROUP BY user_id),
+        |d AS (SELECT arm, post_cents - pre_cents AS delta FROM u),
+        |g AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN delta ELSE 0 END)
+        |      AS BIGINT) AS sd_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN delta ELSE 0 END)
+        |      AS BIGINT) AS sd_b,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN delta * delta ELSE 0 END)
+        |      AS BIGINT) AS sdd_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN delta * delta ELSE 0 END)
+        |      AS BIGINT) AS sdd_b
+        |  FROM d),
+        |m AS (
+        |  SELECT *,
+        |    CAST(sd_a AS DOUBLE) / nullif(n_a, 0) AS ma,
+        |    CAST(sd_b AS DOUBLE) / nullif(n_b, 0) AS mb
+        |  FROM g),
+        |v AS (
+        |  SELECT *,
+        |    CAST(sdd_a AS DOUBLE) / nullif(n_a, 0) - ma * ma AS va,
+        |    CAST(sdd_b AS DOUBLE) / nullif(n_b, 0) - mb * mb AS vb
+        |  FROM m),
+        |s AS (SELECT *, sqrt(va / n_a + vb / n_b) AS se FROM v),
+        |zt AS (
+        |  SELECT *, CASE WHEN se > 0.0
+        |    THEN round((mb - ma) / se, 4) END AS z FROM s),
+        |v5 AS (SELECT *, abs(z) / sqrt(2.0) AS x FROM zt),
+        |v6 AS (SELECT *, 1.0 / (1.0 + 0.3275911 * x) AS t FROM v5),
+        |v7 AS (
+        |  SELECT *, round(t * (0.254829592 + t * (-0.284496736
+        |    + t * (1.421413741 + t * (-1.453152027
+        |    + t * 1.061405429)))) * exp(-(x * x)), 6) AS p_value
+        |  FROM v6)
+        |SELECT n_a, n_b, round(ma, 4) AS mean_delta_a,
+        |  round(mb, 4) AS mean_delta_b, round(mb - ma, 4) AS did_cents,
+        |  z, p_value, coalesce(p_value < 0.05, false) AS significant
+        |FROM v7""").stripMargin,
+    // a40: bounds = exact-interpolation percentiles rounded to WHOLE
+    // cents before any row is clamped, so every sum is integer-exact
+    "a40_winsorized_mean" ->
+      """WITH c AS (
+        |  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |b AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS sc,
+        |    CAST(round(quantile_cont(c, 0.01)) AS BIGINT) AS lo_cents,
+        |    CAST(round(quantile_cont(c, 0.99)) AS BIGINT) AS hi_cents
+        |  FROM c GROUP BY event_type),
+        |j AS (
+        |  SELECT c.event_type, c.c, b.n, b.sc, b.lo_cents, b.hi_cents
+        |  FROM c JOIN b USING (event_type))
+        |SELECT event_type, n, lo_cents, hi_cents,
+        |  round(CAST(sc AS DOUBLE) / (n * 100.0), 4) AS raw_mean,
+        |  round(CAST(sum(least(greatest(c, lo_cents), hi_cents))
+        |      AS DOUBLE) / (n * 100.0), 4) AS winsorized_mean,
+        |  round(CAST(sum(CASE WHEN c BETWEEN lo_cents AND hi_cents
+        |      THEN c ELSE 0 END) AS DOUBLE)
+        |    / (sum(CASE WHEN c BETWEEN lo_cents AND hi_cents
+        |        THEN 1 ELSE 0 END) * 100.0), 4) AS trimmed_mean,
+        |  CAST(sum(CASE WHEN c BETWEEN lo_cents AND hi_cents
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM j GROUP BY event_type, n, sc, lo_cents, hi_cents
+        |ORDER BY event_type""".stripMargin,
+    // a41: the first significant digit comes off the cents long's
+    // leading character (no float log in the extraction); the 9-row
+    // ladder always complete via the digit spine
+    "a41_benford" ->
+      """WITH src AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND value IS NOT NULL),
+        |d AS (
+        |  SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INT)
+        |      AS digit,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM src WHERE cents > 0 GROUP BY 1),
+        |alln AS (SELECT CAST(i AS INT) AS digit
+        |         FROM generate_series(1, 9) t(i)),
+        |c AS (
+        |  SELECT alln.digit, CAST(coalesce(d.n, 0) AS BIGINT) AS n
+        |  FROM alln LEFT JOIN d USING (digit)),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |x AS (
+        |  SELECT digit, n,
+        |    round(CAST(n AS DOUBLE) / total, 4) AS share,
+        |    round(log10(1.0 + 1.0 / digit), 4) AS benford,
+        |    (n - total * log10(1.0 + 1.0 / digit))
+        |      * (n - total * log10(1.0 + 1.0 / digit))
+        |      / (total * log10(1.0 + 1.0 / digit)) AS chi2_term
+        |  FROM c CROSS JOIN t)
+        |SELECT digit, n, share, benford,
+        |  round(sum(chi2_term) OVER (), 4) AS chi2_total
+        |FROM x ORDER BY digit""".stripMargin,
+    // a42: exact-count shares over the (lang × source) frame; count
+    // ties break toward the lexically first source on both engines
+    "a42_hhi_concentration" ->
+      """WITH cs AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY lang, source),
+        |r AS (
+        |  SELECT lang, source, c,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n_docs,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY c DESC, source ASC) AS rk
+        |  FROM cs)
+        |SELECT lang, n_docs, CAST(count(*) AS BIGINT) AS n_sources,
+        |  max(CASE WHEN rk = 1 THEN source END) AS top_source,
+        |  round(CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+        |    / n_docs, 4) AS top_share,
+        |  round(CAST(sum(c * c) AS DOUBLE) / (n_docs * n_docs), 4)
+        |    AS hhi
+        |FROM r GROUP BY lang, n_docs ORDER BY lang""".stripMargin,
     // a30 replays the carry window with the same (ts, event_id) order
     // and row frame; counts/cents are exact longs, share one division
     "a30_attribution" ->

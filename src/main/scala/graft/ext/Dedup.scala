@@ -1453,7 +1453,39 @@ object Dedup {
       .orderBy(col("split"))
   }
 
+  /** D54 — LSH tuning curve: the (r, b) S-curve for the REGISTERED
+    * MinHash configuration (8 bands × 4 rows), published as a card. A
+    * banded-LSH deployment has exactly two knobs, and their entire
+    * effect is the catch probability P(J) = 1 − (1 − J^r)^b plus the
+    * threshold J* = (1/b)^(1/r) where the curve crosses ~0.5; teams
+    * either derive this table by hand per retune or copy folklore
+    * values. The card makes the engine's own operating point
+    * inspectable — read beside d49's measured recall, it separates
+    * "the family cannot catch J = 0.4 pairs" (this curve) from "the
+    * implementation lost pairs it should catch" (d49's job).
+    *
+    * Pure scalar math over a 19-point literal Jaccard grid — zero
+    * table scans, constant at ANY corpus size; the only floats are
+    * pow/round with both engines evaluating the same expression
+    * shapes. The grid points are i/20 with i integer, so both engines
+    * start from identical doubles. */
+  def d54LshTuningCurve(spark: SparkSession, dir: String): DataFrame =
+    lshTuningCurve(spark, bands = 8, rowsPerBand = 4)
+
+  private[graft] def lshTuningCurve(spark: SparkSession, bands: Int,
+                                    rowsPerBand: Int): DataFrame =
+    spark.range(1, 20)
+      .select((col("id") / 20.0).as("jaccard"))
+      .withColumn("p_catch", round(lit(1.0)
+        - pow(lit(1.0) - pow(col("jaccard"), lit(rowsPerBand.toDouble)),
+          lit(bands.toDouble)), 4))
+      .withColumn("threshold",
+        round(pow(lit(1.0 / bands), lit(1.0 / rowsPerBand)), 4))
+      .withColumn("catches_half", col("p_catch") >= 0.5)
+      .orderBy(col("jaccard"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d54_lsh_tuning_curve" -> d54LshTuningCurve,
     "d53_leak_safe_split" -> d53LeakSafeSplit,
     "d52_chunk_containment" -> d52ChunkContainment,
     "d49_dedup_scorecard" -> d49DedupScorecard,
@@ -1496,6 +1528,16 @@ object Dedup {
     * CTE for the closure) — the exact kernels get real oracles; the LSH
     * pipelines are engine-specific and stay rows-only. */
   val oracle: Map[String, String] = Map(
+    // d54: same i/20 grid, same pow/round expression shapes — the
+    // interpolated (bands, rows) constants come from ONE Scala source
+    "d54_lsh_tuning_curve" ->
+      """SELECT i / 20.0 AS jaccard,
+        |  round(1.0 - pow(1.0 - pow(i / 20.0, 4.0), 8.0), 4) AS p_catch,
+        |  round(pow(1.0 / 8.0, 1.0 / 4.0), 4) AS threshold,
+        |  round(1.0 - pow(1.0 - pow(i / 20.0, 4.0), 8.0), 4) >= 0.5
+        |    AS catches_half
+        |FROM generate_series(1, 19) t(i)
+        |ORDER BY jaccard""".stripMargin,
     "d21_segment_scrub" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |segs AS (

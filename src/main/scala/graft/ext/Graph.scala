@@ -273,6 +273,75 @@ object Graph {
           .as("clustering_coeff"))
   }
 
+  /** G11 — LOCAL clustering-coefficient distribution: g2 prints ONE
+    * global coefficient; this card shows how cliquishness distributes
+    * across nodes — cc_v = 2·t_v / (d_v·(d_v−1)) per node, bucketed
+    * into deciles with the global mean beside. A hub-and-spoke graph
+    * and a union of cliques can share a global coefficient while
+    * their LOCAL distributions are opposites (mass at 0 vs mass at 1)
+    * — exactly the difference that decides whether community
+    * detection (g8) will find anything. Watts–Strogatz 1998 is the
+    * reference formulation.
+    *
+    * Scale + determinism: reuses [[triangleStats]]'s degree-ordered
+    * orientation (out-degree O(√m) for any skew — the same
+    * spill-death fix that probe forced on g2), but KEEPS all three
+    * vertices per triangle and explodes them to per-node counts — one
+    * extra node-sized aggregate over g2's plan. Per-node cc quantizes
+    * to integer ten-thousandths in ONE rounding (2·t and d·(d−1) are
+    * exact longs, the division is a single IEEE op — engine-
+    * identical), so decile bucketing and the global mean are pure
+    * integer arithmetic from there: no float mean of floats
+    * anywhere. Nodes with d < 2 have no defined cc and sit outside
+    * the card (the standard convention). */
+  def g11LocalClustering(spark: SparkSession, dir: String): DataFrame =
+    localClustering(graphFor(spark, dir)._2
+      .select(col("user_a").as("a"), col("user_b").as("b")))
+
+  def localClustering(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = edges
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint(true)
+    val deg = e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = e
+      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+      .localCheckpoint(true)
+    // triangle rows keep ALL three vertices: each triangle appears
+    // exactly once, found through its minimum-(degree, id) vertex u
+    val tri = oriented
+      .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
+      .filter(col("v") < col("w"))
+      .join(e.select(col("a").as("v"), col("b").as("w")), Seq("v", "w"))
+    val triNodes = tri
+      .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("t"))
+    val cc = deg.filter(col("d") >= 2)
+      .join(triNodes, Seq("n"), "left")
+      .na.fill(0L, Seq("t"))
+      .withColumn("cci", round(lit(2.0) * col("t")
+        / (col("d") * (col("d") - 1)) * 10000).cast("long"))
+    val w = Window.partitionBy(lit(1))
+    cc.withColumn("cc_decile", expr("cci div 1000").cast("int"))
+      .groupBy(col("cc_decile"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("cci")).as("s_cci"))
+      .withColumn("total", sum(col("n_nodes")).over(w))
+      .select(col("cc_decile"), col("n_nodes"),
+        round(col("n_nodes").cast("double") / col("total"), 4).as("share"),
+        round(sum(col("s_cci")).over(w).cast("double")
+          / (lit(10000.0) * col("total")), 4).as("avg_cc"))
+      .orderBy(col("cc_decile"))
+  }
+
   /** G3 — graph degree card: node/edge counts, degree spread, and
     * degree ASSORTATIVITY (Newman 2002 — the Pearson correlation of
     * degrees across edge endpoints: positive means hubs attach to
@@ -639,7 +708,8 @@ object Graph {
     "g4_kcore" -> g4KCore,
     "g5_components" -> g5Components,
     "g6_audience_overlap" -> g6AudienceOverlap,
-    "g10_degree_powerlaw" -> g10DegreePowerlaw
+    "g10_degree_powerlaw" -> g10DegreePowerlaw,
+    "g11_local_clustering" -> g11LocalClustering
   )
 
   val oracle: Map[String, String] = Map(
@@ -664,6 +734,45 @@ object Graph {
         |  round(regr_slope(ln(cnt), ln(d)), 4) AS slope,
         |  round(regr_r2(ln(cnt), ln(d)), 4) AS r2
         |FROM h""".stripMargin),
+    // g11 replays the shared edge derivation, the id-ordered triangle
+    // join with all three vertices kept, and the single-rounding
+    // integer-ten-thousandths cc quantization
+    "g11_local_clustering" ->
+      (s"WITH ${WindowFns.SessionSpansCte},\n" +
+      """pr AS (
+        |  SELECT DISTINCT a.user_id AS a, b.user_id AS b
+        |  FROM spans a JOIN spans b
+        |    ON a.user_id < b.user_id
+        |   AND a.start_s <= b.end_s AND b.start_s <= a.end_s),
+        |deg AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT a AS n FROM pr UNION ALL SELECT b AS n FROM pr)
+        |  GROUP BY n),
+        |tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM pr e1 JOIN pr e2 ON e1.b = e2.a
+        |    JOIN pr e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |tn AS (
+        |  SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+        |    SELECT x AS n FROM tri UNION ALL SELECT y AS n FROM tri
+        |    UNION ALL SELECT z AS n FROM tri)
+        |  GROUP BY n),
+        |cc AS (
+        |  SELECT deg.n, deg.d, coalesce(tn.t, 0) AS t,
+        |    CAST(round(2.0 * coalesce(tn.t, 0) / (d * (d - 1)) * 10000)
+        |      AS BIGINT) AS cci
+        |  FROM deg LEFT JOIN tn USING (n) WHERE d >= 2),
+        |p AS (
+        |  SELECT CAST(cci // 1000 AS INT) AS cc_decile,
+        |    CAST(count(*) AS BIGINT) AS n_nodes,
+        |    CAST(sum(cci) AS BIGINT) AS s_cci
+        |  FROM cc GROUP BY 1)
+        |SELECT cc_decile, n_nodes,
+        |  round(CAST(n_nodes AS DOUBLE) / sum(n_nodes) OVER (), 4)
+        |    AS share,
+        |  round(CAST(sum(s_cci) OVER () AS DOUBLE)
+        |    / (10000.0 * sum(n_nodes) OVER ()), 4) AS avg_cc
+        |FROM p ORDER BY cc_decile""".stripMargin),
     "g2_triangle_count" ->
       (s"WITH ${WindowFns.SessionSpansCte},\n" +
       """pr AS (

@@ -65,6 +65,54 @@ object TextStats {
         max(length(col("text"))).as("max_len"))
       .orderBy(col("lang"))
 
+  /** T27 — corpus-level readability (Flesch reading ease) per
+    * language: the classic audience-level audit a curation pipeline
+    * reads beside t2's quality score — Flesch prices SENTENCE and WORD
+    * length where t2 prices stopword density, so a corpus of fluent
+    * but impenetrable legalese (t2-clean, Flesch ≈ 20) and one of
+    * fragmentary spam (t2-dirty) separate on different axes. Words are
+    * t1's whitespace tokens, sentences terminal-punctuation runs,
+    * syllables the standard vowel-group approximation ([aeiouy]+ —
+    * exact syllabification needs a dictionary; the approximation is
+    * the published convention for code-free Flesch).
+    *
+    * Determinism + scale shape: the three counts are exact per-doc
+    * integers summed as longs per language (corpus-LEVEL Flesch =
+    * ratio of sums, NOT a float mean of per-doc ratios — integer
+    * bases, so aggregation order cannot drift the score); the formula
+    * is one scalar chain over the |langs|-row frame, rounds(2); the
+    * bucket CASE reads the ROUNDED score so both engines bucket
+    * borderline corpora identically. */
+  def t27Readability(spark: SparkSession, dir: String): DataFrame =
+    readability(Tables.documents(spark, dir))
+
+  private[graft] def readability(docs: DataFrame): DataFrame = {
+    val d = docs.select(col("lang"),
+      size(split(coalesce(col("text"), lit("")), " ")).cast("long")
+        .as("w"),
+      greatest(lit(1L), size(expr(
+        "regexp_extract_all(coalesce(text, ''), '[.!?]+', 0)"))
+        .cast("long")).as("s"),
+      greatest(lit(1L), size(expr(
+        "regexp_extract_all(lower(coalesce(text, '')), '[aeiouy]+', 0)"))
+        .cast("long")).as("y"))
+    d.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("words"),
+        sum(col("s")).as("sentences"), sum(col("y")).as("syllables"))
+      .withColumn("flesch", round(lit(206.835)
+        - lit(1.015) * (col("words").cast("double") / col("sentences"))
+        - lit(84.6) * (col("syllables").cast("double") / col("words")),
+        2))
+      .select(col("lang"), col("n_docs"), col("words"), col("sentences"),
+        col("syllables"), col("flesch"),
+        when(col("flesch") >= 90, "very_easy")
+          .when(col("flesch") >= 70, "easy")
+          .when(col("flesch") >= 50, "standard")
+          .when(col("flesch") >= 30, "difficult")
+          .otherwise("very_difficult").as("bucket"))
+      .orderBy(col("lang"))
+  }
+
   /** T2 — quality scoring: stopword ratio, mean word length, and a
     * composite keep/drop signal (the Gopher-style length+stopword rule). */
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -1240,6 +1288,7 @@ object TextStats {
     "d2_fingerprint" -> d2Fingerprint,
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
+    "t27_readability" -> t27Readability,
     "t26_quality_psi" -> t26QualityPsi,
     "t3_lang_id" -> t3LangId,
     "t18_classifier_metrics" -> t18ClassifierMetrics,
@@ -1249,6 +1298,38 @@ object TextStats {
   )
 
   val oracle: Map[String, String] = Map(
+    // t27: the same three integer counts (t1's whitespace tokens,
+    // punctuation-run sentences, vowel-group syllables) summed as
+    // exact longs per lang; the Flesch chain and the bucket CASE read
+    // identical parenthesization on both engines
+    "t27_readability" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT)
+        |      AS w,
+        |    greatest(1, CAST(len(regexp_extract_all(
+        |      coalesce(text, ''), '[.!?]+')) AS BIGINT)) AS s,
+        |    greatest(1, CAST(len(regexp_extract_all(
+        |      lower(coalesce(text, '')), '[aeiouy]+')) AS BIGINT)) AS y
+        |  FROM documents),
+        |g AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(w) AS BIGINT) AS words,
+        |    CAST(sum(s) AS BIGINT) AS sentences,
+        |    CAST(sum(y) AS BIGINT) AS syllables
+        |  FROM d GROUP BY lang),
+        |f AS (
+        |  SELECT *, round(206.835
+        |    - 1.015 * (CAST(words AS DOUBLE) / sentences)
+        |    - 84.6 * (CAST(syllables AS DOUBLE) / words), 2) AS flesch
+        |  FROM g)
+        |SELECT lang, n_docs, words, sentences, syllables, flesch,
+        |  CASE WHEN flesch >= 90 THEN 'very_easy'
+        |       WHEN flesch >= 70 THEN 'easy'
+        |       WHEN flesch >= 50 THEN 'standard'
+        |       WHEN flesch >= 30 THEN 'difficult'
+        |       ELSE 'very_difficult' END AS bucket
+        |FROM f ORDER BY lang""".stripMargin,
     "t20_phrase_search" -> {
       val toks = T20Phrase.toLowerCase.split(" ")
       val adj = toks.zipWithIndex

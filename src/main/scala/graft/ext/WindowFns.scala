@@ -877,6 +877,63 @@ object WindowFns {
     watermarkHorizon(events, coverage)
       .filter(col("chosen")).head().getAs[Long]("boundary_s")
 
+  /** W20 — Pareto / concentration card: per event type, how
+    * concentrated is value across users? Prints the classic 80/20
+    * readouts — the top decile's value share, the minimum number of
+    * users covering 80% of value, and the Gini coefficient — the
+    * numbers that decide whether per-user joins need j10's salting
+    * (a handful of whales dominate) and whether a mean is even worth
+    * reading before a40's winsorization.
+    *
+    * Scale + determinism: ONE user-partitioned reduction to exact
+    * per-user cents, then one ranking window per event type over the
+    * USER-sized frame (the w5 shuffle — never a global order over raw
+    * events). All running sums and rank products are exact longs; the
+    * 80% boundary compares 5·cum ≥ 4·total in integers (no float
+    * threshold can sit on the fence); Gini comes from the
+    * ascending-rank identity Σ i·x = (n+1)·Σx − Σ rk_desc·x, so its
+    * only floats are two final divisions, rounded(4). Value-free
+    * types (total 0) report NULL shares, not an engine-specific 0/0. */
+  def w20ParetoConcentration(spark: SparkSession, dir: String): DataFrame =
+    paretoConcentration(Tables.events(spark, dir))
+
+  private[graft] def paretoConcentration(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val uc = events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val part = Window.partitionBy(col("event_type"))
+    val w = part.orderBy(col("cents").desc, col("user_id").asc)
+    val ranked = uc
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("cents")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_users", count(lit(1)).over(part))
+      .withColumn("total", sum(col("cents")).over(part))
+    ranked.groupBy(col("event_type"))
+      .agg(
+        first(col("n_users")).as("n_users"),
+        first(col("total")).as("total_cents"),
+        max(when(col("rk") === expr("(n_users + 9) div 10"), col("cum")))
+          .as("top_decile_cents"),
+        min(when(col("cum") * 5 >= col("total") * 4, col("rk")))
+          .as("users_to_80pct"),
+        sum(col("rk") * col("cents")).as("s_rkc"))
+      .select(col("event_type"), col("n_users"), col("total_cents"),
+        when(col("total_cents") > 0,
+          round(col("top_decile_cents").cast("double")
+            / col("total_cents"), 4)).as("top_decile_share"),
+        when(col("total_cents") > 0, col("users_to_80pct"))
+          .as("users_to_80pct"),
+        when(col("total_cents") > 0, round(
+          lit(2.0) * ((col("n_users") + 1) * col("total_cents")
+            - col("s_rkc")).cast("double")
+            / (col("n_users") * col("total_cents"))
+            - (col("n_users") + 1).cast("double") / col("n_users"), 4))
+          .as("gini"))
+      .orderBy(col("event_type"))
+  }
+
   /** The funnel kernel over a caller-supplied (user_id, ts, event_type)
     * frame — split out so the order-sensitivity semantics (a click
     * BEFORE the first view must not advance the funnel) are pinned on
@@ -982,6 +1039,7 @@ object WindowFns {
     "w17_conversion_latency" -> w17ConversionLatency,
     "w18_lateness_audit" -> w18LatenessAudit,
     "w19_watermark_horizon" -> w19WatermarkHorizon,
+    "w20_pareto_concentration" -> w20ParetoConcentration,
     "w7_gap_detection" -> w7GapDetection,
     "w6_sessionize" -> w6Sessionize,
     "w1_topn_per_group" -> w1TopNPerGroup,
@@ -1062,6 +1120,52 @@ object WindowFns {
         |  prec = min(CASE WHEN cum_share >= CAST(0.99 AS DOUBLE)
         |                  THEN prec END) OVER () AS chosen
         |FROM c2 ORDER BY boundary_s, bucket""".stripMargin,
+    // w20: exact per-user cents, one ranking window per type, integer
+    // 80% boundary (5·cum ≥ 4·total), Gini off the ascending-rank
+    // identity — the two final divisions are the only floats
+    "w20_pareto_concentration" ->
+      """WITH uc AS (
+        |  SELECT event_type, user_id,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY event_type, user_id),
+        |r AS (
+        |  SELECT event_type, cents,
+        |    CAST(row_number() OVER wr AS BIGINT) AS rk,
+        |    CAST(sum(cents) OVER wc AS BIGINT) AS cum,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS n_users,
+        |    CAST(sum(cents) OVER (PARTITION BY event_type) AS BIGINT)
+        |      AS total
+        |  FROM uc
+        |  WINDOW
+        |    wr AS (PARTITION BY event_type
+        |           ORDER BY cents DESC, user_id ASC),
+        |    wc AS (PARTITION BY event_type
+        |           ORDER BY cents DESC, user_id ASC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |g AS (
+        |  SELECT event_type,
+        |    max(n_users) AS n_users, max(total) AS total_cents,
+        |    max(CASE WHEN rk = (n_users + 9) // 10 THEN cum END)
+        |      AS top_decile_cents,
+        |    min(CASE WHEN cum * 5 >= total * 4 THEN rk END)
+        |      AS users_to_80pct,
+        |    CAST(sum(rk * cents) AS BIGINT) AS s_rkc
+        |  FROM r GROUP BY event_type)
+        |SELECT event_type, n_users, total_cents,
+        |  CASE WHEN total_cents > 0 THEN
+        |    round(CAST(top_decile_cents AS DOUBLE) / total_cents, 4)
+        |  END AS top_decile_share,
+        |  CASE WHEN total_cents > 0 THEN users_to_80pct END
+        |    AS users_to_80pct,
+        |  CASE WHEN total_cents > 0 THEN
+        |    round(2.0 * CAST((n_users + 1) * total_cents - s_rkc
+        |        AS DOUBLE) / (n_users * total_cents)
+        |      - CAST(n_users + 1 AS DOUBLE) / n_users, 4)
+        |  END AS gini
+        |FROM g ORDER BY event_type""".stripMargin,
     // w17 rides w8's funnel CTEs verbatim (shared stage semantics) and
     // adds the latency card: second-floored epochs, quantile_cont = the
     // a14 exact-interpolation convention, stage means over converters

@@ -64,6 +64,19 @@ class CupedFold(splitDay: Long) extends Serializable {
         .toDF("user_id", "pre_cents", "post_cents"))
   }
 
+  /** A39's live readout off the SAME fold state (the a34/a37/a38
+    * shared-state discipline): the difference-in-differences card is a
+    * different scalar chain over the identical per-user (pre, post)
+    * cents reduction, so CUPED and DiD can never disagree on
+    * membership, split day, or a late pre-period purchase. */
+  def serveDid(spark: SparkSession): DataFrame = synchronized(users) match {
+    case Some(u) => graft.etl.Analyze.didFromUsers(u)
+    case None =>
+      import spark.implicits._
+      graft.etl.Analyze.didFromUsers(Seq.empty[(Long, Long, Long)]
+        .toDF("user_id", "pre_cents", "post_cents"))
+  }
+
   /** Rebuild from the landed corpus (the restart recipe). */
   def rebuildFrom(landed: DataFrame): Unit = {
     synchronized { users = None; lastBatchId = -1L }
