@@ -53,6 +53,7 @@ class CensusSpec extends AnyFunSuite {
     "a27_ab_test",              // arm-row broadcast singletons (j9 shape)
     "a28_rfm_segments",         // anchor-day broadcast singleton (w11 grid)
     "a29_survival_curve",       // anchor-day + total-count singletons
+    "a39_did",                  // broadcast split-day singleton (a35 shape)
     "sim22_hybrid_rrf")         // broadcast query vector + stats singletons
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
@@ -95,6 +96,21 @@ class CensusSpec extends AnyFunSuite {
     // gets an EXPLICIT budget at measured-plan + 1 so a new shuffle
     // cannot ride in under the default ceiling unnoticed. (s20/s21 are
     // sink round-trips in `skip`; g3 is pinned above.)
+    // r15-cohort pins at measured-plan + 1:
+    "a39_did" -> 4,             // per-user cents agg + one-row moments
+                                // agg + scalar chain (a35's u frame)
+    "a40_winsorized_mean" -> 4, // bounds agg + broadcast-back + clamp agg
+    "a41_benford" -> 3,         // digit counts + 9-row spine join/window
+    "a42_hhi_concentration" -> 4, // (lang×source) counts + rank window
+                                  // + per-lang agg + order
+    "w19_watermark_horizon" -> 3, // ONE lateness window + one agg; the
+                                  // ladder explodes a single row
+    "w20_pareto_concentration" -> 4, // user cents agg + rank window +
+                                     // per-type agg + order
+    "t27_readability" -> 3,     // per-lang integer sums + scalar chain
+    "g11_local_clustering" -> 9, // g2's census joins + per-node triangle
+                                 // explode/agg + decile agg (measured 8)
+    "d54_lsh_tuning_curve" -> 2, // literal grid + output order only
     "a24_cusum_changepoint" -> 4,  // corpus window pass + μσ agg/join legs
     "a25_event_transitions" -> 5,  // lag window + pair agg + report order
     "a26_seasonal_anomaly" -> 4,   // profile agg + broadcast-back + grid

@@ -283,4 +283,27 @@ class GraphSpec extends AnyFunSuite {
     // a seed that is not in the graph returns empty, not a crash
     assert(Graph.personalizedPageRank(edges, seedNode = 99L).isEmpty)
   }
+
+  test("g11 local clustering: K3 plus a pendant — per-node cc " +
+    "hand-computed, decile buckets and the global mean off integer " +
+    "ten-thousandths; reversed duplicate edges collapse; degree-1 " +
+    "nodes sit outside the card") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L))
+      .toDF("a", "b")
+    val out = Graph.localClustering(edges).collect()
+    // nodes 1,2: d=2, t=1 → cc = 1.0 → decile 10; node 3: d=3, t=1 →
+    // 2/(3·2) = 0.3333 → decile 3; node 4: d=1 — excluded;
+    // avg = (3333 + 10000 + 10000)/30000 = 0.7778
+    val m = out.map(r => r.getInt(0) -> r).toMap
+    assert(m.keySet == Set(3, 10), s"deciles ${m.keySet}")
+    assert(m(3).getLong(1) == 1 && m(10).getLong(1) == 2)
+    assert(m(3).getDouble(2) == 0.3333 && m(10).getDouble(2) == 0.6667)
+    assert(out.map(_.getDouble(3)).distinct.toSeq == Seq(0.7778))
+    // a triangle-free star: every cc is 0, one decile-0 row
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a", "b")
+    val s = Graph.localClustering(star).collect()
+    assert(s.length == 1 && s.head.getInt(0) == 0 &&
+      s.head.getLong(1) == 1 && s.head.getDouble(3) == 0.0)
+  }
 }

@@ -938,4 +938,164 @@ class PropertySpec extends AnyFunSuite {
     assert(out(("A", "A")) == ((1L, 0.3333)))
     assert(out(("B", "A")) == ((1L, 1.0)))
   }
+
+  test("DiD: hand-computed estimate/z/p on planted per-user deltas; " +
+    "zero pooled variance → NULL z/p, not a blowup (A39)") {
+    import spark.implicits._
+    val userIds = (0L until 300L).toSeq
+    val arms = userIds.toDF("user_id")
+      .withColumn("arm", when(
+        graft.functions.IdHash.bucket(col("user_id"), 100) < 50, "A")
+        .otherwise("B"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val Seq(a1, a2) = userIds.filter(arms(_) == "A").take(2)
+    val Seq(b1, b2) = userIds.filter(arms(_) == "B").take(2)
+    def users(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("user_id", "pre_cents", "post_cents")
+    // A deltas {0, 100}: mean 50, var 2500; B deltas {100, 300}:
+    // mean 200, var 10000 → DiD 150, se = √6250 = 79.0569,
+    // z = 150/79.0569 = 1.8974, p(A&S) = 0.057775 — not significant
+    val r = graft.etl.Analyze.didFromUsers(users(Seq(
+      (a1, 100L, 100L), (a2, 0L, 100L),
+      (b1, 100L, 200L), (b2, 0L, 300L)))).collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 2)
+    assert(r.getDouble(2) == 50.0 && r.getDouble(3) == 200.0)
+    assert(r.getDouble(4) == 150.0, s"did ${r.getDouble(4)}")
+    assert(r.getDouble(5) == 1.8974, s"z ${r.getDouble(5)}")
+    assert(math.abs(r.getDouble(6) - 0.057775) <= 1e-6,
+      s"p ${r.getDouble(6)}")
+    assert(!r.getBoolean(7))
+    // identical within-arm deltas: se = 0 → NULL z/p, did still printed
+    val r2 = graft.etl.Analyze.didFromUsers(users(Seq(
+      (a1, 0L, 100L), (a2, 50L, 150L),
+      (b1, 0L, 300L), (b2, 70L, 370L)))).collect().head
+    assert(r2.getDouble(4) == 200.0)
+    assert(r2.isNullAt(5) && r2.isNullAt(6) && !r2.getBoolean(7))
+  }
+
+  test("Benford: digits come off the cents long's leading character; " +
+    "all nine rows always present; hand-computed chi-square (A41)") {
+    import spark.implicits._
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // purchases 1.00 → digit 1, 19.99 → 1, 0.35 → 3, 92.0 → 9, plus a
+    // view (excluded) and a zero-cents purchase (excluded)
+    val events = Seq(
+      (1L, ts0, 1L, "purchase", 1.0), (2L, ts0, 2L, "purchase", 19.99),
+      (3L, ts0, 3L, "purchase", 0.35), (4L, ts0, 4L, "purchase", 92.0),
+      (5L, ts0, 5L, "view", 7.0), (6L, ts0, 6L, "purchase", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val counts = graft.etl.Analyze.benfordDigitCounts(events)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts == Map(1 -> 2L, 3 -> 1L, 9 -> 1L))
+    // hand chi2 on {1:3, 2:1, 9:1}, n = 5: zero-observation digits
+    // contribute their full expectation; total = 6.4861
+    val card = graft.etl.Analyze.benfordFromCounts(
+      Seq((1, 3L), (2, 1L), (9, 1L)).toDF("digit", "n")).collect()
+    assert(card.length == 9, "the nine-digit spine must be complete")
+    val d1 = card.find(_.getInt(0) == 1).get
+    assert(d1.getLong(1) == 3L && d1.getDouble(2) == 0.6)
+    assert(d1.getDouble(3) == 0.301, "Benford P(1) = log10(2)")
+    assert(math.abs(d1.getDouble(4) - 6.4861) <= 2e-3,
+      s"chi2 ${d1.getDouble(4)}")
+    assert(card.map(_.getDouble(4)).distinct.length == 1,
+      "chi2_total must be the same on every row")
+  }
+
+  test("winsorized/trimmed means: planted 1..99 cents plus one whale — " +
+    "bounds round to whole cents, sums stay integer-exact (A40)") {
+    import spark.implicits._
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = ((1 to 99).map(i =>
+      (i.toLong, ts0, i.toLong, "p", i / 100.0)) :+
+      ((100L, ts0, 100L, "p", 100.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    // cents 1..99 and 10000: p01 → 1.99 → 2; p99 → 198.01 → 198;
+    // raw = 14950/10000; winsorized replaces 1→2 and 10000→198:
+    // (14950 + 1 − 9802)/10000 = 0.5149; trimmed drops both ends:
+    // 4949/9800 = 0.505 over 98 kept
+    val dir = java.nio.file.Files.createTempDirectory("a40probe").toString
+    events.write.mode("overwrite")
+      .parquet(new java.io.File(dir, "events.parquet").getPath)
+    val r = graft.etl.Analyze.a40WinsorizedMean(spark, dir).collect().head
+    assert(r.getString(0) == "p" && r.getLong(1) == 100)
+    assert(r.getLong(2) == 2L && r.getLong(3) == 198L)
+    assert(r.getDouble(4) == 1.495 && r.getDouble(5) == 0.5149)
+    assert(r.getDouble(6) == 0.505 && r.getLong(7) == 98)
+  }
+
+  test("HHI: planted lang×source counts; count ties break toward the " +
+    "lexically first source (A42)") {
+    import spark.implicits._
+    val docs = (Seq.fill(3)(("en", "web")) ++ Seq(("en", "wiki")) ++
+      Seq(("fr", "web"), ("fr", "web"), ("fr", "wiki"), ("fr", "wiki")))
+      .zipWithIndex
+      .map { case ((l, s), i) => (i.toLong, s"t$i", l, s, 2L) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("a42probe").toString
+    docs.write.mode("overwrite")
+      .parquet(new java.io.File(dir, "documents.parquet").getPath)
+    val out = graft.etl.Analyze.a42HhiConcentration(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(1) == 4 && en.getLong(2) == 2)
+    assert(en.getString(3) == "web" && en.getDouble(4) == 0.75)
+    assert(en.getDouble(5) == 0.625, "HHI = (9 + 1)/16")
+    val fr = out("fr")
+    assert(fr.getString(3) == "web",
+      "a 2–2 tie must keep the lexically first source")
+    assert(fr.getDouble(4) == 0.5 && fr.getDouble(5) == 0.5)
+  }
+
+  test("Pareto card: hand-computed top-decile share, integer 80% " +
+    "boundary, and Gini on a planted whale (W20)") {
+    import spark.implicits._
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // four users: cents 700, 100, 100, 100 → total 1000; top decile =
+    // ceil(4/10) = 1 user = 0.7; 80% needs 2 users (700+100 ≥ 800);
+    // Gini: ascending Σ i·x = 3400 → 2·3400/4000 − 5/4 = 0.45
+    val events = Seq(
+      (1L, ts0, 4L, "purchase", 7.0), (2L, ts0, 1L, "purchase", 1.0),
+      (3L, ts0, 2L, "purchase", 1.0), (4L, ts0, 3L, "purchase", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.ext.WindowFns.paretoConcentration(events).collect().head
+    assert(r.getString(0) == "purchase")
+    assert(r.getLong(1) == 4 && r.getLong(2) == 1000)
+    assert(r.getDouble(3) == 0.7, s"top decile ${r.getDouble(3)}")
+    assert(r.getLong(4) == 2, s"users to 80% ${r.getLong(4)}")
+    assert(r.getDouble(5) == 0.45, s"gini ${r.getDouble(5)}")
+  }
+
+  test("readability: hand-counted words/sentences/vowel-group " +
+    "syllables and the Flesch chain; sentence floor of 1 (T27)") {
+    import spark.implicits._
+    // "The cat sat. It ran!": 5 ws-words, 2 terminal runs, 5 vowel
+    // groups → 206.835 − 1.015·2.5 − 84.6·1 = 119.6975 → 119.7
+    val docs = Seq((0L, "The cat sat. It ran!", "en", "web", 20L),
+      (1L, "zzz bcd", "xx", "web", 7L)) // no vowels, no terminals
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.TextStats.readability(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getLong(2) == 5 && en.getLong(3) == 2 && en.getLong(4) == 5)
+    assert(en.getDouble(5) == 119.7 && en.getString(6) == "very_easy")
+    // the floors: zero terminals → 1 sentence; zero vowel groups → 1
+    val xx = out("xx")
+    assert(xx.getLong(3) == 1 && xx.getLong(4) == 1)
+  }
+
+  test("LSH tuning curve: threshold (1/b)^(1/r), the S-curve at the " +
+    "registered 8×4 operating point, monotone in J (D54)") {
+    val rows = graft.ext.Dedup.lshTuningCurve(spark, bands = 8,
+      rowsPerBand = 4).collect()
+    assert(rows.length == 19)
+    assert(rows.forall(_.getDouble(2) == 0.5946),
+      "threshold (1/8)^(1/4) = 0.5946")
+    val at = rows.map(r => math.round(r.getDouble(0) * 100).toInt ->
+      r).toMap
+    assert(at(50).getDouble(1) == 0.4033 && !at(50).getBoolean(3))
+    assert(at(65).getDouble(1) == 0.7926 && at(65).getBoolean(3))
+    val ps = rows.sortBy(_.getDouble(0)).map(_.getDouble(1))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
+      "catch probability must be monotone in J")
+  }
 }

@@ -1631,6 +1631,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(live == rows(graft.etl.Analyze.cuped(landedDf(b1 ++ b2))),
       "fold after wave 2 diverged — the late pre-period purchase must " +
         "move user 1's covariate retroactively")
+    // a39's DiD card serves off the SAME fold state (r15) — the fourth
+    // readout the shared per-user (pre, post) reduction funds; it must
+    // equal the batch DiD kernel on the same rows at the same split
+    assert(rows(fold.serveDid(spark)) ==
+      rows(graft.etl.Analyze.didFromUsers(
+        graft.etl.Analyze.userPrePostCents(landedDf(b1 ++ b2),
+          lit(split)))),
+      "serveDid diverged from the batch DiD kernel on the same rows")
     // a re-delivered committed batch would double X and Y; the batchId
     // guard must make it a no-op
     fold.onBatch(landedDf(b2), 1L)
@@ -2144,6 +2152,58 @@ class StreamingSpec extends AnyFunSuite {
       "batch 2's publish did not replace the orphan version")
     assert(rows(st) == rows(ref),
       "crash-window history diverged from the clean three-batch history")
+  }
+
+  test("a41' Benford fold: the nine-counter state merges additively " +
+    "across micro-batches; replay no-op; serve ≡ batch kernel; " +
+    "rebuild-from-landed recipe; used-checkpoint guard") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val b1: Seq[(Long, java.sql.Timestamp, Long, String, Double)] = Seq(
+      (1L, ts0, 1L, "purchase", 1.0),   // 100 cents → digit 1
+      (2L, ts0, 2L, "purchase", 19.99), // 1999 → 1
+      (3L, ts0, 3L, "purchase", 0.35),  // 35 → 3
+      (4L, ts0, 4L, "view", 9.0))       // not a purchase: excluded
+    val b2: Seq[(Long, java.sql.Timestamp, Long, String, Double)] = Seq(
+      (5L, ts0, 5L, "purchase", 92.0),  // 9200 → 9
+      (6L, ts0, 6L, "purchase", 2.0))   // 200 → 2
+    def df(e: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      e.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def batchCard(e: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      graft.etl.Analyze.benfordFromCounts(
+        graft.etl.Analyze.benfordDigitCounts(df(e)))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    val fold = new graft.streaming.BenfordFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("benfordfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt)
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(rows(fold.serve(spark)) == rows(batchCard(b1)),
+      "fold after wave 1 diverged from the batch kernel")
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val live = rows(fold.serve(spark))
+    assert(live == rows(batchCard(b1 ++ b2)),
+      "fold after wave 2 diverged from the batch kernel")
+    // digit sanity off the card itself: 1 → 2 observations (1.00 and
+    // 19.99), 2/3/9 → 1 each, unseen digits 0
+    val byDigit = fold.serve(spark).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit(1) == 2L && byDigit(2) == 1L && byDigit(3) == 1L &&
+      byDigit(9) == 1L && byDigit(5) == 0L)
+    // SUM is not idempotent: a replayed committed batch must no-op
+    fold.onBatch(df(b2), 1L)
+    assert(rows(fold.serve(spark)) == live, "replay double-counted")
+    val f2 = new graft.streaming.BenfordFold
+    f2.rebuildFrom(df(b1 ++ b2))
+    assert(rows(f2.serve(spark)) == live)
+    val f3 = new graft.streaming.BenfordFold
+    intercept[IllegalStateException] { f3.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt) }
   }
 
   test("w19'/ST13 the watermark loop closes (r14 ask #4): the horizon " +
