@@ -113,6 +113,54 @@ object TextStats {
       .orderBy(col("lang"))
   }
 
+  /** T28 — n-gram NOVELTY audit: what fraction of the newest crawl's
+    * distinct 8-grams has the existing corpus never seen? The
+    * memorization-vs-novelty card a pretraining pipeline reads per
+    * source before mixing a new dump in — a source whose novelty rate
+    * collapses toward 0 is re-serving content the model already has
+    * (dedup d3/d52 catch the DOCUMENT-level cases; this is the
+    * corpus-level aggregate view), while a rate near 1 is genuinely
+    * new text. Halves by the t26 doc_id-midpoint device ("yesterday's
+    * corpus" vs "today's crawl"); grams are the ONE shared
+    * [[graft.functions.TextGrams]] builder at n=8 (the d19/d10
+    * definition — consumers cannot drift onto different grams).
+    *
+    * Scale + determinism: grams compress to 16-hex md5 prefixes
+    * BEFORE the distinct/join, so the shuffle carries fingerprints,
+    * never text (the d19 device; the truncation is engine-identical,
+    * so any collision merges the same two grams on both sides); ONE
+    * left join of the current half's distinct (source, fp) frame
+    * against the reference half's distinct fp set with a conditional
+    * aggregate — no frame is consumed twice, nothing re-scans; counts
+    * exact longs, one rounded division per source. */
+  def t28NgramNovelty(spark: SparkSession, dir: String): DataFrame =
+    ngramNovelty(Tables.documents(spark, dir))
+
+  private[graft] def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
+    val span = docs.agg(min(col("doc_id")).as("d0"),
+      max(col("doc_id")).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val grams = docs.crossJoin(broadcast(span))
+      .withColumn("half",
+        when(col("doc_id") < col("split"), "ref").otherwise("cur"))
+      .withColumn("words", split(lower(coalesce(col("text"), lit(""))), " "))
+      .select(col("source"), col("half"),
+        explode(graft.functions.TextGrams.gramsExpr(n)).as("gram"))
+      .select(col("source"), col("half"),
+        substring(md5(col("gram")), 1, 16).as("fp"))
+    val ref = grams.filter(col("half") === "ref")
+      .select(col("fp")).distinct().withColumn("seen", lit(1))
+    grams.filter(col("half") === "cur")
+      .select(col("source"), col("fp")).distinct()
+      .join(ref, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_rate",
+        round(col("n_novel").cast("double") / col("n_grams"), 4))
+      .orderBy(col("source"))
+  }
+
   /** T2 — quality scoring: stopword ratio, mean word length, and a
     * composite keep/drop signal (the Gopher-style length+stopword rule). */
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame = {
@@ -1289,6 +1337,7 @@ object TextStats {
     "t1_token_stats" -> t1TokenStats,
     "t2_quality_score" -> t2QualityScore,
     "t27_readability" -> t27Readability,
+    "t28_ngram_novelty" -> t28NgramNovelty,
     "t26_quality_psi" -> t26QualityPsi,
     "t3_lang_id" -> t3LangId,
     "t18_classifier_metrics" -> t18ClassifierMetrics,
@@ -1330,6 +1379,35 @@ object TextStats {
         |       WHEN flesch >= 30 THEN 'difficult'
         |       ELSE 'very_difficult' END AS bucket
         |FROM f ORDER BY lang""".stripMargin,
+    // t28: the d19 gram window (range/list-slice ≡ TextGrams), the t26
+    // midpoint split, md5-prefix fingerprints (engine-identical), one
+    // left join + conditional aggregate
+    "t28_ngram_novelty" ->
+      """WITH sp AS (
+        |  SELECT (min(doc_id) + max(doc_id) + 1) // 2 AS split
+        |  FROM documents),
+        |g AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id < (SELECT split FROM sp)
+        |         THEN 'ref' ELSE 'cur' END AS half,
+        |    substr(md5(gram), 1, 16) AS fp
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_transform(
+        |        range(len(string_split(lower(coalesce(text, '')), ' ')) - 7),
+        |        i -> array_to_string(
+        |          string_split(lower(coalesce(text, '')), ' ')[i + 1 : i + 8],
+        |          ' '))) AS gram
+        |    FROM documents)),
+        |ref AS (SELECT DISTINCT fp FROM g WHERE half = 'ref'),
+        |cur AS (SELECT DISTINCT source, fp FROM g WHERE half = 'cur')
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(sum(CASE WHEN ref.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  round(CAST(sum(CASE WHEN ref.fp IS NULL THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 4) AS novelty_rate
+        |FROM cur LEFT JOIN ref USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "t20_phrase_search" -> {
       val toks = T20Phrase.toLowerCase.split(" ")
       val adj = toks.zipWithIndex

@@ -108,6 +108,8 @@ class CensusSpec extends AnyFunSuite {
     "w20_pareto_concentration" -> 4, // user cents agg + rank window +
                                      // per-type agg + order
     "t27_readability" -> 3,     // per-lang integer sums + scalar chain
+    "t28_ngram_novelty" -> 7,   // two distincts over the fp frame + the
+                                // ref/cur join + per-source agg + order
     "g11_local_clustering" -> 9, // g2's census joins + per-node triangle
                                  // explode/agg + decile agg (measured 8)
     "d54_lsh_tuning_curve" -> 2, // literal grid + output order only

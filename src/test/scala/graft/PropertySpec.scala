@@ -1083,6 +1083,28 @@ class PropertySpec extends AnyFunSuite {
     assert(xx.getLong(3) == 1 && xx.getLong(4) == 1)
   }
 
+  test("n-gram novelty: planted halves — a cur doc extending a ref doc " +
+    "is novel only in its new window; an unseen doc is fully novel; " +
+    "short docs yield no grams (T28)") {
+    import spark.implicits._
+    // split = (0+3+1) div 2 = 2 → docs 0,1 ref; 2,3 cur.
+    // doc2 repeats doc0's 9 words + 'j': grams a..h, b..i (seen), c..j
+    // (novel) → 1/3; doc3 is 11 fresh words → 4 grams, all novel
+    val docs = Seq(
+      (0L, "a b c d e f g h i", "en", "s1", 17L),
+      (1L, "too short", "en", "s1", 9L),
+      (2L, "a b c d e f g h i j", "en", "s1", 19L),
+      (3L, "p q r s t u v w x y z", "en", "s2", 21L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.ext.TextStats.ngramNovelty(docs)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("s1", "s2"))
+    assert(out("s1").getLong(1) == 3 && out("s1").getLong(2) == 1)
+    assert(out("s1").getDouble(3) == 0.3333)
+    assert(out("s2").getLong(1) == 4 && out("s2").getLong(2) == 4)
+    assert(out("s2").getDouble(3) == 1.0)
+  }
+
   test("LSH tuning curve: threshold (1/b)^(1/r), the S-curve at the " +
     "registered 8×4 operating point, monotone in J (D54)") {
     val rows = graft.ext.Dedup.lshTuningCurve(spark, bands = 8,
