@@ -258,7 +258,11 @@ class SqlParitySpec extends AnyFunSuite {
     "a27_ab_test", "a32_sequential_ab", "g2_triangle_count",
     "g3_degree_stats", "j12_interval_join", "mm8_header_probe",
     "p8_column_profile", "w19_watermark_horizon",
-    "t13_char_stats")
+    "t13_char_stats",
+    // the r15 operator batch lands on the SQL surface in its own
+    // round (epoch/`//`/quantile_cont respells; a42 is already ANSI)
+    "a39_did", "a40_winsorized_mean", "a42_hhi_concentration",
+    "w20_pareto_concentration", "g11_local_clustering")
   // p11_schema_audit was TRIED in this wave and is blocked honestly:
   // its oracle reads DuckDB's pragma_table_info catalog TVF, which has
   // no Spark SQL equivalent surface (DESCRIBE output is a command, not
