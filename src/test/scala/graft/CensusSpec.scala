@@ -54,6 +54,8 @@ class CensusSpec extends AnyFunSuite {
     "a28_rfm_segments",         // anchor-day broadcast singleton (w11 grid)
     "a29_survival_curve",       // anchor-day + total-count singletons
     "a39_did",                  // broadcast split-day singleton (a35 shape)
+    "t28_ngram_novelty",        // broadcast doc_id-midpoint singleton
+                                // (the t26 split device)
     "sim22_hybrid_rrf")         // broadcast query vector + stats singletons
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
