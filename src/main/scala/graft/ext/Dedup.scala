@@ -1214,8 +1214,9 @@ object Dedup {
         "cell", tau)
       .select(col("cell"), col("id_a"), col("id_b"))
       .localCheckpoint(true)
-    val cLit = array(centers.toIndexedSeq
-      .map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    // one folded Literal for the k×d matrix (the ivfAssign note: a
+    // CreateArray tree costs k·d plan nodes at cellsFor-scale k)
+    val cLit = typedLit(centers.map(_.toSeq).toSeq)
     val prioDocs = assigned.select(col("vec_id").as("doc_id"),
       col("cell"),
       round(Similarity.cosine(col("emb"),

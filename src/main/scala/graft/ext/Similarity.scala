@@ -1768,18 +1768,20 @@ object Similarity {
     * scanning order). This is what a daily vector append costs:
     * O(batch · k · d) arithmetic, zero iterations, zero shuffles. */
   private[graft] def ivfAssign(batch: DataFrame,
-                               centers: Array[Array[Double]]): DataFrame = {
-    val cLit = array(centers.toIndexedSeq
-      .map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
-    batch
-      .withColumn("dists", transform(cLit, c =>
-        aggregate(zip_with(col("emb"), c, (a, b) => (a - b) * (a - b)),
-          lit(0.0), (acc, x) => acc + x)))
-      .withColumn("cell",
-        (array_position(col("dists"), array_min(col("dists"))) - 1)
-          .cast("int"))
-      .drop("dists")
-  }
+                               centers: Array[Array[Double]]): DataFrame =
+    // The fused codegen argmin ([[graft.functions.VecArgminCell]])
+    // replaces the old HOF form (k interpreted zip_with/aggregate
+    // lambdas per row + a k-element distance array re-scanned by
+    // array_min and array_position) — bit-identical assignment
+    // (sequential per-center sums, first minimal index on ties;
+    // VectorOpsSpec pins it against the HOF form), so every published
+    // delta/assignment is unchanged. The k×d centroid matrix rides in
+    // ONE folded Literal (typedLit) — a CreateArray tree of k·d nodes
+    // measurably bloats plan analysis once cellsFor pushes k into the
+    // hundreds (the r15 10× probe's dominant cost).
+    batch.withColumn("cell", graft.functions.VectorOps.vecArgminCell(
+      batch.sparkSession, col("emb"),
+      typedLit(centers.map(_.toSeq).toSeq)))
 
   /** SIM23 — incremental ANN index maintenance (r13 verdict ask #2):
     * the d18 batch-vs-persisted-index discipline applied to the

@@ -139,6 +139,116 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Nearest-centroid assignment in ONE fused loop: argmin over k squared
+  * L2 distances, first minimal index on ties — the encode kernel behind
+  * [[graft.ext.Similarity.ivfAssign]] (sim23's delta-append, d50's
+  * planted batch, d51's incremental candidates). The HOF form it
+  * replaces (`transform(centersLit, c -> aggregate(zip_with(...)))`)
+  * runs k interpreted lambdas per row, allocates k intermediate arrays
+  * AND a k-element distance array, then re-scans it twice (array_min +
+  * array_position) — measured as the dominant cost of the 10× d51
+  * probe (r15 receipt). This expression is zero-allocation,
+  * whole-stage-codegen, and BIT-IDENTICAL: per-center accumulation
+  * order matches the sequential zip_with sum, and the strict `<` scan
+  * keeps the first minimal index exactly like array_position on the
+  * array_min value (asserted in VectorOpsSpec).
+  *
+  * left = the embedding (array<float|double>); right = the k×d centroid
+  * matrix (array<array<float|double>>, in practice ONE folded Literal —
+  * pass it via typedLit, never a CreateArray tree of k·d literal nodes,
+  * which costs plan size and analysis time at k in the thousands). */
+case class VecArgminCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def prettyName: String = "vec_argmin_cell"
+  override def dataType: DataType = IntegerType
+
+  private def scalarElem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (scalarElem(left.dataType), right.dataType) match {
+      case (Some(_), ArrayType(inner, _)) if scalarElem(inner).isDefined =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double>, " +
+          s"array<array<float|double>>), got " +
+          s"${left.dataType.catalogString} and " +
+          s"${right.dataType.catalogString}")
+    }
+
+  private def leftIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private def centerIsFloat: Boolean = right.dataType match {
+    case ArrayType(ArrayType(FloatType, _), _) => true
+    case _                                     => false
+  }
+  private def get(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
+  private def getter(arr: String, i: String, isFloat: Boolean): String =
+    if (isFloat) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val e = a.asInstanceOf[ArrayData]
+    val cs = b.asInstanceOf[ArrayData]
+    val lf = leftIsFloat; val cf = centerIsFloat
+    val k = cs.numElements()
+    var bestIdx = 0
+    var best = Double.PositiveInfinity
+    var j = 0
+    while (j < k) {
+      val c = cs.getArray(j)
+      val n = math.min(e.numElements(), c.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val d = get(e, i, lf) - get(c, i, cf)
+        s += d * d
+        i += 1
+      }
+      if (s < best) { best = s; bestIdx = j }
+      j += 1
+    }
+    bestIdx
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (e, cs) => {
+      val k = ctx.freshName("k")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      val best = ctx.freshName("best")
+      val bestIdx = ctx.freshName("bestIdx")
+      s"""
+         |int $k = $cs.numElements();
+         |int $bestIdx = 0;
+         |double $best = Double.POSITIVE_INFINITY;
+         |for (int $j = 0; $j < $k; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cs.getArray($j);
+         |  int $n = java.lang.Math.min($e.numElements(), $c.numElements());
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = ${getter(e, i, leftIsFloat)} - ${getter(c, i, centerIsFloat)};
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $best) { $best = $s; $bestIdx = $j; }
+         |}
+         |${ev.value} = $bestIdx;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecArgminCell =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions.call_function
 
@@ -150,6 +260,14 @@ object VectorOps {
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_argmin_cell", exprs => VecArgminCell(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  def vecArgminCell(spark: org.apache.spark.sql.SparkSession,
+                    emb: Column, centers: Column): Column = {
+    register(spark); call_function("vec_argmin_cell", emb, centers)
   }
 
   def vecDot(spark: org.apache.spark.sql.SparkSession,

@@ -53,4 +53,44 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(top.length == 10)
     assert(top.map(_._2).toSeq == top.map(_._2).toSeq.sorted.reverse)
   }
+
+  test("vec_argmin_cell ≡ the HOF transform/aggregate/array_min/" +
+    "array_position formulation it replaced, bit for bit — and ties " +
+    "keep the FIRST minimal index") {
+    // real-ish vectors: the sf0.001 embeddings against sim4's trained
+    // centers — the exact workload ivfAssign runs
+    val dir = "/root/testdata/sf0.001"
+    val idx = Similarity.ivfIndexFor(spark, dir, Similarity.Sim4K)
+    val centers = idx.centers
+    val cLit = array(centers.toIndexedSeq
+      .map(c => array(c.toIndexedSeq.map(lit): _*)): _*)
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .filter(col("emb").isNotNull)
+    val hof = emb
+      .withColumn("dists", transform(cLit, c =>
+        aggregate(zip_with(col("emb"), c, (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)))
+      .select(col("vec_id"),
+        (array_position(col("dists"), array_min(col("dists"))) - 1)
+          .cast("int").as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fused = emb
+      .select(col("vec_id"), VectorOps.vecArgminCell(spark, col("emb"),
+        typedLit(centers.map(_.toSeq).toSeq)).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(fused == hof, "fused argmin diverged from the HOF form")
+    // tie rule: two identical centers — the FIRST index wins
+    val tie = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "emb")
+      .select(VectorOps.vecArgminCell(spark, col("emb"),
+        typedLit(Seq(Seq(0.0, 1.0), Seq(1.0, 0.0), Seq(1.0, 0.0))))
+        .as("cell"))
+    assert(tie.head().getInt(0) == 1, "tie must keep the first min index")
+    // null propagation: a null embedding assigns null, not a crash
+    val n = Seq((0L, null: Seq[Double])).toDF("vec_id", "emb")
+      .select(VectorOps.vecArgminCell(spark, col("emb"),
+        typedLit(Seq(Seq(1.0, 0.0)))).as("cell"))
+    assert(n.head().isNullAt(0))
+  }
 }
