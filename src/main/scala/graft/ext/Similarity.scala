@@ -914,7 +914,7 @@ object Similarity {
     embeddingDriftDf(e, v2, dim = 64)
   }
 
-  private[ext] val Sim13Mod = 7
+  private[graft] val Sim13Mod = 7
 
   /** SIM12 — int8 symmetric quantization QC: per-vector scale =
     * max|v|/127, codes = round(v/scale), and the report is the

@@ -481,6 +481,156 @@ class SqlParitySpec extends AnyFunSuite {
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin)
   }
 
+  // --- the r15 respell wave's final tier: the remaining
+  // list_cosine_similarity formulations, each through the injected
+  // vec_cosine / vec_dot (the codegen tier reached from SQL text).
+
+  test("sql-parity sim9_norm_qc: norm via vec_dot(v, v) from SQL text " +
+    "≡ DataFrame QC card") {
+    assertParity("sim9_norm_qc",
+      """WITH n AS (
+        |  SELECT label, round(sqrt(vec_dot(
+        |    transform(embedding, x -> CAST(x AS double)),
+        |    transform(embedding, x -> CAST(x AS double)))), 4) AS norm
+        |  FROM embeddings WHERE embedding IS NOT NULL)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(norm), 4) AS avg_norm,
+        |  min(norm) AS min_norm, max(norm) AS max_norm,
+        |  CAST(sum(CASE WHEN norm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN norm < 0.5D THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_small
+        |FROM n GROUP BY label ORDER BY label""".stripMargin)
+  }
+
+  test("sql-parity sim12_int8_quant: symmetric-quantization " +
+    "reconstruction cosine from SQL text ≡ DataFrame") {
+    assertParity("sim12_int8_quant",
+      """WITH e AS (
+        |  SELECT label, transform(embedding, x -> CAST(x AS double)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |s AS (
+        |  SELECT label, v,
+        |    array_max(transform(v, x -> abs(x))) / 127.0D AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT label, scale,
+        |    round(vec_cosine(v,
+        |      transform(v, x -> round(x / scale) * scale)), 4) AS c
+        |  FROM s WHERE scale > 0)
+        |SELECT label, count(*) AS n_vecs,
+        |  round(avg(c), 4) AS avg_recon_cos,
+        |  min(c) AS min_recon_cos,
+        |  round(avg(scale), 6) AS avg_scale
+        |FROM q GROUP BY label ORDER BY label""".stripMargin)
+  }
+
+  test("sql-parity sim10_centroid_separation: per-label centroids via " +
+    "posexplode + ordered collect, pairwise vec_cosine ≡ DataFrame") {
+    assertParity("sim10_centroid_separation",
+      """WITH x AS (
+        |  SELECT label, dim, v FROM (
+        |    SELECT label, transform(embedding, x -> CAST(x AS double)) AS e
+        |    FROM embeddings WHERE embedding IS NOT NULL)
+        |  LATERAL VIEW posexplode(e) t AS dim, v),
+        |d AS (SELECT label, dim, avg(v) AS av FROM x GROUP BY label, dim),
+        |c AS (
+        |  SELECT label,
+        |    transform(array_sort(collect_list(struct(dim, av))),
+        |      s -> s.av) AS centroid
+        |  FROM d GROUP BY label)
+        |SELECT a.label AS label_a, b.label AS label_b,
+        |  round(vec_cosine(a.centroid, b.centroid), 4) AS cos_sim
+        |FROM c a JOIN c b ON a.label < b.label
+        |WHERE NOT isnan(vec_cosine(a.centroid, b.centroid))
+        |ORDER BY label_a, label_b""".stripMargin)
+  }
+
+  test("sql-parity sim13_embedding_drift: the planted sign-flip " +
+    "centroids + drift from SQL text ≡ DataFrame") {
+    assertParity("sim13_embedding_drift",
+      s"""WITH v1 AS (
+        |  SELECT label, transform(embedding, x -> CAST(x AS double)) AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |v2 AS (
+        |  SELECT label,
+        |    CASE WHEN vec_id % ${ext.Similarity.Sim13Mod} = 0
+        |         THEN transform(embedding, x -> -CAST(x AS double))
+        |         ELSE transform(embedding, x -> CAST(x AS double)) END AS v
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |c1 AS (
+        |  SELECT label,
+        |    transform(array_sort(collect_list(struct(dim, m))),
+        |      s -> s.m) AS c
+        |  FROM (SELECT label, dim, avg(x) AS m
+        |        FROM v1 LATERAL VIEW posexplode(v) t AS dim, x
+        |        GROUP BY label, dim)
+        |  GROUP BY label),
+        |c2 AS (
+        |  SELECT label,
+        |    transform(array_sort(collect_list(struct(dim, m))),
+        |      s -> s.m) AS c
+        |  FROM (SELECT label, dim, avg(x) AS m
+        |        FROM v2 LATERAL VIEW posexplode(v) t AS dim, x
+        |        GROUP BY label, dim)
+        |  GROUP BY label),
+        |n AS (SELECT label, count(*) AS n_vecs FROM v1 GROUP BY label),
+        |d AS (
+        |  SELECT n.label, n_vecs,
+        |    round(1.0D - vec_cosine(c1.c, c2.c), 4) + 0 AS drift
+        |  FROM n JOIN c1 USING (label) JOIN c2 USING (label))
+        |SELECT label, n_vecs, drift FROM d
+        |WHERE NOT isnan(drift)
+        |ORDER BY drift DESC, label""".stripMargin)
+  }
+
+  test("sql-parity sim26_matryoshka_ann: 16-dim prefix pass + exact " +
+    "rerank from SQL text ≡ DataFrame") {
+    assertParity("sim26_matryoshka_ann",
+      """WITH q AS (
+        |  SELECT transform(embedding, x -> CAST(x AS double)) AS qe
+        |  FROM embeddings WHERE vec_id = 0),
+        |c AS (
+        |  SELECT b.vec_id,
+        |    transform(b.embedding, x -> CAST(x AS double)) AS be,
+        |    round(vec_cosine(
+        |      slice(transform(b.embedding, x -> CAST(x AS double)), 1, 16),
+        |      slice(a.qe, 1, 16)), 4) AS cos_coarse
+        |  FROM embeddings b CROSS JOIN q a
+        |  WHERE b.vec_id <> 0
+        |    AND NOT isnan(round(vec_cosine(
+        |      slice(transform(b.embedding, x -> CAST(x AS double)), 1, 16),
+        |      slice(a.qe, 1, 16)), 4))
+        |  ORDER BY cos_coarse DESC, b.vec_id LIMIT 100)
+        |SELECT c.vec_id, c.cos_coarse,
+        |  round(vec_cosine(c.be, a.qe), 4) AS cos_sim
+        |FROM c CROSS JOIN q a
+        |WHERE NOT isnan(round(vec_cosine(c.be, a.qe), 4))
+        |ORDER BY cos_sim DESC, c.vec_id LIMIT 10""".stripMargin)
+  }
+
+  test("sql-parity mm4_alignment_filter: reference-vector alignment " +
+    "gate from SQL text ≡ DataFrame") {
+    assertParity("mm4_alignment_filter",
+      """WITH ref AS (
+        |  SELECT transform(embedding, x -> CAST(x AS double)) AS ref
+        |  FROM embeddings WHERE vec_id = 0),
+        |j AS (
+        |  SELECT d.source,
+        |    round(vec_cosine(transform(e.embedding,
+        |      x -> CAST(x AS double)), ref), 4) AS align
+        |  FROM documents d
+        |  JOIN embeddings e ON d.doc_id = e.vec_id
+        |  CROSS JOIN ref
+        |  WHERE d.doc_id <> 0),
+        |k AS (SELECT source, align FROM j WHERE NOT isnan(align))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN align >= 0.0D THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  round(avg(align), 4) AS avg_align
+        |FROM k GROUP BY source ORDER BY source""".stripMargin)
+  }
+
   test("sql-parity j14_dpp_join: star join over the partitioned layout " +
     "— DPP fires from SQL text and values match the DataFrame build") {
     // The partitioned fact + month dim are persistent tables (shared
