@@ -159,7 +159,7 @@ object WindowFns {
 
   /** The DuckDB replay of [[sessionSpans]] (CTEs g → s → spans),
     * interpolated into every oracle that consumes spans. */
-  private[ext] val SessionSpansCte: String =
+  private[graft] val SessionSpansCte: String =
     """g AS (
       |  SELECT user_id, event_id,
       |    CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,

@@ -483,7 +483,247 @@ class SqlParitySpec extends AnyFunSuite {
 
   // --- the r15 respell wave's final tier: the remaining
   // list_cosine_similarity formulations, each through the injected
-  // vec_cosine / vec_dot (the codegen tier reached from SQL text).
+  // vec_cosine / vec_dot (the codegen tier reached from SQL text),
+  // plus first entries from the STRUCTURAL family (generate_series →
+  // Spark sequence(), which is inclusive-both-ends like DuckDB's).
+
+  test("sql-parity a22_active_users: the 7-day coverage explode via " +
+    "Spark sequence() ≡ DataFrame DAU/WAU") {
+    assertParity("a22_active_users",
+      """WITH du AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+        |cover AS (
+        |  SELECT DISTINCT wd, user_id FROM (
+        |    SELECT explode(sequence(d, date_add(d, 6))) AS wd, user_id
+        |    FROM du)),
+        |wau AS (SELECT wd, count(*) AS wau FROM cover GROUP BY wd)
+        |SELECT date_format(d, 'yyyy-MM-dd') AS day, dau, wau,
+        |  round(dau * 1.0D / wau, 4) AS stickiness
+        |FROM dau JOIN wau ON d = wd ORDER BY day""".stripMargin)
+  }
+
+  test("sql-parity w11_forward_fill: hour-grid via Spark sequence(), " +
+    "ordered-aggregate last → max_by, IGNORE NULLS via " +
+    "last_value(obs, true) ≡ DataFrame LOCF") {
+    assertParity("w11_forward_fill",
+      """WITH e AS (
+        |  SELECT event_type, value, event_id,
+        |    unix_timestamp(ts) div 3600 AS hour_idx,
+        |    unix_micros(ts) AS us
+        |  FROM events),
+        |hourly AS (
+        |  SELECT event_type, hour_idx,
+        |    max_by(value, struct(us, event_id)) AS obs,
+        |    count(*) AS n_events
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM hourly),
+        |grid AS (
+        |  SELECT t.event_type, explode(sequence(lo, hi)) AS hour_idx
+        |  FROM (SELECT DISTINCT event_type FROM hourly) t CROSS JOIN r),
+        |j AS (
+        |  SELECT g.event_type, g.hour_idx, h.obs,
+        |    coalesce(h.n_events, 0) AS n_events
+        |  FROM grid g LEFT JOIN hourly h USING (event_type, hour_idx))
+        |SELECT event_type, hour_idx,
+        |  round(obs, 2) AS obs_value,
+        |  round(last_value(obs, true) OVER (
+        |    PARTITION BY event_type ORDER BY hour_idx
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS filled_value,
+        |  (obs IS NULL) AS is_gap,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM j ORDER BY event_type, hour_idx""".stripMargin)
+  }
+
+  test("sql-parity w13_twap: segment→hour fan-out via Spark " +
+    "sequence() (range's end-exclusive bound rewritten inclusive) ≡ " +
+    "DataFrame time-weighted average") {
+    assertParity("w13_twap",
+      """WITH seg AS (
+        |  SELECT event_type, unix_micros(ts) AS us,
+        |    CAST(round(round(value, 4) * 10000, 0) AS BIGINT) AS v4,
+        |    lead(unix_micros(ts)) OVER (
+        |      PARTITION BY event_type
+        |      ORDER BY unix_micros(ts), event_id) AS us_end
+        |  FROM events),
+        |x AS (
+        |  SELECT event_type, v4, us, us_end,
+        |    explode(sequence(us div 3600000000,
+        |                     (us_end - 1) div 3600000000)) AS hour_idx
+        |  FROM seg WHERE us_end IS NOT NULL AND us_end > us),
+        |ov AS (
+        |  SELECT event_type, hour_idx, v4,
+        |    least(us_end, (hour_idx + 1) * 3600000000)
+        |      - greatest(us, hour_idx * 3600000000) AS w
+        |  FROM x)
+        |SELECT event_type, hour_idx, count(*) AS n_obs,
+        |  round(CAST(sum(v4 * w) AS DOUBLE)
+        |    / CAST(sum(w) AS DOUBLE) / 10000.0, 4) AS twap,
+        |  round(CAST(sum(w) AS DOUBLE) / 1000000.0, 2) AS coverage_s
+        |FROM ov WHERE w > 0
+        |GROUP BY event_type, hour_idx
+        |ORDER BY event_type, hour_idx""".stripMargin)
+  }
+
+  test("sql-parity w12_concurrency: the sweep-line + hour lattice via " +
+    "the auto-respelled spans CTE, sequence(), and min_by for the " +
+    "ordered first ≡ DataFrame") {
+    assertParity("w12_concurrency",
+      s"WITH ${respell(ext.WindowFns.SessionSpansCte)},\n" +
+      """d AS (
+        |  SELECT start_s AS t, 1 AS dd FROM spans
+        |  UNION ALL SELECT end_s + 1, -1 FROM spans),
+        |p AS (
+        |  SELECT t, CAST(sum(dd) AS BIGINT) AS net,
+        |    CAST(sum(CASE WHEN dd > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_starts
+        |  FROM d GROUP BY t),
+        |r AS (
+        |  SELECT t, net, n_starts,
+        |    CAST(sum(net) OVER (ORDER BY t) AS BIGINT) AS conc,
+        |    t div 3600 AS hour_idx
+        |  FROM p),
+        |h AS (
+        |  SELECT hour_idx, CAST(sum(n_starts) AS BIGINT) AS n_starts,
+        |    CASE WHEN min(t) > hour_idx * 3600
+        |         THEN greatest(min_by(conc - net, t), max(conc))
+        |         ELSE max(conc) END AS max_concurrent
+        |  FROM r GROUP BY hour_idx),
+        |hn AS (
+        |  SELECT hour_idx, CAST(sum(net) AS BIGINT) AS hour_net
+        |  FROM r GROUP BY hour_idx),
+        |rng AS (SELECT min(hour_idx) AS lo, max(hour_idx) AS hi FROM hn),
+        |lattice AS (
+        |  SELECT explode(sequence(lo, hi)) AS hour_idx FROM rng),
+        |c AS (
+        |  SELECT l.hour_idx,
+        |    CAST(coalesce(sum(hour_net) OVER (ORDER BY l.hour_idx
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS carry_in
+        |  FROM lattice l LEFT JOIN hn USING (hour_idx))
+        |SELECT c.hour_idx,
+        |  CAST(coalesce(h.n_starts, 0) AS BIGINT) AS n_starts,
+        |  coalesce(h.max_concurrent, c.carry_in) AS max_concurrent
+        |FROM c LEFT JOIN h USING (hour_idx)
+        |ORDER BY hour_idx""".stripMargin)
+  }
+
+  test("sql-parity a18_equidepth_hist: the bucket-boundary derivation " +
+    "via sequence() and a correlated count subquery ≡ DataFrame") {
+    assertParity("a18_equidepth_hist",
+      """WITH binned AS (
+        |  SELECT CAST(floor(l_extendedprice / 100) AS BIGINT) AS bin,
+        |    l_extendedprice AS v
+        |  FROM lineitem),
+        |h AS (SELECT bin, count(*) AS c FROM binned GROUP BY bin),
+        |cum AS (SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h),
+        |n AS (SELECT count(*) AS n FROM binned),
+        |bounds AS (
+        |  SELECT i, min(bin) AS b
+        |  FROM cum CROSS JOIN n
+        |  CROSS JOIN (SELECT explode(sequence(1, 7)) AS i)
+        |  WHERE cum >= ceil(i * n / 8.0D)
+        |  GROUP BY i),
+        |assigned AS (
+        |  SELECT v,
+        |    1 + (SELECT count(*) FROM bounds WHERE binned.bin > bounds.b)
+        |      AS bucket
+        |  FROM binned)
+        |SELECT CAST(bucket AS INT) AS bucket, count(*) AS n_rows,
+        |  round(min(v), 2) AS min_v, round(max(v), 2) AS max_v,
+        |  round(avg(v), 2) AS avg_v
+        |FROM assigned GROUP BY bucket ORDER BY bucket""".stripMargin)
+  }
+
+  test("sql-parity f15_date_spine: the day spine via Spark " +
+    "sequence() over dates ≡ DataFrame gap census") {
+    assertParity("f15_date_spine",
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d FROM events),
+        |r AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+        |spine AS (SELECT explode(sequence(lo, hi)) AS d FROM r),
+        |daily AS (SELECT d, count(*) AS n FROM e GROUP BY d)
+        |SELECT CAST(year(s.d) AS INT) AS year,
+        |  CAST(month(s.d) AS INT) AS month,
+        |  count(*) AS n_days, count(n) AS n_active_days,
+        |  CAST(count(*) - count(n) AS BIGINT) AS n_gap_days,
+        |  CAST(sum(coalesce(n, 0)) AS BIGINT) AS n_events
+        |FROM spine s LEFT JOIN daily USING (d)
+        |GROUP BY 1, 2 ORDER BY year, month""".stripMargin)
+  }
+
+  test("sql-parity j13_fuzzy_lookup: deletion-variant blocking + " +
+    "levenshtein verify from SQL text (range table fn → sequence " +
+    "explode) ≡ DataFrame") {
+    assertParity("j13_fuzzy_lookup",
+      s"""WITH pr AS (
+        |  SELECT p_partkey AS probe_key, p_name AS src_name,
+        |    CAST((p_partkey % (length(p_name) - 1)) + 2 AS INT) AS pos
+        |  FROM part
+        |  WHERE ${graft.functions.IdHash.sql("p_partkey", 20)} = 0),
+        |d AS (
+        |  SELECT probe_key, src_name,
+        |    substring(src_name, 1, pos - 1)
+        |      || substring(src_name, pos + 1) AS dirty_name
+        |  FROM pr),
+        |idx AS (SELECT explode(sequence(1, 127)) AS i),
+        |pv AS (
+        |  SELECT probe_key, src_name, dirty_name, dirty_name AS variant
+        |  FROM d
+        |  UNION ALL
+        |  SELECT probe_key, src_name, dirty_name,
+        |    substring(dirty_name, 1, CAST(idx.i AS INT) - 1)
+        |      || substring(dirty_name, CAST(idx.i AS INT) + 1)
+        |  FROM d CROSS JOIN idx
+        |  WHERE idx.i <= length(dirty_name)),
+        |cv AS (
+        |  SELECT p_partkey AS match_key, p_name AS match_name,
+        |    p_name AS variant
+        |  FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, p_name,
+        |    substring(p_name, 1, CAST(idx.i AS INT) - 1)
+        |      || substring(p_name, CAST(idx.i AS INT) + 1)
+        |  FROM part CROSS JOIN idx
+        |  WHERE idx.i <= length(p_name)),
+        |cand AS (
+        |  SELECT DISTINCT pv.probe_key, pv.dirty_name, pv.src_name,
+        |    cv.match_key, cv.match_name,
+        |    CAST(levenshtein(pv.dirty_name, cv.match_name) AS INT) AS dist
+        |  FROM pv JOIN cv ON pv.variant = cv.variant
+        |  WHERE levenshtein(pv.dirty_name, cv.match_name) <= 1),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY probe_key
+        |    ORDER BY dist, match_key) AS rn FROM cand)
+        |SELECT probe_key, dirty_name, match_key, match_name, dist,
+        |  match_name = src_name AS recovered
+        |FROM best WHERE rn = 1 ORDER BY probe_key""".stripMargin)
+  }
+
+  test("sql-parity t8_repetition: the bigram window via sequence() + " +
+    "1-based element_at (DuckDB's w[i] is 1-based; Spark's [] is " +
+    "0-based — the indexing trap a token map must never touch) ≡ " +
+    "DataFrame") {
+    assertParity("t8_repetition",
+      """WITH b AS (
+        |  SELECT lang,
+        |    transform(sequence(1, size(w) - 1),
+        |      i -> element_at(w, i) || ' ' || element_at(w, i + 1))
+        |      AS bigrams
+        |  FROM (SELECT lang, split(lower(text), ' ') AS w FROM documents)
+        |  WHERE size(w) >= 2),
+        |r AS (
+        |  SELECT lang,
+        |    round(1.0D - size(array_distinct(bigrams))
+        |      / CAST(size(bigrams) AS DOUBLE), 4) AS dup_ratio
+        |  FROM b)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(avg(dup_ratio), 4) AS avg_dup_ratio,
+        |  round(max(dup_ratio), 4) AS max_dup_ratio,
+        |  CAST(sum(CASE WHEN dup_ratio > 0.05D THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_repetitive
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin)
+  }
 
   test("sql-parity sim9_norm_qc: norm via vec_dot(v, v) from SQL text " +
     "≡ DataFrame QC card") {
