@@ -280,6 +280,54 @@ class SqlParitySpec extends AnyFunSuite {
     }
   }
 
+  /** Tier 2c: STRUCTURALLY respelled — the token map plus the one
+    * structural rewrite the r15 hand twins proved safe: DuckDB's
+    * generate_series (inclusive) is Spark's sequence (inclusive), and
+    * after the `unnest(` → `explode(` token both nest identically.
+    * (DuckDB's `range` is NOT in this tier: it is end-EXCLUSIVE, so
+    * its users each need a hand-rewritten bound — see t8/w13/j13.) */
+  private def respellStructural(sql: String): String =
+    respell(sql).replace("generate_series(", "sequence(")
+
+  private val structurallyRespelled = Seq(
+    "t26_quality_psi")
+
+  structurallyRespelled.foreach { name =>
+    test(s"sql-parity $name: structurally respelled oracle " +
+      "(generate_series → sequence) ≡ DataFrame") {
+      assertParity(name, respellStructural(SparkEntry.oracleSql(name)))
+    }
+  }
+
+  test("sql-parity t27_readability: respell + EXPLICIT group 0 on " +
+    "regexp_extract_all (DuckDB's 2-arg default is group 0, Spark's " +
+    "is group 1 — the silent-semantics trap a blind token map must " +
+    "never touch) ≡ DataFrame") {
+    assertParity("t27_readability",
+      respell(SparkEntry.oracleSql("t27_readability"))
+        .replace("'[.!?]+')", "'[.!?]+', 0)")
+        .replace("'[aeiouy]+')", "'[aeiouy]+', 0)"))
+  }
+
+  test("sql-parity d13_pii_redact: respell + explicit group 0 on the " +
+    "PII-alternation regexp_extract_all + DOUBLED backslashes (Spark " +
+    "SQL string literals eat single ones; DuckDB's don't) ≡ DataFrame") {
+    assertParity("d13_pii_redact",
+      respell(SparkEntry.oracleSql("d13_pii_redact"))
+        .replace("""|(?:\bcustomer\b)'))""",
+          """|(?:\bcustomer\b)', 0))""")
+        .replace("\\", "\\\\"))
+  }
+
+  test("sql-parity a41_benford: structural respell + the digit spine's " +
+    "TABLE-VALUED generate_series rewritten as a sequence explode " +
+    "(Spark's sequence is an array fn, not a TVF) ≡ DataFrame") {
+    assertParity("a41_benford",
+      respellStructural(SparkEntry.oracleSql("a41_benford"))
+        .replace("FROM sequence(1, 9) t(i)",
+          "FROM (SELECT explode(sequence(1, 9)) AS i) t"))
+  }
+
 
 
   test("sql-parity j15_forward_asof: hand-written Spark twin (oracle " +
