@@ -1471,7 +1471,12 @@ object Analyze {
     * clamped sums) with the |types|-row bounds frame broadcast back;
     * an order statistic is not map-side-mergeable, which is also why
     * this card is batch-only by design (a streaming robust mean rides
-    * a18's quantile-fold grid instead). */
+    * a18's quantile-fold grid instead). Value-domain assumption
+    * (r15 verdict): Spark's exact `percentile` buffer is a
+    * distinct-value count map — mergeable, memory O(distinct cents)
+    * per event type, fine on a price-like grid; a value domain with
+    * unbounded distinct cents should derive bounds from a18's
+    * fixed-width grid (or d29's histogram threshold) instead. */
   def a40WinsorizedMean(spark: SparkSession, dir: String): DataFrame = {
     val cents = Tables.events(spark, dir)
       .filter(col("value").isNotNull)

@@ -281,10 +281,17 @@ object IndexStore {
     * Roots whose name does not match a known dir tag, or that predate
     * the `_GRAFT_TABLES` record, are left untouched (possibly another
     * pipeline's data — GC only removes what it can PROVE unreachable
-    * or was explicitly declared superseded). Returns the deleted
-    * paths so callers and specs can audit the sweep. */
+    * or was explicitly declared superseded). `.tmp` children are only
+    * swept when OLDER than `tmpAgeMs` (advisor r15): a fresh `.tmp` is
+    * indistinguishable from a live [[loadOrBuild]] publish staging its
+    * parts RIGHT NOW, and deleting it mid-write would fail that
+    * publish at its OkMarker check — age is the only signal that
+    * separates crashed debris from in-flight work without a lock.
+    * Returns the deleted paths so callers and specs can audit the
+    * sweep. */
   def gcStore(spark: SparkSession, dirs: Seq[String],
-              superseded: Seq[String] = Nil): Seq[String] = {
+              superseded: Seq[String] = Nil,
+              tmpAgeMs: Long = 3600000L): Seq[String] = {
     val r = root(spark)
     val fs = r.getFileSystem(hadoopConf(spark))
     if (!fs.exists(r)) return Seq.empty
@@ -312,7 +319,11 @@ object IndexStore {
                 .exists(_.group(1).toInt != FormatVersion)
               val folded =
                 superseded.exists(s => sn == s"${s}_v$FormatVersion")
-              if (sn.contains(".tmp") || staleVersion || folded)
+              // a YOUNG .tmp may be a concurrent publish mid-stage —
+              // leave it; its own publisher sweeps it on completion
+              val deadTmp = sn.contains(".tmp") &&
+                System.currentTimeMillis() - sub.getModificationTime > tmpAgeMs
+              if (deadTmp || staleVersion || folded)
                 drop(sub.getPath)
             }
         }

@@ -859,8 +859,11 @@ object WindowFns {
           col("mx").as("boundary_s"), col("n").as("n_within"), col("n"))))
         .as("c"))
       .select(col("c.*"))
-      .withColumn("cum_share",
-        round(col("n_within").cast("double") / col("n"), 4))
+      // n=0 (empty corpus): shares are NULL, no rung is chosen — not an
+      // ANSI 0/0 error (advisor r15; the one-value reader maps this to
+      // horizon 0)
+      .withColumn("cum_share", when(col("n") > 0,
+        round(col("n_within").cast("double") / col("n"), 4)))
     cand
       .withColumn("chosen", col("prec") ===
         min(when(col("cum_share") >= coverage, col("prec")))
@@ -871,11 +874,16 @@ object WindowFns {
   }
 
   /** The chosen horizon in seconds, for callers wiring a stream — the
-    * one-value read of the w19 card. */
+    * one-value read of the w19 card. An EMPTY events frame marks no
+    * rung chosen (every cum_share is NULL on n=0), so the read returns
+    * 0 — "no observed lateness, watermark at the event time itself" —
+    * instead of throwing NoSuchElementException at the caller wiring
+    * this straight into withWatermark (advisor r15). */
   def chosenHorizonSeconds(events: DataFrame,
                            coverage: Double = 0.99): Long =
     watermarkHorizon(events, coverage)
-      .filter(col("chosen")).head().getAs[Long]("boundary_s")
+      .filter(col("chosen")).limit(1).collect()
+      .headOption.map(_.getAs[Long]("boundary_s")).getOrElse(0L)
 
   /** W20 — Pareto / concentration card: per event type, how
     * concentrated is value across users? Prints the classic 80/20

@@ -148,10 +148,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * AND a k-element distance array, then re-scans it twice (array_min +
   * array_position) — measured as the dominant cost of the 10× d51
   * probe (r15 receipt). This expression is zero-allocation,
-  * whole-stage-codegen, and BIT-IDENTICAL: per-center accumulation
-  * order matches the sequential zip_with sum, and the strict `<` scan
-  * keeps the first minimal index exactly like array_position on the
-  * array_min value (asserted in VectorOpsSpec).
+  * whole-stage-codegen, and BIT-IDENTICAL FOR EQUAL-DIMENSION INPUTS
+  * (what VectorOpsSpec pins, and what every caller feeds — centers are
+  * trained FROM the embedding column, so dims match by construction):
+  * per-center accumulation order matches the sequential zip_with sum,
+  * and the strict `<` scan keeps the first minimal index exactly like
+  * array_position on the array_min value. Two edges are scoped
+  * (advisor r15): an EMPTY centers array returns NULL (mirroring the
+  * HOF form, whose array_min over zero distances is NULL — not a
+  * silent cell 0); a dim-MISMATCHED center competes on the shared
+  * prefix min(lengths) where the HOF form would yield a NULL distance
+  * array_min skips — malformed training output, outside the
+  * bit-identity claim.
   *
   * left = the embedding (array<float|double>); right = the k×d centroid
   * matrix (array<array<float|double>>, in practice ONE folded Literal —
@@ -161,6 +169,8 @@ case class VecArgminCell(left: Expression, right: Expression)
     extends BinaryExpression {
   override def prettyName: String = "vec_argmin_cell"
   override def dataType: DataType = IntegerType
+  // NULL on empty centers (k=0) even when both inputs are non-null
+  override def nullable: Boolean = true
 
   private def scalarElem(t: DataType): Option[DataType] = t match {
     case ArrayType(FloatType, _)  => Some(FloatType)
@@ -196,6 +206,7 @@ case class VecArgminCell(left: Expression, right: Expression)
     val cs = b.asInstanceOf[ArrayData]
     val lf = leftIsFloat; val cf = centerIsFloat
     val k = cs.numElements()
+    if (k == 0) return null
     var bestIdx = 0
     var best = Double.PositiveInfinity
     var j = 0
@@ -228,19 +239,23 @@ case class VecArgminCell(left: Expression, right: Expression)
       val bestIdx = ctx.freshName("bestIdx")
       s"""
          |int $k = $cs.numElements();
-         |int $bestIdx = 0;
-         |double $best = Double.POSITIVE_INFINITY;
-         |for (int $j = 0; $j < $k; $j++) {
-         |  org.apache.spark.sql.catalyst.util.ArrayData $c = $cs.getArray($j);
-         |  int $n = java.lang.Math.min($e.numElements(), $c.numElements());
-         |  double $s = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $d = ${getter(e, i, leftIsFloat)} - ${getter(c, i, centerIsFloat)};
-         |    $s += $d * $d;
+         |if ($k == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $bestIdx = 0;
+         |  double $best = Double.POSITIVE_INFINITY;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    org.apache.spark.sql.catalyst.util.ArrayData $c = $cs.getArray($j);
+         |    int $n = java.lang.Math.min($e.numElements(), $c.numElements());
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      double $d = ${getter(e, i, leftIsFloat)} - ${getter(c, i, centerIsFloat)};
+         |      $s += $d * $d;
+         |    }
+         |    if ($s < $best) { $best = $s; $bestIdx = $j; }
          |  }
-         |  if ($s < $best) { $best = $s; $bestIdx = $j; }
+         |  ${ev.value} = $bestIdx;
          |}
-         |${ev.value} = $bestIdx;
        """.stripMargin
     })
 

@@ -40,7 +40,11 @@ import graft.sources.Sources
   * not this one → a lost batch's orphan, deleted before merging (its
   * delta is re-delivered by the checkpoint). Untagged versions are
   * manifest-published ([[Sources.incrementalSync]]) and always
-  * trusted. Unlike the fold family this twin needs no [[FoldRestart]]
+  * trusted. The whole tagged-unmarked SUFFIX of the chain is
+  * validated, not just the latest version (advisor r15): two or more
+  * consecutive orphans mean a manifest publish or a checkpoint-reset
+  * batch landed on top of an orphan — a possibly double-merged
+  * history this writer refuses (sys.error) rather than extends. Unlike the fold family this twin needs no [[FoldRestart]]
   * guard: its state lives in the versioned store, not the JVM, so a
   * restart resumes correctly from whatever the markers and tags say
   * is done. */
@@ -62,20 +66,39 @@ object IngestSync {
     val marker = new Path(s"$stateRoot/batches/b$batchId")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) return // re-delivered batch: WAP no-op
-    // Crash-window repair: inspect the latest version's batch tag
-    // BEFORE reading it as prev (docstring above).
-    val alreadyPublished =
-      Sources.stateVersions(spark, stateRoot).lastOption.exists { last =>
-        val vdir = new Path(s"$stateRoot/versions/v$last")
-        versionBatchTag(fs, vdir) match {
-          case Some(`batchId`) => true // crashed after publish: re-commit only
-          case Some(other)
-              if !fs.exists(new Path(s"$stateRoot/batches/b$other")) =>
-            fs.delete(vdir, true) // a lost batch's orphan — sweep it
-            false
-          case _ => false
-        }
-      }
+    // Crash-window repair over the WHOLE tagged suffix (advisor r15):
+    // walk versions latest-first while they are tagged AND unmarked.
+    // Inductively a marked tag or an untagged (manifest-published,
+    // always-trusted) version certifies everything beneath it — it was
+    // validated when ITS batch published — so the walk is O(1) per
+    // batch in steady state. A single trailing orphan is the repaired
+    // crash window: re-commit if it is THIS batch, sweep it if its
+    // batch was lost. TWO OR MORE consecutive orphans cannot be
+    // produced by one well-behaved stream (a marker commits between
+    // publishes); they mean a manifest publish or a checkpoint-reset
+    // batch landed ON TOP of an orphan — the history below is already
+    // suspect, so refuse loudly instead of silently double-merging.
+    val unmarked = Sources.stateVersions(spark, stateRoot).reverse.iterator
+      .map(v => v -> versionBatchTag(fs, new Path(s"$stateRoot/versions/v$v")))
+      .takeWhile(_._2.exists(b =>
+        !fs.exists(new Path(s"$stateRoot/batches/b$b"))))
+      .toList
+    val alreadyPublished = unmarked match {
+      case Nil => false
+      case (_, Some(`batchId`)) :: Nil =>
+        true // crashed after publish: re-commit the marker only
+      case (v, Some(_)) :: Nil =>
+        // a lost batch's orphan — sweep it; the checkpoint re-delivers
+        fs.delete(new Path(s"$stateRoot/versions/v$v"), true)
+        false
+      case more =>
+        sys.error(s"state chain at $stateRoot carries ${more.size} " +
+          "consecutive unmarked stream-tagged versions " +
+          s"(${more.map(_._1).mkString(",")}) — a publish landed on top " +
+          "of an orphan (mixed manifest/stream publishes on one " +
+          "stateRoot, or a checkpoint reset); refusing to extend a " +
+          "possibly double-merged history")
+    }
     if (!alreadyPublished && !batch.isEmpty) {
       val versions = Sources.stateVersions(spark, stateRoot)
       val prev = versions.lastOption.map(v =>

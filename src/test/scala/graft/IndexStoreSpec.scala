@@ -382,15 +382,24 @@ class IndexStoreSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       new File(staleRoot, "_GRAFT_TABLES").toPath,
       "embeddings".getBytes("UTF-8"))
-    // (b) a previous-FormatVersion artifact and tmp debris in the live root
+    // (b) a previous-FormatVersion artifact and tmp debris in the live
+    // root. The crashed debris is AGED past the gc threshold; the fresh
+    // .tmp beside it models a CONCURRENT publish mid-stage (advisor
+    // r15) and must SURVIVE the sweep.
     new File(liveRoot, "gc_old_v1").mkdirs()
-    new File(liveRoot, "gc_keep_v2.tmp777").mkdirs()
+    val deadTmp = new File(liveRoot, "gc_keep_v2.tmp777")
+    deadTmp.mkdirs()
+    deadTmp.setLastModified(System.currentTimeMillis() - 7200000L)
+    new File(liveRoot, "gc_live_v2.tmp888").mkdirs()
     val deleted = IndexStore.gcStore(spark, Seq(dir),
       superseded = Seq("gc_folded"))
     def deletedName(n: String) = deleted.exists(_.endsWith(n))
     assert(deletedName(s"${tag}_0000dead"), s"stale root survived: $deleted")
     assert(deletedName("gc_old_v1"), s"stale version survived: $deleted")
     assert(deletedName("gc_keep_v2.tmp777"), s"tmp debris survived: $deleted")
+    assert(!deletedName("gc_live_v2.tmp888") &&
+      new File(liveRoot, "gc_live_v2.tmp888").isDirectory,
+      "GC swept a YOUNG .tmp — a concurrent publish's staging dir")
     assert(deletedName("gc_folded_v2"), s"superseded artifact survived: $deleted")
     assert(!staleRoot.exists() && !new File(liveRoot, "gc_old_v1").exists())
     // the served artifact and its siblings survive...

@@ -2152,6 +2152,23 @@ class StreamingSpec extends AnyFunSuite {
       "batch 2's publish did not replace the orphan version")
     assert(rows(st) == rows(ref),
       "crash-window history diverged from the clean three-batch history")
+    // advisor r15: TWO consecutive unmarked tagged versions — something
+    // published ON TOP of an orphan (mixed manifest/stream publishes or
+    // a checkpoint reset) — must be REFUSED, not silently double-merged
+    // into the history or half-swept
+    val st2 = s"$root/st2"
+    IngestSync.onBatch(st2, w1, 0L)
+    Seq(("v2", "_batch_b7"), ("v3", "_batch_b8")).foreach { case (v, t) =>
+      val d = new java.io.File(s"$st2/versions/$v")
+      spark.range(2).toDF("junk").write.parquet(d.getPath)
+      assert(new java.io.File(d, t).createNewFile())
+    }
+    val e = intercept[RuntimeException] { IngestSync.onBatch(st2, w2, 1L) }
+    assert(e.getMessage.contains("consecutive unmarked"),
+      s"wrong refusal: ${e.getMessage}")
+    assert(new java.io.File(s"$st2/versions/v2").isDirectory &&
+      new java.io.File(s"$st2/versions/v3").isDirectory,
+      "the refusal path must not delete evidence")
   }
 
   test("a41' Benford fold: the nine-counter state merges additively " +
@@ -2237,6 +2254,10 @@ class StreamingSpec extends AnyFunSuite {
       s"card chose ${chosen.mkString(",")}")
     val horizon = graft.ext.WindowFns.chosenHorizonSeconds(arrivalLog)
     assert(horizon == 60L)
+    // advisor r15: an EMPTY corpus reads horizon 0 (no rung chosen on
+    // n=0), never NoSuchElementException at the withWatermark caller
+    assert(graft.ext.WindowFns.chosenHorizonSeconds(arrivalLog.limit(0))
+      == 0L)
     // n = the max_late rung's n_within (that rung covers everything)
     val n = card.map(_.getAs[Long]("n_within")).max
     val admitted = card.filter(_.getAs[String]("bucket") == "late_1m")

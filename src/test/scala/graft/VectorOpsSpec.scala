@@ -92,5 +92,23 @@ class VectorOpsSpec extends AnyFunSuite {
       .select(VectorOps.vecArgminCell(spark, col("emb"),
         typedLit(Seq(Seq(1.0, 0.0)))).as("cell"))
     assert(n.head().isNullAt(0))
+    // EMPTY centers (k=0) → NULL, mirroring the HOF form's array_min
+    // over zero distances — never a silent cell 0 (advisor r15). Both
+    // paths pinned: interpreted eval (typedLit folded) and codegen.
+    val k0 = Seq((0L, Seq(1.0, 0.0))).toDF("vec_id", "emb")
+      .select(VectorOps.vecArgminCell(spark, col("emb"),
+        typedLit(Seq.empty[Seq[Double]])).as("cell"))
+    assert(k0.head().isNullAt(0), "k=0 must be NULL, not cell 0")
+    val k0i = graft.functions.VecArgminCell(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 0.0),
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq.empty[Seq[Double]],
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType))))
+    assert(k0i.eval(null) == null, "interpreted k=0 must be NULL")
   }
 }
