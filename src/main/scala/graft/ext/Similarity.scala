@@ -288,6 +288,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** SIM27 — approximate kNN GRAPH construction (r15 verdict ask #3):
+    * top-k neighbors for EVERY vector, not a point lookup — the verb
+    * dataset cartography, cluster labeling, and graph-based dedup
+    * variants start from (sim1–26 answer "neighbors of THIS query";
+    * this answers "the neighborhood structure of the whole corpus").
+    * The pair stage is the [[keyedNearDupPairs]] SHAPE on the
+    * published IVF cells ([[cellsFor]]-scaled, served through the
+    * IndexStore): a co-partitioned cell self-join bounds candidates
+    * to O(N · ~256) at any corpus size — all-pairs never
+    * materializes — and a per-source top-k window replaces the
+    * threshold (rounded(4) score + nbr_id tie-break, the sim6
+    * discipline, so the edge SET and order are rerun-stable).
+    *
+    * Approximation is priced, not hidden: edges only form INSIDE a
+    * cell (the d50/SemDeDup sacrifice — a true neighbor in another
+    * cell is missed; SimilaritySpec prices the slice recall against
+    * global brute force), candidates-within-cell are EXACT (the spec
+    * pins slice×corpus brute equivalence under the same cell
+    * discipline), and zero-norm sources drop with their NaN scores
+    * rather than ranking above numbers. Sources in cells with no
+    * other member emit no edges — an honest isolate, not an error.
+    * At scale the window shuffle partitions by source id over the
+    * cell-bounded pair frame; nothing corpus-quadratic exists in the
+    * plan. Rows-only: k-means cells have no SQL form (the d50/d51
+    * treatment). */
+  def sim27KnnGraph(spark: SparkSession, dir: String): DataFrame = {
+    val k = cellsFor(corpusSize(spark, dir))
+    val base = ivfIndexFor(spark, dir, k)
+    knnGraph(base.assigned.select(col("cell"), col("vec_id"), col("emb")),
+      kNeighbors = 5)
+  }
+
+  /** The sim27 kernel on an explicit cell assignment (unit-testable
+    * with hand-built cells). */
+  private[graft] def knnGraph(assigned: DataFrame,
+                              kNeighbors: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = assigned.sparkSession
+    val l = assigned.select(col("cell"), col("vec_id").as("src_id"),
+      col("emb").as("emb_a"))
+    val r = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("emb").as("emb_b"))
+    val scored = l.join(r, Seq("cell"))
+      .filter(col("src_id") =!= col("nbr_id"))
+      .select(col("src_id"), col("nbr_id"),
+        round(VectorOps.vecCosine(spark, col("emb_a"), col("emb_b")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNeighbors)
+      .select(col("src_id"), col("rank"), col("nbr_id"), col("cos_sim"))
+      .orderBy(col("src_id"), col("rank"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
     * across runs and engines; no runtime entropy). */
   private[ext] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
@@ -1995,6 +2051,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim27_knn_graph" -> sim27KnnGraph,
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
     "sim25_index_compaction" -> sim25IndexCompaction,

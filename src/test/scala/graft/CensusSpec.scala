@@ -205,6 +205,16 @@ class CensusSpec extends AnyFunSuite {
     "a35_cuped" -> 5,              // span agg + per-user reduction +
                                    // (arm, xbin, ybin) histogram + the
                                    // one-row moment agg (measured 4 + 1)
+    // r16-cohort pins at measured-plan + 1 (measured against the
+    // CHECKPOINT-served IVF index — the steady serving shape):
+    "d55_sem_decontaminate" -> 4,  // bench×train cell join + per-item
+                                   // max agg + left join/order over
+                                   // the bench-sized frame
+                                   // (measured 3 + 1)
+    "sim27_knn_graph" -> 3,        // cell self-join + per-source top-k
+                                   // window + output order over the
+                                   // cell-bounded pair frame
+                                   // (measured 2 + 1)
     "d50_semdedup" -> 11           // planted-batch union + the within-
                                    // cell pair self-join, then keeper
                                    // assembly (component labels +

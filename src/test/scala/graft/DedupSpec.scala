@@ -677,6 +677,70 @@ class DedupSpec extends AnyFunSuite {
       card.getLong(0) <= card.getLong(1))
   }
 
+  test("d55 semantic decontamination on hand cells: a PARAPHRASED eval " +
+    "item is caught at cosine 1.0 where d10's gram rule — replayed on " +
+    "the SAME pair — misses it; sub-τ and empty-cell items stay clean") {
+    // train: two docs with embeddings in two hand cells
+    val train = Seq(
+      (1L, Seq(1.0, 0.0), 0),
+      (2L, Seq(0.0, 1.0), 1)
+    ).toDF("vec_id", "emb", "cell")
+    // bench: 100 = a "paraphrase" of train 1 (same meaning ⇒ same
+    // direction, scaled — cosine exactly 1.0; different WORDS, below);
+    // 101 = related-but-distinct (cos 0.7071 < τ); 102 = lands in a
+    // cell with no train member at all
+    val bench = Seq(
+      (100L, Seq(1.02, 0.0), 0),
+      (101L, Seq(0.7, 0.7), 1),
+      (102L, Seq(-1.0, 0.0), 2)
+    ).toDF("vec_id", "emb", "cell")
+    val card = Dedup.semDecontaminate(bench, train, plantedAboveId = 99L)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getBoolean(4))).toMap
+    assert(card(100L) == (Some(1.0), true),
+      s"paraphrase not caught: ${card(100L)}")
+    assert(card(101L) == (Some(0.7071), false))
+    assert(card(102L) == (None, false),
+      "an empty candidate cell must read NULL/clean, not error")
+    // the CONTRAST that motivates d55: d10's exact 4-gram rule on the
+    // same train/bench pair — reworded text, zero shared 4-grams —
+    // reports ZERO contamination. The lexical matrix is blind here.
+    val trainDocs = Seq((1L, "web",
+      "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "source", "text")
+    val benchDocs = Seq((100L, "eval",
+      "a speedy auburn vulpine leaps across one sleepy canine this evening"))
+      .toDF("doc_id", "source", "text")
+    val gram = graft.ext.Curate.decontaminateDf(trainDocs, benchDocs)
+      .select("n_contaminated").as[Long].collect()
+    assert(gram.toSeq == Seq(0L),
+      "the gram rule unexpectedly caught the paraphrase — contrast vacuous")
+  }
+
+  test("d55 registered at sf0.01: every co-celled planted paraphrase — " +
+    "and nothing else — is contaminated, at max_train_cos exactly 1.0; " +
+    "natural bench items stay clean on the near-random corpus") {
+    val dir = "/root/testdata/sf0.01"
+    val card = Dedup.queries("d55_sem_decontaminate")(spark, dir)
+      .collect()
+    val planted = card.filter(_.getBoolean(2))
+    assert(planted.nonEmpty, "no planted paraphrase rows — vacuous")
+    // a planted copy is caught iff it assigned to its source's cell
+    // (cosine scale-invariance ⇒ exactly 1.0 there; the cross-cell
+    // loss is the d50-documented approximation, priced not hidden)
+    val caught = planted.filter(_.getBoolean(4))
+    assert(caught.nonEmpty, "no planted paraphrase was co-celled — vacuous")
+    caught.foreach(r => assert(r.getDouble(3) == 1.0,
+      s"planted ${r.getLong(0)} caught at ${r.getDouble(3)} != 1.0"))
+    // natural bench items: the synthetic corpus has no semantic dups
+    // (max pairwise cosine ~0.6 < τ) — all clean
+    card.filterNot(_.getBoolean(2)).foreach { r =>
+      assert(!r.getBoolean(4),
+        s"natural bench ${r.getLong(0)} flagged contaminated")
+    }
+  }
+
   test("cluster-size histogram counts clusters and docs per component size") {
     // components: {0,1,2,3} (chain), {10,11}, {20}, {21} →
     // size 1 × 2 clusters, size 2 × 1, size 4 × 1; docs sum to 8

@@ -750,4 +750,76 @@ class SimilaritySpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("query dim"))
   }
+
+  test("sim27 kNN graph on hand cells: a planted cluster's members " +
+    "neighbor each other in cosine order, cross-cell edges never form, " +
+    "a single-member cell is an honest isolate, zero-norm rows drop") {
+    // cell 0: a tight 3-cluster + one farther member; cell 1: two
+    // vectors; cell 2: a lone vector (isolate); cell 0 also carries a
+    // zero vector whose cosines are NaN
+    val assigned = Seq(
+      (0L, Seq(1.0, 0.0, 0.0), 0),
+      (1L, Seq(0.9962, 0.0872, 0.0), 0),  // 5° off 0: cos(0,1)=0.9962
+      (2L, Seq(0.9848, 0.1736, 0.0), 0),  // 10° off 0: cos(0,2)=0.9848;
+                                          // 5° off 1: cos(1,2)=0.9962 too
+      (3L, Seq(0.0, 0.0, 1.0), 0),        // orthogonal to the cluster
+      (4L, Seq(0.0, 1.0, 0.0), 1),
+      (5L, Seq(0.1736, 0.9848, 0.0), 1),  // cos(4,5)=0.9848
+      (6L, Seq(1.0, 0.0, 0.0), 2),        // same direction as 0, OTHER cell
+      (7L, Seq(0.0, 0.0, 0.0), 0)         // zero norm: NaN everywhere
+    ).toDF("vec_id", "emb", "cell")
+    val edges = Similarity.knnGraph(assigned, kNeighbors = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // 0's neighbors in rounded-cosine order with id tie-breaks; 1's
+    // two neighbors TIE at rounded 0.9962 → lower id (0) ranks first
+    assert(edges((0L, 1)) == (1L, 0.9962) && edges((0L, 2)) == (2L, 0.9848))
+    assert(edges((1L, 1)) == (0L, 0.9962) && edges((1L, 2)) == (2L, 0.9962))
+    assert(edges((4L, 1)) == (5L, 0.9848))
+    // 6 duplicates 0's direction but sits in another cell: no edge in
+    // either direction touches it (the priced cross-cell loss), and as
+    // a single-member cell it is an isolate
+    assert(!edges.values.exists(_._1 == 6L) &&
+      !edges.keys.exists(_._1 == 6L), "cross-cell edge formed")
+    // the zero vector neither emits nor receives edges (NaN guard)
+    assert(!edges.values.exists(_._1 == 7L) &&
+      !edges.keys.exists(_._1 == 7L), "zero-norm row survived the NaN guard")
+    // 3 still gets its 2 in-cell neighbors (low cosine is not exclusion)
+    assert(edges.contains((3L, 1)) && edges.contains((3L, 2)))
+  }
+
+  test("sim27 registered at sf0.01: slice × corpus brute equivalence — " +
+    "every slice source's edge list equals an independently-computed " +
+    "within-cell brute-force top-k (same rounding, same tie rule)") {
+    val dir = "/root/testdata/sf0.01"
+    val k = Similarity.cellsFor(Similarity.corpusSize(spark, dir))
+    val base = Similarity.ivfIndexFor(spark, dir, k)
+    val rows = base.assigned.select("vec_id", "emb", "cell")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Double](1).toArray, r.getInt(2)))
+    val byCell = rows.groupBy(_._3)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val slice = rows.filter(_._1 % 97 == 0)
+    assert(slice.nonEmpty, "empty slice — vacuous")
+    val truth = slice.flatMap { case (id, v, c) =>
+      byCell(c).filter(_._1 != id)
+        .map { case (nid, nv, _) => (nid,
+          BigDecimal(cos(v, nv)).setScale(4,
+            BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .filterNot(_._2.isNaN)
+        .sortBy { case (nid, c4) => (-c4, nid) }
+        .take(5).zipWithIndex
+        .map { case ((nid, c4), i) => (id, i + 1) -> (nid, c4) }
+    }.toMap
+    val got = Similarity.queries("sim27_knn_graph")(spark, dir)
+      .filter(col("src_id") % 97 === 0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty && got == truth,
+      s"graph slice ${got.size} edges != brute truth ${truth.size}")
+  }
 }
