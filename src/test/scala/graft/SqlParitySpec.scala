@@ -299,6 +299,286 @@ class SqlParitySpec extends AnyFunSuite {
     }
   }
 
+  // --- Tier 2e: the WORD-GRAM family (r15 verdict ask #2 — the
+  // largest enumerated parity blocker). Its oracles lean on exactly
+  // four DuckDB constructs with no token-level Spark spelling:
+  //   range(n) / range(a, b)  — END-EXCLUSIVE (sequence is inclusive,
+  //     and descends when start > stop, so a naive bound rewrite turns
+  //     DuckDB's EMPTY range into a descending array whose indexes
+  //     then explode out of bounds under ANSI);
+  //   w[i]                    — 1-based list index (element_at);
+  //   w[a : b]                — 1-based inclusive-both-ends list slice
+  //     (slice(w, a, b-a+1), both engines clamp past the end);
+  //   , LATERAL (SELECT unnest(r) AS i) — the correlated index spine
+  //     (LATERAL VIEW explode).
+  // Each is a small quote-aware structural rewrite below, applied ON
+  // TOP of the token map; every result still value-compares against
+  // the DataFrame query, so a rewrite that changes semantics fails
+  // loudly. The range templates are empty-safe:
+  //   range(N)    → slice(sequence(0, greatest(0, N-1)), 1, greatest(0, N))
+  //   range(A, B) → slice(sequence(A, greatest(A, B-1)), 1, greatest(0, B-A))
+
+  private def isIdentChar(c: Char): Boolean =
+    c.isLetterOrDigit || c == '_'
+
+  /** Rewrite every call of `fname` (outside string literals) through
+    * `rewrite`, which receives the top-level-comma-split args. */
+  private def rewriteCalls(sql: String, fname: String,
+      rewrite: Seq[String] => String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (c == '\'') { sb.append(c); inStr = true; i += 1 }
+      else if (sql.startsWith(fname + "(", i) &&
+          (i == 0 || !isIdentChar(sql.charAt(i - 1)))) {
+        var j = i + fname.length + 1
+        var depth = 1
+        var q = false
+        val args = scala.collection.mutable.ArrayBuffer[String]()
+        val cur = new StringBuilder
+        while (depth > 0) {
+          val ch = sql.charAt(j)
+          if (q) { cur.append(ch); if (ch == '\'') q = false }
+          else ch match {
+            case '\'' => q = true; cur.append(ch)
+            case '(' => depth += 1; cur.append(ch)
+            case ')' => depth -= 1; if (depth > 0) cur.append(ch)
+            case ',' if depth == 1 => args += cur.toString; cur.clear()
+            case other => cur.append(other)
+          }
+          j += 1
+        }
+        args += cur.toString
+        sb.append(rewrite(args.map(_.trim).toSeq))
+        i = j
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def rewriteRanges(sql: String): String =
+    rewriteCalls(sql, "range", {
+      case Seq(n) =>
+        s"slice(sequence(0, greatest(0, ($n) - 1)), 1, greatest(0, $n))"
+      case Seq(a, b) =>
+        s"slice(sequence(($a), greatest(($a), ($b) - 1)), " +
+          s"1, greatest(0, ($b) - ($a)))"
+      case other => sys.error(s"range arity ${other.size} unhandled")
+    })
+
+  /** 1-based `base[idx]` → element_at; `base[a : b]` → slice. The base
+    * is the qualified identifier or balanced call chain immediately
+    * before the bracket; brackets inside string literals (regex
+    * character classes) and empty `[]` type suffixes are untouched. */
+  private def rewriteIndexing(sql: String): String = {
+    // paren-match + quote maps in one forward scan
+    def findTarget(s: String): Option[(Int, Int, Int)] = {
+      // returns (baseStart, bracketOpen, bracketClose)
+      val openOf = new Array[Int](s.length)
+      java.util.Arrays.fill(openOf, -1)
+      val stack = scala.collection.mutable.Stack[Int]()
+      val inStr = new Array[Boolean](s.length)
+      var q = false
+      for (i <- s.indices) {
+        val c = s.charAt(i)
+        if (q) { inStr(i) = true; if (c == '\'') q = false }
+        else c match {
+          case '\'' => inStr(i) = true; q = true
+          case '(' => stack.push(i)
+          case ')' => if (stack.nonEmpty) openOf(i) = stack.pop()
+          case _ =>
+        }
+      }
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '[' && !inStr(i) && i > 0) {
+          var j = i + 1
+          while (j < s.length && (s.charAt(j) != ']' || inStr(j))) j += 1
+          if (j < s.length && j > i + 1) { // non-empty content
+            val prev = s.charAt(i - 1)
+            val baseStart =
+              if (prev == ')') {
+                var k = openOf(i - 1) - 1
+                while (k >= 0 && (isIdentChar(s.charAt(k)) ||
+                  s.charAt(k) == '.')) k -= 1
+                Some(k + 1)
+              } else if (isIdentChar(prev)) {
+                var k = i - 1
+                while (k >= 0 && (isIdentChar(s.charAt(k)) ||
+                  s.charAt(k) == '.')) k -= 1
+                Some(k + 1)
+              } else None
+            baseStart match {
+              case Some(bs) => return Some((bs, i, j))
+              case None =>
+            }
+          }
+          i = j + 1
+        } else i += 1
+      }
+      None
+    }
+    var s = sql
+    var target = findTarget(s)
+    while (target.isDefined) {
+      val (bs, bo, bc) = target.get
+      val base = s.substring(bs, bo)
+      val content = s.substring(bo + 1, bc)
+      val repl = content.split(" : ") match {
+        case Array(a, b) =>
+          s"slice($base, ${a.trim}, (${b.trim}) - (${a.trim}) + 1)"
+        case _ => s"element_at($base, ${content.trim})"
+      }
+      s = s.substring(0, bs) + repl + s.substring(bc + 1)
+      target = findTarget(s)
+    }
+    s
+  }
+
+  /** `, LATERAL (SELECT explode(r) AS i)` → ` LATERAL VIEW explode(r)
+    * lat_i AS i` (runs after the unnest→explode token). */
+  private def rewriteLateral(sql: String): String = {
+    val marker = ", LATERAL (SELECT explode("
+    var s = sql
+    var at = s.indexOf(marker)
+    while (at >= 0) {
+      var j = at + marker.length
+      var depth = 1
+      var q = false
+      while (depth > 0) {
+        val ch = s.charAt(j)
+        if (q) { if (ch == '\'') q = false }
+        else ch match {
+          case '\'' => q = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        j += 1
+      }
+      val args = s.substring(at + marker.length, j - 1)
+      val asRe = "^\\s+AS\\s+(\\w+)\\s*\\)".r
+      val tail = s.substring(j)
+      asRe.findFirstMatchIn(tail) match {
+        case Some(m) =>
+          val ident = m.group(1)
+          s = s.substring(0, at) +
+            s" LATERAL VIEW explode($args) lat_$ident AS $ident" +
+            tail.substring(m.end)
+        case None => sys.error(
+          s"LATERAL shape mismatch at: ${s.substring(at, at + 60)}")
+      }
+      at = s.indexOf(marker)
+    }
+    s
+  }
+
+  /** The composed word-gram respell: token map, then the structural
+    * rewrites, then the three remaining spot spellings (struct_pack's
+    * named fields; DuckDB's hex-string CAST → conv; list_sum → a
+    * sequential left-to-right aggregate, the same fold order DuckDB
+    * sums a list in, so float totals stay bit-identical). */
+  private def respellGrams(sql: String): String =
+    rewriteCalls(
+      rewriteLateral(rewriteIndexing(rewriteRanges(respell(sql)))),
+      "list_sum", { case Seq(x) =>
+        s"aggregate($x, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+      })
+      .replace("struct_pack(prev := ", "named_struct('prev', ")
+      .replace(", nxt := ", ", 'nxt', ")
+      .replace("CAST(concat('0x', substr(", "CAST(conv(substr(")
+      .replace("), 1, 12)) AS BIGINT)", "), 1, 12), 16, 10) AS BIGINT)")
+
+  private val gramRespelled = Seq(
+    "d10_decontaminate", "d15_fuzzy_decontaminate",
+    "d18_incremental_dedup", "d19_dup_spans", "d31_context_chunks",
+    "d32_split_leakage", "d35_bloom_decontaminate", "d45_boilerplate_spans",
+    "d47_bench_contamination", "t17_pmi_phrases", "t20_phrase_search",
+    "t22_bigram_logprob", "t23_perplexity_filter", "t24_hashed_lm",
+    "t28_ngram_novelty", "s18_zorder_layout", "sim19_random_projection")
+
+  gramRespelled.foreach { name =>
+    test(s"sql-parity $name: gram-respelled oracle text " +
+      "(range/index/slice/lateral structural rewrites) ≡ DataFrame") {
+      assertParity(name, respellGrams(SparkEntry.oracleSql(name)))
+    }
+  }
+
+  // d14/d24 additionally carry the PII regex (d13's two traps:
+  // DuckDB's 2-arg regexp_extract_all defaults to group 0 where
+  // Spark's defaults to group 1, and Spark SQL string literals eat
+  // single backslashes) — the same explicit-group + doubled-backslash
+  // treatment on top of the gram respell. The backslash doubling runs
+  // LAST so it cannot disturb the structural scanners.
+  Seq("d14_quality_filter", "d24_curation_funnel")
+    .foreach { name =>
+      test(s"sql-parity $name: gram respell + explicit group 0 + " +
+        "doubled backslashes (the d13 regex treatment) ≡ DataFrame") {
+        assertParity(name,
+          respellGrams(SparkEntry.oracleSql(name))
+            .replace("""|(?:\bcustomer\b)'))""",
+              """|(?:\bcustomer\b)', 0))""")
+            .replace("\\", "\\\\"))
+      }
+    }
+
+  test("sql-parity d21_segment_scrub: hand-written Spark twin — the " +
+    "ordered FILTERed list aggregate (DuckDB `list(x ORDER BY i) " +
+    "FILTER (WHERE ...)`) respelled as collect_list over a CASE + " +
+    "array_sort(struct) + transform; segments via slice + an explode " +
+    "spine") {
+    assertParity("d21_segment_scrub",
+      """WITH w AS (SELECT doc_id, split(text, ' ') AS words
+        |           FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i,
+        |    array_join(slice(words, i*3+1, 3), ' ') AS seg
+        |  FROM w LATERAL VIEW explode(
+        |    sequence(0, (size(words)+2) div 3 - 1)) lat_i AS i),
+        |fps AS (SELECT doc_id, i, seg, substr(md5(seg), 1, 16) AS fp
+        |        FROM segs),
+        |dup AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) >= 2),
+        |kept AS (SELECT f.doc_id, f.i, f.seg, (d.fp IS NOT NULL) AS dropped
+        |         FROM fps f LEFT JOIN dup d USING (fp))
+        |SELECT doc_id,
+        |  count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dropped,
+        |  coalesce(array_join(transform(array_sort(collect_list(
+        |      CASE WHEN NOT dropped THEN struct(i, seg) END)),
+        |    s -> s.seg), ' '), '') AS cleaned_text
+        |FROM kept WHERE doc_id < 20
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+  }
+
+  test("sql-parity mm3_frame_sample: hand-written Spark twin — " +
+    "DuckDB's two ZIPPED select-position unnests become one explode " +
+    "spine; octet_length(encode(x)) is Spark's octet_length(x)") {
+    assertParity("mm3_frame_sample",
+      """WITH m AS (
+        |  SELECT doc_id, octet_length(text) AS L, md5(text) AS fp
+        |  FROM documents WHERE doc_id < 50),
+        |d AS (
+        |  SELECT doc_id, fp,
+        |    CASE WHEN L % 3 = 0 THEN 1 ELSE 1 + L % 24 END AS nf
+        |  FROM m)
+        |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+        |  md5(fp || '_' || CAST(f AS INT)) AS frame_fp
+        |FROM d LATERAL VIEW explode(sequence(0, nf - 1, 4)) t AS f
+        |ORDER BY doc_id, frame_idx""".stripMargin)
+  }
+
+  test("sql-parity d54_lsh_tuning_curve: structural respell + the " +
+    "a41 table-valued generate_series rewrite ≡ DataFrame") {
+    assertParity("d54_lsh_tuning_curve",
+      respellStructural(SparkEntry.oracleSql("d54_lsh_tuning_curve"))
+        .replace("FROM sequence(1, 19) t(i)",
+          "FROM (SELECT explode(sequence(1, 19)) AS i) t"))
+  }
+
   test("sql-parity t27_readability: respell + EXPLICIT group 0 on " +
     "regexp_extract_all (DuckDB's 2-arg default is group 0, Spark's " +
     "is group 1 — the silent-semantics trap a blind token map must " +
