@@ -1605,6 +1605,87 @@ object Analyze {
       .orderBy(col("lang"))
   }
 
+  /** A43 — bootstrap confidence interval for the mean: the experiment
+    * console's first RESAMPLING readout (a33–a42 are all closed-form;
+    * a heavy-tailed metric whose normal-theory interval lies needs the
+    * percentile bootstrap, which is what metric platforms actually
+    * ship for revenue-like quantities). Per event type: B = [[A43Reps]]
+    * bootstrap replicas, each reweighting every event by a
+    * DETERMINISTIC Poisson(1)-approximation draw — w ∈ 0..5 from
+    * [[graft.functions.IdHash]] over (event_id·B + b), thresholds
+    * [[A43WeightCuts]] on a 10000 grid matching the Poisson pmf to 4
+    * decimals — so both engines (and every rerun) draw the SAME
+    * replicas: the classic multinomial bootstrap's Poissonization,
+    * exactly the approximation used to bootstrap on MapReduce at
+    * scale, made reproducible instead of sampled.
+    *
+    * Scale + determinism: the explode is a ×B map-side fan-out whose
+    * per-(type, replica) weighted cent sums combine map-side — the
+    * only shuffle is |types|·B groups, and the replica-mean frame the
+    * percentiles read is |types|·B rows, never corpus-sized. All
+    * replica sums are exact integers; each replica mean is ONE double
+    * division; the CI is the a14 exact-interpolation percentile over
+    * ≤B such doubles, rounds(4). Replicas that drew total weight 0
+    * drop (P ≈ 0.37^n — impossible at any real n, priced in the
+    * spec's degenerate pins). Streaming twin:
+    * [[graft.streaming.BootstrapFold]] folds this same reduction (a
+    * |types|·B additive monoid) and serves this same card. */
+  def a43BootstrapCi(spark: SparkSession, dir: String): DataFrame =
+    bootstrapCiFromSums(
+      bootstrapReplicaSums(Tables.events(spark, dir)),
+      bootstrapRawSums(Tables.events(spark, dir)))
+
+  private[graft] val A43Reps = 64
+  /** P(w) for w=0..4 under Poisson(1), cumulative on a 10000 grid
+    * (0.3679, 0.7358, 0.9197, 0.9810, 0.9963); the tail is w=5. ONE
+    * definition feeds the Spark CASE and the DuckDB oracle text. */
+  private[graft] val A43WeightCuts = Seq(3679, 7358, 9197, 9810, 9963)
+
+  /** The corpus reduction both surfaces fold: per (event_type,
+    * replica) exact weighted cent sums — |types|·B rows. */
+  private[graft] def bootstrapReplicaSums(events: DataFrame): DataFrame = {
+    val cuts = A43WeightCuts
+    val w = cuts.zipWithIndex.foldRight(lit(cuts.size)) {
+      case ((cut, i), rest) => when(col("h") < cut, i).otherwise(rest)
+    }
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        round(col("value") * 100).cast("long").as("c"))
+      .select(col("event_type"), col("event_id"), col("c"),
+        explode(sequence(lit(0), lit(A43Reps - 1))).as("b"))
+      .withColumn("h", graft.functions.IdHash.bucket(
+        col("event_id") * A43Reps + col("b"), 10000))
+      .withColumn("w", w.cast("long"))
+      .groupBy(col("event_type"), col("b"))
+      .agg(sum(col("w") * col("c")).as("wc"), sum(col("w")).as("wn"))
+  }
+
+  /** The raw side of the card: per-type event count + exact cent sum
+    * (the fold's second, 2-counter-per-type state). */
+  private[graft] def bootstrapRawSums(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .select(col("event_type"), round(col("value") * 100).cast("long")
+        .as("c"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("c")).as("sc"))
+
+  private[graft] def bootstrapCiFromSums(sums: DataFrame,
+                                         raw: DataFrame): DataFrame = {
+    val means = sums.filter(col("wn") > 0L)
+      .select(col("event_type"),
+        (col("wc").cast("double") / col("wn") / 100.0).as("mean_b"))
+    val ci = means.groupBy(col("event_type")).agg(
+      round(expr("percentile(mean_b, 0.025D)"), 4).as("ci_lo"),
+      round(expr("percentile(mean_b, 0.975D)"), 4).as("ci_hi"))
+    raw.join(ci, Seq("event_type"))
+      .select(col("event_type"), col("n_events"),
+        round(col("sc").cast("double") / col("n_events") / 100.0, 4)
+          .as("raw_mean"),
+        col("ci_lo"), col("ci_hi"),
+        round(col("ci_hi") - col("ci_lo"), 4).as("ci_width"))
+      .orderBy(col("event_type"))
+  }
+
   /** The shared per-metric statistics frame behind a36 AND a37: per-
     * (metric, arm) exact-integer moments over the per-user counts,
     * the distinct-user arm totals (zero-inflation: a user with no
@@ -1829,6 +1910,7 @@ object Analyze {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a43_bootstrap_ci" -> a43BootstrapCi,
     "a39_did" -> a39Did,
     "a40_winsorized_mean" -> a40WinsorizedMean,
     "a41_benford" -> a41Benford,
@@ -1898,6 +1980,50 @@ object Analyze {
       |ORDER BY event_type, aqi_category""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // a43: the deterministic Poisson-weight draw is IdHash over
+    // (event_id·B + b) with ONE shared cut grid (A43WeightCuts) — the
+    // Spark CASE and this text both interpolate it, so the replicas
+    // cannot drift. Exact integer replica sums; one double division
+    // per replica mean; quantile_cont = Spark's exact-interpolation
+    // percentile over the B-row frame.
+    "a43_bootstrap_ci" ->
+      (s"""WITH e AS (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events WHERE value IS NOT NULL),
+        |x AS (
+        |  SELECT event_type, c, i AS b,
+        |    ${graft.functions.IdHash.sql(s"event_id * $A43Reps + i", 10000)}
+        |      AS h
+        |  FROM e CROSS JOIN (SELECT unnest(range(0, $A43Reps)) AS i)),
+        |wt AS (
+        |  SELECT event_type, b, c,
+        |    CASE ${A43WeightCuts.zipWithIndex.map { case (cut, i) =>
+              s"WHEN h < $cut THEN $i" }.mkString(" ")}
+        |         ELSE ${A43WeightCuts.size} END AS w
+        |  FROM x),
+        |r AS (
+        |  SELECT event_type, b,
+        |    CAST(sum(w * c) AS BIGINT) AS wc,
+        |    CAST(sum(w) AS BIGINT) AS wn
+        |  FROM wt GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, CAST(wc AS DOUBLE) / wn / 100.0 AS mean_b
+        |  FROM r WHERE wn > 0),
+        |base AS (
+        |  SELECT event_type, count(*) AS n_events,
+        |    round(CAST(sum(c) AS DOUBLE) / count(*) / 100.0, 4)
+        |      AS raw_mean
+        |  FROM e GROUP BY 1),
+        |ci AS (
+        |  SELECT event_type,
+        |    round(quantile_cont(mean_b, 0.025), 4) AS ci_lo,
+        |    round(quantile_cont(mean_b, 0.975), 4) AS ci_hi
+        |  FROM m GROUP BY 1)
+        |SELECT base.event_type, n_events, raw_mean, ci_lo, ci_hi,
+        |  round(ci_hi - ci_lo, 4) AS ci_width
+        |FROM base JOIN ci USING (event_type)
+        |ORDER BY base.event_type""".stripMargin),
     // a39 rides a35's sp/u CTEs verbatim (ONE per-user pre/post
     // reduction for the whole experiment console), then exact-long
     // delta moments, the guarded z, and the shared A&S tail

@@ -215,6 +215,12 @@ class CensusSpec extends AnyFunSuite {
                                    // window + output order over the
                                    // cell-bounded pair frame
                                    // (measured 2 + 1)
+    "a43_bootstrap_ci" -> 5,       // replica-sum agg + percentile agg
+                                   // + raw agg + output order
+                                   // (measured 4 + 1; every exchange
+                                   // is |types|·B-sized or smaller
+                                   // except the one ×B map-side
+                                   // fan-out reduction)
     "d50_semdedup" -> 11           // planted-batch union + the within-
                                    // cell pair self-join, then keeper
                                    // assembly (component labels +

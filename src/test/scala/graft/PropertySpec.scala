@@ -1023,6 +1023,44 @@ class PropertySpec extends AnyFunSuite {
     assert(r.getDouble(6) == 0.505 && r.getLong(7) == 98)
   }
 
+  test("bootstrap CI: a CONSTANT metric collapses the interval to the " +
+    "constant exactly (every replica mean of a constant IS the " +
+    "constant, whatever the weights); a spread metric opens a " +
+    "bracketing width; the deterministic draw makes reruns " +
+    "bit-identical (A43)") {
+    import spark.implicits._
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // type "k": 40 events all exactly 5.00 — replica means are all
+    // 5.0 regardless of the Poisson weights, so ci = [5, 5], width 0.
+    // type "s": 1..40 cents — a real spread; the CI must bracket and
+    // have nonzero width.
+    val events = ((1 to 40).map(i =>
+      (i.toLong, ts0, i.toLong, "k", 5.0)) ++
+      (1 to 40).map(i => (100L + i, ts0, i.toLong, "s", i / 100.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dir = java.nio.file.Files.createTempDirectory("a43probe").toString
+    events.write.mode("overwrite")
+      .parquet(new java.io.File(dir, "events.parquet").getPath)
+    val out = graft.etl.Analyze.a43BootstrapCi(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k = out("k")
+    assert(k.getLong(1) == 40 && k.getDouble(2) == 5.0)
+    assert(k.getDouble(3) == 5.0 && k.getDouble(4) == 5.0 &&
+      k.getDouble(5) == 0.0,
+      s"constant metric must collapse the interval: $k")
+    val sRow = out("s")
+    assert(sRow.getDouble(2) == 0.205, "raw mean = 820 cents / 40 / 100")
+    assert(sRow.getDouble(3) <= sRow.getDouble(2) &&
+      sRow.getDouble(2) <= sRow.getDouble(4),
+      s"CI must bracket the raw mean: $sRow")
+    assert(sRow.getDouble(5) > 0.0, "spread metric must open the interval")
+    // determinism: the hash-keyed draw replays bit-identically
+    val again = graft.etl.Analyze.a43BootstrapCi(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(again == out.values.toSeq.sortBy(_.getString(0)).map(_.toString),
+      "rerun drifted — the bootstrap draw is not deterministic")
+  }
+
   test("HHI: planted lang×source counts; count ties break toward the " +
     "lexically first source (A42)") {
     import spark.implicits._

@@ -2223,6 +2223,51 @@ class StreamingSpec extends AnyFunSuite {
       ckpt) }
   }
 
+  test("a43' bootstrap fold: the |types|·B replica-sum state merges " +
+    "additively across micro-batches (the hash-keyed draw makes " +
+    "incremental resampling EXACT, not approximate); replay no-op; " +
+    "serve ≡ batch kernel; rebuild-from-landed; used-checkpoint guard") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val b1: Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (1 to 25).map(i => (i.toLong, ts0, i.toLong, "purchase", i / 10.0))
+    val b2: Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (26 to 50).map(i => (i.toLong, ts0, i.toLong, "purchase", i / 10.0))
+    def df(e: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      e.toDF("event_id", "ts", "user_id", "event_type", "value")
+    def batchCard(e: Seq[(Long, java.sql.Timestamp, Long, String, Double)]) =
+      graft.etl.Analyze.bootstrapCiFromSums(
+        graft.etl.Analyze.bootstrapReplicaSums(df(e)),
+        graft.etl.Analyze.bootstrapRawSums(df(e)))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    val fold = new graft.streaming.BootstrapFold
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("bootfold").toString
+    val q = fold.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt)
+    in.addData(b1: _*); q.processAllAvailable()
+    assert(rows(fold.serve(spark)) == rows(batchCard(b1)),
+      "fold after wave 1 diverged from the batch kernel")
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val live = rows(fold.serve(spark))
+    assert(live == rows(batchCard(b1 ++ b2)),
+      "fold after wave 2 diverged from the batch kernel — incremental " +
+        "resampling must be exact because weights key on (event_id, b)")
+    // SUM is not idempotent: a replayed committed batch must no-op
+    fold.onBatch(df(b2), 1L)
+    assert(rows(fold.serve(spark)) == live, "replay double-counted")
+    val f2 = new graft.streaming.BootstrapFold
+    f2.rebuildFrom(df(b1 ++ b2))
+    assert(rows(f2.serve(spark)) == live)
+    val f3 = new graft.streaming.BootstrapFold
+    intercept[IllegalStateException] { f3.start(
+      in.toDF().toDF("event_id", "ts", "user_id", "event_type", "value"),
+      ckpt) }
+  }
+
   test("w19'/ST13 the watermark loop closes (r14 ask #4): the horizon " +
     "DERIVED from the lateness audit admits/drops exactly the shares " +
     "the card predicts on planted lateness") {
