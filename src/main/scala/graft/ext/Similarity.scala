@@ -326,8 +326,22 @@ object Similarity {
                               kNeighbors: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = assigned.sparkSession
+    // The pair fan-out is this operator's dominant cost by
+    // construction, so its parallelism must not be hostage to the
+    // PROBE side's partition count: a store-served `assigned` small
+    // enough to broadcast (or loaded from few files) would otherwise
+    // run the whole O(N·cellsize) cosine stage on however many tasks
+    // the artifact's layout happened to give the left scan — measured
+    // at the 10× receipt: a BroadcastHashJoin probe side of TWO
+    // partitions doing 5.1M cosines serially (7.5 s → 1.9 s with the
+    // explicit cell exchange). One N-row shuffle buys fan-out
+    // parallelism that scales with the cell count (= N/256 under
+    // cellsFor), which is the trade every keyed pair kernel here
+    // already makes implicitly when both sides are too big to
+    // broadcast.
     val l = assigned.select(col("cell"), col("vec_id").as("src_id"),
       col("emb").as("emb_a"))
+      .repartition(col("cell"))
     val r = assigned.select(col("cell"), col("vec_id").as("nbr_id"),
       col("emb").as("emb_b"))
     val scored = l.join(r, Seq("cell"))
