@@ -122,6 +122,115 @@ object Classify {
       Curate.D29Frac)
   }
 
+  // ---------------------------------------------------------- t29 / t30
+
+  /** The session-memoized NB scorer with the columns the eval harness
+    * needs (truth + prediction under t12's exact rounded rule). */
+  private def nbScored(spark: SparkSession, dir: String): DataFrame = {
+    val logOdds = Similarity.perSession(nbCache, spark)
+      .getOrElseUpdate(dir, nbLogOddsOn(
+        Tables.documents(spark, dir), col("lang") === "en", maxVocab = 65536))
+    nbScoreOn(Tables.documents(spark, dir), logOdds)
+  }
+
+  /** T29 — per-SLICE classifier evaluation with Wilson intervals: the
+    * verb a model-eval harness actually runs. A global accuracy (t18's
+    * card) hides exactly the failures slicing exists to find — a
+    * classifier can read 0.9 overall while scoring 0.4 on one
+    * (lang, source) cell — and a small slice's point estimate is
+    * noise without an interval: the Wilson score interval (Wilson
+    * 1927) is the standard small-n-safe choice (never leaves [0, 1],
+    * no 0/0 at p̂ ∈ {0, 1}, unlike the naive Wald interval). Per
+    * (lang, source): n, truth/prediction/correct counts, accuracy,
+    * and the Wilson 95% bounds.
+    *
+    * Scale + determinism: scoring is t12's zero-shuffle broadcast
+    * lookup; the metric frame is ONE map-side-combinable count
+    * aggregate bounded by the label-space product (|langs|·|sources|
+    * rows, never corpus-sized); the Wilson chain is per-row scalar
+    * math from exact integer counts with the SAME parenthesization in
+    * both engines, rounds(4); `+ 0` normalizes the float −0.0 a p̂ = 0
+    * bound produces (the sim13 device). Batch-only by design: an eval
+    * card scores a FROZEN model on a pinned eval set — an ingest-time
+    * artifact, not a stream (the live quality loop is a23/a26's
+    * anomaly tier). */
+  def t29SliceMetrics(spark: SparkSession, dir: String): DataFrame =
+    sliceMetricsOn(nbScored(spark, dir), col("lang") === "en",
+      round(col("score"), 4) > 0, Seq("lang", "source"))
+
+  /** The generic kernel (unit-testable on any scored frame): metrics +
+    * Wilson 95% bounds per slice of `slices`, truth/pred as BOOLEAN
+    * columns evaluated per row BEFORE the count aggregate. */
+  private[graft] def sliceMetricsOn(scored: DataFrame, truth: Column,
+      pred: Column, slices: Seq[String]): DataFrame = {
+    val agg = scored.withColumn("t", truth).withColumn("p", pred)
+      .groupBy(slices.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_true"),
+        sum(when(col("p"), 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("t") === col("p"), 1L).otherwise(0L)).as("n_correct"))
+    val z = lit(1.96)
+    val nD = col("n").cast("double")
+    val p = col("n_correct").cast("double") / nD
+    val denom = lit(1.0) + z * z / nD
+    val center = (p + z * z / (lit(2.0) * nD)) / denom
+    val half = z / denom *
+      sqrt(p * (lit(1.0) - p) / nD + z * z / (lit(4.0) * nD * nD))
+    agg.select(slices.map(col) ++ Seq(col("n"), col("n_true"),
+      col("n_pred_pos"), col("n_correct"),
+      round(p, 4).as("accuracy"),
+      (round(center - half, 4) + lit(0)).as("wilson_lo"),
+      (round(center + half, 4) + lit(0)).as("wilson_hi")): _*)
+      .orderBy(slices.map(col): _*)
+  }
+
+  /** T30 — calibration / reliability card with ECE: is the model's
+    * CONFIDENCE honest? Selection rules (d30's top-fraction cutoff)
+    * and downstream weighting consume the score as if it meant
+    * probability; a miscalibrated scorer silently biases both. The
+    * score maps to p̂ through the base-10 logistic (the score IS a
+    * mean log10-odds), rows bucket into ten fixed-width confidence
+    * bins, and each bin's mean predicted p̂ stands against its
+    * observed positive rate; ECE (expected calibration error —
+    * Naeini et al. 2015's binned form) is the n-weighted mean gap.
+    *
+    * Scale + determinism: one map-side-combinable aggregate into ≤10
+    * bins; p̂ rounds(4) per row and averages over its EXACT ×10⁴
+    * integer image (aggregation order cannot drift a bin's mean);
+    * gaps are differences of ROUNDED values re-integerized, so the
+    * ECE sum is pure integer arithmetic with one final division.
+    * Same batch-only rationale as t29. */
+  def t30Calibration(spark: SparkSession, dir: String): DataFrame =
+    calibrationOn(nbScored(spark, dir), col("lang") === "en")
+
+  private[graft] def calibrationOn(scored: DataFrame,
+                                   truth: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val phat = round(lit(1.0) /
+      (lit(1.0) + pow(lit(10.0), -col("score"))), 4)
+    val rows = scored.select(truth.as("t"), phat.as("phat"))
+      .withColumn("bin",
+        least(lit(9), floor(col("phat") * 10)).cast("int"))
+      .withColumn("p4", round(col("phat") * 10000).cast("long"))
+    val w = Window.partitionBy(lit(1))
+    rows.groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("p4")).as("sp4"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("avg_pred",
+        round(col("sp4").cast("double") / (col("n") * 10000.0), 4))
+      .withColumn("obs_rate",
+        round(col("n_pos").cast("double") / col("n"), 4))
+      .withColumn("gap10k",
+        round(abs(col("avg_pred") - col("obs_rate")) * 10000).cast("long"))
+      .withColumn("ece",
+        round(sum(col("n") * col("gap10k")).over(w).cast("double")
+          / (sum(col("n")).over(w) * 10000.0), 4))
+      .select(col("bin"), col("n"), col("avg_pred"), col("obs_rate"),
+        round(col("gap10k") / 10000.0, 4).as("gap"), col("ece"))
+      .orderBy(col("bin"))
+  }
+
   // ---------------------------------------------------------------- d20
 
   /** Feature-bucket count B: FIXED, so the trained table is always
@@ -217,6 +326,8 @@ object Classify {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t12_nb_classifier" -> t12NbClassifier,
+    "t29_slice_metrics" -> t29SliceMetrics,
+    "t30_calibration" -> t30Calibration,
     "d20_dsir_weights" -> d20DsirWeights,
     "d30_nb_cutoff" -> d30NbCutoff
   )
@@ -280,6 +391,100 @@ object Classify {
         |  round(min(score), 4) AS min_score,
         |  round(max(score), 4) AS max_score
         |FROM ds GROUP BY lang ORDER BY lang""".stripMargin,
+    // t29/t30 rebuild t12's training/scoring CTE chain (same smoothing
+    // arithmetic, same rounded prediction rule), then the metric math:
+    // Wilson with the SAME parenthesization as the Spark chain; the
+    // calibration bins/ECE from exact ×10⁴ integer images.
+    "t29_slice_metrics" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, source, lang = 'en' AS pos,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, lang, source, pos, tok FROM w WHERE tok <> ''),
+        |f AS (SELECT tok,
+        |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |        sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        |      FROM w2 GROUP BY tok),
+        |t AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+        |             CAST(sum(cneg) AS DOUBLE) AS tneg,
+        |             CAST(count(*) AS DOUBLE) AS v FROM f),
+        |lo AS (SELECT tok,
+        |         log10((cpos + 1) / (tpos + v)) -
+        |         log10((cneg + 1) / (tneg + v)) AS lo
+        |       FROM f CROSS JOIN t),
+        |ds AS (SELECT doc_id, lang, source,
+        |         lang = 'en' AS t,
+        |         round(avg(lo), 4) > 0 AS p
+        |       FROM w2 JOIN lo USING (tok) GROUP BY doc_id, lang, source),
+        |m AS (
+        |  SELECT lang, source, count(*) AS n,
+        |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_pred_pos,
+        |    CAST(sum(CASE WHEN t = p THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM ds GROUP BY lang, source)
+        |SELECT lang, source, n, n_true, n_pred_pos, n_correct,
+        |  round(CAST(n_correct AS DOUBLE) / n, 4) AS accuracy,
+        |  round((CAST(n_correct AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+        |      / (1.0 + 1.96 * 1.96 / n)
+        |    - 1.96 / (1.0 + 1.96 * 1.96 / n)
+        |      * sqrt(CAST(n_correct AS DOUBLE) / n
+        |          * (1.0 - CAST(n_correct AS DOUBLE) / n) / n
+        |        + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * n)), 4) + 0
+        |    AS wilson_lo,
+        |  round((CAST(n_correct AS DOUBLE) / n + 1.96 * 1.96 / (2.0 * n))
+        |      / (1.0 + 1.96 * 1.96 / n)
+        |    + 1.96 / (1.0 + 1.96 * 1.96 / n)
+        |      * sqrt(CAST(n_correct AS DOUBLE) / n
+        |          * (1.0 - CAST(n_correct AS DOUBLE) / n) / n
+        |        + 1.96 * 1.96 / (4.0 * CAST(n AS DOUBLE) * n)), 4) + 0
+        |    AS wilson_hi
+        |FROM m ORDER BY lang, source""".stripMargin,
+    "t30_calibration" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, lang = 'en' AS pos,
+        |         unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |w2 AS (SELECT doc_id, lang, pos, tok FROM w WHERE tok <> ''),
+        |f AS (SELECT tok,
+        |        sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |        sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        |      FROM w2 GROUP BY tok),
+        |t AS (SELECT CAST(sum(cpos) AS DOUBLE) AS tpos,
+        |             CAST(sum(cneg) AS DOUBLE) AS tneg,
+        |             CAST(count(*) AS DOUBLE) AS v FROM f),
+        |lo AS (SELECT tok,
+        |         log10((cpos + 1) / (tpos + v)) -
+        |         log10((cneg + 1) / (tneg + v)) AS lo
+        |       FROM f CROSS JOIN t),
+        |ds AS (SELECT doc_id, lang = 'en' AS t, avg(lo) AS score
+        |       FROM w2 JOIN lo USING (tok) GROUP BY doc_id, lang),
+        |r AS (SELECT t,
+        |        round(1.0 / (1.0 + pow(10.0, -score)), 4) AS phat
+        |      FROM ds),
+        |r2 AS (SELECT t,
+        |         CAST(least(9, floor(phat * 10)) AS INT) AS bin,
+        |         CAST(round(phat * 10000, 0) AS BIGINT) AS p4
+        |       FROM r),
+        |b AS (SELECT bin, count(*) AS n,
+        |        CAST(sum(p4) AS BIGINT) AS sp4,
+        |        CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_pos
+        |      FROM r2 GROUP BY bin),
+        |g AS (SELECT bin, n,
+        |        round(CAST(sp4 AS DOUBLE) / (n * 10000.0), 4) AS avg_pred,
+        |        round(CAST(n_pos AS DOUBLE) / n, 4) AS obs_rate
+        |      FROM b),
+        |g2 AS (SELECT *,
+        |         CAST(round(abs(avg_pred - obs_rate) * 10000, 0) AS BIGINT)
+        |           AS gap10k
+        |       FROM g)
+        |SELECT bin, n, avg_pred, obs_rate,
+        |  round(gap10k / 10000.0, 4) AS gap,
+        |  round(CAST(sum(n * gap10k) OVER () AS DOUBLE)
+        |    / (sum(n) OVER () * 10000.0), 4) AS ece
+        |FROM g2 ORDER BY bin""".stripMargin,
     "d20_dsir_weights" ->
       s"""WITH w AS (
          |  SELECT doc_id, source, source IN ($targetList) AS pos,

@@ -221,6 +221,13 @@ class CensusSpec extends AnyFunSuite {
                                    // is |types|·B-sized or smaller
                                    // except the one ×B map-side
                                    // fan-out reduction)
+    "t29_slice_metrics" -> 3,      // zero-shuffle broadcast scoring +
+                                   // slice count agg + order
+                                   // (measured 2 + 1 on the memoized
+                                   // session scorer)
+    "t30_calibration" -> 3,        // same scoring pass + ≤10-bin agg
+                                   // + the one-row ECE window/order
+                                   // (measured 2 + 1)
     "d50_semdedup" -> 11           // planted-batch union + the within-
                                    // cell pair self-join, then keeper
                                    // assembly (component labels +

@@ -101,4 +101,66 @@ class ClassifySpec extends AnyFunSuite {
       assert(a.nonEmpty, q)
     }
   }
+
+  test("t29 slice metrics: hand-computed Wilson bounds on planted " +
+    "counts — n=4/3 correct, the all-correct slice (no Wald 0/0, hi " +
+    "exactly 1), and the all-wrong slice (lo exactly 0, never −0.0)") {
+    // truth = flag; pred = planted per row. Slices by (g, s):
+    //   (a, x): 4 rows, 3 correct → acc 0.75, Wilson [0.3006, 0.9544]
+    //   (b, x): 10 rows, all correct → acc 1, Wilson [0.7225, 1.0]
+    //   (c, x): 5 rows, none correct → acc 0, Wilson [0.0, 0.4345]
+    val rows =
+      Seq.fill(3)(("a", "x", true, true)) ++ Seq(("a", "x", true, false)) ++
+      Seq.fill(10)(("b", "x", false, false)) ++
+      Seq.fill(5)(("c", "x", true, false))
+    val df = rows.toDF("g", "s", "t0", "p0")
+    val out = Classify.sliceMetricsOn(df, col("t0"), col("p0"),
+      Seq("g", "s")).collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getLong(2) == 4 && a.getLong(5) == 3 &&
+      a.getDouble(6) == 0.75)
+    assert(a.getDouble(7) == 0.3006 && a.getDouble(8) == 0.9544,
+      s"Wilson(3/4) drifted: $a")
+    val b = out("b")
+    assert(b.getDouble(6) == 1.0 && b.getDouble(7) == 0.7225 &&
+      b.getDouble(8) == 1.0)
+    val c = out("c")
+    assert(c.getDouble(6) == 0.0 && c.getDouble(8) == 0.4345)
+    assert(c.getDouble(7) == 0.0 &&
+      !c.getDouble(7).toString.startsWith("-"),
+      s"p̂=0 lower bound must be 0.0, not -0.0: ${c.getDouble(7)}")
+  }
+
+  test("t30 calibration: planted scores land in the hand-computed " +
+    "bins with exact per-bin means, gaps, and the n-weighted ECE") {
+    // score 0 → p̂ 0.5 (bin 5); score 1 → p̂ 0.9091 (bin 9);
+    // score −1 → p̂ 0.0909 (bin 0). Planted:
+    //   bin 5: two rows (one pos, one neg) → avg_pred 0.5, obs 0.5, gap 0
+    //   bin 9: two rows, both pos → avg_pred 0.9091, obs 1.0, gap 0.0909
+    //   bin 0: one row, neg → avg_pred 0.0909, obs 0.0, gap 0.0909
+    // ECE = (2·0 + 2·909 + 1·909)/(5·10000) = 2727/50000 = 0.0545
+    val df = Seq((true, 0.0), (false, 0.0), (true, 1.0), (true, 1.0),
+      (false, -1.0)).toDF("t0", "score")
+    val out = Classify.calibrationOn(df, col("t0"))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == Set(0, 5, 9))
+    val b5 = out(5)
+    assert(b5.getLong(1) == 2 && b5.getDouble(2) == 0.5 &&
+      b5.getDouble(3) == 0.5 && b5.getDouble(4) == 0.0)
+    val b9 = out(9)
+    assert(b9.getDouble(2) == 0.9091 && b9.getDouble(3) == 1.0 &&
+      b9.getDouble(4) == 0.0909)
+    val b0 = out(0)
+    assert(b0.getDouble(2) == 0.0909 && b0.getDouble(3) == 0.0 &&
+      b0.getDouble(4) == 0.0909)
+    out.values.foreach(r => assert(r.getDouble(5) == 0.0545,
+      s"ECE must be the shared n-weighted total: $r"))
+    // a calibrated planted set reads ECE 0: 10 rows at p̂ = 0.5 with
+    // exactly 5 positives — predicted and observed rates match
+    val matched = ((1 to 5).map(_ => (true, 0.0)) ++
+      (1 to 5).map(_ => (false, 0.0))).toDF("t0", "score")
+    val m = Classify.calibrationOn(matched, col("t0")).collect()
+    assert(m.length == 1 && m.head.getDouble(5) == 0.0,
+      s"matched rates must read ECE 0: ${m.toSeq}")
+  }
 }

@@ -262,7 +262,9 @@ class SqlParitySpec extends AnyFunSuite {
     // the r15 operator batch lands on the SQL surface in its own
     // round (epoch/`//`/quantile_cont respells; a42 is already ANSI)
     "a39_did", "a40_winsorized_mean", "a42_hhi_concentration",
-    "w20_pareto_concentration", "g11_local_clustering")
+    "w20_pareto_concentration", "g11_local_clustering",
+    // the r16 eval-harness pair (t12's unnest/string_split spine)
+    "t29_slice_metrics", "t30_calibration")
   // p11_schema_audit was TRIED in this wave and is blocked honestly:
   // its oracle reads DuckDB's pragma_table_info catalog TVF, which has
   // no Spark SQL equivalent surface (DESCRIBE output is a command, not
