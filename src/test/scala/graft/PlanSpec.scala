@@ -536,4 +536,40 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"),
       s"no map-side combine:\n$p")
   }
+
+  test("sim27 kNN graph: the pair fan-out rides an explicit cell " +
+    "exchange (never the probe side's file count — the r16 receipt " +
+    "bug), and the per-source top-k is a rank window, not a sort+limit") {
+    val p = plan("sim27_knn_graph")
+    // the repartition(cell) that fixed the broadcast-degenerate
+    // fan-out: an Exchange hashpartitioning on cell must feed the join
+    assert(p.linesIterator.exists(l =>
+      l.contains("hashpartitioning") && l.contains("cell")),
+      s"the explicit cell exchange vanished:\n$p")
+    assert(p.contains("row_number"), s"no rank window:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("a43 bootstrap: the xB fan-out reduction partial-combines " +
+    "map-side (the only corpus-sized exchange is |types|*B groups)") {
+    val p = plan("a43_bootstrap_ci")
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"replica sums lost map-side combine:\n$p")
+    assert(p.contains("Generate explode") || p.contains("explode"),
+      s"fan-out shape changed:\n$p")
+  }
+
+  test("t29/t30: the eval scoring pass stays zero-shuffle on the " +
+    "scan side (broadcast-literal lookup — no token explode/join)") {
+    for (q <- Seq("t29_slice_metrics", "t30_calibration")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin"),
+        s"$q scoring regressed to a token join:\n$p")
+      // documents scan reads text plus only the slice/label columns
+      val readSchema =
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString
+      assert(!readSchema.contains("n_chars"),
+        s"$q read columns the card never uses:\n$readSchema")
+    }
+  }
 }
