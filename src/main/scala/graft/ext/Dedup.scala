@@ -1316,10 +1316,18 @@ object Dedup {
   private[graft] def batchCellCosines(batch: DataFrame,
       corpus: DataFrame): DataFrame = {
     val spark = batch.sparkSession
+    // The sim27 fan-out treatment (r16 verdict ask #1) on the LARGER
+    // side: when the batch is small enough to broadcast, the
+    // O(batch·cellsize) cosine fan-out's parallelism falls to the
+    // corpus side's file count — and the corpus here is typically a
+    // store-served index artifact with few files. One explicit cell
+    // exchange pins the fan-out's parallelism to the shuffle
+    // partition count; in the sort-merge regime it is absorbed (the
+    // join needs hash partitioning on cell anyway).
     batch.select(col("cell"), col("vec_id").as("id_b"),
         col("emb").as("emb_b"))
       .join(corpus.select(col("cell"), col("vec_id").as("id_a"),
-        col("emb").as("emb_a")), Seq("cell"))
+        col("emb").as("emb_a")).repartition(col("cell")), Seq("cell"))
       .select(col("cell"), col("id_a"), col("id_b"),
         round(graft.functions.VectorOps.vecCosine(spark,
           col("emb_a"), col("emb_b")), 4).as("cos_sim"))

@@ -358,6 +358,148 @@ object Similarity {
       .orderBy(col("src_id"), col("rank"))
   }
 
+  /** SIM28 — cell-occupancy drift between corpus GENERATIONS on the
+    * FROZEN published cells (r16 verdict ask #2): the staleness signal
+    * the IVF index lifecycle lacks. Every frozen-cell consumer (d51's
+    * incremental dedup, d55's decontamination, sim23's delta serving)
+    * assumes new data still looks like the corpus the centroids were
+    * trained on; a new crawl that shifts the embedding distribution
+    * silently degrades all of them — cells overflow or empty out, and
+    * nothing says "retrain" ([[graft.ext.IndexStore.gcStore]] collects
+    * garbage but has no staleness trigger). This card is that trigger:
+    * the population stability index of the CELL-OCCUPANCY distribution
+    * between the older and newer id half ("previous generation" vs
+    * "this generation" — the t26/a35 midpoint split device), computed
+    * on the published assignment itself. PSI ≥ 0.2 (the industry
+    * folklore rung t26 publishes for quality drift) reads
+    * `drift_major` = time to retrain; `top_cell` names the
+    * most-shifted cell (ties → lowest id), which is where an operator
+    * looks first. The arithmetic is t26's PSI kernel verbatim —
+    * Laplace-smoothed proportions over the FIXED k-cell domain (a cell
+    * empty on one side reads a large finite term, never ln(0); two
+    * literally identical generations read exactly 0.0), per-term
+    * round(6) before the sum's round(4).
+    *
+    * Scale shape: ONE pass over the (vec_id, cell) assignment to
+    * 2·k group counts — never the vectors — then all arithmetic on a
+    * k-row frame; the only data-sized exchange is the count
+    * aggregation, which combines map-side. Rows-only: k-means cells
+    * have no SQL form (the d50/d51 treatment); SimilaritySpec pins the
+    * kernel on hand generations (identical → exactly 0; shifted → past
+    * the 0.2 rung). */
+  def sim28CellDrift(spark: SparkSession, dir: String): DataFrame = {
+    val k = cellsFor(corpusSize(spark, dir))
+    val base = ivfIndexFor(spark, dir, k)
+    val a = base.assigned.select(col("vec_id"), col("cell"))
+    val span = a.agg(min(col("vec_id")).as("d0"),
+        max(col("vec_id")).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val tagged = a.crossJoin(broadcast(span))
+    cellOccupancyPsi(
+      tagged.filter(col("vec_id") < col("split")).select(col("cell")),
+      tagged.filter(col("vec_id") >= col("split")).select(col("cell")), k)
+  }
+
+  /** The sim28 kernel on explicit generation frames (each holding a
+    * `cell` column over the SAME frozen k-cell domain — unit-testable
+    * with hand assignments). One row: sizes, PSI, the most-shifted
+    * cell, and the ≥ 0.2 retrain flag. */
+  private[graft] def cellOccupancyPsi(ref: DataFrame, cur: DataFrame,
+                                      k: Int): DataFrame = {
+    val spark = ref.sparkSession
+    val cr = ref.groupBy(col("cell")).agg(count(lit(1)).as("cr"))
+    val cc = cur.groupBy(col("cell")).agg(count(lit(1)).as("cc"))
+    // the FIXED published domain: all k cells, so a cell present in
+    // one generation and absent from the other still contributes its
+    // (smoothed) term on BOTH sides — t26's missing-bin discipline
+    val domain = spark.range(k.toLong)
+      .select(col("id").cast("int").as("cell"))
+    // pin the k-row count frame: it feeds TWO consumers (the totals
+    // and the term chain) — without the pin each re-runs the
+    // assignment scan and both count aggregates (t26's lesson:
+    // 10 exchanges measured; 5 with it)
+    val full = domain.join(cr, Seq("cell"), "left")
+      .join(cc, Seq("cell"), "left")
+      .na.fill(0L, Seq("cr", "cc"))
+      .localCheckpoint(true)
+    val tot = full.agg(sum(col("cr")).as("n_ref"),
+      sum(col("cc")).as("n_cur"))
+    full.crossJoin(broadcast(tot))
+      .withColumn("p",
+        (col("cr") + lit(0.5)) / (col("n_ref") + lit(k * 0.5)))
+      .withColumn("q",
+        (col("cc") + lit(0.5)) / (col("n_cur") + lit(k * 0.5)))
+      .withColumn("term",
+        round((col("q") - col("p")) * log(col("q") / col("p")), 6))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        count(lit(1)).as("n_cells"),
+        round(sum(col("term")), 4).as("psi"),
+        // most-shifted cell, ties → LOWEST cell id (negate inside the
+        // struct max so the comparison stays one deterministic max)
+        max(struct(abs(col("term")).as("t"), (-col("cell")).as("nc")))
+          .as("top"))
+      .select(col("n_ref"), col("n_cur"), col("n_cells"), col("psi"),
+        (-col("top.nc")).as("top_cell"),
+        col("top.t").as("top_term_abs"),
+        (col("psi") >= 0.2).as("drift_major"))
+  }
+
+  /** SIM29 — dataset cartography over the sim27 kNN graph (r16 verdict
+    * ask #3): the readout that makes the corpus-wide neighbor
+    * structure actionable. Per frozen cell — member count, the mean
+    * and min of its members' top-k neighbor cosines, and the isolate
+    * share (members that emitted no edges: singleton cells, or
+    * zero-norm vectors whose NaN scores dropped). Dense near-dup
+    * swamps read high mean_knn_cos at low isolate_share (candidates
+    * for d50-style pruning); sparse frontier cells read the opposite
+    * (where new data adds information). `region` names the rung:
+    * `dense_swamp` at mean ≥ [[graft.ext.Dedup.D50Tau]] (the dedup
+    * τ — neighbors this close are deletion candidates, so the cell is
+    * REDUNDANT), `sparse_frontier` when isolates dominate or nothing
+    * scores, `mid` otherwise.
+    *
+    * Scale shape: one aggregate over sim27's cell-bounded edge output
+    * (O(N·k_neighbors) rows) per-source, then a left join back to the
+    * k-cell assignment census and a k-row report — nothing
+    * corpus-quadratic, and every aggregate combines map-side. Float
+    * discipline: edge cosines are already round(4); the per-cell means
+    * re-round(4) after averaging ≤ 5·cellsize rounded values (drift
+    * bounded at the 16th decimal, three orders below the rounding).
+    * Rows-only: k-means cells have no SQL form; SimilaritySpec pins
+    * hand-cell extremes (a planted identical cluster reads
+    * dense_swamp at cos 1.0; a singleton reads isolate_share 1.0
+    * sparse_frontier). */
+  def sim29KnnCartography(spark: SparkSession, dir: String): DataFrame = {
+    val k = cellsFor(corpusSize(spark, dir))
+    val base = ivfIndexFor(spark, dir, k)
+    val assigned = base.assigned
+      .select(col("cell"), col("vec_id"), col("emb"))
+    knnCartography(assigned, knnGraph(assigned, kNeighbors = 5))
+  }
+
+  /** The sim29 kernel on explicit frames (unit-testable): `assigned`
+    * is the (cell, vec_id, …) membership, `edges` the sim27 output. */
+  private[graft] def knnCartography(assigned: DataFrame,
+                                    edges: DataFrame): DataFrame = {
+    val perSrc = edges.groupBy(col("src_id")).agg(
+      avg(col("cos_sim")).as("src_mean"),
+      min(col("cos_sim")).as("src_min"))
+    assigned.select(col("cell"), col("vec_id").as("src_id"))
+      .join(perSrc, Seq("src_id"), "left")
+      .groupBy(col("cell")).agg(
+        count(lit(1)).as("n_members"),
+        round(avg(col("src_mean")), 4).as("mean_knn_cos"),
+        round(min(col("src_min")), 4).as("min_knn_cos"),
+        round(avg(when(col("src_mean").isNull, 1.0).otherwise(0.0)), 4)
+          .as("isolate_share"))
+      .withColumn("region",
+        when(col("mean_knn_cos") >= Dedup.D50Tau, "dense_swamp")
+          .when(col("isolate_share") >= 0.5 || col("mean_knn_cos").isNull,
+            "sparse_frontier")
+          .otherwise("mid"))
+      .orderBy(col("cell"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed — reproducible
     * across runs and engines; no runtime entropy). */
   private[ext] def hyperplanes(nPlanes: Int, dim: Int): Array[Array[Double]] = {
@@ -400,7 +542,20 @@ object Similarity {
   private[graft] def keyedNearDupPairs(keyed: DataFrame, key: String,
                                        threshold: Double): DataFrame = {
     val spark = keyed.sparkSession
+    // The sim27 fan-out treatment (r16 verdict ask #1): the pair
+    // stage's O(N·keysize) cosine fan-out is this kernel's dominant
+    // cost, and its parallelism must not be hostage to the PROBE
+    // side's partition count — a `keyed` frame small enough for one
+    // side to broadcast (a store-served artifact loaded from few
+    // files) would otherwise run the whole cosine stage on however
+    // many tasks the input layout happened to give the left scan
+    // (sim27 measured 5.1M cosines on TWO partitions, 7.5→1.76 s
+    // with the explicit key exchange). In the sort-merge regime the
+    // exchange is absorbed — the join needs hash partitioning on the
+    // key anyway — so the extra shuffle materializes exactly where
+    // the hazard does.
     val l = keyed.select(col(key), col("vec_id").as("id_a"), col("emb").as("emb_a"))
+      .repartition(col(key))
     val r = keyed.select(col(key), col("vec_id").as("id_b"), col("emb").as("emb_b"))
     l.join(r, Seq(key))
       .filter(col("id_a") < col("id_b"))
@@ -2066,6 +2221,8 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim27_knn_graph" -> sim27KnnGraph,
+    "sim28_cell_drift" -> sim28CellDrift,
+    "sim29_knn_cartography" -> sim29KnnCartography,
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
     "sim25_index_compaction" -> sim25IndexCompaction,

@@ -56,6 +56,8 @@ class CensusSpec extends AnyFunSuite {
     "a39_did",                  // broadcast split-day singleton (a35 shape)
     "t28_ngram_novelty",        // broadcast doc_id-midpoint singleton
                                 // (the t26 split device)
+    "sim28_cell_drift",         // broadcast vec_id-midpoint + totals
+                                // singletons (the t26 split device)
     "sim22_hybrid_rrf")         // broadcast query vector + stats singletons
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
@@ -228,6 +230,16 @@ class CensusSpec extends AnyFunSuite {
     "t30_calibration" -> 3,        // same scoring pass + ≤10-bin agg
                                    // + the one-row ECE window/order
                                    // (measured 2 + 1)
+    // r17-cohort pins at measured-plan + 1:
+    "sim28_cell_drift" -> 3,       // the two occupancy count aggs off
+                                   // the checkpoint-served assignment;
+                                   // totals + terms ride the
+                                   // checkpointed k-row count frame
+                                   // (measured 2 + 1)
+    "sim29_knn_cartography" -> 8,  // sim27's cell exchange + top-k
+                                   // window + per-source agg + the
+                                   // assignment join + cell agg +
+                                   // report order (measured 7 + 1)
     "d50_semdedup" -> 11           // planted-batch union + the within-
                                    // cell pair self-join, then keeper
                                    // assembly (component labels +

@@ -822,4 +822,102 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.nonEmpty && got == truth,
       s"graph slice ${got.size} edges != brute truth ${truth.size}")
   }
+
+  test("sim28 cell-occupancy PSI on hand generations: identical " +
+    "generations read EXACTLY 0.0; a fully-shifted one reads far past " +
+    "the 0.2 retrain rung with the right smoothed terms") {
+    val gen = Seq(0, 0, 1, 2).toDF("cell")
+    val same = Similarity.cellOccupancyPsi(gen, gen, k = 4).head()
+    assert(same.getLong(0) == 4L && same.getLong(1) == 4L &&
+      same.getLong(2) == 4L)
+    assert(same.getDouble(3) == 0.0,
+      s"identical generations read psi ${same.getDouble(3)} != 0.0")
+    assert(!same.getBoolean(6))
+    // ref: 10 members all in cell 0; cur: 10 all in cell 1 (k=4).
+    // Smoothing: p0=10.5/12, q0=0.5/12 → term0=(q0−p0)·ln(q0/p0)
+    // = (−5/6)·ln(1/21) = 2.537102 (round 6); cell 1 mirrors it;
+    // cells 2/3 read p=q → 0. psi = round(2·2.537102, 4) = 5.0742.
+    val ref = Seq.fill(10)(0).toDF("cell")
+    val cur = Seq.fill(10)(1).toDF("cell")
+    val shifted = Similarity.cellOccupancyPsi(ref, cur, k = 4).head()
+    assert(shifted.getDouble(3) == 5.0742,
+      s"shifted psi ${shifted.getDouble(3)} != 5.0742")
+    assert(shifted.getBoolean(6), "shifted generation not flagged major")
+    // equal |term| on cells 0 and 1 → the tie rule names the LOWEST
+    assert(shifted.getInt(4) == 0 &&
+      shifted.getDouble(5) == 2.537102)
+    // a cell EMPTY on both sides contributes exactly 0, not ln(0)
+    val ref2 = Seq(0, 1).toDF("cell")
+    val cur2 = Seq(0, 3).toDF("cell")
+    val sparse = Similarity.cellOccupancyPsi(ref2, cur2, k = 4).head()
+    assert(!sparse.getDouble(3).isNaN && !sparse.getDouble(3).isInfinite)
+  }
+
+  test("sim28 registered at sf0.01: one-row card over the published " +
+    "cells; the near-random corpus halves read stable (psi < 0.2)") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.queries("sim28_cell_drift")(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val k = Similarity.cellsFor(Similarity.corpusSize(spark, dir))
+    assert(r.getLong(2) == k.toLong, s"domain ${r.getLong(2)} != $k cells")
+    // the two id halves of one uniform corpus are the same
+    // distribution — the card must NOT cry wolf on stable data
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 0.2 &&
+      !r.getBoolean(6), s"stable corpus read psi ${r.getDouble(3)}")
+    assert(r.getLong(0) + r.getLong(1) ==
+      Similarity.corpusSize(spark, dir))
+  }
+
+  test("sim29 cartography on hand cells: an identical cluster reads " +
+    "dense_swamp at cos 1.0, a singleton and a NaN-only cell read " +
+    "sparse_frontier isolates, a moderate pair reads mid") {
+    val assigned = Seq(
+      (0, 1L, Seq(1.0, 0.0)),   // cell 0: three identical vectors —
+      (0, 2L, Seq(2.0, 0.0)),   //   pairwise cosine exactly 1.0
+      (0, 3L, Seq(0.5, 0.0)),
+      (1, 10L, Seq(0.0, 1.0)),  // cell 1: singleton → isolate
+      (2, 20L, Seq(1.0, 0.0)),  // cell 2: cosine exactly 0.6
+      (2, 21L, Seq(0.6, 0.8)),
+      (3, 30L, Seq(0.0, 0.0)),  // cell 3: zero-norm — NaN pairs drop,
+      (3, 31L, Seq(1.0, 0.0))   //   so BOTH members are isolates
+    ).toDF("cell", "vec_id", "emb")
+    val card = Similarity.knnCartography(assigned,
+      Similarity.knnGraph(assigned, kNeighbors = 5))
+      .collect().map(r => r.getInt(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, i: Int): Option[Double] =
+      Option(r.get(i)).map(_.asInstanceOf[Double])
+    assert(card(0).getLong(1) == 3L && d(card(0), 2) == Some(1.0) &&
+      d(card(0), 3) == Some(1.0) && d(card(0), 4) == Some(0.0) &&
+      card(0).getString(5) == "dense_swamp")
+    assert(card(1).getLong(1) == 1L && d(card(1), 2).isEmpty &&
+      d(card(1), 4) == Some(1.0) &&
+      card(1).getString(5) == "sparse_frontier")
+    assert(card(2).getLong(1) == 2L && d(card(2), 2) == Some(0.6) &&
+      d(card(2), 3) == Some(0.6) && card(2).getString(5) == "mid")
+    assert(card(3).getLong(1) == 2L && d(card(3), 2).isEmpty &&
+      d(card(3), 4) == Some(1.0) &&
+      card(3).getString(5) == "sparse_frontier",
+      s"NaN-only cell misread: ${card(3)}")
+  }
+
+  test("sim29 registered at sf0.01: every published cell reports, " +
+    "members sum to the corpus, and each mean rides inside its own " +
+    "[min, 1] bracket") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.queries("sim29_knn_cartography")(spark, dir)
+      .collect()
+    val k = Similarity.cellsFor(Similarity.corpusSize(spark, dir))
+    assert(rows.length == k, s"${rows.length} cells != $k")
+    assert(rows.map(_.getLong(1)).sum ==
+      Similarity.corpusSize(spark, dir))
+    rows.foreach { r =>
+      assert(Set("dense_swamp", "sparse_frontier", "mid")(r.getString(5)))
+      if (!r.isNullAt(2)) {
+        assert(r.getDouble(2) >= r.getDouble(3) && r.getDouble(2) <= 1.0)
+        assert(r.getDouble(4) < 1.0)
+      } else assert(r.getDouble(4) == 1.0,
+        s"cell ${r.getInt(0)}: null mean without full isolation")
+    }
+  }
 }

@@ -269,12 +269,11 @@ class SqlParitySpec extends AnyFunSuite {
   // its oracle reads DuckDB's pragma_table_info catalog TVF, which has
   // no Spark SQL equivalent surface (DESCRIBE output is a command, not
   // a composable relation with the same columns).
-  // Not respellable (each was TRIED and failed honestly): the
-  // recursive-closure family (UNION set semantics), range()/
-  // generate_series (end-exclusive vs sequence's inclusive), DuckDB
-  // list-slice [a:b] indexing, setseed/hash (engine-specific), d2's
-  // regex-normalized md5 (subtle regex semantics moved the hashes),
-  // and the sim tier's list_cosine_similarity formulations.
+  // Not respellable (each was TRIED and failed honestly): setseed/
+  // hash (engine-specific) and d2's regex-normalized md5 (subtle
+  // regex semantics moved the hashes). The recursive-closure family
+  // cleared in r17 (tier 2g below — capped UNION ALL + per-step
+  // DISTINCT); range()/list-slice cleared in r16 (tier 2e).
 
   autoRespelled.foreach { name =>
     test(s"sql-parity $name: auto-respelled oracle text ≡ DataFrame") {
@@ -510,6 +509,68 @@ class SqlParitySpec extends AnyFunSuite {
       "(range/index/slice/lateral structural rewrites) ≡ DataFrame") {
       assertParity(name, respellGrams(SparkEntry.oracleSql(name)))
     }
+  }
+
+  // --- Tier 2g: the RECURSIVE-CLOSURE family (r16 verdict ask #4 —
+  // the last enumerated multi-query parity blocker). DuckDB's closure
+  // CTEs use `WITH RECURSIVE … UNION` (SET semantics): recursion stops
+  // when a step derives no NEW rows, which is what guarantees
+  // termination on a cyclic reachability graph. Spark 4.1 supports
+  // UNION ALL recursion only ([UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE],
+  // probed this round), under which a cycle re-derives the same rows
+  // forever. The honest emulation: a per-step DISTINCT (each step is
+  // bounded by the distinct pair count instead of the walk count) plus
+  // an EXPLICIT level cap — a capped walk reaches everything the
+  // set-semantics closure reaches iff the cap ≥ the largest cluster
+  // diameter, and the parity assert validates exactly that against the
+  // DataFrame result, so an insufficient cap fails LOUDLY rather than
+  // silently truncating a component. Row multiplicity across levels is
+  // the only other divergence risk, and every consumer already
+  // collapses `reach` through GROUP BY/min. The cap is generous: the
+  // d-family clusters are near-cliques (diameter ≤ 3 measured via d27
+  // at both SFs) and g5's co-presence components are hub-connected.
+  private val RecursionCap = 16
+  private def respellRecursive(sql: String): String =
+    sql
+      // the closure CTE gains a level column…
+      .replaceAll("""reach\((\w+), (\w+)\) AS \(""",
+        "reach($1, $2, lvl) AS (")
+      // …seeded 0 at the anchor (the three anchor shapes in use)…
+      .replace("SELECT doc_id, doc_id FROM",
+        "SELECT doc_id, doc_id, 0 FROM")
+      .replace("SELECT DISTINCT a, a FROM edges",
+        "SELECT DISTINCT a, a, 0 FROM edges")
+      .replace("SELECT n, n FROM nodes", "SELECT n, n, 0 FROM nodes")
+      // …and the set-semantics step becomes UNION ALL + per-step
+      // DISTINCT + the cap
+      .replaceAll("""UNION\s+SELECT (r\.\w+), (e\.\w+) FROM reach r """ +
+        """JOIN (\w+) e ON (e\.\w+) = (r\.\w+)\)""",
+        s"UNION ALL SELECT DISTINCT $$1, $$2, r.lvl + 1 " +
+          s"FROM reach r JOIN $$3 e ON $$4 = $$5 " +
+          s"WHERE r.lvl < $RecursionCap)")
+
+  // the closure consumers ride the word-gram machinery too (shingle
+  // CTEs), so the recursive rewrite composes on TOP of respellGrams;
+  // g5's spans CTE needs only the token map. d5 carries no recursion —
+  // it was blocked as part of this family and clears on the gram
+  // respell alone.
+  Seq("d6_dedup_clusters", "d7_deduped_corpus", "d23_canonical_keep",
+    "d27_cluster_sizes", "d36_cluster_quality").foreach { name =>
+    test(s"sql-parity $name: gram respell + capped UNION ALL closure " +
+      "(per-step DISTINCT emulates set semantics) ≡ DataFrame") {
+      assertParity(name, respellRecursive(
+        respellGrams(SparkEntry.oracleSql(name))))
+    }
+  }
+  test("sql-parity g5_components: token respell + capped UNION ALL " +
+    "closure ≡ DataFrame") {
+    assertParity("g5_components",
+      respellRecursive(respell(SparkEntry.oracleSql("g5_components"))))
+  }
+  test("sql-parity d5_ngram_jaccard: gram-respelled oracle text ≡ " +
+    "DataFrame") {
+    assertParity("d5_ngram_jaccard",
+      respellGrams(SparkEntry.oracleSql("d5_ngram_jaccard")))
   }
 
   // d14/d24 additionally carry the PII regex (d13's two traps:
