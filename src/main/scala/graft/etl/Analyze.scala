@@ -1653,7 +1653,14 @@ object Analyze {
         round(col("value") * 100).cast("long").as("c"))
       .select(col("event_type"), col("event_id"), col("c"),
         explode(sequence(lit(0), lit(A43Reps - 1))).as("b"))
-      .withColumn("h", graft.functions.IdHash.bucket(
+      // wideBucket, not bucket (advisor r16): the % 100003
+      // pre-reduction would cap the draw space at 100003 residues —
+      // events 100003 ids apart would share their entire replica
+      // weight sequence, structurally correlating replicas at corpora
+      // ≳10^5 events per type. The wide mix lets the full 63-bit
+      // (event_id·B + b) key participate, so the bootstrap stays
+      // statistically valid at any corpus the id space can address.
+      .withColumn("h", graft.functions.IdHash.wideBucket(
         col("event_id") * A43Reps + col("b"), 10000))
       .withColumn("w", w.cast("long"))
       .groupBy(col("event_type"), col("b"))
@@ -1993,7 +2000,7 @@ object Analyze {
         |  FROM events WHERE value IS NOT NULL),
         |x AS (
         |  SELECT event_type, c, i AS b,
-        |    ${graft.functions.IdHash.sql(s"event_id * $A43Reps + i", 10000)}
+        |    ${graft.functions.IdHash.wideSql(s"event_id * $A43Reps + i", 10000)}
         |      AS h
         |  FROM e CROSS JOIN (SELECT unnest(range(0, $A43Reps)) AS i)),
         |wt AS (

@@ -287,14 +287,33 @@ object IndexStore {
     * parts RIGHT NOW, and deleting it mid-write would fail that
     * publish at its OkMarker check — age is the only signal that
     * separates crashed debris from in-flight work without a lock.
-    * Returns the deleted paths so callers and specs can audit the
-    * sweep. */
+    * Ages are measured against the FILESYSTEM's clock (a probe file's
+    * mtime), never the client wall clock (advisor r16) — client/
+    * namenode skew cannot age a live publish. On object stores whose
+    * listed mtimes lag writes, size `tmpAgeMs` past the store's
+    * metadata-consistency window. Returns the deleted paths so
+    * callers and specs can audit the sweep. */
   def gcStore(spark: SparkSession, dirs: Seq[String],
               superseded: Seq[String] = Nil,
               tmpAgeMs: Long = 3600000L): Seq[String] = {
     val r = root(spark)
     val fs = r.getFileSystem(hadoopConf(spark))
     if (!fs.exists(r)) return Seq.empty
+    // "now" from the FILESYSTEM'S OWN clock, not the client's
+    // (advisor r16): with client/namenode skew — or an object store
+    // whose directory entries report epoch-0 or unstable mtimes — a
+    // wall-clock comparison could age a LIVE in-flight publish's .tmp
+    // past the threshold and sweep it mid-write, the exact failure
+    // tmpAgeMs exists to prevent. A freshly-created probe file's
+    // mtime IS that clock; both sides of the age comparison then come
+    // from the same authority. (Caveat documented on the method: on
+    // stores whose LIST mtimes lag writes, tmpAgeMs should exceed the
+    // store's metadata-consistency window.)
+    val probe = new Path(r, s".gc_probe_${System.nanoTime()}.tmp.probe")
+    val now = try {
+      fs.create(probe, true).close()
+      fs.getFileStatus(probe).getModificationTime
+    } finally fs.delete(probe, false)
     val byTag = dirs.map(d => Similarity.dirTag(d) -> d).toMap
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     def drop(p: Path): Unit = {
@@ -320,9 +339,11 @@ object IndexStore {
               val folded =
                 superseded.exists(s => sn == s"${s}_v$FormatVersion")
               // a YOUNG .tmp may be a concurrent publish mid-stage —
-              // leave it; its own publisher sweeps it on completion
+              // leave it; its own publisher sweeps it on completion.
+              // Age against the filesystem-clock probe, never the
+              // client wall clock (see `now` above).
               val deadTmp = sn.contains(".tmp") &&
-                System.currentTimeMillis() - sub.getModificationTime > tmpAgeMs
+                now - sub.getModificationTime > tmpAgeMs
               if (deadTmp || staleVersion || folded)
                 drop(sub.getPath)
             }

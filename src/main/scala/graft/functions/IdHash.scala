@@ -36,4 +36,47 @@ object IdHash {
     // must hash the whole expression, not bind % tighter than +
     s"CAST(floor((((((($idExpr) % $Prime) * $Knuth) % $Mod32) + $Mod32) % $Mod32)" +
       s" * $buckets / $Mod32.0) AS BIGINT)"
+
+  // --- Wide-period variant (advisor r16, a43) ---------------------
+  // [[bucket]]'s `% 100003` pre-reduction caps the draw space at
+  // 100003 residues — fine for its consumers (split/sample/budget
+  // rates, where ids 100003 apart landing in the same bucket is
+  // harmless), but WRONG for a resampling statistic: a43's bootstrap
+  // draws one weight per (event, replica) key, and under the cap two
+  // events whose ids differ by 100003 would share their ENTIRE weight
+  // sequence across all replicas — structurally correlated replicas,
+  // a silently invalid CI once a type holds ≳10^5 events. The wide
+  // mix below lets the FULL 63-bit key participate: the key splits
+  // into three 21-bit limbs (exact `%`/integer-division arithmetic —
+  // every intermediate ≤ 3·(2^21·2^32) < 2^63, so BIGINT-exact in
+  // both engines, and h < 2^32 keeps the final scaled division
+  // double-exact), each limb multiplied by its own odd constant
+  // (Knuth's multiplier + the two xxhash64 primes) and summed mod
+  // 2^32. Keys must be NON-NEGATIVE (a43's event_id·B + b is), so
+  // `%`/`div` agree across engines without sign gymnastics.
+  private val Limb = 2097152L            // 2^21
+  private val Limb2 = Limb * Limb        // 2^42
+  private val K2 = 2246822519L           // xxhash64 prime 2
+  private val K3 = 3266489917L           // xxhash64 prime 3
+
+  /** Wide-period bucket in [0, buckets) over a NON-NEGATIVE long id
+    * column — the resampling-grade variant of [[bucket]]. */
+  def wideBucket(id: Column, buckets: Int): Column = {
+    // limbs via bit shifts, NOT `/` (Column./ is double division,
+    // inexact past 2^53) — for non-negative keys >>21/>>42 ARE the
+    // integer divisions the SQL fragment spells with `//`
+    val lo = id % Limb
+    val hi = shiftright(id, 21) % Limb
+    val top = shiftright(id, 42) % Limb
+    floor(pmod(lo * Knuth + hi * K2 + top * K3, lit(Mod32)) *
+      lit(buckets.toLong) / lit(Mod32.toDouble)).cast("long")
+  }
+
+  /** The same wide bucket as a DuckDB SQL fragment (` // ` is DuckDB
+    * integer division; the SQL-parity respeller maps it to `div`). */
+  def wideSql(idExpr: String, buckets: Int): String =
+    s"CAST(floor((((($idExpr) % $Limb) * $Knuth" +
+      s" + ((($idExpr) // $Limb) % $Limb) * $K2" +
+      s" + ((($idExpr) // $Limb2) % $Limb) * $K3) % $Mod32)" +
+      s" * $buckets / $Mod32.0) AS BIGINT)"
 }

@@ -66,7 +66,13 @@ class BootstrapFold extends Serializable {
         .toDF("event_type", "n_events", "sc"))
   }
 
-  /** Rebuild from the landed corpus (the restart recipe). */
+  /** Rebuild from the landed corpus (the restart recipe). `landed`
+    * must hold MARKER-COMMITTED batches only ([[FoldRestart.guard]]'s
+    * contract, advisor r16): the reset batch-id guard means the
+    * checkpoint's re-delivered final batch folds AGAIN after this —
+    * correct iff those rows are not already in `landed`. The replica
+    * sums are exact-integer SUMs, so a violation would not error; it
+    * would silently narrow the served CI. */
   def rebuildFrom(landed: DataFrame): Unit = {
     synchronized {
       reps = Map.empty; raw = Map.empty; lastBatchId = -1L; folded = false

@@ -29,7 +29,19 @@ object FoldRestart {
     * which may resume); `rebuild` = the rebuildFrom closure over the
     * caller's landed corpus, invoked iff the checkpoint shows progress
     * the empty fold does not have. No landed corpus supplied → throw
-    * rather than undercount. */
+    * rather than undercount.
+    *
+    * CONTRACT on `landed` (advisor r16): it must reflect only
+    * MARKER-COMMITTED batches — rebuildFrom resets the fold's batch-id
+    * guard, so the stream's re-delivery of its last UNcommitted batch
+    * folds again on top of the rebuilt state. That is correct exactly
+    * when the re-delivered rows are absent from `landed`, which is
+    * what an exactly-once sink gives for free: reading the landed
+    * corpus through its `_spark_metadata` commit log (how Spark reads
+    * a streaming file sink) exposes committed files only. Feeding a
+    * raw directory listing (or any at-least-once sink) here double
+    * counts the re-delivered tail — for a SUM-shaped fold that is a
+    * silently narrowed/shifted readout, not an error. */
   def guard(checkpoint: String, hasState: Boolean,
             rebuild: Option[() => Unit]): Unit =
     if (hasCommittedBatches(checkpoint) && !hasState)

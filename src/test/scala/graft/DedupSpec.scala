@@ -728,9 +728,18 @@ class DedupSpec extends AnyFunSuite {
     assert(planted.nonEmpty, "no planted paraphrase rows — vacuous")
     // a planted copy is caught iff it assigned to its source's cell
     // (cosine scale-invariance ⇒ exactly 1.0 there; the cross-cell
-    // loss is the d50-documented approximation, priced not hidden)
+    // loss is the d50-documented approximation, priced not hidden).
+    // ALL current plants are co-celled — pinned as an EQUALITY
+    // (advisor r16): the ×1.02 scaling is assigned by Euclidean
+    // argmin, which is NOT scale-invariant, so a future centroid
+    // shift could silently migrate a plant to another cell and shrink
+    // this assertion set toward vacuous; the equality makes any
+    // migration fail loudly instead.
     val caught = planted.filter(_.getBoolean(4))
-    assert(caught.nonEmpty, "no planted paraphrase was co-celled — vacuous")
+    assert(caught.length == planted.length,
+      s"only ${caught.length}/${planted.length} plants co-celled — " +
+        "a centroid shift migrated a scaled plant (see the d55 " +
+        "planting docstring); re-pin deliberately if intended")
     caught.foreach(r => assert(r.getDouble(3) == 1.0,
       s"planted ${r.getLong(0)} caught at ${r.getDouble(3)} != 1.0"))
     // natural bench items: the synthetic corpus has no semantic dups

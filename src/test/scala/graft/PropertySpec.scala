@@ -1158,4 +1158,24 @@ class PropertySpec extends AnyFunSuite {
     assert(ps.zip(ps.tail).forall { case (a, b) => a <= b },
       "catch probability must be monotone in J")
   }
+
+  test("a12 HLL error bound (r16 verdict ask #5): approx_count_distinct " +
+    "lands within 3x the published rsd of the exact count at BOTH SFs " +
+    "(HLL is deterministic on fixed data — this pins the sketch's " +
+    "accuracy claim, not a flaky sample)") {
+    // Spark's approx_count_distinct default rsd = 0.05: the estimate's
+    // relative standard error. A 3-sigma band is far looser than the
+    // observed error yet tight enough that a broken sketch register
+    // (or an accidental rsd regression) fails loudly.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val r = graft.etl.Analyze.queries("a12_approx_distinct")(spark, dir)
+        .head()
+      val (approx, exact) = (r.getLong(0), r.getLong(1))
+      assert(exact > 0, s"$dir: vacuous (no users)")
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 3 * 0.05,
+        s"$dir: approx $approx vs exact $exact — relative error " +
+          f"$relErr%.4f exceeds 3x rsd bound 0.15")
+    }
+  }
 }
