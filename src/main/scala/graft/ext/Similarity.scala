@@ -405,10 +405,20 @@ object Similarity {
     * with hand assignments). One row: sizes, PSI, the most-shifted
     * cell, and the ≥ 0.2 retrain flag. */
   private[graft] def cellOccupancyPsi(ref: DataFrame, cur: DataFrame,
-                                      k: Int): DataFrame = {
-    val spark = ref.sparkSession
-    val cr = ref.groupBy(col("cell")).agg(count(lit(1)).as("cr"))
-    val cc = cur.groupBy(col("cell")).agg(count(lit(1)).as("cc"))
+                                      k: Int): DataFrame =
+    cellPsiFromCounts(
+      ref.groupBy(col("cell")).agg(count(lit(1)).as("cr")),
+      cur.groupBy(col("cell")).agg(count(lit(1)).as("cc")), k)
+
+  /** The PSI chain over pre-reduced per-cell counts — the shared
+    * serve kernel ([[graft.streaming.CellDriftFold]] folds exactly
+    * these counts and serves THIS, so stream ≡ batch parity is by
+    * construction, the a41/a43 fold discipline). */
+  private[graft] def cellPsiFromCounts(refCounts: DataFrame,
+      curCounts: DataFrame, k: Int): DataFrame = {
+    val spark = refCounts.sparkSession
+    val cr = refCounts
+    val cc = curCounts
     // the FIXED published domain: all k cells, so a cell present in
     // one generation and absent from the other still contributes its
     // (smoothed) term on BOTH sides — t26's missing-bin discipline
@@ -442,6 +452,103 @@ object Similarity {
         (-col("top.nc")).as("top_cell"),
         col("top.t").as("top_term_abs"),
         (col("psi") >= 0.2).as("drift_major"))
+  }
+
+  /** SIM30 — RETRAIN what-if card: the action side of sim28's alarm.
+    * sim28 says "the new generation no longer looks like the corpus
+    * the centroids were trained on"; the operator's next question is
+    * "what would retraining actually buy?" — retraining invalidates
+    * every published frozen-cell artifact (d51/d55's incremental
+    * economics, sim23's deltas), so it should be priced, not reflexive.
+    * This card retrains the quantizer (same k, same deterministic
+    * trainer/seed) on the CURRENT generation only and scores BOTH
+    * quantizers on those same current rows: mean squared quantization
+    * error (the k-means objective — how well cells fit the data now)
+    * and occupancy balance (CV and max cell share — a drifted corpus
+    * piles into few cells, which is exactly what breaks the
+    * O(N·targetCell) pair-stage economics every cellsFor consumer
+    * relies on). `retrain_recommended` fires when the what-if cuts
+    * MSE by ≥ 5%.
+    *
+    * Scale shape: the what-if training is an INGEST-TIME artifact —
+    * it publishes through the IndexStore (`ivf_whatif_g2_k<k>`) like
+    * every other index generation, so the registered query's serving
+    * plan is two assignment scans + label-space-bounded aggregates;
+    * per-row error is three fused vec_dot calls (no interpreted HOF in
+    * the hot path), k-row occupancy frames carry the balance math.
+    * Rows-only: k-means internals (the d50/d51 treatment);
+    * SimilaritySpec pins the directional contract on hand data — a
+    * generation the old centroids have never seen reads a large MSE
+    * gain and fires the flag; an identical generation reads ≈ 0 gain
+    * and stays quiet. */
+  def sim30RetrainWhatif(spark: SparkSession, dir: String): DataFrame = {
+    val k = cellsFor(corpusSize(spark, dir))
+    val base = ivfIndexFor(spark, dir, k)
+    val a = base.assigned.select(col("vec_id"), col("emb"))
+    val maxId = a.agg(max(col("vec_id"))).head().getLong(0)
+    val minId = a.agg(min(col("vec_id"))).head().getLong(0)
+    val split = (minId + maxId + 1) / 2
+    val cur = a.filter(col("vec_id") >= split)
+    // the what-if generation trains once per dataset via the store —
+    // queries serve the published artifact, never re-fit
+    val parts = IndexStore.loadOrBuild(spark, dir, "embeddings",
+      s"ivf_whatif_g2_k$k") {
+      val idx = ivfIndex(cur.select(col("vec_id"),
+        col("emb").as("embedding")), k)
+      Seq("assigned" -> idx.assigned,
+        "centers" -> centersFrame(spark, idx.centers))
+    }
+    retrainWhatif(cur, base.centers, collectCenters(parts("centers")),
+      parts("assigned").select(col("vec_id"), col("cell")))
+  }
+
+  /** The sim30 kernel on explicit frames: `cur` = (vec_id, emb) rows
+    * of the current generation, old/new centroid sets, and the new
+    * quantizer's assignment of `cur`. One row. */
+  private[graft] def retrainWhatif(cur: DataFrame,
+      oldCenters: Array[Array[Double]], newCenters: Array[Array[Double]],
+      newAssigned: DataFrame): DataFrame = {
+    val spark = cur.sparkSession
+    def scored(assigned: DataFrame,
+               centers: Array[Array[Double]]): DataFrame = {
+      import spark.implicits._
+      val cf = centers.toIndexedSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toIndexedSeq) }.toDF("cell", "ctr")
+      // ‖v − c‖² = v·v − 2 v·c + c·c, three fused codegen dots — the
+      // quantization error each row pays under this quantizer
+      assigned.join(broadcast(cf), Seq("cell"))
+        .select(col("cell"),
+          (graft.functions.VectorOps.vecDot(spark, col("emb"), col("emb"))
+            - lit(2.0) * graft.functions.VectorOps.vecDot(spark,
+              col("emb"), col("ctr"))
+            + graft.functions.VectorOps.vecDot(spark, col("ctr"),
+              col("ctr"))).as("sqd"))
+    }
+    def card(s: DataFrame, tag: String): DataFrame = {
+      val occ = s.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      val bal = occ.agg(
+        (stddev_pop(col("n")) / avg(col("n"))).as(s"cv_$tag"),
+        (max(col("n")).cast("double") / sum(col("n")))
+          .as(s"max_share_$tag"))
+      s.agg(avg(col("sqd")).as(s"mse_$tag"), count(lit(1)).as(s"n_$tag"))
+        .crossJoin(broadcast(bal))
+    }
+    val oldSide = card(scored(ivfAssign(cur, oldCenters)
+      .select(col("cell"), col("emb")), oldCenters), "old")
+    val newSide = card(scored(
+      cur.join(newAssigned, Seq("vec_id")).select(col("cell"), col("emb")),
+      newCenters), "new")
+    oldSide.crossJoin(newSide)
+      .select(col("n_old").as("n_cur"),
+        round(col("mse_old"), 4).as("mse_old"),
+        round(col("mse_new"), 4).as("mse_new"),
+        round(lit(1.0) - col("mse_new") / col("mse_old"), 4)
+          .as("mse_gain"),
+        round(col("cv_old"), 4).as("cv_old"),
+        round(col("cv_new"), 4).as("cv_new"),
+        round(col("max_share_old"), 4).as("max_share_old"),
+        round(col("max_share_new"), 4).as("max_share_new"))
+      .withColumn("retrain_recommended", col("mse_gain") >= 0.05)
   }
 
   /** SIM29 — dataset cartography over the sim27 kNN graph (r16 verdict
@@ -2223,6 +2330,7 @@ object Similarity {
     "sim27_knn_graph" -> sim27KnnGraph,
     "sim28_cell_drift" -> sim28CellDrift,
     "sim29_knn_cartography" -> sim29KnnCartography,
+    "sim30_retrain_whatif" -> sim30RetrainWhatif,
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
     "sim25_index_compaction" -> sim25IndexCompaction,

@@ -58,6 +58,8 @@ class CensusSpec extends AnyFunSuite {
                                 // (the t26 split device)
     "sim28_cell_drift",         // broadcast vec_id-midpoint + totals
                                 // singletons (the t26 split device)
+    "sim30_retrain_whatif",     // broadcast one-row balance/MSE cards
+                                // composed into the final single row
     "sim22_hybrid_rrf")         // broadcast query vector + stats singletons
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
@@ -240,6 +242,12 @@ class CensusSpec extends AnyFunSuite {
                                    // window + per-source agg + the
                                    // assignment join + cell agg +
                                    // report order (measured 7 + 1)
+    "sim30_retrain_whatif" -> 6,   // two scored-assignment MSE aggs +
+                                   // two occupancy aggs + their one-row
+                                   // balance cards (measured 5 + 1; the
+                                   // what-if training runs at BUILD
+                                   // through the store, never in the
+                                   // served plan)
     "d50_semdedup" -> 11           // planted-batch union + the within-
                                    // cell pair self-join, then keeper
                                    // assembly (component labels +

@@ -901,6 +901,56 @@ class SimilaritySpec extends AnyFunSuite {
       s"NaN-only cell misread: ${card(3)}")
   }
 
+  test("sim30 retrain what-if on hand generations: a generation the " +
+    "old centroids never saw reads a large MSE gain and fires the " +
+    "flag; a generation the old centroids fit perfectly reads ~zero " +
+    "gain and stays quiet") {
+    // current generation: two tight clusters around (1,0) and (0,1)
+    val cur = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(0.9, 0.1)),
+      (3L, Seq(1.1, -0.1)), (4L, Seq(1.0, 0.05)),
+      (5L, Seq(0.0, 1.0)), (6L, Seq(0.1, 0.9)),
+      (7L, Seq(-0.1, 1.1)), (8L, Seq(0.05, 1.0))
+    ).toDF("vec_id", "emb")
+    val newIdx = Similarity.ivfIndex(
+      cur.select(col("vec_id"), col("emb").as("embedding")), 2)
+    val newAssigned = newIdx.assigned.select(col("vec_id"), col("cell"))
+    // drifted: BOTH old centroids sit on cluster A — cluster B (half
+    // the generation) pays ~2.0 squared error per row under them
+    val drifted = Similarity.retrainWhatif(cur,
+      Array(Array(1.0, 0.0), Array(0.95, 0.05)),
+      newIdx.centers, newAssigned).head()
+    assert(drifted.getLong(0) == 8L)
+    assert(drifted.getDouble(1) > drifted.getDouble(2),
+      s"retraining must cut MSE on a drifted generation: $drifted")
+    assert(drifted.getDouble(3) >= 0.05 && drifted.getBoolean(8),
+      s"the what-if must recommend retraining: $drifted")
+    // stable: the old centroids ARE the generation's true centers —
+    // the freshly-trained quantizer cannot beat them by the rung
+    val stable = Similarity.retrainWhatif(cur,
+      Array(Array(1.0, 0.0125), Array(0.0125, 1.0)),
+      newIdx.centers, newAssigned).head()
+    assert(stable.getDouble(3) < 0.05 && !stable.getBoolean(8),
+      s"a well-fit generation must not trigger a retrain: $stable")
+  }
+
+  test("sim30 registered at sf0.01: one-row card over the newer id " +
+    "half; the stable synthetic corpus stays under the retrain rung") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.queries("sim30_retrain_whatif")(spark, dir)
+      .collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getLong(0) > 0 && r.getDouble(1) > 0 && r.getDouble(2) > 0)
+    // same-distribution halves: retraining on the newer half cannot
+    // buy the 5% MSE rung on a uniform corpus — the card must not
+    // recommend invalidating every frozen-cell artifact for noise
+    assert(!r.getBoolean(8),
+      s"stable corpus recommended a retrain: $r")
+    assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1.0 &&
+      r.getDouble(7) > 0 && r.getDouble(7) <= 1.0)
+  }
+
   test("sim29 registered at sf0.01: every published cell reports, " +
     "members sum to the corpus, and each mean rides inside its own " +
     "[min, 1] bracket") {

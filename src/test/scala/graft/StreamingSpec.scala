@@ -2340,4 +2340,54 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed total ${out.values.sum} != corpus $n minus the card's " +
         "predicted drop and the unclosed closer")
   }
+
+  test("sim28' cell-drift fold: the k-counter state merges additively " +
+    "across micro-batches against a FROZEN reference occupancy; " +
+    "serve ≡ batch kernel; the alarm flips live as a skewed " +
+    "generation accumulates; replay no-op; rebuild; checkpoint guard") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // frozen reference: cells {0→3, 1→1} over a k=4 published domain
+    val refCells = Seq(0, 0, 0, 1)
+    val refCounts = Map(0 -> 3L, 1 -> 1L)
+    // wave 1 matches the reference shape (PSI stays under the rung);
+    // wave 2 dumps mass into the reference-empty cell 3 — the live
+    // retrain alarm must flip between the two serves
+    val b1 = Seq((100L, 0))
+    val b2 = Seq((101L, 3), (102L, 3), (103L, 3), (104L, 3), (105L, 3))
+    def df(e: Seq[(Long, Int)]) = e.toDF("vec_id", "cell")
+    def batchCard(cur: Seq[(Long, Int)]) =
+      graft.ext.Similarity.cellOccupancyPsi(
+        refCells.toDF("cell"), df(cur).select($"cell"), k = 4)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    val fold = new graft.streaming.CellDriftFold(refCounts, k = 4)
+    val in = MemoryStream[(Long, Int)]
+    val ckpt = java.nio.file.Files.createTempDirectory("celldrift").toString
+    val q = fold.start(in.toDF().toDF("vec_id", "cell"), ckpt)
+    in.addData(b1: _*); q.processAllAvailable()
+    val serve1 = fold.serve(spark).collect().head
+    assert(rows(fold.serve(spark)) == rows(batchCard(b1)),
+      "fold after wave 1 diverged from the batch kernel")
+    assert(!serve1.getBoolean(6) && serve1.getDouble(3) < 0.2,
+      s"a reference-shaped wave must not alarm: $serve1")
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val serve2 = fold.serve(spark).collect().head
+    assert(rows(fold.serve(spark)) == rows(batchCard(b1 ++ b2)),
+      "fold after wave 2 diverged from the batch kernel")
+    assert(serve2.getBoolean(6) && serve2.getInt(4) == 3,
+      s"mass in the reference-empty cell must flip the alarm and " +
+        s"name cell 3: $serve2")
+    val live = rows(fold.serve(spark))
+    // SUM is not idempotent: a replayed committed batch must no-op
+    fold.onBatch(df(b2), 1L)
+    assert(rows(fold.serve(spark)) == live, "replay double-counted")
+    val f2 = new graft.streaming.CellDriftFold(refCounts, k = 4)
+    f2.rebuildFrom(df(b1 ++ b2))
+    assert(rows(f2.serve(spark)) == live)
+    val f3 = new graft.streaming.CellDriftFold(refCounts, k = 4)
+    intercept[IllegalStateException] {
+      f3.start(in.toDF().toDF("vec_id", "cell"), ckpt)
+    }
+  }
 }
