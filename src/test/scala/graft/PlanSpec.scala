@@ -572,4 +572,49 @@ class PlanSpec extends AnyFunSuite {
         s"$q read columns the card never uses:\n$readSchema")
     }
   }
+
+  test("shared pair kernels (r16 verdict ask #1): every " +
+    "keyedNearDupPairs/batchCellCosines consumer's plan carries the " +
+    "explicit key exchange, so the cosine fan-out can never fall to " +
+    "a broadcast probe side's file count") {
+    // sim3 keys by LSH bucket; d50 by cell (keyedNearDupPairs);
+    // d51/d55 by cell (batchCellCosines). The sim27 pin above covers
+    // the sixth consumer. d12 is NOT pinnable here: its pair stage
+    // executes inside the checkpoint-truncated components build
+    // (dedupedCorpus), so the exchange ran before the served plan —
+    // it shares cellNearDupPairs → keyedNearDupPairs with d50, whose
+    // pin covers the kernel.
+    for ((q, key) <- Seq("sim3_neardup_pairs" -> "bucket",
+      "d50_semdedup" -> "cell",
+      "d51_incremental_semdedup" -> "cell",
+      "d55_sem_decontaminate" -> "cell")) {
+      val p = plan(q)
+      assert(p.linesIterator.exists(l =>
+        l.contains("hashpartitioning") && l.contains(key)),
+        s"$q: the explicit $key exchange vanished:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q planned all-pairs")
+    }
+  }
+
+  test("sim28 cell drift: the PSI chain rides the checkpoint-pinned " +
+    "k-row count frame — the assignment scan and count aggregates " +
+    "run once, not once per consumer (the t26 lesson)") {
+    val p = plan("sim28_cell_drift")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"the k-row checkpoint pin vanished:\n$p")
+    // the whole served plan is count-frame-sized: no sort-merge join
+    // may appear over a corpus-sized side
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized join crept into the PSI chain:\n$p")
+  }
+
+  test("sim30 retrain what-if: the what-if training runs at BUILD " +
+    "through the store — the SERVED plan holds assignment scans and " +
+    "aggregates only, no KMeans stage and no vector re-shuffle") {
+    val p = plan("sim30_retrain_whatif")
+    assert(!p.contains("CartesianProduct"))
+    // both MSE legs reduce map-side before their one-row cards
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2,
+      s"MSE aggregation lost map-side combine:\n$p")
+  }
 }
