@@ -134,6 +134,36 @@ object Analyze {
         round(expr("percentile(l_quantity, 0.75)"), 2).as("p75"))
       .orderBy(col("l_returnflag"))
 
+  /** A44 — approximate percentiles at scale, side-by-side with exact
+    * (a12's HLL treatment lifted to the quantile tier): a14's exact
+    * `percentile` buffers every value per group — at 100 TB that is
+    * the operator a user must NOT reach for, and this card is the
+    * migration evidence. `approx_percentile` (Greenwald–Khanna) keeps
+    * a bounded mergeable sketch per group (state ~ accuracy, not
+    * corpus), combines map-side, and its error contract is on RANK,
+    * not value: with accuracy 1000 the reported p50 sits within ±0.1%
+    * of the true rank. The card reports both plus the value gap, so
+    * the switch from a14 is a read-off, not a leap of faith.
+    * Deterministic on fixed data (no sampling) → rows-only with a
+    * PropertySpec rank-error pin (the a12 discipline: engine-specific
+    * sketch, CHECKED accuracy claim). */
+  def a44ApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 2).as("p50_exact"),
+        round(expr("approx_percentile(l_quantity, 0.5D, 1000)"), 2)
+          .as("p50_approx"),
+        round(expr("percentile(l_quantity, 0.99)"), 2).as("p99_exact"),
+        round(expr("approx_percentile(l_quantity, 0.99D, 1000)"), 2)
+          .as("p99_approx"),
+        count(lit(1)).as("n"))
+      .withColumn("p50_gap",
+        round(abs(col("p50_approx") - col("p50_exact")), 2))
+      .withColumn("p99_gap",
+        round(abs(col("p99_approx") - col("p99_exact")), 2))
+      .orderBy(col("l_returnflag"))
+
   /** A15 — bivariate statistics per group: Pearson correlation, sample
     * covariance, and both sample stddevs of (quantity, extendedprice).
     * The correlation-matrix primitive a feature-engineering pass runs;
@@ -1918,6 +1948,7 @@ object Analyze {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a43_bootstrap_ci" -> a43BootstrapCi,
+    "a44_approx_percentiles" -> a44ApproxPercentiles,
     "a39_did" -> a39Did,
     "a40_winsorized_mean" -> a40WinsorizedMean,
     "a41_benford" -> a41Benford,

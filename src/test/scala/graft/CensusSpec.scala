@@ -242,6 +242,9 @@ class CensusSpec extends AnyFunSuite {
                                    // window + per-source agg + the
                                    // assignment join + cell agg +
                                    // report order (measured 7 + 1)
+    "a44_approx_percentiles" -> 3, // ONE grouped agg carrying both the
+                                   // exact buffers and the GK sketches
+                                   // + report order (measured 2 + 1)
     "sim30_retrain_whatif" -> 6,   // two scored-assignment MSE aggs +
                                    // two occupancy aggs + their one-row
                                    // balance cards (measured 5 + 1; the

@@ -1178,4 +1178,32 @@ class PropertySpec extends AnyFunSuite {
           f"$relErr%.4f exceeds 3x rsd bound 0.15")
     }
   }
+
+  test("a44 approx-percentile RANK error (the GK contract): per group, " +
+    "the reported quantile's rank interval intersects the target rank " +
+    "within 1/accuracy — the sketch's accuracy claim, CHECKED against " +
+    "the raw values at both SFs") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val card = graft.etl.Analyze.queries("a44_approx_percentiles")(
+        spark, dir).collect()
+        .map(r => r.getString(0) -> r).toMap
+      val vals = graft.Tables.lineitem(spark, dir)
+        .select(col("l_returnflag"), col("l_quantity"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+      assert(card.keySet == vals.keySet && card.nonEmpty)
+      // GK with accuracy 1000 ⇒ rank error ≤ n/1000; the value is a
+      // CORPUS MEMBER, so with ties the check is on its rank interval
+      for ((flag, sorted) <- vals; (q, col) <- Seq(0.5 -> 2, 0.99 -> 4)) {
+        val x = card(flag).getDouble(col)
+        val n = sorted.length
+        val below = sorted.count(_ < x)   // lowest possible rank − 1
+        val atMost = sorted.count(_ <= x) // highest possible rank
+        val eps = n / 1000.0 + 1
+        assert(below <= q * n + eps && atMost >= q * n - eps,
+          s"$dir $flag q=$q: value $x has rank interval " +
+            s"(${below + 1}, $atMost] vs target ${q * n} ± $eps")
+      }
+    }
+  }
 }
