@@ -154,6 +154,42 @@ class PropertySpec extends AnyFunSuite {
     assert(all.getLong(0) >= 0L && all.getLong(1) <= 99L)
   }
 
+  test("IdHash.wideBucket (advisor r16): events 100003 ids apart must " +
+    "NOT share their a43 replica weight sequence — they provably DID " +
+    "under bucket's %100003 cap — and sequential keys stay uniform") {
+    val B = 64
+    val e = 123456789L
+    // a43's draw keys for two events exactly one Prime apart: the old
+    // pre-reduction makes key2 % 100003 ≡ key1 % 100003 for EVERY
+    // replica, so the whole 64-draw sequence collides — the advisor's
+    // structural-correlation finding, replayed as a precondition
+    val pairs = (0 until B).map(b =>
+      (e * B + b, (e + 100003L) * B + b)).toDF("k1", "k2")
+    val drawn = pairs.select(
+      graft.functions.IdHash.bucket(col("k1"), 10000).as("o1"),
+      graft.functions.IdHash.bucket(col("k2"), 10000).as("o2"),
+      graft.functions.IdHash.wideBucket(col("k1"), 10000).as("w1"),
+      graft.functions.IdHash.wideBucket(col("k2"), 10000).as("w2"))
+      .collect()
+    assert(drawn.forall(r => r.getLong(0) == r.getLong(1)),
+      "precondition broke: the narrow bucket no longer collides " +
+        "Prime-apart keys — re-derive this pin")
+    val differing = drawn.count(r => r.getLong(2) != r.getLong(3))
+    assert(differing >= B / 2,
+      s"wide mix decorrelated only $differing/$B replica draws")
+    // uniformity: 100k sequential keys (hi/top limbs zero — the
+    // weakest case for the mix) spread within 5% of the uniform share
+    val n = 100000L
+    val counts = spark.range(n)
+      .select(graft.functions.IdHash.wideBucket(col("id"), 10).as("b"))
+      .groupBy(col("b")).count().collect()
+    assert(counts.length == 10)
+    counts.foreach { r =>
+      assert(math.abs(r.getLong(1) - n / 10.0) < n / 10.0 * 0.05,
+        s"bucket ${r.getLong(0)} holds ${r.getLong(1)} of $n")
+    }
+  }
+
   test("welford reduce+merge matches exact two-pass stats on 200 random splits") {
     val values = Gen.chooseNum(2, 60).flatMap(n => Gen.listOfN(n,
       Gen.oneOf(Gen.chooseNum(-1e3, 1e3), Gen.chooseNum(-1e3, 1e3).map(_ + 1e9))))

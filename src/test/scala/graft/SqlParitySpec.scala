@@ -572,6 +572,20 @@ class SqlParitySpec extends AnyFunSuite {
     assertParity("d5_ngram_jaccard",
       respellGrams(SparkEntry.oracleSql("d5_ngram_jaccard")))
   }
+  test("tier 2g's level cap is LOAD-BEARING: capping the closure " +
+    "below the cluster diameter CHANGES the answer — so the parity " +
+    "assert genuinely validates cap ≥ diameter, rather than passing " +
+    "any truncation silently") {
+    val crippled = respellRecursive(
+      respellGrams(SparkEntry.oracleSql("d6_dedup_clusters")))
+      .replace(s"r.lvl < $RecursionCap", "r.lvl < 0")
+    val viaSql = canon(sqlOnly.sql(crippled))
+    val viaDf = canon(SparkEntry.queries("d6_dedup_clusters")(spark, dir))
+    assert(viaSql != viaDf,
+      "a zero-step closure still matched the DataFrame — the corpus " +
+        "has no multi-node cluster here and the cap validation is " +
+        "vacuous; re-scope the oracle")
+  }
 
   // d14/d24 additionally carry the PII regex (d13's two traps:
   // DuckDB's 2-arg regexp_extract_all defaults to group 0 where
