@@ -274,6 +274,22 @@ object Analyze {
     bounds.toSeq
   }
 
+  /** The id-midpoint SPLIT device, shared (r17 verdict ask #4): a
+    * one-row `(split)` frame at the midpoint of `id`'s span, meant to
+    * ride beside every row via `crossJoin(broadcast(...))` so the
+    * "older half vs newer half" generation boundary is computed
+    * distributed — one min/max aggregate, never a driver action at
+    * query-construction time. `(d0 + d1 + 1) div 2` keeps the integer
+    * arithmetic BIGINT-exact on both engines (the DuckDB twin spells
+    * it `(min(id) + max(id) + 1) // 2`). One definition for the six
+    * consumers that previously replicated it — t26/t28's doc_id
+    * halves, a35/a39's day-span boundary, sim28/sim30's vec_id
+    * generations — so the split convention cannot drift per card. */
+  private[graft] def idMidpoint(df: DataFrame,
+                                id: org.apache.spark.sql.Column): DataFrame =
+    df.agg(min(id).as("d0"), max(id).as("d1"))
+      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+
   /** A19 — robust outlier detection: per event type, the median/MAD
     * fence (|x − median| > 3·1.4826·MAD, the normal-consistent robust
     * z-score) — the anomaly gate mean/stddev rules fail on because
@@ -1260,10 +1276,7 @@ object Analyze {
     // deterministic pre/post boundary: the midpoint of the corpus day
     // span (a real deployment passes the experiment start date — the
     // fold does exactly that)
-    val span = events.agg(
-      min(expr("unix_timestamp(ts) div 86400")).as("d0"),
-      max(expr("unix_timestamp(ts) div 86400")).as("d1"))
-      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val span = idMidpoint(events, expr("unix_timestamp(ts) div 86400"))
     cupedFromUsers(userPrePostCents(
       events.crossJoin(broadcast(span)), col("split")))
   }
@@ -1448,10 +1461,7 @@ object Analyze {
     * reduction, the a34/a37/a38 shared-state discipline. */
   def a39Did(spark: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(spark, dir)
-    val span = events.agg(
-      min(expr("unix_timestamp(ts) div 86400")).as("d0"),
-      max(expr("unix_timestamp(ts) div 86400")).as("d1"))
-      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val span = idMidpoint(events, expr("unix_timestamp(ts) div 86400"))
     didFromUsers(userPrePostCents(
       events.crossJoin(broadcast(span)), col("split")))
   }

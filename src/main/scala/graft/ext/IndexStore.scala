@@ -269,6 +269,9 @@ object IndexStore {
     *  - whole dataset roots whose recorded source tables no longer
     *    fingerprint to the root's key (the dataset was rewritten — the
     *    root is unreachable by construction);
+    *  - root-level `.gc_probe_*` files older than `tmpAgeMs` — a
+    *    prior sweep's clock probe whose delete failed (advisor r17;
+    *    the tag-matched descent below never visits root files);
     *  - inside LIVE roots: artifacts published under a non-current
     *    `_v<k>` (unreachable since the code bump), `.tmp` debris from
     *    crashed pre-sweep binaries, and artifacts the caller names in
@@ -313,13 +316,31 @@ object IndexStore {
     val now = try {
       fs.create(probe, true).close()
       fs.getFileStatus(probe).getModificationTime
-    } finally fs.delete(probe, false)
+    } finally {
+      // Non-throwing cleanup (advisor r17): a delete() that returns
+      // false or throws must neither mask the create/stat failure nor
+      // abort the sweep — a leaked probe is exactly the root-level
+      // stale-probe debris the pass below collects.
+      try fs.delete(probe, false): Unit
+      catch { case _: java.io.IOException => }
+    }
     val byTag = dirs.map(d => Similarity.dirTag(d) -> d).toMap
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
     def drop(p: Path): Unit = {
       fs.delete(p, true)
       deleted += p.toString
     }
+    // Root-level stale-probe sweep (advisor r17): the tag-matched
+    // descent below never visits FILES at the store root, so a probe
+    // whose delete failed in some earlier run would otherwise leak
+    // forever. Same age discipline as .tmp children — a probe younger
+    // than tmpAgeMs may belong to a CONCURRENT gcStore mid-stat.
+    fs.listStatus(r).toSeq
+      .filter(st => !st.isDirectory &&
+        st.getPath.getName.startsWith(".gc_probe_") &&
+        st.getPath != probe &&
+        now - st.getModificationTime > tmpAgeMs)
+      .foreach(st => drop(st.getPath))
     fs.listStatus(r).toSeq.filter(_.isDirectory).foreach { st =>
       val name = st.getPath.getName
       byTag.collectFirst {

@@ -391,9 +391,7 @@ object Similarity {
     val k = cellsFor(corpusSize(spark, dir))
     val base = ivfIndexFor(spark, dir, k)
     val a = base.assigned.select(col("vec_id"), col("cell"))
-    val span = a.agg(min(col("vec_id")).as("d0"),
-        max(col("vec_id")).as("d1"))
-      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val span = graft.etl.Analyze.idMidpoint(a, col("vec_id"))
     val tagged = a.crossJoin(broadcast(span))
     cellOccupancyPsi(
       tagged.filter(col("vec_id") < col("split")).select(col("cell")),
@@ -485,9 +483,15 @@ object Similarity {
     val k = cellsFor(corpusSize(spark, dir))
     val base = ivfIndexFor(spark, dir, k)
     val a = base.assigned.select(col("vec_id"), col("emb"))
-    val maxId = a.agg(max(col("vec_id"))).head().getLong(0)
-    val minId = a.agg(min(col("vec_id"))).head().getLong(0)
-    val split = (minId + maxId + 1) / 2
+    // the CURRENT generation = the newer id half, cut by the SHARED
+    // midpoint helper in ONE agg(min, max) driver read (r17 verdict
+    // ask #4 / advisor: the old form ran TWO separate .head() scans
+    // at query-construction time). Driver-side — not the broadcast
+    // span device — because the split must also be a plain Long for
+    // the store-build closure and the commit verb ([[commitRetrain]])
+    // to cut the SAME generation boundary; probed: the broadcast form
+    // re-runs the span agg once per consumer (+4 exchanges).
+    val split = generationSplit(spark, base)
     val cur = a.filter(col("vec_id") >= split)
     // the what-if generation trains once per dataset via the store —
     // queries serve the published artifact, never re-fit
@@ -501,6 +505,16 @@ object Similarity {
     retrainWhatif(cur, base.centers, collectCenters(parts("centers")),
       parts("assigned").select(col("vec_id"), col("cell")))
   }
+
+  /** The generation boundary sim30 prices and sim31 commits: the
+    * id-midpoint of the served assignment, via the shared helper
+    * ([[graft.etl.Analyze.idMidpoint]]) in one agg(min, max) read —
+    * both verbs MUST cut the same boundary or the committed index
+    * would not be the priced one. */
+  private def generationSplit(spark: SparkSession, base: IvfIndex): Long =
+    graft.etl.Analyze.idMidpoint(
+      base.assigned.select(col("vec_id")), col("vec_id"))
+      .head().getLong(0)
 
   /** The sim30 kernel on explicit frames: `cur` = (vec_id, emb) rows
     * of the current generation, old/new centroid sets, and the new
@@ -542,8 +556,14 @@ object Similarity {
       .select(col("n_old").as("n_cur"),
         round(col("mse_old"), 4).as("mse_old"),
         round(col("mse_new"), 4).as("mse_new"),
-        round(lit(1.0) - col("mse_new") / col("mse_old"), 4)
-          .as("mse_gain"),
+        // Guarded gain (advisor r17): on a PERFECTLY-quantized
+        // generation mse_old is 0.0 and the raw 1 − new/old is NaN —
+        // which Spark orders ABOVE every number, so the ≥ 0.05 rung
+        // would fire a spurious retrain on the one corpus that needs
+        // it least. Zero error to improve on ⇒ gain is exactly 0.
+        when(col("mse_old") > 0,
+          round(lit(1.0) - col("mse_new") / col("mse_old"), 4))
+          .otherwise(lit(0.0)).as("mse_gain"),
         round(col("cv_old"), 4).as("cv_old"),
         round(col("cv_new"), 4).as("cv_new"),
         round(col("max_share_old"), 4).as("max_share_old"),
@@ -563,7 +583,10 @@ object Similarity {
     * `dense_swamp` at mean ≥ [[graft.ext.Dedup.D50Tau]] (the dedup
     * τ — neighbors this close are deletion candidates, so the cell is
     * REDUNDANT), `sparse_frontier` when isolates dominate or nothing
-    * scores, `mid` otherwise.
+    * scores, `mid` otherwise. Isolation takes PRECEDENCE: a cell
+    * where isolates dominate reads sparse_frontier even if its few
+    * scoring members average past τ (advisor r17 — the branch order
+    * now matches this sentence, pinned on a contested hand cell).
     *
     * Scale shape: one aggregate over sim27's cell-bounded edge output
     * (O(N·k_neighbors) rows) per-source, then a left join back to the
@@ -600,9 +623,14 @@ object Similarity {
         round(avg(when(col("src_mean").isNull, 1.0).otherwise(0.0)), 4)
           .as("isolate_share"))
       .withColumn("region",
-        when(col("mean_knn_cos") >= Dedup.D50Tau, "dense_swamp")
-          .when(col("isolate_share") >= 0.5 || col("mean_knn_cos").isNull,
+        // Precedence per the docstring (advisor r17): isolates
+        // DOMINATING a cell names it sparse_frontier even when its
+        // few scoring members average past the dedup τ — half the
+        // cell having no neighbors at all is the stronger signal
+        // about the cell than the other half's tight cluster.
+        when(col("isolate_share") >= 0.5 || col("mean_knn_cos").isNull,
             "sparse_frontier")
+          .when(col("mean_knn_cos") >= Dedup.D50Tau, "dense_swamp")
           .otherwise("mid"))
       .orderBy(col("cell"))
   }

@@ -137,9 +137,7 @@ object TextStats {
     ngramNovelty(Tables.documents(spark, dir))
 
   private[graft] def ngramNovelty(docs: DataFrame, n: Int = 8): DataFrame = {
-    val span = docs.agg(min(col("doc_id")).as("d0"),
-      max(col("doc_id")).as("d1"))
-      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val span = graft.etl.Analyze.idMidpoint(docs, col("doc_id"))
     val grams = docs.crossJoin(broadcast(span))
       .withColumn("half",
         when(col("doc_id") < col("split"), "ref").otherwise("cur"))
@@ -209,9 +207,7 @@ object TextStats {
     val nWords = size(words)
     val nStop = size(filter(words, w =>
       w.isin("the", "a", "of", "to", "and", "in", "is", "on")))
-    val span = docs.agg(min(col("doc_id")).as("d0"),
-      max(col("doc_id")).as("d1"))
-      .select(expr("(d0 + d1 + 1) div 2").as("split"))
+    val span = graft.etl.Analyze.idMidpoint(docs, col("doc_id"))
     val scored = docs.crossJoin(broadcast(span))
       .withColumn("stop_ratio",
         round(nStop.cast("double") / nWords, 4))

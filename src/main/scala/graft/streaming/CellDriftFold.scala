@@ -32,16 +32,33 @@ class CellDriftFold(refCounts: Map[Int, Long], k: Int)
   private var counts: Map[Int, Long] = Map.empty
   private var lastBatchId = -1L
   private var folded = false
+  private var badCells = 0L
+
+  /** Rows whose `cell` violated the published [0, k) domain (or was
+    * null) across every folded batch — counted EXPLICITLY (advisor
+    * r17): [[serve]]'s fixed-domain join would otherwise silently
+    * drop them from the totals, hiding an ingest assignment that no
+    * longer matches the served generation — which is itself a
+    * retrain-grade alarm, not noise to swallow. */
+  def domainViolations: Long = synchronized(badCells)
 
   /** Fold one micro-batch of assigned vectors (… cell …). */
   def foldBatch(batch: DataFrame): Unit = {
     import org.apache.spark.sql.functions._
-    val partial = batch.groupBy(col("cell"))
+    // cast-to-int tolerates a LongType cell column (advisor r17: the
+    // raw getInt threw on long or null); the domain filter keeps the
+    // k-bounded state contract and the violation count is served, not
+    // silently shifted out of the totals by the fixed-domain join
+    val partial = batch
+      .groupBy(when(col("cell").isNotNull &&
+          col("cell") >= 0 && col("cell") < k,
+        col("cell").cast("int")).otherwise(lit(-1)).as("cell"))
       .agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ k rows
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // ≤ k+1 rows
     synchronized {
-      counts = partial.foldLeft(counts) { case (m, (c, n)) =>
-        m.updated(c, m.getOrElse(c, 0L) + n)
+      partial.foreach { case (c, n) =>
+        if (c < 0) badCells += n
+        else counts = counts.updated(c, counts.getOrElse(c, 0L) + n)
       }
       folded = true
     }
@@ -69,7 +86,9 @@ class CellDriftFold(refCounts: Map[Int, Long], k: Int)
     * `landed` must hold marker-committed batches only — see
     * [[FoldRestart.guard]]). */
   def rebuildFrom(landed: DataFrame): Unit = {
-    synchronized { counts = Map.empty; lastBatchId = -1L; folded = false }
+    synchronized {
+      counts = Map.empty; lastBatchId = -1L; folded = false; badCells = 0L
+    }
     foldBatch(landed)
   }
 

@@ -391,9 +391,22 @@ class IndexStoreSpec extends AnyFunSuite {
     deadTmp.mkdirs()
     deadTmp.setLastModified(System.currentTimeMillis() - 7200000L)
     new File(liveRoot, "gc_live_v2.tmp888").mkdirs()
+    // (c) root-level clock-probe debris (advisor r17): a prior sweep's
+    // probe whose delete failed. The AGED one must be collected; the
+    // FRESH one models a concurrent gcStore mid-stat and must survive.
+    val staleProbe = new File(scratch, ".gc_probe_1.tmp.probe")
+    java.nio.file.Files.write(staleProbe.toPath, Array.empty[Byte])
+    staleProbe.setLastModified(System.currentTimeMillis() - 7200000L)
+    val freshProbe = new File(scratch, ".gc_probe_2.tmp.probe")
+    java.nio.file.Files.write(freshProbe.toPath, Array.empty[Byte])
     val deleted = IndexStore.gcStore(spark, Seq(dir),
       superseded = Seq("gc_folded"))
     def deletedName(n: String) = deleted.exists(_.endsWith(n))
+    assert(deletedName(".gc_probe_1.tmp.probe") && !staleProbe.exists(),
+      s"stale root probe survived: $deleted")
+    assert(!deletedName(".gc_probe_2.tmp.probe") && freshProbe.exists(),
+      "GC swept a FRESH probe — a concurrent sweep's clock file")
+    freshProbe.delete()
     assert(deletedName(s"${tag}_0000dead"), s"stale root survived: $deleted")
     assert(deletedName("gc_old_v1"), s"stale version survived: $deleted")
     assert(deletedName("gc_keep_v2.tmp777"), s"tmp debris survived: $deleted")

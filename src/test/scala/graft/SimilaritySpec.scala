@@ -901,6 +901,50 @@ class SimilaritySpec extends AnyFunSuite {
       s"NaN-only cell misread: ${card(3)}")
   }
 
+  test("sim29 region precedence (advisor r17): a CONTESTED cell — " +
+    "isolates dominate but the few scoring members average past the " +
+    "dedup τ — reads sparse_frontier, as the docstring promises") {
+    // cell 0: vectors 1 and 2 are an identical pair (cosine 1.0 ≥ τ);
+    // vectors 3/4/5 are zero-norm (NaN edges drop → isolates).
+    // isolate_share = 3/5 ≥ 0.5 AND mean_knn_cos = 1.0 ≥ τ — the
+    // contested case where the old branch order read dense_swamp.
+    val assigned = Seq(
+      (0, 1L, Seq(1.0, 0.0)), (0, 2L, Seq(2.0, 0.0)),
+      (0, 3L, Seq(0.0, 0.0)), (0, 4L, Seq(0.0, 0.0)),
+      (0, 5L, Seq(0.0, 0.0))
+    ).toDF("cell", "vec_id", "emb")
+    val card = Similarity.knnCartography(assigned,
+      Similarity.knnGraph(assigned, kNeighbors = 5)).collect()
+    assert(card.length == 1)
+    val r = card.head
+    assert(r.getDouble(4) == 0.6 && r.getDouble(2) == 1.0,
+      s"planted contested cell mis-shaped: $r")
+    assert(r.getString(5) == "sparse_frontier",
+      s"isolate-dominant cell must read sparse_frontier even at " +
+        s"mean ≥ τ: $r")
+  }
+
+  test("sim30 mse_old = 0 guard (advisor r17): a PERFECTLY-quantized " +
+    "generation (every vector on a centroid) reads gain exactly 0.0 " +
+    "and stays quiet — never NaN, which Spark orders above the rung") {
+    // every current vector IS one of the old centroids → mse_old = 0
+    val cur = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.0, 1.0))
+    ).toDF("vec_id", "emb")
+    val newIdx = Similarity.ivfIndex(
+      cur.select(col("vec_id"), col("emb").as("embedding")), 2)
+    val r = Similarity.retrainWhatif(cur,
+      Array(Array(1.0, 0.0), Array(0.0, 1.0)),
+      newIdx.centers,
+      newIdx.assigned.select(col("vec_id"), col("cell"))).head()
+    assert(r.getDouble(1) == 0.0, s"mse_old must be exactly 0: $r")
+    assert(r.getDouble(3) == 0.0 && !r.getDouble(3).isNaN,
+      s"zero-error generation must read gain 0.0, got ${r.getDouble(3)}")
+    assert(!r.getBoolean(8),
+      s"a perfectly-quantized corpus fired a spurious retrain: $r")
+  }
+
   test("sim30 retrain what-if on hand generations: a generation the " +
     "old centroids never saw reads a large MSE gain and fires the " +
     "flag; a generation the old centroids fit perfectly reads ~zero " +

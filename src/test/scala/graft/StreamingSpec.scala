@@ -2390,4 +2390,30 @@ class StreamingSpec extends AnyFunSuite {
       f3.start(in.toDF().toDF("vec_id", "cell"), ckpt)
     }
   }
+
+  test("sim28' cell-drift fold domain guard (advisor r17): null and " +
+    "out-of-[0,k) cells are COUNTED as violations — never folded, " +
+    "never silently dropped from the totals — and a LongType cell " +
+    "column folds instead of throwing") {
+    import spark.implicits._
+    val fold = new graft.streaming.CellDriftFold(Map(0 -> 2L, 1 -> 2L), k = 4)
+    // a LONG cell column (the d51 ingest shape can surface either
+    // width) carrying one valid row, one beyond-domain cell, one
+    // negative, and one null — only the valid row may reach the state
+    val batch = Seq[(Long, java.lang.Long)](
+      (1L, 0L), (2L, 9L), (3L, -1L), (4L, null))
+      .toDF("vec_id", "cell")
+    fold.foldBatch(batch)
+    assert(fold.domainViolations == 3L,
+      s"expected 3 domain violations, got ${fold.domainViolations}")
+    val served = fold.serve(spark).collect().head
+    // n_cur counts ONLY the in-domain row; the violations are reported
+    // beside the totals, not shifted into them
+    assert(served.getLong(1) == 1L,
+      s"out-of-domain rows leaked into the folded totals: $served")
+    // rebuild resets the violation counter with the counts
+    fold.rebuildFrom(Seq((1L, 0)).toDF("vec_id", "cell"))
+    assert(fold.domainViolations == 0L,
+      "rebuildFrom must reset the violation counter")
+  }
 }
