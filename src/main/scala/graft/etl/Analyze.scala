@@ -274,6 +274,33 @@ object Analyze {
     bounds.toSeq
   }
 
+  /** The a44 readout over a value-range-bounded grid histogram — the
+    * approximate-percentile serve arithmetic for the a18 grid family's
+    * streaming fold ([[graft.streaming.QuantileStreamFold]]): the
+    * served value is the UPPER EDGE of the first bin whose cumulative
+    * count reaches ceil(p·n) — rank-exact to the grain, so the true
+    * percentile lies within one `grain` below the served value (the
+    * grid's accuracy contract, checked in StreamingSpec the way
+    * PropertySpec checks a44's GK rank bound). Driver arithmetic over
+    * a ≤bins-row histogram, like [[equidepthBounds]] — one shared
+    * kernel so a stream serve and a batch one-pass replay can never
+    * disagree. None on an empty histogram (no rows yet = no order
+    * statistics, not a throw). */
+  private[graft] def gridApproxPercentile(hist: Seq[(Long, Long)],
+      p: Double, grain: Double): Option[Double] = {
+    require(p > 0.0 && p <= 1.0, s"percentile p must be in (0,1], got $p")
+    val n = hist.iterator.map(_._2).sum
+    if (n == 0) None
+    else {
+      val target = math.ceil(p * n).toLong
+      var cum = 0L
+      hist.iterator
+        .map { case (bin, c) => cum += c; (bin, cum) }
+        .find(_._2 >= target)
+        .map { case (bin, _) => (bin + 1) * grain }
+    }
+  }
+
   /** The id-midpoint SPLIT device, shared (r17 verdict ask #4): a
     * one-row `(split)` frame at the midpoint of `id`'s span, meant to
     * ride beside every row via `crossJoin(broadcast(...))` so the

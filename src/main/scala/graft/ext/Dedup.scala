@@ -585,10 +585,20 @@ object Dedup {
   /** Same iteration over an ALREADY-materialized (checkpointed/cached)
     * pair frame — the entry point for a caller that pinned the pairs for
     * its own reuse ([[dedupedCorpus]]), so the pair set isn't
-    * materialized and stored twice. */
+    * materialized and stored twice.
+    *
+    * `checkpointEvery` sets the lineage-truncation cadence of the
+    * distributed path, the [[graft.ext.Graph.pageRank]] contract:
+    * labels are cadence-INVARIANT (identical joins over identical
+    * data — only where the plan is cut changes), the convergence sum
+    * still runs every round, and un-pinned rounds re-execute their
+    * join lineage from the last pin inside the next sum job. Exists
+    * for the d12 cadence probe ([[graft.D12CadenceProbe]], r17
+    * verdict ask #2); stays at 1 unless a probe shows a gated win. */
   private[ext] def connectedComponentsPinned(nodes: DataFrame, p: DataFrame,
                                              maxIter: Int = 20,
-                                             smallGraphEdges: Long = 100000L): DataFrame = {
+                                             smallGraphEdges: Long = 100000L,
+                                             checkpointEvery: Int = 1): DataFrame = {
     // Normalize ids to long up front: both paths then agree on output
     // types, and integer-typed pair frames can't ClassCast in the
     // driver path's Row.getLong.
@@ -680,6 +690,12 @@ object Dedup {
         .getOrElse(java.math.BigDecimal.ZERO)
       (cp, s)
     }
+    // un-pinned rounds (cadence > 1) still measure convergence — the
+    // sum just runs over the growing lineage instead of a fresh pin
+    def plainSum(df: DataFrame): (DataFrame, java.math.BigDecimal) =
+      (df, Option(
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO))
     var (labels, prevSum) = checkpointAndSum(initAll)
     var converged = false
     var i = 0
@@ -700,7 +716,9 @@ object Dedup {
         .select(col("node"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
       // Pointer jumping done — checkpoint + convergence measure in one job.
-      val (updated, curSum) = checkpointAndSum(jumped)
+      val (updated, curSum) =
+        if ((i + 1) % checkpointEvery == 0) checkpointAndSum(jumped)
+        else plainSum(jumped)
       converged = curSum.compareTo(prevSum) == 0
       prevSum = curSum
       labels = updated
@@ -763,7 +781,14 @@ object Dedup {
     * can't be non-singleton, so the (typically tiny) dup graph iterates
     * without dragging the full corpus through every round; the corpus is
     * touched once, by the final anti-join against the drop set. */
-  def dedupedCorpus(documents: DataFrame, pairs: DataFrame): DataFrame = {
+  def dedupedCorpus(documents: DataFrame, pairs: DataFrame): DataFrame =
+    dedupedCorpusCadence(documents, pairs, checkpointEvery = 1)
+
+  /** [[dedupedCorpus]] with an explicit components checkpoint cadence —
+    * the [[graft.D12CadenceProbe]] entry point (r17 verdict ask #2);
+    * output is cadence-invariant, only the lineage cut points move. */
+  private[graft] def dedupedCorpusCadence(documents: DataFrame,
+      pairs: DataFrame, checkpointEvery: Int): DataFrame = {
     // Checkpoint the pair pipeline ONCE before fanning out: `incident`
     // and the component iteration both consume it, and without this the
     // first label materialization would re-execute the entire upstream
@@ -773,7 +798,8 @@ object Dedup {
     val p = pairs.localCheckpoint(true)
     val incident = p.select(col("id_a").as("node"))
       .union(p.select(col("id_b").as("node"))).distinct()
-    val drop = connectedComponentsPinned(incident, p)
+    val drop = connectedComponentsPinned(incident, p,
+      checkpointEvery = checkpointEvery)
       .filter(col("node") =!= col("label"))
       .select(col("node").as("doc_id"))
     documents.join(drop, Seq("doc_id"), "left_anti")

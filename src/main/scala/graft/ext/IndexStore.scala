@@ -218,6 +218,31 @@ object IndexStore {
       .toMap
   }
 
+  /** Load the named artifact set ONLY if a complete publish exists —
+    * no build closure, no side effects beyond the session's served
+    * bookkeeping. This is how a serve path consults a GENERATION
+    * POINTER (sim31's retrain commit): the committed generation's
+    * marker-gated publish IS the pointer — complete-or-invisible, so
+    * preferring it over the base artifact is an atomic cutover carried
+    * by the store's existing correctness mechanism, with no separate
+    * pointer file to corrupt or half-write. Returns None when the
+    * marker is absent (never-committed, mid-publish, or invalidated). */
+  def loadIfPublished(spark: SparkSession, dir: String, table: String,
+                      name: String): Option[Map[String, DataFrame]] = {
+    val path = new Path(datasetRoot(spark, dir, Seq(table)),
+      s"${name}_v$FormatVersion")
+    val fs = path.getFileSystem(hadoopConf(spark))
+    if (!fs.exists(new Path(path, OkMarker))) None
+    else {
+      Similarity.perSession(servedBySession, spark).update((dir, table), ())
+      Some(fs.listStatus(path).toSeq
+        .filter(_.isDirectory)
+        .filterNot(_.getPath.getName.contains(".tmp"))
+        .map(s => s.getPath.getName -> spark.read.parquet(s.getPath.toString))
+        .toMap)
+    }
+  }
+
   /** Drop every published index for (dir, table) — the store-side
     * companion of [[Similarity.invalidateCaches]] for callers that
     * rewrote a served dir in place (same mtime/size, e.g. a test

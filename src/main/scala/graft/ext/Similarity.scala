@@ -482,28 +482,165 @@ object Similarity {
   def sim30RetrainWhatif(spark: SparkSession, dir: String): DataFrame = {
     val k = cellsFor(corpusSize(spark, dir))
     val base = ivfIndexFor(spark, dir, k)
-    val a = base.assigned.select(col("vec_id"), col("emb"))
     // the CURRENT generation = the newer id half, cut by the SHARED
     // midpoint helper in ONE agg(min, max) driver read (r17 verdict
     // ask #4 / advisor: the old form ran TWO separate .head() scans
     // at query-construction time). Driver-side — not the broadcast
     // span device — because the split must also be a plain Long for
-    // the store-build closure and the commit verb ([[commitRetrain]])
-    // to cut the SAME generation boundary; probed: the broadcast form
-    // re-runs the span agg once per consumer (+4 exchanges).
+    // the store-build closure and the commit verb
+    // ([[sim31RetrainCommit]]) to cut the SAME generation boundary;
+    // probed: the broadcast form re-runs the span agg once per
+    // consumer (+4 exchanges).
+    val (parts, split) = whatifFor(spark, dir, k, base)
+    val cur = base.assigned.select(col("vec_id"), col("emb"))
+      .filter(col("vec_id") >= split)
+    retrainWhatif(cur, base.centers, collectCenters(parts("centers")),
+      parts("assigned").select(col("vec_id"), col("cell")))
+  }
+
+  /** Store name of the what-if generation (the candidate sim30 prices
+    * and sim31 promotes) and of the COMMITTED serving generation — one
+    * definition each so the two verbs can never address different
+    * artifacts. */
+  private[graft] def whatifName(k: Int): String = s"ivf_whatif_g2_k$k"
+  private[graft] def committedIvfName(k: Int): String = s"ivf_g2_k$k"
+
+  /** The published what-if generation for (dir, k): the quantizer
+    * retrained on the CURRENT (newer-id-half) generation only,
+    * load-or-built under the ONE shared [[whatifName]] — sim30 (the
+    * pricing verb) and sim31 (the commit verb) both come through here,
+    * so the committed candidate is BY CONSTRUCTION the priced one:
+    * same boundary, same trainer, same published artifact. Returns the
+    * artifact parts and the generation split. */
+  private[graft] def whatifFor(spark: SparkSession, dir: String, k: Int,
+      base: IvfIndex): (Map[String, DataFrame], Long) = {
     val split = generationSplit(spark, base)
-    val cur = a.filter(col("vec_id") >= split)
-    // the what-if generation trains once per dataset via the store —
-    // queries serve the published artifact, never re-fit
+    val cur = base.assigned.select(col("vec_id"), col("emb"))
+      .filter(col("vec_id") >= split)
     val parts = IndexStore.loadOrBuild(spark, dir, "embeddings",
-      s"ivf_whatif_g2_k$k") {
+      whatifName(k)) {
       val idx = ivfIndex(cur.select(col("vec_id"),
         col("emb").as("embedding")), k)
       Seq("assigned" -> idx.assigned,
         "centers" -> centersFrame(spark, idx.centers))
     }
-    retrainWhatif(cur, base.centers, collectCenters(parts("centers")),
-      parts("assigned").select(col("vec_id"), col("cell")))
+    (parts, split)
+  }
+
+  /** SIM31 — retrain COMMIT: the ACT verb that closes the index
+    * lifecycle loop sim28 (drift alarm) and sim30 (retrain price)
+    * opened. Promotes the priced what-if generation to the SERVED
+    * index and retires the generation it replaces:
+    *
+    *  1. the committed serving artifact ([[committedIvfName]]) is the
+    *     what-if centroids over the FULL corpus — the current half's
+    *     assignment REUSED verbatim from the published what-if (the
+    *     training and that half's encode were already paid by sim30,
+    *     so the commit prices them as a rename), the older half
+    *     frozen-centroid ENCODED ([[ivfAssign]] — encode, never
+    *     train). It publishes through the store's marker-gated path,
+    *     so the cutover is complete-or-invisible like every other
+    *     generation switch (the sim25 compaction precedent);
+    *  2. every serving path cuts over: [[ivfIndexFor]] prefers a
+    *     committed generation over the base artifact (the marker IS
+    *     the generation pointer), so all frozen-cell consumers —
+    *     d50/d51/d55's semantic dedup, sim27/sim29's kNN graph,
+    *     sim28's drift card, sim23-25's maintenance verbs, sim4's
+    *     serve — ride the new generation with zero code awareness; the
+    *     session memo drops so the cutover is same-session too;
+    *  3. the pre-retrain generation is DECLARED superseded to
+    *     [[graft.ext.IndexStore.gcStore]] — the old base index and the
+    *     delta/tombstone/compacted maintenance artifacts encoded
+    *     against its centroids (meaningless under the new quantizer;
+    *     their consumers re-derive cheap frozen-centroid encodes
+    *     against the committed generation on next use). This is the
+    *     production caller the `superseded` contract was written for.
+    *
+    * The card: per committed cell — total occupancy, rows REUSED from
+    * the what-if artifact vs rows re-encoded — plus the commit's
+    * verified flags: `priced_match` (the committed current-half
+    * assignment is row-identical to the artifact sim30 scored — the
+    * commit IS the priced candidate), `serve_match` (this session's
+    * serve path now reads the committed generation), `superseded_gone`
+    * (gcStore swept the declared set), `whatif_reused` (no training
+    * ran in this call — false only when sim30 never priced this
+    * corpus), `first_commit` / `swept_now` (idempotency receipts: a
+    * re-run reuses everything and sweeps nothing).
+    *
+    * Scale shape: the only corpus-sized work is the one-off older-half
+    * encode at publish time (O(N·k·d) fused-codegen argmin, exactly a
+    * scheduled re-encode job); the SERVED card is one map-side-combined
+    * occupancy aggregate over the committed assignment plus a one-row
+    * broadcast flag frame. d49's recall card is deliberately NOT
+    * superseded: it is a fingerprint-keyed audit SNAPSHOT (its
+    * semantic row records the generation served at build time), not a
+    * serving artifact. Rows-only: audits OUR index lifecycle;
+    * IndexStoreSpec pins the full verb — fresh-session zero-build gen2
+    * serve, the exact gc sweep set, consumer parity on the committed
+    * generation, idempotency. */
+  def sim31RetrainCommit(spark: SparkSession, dir: String): DataFrame = {
+    val k = cellsFor(corpusSize(spark, dir))
+    val firstCommit = IndexStore
+      .loadIfPublished(spark, dir, "embeddings", committedIvfName(k)).isEmpty
+    val whatifReused = IndexStore
+      .loadIfPublished(spark, dir, "embeddings", whatifName(k)).nonEmpty
+    // pre-commit this serves the OLD generation (the one being
+    // retired); on a re-run it already serves the committed one — both
+    // carry the same vec_ids, so the boundary below is identical
+    val base = ivfIndexFor(spark, dir, k)
+    val (whatif, split) = whatifFor(spark, dir, k, base)
+    val committed = IndexStore.loadOrBuild(spark, dir, "embeddings",
+      committedIvfName(k)) {
+      val newCenters = collectCenters(whatif("centers"))
+      val older = ivfAssign(
+        base.assigned.filter(col("vec_id") < split)
+          .select(col("vec_id"), col("emb")), newCenters)
+      Seq(
+        "assigned" -> older.select(col("vec_id"), col("emb"), col("cell"))
+          .unionByName(whatif("assigned")
+            .select(col("vec_id"), col("emb"), col("cell"))),
+        "centers" -> whatif("centers"))
+    }
+    // session-side cutover; fresh sessions cut over via the marker
+    dropIvfMemo(spark, dir)
+    val gen2 = ivfIndexFor(spark, dir, k)
+    // declare the retired generation + its maintenance artifacts
+    // folded — gcStore never infers this (sim23/24 may legitimately
+    // serve them right up to the commit)
+    val superseded = Seq(s"ivf_k$k", s"ivf_k${k}_delta_b5",
+      s"ivf_k${k}_tombstones_m101", s"ivf_k${k}_compacted_g1")
+    val swept = IndexStore.gcStore(spark, Seq(dir), superseded = superseded)
+    val gone = superseded.forall(n =>
+      IndexStore.loadIfPublished(spark, dir, "embeddings", n).isEmpty)
+    def ids(df: DataFrame) = df.select(col("vec_id"), col("cell"))
+    val curCommitted = ids(committed("assigned"))
+      .filter(col("vec_id") >= split)
+    val pricedMatch =
+      curCommitted.except(ids(whatif("assigned"))).isEmpty &&
+        ids(whatif("assigned")).except(curCommitted).isEmpty
+    val serveMatch =
+      ids(gen2.assigned).except(ids(committed("assigned"))).isEmpty &&
+        ids(committed("assigned")).except(ids(gen2.assigned)).isEmpty
+    import spark.implicits._
+    val flags = Seq((firstCommit, whatifReused, swept.size,
+      gone, pricedMatch, serveMatch))
+      .toDF("first_commit", "whatif_reused", "swept_now",
+        "superseded_gone", "priced_match", "serve_match")
+    committed("assigned")
+      .groupBy(col("cell")).agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("vec_id") >= split, 1)).as("n_reused"),
+        count(when(col("vec_id") < split, 1)).as("n_reencoded"))
+      .crossJoin(broadcast(flags))
+      .orderBy(col("cell"))
+  }
+
+  /** Drop this session's served-index memo for `dir` — the commit
+    * verb's session-side cutover ([[sim31RetrainCommit]]); fresh
+    * sessions cut over through the committed artifact's marker alone. */
+  private[graft] def dropIvfMemo(spark: SparkSession, dir: String): Unit = {
+    val m = perSession(ivfCache, spark)
+    m.keys.filter(_._1 == dir).toSeq.foreach(m.remove)
   }
 
   /** The generation boundary sim30 prices and sim31 commits: the
@@ -922,12 +1059,24 @@ object Similarity {
         // assignment for this session's query stream, exactly as the
         // freshly-trained copy was pinned before (and a second builder
         // racing through getOrElseUpdate just loads the winner's copy).
-        val parts = IndexStore.loadOrBuild(spark, dir, "embeddings",
-          s"ivf_k$k") {
-          val idx = ivfIndex(Tables.embeddings(spark, dir), k)
-          Seq("assigned" -> idx.assigned,
-            "centers" -> centersFrame(spark, idx.centers))
-        }
+        //
+        // A COMMITTED retrain generation (sim31) outranks the base
+        // artifact: its marker-gated publish IS the generation pointer
+        // — complete-or-invisible, so the cutover is atomic by the
+        // store's existing correctness carrier, every consumer of this
+        // serve path migrates with zero code awareness, and the swept
+        // base can never be resurrected by a later serve (its build
+        // closure below only runs when NO committed generation exists).
+        val parts = IndexStore
+          .loadIfPublished(spark, dir, "embeddings", committedIvfName(k))
+          .getOrElse {
+            IndexStore.loadOrBuild(spark, dir, "embeddings",
+              s"ivf_k$k") {
+              val idx = ivfIndex(Tables.embeddings(spark, dir), k)
+              Seq("assigned" -> idx.assigned,
+                "centers" -> centersFrame(spark, idx.centers))
+            }
+          }
         val name = s"ivf_idx_${k}_" + dirTag(dir)
         parts("assigned").localCheckpoint(true).createOrReplaceTempView(name)
         (name, collectCenters(parts("centers")))
@@ -2359,6 +2508,7 @@ object Similarity {
     "sim28_cell_drift" -> sim28CellDrift,
     "sim29_knn_cartography" -> sim29KnnCartography,
     "sim30_retrain_whatif" -> sim30RetrainWhatif,
+    "sim31_retrain_commit" -> sim31RetrainCommit,
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
     "sim25_index_compaction" -> sim25IndexCompaction,

@@ -73,6 +73,21 @@ class QuantileStreamFold(grain: Double = 100.0, maxBins: Int = 100000)
   def bounds(k: Int): Seq[Long] =
     graft.etl.Analyze.equidepthBounds(histogram, k)
 
+  /** A44's streaming twin (r17 verdict ask #6): the approximate
+    * percentile of everything the stream has carried, served from the
+    * SAME folded grid the bounds read — a serve on the existing fold,
+    * not a new fold class (the r14 shared-state lesson). Grid, not GK:
+    * the batch a44 card keeps a mergeable Greenwald-Khanna sketch per
+    * GROUP because its state must stay bounded per key; this fold
+    * already holds the global value-range-bounded histogram, whose
+    * serve is rank-exact to the grain — the true percentile lies
+    * within one `grain` below the served value (bin upper edge), the
+    * grid analogue of a44's ±n/1000 rank contract, CHECKED in
+    * StreamingSpec against raw sorted values at every wave. None until
+    * the first row lands. */
+  def serveApproxPercentile(p: Double): Option[Double] =
+    graft.etl.Analyze.gridApproxPercentile(histogram, p, grain)
+
   /** The folded grid histogram, bin-sorted (exact, not an estimate). */
   def histogram: Seq[(Long, Long)] =
     synchronized(hist.toSeq.sortBy(_._1))

@@ -6,7 +6,41 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.functions.AirQuality
 
 object TestSpark {
+  /** Point the whole test JVM's IndexStore at its own scratch root
+    * (before any suite serves) UNLESS a suite already re-pointed it:
+    * the default root is shared with driver Verify/Bench runs, and
+    * since sim31's retrain COMMIT is a registered query, a prior
+    * driver run may have cut the shared store over to the committed
+    * generation — suite pins must see a deterministic store, not
+    * whichever lifecycle state the last production run left. Suites
+    * with their own scratch (IndexStoreSpec et al.) still override. */
+  lazy val storeScratch: java.io.File = {
+    val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_index_store_suite_${ProcessHandle.current().pid()}")
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory)
+        Option(x.listFiles()).getOrElse(Array.empty).foreach(rm)
+      x.delete(): Unit
+    }
+    rm(f)
+    f
+  }
+
+  /** Re-point the store at a FRESH per-suite scratch — for suites whose
+    * pins assume the pre-commit (gen-1) index state and must not
+    * inherit a sim31 commit another suite ran earlier in this JVM. The
+    * shared session's per-session memos are invalidated too: a memoized
+    * committed-generation view would otherwise outlive the store
+    * re-point and keep serving gen2 from the session catalog. */
+  def isolateStore(suite: String): Unit = {
+    sys.props("graft.index.store") =
+      new java.io.File(storeScratch, suite).getPath
+    graft.ext.Similarity.invalidateCaches(spark)
+  }
+
   lazy val spark: SparkSession = {
+    if (!sys.props.contains("graft.index.store"))
+      sys.props("graft.index.store") = storeScratch.getPath
     val s = Sessions.builder("local[4]", 4).getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

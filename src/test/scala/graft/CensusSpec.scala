@@ -60,6 +60,8 @@ class CensusSpec extends AnyFunSuite {
                                 // singletons (the t26 split device)
     "sim30_retrain_whatif",     // broadcast one-row balance/MSE cards
                                 // composed into the final single row
+    "sim31_retrain_commit",     // broadcast one-row commit-flag frame
+                                // riding beside the per-cell census
     "sim22_hybrid_rrf")         // broadcast query vector + stats singletons
 
   /** Shuffle-exchange budget: default ceiling for any registered query,

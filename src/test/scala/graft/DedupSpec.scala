@@ -8,6 +8,11 @@ import graft.ext.Dedup
   * candidate generation must surface heavily-overlapping docs and must not
   * pair disjoint ones. */
 class DedupSpec extends AnyFunSuite {
+  // Own store scratch: the d50/d51/d55 pins below assume the
+  // PRE-commit generation; a sim31 commit run earlier in this JVM
+  // (smoke/census/plan suites execute every registered query) must
+  // not leak in.
+  TestSpark.isolateStore("dedup")
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -359,6 +359,195 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(r1 == r2, "store-served card diverged from the build session")
   }
 
+  // ---- sim31 retrain COMMIT (r17 verdict ask #1) ----------------------
+  // A private store root, shared by the two tests below (the second
+  // consumes the committed state the first publishes) and restored
+  // after each so no other suite inherits a committed generation.
+  private val commitStore = new File(scratch.getPath + "_commit")
+  locally {
+    def rm(f: File): Unit = {
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[File]).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(commitStore)
+  }
+
+  private def inCommitStore[A](body: => A): A = {
+    val saved = sys.props("graft.index.store")
+    sys.props("graft.index.store") = commitStore.getPath
+    try body finally sys.props("graft.index.store") = saved
+  }
+
+  test("sim31: the retrain COMMIT promotes the priced what-if " +
+    "generation to the served index — reusing the what-if artifact " +
+    "(the ONLY build is the generation publish), sweeping exactly the " +
+    "declared superseded set, cutting the serve path over atomically, " +
+    "idempotent on re-run, and a fresh session serves gen2 with zero " +
+    "builds") {
+    inCommitStore {
+      val sA = spark.newSession()
+      // warm the FULL pre-commit lifecycle the commit retires: base
+      // index, sim23 delta, sim24 tombstones, sim25 compacted
+      // generation, and the sim30-priced what-if candidate
+      graft.ext.Similarity.queries("sim23_incremental_ivf")(sA, dir).collect()
+      graft.ext.Similarity.queries("sim24_ann_forget")(sA, dir).collect()
+      graft.ext.Similarity.queries("sim25_index_compaction")(sA, dir).collect()
+      graft.ext.Similarity.queries("sim30_retrain_whatif")(sA, dir).collect()
+      val before = IndexStore.builds.size
+      val r1 = graft.ext.Similarity.queries("sim31_retrain_commit")(sA, dir)
+        .collect().toSeq
+      val newBuilds = IndexStore.builds.toArray.drop(before).map(_.toString)
+      // the commit priced as a RENAME: the what-if training is reused,
+      // so the only build event is the committed-generation publish
+      assert(newBuilds.toSeq == Seq(s"ivf_g2_k16@$dir"),
+        s"commit ran more than the generation publish: ${newBuilds.mkString(", ")}")
+      // flags ride every census row:
+      // (cell, n_total, n_reused, n_reencoded, first_commit,
+      //  whatif_reused, swept_now, superseded_gone, priced_match,
+      //  serve_match)
+      val f = r1.head
+      assert(f.getBoolean(4), "first_commit false on a cold commit")
+      assert(f.getBoolean(5),
+        "whatif_reused false — the commit retrained what sim30 priced")
+      assert(f.getInt(6) == 4,
+        s"expected exactly base+delta+tombstones+compacted swept, got ${f.getInt(6)}")
+      assert(f.getBoolean(7), "superseded artifacts still present after gc")
+      assert(f.getBoolean(8),
+        "priced_match false: committed current-half ≠ the what-if sim30 scored")
+      assert(f.getBoolean(9), "serve_match false: session still serves the old generation")
+      // census conservation: cells partition the corpus; reused +
+      // re-encoded = total per cell
+      r1.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
+      assert(r1.map(_.getLong(1)).sum ==
+        graft.ext.Similarity.corpusSize(sA, dir))
+      // the store now holds EXACTLY the committed generation + the
+      // reused what-if — the retired set is gone, nothing else was
+      // collateral damage
+      val dsRoot = Option(commitStore.listFiles()).get.filter(_.isDirectory)
+      assert(dsRoot.length == 1)
+      val artifacts = dsRoot.head.listFiles().filter(_.isDirectory)
+        .map(_.getName).toSet
+      assert(artifacts == Set("ivf_g2_k16_v2", "ivf_whatif_g2_k16_v2"),
+        s"unexpected store contents after commit: $artifacts")
+      // tomorrow's JVM serves the committed generation with ZERO builds
+      val sB = spark.newSession()
+      val mid = IndexStore.builds.size
+      val idx = graft.ext.Similarity.ivfIndexFor(sB, dir, 16)
+      assert(idx.assigned.count() == graft.ext.Similarity.corpusSize(sB, dir))
+      assert(IndexStore.builds.size == mid,
+        "a fresh session rebuilt instead of serving the committed " +
+          "generation: " + IndexStore.builds.toArray.drop(mid).mkString(", "))
+      // ...and what it serves IS the committed artifact, row for row
+      val committed = IndexStore.loadIfPublished(sB, dir, "embeddings",
+        "ivf_g2_k16").get
+      def idsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("vec_id", "cell")
+      assert(idsOf(idx.assigned).except(idsOf(committed("assigned"))).isEmpty &&
+        idsOf(committed("assigned")).except(idsOf(idx.assigned)).isEmpty,
+        "fresh-session serve diverged from the committed artifact")
+      // idempotent re-run: zero builds, nothing swept, census identical
+      val r2 = graft.ext.Similarity.queries("sim31_retrain_commit")(sB, dir)
+        .collect().toSeq
+      assert(IndexStore.builds.size == mid,
+        "a re-run commit rebuilt something: " +
+          IndexStore.builds.toArray.drop(mid).mkString(", "))
+      val f2 = r2.head
+      assert(!f2.getBoolean(4) && f2.getBoolean(5) && f2.getInt(6) == 0 &&
+        f2.getBoolean(7) && f2.getBoolean(8) && f2.getBoolean(9),
+        s"re-run flags drifted: $f2")
+      def census(rows: Seq[org.apache.spark.sql.Row]) =
+        rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(census(r1) == census(r2), "commit census not idempotent")
+      // census budget (the PlanSpec device, kept here so the commit's
+      // store side effects stay inside this private root): the SERVED
+      // card is one map-side-combined occupancy agg + the broadcast
+      // flag row + the output order — 3 shuffle exchanges at most
+      val served = graft.ext.Similarity.queries("sim31_retrain_commit")(sB, dir)
+      served.collect()
+      // final AQE section only (the printed tree appends the pre-AQE
+      // "Initial Plan", which would double-count every exchange)
+      val plan = served.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val exchanges = plan.linesIterator.count(l =>
+        l.contains("Exchange ") && !l.contains("BroadcastExchange"))
+      assert(exchanges <= 3, s"sim31 card plan widened ($exchanges):\n$plan")
+    }
+  }
+
+  test("sim31: every frozen-cell consumer rides the COMMITTED " +
+    "generation — maintenance verbs re-derive their artifacts as " +
+    "frozen-centroid ENCODES (never a retrain), each card's own " +
+    "invariants hold on gen2, and sim30 reads zero gain after the act") {
+    inCommitStore {
+      val s = spark.newSession()
+      val mid = IndexStore.builds.size
+      // maintenance family: artifacts were declared superseded by the
+      // commit, so each re-derives against gen2 — cheap encodes only
+      val r23 = graft.ext.Similarity.queries("sim23_incremental_ivf")(s, dir)
+        .collect()
+      assert(r23.nonEmpty)
+      r23.foreach(r => assert(r.getBoolean(3) && r.getBoolean(4),
+        s"sim23 flags false on gen2: $r"))
+      val r24 = graft.ext.Similarity.queries("sim24_ann_forget")(s, dir)
+        .collect()
+      assert(r24.nonEmpty)
+      r24.foreach(r => assert(r.getBoolean(4) && r.getBoolean(5),
+        s"sim24 flags false on gen2: $r"))
+      val r25 = graft.ext.Similarity.queries("sim25_index_compaction")(s, dir)
+        .collect()
+      assert(r25.nonEmpty)
+      r25.foreach(r => assert(r.getBoolean(5) && r.getBoolean(6) &&
+        r.getBoolean(7), s"sim25 flags false on gen2: $r"))
+      val newBuilds = IndexStore.builds.toArray.drop(mid).map(_.toString)
+      assert(newBuilds.forall(b => b.contains("delta") ||
+        b.contains("tombstones") || b.contains("compacted")),
+        s"a gen2 consumer RETRAINED: ${newBuilds.mkString(", ")}")
+      // graph / drift / cartography consumers
+      assert(graft.ext.Similarity.queries("sim27_knn_graph")(s, dir)
+        .count() > 0)
+      val r28 = graft.ext.Similarity.queries("sim28_cell_drift")(s, dir)
+        .collect()
+      assert(r28.length == 1 && r28.head.getLong(2) == 16 &&
+        !r28.head.getDouble(3).isNaN, s"sim28 degenerate on gen2: ${r28.toSeq}")
+      val r29 = graft.ext.Similarity.queries("sim29_knn_cartography")(s, dir)
+        .collect()
+      assert(r29.nonEmpty && r29.forall(r =>
+        Set("dense_swamp", "sparse_frontier", "mid").contains(r.getString(5))),
+        "sim29 regions degenerate on gen2")
+      // the lifecycle closes: AFTER the commit, the what-if IS the
+      // served quantizer, so the pricing verb reads nothing to gain
+      val r30 = graft.ext.Similarity.queries("sim30_retrain_whatif")(s, dir)
+        .collect().head
+      assert(!r30.getBoolean(r30.length - 1),
+        s"sim30 still recommends retraining AFTER the commit: $r30")
+      // dedup consumers: cards well-formed, kernel self-consistent
+      val d51 = graft.ext.Dedup.queries("d51_incremental_semdedup")(s, dir)
+        .collect()
+      assert(d51.nonEmpty)
+      d51.foreach { r =>
+        val rate = r.getDouble(5)
+        assert(rate >= 0.0 && rate <= 1.0 && r.getLong(3) >= r.getLong(4),
+          s"d51 census inconsistent on gen2: $r")
+      }
+      val d55 = graft.ext.Dedup.queries("d55_sem_decontaminate")(s, dir)
+        .collect()
+      assert(d55.nonEmpty)
+      // rowwise flag ≡ (max_train_cos ≥ τ, null → clean) — the d55
+      // kernel contract, generation-independent
+      d55.foreach { r =>
+        val expected = !r.isNullAt(3) && r.getDouble(3) >= 0.95
+        assert(r.getBoolean(4) == expected,
+          s"d55 contaminated flag inconsistent on gen2: $r")
+      }
+      // the planted paraphrases are scaled copies of co-celled sources
+      // — still caught under the committed cells
+      val planted = d55.filter(_.getBoolean(2))
+      assert(planted.nonEmpty && planted.forall(_.getBoolean(4)),
+        "a planted paraphrase escaped decontamination on gen2")
+    }
+  }
+
   test("gcStore (r14 ask #7): sweeps stale-fingerprint roots, " +
     "non-current versions, tmp debris, and caller-declared superseded " +
     "generations — while served indexes survive and a fresh session " +

@@ -5,6 +5,10 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.ext.Similarity
 
 class SimilaritySpec extends AnyFunSuite {
+  // Own store scratch: the sim27-30 pins below assume the PRE-commit
+  // generation; a sim31 commit run earlier in this JVM (smoke/census/
+  // plan suites execute every registered query) must not leak in.
+  TestSpark.isolateStore("similarity")
   lazy val spark = TestSpark.spark
   import spark.implicits._
 

@@ -927,6 +927,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(fold.histogram == before)
   }
 
+  test("a44' approx-percentile serve on the quantile fold (r17 ask #6): " +
+    "serve ≡ the batch grid replay at EVERY wave, and the served value " +
+    "brackets the true percentile within one grain — checked against " +
+    "raw sorted values") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    val grain = 100.0
+    val fold = new graft.streaming.QuantileStreamFold(grain = grain)
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("qpfold").toString
+    val q = fold.start(in.toDF().toDF("id", "v"), "v", ckpt)
+    // no rows yet: no order statistics, not a throw
+    assert(fold.serveApproxPercentile(0.5).isEmpty)
+    // skewed waves (the a18' fixture): wave 2 shifts the median far
+    // from wave 1's, so a serve stuck on any single batch would miss
+    val b1 = (0 until 500).map(i => (i.toLong, i.toDouble))
+    val b2 = (500 until 800).map(i => (i.toLong, (i * 10).toDouble))
+    var landed = Seq.empty[Double]
+    def checkWave(): Unit = {
+      // serve ≡ batch: the same kernel over a one-pass grid replay of
+      // the landed rows — exact equality (integer-count additivity)
+      val batchHist = landed.map(v => math.floor(v / grain).toLong)
+        .groupBy(identity).map { case (b, vs) => (b, vs.size.toLong) }
+        .toSeq.sortBy(_._1)
+      for (p <- Seq(0.5, 0.99)) {
+        val served = fold.serveApproxPercentile(p).get
+        assert(Some(served) ==
+          graft.etl.Analyze.gridApproxPercentile(batchHist, p, grain),
+          s"p=$p: stream serve diverged from the batch grid replay")
+        // CHECKED accuracy (the a44 discipline): the true percentile —
+        // the value at rank ceil(p*n) of the raw sorted stream — lies
+        // within one grain below the served bin upper edge
+        val sorted = landed.sorted
+        val exact = sorted((math.ceil(p * sorted.size) - 1).toInt)
+        assert(exact <= served && exact > served - grain,
+          s"p=$p: served $served does not bracket exact $exact (grain $grain)")
+      }
+    }
+    in.addData(b1: _*); q.processAllAvailable()
+    landed = b1.map(_._2); checkWave()
+    in.addData(b2: _*); q.processAllAvailable()
+    landed = (b1 ++ b2).map(_._2); checkWave()
+    q.stop()
+    // restart recipe serves the same percentiles (state outside the
+    // checkpoint, rebuilt exactly from the landed corpus)
+    val f2 = new graft.streaming.QuantileStreamFold(grain = grain)
+    f2.rebuildFrom(landed.zipWithIndex.map(_.swap).toDF("id", "v"), "v")
+    assert(f2.serveApproxPercentile(0.5) == fold.serveApproxPercentile(0.5))
+    assert(f2.serveApproxPercentile(0.99) == fold.serveApproxPercentile(0.99))
+  }
+
   test("a22' active-users fold: stream serve equals batch DAU/WAU on the " +
     "same rows; rebuild-from-landed and replays are content no-ops") {
     import spark.implicits._
