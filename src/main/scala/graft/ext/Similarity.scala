@@ -565,7 +565,11 @@ object Similarity {
     * (gcStore swept the declared set), `whatif_reused` (no training
     * ran in this call — false only when sim30 never priced this
     * corpus), `first_commit` / `swept_now` (idempotency receipts: a
-    * re-run reuses everything and sweeps nothing).
+    * re-run reuses everything and sweeps nothing — the gc declaration
+    * is gated on the TRANSITION, because after the cutover the
+    * maintenance verbs legitimately re-derive artifacts under the
+    * superseded names against the committed centroids, and collecting
+    * those on every call would thrash them).
     *
     * Scale shape: the only corpus-sized work is the one-off older-half
     * encode at publish time (O(N·k·d) fused-codegen argmin, exactly a
@@ -609,8 +613,18 @@ object Similarity {
     // serve them right up to the commit)
     val superseded = Seq(s"ivf_k$k", s"ivf_k${k}_delta_b5",
       s"ivf_k${k}_tombstones_m101", s"ivf_k${k}_compacted_g1")
-    val swept = IndexStore.gcStore(spark, Seq(dir), superseded = superseded)
-    val gone = superseded.forall(n =>
+    // the sweep belongs to the generation TRANSITION, not to every
+    // call: the superseded names are only meaningful at commit time.
+    // After the cutover the maintenance verbs re-derive artifacts
+    // under these same names AGAINST the committed centroids (the
+    // IndexStoreSpec consumer contract), and an idempotent re-run
+    // must not collect those gen2-consistent re-derivations — so a
+    // re-run sweeps nothing and reports the transition's receipt
+    // vacuously true.
+    val swept = if (firstCommit)
+      IndexStore.gcStore(spark, Seq(dir), superseded = superseded)
+    else Seq.empty[String]
+    val gone = !firstCommit || superseded.forall(n =>
       IndexStore.loadIfPublished(spark, dir, "embeddings", n).isEmpty)
     def ids(df: DataFrame) = df.select(col("vec_id"), col("cell"))
     val curCommitted = ids(committed("assigned"))

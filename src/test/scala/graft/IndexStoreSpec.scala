@@ -545,6 +545,22 @@ class IndexStoreSpec extends AnyFunSuite {
       val planted = d55.filter(_.getBoolean(2))
       assert(planted.nonEmpty && planted.forall(_.getBoolean(4)),
         "a planted paraphrase escaped decontamination on gen2")
+      // the sweep is gated on the TRANSITION: the maintenance verbs
+      // above re-derived delta/tombstone/compacted artifacts under the
+      // superseded NAMES but against the committed centroids — a
+      // sim31 re-run now must NOT collect those (it would thrash the
+      // consumers), and the re-derived artifacts stay published
+      val again = graft.ext.Similarity.queries("sim31_retrain_commit")(s, dir)
+        .collect().head
+      assert(!again.getBoolean(4) && again.getInt(6) == 0,
+        s"a post-consumer re-run swept gen2-consistent artifacts: $again")
+      val k = graft.ext.Similarity.cellsFor(
+        graft.ext.Similarity.corpusSize(s, dir))
+      Seq(s"ivf_k${k}_delta_b5", s"ivf_k${k}_tombstones_m101",
+        s"ivf_k${k}_compacted_g1").foreach { n =>
+        assert(IndexStore.loadIfPublished(s, dir, "embeddings", n).nonEmpty,
+          s"re-derived $n was collected by the idempotent re-run")
+      }
     }
   }
 
