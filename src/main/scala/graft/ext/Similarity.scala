@@ -1424,6 +1424,91 @@ object Similarity {
       .orderBy(col("drift").desc, col("label"))
   }
 
+  /** SIM32 — embedding SPECTRUM / anisotropy QC card: the covariance
+    * eigen-spectrum of the corpus embedding distribution, read as an
+    * effective-dimensionality card — the representation-collapse
+    * detector (Ethayarajh 2019's anisotropy; Gao et al. 2019's
+    * representation degeneration) a pipeline checks BEFORE trusting
+    * any geometry consumer: every ANN index (sim2/4/7/15/16/21), the
+    * semantic dedup tier (d50/d51/d55), and the k-means quantizer
+    * itself silently degrade when the corpus collapses toward a few
+    * directions, and none of the per-vector QC cards (sim9 norms,
+    * sim12 quantization, sim13 drift) can see it — collapse is a
+    * property of the DISTRIBUTION, not of any row.
+    *
+    * Card (one row): n_vecs, dim, trace (total variance), top-3
+    * eigenvalues, top1_share (λ₁/trace — the anisotropy dominance),
+    * participation_ratio PR = (Σλ)²/Σλ² ∈ [1, d] (the effective
+    * number of variance-carrying directions; the physics estimator
+    * Roy & Vetterli 2007 relate to effective rank), and
+    * `collapse_major` at the rung top1_share ≥ 0.5 ∨ PR ≤ d/8 ∨
+    * trace = 0 (half the variance in ONE direction, or fewer than
+    * d/8 effective dimensions, or a constant corpus).
+    *
+    * Scale shape: ONE aggregate through the [[graft.functions
+    * .CovarianceSketch]] Aggregator — each partition folds its
+    * vectors into a constant-size (1 + d + d(d+1)/2 doubles) buffer
+    * locally and ships exactly one partial per partition (the
+    * VectorMean discipline: the posexplode² dataflow alternative
+    * inflates the scan by d² = 4096×); the buffer is an additive
+    * monoid, so partial agg / AQE / a streaming fold combine it
+    * identically. Covariance assembly and the cyclic-Jacobi eigen
+    * solve (deterministic: fixed sweep order, off-diagonal-norm
+    * convergence) are O(d³) driver arithmetic on the ONE collected
+    * 2145-double row — the g7/sim14 bounded-collect contract.
+    * Numerically-negative eigenvalues (Jacobi noise at machine eps)
+    * clamp to 0 before the share/PR sums so PR stays in [1, d];
+    * an all-null or empty corpus returns an EMPTY card (nothing to
+    * report), and a zero-variance corpus reads trace 0 / shares 0 /
+    * collapse_major true. Rows-only by design (no SQL engine replays
+    * an eigen solve — the g7 treatment); SimilaritySpec pins
+    * hand-computed spectra (axis-aligned exact eigenvalues, rotation
+    * invariance, rank-1 collapse, zero-variance, null-skip) and the
+    * registered card's healthy-corpus reading. */
+  def sim32EmbeddingSpectrum(spark: SparkSession, dir: String): DataFrame =
+    embeddingSpectrum(
+      Tables.embeddings(spark, dir).select(col("embedding")), dim = 64)
+
+  /** The sim32 kernel on an explicit (embedding: array) frame. */
+  private[graft] def embeddingSpectrum(df: DataFrame, dim: Int): DataFrame = {
+    val sketch = udaf(new graft.functions.CovarianceSketch(dim))
+    val flat = df.filter(col("embedding").isNotNull)
+      .select(asDouble(col("embedding")).as("emb"))
+      .agg(sketch(col("emb")).as("flat"))
+      .collect().head.getSeq[Double](0)
+    spectrumCardFromFlat(df.sparkSession, flat, dim)
+  }
+
+  /** The sim32 card tail from a flattened covariance sketch
+    * ([n, sums…, upper-tri cross…]) — ONE definition shared by the
+    * batch kernel above and the [[graft.streaming.SpectrumFold]] live
+    * twin, so serve ≡ batch is by construction at the card level. */
+  private[graft] def spectrumCardFromFlat(spark: SparkSession,
+      flat: Seq[Double], dim: Int): DataFrame = {
+    import spark.implicits._
+    val (n, cov) = graft.functions.CovarianceSketch.covarianceOf(flat, dim)
+    val empty = Seq.empty[(Long, Int, Double, Double, Double, Double,
+      Double, Double, Boolean)].toDF("n_vecs", "dim", "trace", "top1",
+      "top2", "top3", "top1_share", "participation_ratio", "collapse_major")
+    if (n == 0) return empty
+    val eigs = graft.functions.CovarianceSketch.jacobiEigenvalues(cov)
+      .map(l => math.max(l, 0.0))
+    val trace = eigs.sum
+    def rd(x: Double, s: Int): Double =
+      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    val (share, pr) =
+      if (trace > 0) (eigs.head / trace,
+        trace * trace / eigs.map(l => l * l).sum)
+      else (0.0, 0.0)
+    val collapse = trace <= 0 || share >= 0.5 || pr <= dim / 8.0
+    Seq((n, dim, rd(trace, 6), rd(eigs(0), 6),
+      rd(if (dim > 1) eigs(1) else 0.0, 6),
+      rd(if (dim > 2) eigs(2) else 0.0, 6),
+      rd(share, 4), rd(pr, 4), collapse))
+      .toDF("n_vecs", "dim", "trace", "top1", "top2", "top3",
+        "top1_share", "participation_ratio", "collapse_major")
+  }
+
   /** SIM13 registered — v2 simulates a partial re-embedding: vectors
     * with vec_id ≡ 0 (mod Sim13Mod) flip sign (the worst-case drifted
     * subset), everything else unchanged; the oracle replays the same
@@ -2523,6 +2608,7 @@ object Similarity {
     "sim29_knn_cartography" -> sim29KnnCartography,
     "sim30_retrain_whatif" -> sim30RetrainWhatif,
     "sim31_retrain_commit" -> sim31RetrainCommit,
+    "sim32_embedding_spectrum" -> sim32EmbeddingSpectrum,
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
     "sim25_index_compaction" -> sim25IndexCompaction,

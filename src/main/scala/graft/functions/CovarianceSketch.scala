@@ -1,0 +1,169 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Mergeable second-moment buffer: count, per-dim sums, and the upper
+  * triangle of the cross-product matrix (d·(d+1)/2 entries, row-major
+  * over i ≤ j). */
+case class CovBuf(var n: Long, var sums: Array[Double],
+                  var cross: Array[Double])
+
+/** One-pass covariance sketch as a typed `Aggregator` — the bounded
+  * sufficient statistic behind the sim32 embedding-spectrum card
+  * ([[graft.ext.Similarity.sim32EmbeddingSpectrum]]). Folds each
+  * partition's vectors into (n, Σx, upper-tri ΣxxT) locally and ships
+  * ONE constant-size buffer per partition (1 + d + d(d+1)/2 doubles =
+  * 2145 at d = 64) — the same execution shape as a built-in agg, while
+  * the dataflow alternative (double posexplode to (i, j, x_i·x_j)
+  * rows) inflates the scan output by d² (4096× the corpus!). The
+  * buffer is an additive monoid over disjoint row sets, so partial
+  * aggregation, AQE coalescing, and a streaming fold all combine it
+  * exactly the same way. Null vectors skip (SQL aggregate semantics);
+  * a wrong-length vector fails fast. Finish flattens to
+  * [n, sums…, cross…] — covariance assembly and the eigen solve are
+  * driver arithmetic on the ONE collected row (the sim14
+  * bounded-collect contract). */
+class CovarianceSketch(dim: Int)
+    extends Aggregator[Seq[Double], CovBuf, Seq[Double]] {
+
+  private val tri = dim * (dim + 1) / 2
+
+  override def zero: CovBuf =
+    CovBuf(0L, new Array[Double](dim), new Array[Double](tri))
+
+  override def reduce(b: CovBuf, x: Seq[Double]): CovBuf = {
+    if (x == null) return b
+    require(x.length == dim, s"vector dim ${x.length} != aggregator dim $dim")
+    val v = x match {
+      case w: scala.collection.immutable.ArraySeq[_] =>
+        w.unsafeArray.asInstanceOf[Array[Double]]
+      case _ => x.toArray
+    }
+    var i = 0
+    var t = 0
+    while (i < dim) {
+      b.sums(i) += v(i)
+      var j = i
+      while (j < dim) { b.cross(t) += v(i) * v(j); t += 1; j += 1 }
+      i += 1
+    }
+    b.n += 1
+    b
+  }
+
+  override def merge(a: CovBuf, b: CovBuf): CovBuf = {
+    var i = 0
+    while (i < dim) { a.sums(i) += b.sums(i); i += 1 }
+    var t = 0
+    while (t < tri) { a.cross(t) += b.cross(t); t += 1 }
+    a.n += b.n
+    a
+  }
+
+  override def finish(r: CovBuf): Seq[Double] = {
+    val out = new Array[Double](1 + dim + tri)
+    out(0) = r.n.toDouble
+    System.arraycopy(r.sums, 0, out, 1, dim)
+    System.arraycopy(r.cross, 0, out, 1 + dim, tri)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+
+  override def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}
+
+object CovarianceSketch {
+  /** Population covariance matrix from a flattened sketch
+    * ([n, sums…, upper-tri cross…]): Σ_ij = Q_ij/n − μ_i·μ_j.
+    * Returns (n, full dim×dim symmetric matrix). */
+  def covarianceOf(flat: Seq[Double], dim: Int): (Long, Array[Array[Double]]) = {
+    val n = flat.head.toLong
+    val m = Array.ofDim[Double](dim, dim)
+    if (n == 0) return (0L, m)
+    val mu = new Array[Double](dim)
+    var i = 0
+    while (i < dim) { mu(i) = flat(1 + i) / n; i += 1 }
+    var t = 0
+    i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val c = flat(1 + dim + t) / n - mu(i) * mu(j)
+        m(i)(j) = c; m(j)(i) = c
+        t += 1; j += 1
+      }
+      i += 1
+    }
+    (n, m)
+  }
+
+  /** Eigenvalues of a symmetric matrix by cyclic Jacobi rotation —
+    * deterministic (fixed sweep order, convergence on the off-diagonal
+    * Frobenius norm), O(d³) driver arithmetic on a workload-sized
+    * matrix (64×64 here; the g7 power-iteration contract). Returns
+    * eigenvalues sorted descending. */
+  def jacobiEigenvalues(a0: Array[Array[Double]], maxSweeps: Int = 50)
+      : Array[Double] = {
+    val d = a0.length
+    val a = a0.map(_.clone())
+    def off2: Double = {
+      var s = 0.0
+      var i = 0
+      while (i < d) {
+        var j = i + 1
+        while (j < d) { s += 2.0 * a(i)(j) * a(i)(j); j += 1 }
+        i += 1
+      }
+      s
+    }
+    var tr2 = 0.0
+    var di = 0
+    while (di < d) { tr2 += a(di)(di) * a(di)(di); di += 1 }
+    val eps = 1e-22 * math.max(tr2, 1e-300)
+    var sweep = 0
+    while (sweep < maxSweeps && off2 > eps) {
+      var p = 0
+      while (p < d - 1) {
+        var q = p + 1
+        while (q < d) {
+          val apq = a(p)(q)
+          if (apq != 0.0) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            // stable tangent of the rotation angle: smaller root of
+            // t² + 2θt − 1 = 0 (θ = 0 → t = 1, the 45° rotation)
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < d) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < d) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eig = new Array[Double](d)
+    var i = 0
+    while (i < d) { eig(i) = a(i)(i); i += 1 }
+    scala.util.Sorting.quickSort(eig)
+    eig.reverse
+  }
+}

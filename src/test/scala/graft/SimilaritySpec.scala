@@ -1018,4 +1018,93 @@ class SimilaritySpec extends AnyFunSuite {
         s"cell ${r.getInt(0)}: null mean without full isolation")
     }
   }
+  // ---- sim32 embedding spectrum (r18 beyond-ask) ----------------------
+
+  private def spectrumOf(vecs: Seq[Option[Seq[Double]]], dim: Int) = {
+    val df = vecs.toDF("embedding")
+    Similarity.embeddingSpectrum(df, dim).collect()
+  }
+
+  test("sim32 spectrum: axis-aligned corpus reads its EXACT hand " +
+    "eigenvalues - diagonal covariance never enters a Jacobi rotation") {
+    // four vectors in dims 0/1 only: var0 = 4, var1 = 1, cross = 0
+    val vecs = Seq(
+      Seq(2.0, 1.0, 0.0, 0.0), Seq(-2.0, -1.0, 0.0, 0.0),
+      Seq(2.0, -1.0, 0.0, 0.0), Seq(-2.0, 1.0, 0.0, 0.0)).map(Option(_))
+    val r = spectrumOf(vecs, 4).head
+    assert(r.getLong(0) == 4 && r.getInt(1) == 4)
+    assert(r.getDouble(2) == 5.0, s"trace ${r.getDouble(2)}")
+    assert(r.getDouble(3) == 4.0 && r.getDouble(4) == 1.0 &&
+      r.getDouble(5) == 0.0, s"eigs ${r.toSeq}")
+    assert(r.getDouble(6) == 0.8, s"top1_share ${r.getDouble(6)}")
+    // PR = (4+1)^2 / (16+1) = 25/17 = 1.470588... -> 1.4706
+    assert(r.getDouble(7) == 1.4706, s"pr ${r.getDouble(7)}")
+    assert(r.getBoolean(8), "share 0.8 must fire collapse_major")
+  }
+
+  test("sim32 spectrum is rotation-invariant: the same corpus rotated " +
+    "45 degrees in the (0,1) plane reads the identical card") {
+    val s = 1.0 / math.sqrt(2.0)
+    def rot(v: Seq[Double]) =
+      Seq(s * (v(0) - v(1)), s * (v(0) + v(1)), v(2), v(3))
+    val base = Seq(
+      Seq(2.0, 1.0, 0.0, 0.0), Seq(-2.0, -1.0, 0.0, 0.0),
+      Seq(2.0, -1.0, 0.0, 0.0), Seq(-2.0, 1.0, 0.0, 0.0))
+    val r = spectrumOf(base.map(rot).map(Option(_)), 4).head
+    assert(r.getDouble(2) == 5.0 && r.getDouble(3) == 4.0 &&
+      r.getDouble(4) == 1.0 && r.getDouble(6) == 0.8 &&
+      r.getDouble(7) == 1.4706,
+      s"rotation moved the spectrum: ${r.toSeq}")
+  }
+
+  test("sim32 spectrum: a rank-1 corpus reads top1_share 1.0 and " +
+    "participation ratio 1.0 - total collapse") {
+    // c * u for unit u = (0.6, 0.8, 0, 0), c in {1, 2, 3, -2}:
+    // population var(c) = 3.5, so the single eigenvalue is 3.5
+    val u = Seq(0.6, 0.8, 0.0, 0.0)
+    val vecs = Seq(1.0, 2.0, 3.0, -2.0)
+      .map(c => Option(u.map(_ * c)))
+    val r = spectrumOf(vecs, 4).head
+    assert(r.getDouble(2) == 3.5 && r.getDouble(3) == 3.5,
+      s"rank-1 trace/top1: ${r.toSeq}")
+    assert(r.getDouble(6) == 1.0 && r.getDouble(7) == 1.0)
+    assert(r.getBoolean(8))
+  }
+
+  test("sim32 spectrum edge domain: zero-variance corpus reads trace 0 " +
+    "/ shares 0 / collapse; nulls skip; all-null reads an EMPTY card") {
+    val const = spectrumOf(
+      Seq.fill(3)(Option(Seq(5.0, 5.0, 0.0, 0.0))), 4).head
+    assert(const.getLong(0) == 3 && const.getDouble(2) == 0.0 &&
+      const.getDouble(6) == 0.0 && const.getDouble(7) == 0.0 &&
+      const.getBoolean(8), s"constant corpus: ${const.toSeq}")
+    val withNulls = spectrumOf(Seq(
+      Option(Seq(2.0, 1.0, 0.0, 0.0)), None,
+      Option(Seq(-2.0, -1.0, 0.0, 0.0)), None,
+      Option(Seq(2.0, -1.0, 0.0, 0.0)),
+      Option(Seq(-2.0, 1.0, 0.0, 0.0))).map(o => o: Option[Seq[Double]]), 4)
+      .head
+    assert(withNulls.getLong(0) == 4 && withNulls.getDouble(2) == 5.0,
+      s"nulls moved the spectrum: ${withNulls.toSeq}")
+    assert(spectrumOf(Seq(None, None), 4).isEmpty,
+      "all-null corpus must read an empty card")
+  }
+
+  test("sim32 registered at sf0.01: the healthy random-ish corpus reads " +
+    "high effective dimensionality and no collapse") {
+    val dir = "/root/testdata/sf0.01"
+    val r = Similarity.queries("sim32_embedding_spectrum")(spark, dir)
+      .collect()
+    assert(r.length == 1)
+    val c = r.head
+    val nonNull = graft.Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull).count()
+    assert(c.getLong(0) == nonNull && c.getInt(1) == 64)
+    assert(c.getDouble(2) > 0 && c.getDouble(3) <= c.getDouble(2))
+    assert(c.getDouble(3) >= c.getDouble(4) && c.getDouble(4) >= c.getDouble(5))
+    assert(c.getDouble(7) > 8.0,
+      s"participation ratio ${c.getDouble(7)} <= d/8 on a random corpus")
+    assert(!c.getBoolean(8), s"spurious collapse flag: ${c.toSeq}")
+  }
 }
+

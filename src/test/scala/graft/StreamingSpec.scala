@@ -2467,4 +2467,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(fold.domainViolations == 0L,
       "rebuildFrom must reset the violation counter")
   }
+  test("sim32' spectrum fold: the covariance-sketch state merges " +
+    "additively across micro-batches; serve ≡ batch kernel at every " +
+    "wave; collapse_major flips LIVE as a rank-1 flood accumulates; " +
+    "replay no-op; rebuild; checkpoint guard") {
+    import spark.implicits._
+    implicit val ctx = spark.sqlContext
+    // wave 1: axis-aligned +-2e_i over all four dims - isotropic
+    // (eigenvalues {1,1,1,1}, share 0.25, PR 4.0, healthy); wave 2: a
+    // rank-1 flood c*(1,1,1,1) with c = +-3 - the combined covariance
+    // is EXACTLY 0.5*I + 4.5*J, eigenvalues {18.5, 0.5, 0.5, 0.5}
+    val b1: Seq[(Long, Seq[Double])] = (0 until 4).flatMap(i => Seq(
+      (i * 2L, Seq.tabulate(4)(d => if (d == i) 2.0 else 0.0)),
+      (i * 2L + 1, Seq.tabulate(4)(d => if (d == i) -2.0 else 0.0))))
+    val b2: Seq[(Long, Seq[Double])] = (0 until 4).flatMap(i => Seq(
+      (100L + i * 2, Seq.fill(4)(3.0)), (101L + i * 2, Seq.fill(4)(-3.0))))
+    def df(e: Seq[(Long, Seq[Double])]) = e.toDF("vec_id", "embedding")
+    def batchCard(cur: Seq[(Long, Seq[Double])]) =
+      graft.ext.Similarity.embeddingSpectrum(df(cur), dim = 4)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).toSeq
+    val fold = new graft.streaming.SpectrumFold(dim = 4)
+    val in = MemoryStream[(Long, Seq[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("spectrum").toString
+    val q = fold.start(in.toDF().toDF("vec_id", "embedding"), ckpt)
+    in.addData(b1: _*); q.processAllAvailable()
+    val serve1 = fold.serve(spark).collect().head
+    assert(rows(fold.serve(spark)) == rows(batchCard(b1)),
+      "fold after wave 1 diverged from the batch kernel")
+    assert(serve1.getDouble(3) == 1.0 && serve1.getDouble(7) == 4.0 &&
+      !serve1.getBoolean(8),
+      s"the isotropic wave must read eigen 1.0 / PR 4.0 / healthy: $serve1")
+    in.addData(b2: _*); q.processAllAvailable(); q.stop()
+    val serve2 = fold.serve(spark).collect().head
+    assert(rows(fold.serve(spark)) == rows(batchCard(b1 ++ b2)),
+      "fold after wave 2 diverged from the batch kernel")
+    assert(serve2.getDouble(3) == 18.5 && serve2.getDouble(4) == 0.5 &&
+      serve2.getDouble(6) == 0.925 && serve2.getBoolean(8),
+      s"the rank-1 flood must flip collapse_major with the exact " +
+        s"hand spectrum: $serve2")
+    val live = rows(fold.serve(spark))
+    // SUM is not idempotent: a replayed committed batch must no-op
+    fold.onBatch(df(b2), 1L)
+    assert(rows(fold.serve(spark)) == live, "replay double-counted")
+    val f2 = new graft.streaming.SpectrumFold(dim = 4)
+    f2.rebuildFrom(df(b1 ++ b2))
+    assert(rows(f2.serve(spark)) == live)
+    val f3 = new graft.streaming.SpectrumFold(dim = 4)
+    intercept[IllegalStateException] {
+      f3.start(df(Seq.empty), ckpt)
+    }
+  }
 }
