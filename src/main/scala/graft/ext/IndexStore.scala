@@ -243,6 +243,44 @@ object IndexStore {
     }
   }
 
+  /** Pure existence probe: is a complete publish of `name` present?
+    * The job-free form of [[loadIfPublished]] — one marker check, no
+    * frame reads, no served-registry side effect — for serve paths
+    * that only need to VALIDATE a session memo against the store (the
+    * sim31 warm card: its flags memo is good exactly while the
+    * transition receipt it was read from is still published). */
+  def isPublished(spark: SparkSession, dir: String, table: String,
+                  name: String): Boolean = {
+    val path = new Path(datasetRoot(spark, dir, Seq(table)),
+      s"${name}_v$FormatVersion")
+    path.getFileSystem(hadoopConf(spark)).exists(new Path(path, OkMarker))
+  }
+
+  /** Names of every COMPLETELY PUBLISHED artifact (marker present,
+    * current [[FormatVersion]]) under (dir, table)'s dataset root, with
+    * the version suffix stripped — how sim31's commit DERIVES its
+    * superseded set from what actually exists instead of naming
+    * maintenance suffixes as constants (r18 verdict ask #3: a changed
+    * batch size or tombstone mod must not orphan artifacts the commit
+    * should retire). Unpublished (mid-build, markerless) and
+    * stale-version dirs are not listed: the former may be a concurrent
+    * publish in flight, the latter is [[gcStore]]'s own version sweep's
+    * job. */
+  def listArtifacts(spark: SparkSession, dir: String,
+                    table: String): Seq[String] = {
+    val dsRoot = datasetRoot(spark, dir, Seq(table))
+    val fs = dsRoot.getFileSystem(hadoopConf(spark))
+    if (!fs.exists(dsRoot)) return Seq.empty
+    val suffix = s"_v$FormatVersion"
+    fs.listStatus(dsRoot).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.endsWith(suffix) &&
+        fs.exists(new Path(p, OkMarker)))
+      .map(_.getName.dropRight(suffix.length))
+      .sorted
+  }
+
   /** Drop every published index for (dir, table) — the store-side
     * companion of [[Similarity.invalidateCaches]] for callers that
     * rewrote a served dir in place (same mtime/size, e.g. a test

@@ -82,6 +82,7 @@ object Similarity {
   def invalidateCaches(spark: SparkSession): Unit = {
     sizeCache.synchronized(sizeCache.remove(spark))
     ivfCache.synchronized(ivfCache.remove(spark))
+    commitCardCache.synchronized(commitCardCache.remove(spark))
     pqCache.synchronized(pqCache.remove(spark))
     IndexStore.invalidateServed(spark)
     Dedup.invalidateCaches(spark)
@@ -558,34 +559,128 @@ object Similarity {
     *
     * The card: per committed cell — total occupancy, rows REUSED from
     * the what-if artifact vs rows re-encoded — plus the commit's
-    * verified flags: `priced_match` (the committed current-half
-    * assignment is row-identical to the artifact sim30 scored — the
-    * commit IS the priced candidate), `serve_match` (this session's
-    * serve path now reads the committed generation), `superseded_gone`
-    * (gcStore swept the declared set), `whatif_reused` (no training
-    * ran in this call — false only when sim30 never priced this
-    * corpus), `first_commit` / `swept_now` (idempotency receipts: a
-    * re-run reuses everything and sweeps nothing — the gc declaration
-    * is gated on the TRANSITION, because after the cutover the
-    * maintenance verbs legitimately re-derive artifacts under the
-    * superseded names against the committed centroids, and collecting
-    * those on every call would thrash them).
+    * flags: `priced_match` (the committed current-half assignment is
+    * row-identical to the artifact sim30 scored — the commit IS the
+    * priced candidate), `serve_match` (the serve path read the
+    * committed generation when audited), `superseded_gone` (the
+    * transition's sweep completed and was verified empty),
+    * `whatif_reused` (no training ran at commit — false only when
+    * sim30 never priced this corpus), `first_commit` / `swept_now`
+    * (idempotency receipts: a re-run reuses everything and sweeps
+    * nothing), and `spectrum_top1_share` / `spectrum_pr` (the sim32
+    * geometry card measured at the gate — see below).
     *
-    * Scale shape: the only corpus-sized work is the one-off older-half
-    * encode at publish time (O(N·k·d) fused-codegen argmin, exactly a
-    * scheduled re-encode job); the SERVED card is one map-side-combined
-    * occupancy aggregate over the committed assignment plus a one-row
-    * broadcast flag frame. d49's recall card is deliberately NOT
-    * superseded: it is a fingerprint-keyed audit SNAPSHOT (its
-    * semantic row records the generation served at build time), not a
+    * AUDIT AT PUBLISH, SERVE THE RECEIPT (r18 verdict ask #1 — the
+    * engine's own s17 write-audit-publish discipline applied to its
+    * newest verb): the four corpus-sized `except` audits, the gc
+    * sweep, and its gone-verification run exactly ONCE per generation
+    * transition, inside the build closure of a RECEIPT artifact
+    * ([[commitReceiptName]]) published beside the committed index.
+    * The served card is then one map-side-combined occupancy agg ×
+    * the one-row flag frame COLLECTED from the receipt — zero
+    * except/join jobs on a warm read (IndexStoreSpec pins the job
+    * count). The receipt also closes the commit/sweep atomicity
+    * window (r18 advisor, medium): a crash after the committed
+    * publish but before the sweep leaves the receipt UNPUBLISHED, so
+    * the next run's load-or-build RE-ATTEMPTS the audit + sweep until
+    * the receipt exists — `superseded_gone` is never reported
+    * vacuously; it is either verified-now or read from a receipt that
+    * was verified when written. (Residual window: a consumer in
+    * another session can still read a stale gen1 maintenance artifact
+    * between the crash and the re-attempting run — the receipt bounds
+    * staleness to one sim31 invocation, which is the lifecycle job's
+    * own cadence.)
+    *
+    * The superseded set is DERIVED from the store listing (r18
+    * verdict ask #3): every published artifact under this dataset
+    * root named `ivf_k<k>` or `ivf_k<k>_*` — the retired base and
+    * whatever maintenance artifacts were actually encoded against its
+    * centroids — rather than a hardcoded suffix list, so a changed
+    * batch size or tombstone mod cannot orphan artifacts the commit
+    * should retire. The gen2 names (`ivf_g2_*`, `ivf_whatif_g2_*`)
+    * live under a different prefix and are never matched. The sweep
+    * still belongs to the TRANSITION only: after the cutover the
+    * maintenance verbs legitimately re-derive artifacts under the
+    * superseded names against the committed centroids, and a re-run
+    * (receipt already published) must not collect those.
+    *
+    * SPECTRUM GATE (r18 verdict ask #7): before publishing a first
+    * commit, the sim32 collapse verdict is read once — a
+    * `collapse_major` corpus VETOES the commit (throws), because
+    * cosine cell geometry is exactly what representation collapse
+    * invalidates: promoting a quantizer trained on collapsed
+    * embeddings would migrate every frozen-cell consumer
+    * (d50/d51/d55, sim23-25, sim27-29, sim4) onto cells that
+    * partition noise. The measured top1_share / participation_ratio
+    * ride into the receipt as the commit's geometry-health
+    * annotation. Consumers of the committed generation are protected
+    * transitively: no committed generation can exist whose training
+    * corpus flunked the gate.
+    *
+    * Scale shape: the only corpus-sized work is at publish time — the
+    * one-off older-half encode (O(N·k·d) fused-codegen argmin), one
+    * CovarianceSketch pass for the gate, and the one-time audits; the
+    * SERVED card is one occupancy aggregate over the memoized gen2
+    * view plus a one-row LOCAL flag frame — after the session's first
+    * read of the receipt, card construction runs zero spark jobs (the
+    * split + flags ride a per-session memo validated by one job-free
+    * marker probe). d49's recall card is deliberately NOT
+    * superseded: it is a fingerprint-keyed audit SNAPSHOT, not a
     * serving artifact. Rows-only: audits OUR index lifecycle;
-    * IndexStoreSpec pins the full verb — fresh-session zero-build gen2
-    * serve, the exact gc sweep set, consumer parity on the committed
-    * generation, idempotency. */
+    * IndexStoreSpec pins the full verb — fresh-session zero-build
+    * gen2 serve, the derived gc sweep set (including a planted
+    * non-default-parameter delta), crash-window re-attempt, consumer
+    * parity, idempotency, the collapse veto, and the warm serve's
+    * job budget. */
   def sim31RetrainCommit(spark: SparkSession, dir: String): DataFrame = {
     val k = cellsFor(corpusSize(spark, dir))
+    import spark.implicits._
+    def flagsDf(firstCommit: Boolean, sweptNow: Int, f: CommitFlags) =
+      Seq((firstCommit, f.whatifReused, sweptNow, f.gone, f.priced,
+        f.serve, f.share, f.pr))
+        .toDF("first_commit", "whatif_reused", "swept_now",
+          "superseded_gone", "priced_match", "serve_match",
+          "spectrum_top1_share", "spectrum_pr")
+    def card(assigned: DataFrame, split: Long, flags: DataFrame) =
+      assigned.groupBy(col("cell")).agg(
+        count(lit(1)).as("n_total"),
+        count(when(col("vec_id") >= split, 1)).as("n_reused"),
+        count(when(col("vec_id") < split, 1)).as("n_reencoded"))
+        .crossJoin(broadcast(flags))
+        .orderBy(col("cell"))
+    // WARM FAST PATH: after a session has read the transition receipt
+    // once, the card is servable with ZERO spark jobs at construction
+    // — occupancy over the memoized gen2 view (serve_match is exactly
+    // the audit that licenses this substitution) × the memoized flag
+    // row. The memo is valid only while the receipt it was read from
+    // is still published (one job-free marker probe): if the receipt
+    // vanished (interrupted transition being re-attempted elsewhere,
+    // or an invalidation), fall through to the slow path, which
+    // re-audits.
+    val cardMemo = perSession(commitCardCache, spark)
+    cardMemo.get((dir, k)) match {
+      case Some((split, pf))
+          if IndexStore.isPublished(spark, dir, "embeddings",
+            commitReceiptName(k)) =>
+        return card(ivfIndexFor(spark, dir, k).assigned, split,
+          flagsDf(firstCommit = false, sweptNow = 0, pf))
+      case Some(_) => cardMemo.remove((dir, k)): Unit
+      case None =>
+    }
     val firstCommit = IndexStore
       .loadIfPublished(spark, dir, "embeddings", committedIvfName(k)).isEmpty
+    // the sim32 gate runs BEFORE anything publishes: a vetoed commit
+    // must leave the store exactly as it found it
+    val gateAtCommit: Option[(Double, Double, Boolean)] =
+      if (firstCommit) Some(spectrumGate(spark, dir)) else None
+    gateAtCommit.foreach { case (share, pr, collapse) =>
+      if (collapse) throw new IllegalStateException(
+        f"sim32 collapse_major vetoes the retrain commit " +
+          f"(top1_share=$share%.4f, participation_ratio=$pr%.4f): " +
+          "cosine cell geometry is undefined on a collapsed corpus — " +
+          "fix the embedding pipeline before promoting a quantizer " +
+          "trained on it")
+    }
     val whatifReused = IndexStore
       .loadIfPublished(spark, dir, "embeddings", whatifName(k)).nonEmpty
     // pre-commit this serves the OLD generation (the one being
@@ -608,45 +703,88 @@ object Similarity {
     // session-side cutover; fresh sessions cut over via the marker
     dropIvfMemo(spark, dir)
     val gen2 = ivfIndexFor(spark, dir, k)
-    // declare the retired generation + its maintenance artifacts
-    // folded — gcStore never infers this (sim23/24 may legitimately
-    // serve them right up to the commit)
-    val superseded = Seq(s"ivf_k$k", s"ivf_k${k}_delta_b5",
-      s"ivf_k${k}_tombstones_m101", s"ivf_k${k}_compacted_g1")
-    // the sweep belongs to the generation TRANSITION, not to every
-    // call: the superseded names are only meaningful at commit time.
-    // After the cutover the maintenance verbs re-derive artifacts
-    // under these same names AGAINST the committed centroids (the
-    // IndexStoreSpec consumer contract), and an idempotent re-run
-    // must not collect those gen2-consistent re-derivations — so a
-    // re-run sweeps nothing and reports the transition's receipt
-    // vacuously true.
-    val swept = if (firstCommit)
-      IndexStore.gcStore(spark, Seq(dir), superseded = superseded)
-    else Seq.empty[String]
-    val gone = !firstCommit || superseded.forall(n =>
-      IndexStore.loadIfPublished(spark, dir, "embeddings", n).isEmpty)
-    def ids(df: DataFrame) = df.select(col("vec_id"), col("cell"))
-    val curCommitted = ids(committed("assigned"))
-      .filter(col("vec_id") >= split)
-    val pricedMatch =
-      curCommitted.except(ids(whatif("assigned"))).isEmpty &&
-        ids(whatif("assigned")).except(curCommitted).isEmpty
-    val serveMatch =
-      ids(gen2.assigned).except(ids(committed("assigned"))).isEmpty &&
-        ids(committed("assigned")).except(ids(gen2.assigned)).isEmpty
-    import spark.implicits._
-    val flags = Seq((firstCommit, whatifReused, swept.size,
-      gone, pricedMatch, serveMatch))
-      .toDF("first_commit", "whatif_reused", "swept_now",
-        "superseded_gone", "priced_match", "serve_match")
-    committed("assigned")
-      .groupBy(col("cell")).agg(
-        count(lit(1)).as("n_total"),
-        count(when(col("vec_id") >= split, 1)).as("n_reused"),
-        count(when(col("vec_id") < split, 1)).as("n_reencoded"))
-      .crossJoin(broadcast(flags))
-      .orderBy(col("cell"))
+    // The transition receipt: audits + sweep run once, inside this
+    // build closure; every later call loads the published flag row.
+    // `sweptNow` observes whether THIS call performed the sweep (the
+    // idempotency column) — the closure runs synchronously, so the
+    // var is settled before the flag frame below reads it.
+    var sweptNow = 0
+    val receipt = IndexStore.loadOrBuild(spark, dir, "embeddings",
+      commitReceiptName(k)) {
+      // derive the retired set from what is actually published under
+      // the gen1 prefix — never a constant suffix list
+      val gen1 = IndexStore.listArtifacts(spark, dir, "embeddings")
+        .filter(n => n == s"ivf_k$k" || n.startsWith(s"ivf_k${k}_"))
+      val swept = IndexStore.gcStore(spark, Seq(dir), superseded = gen1)
+      sweptNow = swept.size
+      val gone = gen1.forall(n =>
+        IndexStore.loadIfPublished(spark, dir, "embeddings", n).isEmpty)
+      def ids(df: DataFrame) = df.select(col("vec_id"), col("cell"))
+      val curCommitted = ids(committed("assigned"))
+        .filter(col("vec_id") >= split)
+      val pricedMatch =
+        curCommitted.except(ids(whatif("assigned"))).isEmpty &&
+          ids(whatif("assigned")).except(curCommitted).isEmpty
+      val serveMatch =
+        ids(gen2.assigned).except(ids(committed("assigned"))).isEmpty &&
+          ids(committed("assigned")).except(ids(gen2.assigned)).isEmpty
+      // a crash-window RE-ATTEMPT re-measures the gate (the pre-commit
+      // read is only taken on the call that actually commits)
+      val (share, pr, _) = gateAtCommit.getOrElse(spectrumGate(spark, dir))
+      Seq(
+        "flags" -> Seq((whatifReused, swept.size, gone, pricedMatch,
+          serveMatch, share, pr))
+          .toDF("whatif_reused", "swept_at_commit", "superseded_gone",
+            "priced_match", "serve_match", "spectrum_top1_share",
+            "spectrum_pr"),
+        // the audited set itself, for forensic reads — the served
+        // card never scans this
+        "superseded" -> gen1.toDF("name"))
+    }
+    val fr = receipt("flags").collect().head
+    val pf = CommitFlags(fr.getBoolean(0), fr.getBoolean(2),
+      fr.getBoolean(3), fr.getBoolean(4), fr.getDouble(5),
+      fr.getDouble(6))
+    cardMemo.update((dir, k), (split, pf))
+    card(committed("assigned"), split, flagsDf(firstCommit, sweptNow, pf))
+  }
+
+  /** The persisted (receipt-verified) half of sim31's flag row — what
+    * the per-session card memo caches; the live half (`first_commit`,
+    * `swept_now`) is computed per call. */
+  private case class CommitFlags(whatifReused: Boolean, gone: Boolean,
+    priced: Boolean, serve: Boolean, share: Double, pr: Double)
+
+  /** Per-session (dir, k) → (generation split, receipt flags) — makes
+    * the warm sim31 card constructible with zero spark jobs (the
+    * IndexStoreSpec job-budget pin). Validated against the receipt's
+    * marker on every read; dropped by [[dropIvfMemo]] and
+    * [[invalidateCaches]]. */
+  private val commitCardCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int),
+        (Long, CommitFlags)]]()
+
+  /** Store name of sim31's transition RECEIPT — the commit-time audit
+    * artifact (verified flags + the swept set) published beside the
+    * committed generation; its absence while the committed index
+    * exists marks an interrupted transition to re-attempt. */
+  private[graft] def commitReceiptName(k: Int): String =
+    committedIvfName(k) + "_receipt"
+
+  /** sim32's collapse verdict as a one-row gate read for the
+    * lifecycle verbs: (top1_share, participation_ratio,
+    * collapse_major) — one CovarianceSketch pass over the corpus. An
+    * empty corpus reads healthy (nothing to veto; the commit would
+    * fail on emptiness long before geometry matters). */
+  private[graft] def spectrumGate(spark: SparkSession, dir: String)
+      : (Double, Double, Boolean) = {
+    val rows = sim32EmbeddingSpectrum(spark, dir)
+      .select(col("top1_share"), col("participation_ratio"),
+        col("collapse_major")).collect()
+    if (rows.isEmpty) (0.0, 0.0, false)
+    else (rows.head.getDouble(0), rows.head.getDouble(1),
+      rows.head.getBoolean(2))
   }
 
   /** Drop this session's served-index memo for `dir` — the commit
@@ -655,6 +793,8 @@ object Similarity {
   private[graft] def dropIvfMemo(spark: SparkSession, dir: String): Unit = {
     val m = perSession(ivfCache, spark)
     m.keys.filter(_._1 == dir).toSeq.foreach(m.remove)
+    val c = perSession(commitCardCache, spark)
+    c.keys.filter(_._1 == dir).toSeq.foreach(c.remove)
   }
 
   /** The generation boundary sim30 prices and sim31 commits: the
@@ -1494,8 +1634,14 @@ object Similarity {
     val eigs = graft.functions.CovarianceSketch.jacobiEigenvalues(cov)
       .map(l => math.max(l, 0.0))
     val trace = eigs.sum
+    // Non-finite values pass through unrounded (advisor r18:
+    // BigDecimal(NaN) throws NumberFormatException — the sketch already
+    // fails fast on non-finite INPUT, so this is defense in depth for
+    // accumulator overflow, which should read as an Inf in the card,
+    // not crash the rounding).
     def rd(x: Double, s: Int): Double =
-      BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+      if (!java.lang.Double.isFinite(x)) x
+      else BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val (share, pr) =
       if (trace > 0) (eigs.head / trace,
         trace * trace / eigs.map(l => l * l).sum)

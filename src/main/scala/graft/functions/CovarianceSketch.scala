@@ -36,12 +36,28 @@ class CovarianceSketch(dim: Int)
   override def reduce(b: CovBuf, x: Seq[Double]): CovBuf = {
     if (x == null) return b
     require(x.length == dim, s"vector dim ${x.length} != aggregator dim $dim")
+    // Zero-copy fast path ONLY for the specialized double wrapper the
+    // deserializer normally yields (advisor r18: matching any ArraySeq
+    // and casting unsafeArray would CCE on a boxed ofRef — let every
+    // other shape take the copying fallback, which unboxes correctly).
     val v = x match {
-      case w: scala.collection.immutable.ArraySeq[_] =>
-        w.unsafeArray.asInstanceOf[Array[Double]]
+      case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
       case _ => x.toArray
     }
+    // Fail fast on non-finite components BEFORE touching the buffer
+    // (advisor r18, mirroring the wrong-length require): one NaN/Inf
+    // would otherwise poison every moment and surface queries later as
+    // an opaque NumberFormatException in the card's rounding.
     var i = 0
+    while (i < dim) {
+      if (!java.lang.Double.isFinite(v(i)))
+        throw new IllegalArgumentException(
+          s"non-finite embedding component ${v(i)} at dim $i — " +
+            "covariance sketch requires finite vectors (clean or drop " +
+            "NaN/Inf rows upstream)")
+      i += 1
+    }
+    i = 0
     var t = 0
     while (i < dim) {
       b.sums(i) += v(i)

@@ -394,28 +394,46 @@ class IndexStoreSpec extends AnyFunSuite {
       graft.ext.Similarity.queries("sim24_ann_forget")(sA, dir).collect()
       graft.ext.Similarity.queries("sim25_index_compaction")(sA, dir).collect()
       graft.ext.Similarity.queries("sim30_retrain_whatif")(sA, dir).collect()
+      // plant a NON-DEFAULT-PARAMETER maintenance artifact (r18 verdict
+      // ask #3): a delta published with a batch size no registered verb
+      // uses — the commit derives its superseded set from the store
+      // LISTING by generation prefix, so this must be retired too (the
+      // old hardcoded suffix list would have orphaned it)
+      IndexStore.loadOrBuild(sA, dir, "embeddings", "ivf_k16_delta_b7") {
+        import sA.implicits._
+        Seq("assigned" -> Seq((0L, 0)).toDF("vec_id", "cell"))
+      }
       val before = IndexStore.builds.size
       val r1 = graft.ext.Similarity.queries("sim31_retrain_commit")(sA, dir)
         .collect().toSeq
       val newBuilds = IndexStore.builds.toArray.drop(before).map(_.toString)
       // the commit priced as a RENAME: the what-if training is reused,
-      // so the only build event is the committed-generation publish
-      assert(newBuilds.toSeq == Seq(s"ivf_g2_k16@$dir"),
-        s"commit ran more than the generation publish: ${newBuilds.mkString(", ")}")
+      // so the only builds are the committed-generation publish and the
+      // transition receipt (the audit artifact — no training in either)
+      assert(newBuilds.toSeq ==
+        Seq(s"ivf_g2_k16@$dir", s"ivf_g2_k16_receipt@$dir"),
+        s"commit ran more than the generation+receipt publish: ${newBuilds.mkString(", ")}")
       // flags ride every census row:
       // (cell, n_total, n_reused, n_reencoded, first_commit,
       //  whatif_reused, swept_now, superseded_gone, priced_match,
-      //  serve_match)
+      //  serve_match, spectrum_top1_share, spectrum_pr)
       val f = r1.head
       assert(f.getBoolean(4), "first_commit false on a cold commit")
       assert(f.getBoolean(5),
         "whatif_reused false — the commit retrained what sim30 priced")
-      assert(f.getInt(6) == 4,
-        s"expected exactly base+delta+tombstones+compacted swept, got ${f.getInt(6)}")
+      assert(f.getInt(6) == 5,
+        "expected exactly base+delta_b5+delta_b7(planted)+tombstones+" +
+          s"compacted swept, got ${f.getInt(6)}")
       assert(f.getBoolean(7), "superseded artifacts still present after gc")
       assert(f.getBoolean(8),
         "priced_match false: committed current-half ≠ the what-if sim30 scored")
       assert(f.getBoolean(9), "serve_match false: session still serves the old generation")
+      // the sim32 gate's measured geometry rides into the receipt: a
+      // healthy corpus reads a sub-collapse share and PR past d/8
+      assert(f.getDouble(10) > 0.0 && f.getDouble(10) < 0.5,
+        s"gate top1_share out of healthy band: ${f.getDouble(10)}")
+      assert(f.getDouble(11) > 8.0,
+        s"gate participation_ratio reads collapsed: ${f.getDouble(11)}")
       // census conservation: cells partition the corpus; reused +
       // re-encoded = total per cell
       r1.foreach(r => assert(r.getLong(1) == r.getLong(2) + r.getLong(3)))
@@ -428,7 +446,8 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(dsRoot.length == 1)
       val artifacts = dsRoot.head.listFiles().filter(_.isDirectory)
         .map(_.getName).toSet
-      assert(artifacts == Set("ivf_g2_k16_v2", "ivf_whatif_g2_k16_v2"),
+      assert(artifacts == Set("ivf_g2_k16_v2", "ivf_whatif_g2_k16_v2",
+        "ivf_g2_k16_receipt_v2"),
         s"unexpected store contents after commit: $artifacts")
       // tomorrow's JVM serves the committed generation with ZERO builds
       val sB = spark.newSession()
@@ -472,6 +491,72 @@ class IndexStoreSpec extends AnyFunSuite {
       val exchanges = plan.linesIterator.count(l =>
         l.contains("Exchange ") && !l.contains("BroadcastExchange"))
       assert(exchanges <= 3, s"sim31 card plan widened ($exchanges):\n$plan")
+      // AUDIT AT PUBLISH, SERVE THE RECEIPT (r18 verdict ask #1): once
+      // a session has read the transition receipt, warm CONSTRUCTION
+      // of the card runs ZERO spark jobs — occupancy rides the
+      // memoized gen2 view and the flags ride the session memo,
+      // validated by one job-free marker probe. The old serve path ran
+      // four bidirectional excepts over the full assignment plus the
+      // split agg and footer reads (17 jobs measured); pin near zero.
+      val jobCount = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobCount.incrementAndGet(): Unit
+        }
+      }
+      sB.sparkContext.addSparkListener(listener)
+      try {
+        graft.ext.Similarity.queries("sim31_retrain_commit")(sB, dir)
+        // the listener bus is async: wait until the count is stable
+        // across two consecutive polls (bounded at ~5 s)
+        var last = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 50) {
+          Thread.sleep(100)
+          waited += 1
+          val now = jobCount.get()
+          if (now == last) stable += 1 else { stable = 0; last = now }
+        }
+      } finally sB.sparkContext.removeSparkListener(listener)
+      assert(jobCount.get() <= 2,
+        s"warm sim31 construction ran ${jobCount.get()} jobs — the " +
+          "commit-time audits or the receipt re-read are back on the " +
+          "serve path (expected 0: memoized view + memoized flags)")
+      // CRASH-WINDOW RE-ATTEMPT (r18 advisor, medium): a crash between
+      // the committed publish and the sweep leaves the receipt
+      // unpublished — simulate it by deleting the receipt and planting
+      // a leftover gen1 artifact. The next run must RE-ATTEMPT the
+      // audit + sweep (not report superseded_gone vacuously), collect
+      // the leftover, and republish the receipt.
+      def rmrf(fl: File): Unit = {
+        if (fl.isDirectory)
+          Option(fl.listFiles()).getOrElse(Array.empty[File]).foreach(rmrf)
+        fl.delete(): Unit
+      }
+      rmrf(new File(dsRoot.head, "ivf_g2_k16_receipt_v2"))
+      IndexStore.loadOrBuild(sB, dir, "embeddings", "ivf_k16_delta_b9") {
+        import sB.implicits._
+        Seq("assigned" -> Seq((0L, 0)).toDF("vec_id", "cell"))
+      }
+      val sC = spark.newSession()
+      val r3 = graft.ext.Similarity.queries("sim31_retrain_commit")(sC, dir)
+        .collect().toSeq
+      val f3 = r3.head
+      assert(!f3.getBoolean(4), "re-attempt misread as a first commit")
+      assert(f3.getInt(6) == 1,
+        s"re-attempt swept ${f3.getInt(6)} artifacts, expected exactly " +
+          "the planted leftover")
+      assert(f3.getBoolean(7), "re-attempt did not verify the sweep")
+      assert(IndexStore.loadIfPublished(sC, dir, "embeddings",
+        "ivf_k16_delta_b9").isEmpty,
+        "the leftover gen1 artifact survived the re-attempted sweep")
+      assert(new File(new File(dsRoot.head, "ivf_g2_k16_receipt_v2"),
+        "_GRAFT_OK").isFile,
+        "the re-attempt did not republish the transition receipt")
+      assert(census(r1) == census(r3),
+        "re-attempt census diverged from the original commit")
     }
   }
 
@@ -561,6 +646,34 @@ class IndexStoreSpec extends AnyFunSuite {
         assert(IndexStore.loadIfPublished(s, dir, "embeddings", n).nonEmpty,
           s"re-derived $n was collected by the idempotent re-run")
       }
+    }
+  }
+
+  test("sim31: the sim32 collapse gate VETOES a commit on rank-1 " +
+    "geometry, leaving the store untouched (r18 verdict ask #7)") {
+    inCommitStore {
+      val s = spark.newSession()
+      import s.implicits._
+      // rank-1 corpus: every embedding a scalar multiple of e0 —
+      // top1_share = 1.0, participation_ratio = 1.0 ⇒ collapse_major
+      val dataDir = new File(System.getProperty("java.io.tmpdir"),
+        s"graft_collapse_data_${ProcessHandle.current().pid()}")
+      (0L until 64L).map { i =>
+        (i, Seq.tabulate(64)(d =>
+          if (d == 0) (i % 7 + 1).toFloat else 0f), (i % 3).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite")
+        .parquet(new File(dataDir, "embeddings.parquet").getPath)
+      val ex = intercept[IllegalStateException] {
+        graft.ext.Similarity.queries("sim31_retrain_commit")(
+          s, dataDir.getPath).collect()
+      }
+      assert(ex.getMessage.contains("collapse_major vetoes"),
+        s"unexpected veto message: ${ex.getMessage}")
+      // the vetoed commit published NOTHING for this dataset — the
+      // gate runs before any artifact build
+      assert(IndexStore.listArtifacts(s, dataDir.getPath, "embeddings")
+        .isEmpty, "a vetoed commit left artifacts behind")
     }
   }
 

@@ -1090,6 +1090,39 @@ class SimilaritySpec extends AnyFunSuite {
       "all-null corpus must read an empty card")
   }
 
+  test("sim32 spectrum: a non-finite embedding component fails FAST " +
+    "with a diagnosable message (advisor r18) instead of poisoning " +
+    "the card's rounding") {
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    Seq(Double.NaN, Double.PositiveInfinity).foreach { bad =>
+      val ex = intercept[Exception] {
+        spectrumOf(Seq(Option(Seq(1.0, bad, 0.0, 0.0)),
+          Option(Seq(2.0, 1.0, 0.0, 0.0))), 4)
+      }
+      assert(messages(ex).exists(_.contains("non-finite")),
+        s"opaque failure for $bad: ${messages(ex).mkString(" | ")}")
+    }
+  }
+
+  test("covariance sketch reduce: a BOXED ArraySeq (ofRef) takes the " +
+    "copying fallback instead of a ClassCastException (advisor r18)") {
+    val agg = new graft.functions.CovarianceSketch(2)
+    val boxed: Seq[Double] = scala.collection.immutable.ArraySeq
+      .unsafeWrapArray(Array[java.lang.Double](1.0, 2.0))
+      .asInstanceOf[Seq[Double]]
+    val b = agg.reduce(agg.zero, boxed)
+    assert(b.n == 1 && b.sums.toSeq == Seq(1.0, 2.0) &&
+      b.cross.toSeq == Seq(1.0, 2.0, 4.0),
+      s"boxed-seq fold wrong: n=${b.n} sums=${b.sums.toSeq} cross=${b.cross.toSeq}")
+    // the specialized double wrapper still takes the zero-copy path
+    val fast = agg.reduce(agg.zero,
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(Array(3.0, 4.0)))
+    assert(fast.sums.toSeq == Seq(3.0, 4.0) &&
+      fast.cross.toSeq == Seq(9.0, 12.0, 16.0))
+  }
+
   test("sim32 registered at sf0.01: the healthy random-ish corpus reads " +
     "high effective dimensionality and no collapse") {
     val dir = "/root/testdata/sf0.01"
