@@ -1610,13 +1610,20 @@ object Similarity {
       Tables.embeddings(spark, dir).select(col("embedding")), dim = 64)
 
   /** The sim32 kernel on an explicit (embedding: array) frame. */
-  private[graft] def embeddingSpectrum(df: DataFrame, dim: Int): DataFrame = {
+  private[graft] def embeddingSpectrum(df: DataFrame, dim: Int): DataFrame =
+    spectrumCardFromFlat(df.sparkSession, covSketchFlat(df, dim), dim)
+
+  /** ONE CovarianceSketch pass over (embedding) rows → the flattened
+    * sufficient statistic [n, sums…, upper-tri cross…] — the shared
+    * corpus-sized stage of the sim32 spectrum card and sim33's PCA
+    * basis (each partition ships one constant-size buffer; everything
+    * after is driver arithmetic on the ONE collected row). */
+  private[graft] def covSketchFlat(df: DataFrame, dim: Int): Seq[Double] = {
     val sketch = udaf(new graft.functions.CovarianceSketch(dim))
-    val flat = df.filter(col("embedding").isNotNull)
+    df.filter(col("embedding").isNotNull)
       .select(asDouble(col("embedding")).as("emb"))
       .agg(sketch(col("emb")).as("flat"))
       .collect().head.getSeq[Double](0)
-    spectrumCardFromFlat(df.sparkSession, flat, dim)
   }
 
   /** The sim32 card tail from a flattened covariance sketch
@@ -1653,6 +1660,110 @@ object Similarity {
       rd(share, 4), rd(pr, 4), collapse))
       .toDF("n_vecs", "dim", "trace", "top1", "top2", "top3",
         "top1_share", "participation_ratio", "collapse_major")
+  }
+
+  /** SIM33 — PCA projection: the spectrum tier's ACT verb (r18
+    * verdict ask #2), exactly as sim31 is sim28/sim30's. sim32
+    * DIAGNOSES how many directions carry the corpus's variance; this
+    * operator ACTS on that reading — projects every embedding onto
+    * the top-r principal directions (optionally whitened) and PROVES
+    * the act with the sim20 recall device: top-10 cosine retrieval in
+    * the r-dim projected space scored against the full-space brute
+    * truth on the shared benchmark lookup (vec_id 0). The card is the
+    * go/no-go a fleet reads before flipping ANN serving to
+    * PCA-reduced vectors (dim/r × memory and scan speed — the same
+    * decision sim19 grades for random projection, except PCA spends
+    * its r dimensions on the MEASURED variance-carrying directions,
+    * so on low-rank corpora it keeps geometry JL provably cannot):
+    * high variance_captured + high recall ⇒ reduce; an isotropic
+    * corpus reads low on both ⇒ don't — the honest no-go.
+    *
+    * Scale shape: the basis is the sim32 sketch re-read — ONE
+    * constant-buffer-per-partition CovarianceSketch pass
+    * ([[covSketchFlat]]) + O(d³) driver Jacobi, now with the rotation
+    * product accumulated into eigenVECTORS
+    * ([[graft.functions.CovarianceSketch.jacobiEigen]] — the
+    * rotations were already computed; keeping them is one d-length
+    * column update each). The projection is a pure per-row map
+    * expression over LITERAL μ/basis arrays (the sim19 device — the
+    * basis is r·d doubles, broadcast as a constant, materialized
+    * nowhere), zero shuffle; the recall probe is two broadcast-
+    * singleton top-10 scans (the sim1 shape). Rows-only by design (no
+    * SQL engine replays an eigen solve); SimilaritySpec pins the
+    * planted-subspace EXACT recovery (axis-aligned corpus: the top-2
+    * basis vectors are ±e₀/±e₅ exactly, variance_captured = 1,
+    * recall = 1), whitening's unit variances, rotation invariance,
+    * and the low-rank-plus-noise go case. */
+  def sim33PcaProject(spark: SparkSession, dir: String): DataFrame =
+    pcaProjectCard(Tables.embeddings(spark, dir), dim = 64, r = 16)
+
+  /** The PCA basis from one sketch pass: (n, μ, eigenvalues clamped
+    * ≥ 0 descending, aligned unit eigenvectors). */
+  private[graft] def pcaBasis(df: DataFrame, dim: Int)
+      : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
+    val flat = covSketchFlat(df, dim)
+    val (n, cov) = graft.functions.CovarianceSketch.covarianceOf(flat, dim)
+    val mu = Array.tabulate(dim)(i => if (n == 0) 0.0 else flat(1 + i) / n)
+    val (eigs, vecs) = graft.functions.CovarianceSketch.jacobiEigen(cov)
+    (n, mu, eigs.map(l => math.max(l, 0.0)), vecs)
+  }
+
+  /** Centered projection of `emb` onto the rows of `basis`, scaled
+    * per-coordinate by `scales` — a pure map expression over literal
+    * arrays: y_j = s_j · Σ_i (x_i − μ_i)·B_{j,i}. Plain projection
+    * passes unit scales; whitening passes [[whitenScales]]. */
+  private[graft] def pcaProjectExpr(emb: Column, mu: Array[Double],
+      basis: Array[Array[Double]], scales: Array[Double]): Column = {
+    val dim = mu.length
+    val muCol = typedLit(mu.toIndexedSeq)
+    val bCol = typedLit(basis.map(_.toIndexedSeq).toIndexedSeq)
+    val sCol = typedLit(scales.toIndexedSeq)
+    transform(sequence(lit(0), lit(basis.length - 1)), j =>
+      aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) =>
+        acc + (element_at(emb, i + 1).cast("double") -
+          element_at(muCol, i + 1)) *
+          element_at(element_at(bCol, j + 1), i + 1)) *
+        element_at(sCol, j + 1))
+  }
+
+  /** Whitening scales for the kept coordinates: 1/√λ_j, with a
+    * zero-variance direction scaling to 0 (its coordinate is exactly
+    * the corpus mean — there is nothing to whiten and 1/√0 would
+    * poison the row). */
+  private[graft] def whitenScales(eigs: Array[Double], r: Int): Array[Double] =
+    eigs.take(r).map(l => if (l > 1e-12) 1.0 / math.sqrt(l) else 0.0)
+
+  /** The sim33 kernel on an explicit (vec_id, embedding) frame. */
+  private[graft] def pcaProjectCard(embeddings: DataFrame, dim: Int,
+      r: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (n, mu, eigs, vecs) = pcaBasis(embeddings, dim)
+    val empty = Seq.empty[(Long, Int, Int, Double, Double)]
+      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10")
+    if (n == 0) return empty
+    val trace = eigs.sum
+    val varCap = if (trace > 0) eigs.take(r).sum / trace else 0.0
+    val e = embeddings.filter(col("embedding").isNotNull)
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .withColumn("proj", pcaProjectExpr(col("emb"), mu, vecs.take(r),
+        Array.fill(r)(1.0)))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qemb"), col("proj").as("qproj"))
+    val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+    def top10(score: Column): Set[Long] = scored
+      .select(col("vec_id"), score.as("c"))
+      .filter(!isnan(col("c")))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val truth = top10(VectorOps.vecCosine(spark, col("emb"), col("qemb")))
+    val got = top10(VectorOps.vecCosine(spark, col("proj"), col("qproj")))
+    val recall =
+      if (truth.isEmpty) 0.0 else (got & truth).size.toDouble / truth.size
+    def rd4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    Seq((n, dim, r, rd4(varCap), rd4(recall)))
+      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10")
   }
 
   /** SIM13 registered — v2 simulates a partial re-embedding: vectors
@@ -2755,6 +2866,7 @@ object Similarity {
     "sim30_retrain_whatif" -> sim30RetrainWhatif,
     "sim31_retrain_commit" -> sim31RetrainCommit,
     "sim32_embedding_spectrum" -> sim32EmbeddingSpectrum,
+    "sim33_pca_project" -> sim33PcaProject,
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
     "sim25_index_compaction" -> sim25IndexCompaction,

@@ -122,9 +122,23 @@ object CovarianceSketch {
     * matrix (64×64 here; the g7 power-iteration contract). Returns
     * eigenvalues sorted descending. */
   def jacobiEigenvalues(a0: Array[Array[Double]], maxSweeps: Int = 50)
-      : Array[Double] = {
+      : Array[Double] = jacobiEigen(a0, maxSweeps)._1
+
+  /** Full eigen-decomposition by the same cyclic Jacobi sweep, now
+    * ACCUMULATING the rotations (r18 verdict ask #2: the rotations
+    * were already computed — sim33's PCA projection needs the
+    * eigenVECTORS they compose into). Returns (eigenvalues sorted
+    * descending, eigenvectors aligned with them — `vectors(j)` is the
+    * unit eigenvector for `values(j)`, length d). The accumulation
+    * adds one d-length column update per rotation — same O(d³)
+    * driver-arithmetic class as the solve itself. */
+  def jacobiEigen(a0: Array[Array[Double]], maxSweeps: Int = 50)
+      : (Array[Double], Array[Array[Double]]) = {
     val d = a0.length
     val a = a0.map(_.clone())
+    // V accumulates the product of all rotations; its COLUMNS end as
+    // the eigenvectors of a0 (a = Vᵀ a0 V diagonal ⇒ a0 V = V diag)
+    val vAcc = Array.tabulate(d, d)((i, j) => if (i == j) 1.0 else 0.0)
     def off2: Double = {
       var s = 0.0
       var i = 0
@@ -169,6 +183,14 @@ object CovarianceSketch {
               a(q)(k) = s * apk + c * aqk
               k += 1
             }
+            // accumulate the rotation into V's (p, q) columns
+            k = 0
+            while (k < d) {
+              val vkp = vAcc(k)(p); val vkq = vAcc(k)(q)
+              vAcc(k)(p) = c * vkp - s * vkq
+              vAcc(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
           }
           q += 1
         }
@@ -176,10 +198,11 @@ object CovarianceSketch {
       }
       sweep += 1
     }
-    val eig = new Array[Double](d)
-    var i = 0
-    while (i < d) { eig(i) = a(i)(i); i += 1 }
-    scala.util.Sorting.quickSort(eig)
-    eig.reverse
+    // sort eigen-PAIRS descending by value; extract V's columns as
+    // row-vectors aligned with the sorted values
+    val order = (0 until d).sortBy(i => -a(i)(i))
+    val values = order.map(i => a(i)(i)).toArray
+    val vectors = order.map(i => Array.tabulate(d)(k => vAcc(k)(i))).toArray
+    (values, vectors)
   }
 }

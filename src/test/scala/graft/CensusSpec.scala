@@ -253,6 +253,12 @@ class CensusSpec extends AnyFunSuite {
                                    // what-if training runs at BUILD
                                    // through the store, never in the
                                    // served plan)
+    // r19-cohort pins at measured-plan + 1:
+    "sim33_pca_project" -> 1,      // the served card is a one-row LOCAL
+                                   // relation — the sketch pass and the
+                                   // two broadcast-singleton top-10
+                                   // probes run at construction
+                                   // (measured 0 + 1, sim32's shape)
     "d50_semdedup" -> 11           // planted-batch union + the within-
                                    // cell pair self-join, then keeper
                                    // assembly (component labels +

@@ -1139,5 +1139,109 @@ class SimilaritySpec extends AnyFunSuite {
       s"participation ratio ${c.getDouble(7)} <= d/8 on a random corpus")
     assert(!c.getBoolean(8), s"spurious collapse flag: ${c.toSeq}")
   }
+
+  // ---- sim33 PCA projection (r19 verdict ask #2) -----------------------
+
+  /** The axis-aligned hand corpus: four mean-zero vectors spanning dims
+    * {0, 5} of an 8-dim space with var₀ = 4, var₅ = 1, zero cross —
+    * diagonal covariance, so Jacobi never rotates and the basis must be
+    * EXACT unit axis vectors. */
+  private def axisCorpus: Seq[(Long, Seq[Double])] = Seq(
+    (0L, Seq(2.0, 1.0)), (1L, Seq(-2.0, -1.0)),
+    (2L, Seq(2.0, -1.0)), (3L, Seq(-2.0, 1.0)))
+    .map { case (id, ab) =>
+      (id, Seq.tabulate(8)(d =>
+        if (d == 0) ab.head else if (d == 5) ab(1) else 0.0))
+    }
+
+  test("sim33 basis: the axis-aligned corpus recovers the planted " +
+    "subspace EXACTLY - top-2 eigenvectors are unit axis vectors, " +
+    "eigenvalues 4/1, mean zero") {
+    val df = axisCorpus.toDF("vec_id", "embedding")
+    val (n, mu, eigs, vecs) = Similarity.pcaBasis(df, 8)
+    assert(n == 4)
+    assert(mu.forall(_ == 0.0), s"mean not zero: ${mu.toSeq}")
+    assert(eigs(0) == 4.0 && eigs(1) == 1.0 && eigs.drop(2).forall(_ == 0.0),
+      s"eigs ${eigs.toSeq}")
+    def isUnitAxis(v: Array[Double], axis: Int): Boolean =
+      math.abs(v(axis)) == 1.0 &&
+        v.zipWithIndex.forall { case (x, i) => i == axis || x == 0.0 }
+    assert(isUnitAxis(vecs(0), 0), s"v0 not ±e0: ${vecs(0).toSeq}")
+    assert(isUnitAxis(vecs(1), 5), s"v1 not ±e5: ${vecs(1).toSeq}")
+  }
+
+  test("sim33 card: a corpus lying in a 2-d subspace projects with " +
+    "variance_captured 1.0 and recall 1.0 - geometry preserved exactly") {
+    // mean-zero angle fan in the (e0, e5) plane: query along e0, 15
+    // distinct-angle neighbors (5°..75°) at varied scales, plus every
+    // negation — cosine gaps are large, so the top-10 boundary cannot
+    // flip on fp noise
+    val fan = (1 to 15).map { j =>
+      val th = math.toRadians(j * 5.0)
+      val s = 1.0 + (j % 3)
+      (j.toLong, Seq.tabulate(8)(d =>
+        if (d == 0) s * math.cos(th) else if (d == 5) s * math.sin(th)
+        else 0.0))
+    }
+    val q = (0L, Seq.tabulate(8)(d => if (d == 0) 1.0 else 0.0))
+    val all = (Seq(q) ++ fan) ++
+      (Seq(q) ++ fan).map { case (id, v) => (id + 16L, v.map(-_)) }
+    val r = Similarity.pcaProjectCard(
+      all.toDF("vec_id", "embedding"), 8, 2).collect().head
+    assert(r.getLong(0) == 32 && r.getInt(1) == 8 && r.getInt(2) == 2)
+    assert(r.getDouble(3) == 1.0, s"variance_captured ${r.getDouble(3)}")
+    assert(r.getDouble(4) == 1.0, s"recall ${r.getDouble(4)}")
+  }
+
+  test("sim33 card is rotation-invariant: the axis corpus rotated 45 " +
+    "degrees in the (0,1) plane reads the same eigenvalues, full " +
+    "variance capture, and full recall") {
+    val s = 1.0 / math.sqrt(2.0)
+    val rot = axisCorpus.map { case (id, v) =>
+      (id, Seq(s * (v(0) - v(1)), s * (v(0) + v(1))) ++ v.drop(2))
+    }
+    val df = rot.toDF("vec_id", "embedding")
+    val (_, _, eigs, _) = Similarity.pcaBasis(df, 8)
+    assert(math.abs(eigs(0) - 4.0) < 1e-9 && math.abs(eigs(1) - 1.0) < 1e-9,
+      s"rotation moved the eigenvalues: ${eigs.toSeq}")
+    val r = Similarity.pcaProjectCard(df, 8, 2).collect().head
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0,
+      s"rotation broke the projection card: ${r.toSeq}")
+  }
+
+  test("sim33 whitening: projected-whitened coordinates carry unit " +
+    "population variance per kept dimension; a zero-variance " +
+    "direction scales to 0 instead of dividing by zero") {
+    val df = axisCorpus.toDF("vec_id", "embedding")
+    val (_, mu, eigs, vecs) = Similarity.pcaBasis(df, 8)
+    val scales = Similarity.whitenScales(eigs, 3)
+    // λ₂ = 0: its scale must be exactly 0, not 1/√0
+    assert(scales(2) == 0.0, s"zero-eig scale ${scales(2)}")
+    val w = df.select(Similarity.pcaProjectExpr(col("embedding"), mu,
+      vecs.take(3), scales).as("y")).collect().map(_.getSeq[Double](0))
+    // coords: ±2/√4 = ±1 and ±1/√1 = ±1 — population variance exactly 1
+    (0 to 1).foreach { j =>
+      val ys = w.map(_(j))
+      val v = ys.map(y => y * y).sum / ys.length -
+        math.pow(ys.sum / ys.length, 2)
+      assert(math.abs(v - 1.0) < 1e-12, s"whitened var dim $j = $v")
+    }
+    assert(w.forall(_(2) == 0.0), "zero-variance coordinate not zeroed")
+  }
+
+  test("sim33 registered at sf0.001: one well-formed go/no-go row over " +
+    "the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("sim33_pca_project")(spark, dir).collect()
+    assert(rows.length == 1)
+    val c = rows.head
+    val nonNull = graft.Tables.embeddings(spark, dir)
+      .filter(col("embedding").isNotNull).count()
+    assert(c.getLong(0) == nonNull && c.getInt(1) == 64 && c.getInt(2) == 16)
+    assert(c.getDouble(3) > 0.0 && c.getDouble(3) <= 1.0,
+      s"variance_captured out of range: ${c.getDouble(3)}")
+    assert(c.getDouble(4) >= 0.0 && c.getDouble(4) <= 1.0,
+      s"recall out of range: ${c.getDouble(4)}")
+  }
 }
 
