@@ -177,6 +177,16 @@ object Bench {
       val good = xs.filter(_ >= 0)
       if (good.isEmpty) -1.0 else good.min
     }
+    // Corpus fingerprint in the artifact header (r18 verdict ask #4):
+    // the driver regenerates /root/testdata between rounds, so
+    // cross-round comparisons can straddle parquet generations — the
+    // r17/r18 mover adjudications (t3, d54, j11) each chased that band
+    // by hand. With the store's content fingerprint stamped into every
+    // bench artifact, scripts/movers.py separates same-corpus from
+    // cross-corpus comparisons automatically.
+    val corpusFp = ext.IndexStore.combinedFingerprint(spark, sfDir, Seq(
+      "region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "events", "documents", "embeddings"))
     val results = runs.map { case (n, ts) => n -> median(ts) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -203,9 +213,9 @@ object Bench {
     val failedJson = failures.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
     val w = new java.io.PrintWriter(outPath)
     try w.println(
-      s"""{"sf":"$sfDir","reps":$reps,$probeJson,"total_median_sec":$total,"total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$perQuery}""")
+      s"""{"sf":"$sfDir","corpus_fp":"$corpusFp","reps":$reps,$probeJson,"total_median_sec":$total,"total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$perQuery}""")
     finally w.close()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir","reps":$reps,$probeJson,"full_results":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","corpus_fp":"$corpusFp","total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir","reps":$reps,$probeJson,"full_results":"$outPath"}""")
     spark.stop()
   }
 }
