@@ -1700,8 +1700,16 @@ object Similarity {
   /** The PCA basis from one sketch pass: (n, μ, eigenvalues clamped
     * ≥ 0 descending, aligned unit eigenvectors). */
   private[graft] def pcaBasis(df: DataFrame, dim: Int)
+      : (Long, Array[Double], Array[Double], Array[Array[Double]]) =
+    basisFromFlat(covSketchFlat(df, dim), dim)
+
+  /** The basis tail from a flattened covariance sketch — ONE
+    * definition shared by the batch kernel and the
+    * [[graft.streaming.SpectrumFold]] live serve (the sim32
+    * card-tail device), so serve ≡ batch holds at the basis level by
+    * construction. */
+  private[graft] def basisFromFlat(flat: Seq[Double], dim: Int)
       : (Long, Array[Double], Array[Double], Array[Array[Double]]) = {
-    val flat = covSketchFlat(df, dim)
     val (n, cov) = graft.functions.CovarianceSketch.covarianceOf(flat, dim)
     val mu = Array.tabulate(dim)(i => if (n == 0) 0.0 else flat(1 + i) / n)
     val (eigs, vecs) = graft.functions.CovarianceSketch.jacobiEigen(cov)

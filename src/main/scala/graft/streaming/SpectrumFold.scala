@@ -62,17 +62,31 @@ class SpectrumFold(dim: Int) extends Serializable {
     }
   }
 
-  /** The sim32-shaped spectrum card over everything folded so far. */
-  def serve(spark: SparkSession): DataFrame = {
-    val flat = synchronized {
-      val out = new Array[Double](1 + dim + tri)
-      out(0) = n.toDouble
-      System.arraycopy(sums, 0, out, 1, dim)
-      System.arraycopy(cross, 0, out, 1 + dim, tri)
-      out.toSeq
-    }
-    graft.ext.Similarity.spectrumCardFromFlat(spark, flat, dim)
+  private def flatState(): Seq[Double] = synchronized {
+    val out = new Array[Double](1 + dim + tri)
+    out(0) = n.toDouble
+    System.arraycopy(sums, 0, out, 1, dim)
+    System.arraycopy(cross, 0, out, 1 + dim, tri)
+    out.toSeq
   }
+
+  /** The sim32-shaped spectrum card over everything folded so far. */
+  def serve(spark: SparkSession): DataFrame =
+    graft.ext.Similarity.spectrumCardFromFlat(spark, flatState(), dim)
+
+  /** sim33's live serve off the SAME state (the a44′ device — a new
+    * serve on the existing fold, never a new fold class): the current
+    * PCA basis (n, μ, eigenvalues clamped ≥ 0 descending, aligned
+    * eigenvectors) through the ONE shared tail
+    * ([[graft.ext.Similarity.basisFromFlat]]), so the live basis ≡
+    * the batch basis by construction at every wave. An in-flight
+    * pipeline can project arriving batches with
+    * [[graft.ext.Similarity.pcaProjectExpr]] over this basis without
+    * waiting for the corpus to land — the streaming half of the
+    * reduce-the-fleet decision sim33's batch card grades. */
+  def serveBasis(): (Long, Array[Double], Array[Double],
+      Array[Array[Double]]) =
+    graft.ext.Similarity.basisFromFlat(flatState(), dim)
 
   /** Rebuild from the landed corpus (the restart recipe; `landed`
     * must hold marker-committed batches only — see

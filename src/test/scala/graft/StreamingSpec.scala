@@ -2506,6 +2506,24 @@ class StreamingSpec extends AnyFunSuite {
       serve2.getDouble(6) == 0.925 && serve2.getBoolean(8),
       s"the rank-1 flood must flip collapse_major with the exact " +
         s"hand spectrum: $serve2")
+    // sim33' live basis (r19): the SAME state serves the PCA basis
+    // through the one shared tail — identical to the batch basis on
+    // the landed union (integer-valued corpus ⇒ bit-identical flats ⇒
+    // bit-identical eigen output), and the top direction is the
+    // flood's (1,1,1,1)/2
+    val (bn, bmu, beigs, bvecs) =
+      graft.ext.Similarity.pcaBasis(df(b1 ++ b2), 4)
+    val (ln, lmu, leigs, lvecs) = fold.serveBasis()
+    assert(ln == bn && lmu.toSeq == bmu.toSeq &&
+      leigs.toSeq == beigs.toSeq &&
+      lvecs.map(_.toSeq).toSeq == bvecs.map(_.toSeq).toSeq,
+      "live basis diverged from the batch basis")
+    // the basis serve is the UNROUNDED tail (the card rounds; a basis
+    // to project with must not) — so these pins carry Jacobi-noise
+    // tolerance where the card pins above are exact
+    assert(math.abs(leigs(0) - 18.5) < 1e-9 &&
+      lvecs(0).forall(x => math.abs(math.abs(x) - 0.5) < 1e-9),
+      s"flood spectrum not recovered: ${leigs(0)} / ${lvecs(0).toSeq}")
     val live = rows(fold.serve(spark))
     // SUM is not idempotent: a replayed committed batch must no-op
     fold.onBatch(df(b2), 1L)
