@@ -81,7 +81,7 @@ class SpectrumFold(dim: Int) extends Serializable {
     * ([[graft.ext.Similarity.basisFromFlat]]), so the live basis ≡
     * the batch basis by construction at every wave. An in-flight
     * pipeline can project arriving batches with
-    * [[graft.ext.Similarity.pcaProjectExpr]] over this basis without
+    * [[graft.ext.Similarity.pcaProjectFrame]] over this basis without
     * waiting for the corpus to land — the streaming half of the
     * reduce-the-fleet decision sim33's batch card grades. */
   def serveBasis(): (Long, Array[Double], Array[Double],

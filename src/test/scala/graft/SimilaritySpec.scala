@@ -1217,8 +1217,10 @@ class SimilaritySpec extends AnyFunSuite {
     val scales = Similarity.whitenScales(eigs, 3)
     // λ₂ = 0: its scale must be exactly 0, not 1/√0
     assert(scales(2) == 0.0, s"zero-eig scale ${scales(2)}")
-    val w = df.select(Similarity.pcaProjectExpr(col("embedding"), mu,
-      vecs.take(3), scales).as("y")).collect().map(_.getSeq[Double](0))
+    val w = Similarity.pcaProjectFrame(
+      df.select(col("vec_id"), col("embedding").as("emb")), mu,
+      vecs.take(3), scales)
+      .select(col("proj")).collect().map(_.getSeq[Double](0))
     // coords: ±2/√4 = ±1 and ±1/√1 = ±1 — population variance exactly 1
     (0 to 1).foreach { j =>
       val ys = w.map(_(j))
