@@ -1313,6 +1313,10 @@ object Dedup {
   }
 
   def d50SemDedup(spark: SparkSession, dir: String): DataFrame = {
+    // sim32 gate (r18 verdict ask #7): semantic dedup DELETES by
+    // cosine, which is noise on a collapsed corpus — veto before any
+    // cell work (one memoized sketch pass per session)
+    Similarity.requireHealthyGeometry(spark, dir, "d50 semantic dedup")
     val (assigned, centers, _) = d50Assigned(spark, dir)
     semDedupReport(spark, assigned, centers)
   }
@@ -1367,6 +1371,8 @@ object Dedup {
       .select(col("cell"), col("id_a"), col("id_b"))
 
   def d51IncrementalSemDedup(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.requireHealthyGeometry(spark, dir,
+      "d51 incremental semantic dedup")
     val (corpus, batch, _, _) = d50Parts(spark, dir)
     val pairs = incrementalSemPairs(batch, corpus, D50Tau)
       .localCheckpoint(true)
@@ -1560,6 +1566,8 @@ object Dedup {
     * explicitly). Rows-only: k-means cells have no SQL form (the
     * d50/d51 treatment). */
   def d55SemDecontaminate(spark: SparkSession, dir: String): DataFrame = {
+    Similarity.requireHealthyGeometry(spark, dir,
+      "d55 semantic decontamination")
     val k = Similarity.cellsFor(Similarity.corpusSize(spark, dir))
     val base = Similarity.ivfIndexFor(spark, dir, k)
     val emb = base.assigned.select(col("vec_id"), col("emb"), col("cell"))

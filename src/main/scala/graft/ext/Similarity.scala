@@ -81,6 +81,7 @@ object Similarity {
     * r13 — the exact case this doc names). */
   def invalidateCaches(spark: SparkSession): Unit = {
     sizeCache.synchronized(sizeCache.remove(spark))
+    gateCache.synchronized(gateCache.remove(spark))
     ivfCache.synchronized(ivfCache.remove(spark))
     commitCardCache.synchronized(commitCardCache.remove(spark))
     pqCache.synchronized(pqCache.remove(spark))
@@ -672,7 +673,7 @@ object Similarity {
     // the sim32 gate runs BEFORE anything publishes: a vetoed commit
     // must leave the store exactly as it found it
     val gateAtCommit: Option[(Double, Double, Boolean)] =
-      if (firstCommit) Some(spectrumGate(spark, dir)) else None
+      if (firstCommit) Some(spectrumGateCached(spark, dir)) else None
     gateAtCommit.foreach { case (share, pr, collapse) =>
       if (collapse) throw new IllegalStateException(
         f"sim32 collapse_major vetoes the retrain commit " +
@@ -730,7 +731,7 @@ object Similarity {
           ids(committed("assigned")).except(ids(gen2.assigned)).isEmpty
       // a crash-window RE-ATTEMPT re-measures the gate (the pre-commit
       // read is only taken on the call that actually commits)
-      val (share, pr, _) = gateAtCommit.getOrElse(spectrumGate(spark, dir))
+      val (share, pr, _) = gateAtCommit.getOrElse(spectrumGateCached(spark, dir))
       Seq(
         "flags" -> Seq((whatifReused, swept.size, gone, pricedMatch,
           serveMatch, share, pr))
@@ -785,6 +786,36 @@ object Similarity {
     if (rows.isEmpty) (0.0, 0.0, false)
     else (rows.head.getDouble(0), rows.head.getDouble(1),
       rows.head.getBoolean(2))
+  }
+
+  /** The gate read MEMOIZED per (session, dir) — for serve-path
+    * consumers that run per query rather than per generation
+    * transition (the d50/d51/d55 semantic-dedup vetoes): one sketch
+    * pass per session, cached thereafter; [[invalidateCaches]] drops
+    * it with the other corpus memos. */
+  private val gateCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String,
+        (Double, Double, Boolean)]]()
+  private[graft] def spectrumGateCached(spark: SparkSession, dir: String)
+      : (Double, Double, Boolean) =
+    perSession(gateCache, spark).getOrElseUpdate(dir,
+      spectrumGate(spark, dir))
+
+  /** VETO a cosine-geometry consumer on a collapsed corpus (r18
+    * verdict ask #7, second half): semantic dedup DELETES data by
+    * cosine similarity, and representation collapse is exactly the
+    * condition under which everything reads similar — running it
+    * would mass-delete on noise. Throws with the measured spectrum;
+    * healthy corpora pay one memoized sketch pass per session. */
+  private[graft] def requireHealthyGeometry(spark: SparkSession,
+      dir: String, consumer: String): Unit = {
+    val (share, pr, collapse) = spectrumGateCached(spark, dir)
+    if (collapse) throw new IllegalStateException(
+      f"sim32 collapse_major vetoes $consumer " +
+        f"(top1_share=$share%.4f, participation_ratio=$pr%.4f): " +
+        "cosine similarity is noise on a collapsed corpus — fix the " +
+        "embedding pipeline before trusting geometry consumers")
   }
 
   /** Drop this session's served-index memo for `dir` — the commit

@@ -807,4 +807,26 @@ class DedupSpec extends AnyFunSuite {
     assert(keepers == Map(0L -> 2L, 1L -> 2L, 2L -> 2L, 3L -> 3L),
       s"farthest-from-centroid rule resolved $keepers")
   }
+
+  test("d50/d51/d55 are sim32-GATED (r18 verdict ask #7): on a rank-1 " +
+    "collapsed corpus every semantic-dedup verb vetoes before touching " +
+    "a cell — cosine deletions on collapsed geometry would be noise") {
+    import spark.implicits._
+    // rank-1 embeddings: scalar multiples of e0 — top1_share = 1.0
+    val dataDir =
+      java.nio.file.Files.createTempDirectory("dedup_collapse").toString
+    (0L until 64L).map { i =>
+      (i, Seq.tabulate(64)(d =>
+        if (d == 0) (i % 5 + 1).toFloat else 0f), (i % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
+    Seq("d50_semdedup", "d51_incremental_semdedup",
+      "d55_sem_decontaminate").foreach { q =>
+      val ex = intercept[IllegalStateException] {
+        Dedup.queries(q)(spark, dataDir).collect()
+      }
+      assert(ex.getMessage.contains("collapse_major vetoes"),
+        s"$q veto message: ${ex.getMessage}")
+    }
+  }
 }
