@@ -347,6 +347,10 @@ object Curate {
     * engine-specific; planted-corpus semantics are asserted in
     * CurateSpec. */
   def d12SemanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    // the same sim32 gate as the d50-family (r19): d12 is the
+    // components-loop semantic dedup, but it deletes by cosine all the
+    // same — collapse vetoes it too (memoized, one sketch per session)
+    Similarity.requireHealthyGeometry(spark, dir, "d12 semantic dedup")
     val k = Similarity.cellsFor(Similarity.corpusSize(spark, dir))
     val assigned = Similarity.ivfIndexFor(spark, dir, k).assigned
     semanticDedupAccounting(Tables.embeddings(spark, dir), assigned,

@@ -820,10 +820,15 @@ class DedupSpec extends AnyFunSuite {
         if (d == 0) (i % 5 + 1).toFloat else 0f), (i % 3).toInt)
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dataDir/embeddings.parquet")
-    Seq("d50_semdedup", "d51_incremental_semdedup",
-      "d55_sem_decontaminate").foreach { q =>
+    val fns: Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)] = Seq(
+      "d50_semdedup" -> Dedup.queries("d50_semdedup"),
+      "d51_incremental_semdedup" -> Dedup.queries("d51_incremental_semdedup"),
+      "d55_sem_decontaminate" -> Dedup.queries("d55_sem_decontaminate"),
+      "d12_semantic_dedup" -> graft.ext.Curate.queries("d12_semantic_dedup"))
+    fns.foreach { case (q, fn) =>
       val ex = intercept[IllegalStateException] {
-        Dedup.queries(q)(spark, dataDir).collect()
+        fn(spark, dataDir).collect()
       }
       assert(ex.getMessage.contains("collapse_major vetoes"),
         s"$q veto message: ${ex.getMessage}")
