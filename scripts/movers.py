@@ -21,6 +21,7 @@ differ the report labels every mover cross-corpus, the band the
 r17/r18 adjudications (t3, d54, j11) each chased by hand. Artifacts
 older than r19 predate the stamp and read corpus_fp "unstamped".
 """
+import argparse
 import json
 import sys
 
@@ -47,13 +48,17 @@ def round_min(a, b):
 
 
 def main(argv):
-    args = [a for a in argv if not a.startswith("--")]
-    thr = 1.4
-    for a in argv:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1])
-    if len(args) != 4:
-        sys.exit(__doc__)
+    # argparse (advisor r19): the old hand parser accepted only
+    # --threshold=1.4; the space form left "1.4" as a fifth positional
+    # and a bare --threshold raised IndexError. argparse takes both
+    # forms and emits real usage errors.
+    p = argparse.ArgumentParser(
+        description="Mover analysis between two rounds' closing bench artifacts")
+    p.add_argument("artifacts", nargs=4,
+                   metavar=("PREV_WARM PREV_WARM2 CUR_WARM CUR_WARM2"))
+    p.add_argument("--threshold", type=float, default=1.4)
+    ns = p.parse_args(argv)
+    args, thr = ns.artifacts, ns.threshold
     prev_fp, prev = round_min(args[0], args[1])
     cur_fp, cur = round_min(args[2], args[3])
     common = sorted(set(prev) & set(cur))

@@ -660,9 +660,18 @@ object Similarity {
     // re-audits.
     val cardMemo = perSession(commitCardCache, spark)
     cardMemo.get((dir, k)) match {
+      // The memo is valid only while BOTH markers hold (advisor r19):
+      // the receipt's AND the committed generation's — if ivf_g2_k<k>
+      // was deleted out-of-band while the receipt survived,
+      // ivfIndexFor below would silently rebuild and serve the BASE
+      // index under receipt-verified flags (serve_match=true) that no
+      // longer describe the served artifact. Both probes are job-free
+      // marker checks.
       case Some((split, pf))
           if IndexStore.isPublished(spark, dir, "embeddings",
-            commitReceiptName(k)) =>
+            commitReceiptName(k)) &&
+          IndexStore.isPublished(spark, dir, "embeddings",
+            committedIvfName(k)) =>
         return card(ivfIndexFor(spark, dir, k).assigned, split,
           flagsDf(firstCommit = false, sweptNow = 0, pf))
       case Some(_) => cardMemo.remove((dir, k)): Unit
@@ -713,9 +722,14 @@ object Similarity {
     val receipt = IndexStore.loadOrBuild(spark, dir, "embeddings",
       commitReceiptName(k)) {
       // derive the retired set from what is actually published under
-      // the gen1 prefix — never a constant suffix list
+      // the gen1 prefix — never a constant suffix list, and ANY k
+      // (advisor r19): if the corpus grew between generations so
+      // cellsFor changed, gen1 artifacts named with the OLD k are just
+      // as superseded — keying the filter on the current k would
+      // orphan them forever. The gen2 namespace (ivf_g2_/
+      // ivf_whatif_g2_) never matches ivf_k<digits>.
       val gen1 = IndexStore.listArtifacts(spark, dir, "embeddings")
-        .filter(n => n == s"ivf_k$k" || n.startsWith(s"ivf_k${k}_"))
+        .filter(_.matches("""ivf_k\d+(_.*)?"""))
       val swept = IndexStore.gcStore(spark, Seq(dir), superseded = gen1)
       sweptNow = swept.size
       val gone = gen1.forall(n =>
@@ -788,19 +802,50 @@ object Similarity {
       rows.head.getBoolean(2))
   }
 
-  /** The gate read MEMOIZED per (session, dir) — for serve-path
-    * consumers that run per query rather than per generation
-    * transition (the d50/d51/d55 semantic-dedup vetoes): one sketch
-    * pass per session, cached thereafter; [[invalidateCaches]] drops
-    * it with the other corpus memos. */
+  /** Store name of the PERSISTED gate verdict (r19 verdict ask #3) —
+    * one tiny flag row published beside the indexes it fronts. The
+    * store's dataset root already keys on the corpus fingerprint, so
+    * "keyed by corpus_fp" is by construction: a rewritten corpus makes
+    * the published verdict UNREACHABLE (recompute + republish), and a
+    * matching fingerprint serves it to every fresh session for one
+    * tiny parquet read — never a corpus-sized sketch pass. */
+  private[graft] val SpectrumVerdictName = "spectrum_verdict"
+
+  /** The gate read MEMOIZED per (session, dir, corpus-fingerprint) and
+    * PERSISTED through the [[IndexStore]] (r19 verdict ask #3) — for
+    * serve-path consumers that run per query rather than per
+    * generation transition (the d12/d50/d51/d55 semantic-dedup vetoes
+    * and sim31's commit gate). The old memo keyed on (session, dir)
+    * alone, which coupled freshness to cost BOTH ways: every fresh
+    * 100 TB session paid one full corpus pass before its first
+    * semantic-dedup call, and a long-lived session kept trusting a
+    * verdict for a corpus that had been rewritten under it. The
+    * fingerprint in the memo key (ONE file listing, no jobs — the
+    * store's own freshness probe) fixes the staleness half; the
+    * published verdict artifact fixes the cost half. The sketch pass
+    * now runs once per (corpus content, store lifetime) — every
+    * session after the first reads the one-row artifact.
+    * [[invalidateCaches]] drops the memo with the other corpus memos;
+    * store invalidation drops the artifact. */
   private val gateCache =
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String,
+      scala.collection.concurrent.TrieMap[(String, String),
         (Double, Double, Boolean)]]()
   private[graft] def spectrumGateCached(spark: SparkSession, dir: String)
-      : (Double, Double, Boolean) =
-    perSession(gateCache, spark).getOrElseUpdate(dir,
-      spectrumGate(spark, dir))
+      : (Double, Double, Boolean) = {
+    val fp = IndexStore.fingerprint(spark, dir, "embeddings")
+    perSession(gateCache, spark).getOrElseUpdate((dir, fp), {
+      import spark.implicits._
+      val verdict = IndexStore.loadOrBuild(spark, dir, "embeddings",
+        SpectrumVerdictName) {
+        val (share, pr, collapse) = spectrumGate(spark, dir)
+        Seq("verdict" -> Seq((share, pr, collapse))
+          .toDF("top1_share", "participation_ratio", "collapse_major"))
+      }
+      val r = verdict("verdict").collect().head
+      (r.getDouble(0), r.getDouble(1), r.getBoolean(2))
+    })
+  }
 
   /** VETO a cosine-geometry consumer on a collapsed corpus (r18
     * verdict ask #7, second half): semantic dedup DELETES data by
@@ -1648,9 +1693,19 @@ object Similarity {
     * sufficient statistic [n, sums…, upper-tri cross…] — the shared
     * corpus-sized stage of the sim32 spectrum card and sim33's PCA
     * basis (each partition ships one constant-size buffer; everything
-    * after is driver arithmetic on the ONE collected row). */
+    * after is driver arithmetic on the ONE collected row). The sketch
+    * runs TOLERANT (advisor r19): a NaN/Inf row skips — alongside the
+    * existing null skip — so the gate measures the finite sub-corpus
+    * the dedup kernels actually operate on (they deliberately drop NaN
+    * cosines to tolerate failed or padded encodes; a gate that threw
+    * on those rows would turn previously-working queries into errors).
+    * The skip lives inside the Aggregator's typed reduce loop, not a
+    * per-element interpreted-HOF filter in front of it (the house
+    * ~1.4 µs/term receipt) — zero extra scan cost. The strict sketch
+    * API keeps the throw. */
   private[graft] def covSketchFlat(df: DataFrame, dim: Int): Seq[Double] = {
-    val sketch = udaf(new graft.functions.CovarianceSketch(dim))
+    val sketch =
+      udaf(new graft.functions.CovarianceSketch(dim, tolerateNonFinite = true))
     df.filter(col("embedding").isNotNull)
       .select(asDouble(col("embedding")).as("emb"))
       .agg(sketch(col("emb")).as("flat"))
@@ -1797,14 +1852,20 @@ object Similarity {
   private[graft] def whitenScales(eigs: Array[Double], r: Int): Array[Double] =
     eigs.take(r).map(l => if (l > 1e-12) 1.0 / math.sqrt(l) else 0.0)
 
-  /** The sim33 kernel on an explicit (vec_id, embedding) frame. */
+  /** The sim33 kernel on an explicit (vec_id, embedding) frame. The
+    * recall probe queries by the shared benchmark lookup (vec_id 0);
+    * a corpus WITHOUT that row (or with its embedding null) reads
+    * `probe_ok = false` with a NULL recall (advisor r19) — never 0.0,
+    * which would be indistinguishable from a genuine
+    * geometry-destroyed no-go in a fleet's go/no-go read. */
   private[graft] def pcaProjectCard(embeddings: DataFrame, dim: Int,
       r: Int): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val (n, mu, eigs, vecs) = pcaBasis(embeddings, dim)
-    val empty = Seq.empty[(Long, Int, Int, Double, Double)]
-      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10")
+    val empty = Seq.empty[(Long, Int, Int, Double, Option[Double], Boolean)]
+      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
+        "probe_ok")
     if (n == 0) return empty
     val trace = eigs.sum
     val varCap = if (trace > 0) eigs.take(r).sum / trace else 0.0
@@ -1814,20 +1875,24 @@ object Similarity {
       mu, vecs.take(r), Array.fill(r)(1.0))
     val q = e.filter(col("vec_id") === 0)
       .select(col("emb").as("qemb"), col("proj").as("qproj"))
-    val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-    def top10(score: Column): Set[Long] = scored
-      .select(col("vec_id"), score.as("c"))
-      .filter(!isnan(col("c")))
-      .orderBy(col("c").desc, col("vec_id"))
-      .limit(10).collect().map(_.getLong(0)).toSet
-    val truth = top10(VectorOps.vecCosine(spark, col("emb"), col("qemb")))
-    val got = top10(VectorOps.vecCosine(spark, col("proj"), col("qproj")))
-    val recall =
-      if (truth.isEmpty) 0.0 else (got & truth).size.toDouble / truth.size
+    val probeOk = q.take(1).nonEmpty
     def rd4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
-    Seq((n, dim, r, rd4(varCap), rd4(recall)))
-      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10")
+    val recall: Option[Double] = if (!probeOk) None else {
+      val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      def top10(score: Column): Set[Long] = scored
+        .select(col("vec_id"), score.as("c"))
+        .filter(!isnan(col("c")))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+      val truth = top10(VectorOps.vecCosine(spark, col("emb"), col("qemb")))
+      val got = top10(VectorOps.vecCosine(spark, col("proj"), col("qproj")))
+      Some(if (truth.isEmpty) 0.0
+      else rd4((got & truth).size.toDouble / truth.size))
+    }
+    Seq((n, dim, r, rd4(varCap), recall, probeOk))
+      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
+        "probe_ok")
   }
 
   /** SIM13 registered — v2 simulates a partial re-embedding: vectors

@@ -24,8 +24,19 @@ case class CovBuf(var n: Long, var sums: Array[Double],
   * a wrong-length vector fails fast. Finish flattens to
   * [n, sums…, cross…] — covariance assembly and the eigen solve are
   * driver arithmetic on the ONE collected row (the sim14
-  * bounded-collect contract). */
-class CovarianceSketch(dim: Int)
+  * bounded-collect contract).
+  *
+  * Non-finite components: the STRICT default throws (one NaN/Inf would
+  * silently poison every moment). `tolerateNonFinite = true` SKIPS the
+  * row instead — the gate/basis consumers ([[graft.ext.Similarity
+  * .covSketchFlat]]) use this so the measured spectrum describes the
+  * finite sub-corpus the dedup kernels actually operate on (advisor
+  * r19: those kernels deliberately drop NaN cosines to tolerate failed
+  * or padded encodes, so a gate that THREW on the same rows would turn
+  * working queries into errors). The skip happens before any buffer
+  * write, so a skipped row contributes nothing — identical to the
+  * null-vector skip, and still an additive monoid. */
+class CovarianceSketch(dim: Int, tolerateNonFinite: Boolean = false)
     extends Aggregator[Seq[Double], CovBuf, Seq[Double]] {
 
   private val tri = dim * (dim + 1) / 2
@@ -44,17 +55,20 @@ class CovarianceSketch(dim: Int)
       case w: scala.collection.immutable.ArraySeq.ofDouble => w.unsafeArray
       case _ => x.toArray
     }
-    // Fail fast on non-finite components BEFORE touching the buffer
-    // (advisor r18, mirroring the wrong-length require): one NaN/Inf
-    // would otherwise poison every moment and surface queries later as
-    // an opaque NumberFormatException in the card's rounding.
+    // Check non-finite components BEFORE touching the buffer (advisor
+    // r18, mirroring the wrong-length require): one NaN/Inf would
+    // otherwise poison every moment and surface queries later as an
+    // opaque NumberFormatException in the card's rounding. Strict mode
+    // throws; tolerant mode skips the whole row (advisor r19).
     var i = 0
     while (i < dim) {
-      if (!java.lang.Double.isFinite(v(i)))
+      if (!java.lang.Double.isFinite(v(i))) {
+        if (tolerateNonFinite) return b
         throw new IllegalArgumentException(
           s"non-finite embedding component ${v(i)} at dim $i — " +
             "covariance sketch requires finite vectors (clean or drop " +
             "NaN/Inf rows upstream)")
+      }
       i += 1
     }
     i = 0

@@ -36,9 +36,13 @@ class SpectrumFold(dim: Int) extends Serializable {
   private var lastBatchId = -1L
   private var folded = false
 
-  /** Fold one micro-batch of (… embedding: array …) rows. */
+  /** Fold one micro-batch of (… embedding: array …) rows. Non-finite
+    * rows SKIP, matching the batch kernel's tolerant sketch
+    * ([[graft.ext.Similarity.covSketchFlat]], advisor r19) — stream ≡
+    * batch parity includes the skip rule. */
   def foldBatch(batch: DataFrame): Unit = {
-    val sketch = udaf(new graft.functions.CovarianceSketch(dim))
+    val sketch =
+      udaf(new graft.functions.CovarianceSketch(dim, tolerateNonFinite = true))
     val flat = batch.filter(col("embedding").isNotNull)
       .select(transform(col("embedding"), x => x.cast("double")).as("emb"))
       .agg(sketch(col("emb")).as("flat"))

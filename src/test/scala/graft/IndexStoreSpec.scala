@@ -403,16 +403,28 @@ class IndexStoreSpec extends AnyFunSuite {
         import sA.implicits._
         Seq("assigned" -> Seq((0L, 0)).toDF("vec_id", "cell"))
       }
+      // ...and one named with an OLD k (advisor r19): if the corpus
+      // grew between generations so cellsFor changed, gen1 artifacts
+      // keyed on the old k are just as superseded — the commit's
+      // derived filter matches ANY ivf_k<digits> name, not only the
+      // current k's
+      IndexStore.loadOrBuild(sA, dir, "embeddings", "ivf_k9_delta_b3") {
+        import sA.implicits._
+        Seq("assigned" -> Seq((0L, 0)).toDF("vec_id", "cell"))
+      }
       val before = IndexStore.builds.size
       val r1 = graft.ext.Similarity.queries("sim31_retrain_commit")(sA, dir)
         .collect().toSeq
       val newBuilds = IndexStore.builds.toArray.drop(before).map(_.toString)
       // the commit priced as a RENAME: the what-if training is reused,
-      // so the only builds are the committed-generation publish and the
-      // transition receipt (the audit artifact — no training in either)
+      // so the only builds are the gate's persisted verdict row (r19
+      // ask #3 — the one sketch pass, published so no later session
+      // repeats it), the committed-generation publish, and the
+      // transition receipt (the audit artifact — no training in any)
       assert(newBuilds.toSeq ==
-        Seq(s"ivf_g2_k16@$dir", s"ivf_g2_k16_receipt@$dir"),
-        s"commit ran more than the generation+receipt publish: ${newBuilds.mkString(", ")}")
+        Seq(s"spectrum_verdict@$dir", s"ivf_g2_k16@$dir",
+          s"ivf_g2_k16_receipt@$dir"),
+        s"commit ran more than the verdict+generation+receipt publish: ${newBuilds.mkString(", ")}")
       // flags ride every census row:
       // (cell, n_total, n_reused, n_reencoded, first_commit,
       //  whatif_reused, swept_now, superseded_gone, priced_match,
@@ -421,9 +433,10 @@ class IndexStoreSpec extends AnyFunSuite {
       assert(f.getBoolean(4), "first_commit false on a cold commit")
       assert(f.getBoolean(5),
         "whatif_reused false — the commit retrained what sim30 priced")
-      assert(f.getInt(6) == 5,
-        "expected exactly base+delta_b5+delta_b7(planted)+tombstones+" +
-          s"compacted swept, got ${f.getInt(6)}")
+      assert(f.getInt(6) == 6,
+        "expected exactly base+delta_b5+delta_b7(planted)+" +
+          "delta_b3(planted old-k)+tombstones+compacted swept, " +
+          s"got ${f.getInt(6)}")
       assert(f.getBoolean(7), "superseded artifacts still present after gc")
       assert(f.getBoolean(8),
         "priced_match false: committed current-half ≠ the what-if sim30 scored")
@@ -447,7 +460,7 @@ class IndexStoreSpec extends AnyFunSuite {
       val artifacts = dsRoot.head.listFiles().filter(_.isDirectory)
         .map(_.getName).toSet
       assert(artifacts == Set("ivf_g2_k16_v2", "ivf_whatif_g2_k16_v2",
-        "ivf_g2_k16_receipt_v2"),
+        "ivf_g2_k16_receipt_v2", "spectrum_verdict_v2"),
         s"unexpected store contents after commit: $artifacts")
       // tomorrow's JVM serves the committed generation with ZERO builds
       val sB = spark.newSession()
@@ -557,6 +570,22 @@ class IndexStoreSpec extends AnyFunSuite {
         "the re-attempt did not republish the transition receipt")
       assert(census(r1) == census(r3),
         "re-attempt census diverged from the original commit")
+      // WARM-MEMO VALIDITY vs the COMMITTED marker (advisor r19): the
+      // fast path's memo was validated only against the RECEIPT's
+      // marker — deleting ivf_g2_k16 out-of-band while the receipt
+      // survived would make ivfIndexFor silently rebuild and serve the
+      // BASE index under receipt-verified flags (serve_match=true)
+      // that no longer describe the served artifact. The memo probe
+      // now checks BOTH markers: the call below must fall through to
+      // the slow path and re-publish the committed generation.
+      rmrf(new File(dsRoot.head, "ivf_g2_k16_v2"))
+      val r4 = graft.ext.Similarity.queries("sim31_retrain_commit")(sC, dir)
+        .collect().toSeq
+      assert(IndexStore.isPublished(sC, dir, "embeddings", "ivf_g2_k16"),
+        "the warm path served its memo over a deleted committed " +
+          "generation instead of re-publishing it")
+      assert(census(r1) == census(r4),
+        "the re-published generation's census diverged")
     }
   }
 
@@ -670,11 +699,71 @@ class IndexStoreSpec extends AnyFunSuite {
       }
       assert(ex.getMessage.contains("collapse_major vetoes"),
         s"unexpected veto message: ${ex.getMessage}")
-      // the vetoed commit published NOTHING for this dataset — the
-      // gate runs before any artifact build
+      // the vetoed commit published NO index artifact — the gate runs
+      // before any generation build. The gate's own persisted verdict
+      // row (r19 ask #3) is the ONLY record, and it is exactly what
+      // lets every later session veto this corpus without re-paying
+      // the sketch pass.
       assert(IndexStore.listArtifacts(s, dataDir.getPath, "embeddings")
-        .isEmpty, "a vetoed commit left artifacts behind")
+        == Seq("spectrum_verdict"),
+        "a vetoed commit left index artifacts behind")
     }
+  }
+
+  test("sim32 gate verdict PERSISTS keyed by the corpus fingerprint " +
+    "(r19 verdict ask #3): a fresh session reads the published verdict " +
+    "with ZERO sketch builds, and a rewritten corpus RECOMPUTES — a " +
+    "long-lived session never trusts a stale verdict") {
+    val s = spark.newSession()
+    import s.implicits._
+    val dataDir = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_gate_persist_${ProcessHandle.current().pid()}")
+    def write(rank1: Boolean): Unit =
+      (0L until 64L).map { i =>
+        (i, Seq.tabulate(64) { d =>
+          if (rank1) { if (d == 0) (i % 7 + 1).toDouble else 0.0 }
+          // healthy: murmur-mixed deterministic grid — per-(row, dim)
+          // hashes decorrelate the dims, so variance spreads over all
+          // 64 (PR far past d/8, top1_share far below 0.5); a linear
+          // congruential grid here read PR 4.7 = collapsed
+          else (scala.util.hashing.MurmurHash3
+            .productHash((i, d)) % 13).toDouble
+        }, (i % 3).toInt)
+      }.toDF("vec_id", "embedding", "label")
+        .write.mode("overwrite")
+        .parquet(new File(dataDir, "embeddings.parquet").getPath)
+    write(rank1 = false)
+    val before = IndexStore.builds.size
+    val v1 = Similarity.spectrumGateCached(s, dataDir.getPath)
+    assert(!v1._3, s"healthy hash grid read collapsed: $v1")
+    val built = IndexStore.builds.toArray.drop(before).map(_.toString)
+    assert(built.toSeq == Seq(s"spectrum_verdict@${dataDir.getPath}"),
+      s"first gate read built: ${built.mkString(", ")}")
+    // tomorrow's JVM: the verdict serves from the store — no sketch
+    // pass, no build (the builds-log device)
+    val s2 = spark.newSession()
+    val mid = IndexStore.builds.size
+    val v2 = Similarity.spectrumGateCached(s2, dataDir.getPath)
+    assert(v2 == v1, "fresh-session verdict diverged from the published one")
+    assert(IndexStore.builds.size == mid,
+      "a fresh session re-sketched instead of reading the published " +
+        "verdict: " + IndexStore.builds.toArray.drop(mid).mkString(", "))
+    // the corpus is REWRITTEN under the long-lived sessions: the memo
+    // keys on the fingerprint (one listing, no jobs), so BOTH sessions
+    // recompute — the verdict flips to collapse and republishes under
+    // the new fingerprint's root
+    write(rank1 = true)
+    val v3 = Similarity.spectrumGateCached(s2, dataDir.getPath)
+    assert(v3._3 && v3._1 == 1.0,
+      s"rewritten rank-1 corpus still reads the stale verdict: $v3")
+    assert(IndexStore.builds.size == mid + 1,
+      "the stale-fingerprint recompute did not republish")
+    // ...and the OTHER long-lived session sees the flip through the
+    // store without a second sketch pass
+    val v4 = Similarity.spectrumGateCached(s, dataDir.getPath)
+    assert(v4 == v3, s"session A kept the stale verdict: $v4")
+    assert(IndexStore.builds.size == mid + 1,
+      "session A re-sketched a verdict session B already published")
   }
 
   test("gcStore (r14 ask #7): sweeps stale-fingerprint roots, " +

@@ -1090,20 +1090,41 @@ class SimilaritySpec extends AnyFunSuite {
       "all-null corpus must read an empty card")
   }
 
-  test("sim32 spectrum: a non-finite embedding component fails FAST " +
-    "with a diagnosable message (advisor r18) instead of poisoning " +
-    "the card's rounding") {
+  test("sim32 spectrum: a non-finite embedding row SKIPS (advisor r19) " +
+    "- the card measures the finite sub-corpus the dedup kernels " +
+    "actually operate on; the strict Aggregator API still fails FAST") {
+    // card path (covSketchFlat → tolerant sketch): the NaN/Inf rows
+    // skip like nulls, so the card is EXACTLY the finite sub-corpus's
+    Seq(Double.NaN, Double.PositiveInfinity).foreach { bad =>
+      val r = spectrumOf(Seq(
+        Option(Seq(1.0, bad, 0.0, 0.0)),
+        Option(Seq(2.0, 1.0, 0.0, 0.0)), None,
+        Option(Seq(-2.0, -1.0, 0.0, 0.0)),
+        Option(Seq(2.0, -1.0, 0.0, 0.0)),
+        Option(Seq(-2.0, 1.0, 0.0, 0.0))), 4).head
+      assert(r.getLong(0) == 4 && r.getDouble(2) == 5.0 &&
+        r.getDouble(3) == 4.0,
+        s"non-finite row ($bad) moved the finite sub-corpus card: ${r.toSeq}")
+    }
+    // strict API (the default Aggregator): still a diagnosable throw,
+    // never a silently-poisoned moment (advisor r18)
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val strict = new graft.functions.CovarianceSketch(4)
     Seq(Double.NaN, Double.PositiveInfinity).foreach { bad =>
-      val ex = intercept[Exception] {
-        spectrumOf(Seq(Option(Seq(1.0, bad, 0.0, 0.0)),
-          Option(Seq(2.0, 1.0, 0.0, 0.0))), 4)
+      val ex = intercept[IllegalArgumentException] {
+        strict.reduce(strict.zero, Seq(1.0, bad, 0.0, 0.0))
       }
       assert(messages(ex).exists(_.contains("non-finite")),
-        s"opaque failure for $bad: ${messages(ex).mkString(" | ")}")
+        s"opaque strict failure for $bad: ${messages(ex).mkString(" | ")}")
     }
+    // tolerant API: the skip contributes NOTHING to the buffer
+    val tol = new graft.functions.CovarianceSketch(4, tolerateNonFinite = true)
+    val b = tol.reduce(tol.reduce(tol.zero, Seq(1.0, Double.NaN, 0.0, 0.0)),
+      Seq(2.0, 1.0, 0.0, 0.0))
+    assert(b.n == 1 && b.sums.toSeq.take(2) == Seq(2.0, 1.0),
+      s"tolerant skip leaked into the buffer: n=${b.n} sums=${b.sums.toSeq}")
   }
 
   test("covariance sketch reduce: a BOXED ArraySeq (ofRef) takes the " +
@@ -1191,6 +1212,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.getLong(0) == 32 && r.getInt(1) == 8 && r.getInt(2) == 2)
     assert(r.getDouble(3) == 1.0, s"variance_captured ${r.getDouble(3)}")
     assert(r.getDouble(4) == 1.0, s"recall ${r.getDouble(4)}")
+    assert(r.getBoolean(5), "probe_ok must read true with vec_id 0 present")
+  }
+
+  test("sim33 card: a corpus WITHOUT the vec_id-0 probe row reads " +
+    "probe_ok false and a NULL recall (advisor r19) - never a 0.0 " +
+    "indistinguishable from a geometry-destroyed no-go") {
+    val noProbe = axisCorpus.map { case (id, v) => (id + 1L, v) }
+    val r = Similarity.pcaProjectCard(
+      noProbe.toDF("vec_id", "embedding"), 8, 2).collect().head
+    assert(!r.getBoolean(5), s"probe_ok on a probe-less corpus: ${r.toSeq}")
+    assert(r.isNullAt(4), s"recall not NULL on a probe-less corpus: ${r.toSeq}")
+    assert(r.getDouble(3) == 1.0, "variance_captured must still report")
+    // a present-but-NULL probe embedding is the same read
+    val nullProbe = Seq((0L, Option.empty[Seq[Double]])) ++
+      noProbe.map { case (id, v) => (id, Option(v)) }
+    val r2 = Similarity.pcaProjectCard(
+      nullProbe.toDF("vec_id", "embedding"), 8, 2).collect().head
+    assert(!r2.getBoolean(5) && r2.isNullAt(4),
+      s"null-embedding probe row must read probe_ok false: ${r2.toSeq}")
   }
 
   test("sim33 card is rotation-invariant: the axis corpus rotated 45 " +
@@ -1242,6 +1282,7 @@ class SimilaritySpec extends AnyFunSuite {
     assert(c.getLong(0) == nonNull && c.getInt(1) == 64 && c.getInt(2) == 16)
     assert(c.getDouble(3) > 0.0 && c.getDouble(3) <= 1.0,
       s"variance_captured out of range: ${c.getDouble(3)}")
+    assert(c.getBoolean(5), "probe row (vec_id 0) exists in the corpus")
     assert(c.getDouble(4) >= 0.0 && c.getDouble(4) <= 1.0,
       s"recall out of range: ${c.getDouble(4)}")
   }
