@@ -1782,7 +1782,12 @@ object Similarity {
     * recall = 1), whitening's unit variances, rotation invariance,
     * and the low-rank-plus-noise go case. */
   def sim33PcaProject(spark: SparkSession, dir: String): DataFrame =
-    pcaProjectCard(Tables.embeddings(spark, dir), dim = 64, r = 16)
+    pcaProjectCard(Tables.embeddings(spark, dir), dim = 64, r = Sim33R)
+
+  /** The projection rank the sim33 card grades and sim34 serves —
+    * matching sim19's JL budget so the two reduction cards compare at
+    * equal memory. */
+  private[graft] val Sim33R = 16
 
   /** The PCA basis from one sketch pass: (n, μ, eigenvalues clamped
     * ≥ 0 descending, aligned unit eigenvectors). */
@@ -1852,21 +1857,21 @@ object Similarity {
   private[graft] def whitenScales(eigs: Array[Double], r: Int): Array[Double] =
     eigs.take(r).map(l => if (l > 1e-12) 1.0 / math.sqrt(l) else 0.0)
 
-  /** The sim33 kernel on an explicit (vec_id, embedding) frame. The
-    * recall probe queries by the shared benchmark lookup (vec_id 0);
-    * a corpus WITHOUT that row (or with its embedding null) reads
-    * `probe_ok = false` with a NULL recall (advisor r19) — never 0.0,
-    * which would be indistinguishable from a genuine
-    * geometry-destroyed no-go in a fleet's go/no-go read. */
-  private[graft] def pcaProjectCard(embeddings: DataFrame, dim: Int,
-      r: Int): DataFrame = {
+  /** Everything sim33's go/no-go rests on, computed in one place: the
+    * basis (one sketch pass), the variance capture, and the sim20
+    * recall probe. `recall` is None when the benchmark lookup row
+    * (vec_id 0) is absent or null-embedded (`probeOk` false — advisor
+    * r19: a missing probe must never read as a fake 0.0). None overall
+    * when the corpus is empty. */
+  private[graft] case class PcaDecision(n: Long, mu: Array[Double],
+      eigs: Array[Double], vecs: Array[Array[Double]], varCap: Double,
+      recall: Option[Double], probeOk: Boolean)
+
+  private[graft] def pcaDecisionOf(embeddings: DataFrame, dim: Int,
+      r: Int): Option[PcaDecision] = {
     val spark = embeddings.sparkSession
-    import spark.implicits._
     val (n, mu, eigs, vecs) = pcaBasis(embeddings, dim)
-    val empty = Seq.empty[(Long, Int, Int, Double, Option[Double], Boolean)]
-      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
-        "probe_ok")
-    if (n == 0) return empty
+    if (n == 0) return None
     val trace = eigs.sum
     val varCap = if (trace > 0) eigs.take(r).sum / trace else 0.0
     val e = pcaProjectFrame(
@@ -1890,9 +1895,192 @@ object Similarity {
       Some(if (truth.isEmpty) 0.0
       else rd4((got & truth).size.toDouble / truth.size))
     }
-    Seq((n, dim, r, rd4(varCap), recall, probeOk))
-      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
-        "probe_ok")
+    Some(PcaDecision(n, mu, eigs, vecs, rd4(varCap), recall, probeOk))
+  }
+
+  /** The sim33 kernel on an explicit (vec_id, embedding) frame. */
+  private[graft] def pcaProjectCard(embeddings: DataFrame, dim: Int,
+      r: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    pcaDecisionOf(embeddings, dim, r) match {
+      case None =>
+        Seq.empty[(Long, Int, Int, Double, Option[Double], Boolean)]
+          .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
+            "probe_ok")
+      case Some(d) =>
+        Seq((d.n, dim, r, d.varCap, d.recall, d.probeOk))
+          .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
+            "probe_ok")
+    }
+  }
+
+  // ---- SIM34: the sim33 card's CONSUMER (r19 verdict ask #1) ---------
+
+  /** GO thresholds for flipping ANN serving to PCA-reduced vectors:
+    * the reduction must keep most of the measured variance AND prove
+    * near-perfect retrieval agreement on the benchmark probe. An
+    * isotropic corpus (variance_captured ≈ r/d) or a missing probe
+    * reads no-go — the honest refusal. */
+  private[graft] val PcaGoVarCap = 0.7
+  private[graft] val PcaGoRecall = 0.9
+
+  private[graft] def pcaDecisionName(r: Int): String = s"pca_r${r}_decision"
+  private[graft] def pcaIndexName(r: Int): String = s"pca_r${r}_index"
+
+  /** sim33's decision as a PUBLISHED store artifact (the d49/receipt
+    * device): one flag row (the card + the GO verdict) plus the solved
+    * basis (top-r eigenvectors, eigenvalues, mean) — so the sketch
+    * pass, the Jacobi solve, and the recall probe run once per corpus
+    * CONTENT (fingerprint-keyed root), and the index build below can
+    * project without re-deriving anything. Returns the loaded parts. */
+  private[graft] def pcaDecisionFor(spark: SparkSession, dir: String,
+      dim: Int, r: Int): Map[String, DataFrame] =
+    IndexStore.loadOrBuild(spark, dir, "embeddings", pcaDecisionName(r)) {
+      import spark.implicits._
+      val d = pcaDecisionOf(Tables.embeddings(spark, dir), dim, r)
+        .getOrElse(PcaDecision(0L, new Array[Double](dim),
+          new Array[Double](dim), Array.fill(r)(new Array[Double](dim)),
+          0.0, None, probeOk = false))
+      val go = d.probeOk && d.varCap >= PcaGoVarCap &&
+        d.recall.exists(_ >= PcaGoRecall)
+      Seq(
+        "decision" -> Seq((d.n, dim, r, d.varCap, d.recall, d.probeOk, go))
+          .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
+            "probe_ok", "go"),
+        "basis" -> d.vecs.take(r).toIndexedSeq.zipWithIndex
+          .map { case (v, j) => (j, v.toIndexedSeq, d.eigs(j)) }
+          .toDF("j", "vec", "eig"),
+        "mean" -> Seq(Tuple1(d.mu.toIndexedSeq)).toDF("mu"))
+    }
+
+  /** One projection scan emitting BOTH serving representations: the
+    * plain r-dim projection (cosine geometry — what the recall probe
+    * proved) and the whitened one (unit per-coordinate variance — the
+    * downstream-training normalization). Same tight scalar loop as
+    * [[pcaProjectFrame]]; the whitened coordinate is the plain one ×
+    * 1/√λ_j, so both come from the same r·d multiply-adds. Only
+    * (vec_id, proj, white) rows come out — never the d-dim input. */
+  private[graft] def pcaProjectBoth(df: DataFrame, mu: Array[Double],
+      basis: Array[Array[Double]], eigs: Array[Double]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dim = mu.length
+    val r = basis.length
+    val bc = spark.sparkContext.broadcast(
+      (mu, basis, whitenScales(eigs, r)))
+    df.select(col("vec_id").cast("long"), col("emb"))
+      .as[(Long, Seq[Double])]
+      .mapPartitions { it =>
+        val (m, b, s) = bc.value
+        it.map { case (id, emb) =>
+          val v = emb.toArray
+          val y = new Array[Double](r)
+          val w = new Array[Double](r)
+          var j = 0
+          while (j < r) {
+            val bj = b(j)
+            var acc = 0.0
+            var i = 0
+            while (i < dim) { acc += (v(i) - m(i)) * bj(i); i += 1 }
+            y(j) = acc
+            w(j) = acc * s(j)
+            j += 1
+          }
+          (id, y.toIndexedSeq, w.toIndexedSeq)
+        }
+      }.toDF("vec_id", "proj", "white")
+  }
+
+  /** The REDUCED serving index — published only when the sim33 card
+    * cleared GO. Direct consumers of a no-go corpus are VETOED (the
+    * sim32 gate discipline): serving ANN off r dims that don't carry
+    * the geometry would silently return noise neighbors, which is
+    * strictly worse than refusing. */
+  private[graft] def reducedIndexFor(spark: SparkSession, dir: String,
+      dim: Int, r: Int): Map[String, DataFrame] = {
+    val dec = pcaDecisionFor(spark, dir, dim, r)
+    val drow = dec("decision").collect().head
+    if (!drow.getBoolean(6)) throw new IllegalStateException(
+      f"sim33 no-go vetoes reduced ANN serving (variance_captured=" +
+        f"${drow.getDouble(3)}%.4f, recall_at_10=" +
+        s"${if (drow.isNullAt(4)) "null" else drow.getDouble(4).toString}," +
+        s" probe_ok=${drow.getBoolean(5)}): projecting this corpus onto " +
+        s"$r dims would destroy its geometry — serve the full-dim index " +
+        "or re-examine the embedding pipeline")
+    IndexStore.loadOrBuild(spark, dir, "embeddings", pcaIndexName(r)) {
+      val basis = dec("basis").select(col("j"), col("vec"), col("eig"))
+        .collect().map(rw => (rw.getInt(0), rw.getSeq[Double](1).toArray,
+          rw.getDouble(2))).sortBy(_._1)
+      val mu = dec("mean").collect().head.getSeq[Double](0).toArray
+      val corpus = Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      Seq("projected" -> pcaProjectBoth(corpus, mu, basis.map(_._2),
+        basis.map(_._3)))
+    }
+  }
+
+  /** SIM34 — reduced-index ANN SERVE: the sim33 card's consumer (r19
+    * verdict ask #1), closing the PCA loop exactly as sim31 closed
+    * sim28/sim30's: sim32 diagnoses the spectrum, sim33 prices the
+    * reduction, sim34 ACTS — when the card clears GO
+    * ([[PcaGoVarCap]]/[[PcaGoRecall]]), it publishes the r-dim
+    * projected AND whitened vectors with the basis as one
+    * fingerprint-keyed store artifact and serves top-10 cosine ANN off
+    * the reduced vectors (dim/r = 4× less memory and scan work per
+    * serve); when the card reads no-go it REFUSES — the registered
+    * card returns the one-row refusal (go=false, the measured
+    * variance/recall, null serve columns) and the serving kernel
+    * ([[reducedIndexFor]]) throws for direct consumers, the sim32 gate
+    * discipline. The registered surface reports rather than throws
+    * because a structured refusal IS the verb's output on a no-go
+    * corpus (the driver's zero-error contract; the throwing kernel is
+    * spec-pinned on the same corpus shape).
+    *
+    * Scale shape: decision + basis + recall proof run ONCE per corpus
+    * content (published — the [[pcaDecisionFor]] artifact); the GO
+    * path's projection is ONE mapPartitions scan at publish
+    * ([[pcaProjectBoth]]), and every serve after that is a parquet
+    * read of r-dim vectors + one broadcast-singleton top-10 (the sim1
+    * shape at r/d the width). Warm serves re-project NOTHING — the
+    * IndexStoreSpec builds-log pin. Rows-only by design (eigen solve;
+    * the sim32/g7 treatment); IndexStoreSpec pins the planted GO
+    * corpus end-to-end (publish once, serve = full-dim brute top-10
+    * exactly, fresh session zero builds) and the no-go refusal card +
+    * kernel veto. */
+  def sim34ReducedAnnServe(spark: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val r = Sim33R
+    val dec = pcaDecisionFor(spark, dir, dim, r)
+    val flags = dec("decision")
+      .select(col("go"), col("variance_captured"), col("recall_at_10"),
+        col("probe_ok"))
+    val drow = dec("decision").collect().head
+    if (drow.isNullAt(6) || !drow.getBoolean(6))
+      return flags.select(col("go"), col("variance_captured"),
+        col("recall_at_10"), col("probe_ok"),
+        lit(null).cast("int").as("rank"),
+        lit(null).cast("long").as("neighbor_id"),
+        lit(null).cast("double").as("cos_sim"))
+    val proj = reducedIndexFor(spark, dir, dim, r)("projected")
+      .select(col("vec_id"), col("proj"))
+    val q = proj.filter(col("vec_id") === 0)
+      .select(col("proj").as("qproj"))
+    val top = proj.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("neighbor_id"),
+        round(VectorOps.vecCosine(spark, col("proj"), col("qproj")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+      .limit(10)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    top.crossJoin(broadcast(flags))
+      .select(col("go"), col("variance_captured"), col("recall_at_10"),
+        col("probe_ok"), row_number().over(w).as("rank"),
+        col("neighbor_id"), col("cos_sim"))
   }
 
   /** SIM13 registered — v2 simulates a partial re-embedding: vectors
@@ -2996,6 +3184,7 @@ object Similarity {
     "sim31_retrain_commit" -> sim31RetrainCommit,
     "sim32_embedding_spectrum" -> sim32EmbeddingSpectrum,
     "sim33_pca_project" -> sim33PcaProject,
+    "sim34_reduced_ann_serve" -> sim34ReducedAnnServe,
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
     "sim25_index_compaction" -> sim25IndexCompaction,

@@ -62,7 +62,11 @@ class CensusSpec extends AnyFunSuite {
                                 // composed into the final single row
     "sim31_retrain_commit",     // broadcast one-row commit-flag frame
                                 // riding beside the per-cell census
-    "sim22_hybrid_rrf")         // broadcast query vector + stats singletons
+    "sim22_hybrid_rrf",         // broadcast query vector + stats singletons
+    "sim34_reduced_ann_serve")  // broadcast r-dim query vector + one-row
+                                // flag frame (GO path only; the real
+                                // isotropic corpora serve the one-row
+                                // refusal, which plans no join at all)
 
   /** Shuffle-exchange budget: default ceiling for any registered query,
     * plus explicit budgets for the audited deep pipelines. A query

@@ -710,6 +710,101 @@ class IndexStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("sim34 (r19 verdict ask #1): a GO corpus publishes the " +
+    "projected+whitened index ONCE and serves reduced ANN that matches " +
+    "the full-dim brute truth exactly; a fresh session serves with ZERO " +
+    "builds (zero re-projection); a no-go corpus reads a structured " +
+    "refusal, publishes NO index, and the serving kernel VETOES") {
+    val s = spark.newSession()
+    import s.implicits._
+    // GO corpus: the sim33 geometry-preservation fan lifted to d=64 —
+    // mean-zero, entirely in the (e0, e5) plane, so variance_captured
+    // at r=16 is exactly 1.0 and projected cosine ≡ full cosine. Query
+    // vec_id 0 along e0; fan angles 5°..75° give strictly-decreasing
+    // cosines, so the brute top-10 is exactly ids 1..10 in order.
+    val fan = (1 to 15).map { j =>
+      val th = math.toRadians(j * 5.0)
+      val sc = 1.0 + (j % 3)
+      (j.toLong, Seq.tabulate(64)(d =>
+        if (d == 0) sc * math.cos(th) else if (d == 5) sc * math.sin(th)
+        else 0.0))
+    }
+    val q0 = (0L, Seq.tabulate(64)(d => if (d == 0) 1.0 else 0.0))
+    val all = (Seq(q0) ++ fan) ++
+      (Seq(q0) ++ fan).map { case (id, v) => (id + 16L, v.map(-_)) }
+    val goDir = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_pca_go_${ProcessHandle.current().pid()}")
+    all.toDF("vec_id", "embedding")
+      .write.mode("overwrite")
+      .parquet(new File(goDir, "embeddings.parquet").getPath)
+    val before = IndexStore.builds.size
+    val r1 = Similarity.queries("sim34_reduced_ann_serve")(s, goDir.getPath)
+      .collect().toSeq
+    val built = IndexStore.builds.toArray.drop(before).map(_.toString)
+    assert(built.toSeq == Seq(s"pca_r16_decision@${goDir.getPath}",
+      s"pca_r16_index@${goDir.getPath}"),
+      s"GO serve built: ${built.mkString(", ")}")
+    assert(r1.length == 10, s"expected 10 served neighbors, got ${r1.length}")
+    r1.foreach { r =>
+      assert(r.getBoolean(0), "go flag false on the GO corpus")
+      assert(r.getDouble(1) == 1.0, s"variance_captured ${r.getDouble(1)}")
+      assert(r.getDouble(2) == 1.0, s"recall_at_10 ${r.getDouble(2)}")
+    }
+    // served ranking == the full-dim brute truth, row for row
+    assert(r1.map(_.getInt(4)) == (1 to 10),
+      s"rank column broken: ${r1.map(_.getInt(4))}")
+    assert(r1.map(_.getLong(5)) == (1L to 10L),
+      s"reduced serve diverged from brute truth: ${r1.map(_.getLong(5))}")
+    // cosines decrease along the fan
+    val cs = r1.map(_.getDouble(6))
+    assert(cs == cs.sorted.reverse && cs.head <= 1.0 && cs.last > 0.0,
+      s"served cosines not descending: $cs")
+    // the published index carries BOTH representations at width r
+    val idx = IndexStore.loadIfPublished(s, goDir.getPath, "embeddings",
+      "pca_r16_index").get("projected")
+    assert(idx.count() == 32)
+    val w0 = idx.filter(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .collect().head
+    assert(w0.getSeq[Double](1).length == 16 &&
+      w0.getSeq[Double](2).length == 16,
+      "published vectors are not r-dim")
+    // tomorrow's JVM: same serve, ZERO builds, ZERO re-projection
+    val s2 = spark.newSession()
+    val mid = IndexStore.builds.size
+    val r2 = Similarity.queries("sim34_reduced_ann_serve")(s2, goDir.getPath)
+      .collect().toSeq
+    assert(IndexStore.builds.size == mid,
+      "a warm serve re-projected or re-decided: " +
+        IndexStore.builds.toArray.drop(mid).mkString(", "))
+    assert(r1 == r2, "fresh-session serve diverged")
+    // NO-GO: the murmur grid is sim32-HEALTHY but isotropic —
+    // variance_captured ≈ r/d ⇒ the reduction must refuse
+    val noDir = new File(System.getProperty("java.io.tmpdir"),
+      s"graft_pca_nogo_${ProcessHandle.current().pid()}")
+    (0L until 64L).map { i =>
+      (i, Seq.tabulate(64)(d =>
+        (scala.util.hashing.MurmurHash3.productHash((i, d)) % 13).toDouble))
+    }.toDF("vec_id", "embedding")
+      .write.mode("overwrite")
+      .parquet(new File(noDir, "embeddings.parquet").getPath)
+    val r3 = Similarity.queries("sim34_reduced_ann_serve")(s2, noDir.getPath)
+      .collect().toSeq
+    assert(r3.length == 1 && !r3.head.getBoolean(0),
+      s"no-go corpus did not read a refusal: $r3")
+    assert(r3.head.isNullAt(4) && r3.head.isNullAt(5) && r3.head.isNullAt(6),
+      s"refusal row carries serve columns: ${r3.head}")
+    assert(r3.head.getDouble(1) < Similarity.PcaGoVarCap,
+      s"isotropic corpus read variance_captured ${r3.head.getDouble(1)}")
+    assert(IndexStore.listArtifacts(s2, noDir.getPath, "embeddings")
+      == Seq("pca_r16_decision"),
+      "a refused reduction published an index artifact")
+    val ex = intercept[IllegalStateException] {
+      Similarity.reducedIndexFor(s2, noDir.getPath, 64, 16)
+    }
+    assert(ex.getMessage.contains("no-go vetoes reduced ANN serving"),
+      s"kernel veto message: ${ex.getMessage}")
+  }
+
   test("sim32 gate verdict PERSISTS keyed by the corpus fingerprint " +
     "(r19 verdict ask #3): a fresh session reads the published verdict " +
     "with ZERO sketch builds, and a rewritten corpus RECOMPUTES — a " +
