@@ -1915,6 +1915,85 @@ object Similarity {
     }
   }
 
+  /** SIM35 — PCA RANK CURVE (r19 verdict ask #2): sim33 grades ONE
+    * operating point (r = 16); the migration decision a fleet actually
+    * faces is "which r" — so sweep the whole variance/recall/memory
+    * trade in one card: a row per r ∈ {4, 8, 16, 32, 64} with
+    * variance_captured (Σ top-r λ / trace — monotone in r by
+    * construction), recall_at_10 against the full-space brute truth,
+    * and memory_ratio (r/d). The d54 LSH tuning-curve / sim17
+    * recall-grid device applied to the projection rank.
+    *
+    * Scale shape — ONE of everything corpus-sized: one CovarianceSketch
+    * pass (the shared [[covSketchFlat]]), one Jacobi solve, ONE
+    * projection scan onto the FULL d-dim eigenbasis (eager
+    * localCheckpoint pins it) — the rank-r projection is the PREFIX of
+    * the full one because the basis rows are variance-ordered, so
+    * every r's probe is a `slice` over the same checkpointed frame,
+    * and the brute truth is computed ONCE and shared by all r
+    * (per-r cost = one broadcast-singleton top-10 over r-dim slices,
+    * the sim1 shape). Rows-only by design (eigen solve — the sim32/g7
+    * treatment); SimilaritySpec pins monotone variance, r = d
+    * recovering the brute truth EXACTLY on a mean-zero corpus
+    * (rotation preserves cosine when μ = 0), and the r = 16 row
+    * sitting in lockstep with sim33's card (shared kernels). */
+  def sim35PcaRankCurve(spark: SparkSession, dir: String): DataFrame =
+    pcaRankCurve(Tables.embeddings(spark, dir), dim = 64,
+      rs = Seq(4, 8, 16, 32, 64))
+
+  /** The sim35 kernel on an explicit (vec_id, embedding) frame. */
+  private[graft] def pcaRankCurve(embeddings: DataFrame, dim: Int,
+      rs: Seq[Int]): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val (n, mu, eigs, vecs) = pcaBasis(embeddings, dim)
+    val empty = Seq.empty[(Long, Int, Int, Double, Option[Double],
+      Boolean, Double)]
+      .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
+        "probe_ok", "memory_ratio")
+    if (n == 0) return empty
+    val trace = eigs.sum
+    def rd4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    // one projection pass onto the FULL basis; each rank's coordinates
+    // are a prefix of it (variance-ordered rows)
+    val proj = pcaProjectFrame(
+      embeddings.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), asDouble(col("embedding")).as("emb")),
+      mu, vecs, Array.fill(dim)(1.0)).localCheckpoint(true)
+    val q = proj.filter(col("vec_id") === 0)
+      .select(col("emb").as("qemb"), col("proj").as("qproj"))
+    val probeOk = q.take(1).nonEmpty
+    val truth: Set[Long] = if (!probeOk) Set.empty else {
+      val scored = proj.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      scored.select(col("vec_id"),
+        VectorOps.vecCosine(spark, col("emb"), col("qemb")).as("c"))
+        .filter(!isnan(col("c")))
+        .orderBy(col("c").desc, col("vec_id"))
+        .limit(10).collect().map(_.getLong(0)).toSet
+    }
+    val rows = rs.sorted.map { r =>
+      val varCap = if (trace > 0) eigs.take(r).sum / trace else 0.0
+      val recall: Option[Double] =
+        if (!probeOk) None
+        else if (truth.isEmpty) Some(0.0)
+        else {
+          val scored = proj.filter(col("vec_id") =!= 0)
+            .crossJoin(broadcast(q))
+          val got = scored.select(col("vec_id"),
+            VectorOps.vecCosine(spark, slice(col("proj"), 1, r),
+              slice(col("qproj"), 1, r)).as("c"))
+            .filter(!isnan(col("c")))
+            .orderBy(col("c").desc, col("vec_id"))
+            .limit(10).collect().map(_.getLong(0)).toSet
+          Some(rd4((got & truth).size.toDouble / truth.size))
+        }
+      (n, dim, r, rd4(varCap), recall, probeOk, rd4(r.toDouble / dim))
+    }
+    rows.toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
+      "probe_ok", "memory_ratio").orderBy(col("r"))
+  }
+
   // ---- SIM34: the sim33 card's CONSUMER (r19 verdict ask #1) ---------
 
   /** GO thresholds for flipping ANN serving to PCA-reduced vectors:
@@ -3185,6 +3264,7 @@ object Similarity {
     "sim32_embedding_spectrum" -> sim32EmbeddingSpectrum,
     "sim33_pca_project" -> sim33PcaProject,
     "sim34_reduced_ann_serve" -> sim34ReducedAnnServe,
+    "sim35_pca_rank_curve" -> sim35PcaRankCurve,
     "sim23_incremental_ivf" -> sim23IncrementalIvf,
     "sim24_ann_forget" -> sim24AnnForget,
     "sim25_index_compaction" -> sim25IndexCompaction,

@@ -258,6 +258,12 @@ class CensusSpec extends AnyFunSuite {
                                    // through the store, never in the
                                    // served plan)
     // r19-cohort pins at measured-plan + 1:
+    // r20-cohort pins at measured-plan + 1:
+    "sim35_pca_rank_curve" -> 2,   // 5-row LOCAL relation + the r-order
+                                   // sort — sketch, checkpointed
+                                   // projection, and the shared-truth
+                                   // probes all run at construction
+                                   // (measured 1 + 1, sim33's shape)
     "sim33_pca_project" -> 1,      // the served card is a one-row LOCAL
                                    // relation — the sketch pass and the
                                    // two broadcast-singleton top-10

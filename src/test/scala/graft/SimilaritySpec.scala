@@ -1271,6 +1271,67 @@ class SimilaritySpec extends AnyFunSuite {
     assert(w.forall(_(2) == 0.0), "zero-variance coordinate not zeroed")
   }
 
+  // ---- sim35 PCA rank curve (r19 verdict ask #2) -----------------------
+
+  test("sim35 rank curve on the mean-zero 2-d fan: variance_captured " +
+    "is MONOTONE in r, saturates at exactly 1.0 from r = 2, and r = d " +
+    "recovers the brute truth EXACTLY (rotation preserves cosine at " +
+    "mean zero)") {
+    // the sim33 geometry corpus: mean-zero (negation closure), entirely
+    // in the (e0, e5) plane of d = 8
+    val fan = (1 to 15).map { j =>
+      val th = math.toRadians(j * 5.0)
+      val s = 1.0 + (j % 3)
+      (j.toLong, Seq.tabulate(8)(d =>
+        if (d == 0) s * math.cos(th) else if (d == 5) s * math.sin(th)
+        else 0.0))
+    }
+    val q = (0L, Seq.tabulate(8)(d => if (d == 0) 1.0 else 0.0))
+    val all = (Seq(q) ++ fan) ++
+      (Seq(q) ++ fan).map { case (id, v) => (id + 16L, v.map(-_)) }
+    val rows = Similarity.pcaRankCurve(
+      all.toDF("vec_id", "embedding"), 8, Seq(1, 2, 4, 8)).collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getInt(2)).toSeq == Seq(1, 2, 4, 8), "row order by r")
+    val caps = rows.map(_.getDouble(3)).toSeq
+    assert(caps == caps.sorted, s"variance_captured not monotone: $caps")
+    assert(caps.head < 1.0 && caps(1) == 1.0 && caps(3) == 1.0,
+      s"2-d corpus must saturate at r = 2: $caps")
+    // geometry preserved from the saturation rank on; r = d is exact
+    // by rotation invariance (mean zero)
+    rows.drop(1).foreach(r => assert(r.getDouble(4) == 1.0,
+      s"recall at r=${r.getInt(2)}: ${r.getDouble(4)}"))
+    rows.foreach { r =>
+      assert(r.getBoolean(5), "probe_ok false with vec_id 0 present")
+      assert(r.getDouble(6) == r.getInt(2).toDouble / 8,
+        s"memory_ratio wrong at r=${r.getInt(2)}")
+    }
+  }
+
+  test("sim35 registered at sf0.001: five rows, monotone variance " +
+    "saturating at exactly 1.0 by r = d, and the r = 16 row in " +
+    "LOCKSTEP with sim33's card (shared kernels)") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.queries("sim35_pca_rank_curve")(spark, dir)
+      .collect()
+    assert(rows.map(_.getInt(2)).toSeq == Seq(4, 8, 16, 32, 64))
+    val caps = rows.map(_.getDouble(3)).toSeq
+    assert(caps == caps.sorted && caps.last == 1.0,
+      s"variance curve broken: $caps")
+    rows.foreach { r =>
+      assert(r.getBoolean(5))
+      val rec = r.getDouble(4)
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range at $r")
+    }
+    val card = Similarity.queries("sim33_pca_project")(spark, dir)
+      .collect().head
+    val r16 = rows.find(_.getInt(2) == 16).get
+    assert(r16.getDouble(3) == card.getDouble(3) &&
+      r16.getDouble(4) == card.getDouble(4),
+      s"r=16 curve row (${r16.getDouble(3)}, ${r16.getDouble(4)}) diverged " +
+        s"from sim33's card (${card.getDouble(3)}, ${card.getDouble(4)})")
+  }
+
   test("sim33 registered at sf0.001: one well-formed go/no-go row over " +
     "the real corpus") {
     val dir = "/root/testdata/sf0.001"
