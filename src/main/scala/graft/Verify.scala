@@ -40,8 +40,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Driver-solved constants expand into the dumped SQL here (the
+    // OracleLiterals device): the JSON the driver feeds DuckDB is plain
+    // ANSI with inline literals from the SAME deterministic solve the
+    // queries above used.
     val json = SparkEntry.oracleSql.filter(_._1.matches(nameRe))
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(OracleLiterals.expand(spark, sfDir, v))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

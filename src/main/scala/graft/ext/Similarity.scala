@@ -1885,8 +1885,12 @@ object Similarity {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val recall: Option[Double] = if (!probeOk) None else {
       val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      // round-4 BEFORE ranking with vec_id tie-breaks (the sim1/sim26
+      // exactness device) — the candidate set is engine-identical, so
+      // the DuckDB oracle can replay the whole probe from the basis
+      // literals (r19 verdict ask #5)
       def top10(score: Column): Set[Long] = scored
-        .select(col("vec_id"), score.as("c"))
+        .select(col("vec_id"), round(score, 4).as("c"))
         .filter(!isnan(col("c")))
         .orderBy(col("c").desc, col("vec_id"))
         .limit(10).collect().map(_.getLong(0)).toSet
@@ -1964,10 +1968,13 @@ object Similarity {
     val q = proj.filter(col("vec_id") === 0)
       .select(col("emb").as("qemb"), col("proj").as("qproj"))
     val probeOk = q.take(1).nonEmpty
+    // round-4 before ranking, vec_id tie-breaks — the same device as
+    // pcaDecisionOf, so the r = 16 row stays in LOCKSTEP with sim33
     val truth: Set[Long] = if (!probeOk) Set.empty else {
       val scored = proj.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
       scored.select(col("vec_id"),
-        VectorOps.vecCosine(spark, col("emb"), col("qemb")).as("c"))
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
+          .as("c"))
         .filter(!isnan(col("c")))
         .orderBy(col("c").desc, col("vec_id"))
         .limit(10).collect().map(_.getLong(0)).toSet
@@ -1981,8 +1988,8 @@ object Similarity {
           val scored = proj.filter(col("vec_id") =!= 0)
             .crossJoin(broadcast(q))
           val got = scored.select(col("vec_id"),
-            VectorOps.vecCosine(spark, slice(col("proj"), 1, r),
-              slice(col("qproj"), 1, r)).as("c"))
+            round(VectorOps.vecCosine(spark, slice(col("proj"), 1, r),
+              slice(col("qproj"), 1, r)), 4).as("c"))
             .filter(!isnan(col("c")))
             .orderBy(col("c").desc, col("vec_id"))
             .limit(10).collect().map(_.getLong(0)).toSet
@@ -3527,6 +3534,125 @@ object Similarity {
         |    CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    // sim33 (r19 verdict ask #5): the FULL card replayed from the
+    // driver-solved basis as literals (__PCA_*__ tokens expand at dump
+    // time — graft.OracleLiterals; the Jacobi solve is deterministic,
+    // so the literals are exactly what the Spark query used). DuckDB
+    // value-checks the projection arithmetic, both round-before-rank
+    // top-10 probes, the recall, and the variance share against a
+    // DATA-derived trace (sum of per-dim population variances = Σλ) —
+    // only the eigensolve itself stays spec-pinned.
+    "sim33_pca_project" ->
+      """WITH raw AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |fin AS (
+        |  SELECT * FROM raw
+        |  WHERE len(list_filter(emb, x -> NOT isfinite(x))) = 0),
+        |tr AS (
+        |  SELECT SUM(v) AS trace FROM (
+        |    SELECT var_pop(emb[d.d]) AS v
+        |    FROM fin, (SELECT unnest(range(1, 65)) AS d) d
+        |    GROUP BY d.d)),
+        |p AS (
+        |  SELECT vec_id, emb,
+        |    list_transform(__PCA_BASIS16__, b ->
+        |      list_sum(list_transform(range(1, 65),
+        |        i -> (emb[i] - (__PCA_MU64__)[i]) * b[i]))) AS proj
+        |  FROM raw),
+        |q AS (SELECT emb AS qemb, proj AS qproj FROM p WHERE vec_id = 0),
+        |truth AS (
+        |  SELECT p.vec_id,
+        |    round(list_cosine_similarity(p.emb, q.qemb), 4) AS c
+        |  FROM p, q WHERE p.vec_id <> 0
+        |    AND NOT isnan(list_cosine_similarity(p.emb, q.qemb))
+        |  ORDER BY c DESC, p.vec_id LIMIT 10),
+        |got AS (
+        |  SELECT p.vec_id,
+        |    round(list_cosine_similarity(p.proj, q.qproj), 4) AS c
+        |  FROM p, q WHERE p.vec_id <> 0
+        |    AND NOT isnan(list_cosine_similarity(p.proj, q.qproj))
+        |  ORDER BY c DESC, p.vec_id LIMIT 10)
+        |SELECT
+        |  (SELECT count(*) FROM fin) AS n_vecs,
+        |  CAST(64 AS INT) AS dim,
+        |  CAST(16 AS INT) AS r,
+        |  CASE WHEN (SELECT trace FROM tr) > 0
+        |    THEN round(__PCA_EIGSUM16__ / (SELECT trace FROM tr), 4)
+        |    ELSE 0.0 END AS variance_captured,
+        |  CASE
+        |    WHEN NOT EXISTS (SELECT 1 FROM q) THEN NULL
+        |    WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+        |    ELSE round(
+        |      CAST((SELECT count(*) FROM got JOIN truth USING (vec_id))
+        |        AS DOUBLE)
+        |      / (SELECT count(*) FROM truth), 4)
+        |  END AS recall_at_10,
+        |  EXISTS (SELECT 1 FROM q) AS probe_ok""".stripMargin,
+    // sim35 (r19 verdict ask #5, same device as sim33's): the whole
+    // rank curve replayed — projection onto the FULL 64-dim basis
+    // literal, the rank-r probe sliced as its prefix (p.proj[1:r] ≡
+    // slice(proj, 1, r)), per-r eigenvalue prefix sums as literals,
+    // ONE shared truth. Built programmatically so every r's block is
+    // the same text by construction.
+    "sim35_pca_rank_curve" -> {
+      val perR = Seq(4, 8, 16, 32, 64).map { r =>
+        val mem = BigDecimal(r.toDouble / 64)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        s"""SELECT
+           |  (SELECT count(*) FROM fin) AS n_vecs,
+           |  CAST(64 AS INT) AS dim,
+           |  CAST($r AS INT) AS r,
+           |  CASE WHEN (SELECT trace FROM tr) > 0
+           |    THEN round(__PCA_EIGSUM${r}__ / (SELECT trace FROM tr), 4)
+           |    ELSE 0.0 END AS variance_captured,
+           |  CASE
+           |    WHEN NOT EXISTS (SELECT 1 FROM q) THEN NULL
+           |    WHEN (SELECT count(*) FROM truth) = 0 THEN 0.0
+           |    ELSE round(
+           |      CAST((SELECT count(*) FROM got$r JOIN truth USING (vec_id))
+           |        AS DOUBLE)
+           |      / (SELECT count(*) FROM truth), 4)
+           |  END AS recall_at_10,
+           |  EXISTS (SELECT 1 FROM q) AS probe_ok,
+           |  $mem AS memory_ratio""".stripMargin
+      }.mkString("\n", "\nUNION ALL\n", "\nORDER BY r")
+      val gotCtes = Seq(4, 8, 16, 32, 64).map { r =>
+        s"""got$r AS (
+           |  SELECT p.vec_id,
+           |    round(list_cosine_similarity(p.proj[1:$r], q.qproj[1:$r]), 4)
+           |      AS c
+           |  FROM p, q WHERE p.vec_id <> 0
+           |    AND NOT isnan(
+           |      list_cosine_similarity(p.proj[1:$r], q.qproj[1:$r]))
+           |  ORDER BY c DESC, p.vec_id LIMIT 10)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH raw AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |fin AS (
+         |  SELECT * FROM raw
+         |  WHERE len(list_filter(emb, x -> NOT isfinite(x))) = 0),
+         |tr AS (
+         |  SELECT SUM(v) AS trace FROM (
+         |    SELECT var_pop(emb[d.d]) AS v
+         |    FROM fin, (SELECT unnest(range(1, 65)) AS d) d
+         |    GROUP BY d.d)),
+         |p AS (
+         |  SELECT vec_id, emb,
+         |    list_transform(__PCA_BASIS64__, b ->
+         |      list_sum(list_transform(range(1, 65),
+         |        i -> (emb[i] - (__PCA_MU64__)[i]) * b[i]))) AS proj
+         |  FROM raw),
+         |q AS (SELECT emb AS qemb, proj AS qproj FROM p WHERE vec_id = 0),
+         |truth AS (
+         |  SELECT p.vec_id,
+         |    round(list_cosine_similarity(p.emb, q.qemb), 4) AS c
+         |  FROM p, q WHERE p.vec_id <> 0
+         |    AND NOT isnan(list_cosine_similarity(p.emb, q.qemb))
+         |  ORDER BY c DESC, p.vec_id LIMIT 10),
+         |$gotCtes$perR""".stripMargin
+    },
     "sim8_radius_search" ->
       """WITH q AS (
         |  SELECT vec_id AS q_id, embedding AS qemb
