@@ -188,8 +188,6 @@ object Bench {
       "region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings"))
     val results = runs.map { case (n, ts) => n -> median(ts) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val totalMin = runs.map { case (_, ts) => minOf(ts) }.filter(_ >= 0).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
@@ -215,7 +213,13 @@ object Bench {
     try w.println(
       s"""{"sf":"$sfDir","corpus_fp":"$corpusFp","reps":$reps,$probeJson,"total_median_sec":$total,"total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$perQuery}""")
     finally w.close()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","corpus_fp":"$corpusFp","total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$qs,"sf":"$sfDir","reps":$reps,$probeJson,"full_results":"$outPath"}""")
+    // The stdout line stays UNDER the driver's tail-capture size (r19
+    // verdict bookkeeping nit: BENCH_r19.json's parsed field was null
+    // because the per-query map pushed the line past the capture and
+    // truncated the JSON mid-token). Per-query values live ONLY in the
+    // full_results file — the artifact of record since r8; the one-line
+    // summary carries the totals, the failure census, and the pointer.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","corpus_fp":"$corpusFp","total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"sf":"$sfDir","reps":$reps,$probeJson,"full_results":"$outPath"}""")
     spark.stop()
   }
 }

@@ -77,9 +77,18 @@ object Graph {
     * ([[graft.GraphCadenceProbe]]): values are cadence-invariant (the
     * recurrence is the same dataflow either way), only the
     * materialize-vs-recompute trade moves. */
+  /** `convergeTol`: when set, each round ALSO measures the total rank
+    * movement (Σ|rank_i − rank_{i−1}|, one node-sized join + agg) and
+    * the loop exits early once it drops below the tolerance — the
+    * delta-below-epsilon device the r19 verdict's fixpoint probe
+    * grades. The check forces one action per round, so it trades a
+    * per-round collect against skipped tail rounds; OFF by default
+    * (the registered operating point is whatever the probe receipt
+    * adjudicated — see g1PageRank). */
   def pageRank(edges: DataFrame, iters: Int = 10,
                damping: Double = 0.85,
-               checkpointEvery: Int = 1): DataFrame = {
+               checkpointEvery: Int = 1,
+               convergeTol: Option[Double] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -87,7 +96,9 @@ object Graph {
     val n = math.max(1L, nodes.count())
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
-    for (i <- 1 to iters) {
+    var i = 1
+    var done = false
+    while (i <= iters && !done) {
       // rank/degree divides NODE-side first, so the iteration's only
       // edge-sized join is the scatter itself — joining outDeg onto the
       // edge frame would double the per-iteration edge-cardinality work
@@ -97,12 +108,22 @@ object Graph {
       val contribs = bi.join(perEdge, Seq("src"))
         .select(col("dst").as("node"), col("rpd").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("in_rank"), lit(0.0)))
             .as("rank"))
-      if (i % checkpointEvery == 0 || i == iters)
-        ranks = ranks.localCheckpoint(true)
+      val pinned =
+        if (i % checkpointEvery == 0 || i == iters ||
+          convergeTol.nonEmpty) next.localCheckpoint(true)
+        else next
+      convergeTol.foreach { tol =>
+        val moved = pinned.withColumnRenamed("rank", "r2")
+          .join(ranks, Seq("node"))
+          .agg(sum(abs(col("r2") - col("rank")))).head().getDouble(0)
+        if (moved < tol) done = true
+      }
+      ranks = pinned
+      i += 1
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -140,7 +161,8 @@ object Graph {
     * the graph returns the empty frame (no in-band sentinel). */
   def personalizedPageRank(edges: DataFrame, seedNode: Long,
                            iters: Int = 10, damping: Double = 0.85,
-                           checkpointEvery: Int = 5): DataFrame = {
+                           checkpointEvery: Int = 5,
+                           convergeTol: Option[Double] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
@@ -150,19 +172,31 @@ object Graph {
     val seedMass =
       when(col("node") === seedNode, lit(1.0)).otherwise(lit(0.0))
     var ranks = nodes.withColumn("rank", seedMass)
-    for (i <- 1 to iters) {
+    var i = 1
+    var done = false
+    while (i <= iters && !done) {
       val perEdge = ranks.withColumnRenamed("node", "src")
         .join(outDeg, Seq("src"))
         .select(col("src"), (col("rank") / col("deg")).as("rpd"))
       val contribs = bi.join(perEdge, Seq("src"))
         .select(col("dst").as("node"), col("rpd").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
+      val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (seedMass * lit(1.0 - damping) +
             lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
-      if (i % checkpointEvery == 0 || i == iters)
-        ranks = ranks.localCheckpoint(true)
+      val pinned =
+        if (i % checkpointEvery == 0 || i == iters ||
+          convergeTol.nonEmpty) next.localCheckpoint(true)
+        else next
+      convergeTol.foreach { tol =>
+        val moved = pinned.withColumnRenamed("rank", "r2")
+          .join(ranks, Seq("node"))
+          .agg(sum(abs(col("r2") - col("rank")))).head().getDouble(0)
+        if (moved < tol) done = true
+      }
+      ranks = pinned
+      i += 1
     }
     ranks.select(col("node"), round(col("rank"), 6).as("rank"))
   }
@@ -658,9 +692,16 @@ object Graph {
     * community census (label, n_members), top-20 by size. Rows-only
     * like g1/g4: an iterated fixpoint has no tractable SQL form — the
     * planted two-cliques-one-bridge spec pins the semantics. */
+  /** `earlyExit`: when true, each round ALSO probes whether ANY label
+    * changed (one node-sized join, limit-1 probe) and the loop stops
+    * at the first all-stable round — from which point synchronous LPA
+    * is a fixpoint by construction (same labels ⇒ same votes ⇒ same
+    * labels), so the early exit is outputs-identical BY DEFINITION,
+    * not just empirically. OFF by default pending the probe receipt. */
   def lpaCommunities(nodes: DataFrame, pairs: DataFrame,
                      rounds: Int = 10,
-                     checkpointEvery: Int = 1): DataFrame = {
+                     checkpointEvery: Int = 1,
+                     earlyExit: Boolean = false): DataFrame = {
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
     val edges = pairs
@@ -672,19 +713,31 @@ object Graph {
     var labels = nodes
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
-    for (i <- 1 to rounds) {
+    var i = 1
+    var done = false
+    while (i <= rounds && !done) {
       val votes = edges
         .join(labels, col("dst") === col("node"))
         .select(col("src"), col("label"))
         .unionByName(labels.select(col("node").as("src"), col("label")))
         .groupBy(col("src"), col("label")).agg(count(lit(1)).as("cnt"))
-      labels = votes
+      val next = votes
         .groupBy(col("src"))
         .agg(max_by(col("label"),
           struct(col("cnt"), (col("label") * -1).as("neg"))).as("label"))
         .select(col("src").as("node"), col("label"))
-      if (i % checkpointEvery == 0 || i == rounds)
-        labels = labels.localCheckpoint(true)
+      val pinned =
+        if (i % checkpointEvery == 0 || i == rounds || earlyExit)
+          next.localCheckpoint(true)
+        else next
+      if (earlyExit) {
+        val changed = pinned.withColumnRenamed("label", "l2")
+          .join(labels, Seq("node"))
+          .filter(col("l2") =!= col("label")).limit(1)
+        if (changed.isEmpty) done = true
+      }
+      labels = pinned
+      i += 1
     }
     labels.groupBy(col("label").as("community"))
       .agg(count(lit(1)).as("n_members"))
@@ -694,8 +747,18 @@ object Graph {
 
   def g8LpaCommunities(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = graphFor(spark, dir)
+    // earlyExit adopted from the r20 fixpoint probe
+    // (BENCH_LOCAL_r20_graph_fixpoint_{sf001,sf01,sfx10}.json): LPA on
+    // the co-presence graph converges before the 10-round cap, and the
+    // all-stable exit is outputs-identical BY CONSTRUCTION (same
+    // labels ⇒ same votes ⇒ same labels) — measured 1.33×/1.41×/1.15×
+    // faster at sf0.01/sf0.1/10×, identical=true in every rep. g1/g9
+    // STAY on fixed rounds: PageRank has not converged below 1e-9 by
+    // round 10 here, so their early-exit variant pays ten per-round
+    // delta collects and skips nothing (same receipts).
     lpaCommunities(nodes,
-      edges.select(col("user_a").as("id_a"), col("user_b").as("id_b")))
+      edges.select(col("user_a").as("id_a"), col("user_b").as("id_b")),
+      earlyExit = true)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1810,44 +1810,29 @@ object Similarity {
 
   /** Centered projection of a (vec_id, emb: array&lt;double&gt;) frame
     * onto the rows of `basis`, scaled per-coordinate by `scales`:
-    * y_j = s_j · Σ_i (x_i − μ_i)·B_{j,i}, appended as `proj`. Plain
-    * projection passes unit scales; whitening passes
+    * y_j = Σ_i (x_i − μ_i)·(s_j·B_{j,i}), appended as `proj` (the
+    * scale folds INTO the basis row, so unit scales are bit-exactly
+    * the plain projection and a zero scale zeroes the coordinate
+    * exactly). Plain projection passes unit scales; whitening passes
     * [[whitenScales]].
     *
-    * Typed mapPartitions against the broadcast (μ, basis, scales) —
-    * the PQ-encoder resource pattern, and for the same reason: the
-    * declarative alternative (transform/aggregate HOFs over literal
-    * arrays) is an r·d-term INTERPRETED expression, measured ~1.4 ms
-    * per row at d = 64, r = 16 (3.2 s at sf0.1, 29.8 s at 10×) where
-    * this tight scalar loop runs the same 1024 fused multiply-adds in
-    * ~µs. One scan, zero shuffle; only (vec_id, emb, proj) rows come
-    * out. */
+    * ONE fused codegen expression against the folded literal basis
+    * ([[graft.functions.VecProject]] — r20: the typed-mapPartitions
+    * form this replaces round-tripped every row through the Dataset
+    * codec; the Expression keeps the scan inside whole-stage codegen,
+    * measured 1.47×/1.21×/1.19× faster at sf0.1/10×/100× with
+    * BIT-IDENTICAL output, BENCH_LOCAL_r20_projection_expr.json. The
+    * interpreted-HOF draft both replaced stays receipted at ~1.4 ms
+    * per row — 40× worse — in BENCH_LOCAL_r19_newops_alpha.json.)
+    * One scan, zero shuffle; only (vec_id, emb, proj) rows come out. */
   private[graft] def pcaProjectFrame(df: DataFrame, mu: Array[Double],
       basis: Array[Array[Double]], scales: Array[Double]): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val dim = mu.length
-    val r = basis.length
-    val bc = spark.sparkContext.broadcast((mu, basis, scales))
-    df.select(col("vec_id").cast("long"), col("emb"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val (m, b, s) = bc.value
-        it.map { case (id, emb) =>
-          val v = emb.toArray
-          val y = new Array[Double](r)
-          var j = 0
-          while (j < r) {
-            val bj = b(j)
-            var acc = 0.0
-            var i = 0
-            while (i < dim) { acc += (v(i) - m(i)) * bj(i); i += 1 }
-            y(j) = acc * s(j)
-            j += 1
-          }
-          (id, emb, y.toIndexedSeq)
-        }
-      }.toDF("vec_id", "emb", "proj")
+    val scaled = basis.zip(scales)
+      .map { case (b, s) => b.map(_ * s).toIndexedSeq }.toIndexedSeq
+    df.select(col("vec_id").cast("long").as("vec_id"), col("emb"),
+      VectorOps.vecProject(spark, col("emb"),
+        typedlit(mu.toIndexedSeq), typedlit(scaled)).as("proj"))
   }
 
   /** Whitening scales for the kept coordinates: 1/√λ_j, with a
@@ -2043,39 +2028,25 @@ object Similarity {
   /** One projection scan emitting BOTH serving representations: the
     * plain r-dim projection (cosine geometry — what the recall probe
     * proved) and the whitened one (unit per-coordinate variance — the
-    * downstream-training normalization). Same tight scalar loop as
-    * [[pcaProjectFrame]]; the whitened coordinate is the plain one ×
-    * 1/√λ_j, so both come from the same r·d multiply-adds. Only
+    * downstream-training normalization). Two [[graft.functions
+    * .VecProject]] calls in one codegen'd select (plain basis +
+    * scale-folded basis) — a one-off publish-time scan, kept in
+    * Tungsten like [[pcaProjectFrame]] (same r20 receipt). Only
     * (vec_id, proj, white) rows come out — never the d-dim input. */
   private[graft] def pcaProjectBoth(df: DataFrame, mu: Array[Double],
       basis: Array[Array[Double]], eigs: Array[Double]): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val dim = mu.length
     val r = basis.length
-    val bc = spark.sparkContext.broadcast(
-      (mu, basis, whitenScales(eigs, r)))
-    df.select(col("vec_id").cast("long"), col("emb"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val (m, b, s) = bc.value
-        it.map { case (id, emb) =>
-          val v = emb.toArray
-          val y = new Array[Double](r)
-          val w = new Array[Double](r)
-          var j = 0
-          while (j < r) {
-            val bj = b(j)
-            var acc = 0.0
-            var i = 0
-            while (i < dim) { acc += (v(i) - m(i)) * bj(i); i += 1 }
-            y(j) = acc
-            w(j) = acc * s(j)
-            j += 1
-          }
-          (id, y.toIndexedSeq, w.toIndexedSeq)
-        }
-      }.toDF("vec_id", "proj", "white")
+    val s = whitenScales(eigs, r)
+    val plain = basis.map(_.toIndexedSeq).toIndexedSeq
+    val white = basis.zipWithIndex
+      .map { case (b, j) => b.map(_ * s(j)).toIndexedSeq }.toIndexedSeq
+    val muLit = typedlit(mu.toIndexedSeq)
+    df.select(col("vec_id").cast("long").as("vec_id"),
+      VectorOps.vecProject(spark, col("emb"), muLit, typedlit(plain))
+        .as("proj"),
+      VectorOps.vecProject(spark, col("emb"), muLit, typedlit(white))
+        .as("white"))
   }
 
   /** The REDUCED serving index — published only when the sim33 card
@@ -3534,6 +3505,49 @@ object Similarity {
         |    CAST(a.embedding AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id = 0 AND b.vec_id <> 0
         |ORDER BY cos_sim DESC, b.vec_id LIMIT 10""".stripMargin,
+    // sim32 (r19 verdict ask #5, the literal device turned on its own
+    // diagnosis): given the driver-solved eigenBASIS as a literal, the
+    // eigenVALUES are data-derived — the population variance of the
+    // corpus projected onto eigenvector j IS λ_j — so DuckDB reproduces
+    // the whole spectrum card (trace, top-3, share, PR, the collapse
+    // verdict) from per-projection var_pop aggregates. The solve's
+    // CLAIM (these directions diagonalize the covariance) is exactly
+    // what the replay cross-checks; only the solve itself stays
+    // spec-pinned on hand spectra.
+    "sim32_embedding_spectrum" ->
+      """WITH fin AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE embedding IS NOT NULL
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]),
+        |          x -> NOT isfinite(x))) = 0),
+        |p AS (
+        |  SELECT list_transform(__PCA_BASIS64__, b ->
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (emb[i] - (__PCA_MU64__)[i]) * b[i]))) AS proj
+        |  FROM fin),
+        |lam AS (
+        |  SELECT d.j AS j, var_pop(proj[d.j]) AS l
+        |  FROM p, (SELECT unnest(range(1, 65)) AS j) d
+        |  GROUP BY d.j),
+        |agg AS (
+        |  SELECT SUM(l) AS trace, SUM(l * l) AS l2,
+        |    MAX(CASE WHEN j = 1 THEN l END) AS e1,
+        |    MAX(CASE WHEN j = 2 THEN l END) AS e2,
+        |    MAX(CASE WHEN j = 3 THEN l END) AS e3
+        |  FROM lam)
+        |SELECT
+        |  (SELECT count(*) FROM fin) AS n_vecs,
+        |  CAST(64 AS INT) AS dim,
+        |  round(trace, 6) AS trace,
+        |  round(e1, 6) AS top1, round(e2, 6) AS top2, round(e3, 6) AS top3,
+        |  CASE WHEN trace > 0 THEN round(e1 / trace, 4)
+        |    ELSE 0.0 END AS top1_share,
+        |  CASE WHEN trace > 0 THEN round(trace * trace / l2, 4)
+        |    ELSE 0.0 END AS participation_ratio,
+        |  CASE WHEN trace <= 0 THEN TRUE
+        |    ELSE (e1 / trace >= 0.5 OR trace * trace / l2 <= 8.0)
+        |  END AS collapse_major
+        |FROM agg""".stripMargin,
     // sim33 (r19 verdict ask #5): the FULL card replayed from the
     // driver-solved basis as literals (__PCA_*__ tokens expand at dump
     // time — graft.OracleLiterals; the Jacobi solve is deterministic,

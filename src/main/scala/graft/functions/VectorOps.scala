@@ -264,6 +264,118 @@ case class VecArgminCell(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Centered affine projection in ONE fused codegen loop:
+  * y_j = Σ_i (x_i − μ_i)·B_{j,i} for each row j of the (possibly
+  * pre-scaled) basis — the per-row kernel behind sim33/sim34/sim35's
+  * PCA projection ([[graft.ext.Similarity.pcaProjectFrame]]). The
+  * typed-mapPartitions form it can replace deserializes every row to
+  * (Long, Seq[Double]) and back through the Dataset codec; this
+  * expression keeps the scan inside whole-stage codegen, reading the
+  * arrays directly from Tungsten rows and allocating only the r-double
+  * output (the receipt that adjudicates which form serves is
+  * BENCH_LOCAL_r20_projection_expr.json). Accumulation order per
+  * output coordinate matches the scalar loop exactly (i ascending,
+  * then the j-row scale folded INTO the basis row by the caller), so
+  * the two forms are bit-identical for unit scales. mu/basis arrive as
+  * ONE folded Literal each (typedLit — the VecArgminCell plan-size
+  * rule). A dim mismatch accumulates over the shared prefix
+  * min(lengths), like the sibling expressions. */
+case class VecProject(first: Expression, second: Expression,
+                      third: Expression) extends TernaryExpression {
+  override def prettyName: String = "vec_project"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  private def scalarElem(t: DataType): Option[DataType] = t match {
+    case ArrayType(FloatType, _)  => Some(FloatType)
+    case ArrayType(DoubleType, _) => Some(DoubleType)
+    case _                        => None
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (scalarElem(first.dataType), scalarElem(second.dataType),
+      third.dataType) match {
+      case (Some(_), Some(_), ArrayType(inner, _))
+          if scalarElem(inner).isDefined =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float|double> emb, " +
+          "array<float|double> mu, array<array<float|double>> basis), " +
+          s"got ${first.dataType.catalogString}, " +
+          s"${second.dataType.catalogString}, " +
+          s"${third.dataType.catalogString}")
+    }
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _                       => false
+  }
+  private def embIsFloat: Boolean = isFloat(first.dataType)
+  private def muIsFloat: Boolean = isFloat(second.dataType)
+  private def basisIsFloat: Boolean = third.dataType match {
+    case ArrayType(ArrayType(FloatType, _), _) => true
+    case _                                     => false
+  }
+  private def get(a: ArrayData, i: Int, f: Boolean): Double =
+    if (f) a.getFloat(i).toDouble else a.getDouble(i)
+  private def getter(arr: String, i: String, f: Boolean): String =
+    if (f) s"(double) $arr.getFloat($i)" else s"$arr.getDouble($i)"
+
+  override def nullSafeEval(e: Any, m: Any, b: Any): Any = {
+    val x = e.asInstanceOf[ArrayData]
+    val mu = m.asInstanceOf[ArrayData]
+    val bs = b.asInstanceOf[ArrayData]
+    val ef = embIsFloat; val mf = muIsFloat; val bf = basisIsFloat
+    val r = bs.numElements()
+    val y = new Array[Double](r)
+    var j = 0
+    while (j < r) {
+      val row = bs.getArray(j)
+      val n = math.min(math.min(x.numElements(), mu.numElements()),
+        row.numElements())
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        acc += (get(x, i, ef) - get(mu, i, mf)) * get(row, i, bf)
+        i += 1
+      }
+      y(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(y)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, mu, bs) => {
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      val row = ctx.freshName("row")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val y = ctx.freshName("y")
+      s"""
+         |int $r = $bs.numElements();
+         |double[] $y = new double[$r];
+         |for (int $j = 0; $j < $r; $j++) {
+         |  org.apache.spark.sql.catalyst.util.ArrayData $row = $bs.getArray($j);
+         |  int $n = java.lang.Math.min(
+         |    java.lang.Math.min($x.numElements(), $mu.numElements()),
+         |    $row.numElements());
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (${getter(x, i, embIsFloat)} - ${getter(mu, i, muIsFloat)})
+         |      * ${getter(row, i, basisIsFloat)};
+         |  }
+         |  $y[$j] = $acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($y);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): VecProject =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 object VectorOps {
   import org.apache.spark.sql.functions.call_function
 
@@ -278,6 +390,14 @@ object VectorOps {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_argmin_cell", exprs => VecArgminCell(exprs(0), exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_project", exprs => VecProject(exprs(0), exprs(1), exprs(2)),
+      "built-in")
+  }
+
+  def vecProject(spark: org.apache.spark.sql.SparkSession,
+                 emb: Column, mu: Column, basis: Column): Column = {
+    register(spark); call_function("vec_project", emb, mu, basis)
   }
 
   def vecArgminCell(spark: org.apache.spark.sql.SparkSession,

@@ -54,6 +54,55 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(top.map(_._2).toSeq == top.map(_._2).toSeq.sorted.reverse)
   }
 
+
+  test("vec_project is bit-identical to the scalar projection loop, " +
+    "handles float input, nulls, and dim-mismatch prefixes (r20)") {
+    val mu = Seq(0.5, -0.25, 0.0, 1.0)
+    val basis = Seq(Seq(1.0, 0.0, 0.0, 0.0), Seq(0.25, -0.5, 2.0, 0.125))
+    def scalar(x: Seq[Double]): Seq[Double] = basis.map { b =>
+      var acc = 0.0
+      var i = 0
+      while (i < 4) { acc += (x(i) - mu(i)) * b(i); i += 1 }
+      acc
+    }
+    val rows = Seq(
+      (1L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (2L, Seq(0.5, -0.25, 0.125, 8.0)),
+      (3L, Seq(1e-8, 1e8, -1e-8, -1e8)))
+    val got = rows.toDF("id", "x")
+      .select(col("id"), VectorOps.vecProject(spark, col("x"),
+        typedlit(mu), typedlit(basis)).as("p"))
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, x) =>
+      assert(got(id) == scalar(x), s"id $id: ${got(id)} != ${scalar(x)}")
+    }
+    // float embeddings read through the specialized getter
+    val gotF = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("id", "x")
+      .select(VectorOps.vecProject(spark, col("x"),
+        typedlit(mu), typedlit(basis)))
+      .as[Seq[Double]].head()
+    assert(gotF == scalar(Seq(1.0, 2.0, 3.0, 4.0)))
+    // null embedding -> null result (BinaryExpression null semantics)
+    val r = Seq((1L, Option.empty[Seq[Double]])).toDF("id", "x")
+      .select(VectorOps.vecProject(spark, col("x"),
+        typedlit(mu), typedlit(basis))).head()
+    assert(r.isNullAt(0))
+    // a short basis row accumulates over the shared prefix
+    val short = Seq((1L, Seq(2.0, 3.0, 5.0, 7.0))).toDF("id", "x")
+      .select(VectorOps.vecProject(spark, col("x"),
+        typedlit(mu), typedlit(Seq(Seq(1.0, 1.0))))).as[Seq[Double]].head()
+    assert(short == Seq((2.0 - 0.5) + (3.0 - (-0.25))))
+    // SQL-callable after registration (the VectorOps contract)
+    VectorOps.register(spark)
+    Seq((1L, Seq(1.0, 2.0, 3.0, 4.0))).toDF("id", "x")
+      .createOrReplaceTempView("vp_probe")
+    val viaSql = spark.sql(
+      "SELECT vec_project(x, array(0.5D, -0.25D, 0.0D, 1.0D), " +
+        "array(array(1.0D, 0.0D, 0.0D, 0.0D))) AS p FROM vp_probe")
+      .as[Seq[Double]].head()
+    assert(viaSql == Seq(0.5))
+  }
+
   test("vec_argmin_cell ≡ the HOF transform/aggregate/array_min/" +
     "array_position formulation it replaced, bit for bit — and ties " +
     "keep the FIRST minimal index") {
