@@ -31,6 +31,14 @@ object Sessions {
       // pid-suffixed so concurrent JVMs (Verify ∥ Bench) never collide.
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_${ProcessHandle.current().pid()}")
+      // The generated-code cache (source → compiled class) defaults to
+      // 100 entries — a ~260-query workload has thousands of distinct
+      // codegen units, so with the default every re-planned query
+      // re-runs janino compilation (pure DRIVER-side latency, paid
+      // again at every scale; r21 A/B at sf0.1: suite total-min
+      // 121.3 s → 100.6 s, median per-query ratio 0.889, identical
+      // results). Static conf: must be set at session build.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
       .config("spark.ui.enabled", "false")
 }
 

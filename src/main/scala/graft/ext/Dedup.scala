@@ -1169,8 +1169,10 @@ object Dedup {
         .crossJoin(semE.select(col("vec_id").as("id_b"),
           col("emb").as("emb_b")))
         .filter(col("id_a") < col("id_b"))
-        .filter(round(Similarity.cosine(col("emb_a"), col("emb_b")), 4)
-          >= D50Tau))
+        // fused codegen cosine (r21) — bit-identical to the HOF form;
+        // this slice×corpus truth scan dominated the cold d49 build
+        .filter(round(graft.functions.VectorOps.vecCosine(spark,
+          col("emb_a"), col("emb_b")), 4) >= D50Tau))
     val semServed = pairSet(
       semDedupParts(semAssigned, semCenters, D50Tau)._1
         .select(col("id_a"), col("id_b")))
@@ -1245,8 +1247,11 @@ object Dedup {
     val cLit = typedLit(centers.map(_.toSeq).toSeq)
     val prioDocs = assigned.select(col("vec_id").as("doc_id"),
       col("cell"),
-      round(Similarity.cosine(col("emb"),
-        element_at(cLit, col("cell") + 1)), 4).as("cent_sim"))
+      // fused codegen cosine (r21) — same ascending-i sums and division
+      // as the zip_with/aggregate HOF it replaces, bit-identical on the
+      // equal-dim (emb, centroid) inputs every caller feeds
+      round(graft.functions.VectorOps.vecCosine(assigned.sparkSession,
+        col("emb"), element_at(cLit, col("cell") + 1)), 4).as("cent_sim"))
     val kept = keepBest(prioDocs,
       pairs.select(col("id_a"), col("id_b")), -col("cent_sim"))
       .join(prioDocs.select(col("doc_id"), col("cell")), Seq("doc_id"))

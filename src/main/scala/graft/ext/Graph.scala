@@ -12,10 +12,11 @@ import graft.Tables
   * by CO-PRESENCE need not be a hub by event count).
   *
   * 100 TB design notes:
-  * - Each iteration is the canonical two-join dataflow: ranks ⋈ edges
+  * - Each iteration is the canonical one-join dataflow: ranks ⋈ edges
   *   (contribution scatter, the one edge-sized shuffle an iteration
   *   fundamentally needs) + a map-side-combined gather by destination.
-  *   Degree and rank frames stay node-sized.
+  *   Source degree is pre-attached to the checkpointed edge frame, so
+  *   no per-iteration degree join exists; rank frames stay node-sized.
   * - `localCheckpoint` after every iteration TRUNCATES LINEAGE — without
   *   it the plan doubles per iteration and the job dies re-planning, the
   *   classic iterative-Spark failure. Checkpoint cost is one node-sized
@@ -92,35 +93,36 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val (bi, outDeg, nodes) = undirectedPrep(edges)
+    val (biDeg, nodes) = undirectedPrep(edges)
     val n = math.max(1L, nodes.count())
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("rank", lit(1.0 / n))
     var i = 1
     var done = false
     while (i <= iters && !done) {
-      // rank/degree divides NODE-side first, so the iteration's only
-      // edge-sized join is the scatter itself — joining outDeg onto the
-      // edge frame would double the per-iteration edge-cardinality work
-      val perEdge = ranks.withColumnRenamed("node", "src")
-        .join(outDeg, Seq("src"))
-        .select(col("src"), (col("rank") / col("deg")).as("rpd"))
-      val contribs = bi.join(perEdge, Seq("src"))
-        .select(col("dst").as("node"), col("rpd").as("c"))
+      // the iteration's ONLY join is the scatter itself: source degree
+      // rides on the checkpointed edge frame (attached once in
+      // undirectedPrep), and every node has >= 1 in-edge in the
+      // symmetric frame, so the gather's output IS the full node set —
+      // r21: this removes the two node-sized joins (rank/deg divide,
+      // node re-attach) each round previously paid
+      val contribs = biDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("sdeg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
-      val next = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + lit(damping) * coalesce(col("in_rank"), lit(0.0)))
-            .as("rank"))
+      val next = contribs.select(col("node"),
+        (lit(base) + lit(damping) * col("in_rank")).as("rank"))
       val pinned =
         if (i % checkpointEvery == 0 || i == iters ||
           convergeTol.nonEmpty) next.localCheckpoint(true)
         else next
       convergeTol.foreach { tol =>
-        val moved = pinned.withColumnRenamed("rank", "r2")
+        val movedRow = pinned.withColumnRenamed("rank", "r2")
           .join(ranks, Seq("node"))
-          .agg(sum(abs(col("r2") - col("rank")))).head().getDouble(0)
-        if (moved < tol) done = true
+          .agg(sum(abs(col("r2") - col("rank")))).head()
+        // empty graph: sum-over-nothing is NULL, not a throw (advice r20)
+        if (!movedRow.isNullAt(0) && movedRow.getDouble(0) < tol) done = true
       }
       ranks = pinned
       i += 1
@@ -130,22 +132,23 @@ object Graph {
 
   /** Shared undirected-graph prep for the rank family: bidirectional
     * edge frame (self loops filtered AFTER the direction union — a
-    * reversed self loop is still a self loop), out-degrees, node set —
-    * each pinned with eager `localCheckpoint` (iterations re-read all
-    * three every round). */
+    * reversed self loop is still a self loop) with the SOURCE degree
+    * pre-attached (r21: pay the degree join once here instead of a
+    * rank/deg node join every iteration), plus the node set — both
+    * pinned with eager `localCheckpoint` (iterations re-read them
+    * every round). Returns (biDeg(src, dst, sdeg), nodes(node)). */
   private def undirectedPrep(edges: DataFrame)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val bi = edges
       .select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
       .distinct()
+    val outDeg = bi.groupBy(col("src")).agg(count(lit(1)).as("sdeg"))
+    val biDeg = bi.join(outDeg, Seq("src")).localCheckpoint(true)
+    val nodes = biDeg.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
-    val outDeg = bi.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true)
-    val nodes = bi.select(col("src").as("node")).distinct()
-      .localCheckpoint(true)
-    (bi, outDeg, nodes)
+    (biDeg, nodes)
   }
 
   /** Personalized PageRank (random walk with restart, Page et al. 1999
@@ -166,7 +169,7 @@ object Graph {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(checkpointEvery >= 1,
       s"checkpointEvery must be >= 1, got $checkpointEvery")
-    val (bi, outDeg, nodes) = undirectedPrep(edges)
+    val (biDeg, nodes) = undirectedPrep(edges)
     if (nodes.filter(col("node") === seedNode).isEmpty)
       return nodes.withColumn("rank", lit(0.0)).limit(0)
     val seedMass =
@@ -175,25 +178,27 @@ object Graph {
     var i = 1
     var done = false
     while (i <= iters && !done) {
-      val perEdge = ranks.withColumnRenamed("node", "src")
-        .join(outDeg, Seq("src"))
-        .select(col("src"), (col("rank") / col("deg")).as("rpd"))
-      val contribs = bi.join(perEdge, Seq("src"))
-        .select(col("dst").as("node"), col("rpd").as("c"))
+      // same one-join iteration as pageRank (source degree pre-attached
+      // to the edge frame; the gather covers every node by symmetry),
+      // with the reset mass concentrated on the seed
+      val contribs = biDeg
+        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"),
+          (col("rank") / col("sdeg")).as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("in_rank"))
-      val next = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (seedMass * lit(1.0 - damping) +
-            lit(damping) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+      val next = contribs.select(col("node"),
+        (seedMass * lit(1.0 - damping) +
+          lit(damping) * col("in_rank")).as("rank"))
       val pinned =
         if (i % checkpointEvery == 0 || i == iters ||
           convergeTol.nonEmpty) next.localCheckpoint(true)
         else next
       convergeTol.foreach { tol =>
-        val moved = pinned.withColumnRenamed("rank", "r2")
+        val movedRow = pinned.withColumnRenamed("rank", "r2")
           .join(ranks, Seq("node"))
-          .agg(sum(abs(col("r2") - col("rank")))).head().getDouble(0)
-        if (moved < tol) done = true
+          .agg(sum(abs(col("r2") - col("rank")))).head()
+        // empty graph: sum-over-nothing is NULL, not a throw (advice r20)
+        if (!movedRow.isNullAt(0) && movedRow.getDouble(0) < tol) done = true
       }
       ranks = pinned
       i += 1
@@ -528,8 +533,17 @@ object Graph {
     import spark.implicits._
     val edges = graphFor(spark, dir)._2
       .select(col("user_a").as("a"), col("user_b").as("b"))
+    // NESTED peel (r21): cores are nested — core_k(G) ⊆ core_j(G) for
+    // j ≤ k — and the k-core of any subgraph H with core_k(G) ⊆ H ⊆ G
+    // equals core_k(G), so each sweep rung peels from the PREVIOUS
+    // core instead of the full graph. Outputs identical by
+    // construction (GraphSpec pins nested ≡ from-scratch); the k = 8
+    // and k = 32 rungs start from frames the k = 2 peel already
+    // shrank, skipping the rounds that re-peel the same weak shell.
+    var base = edges
     val rows = Seq(2, 8, 32).map { k =>
-      val core = kCoreEdges(edges, k)
+      val core = kCoreEdges(base, k)
+      base = core
       val nNodes = core.select(col("a").as("n"))
         .unionByName(core.select(col("b").as("n"))).distinct().count()
       (k, nNodes, core.count())

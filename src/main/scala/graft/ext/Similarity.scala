@@ -161,16 +161,26 @@ object Similarity {
     * before the abs-error arithmetic (the t6 libm discipline). */
   def sim19RandomProjection(spark: SparkSession, dir: String,
                             k: Int = 16, dim: Int = 64): DataFrame = {
-    def project(emb: Column): Column =
-      transform(sequence(lit(0), lit(k - 1)), j =>
-        aggregate(sequence(lit(0), lit(dim - 1)), lit(0.0), (acc, i) =>
-          acc + element_at(emb, i + 1).cast("double") *
-            when(graft.functions.IdHash.bucket(
-              (i * k + j).cast("long"), 2) === 0, 1.0).otherwise(-1.0)))
+    // The ±1 sign matrix is a pure function of (i, j) — evaluate the
+    // hash at PLAN-BUILD time into a folded literal basis and project
+    // through the fused codegen [[graft.functions.VecProject]] (r21:
+    // the k·dim-term interpreted HOF this replaces ran ~1024 lambda
+    // terms per row, twice per row across the self-join — the same
+    // ~1.4 µs/term class the r19/r20 receipts measured; VecProject
+    // accumulates ascending-i from 0.0 with (x − 0.0) = x, so the
+    // projection is BIT-IDENTICAL, differential-checked at both SFs).
+    val basis = IndexedSeq.tabulate(k) { j =>
+      IndexedSeq.tabulate(dim) { i =>
+        if (graft.functions.IdHash.bucketLong((i * k + j).toLong, 2) == 0L)
+          1.0 else -1.0
+      }
+    }
+    val muZero = IndexedSeq.fill(dim)(0.0)
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("emb"))
-      .withColumn("proj", project(col("emb")))
+      .withColumn("proj", VectorOps.vecProject(spark, col("emb"),
+        typedlit(muZero), typedlit(basis)))
     val a = e.select(col("vec_id"), col("label"), col("emb").as("emb_a"),
       col("proj").as("proj_a"))
     val b = e.select((col("vec_id") - 1).as("vec_id"),
@@ -181,10 +191,12 @@ object Similarity {
     // and can land either side of the report's own rounding boundary —
     // integer sums cannot (the a21/d40 exact-moments discipline).
     a.join(b, Seq("vec_id"))
+      // fused codegen cosine (same ascending-i sums, same division —
+      // bit-identical to the zip_with/aggregate HOF on equal-dim inputs)
       .withColumn("cos_orig",
-        round(cosine(col("emb_a"), col("emb_b")), 4))
+        round(VectorOps.vecCosine(spark, col("emb_a"), col("emb_b")), 4))
       .withColumn("cos_proj",
-        round(cosine(col("proj_a"), col("proj_b")), 4))
+        round(VectorOps.vecCosine(spark, col("proj_a"), col("proj_b")), 4))
       .filter(!isnan(col("cos_orig")) && !isnan(col("cos_proj")))
       .withColumn("co", round(col("cos_orig") * 10000, 0).cast("long"))
       .withColumn("cp", round(col("cos_proj") * 10000, 0).cast("long"))
@@ -1863,24 +1875,38 @@ object Similarity {
       embeddings.filter(col("embedding").isNotNull)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb")),
       mu, vecs.take(r), Array.fill(r)(1.0))
-    val q = e.filter(col("vec_id") === 0)
-      .select(col("emb").as("qemb"), col("proj").as("qproj"))
-    val probeOk = q.take(1).nonEmpty
+    // the benchmark lookup is ONE row — collect it (the g7/sim14
+    // bounded-collect contract) and inline it as literals, instead of
+    // the crossJoin(broadcast(q)) that re-ran the projection scan to
+    // BUILD the broadcast for every probe (r21)
+    val qRows = e.filter(col("vec_id") === 0)
+      .select(col("emb").as("qemb"), col("proj").as("qproj")).take(1)
+    val probeOk = qRows.nonEmpty
     def rd4(x: Double) = BigDecimal(x)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
     val recall: Option[Double] = if (!probeOk) None else {
-      val scored = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      val qemb = typedlit(qRows.head.getSeq[Double](0))
+      val qproj = typedlit(qRows.head.getSeq[Double](1))
       // round-4 BEFORE ranking with vec_id tie-breaks (the sim1/sim26
       // exactness device) — the candidate set is engine-identical, so
       // the DuckDB oracle can replay the whole probe from the basis
-      // literals (r19 verdict ask #5)
-      def top10(score: Column): Set[Long] = scored
-        .select(col("vec_id"), round(score, 4).as("c"))
+      // literals (r19 verdict ask #5). BOTH scores come out of ONE
+      // projection scan pinned as a narrow (vec_id, ct, cp) frame
+      // (r21: the truth and reduced top-10s previously each re-ran the
+      // full projection scan); the two rank probes are limit-10 sorts
+      // over the pinned narrow rows.
+      val scored = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(VectorOps.vecCosine(spark, col("emb"), qemb), 4).as("ct"),
+          round(VectorOps.vecCosine(spark, col("proj"), qproj), 4).as("cp"))
+        .localCheckpoint(true)
+      def top10(c: String): Set[Long] = scored
+        .select(col("vec_id"), col(c).as("c"))
         .filter(!isnan(col("c")))
         .orderBy(col("c").desc, col("vec_id"))
         .limit(10).collect().map(_.getLong(0)).toSet
-      val truth = top10(VectorOps.vecCosine(spark, col("emb"), col("qemb")))
-      val got = top10(VectorOps.vecCosine(spark, col("proj"), col("qproj")))
+      val truth = top10("ct")
+      val got = top10("cp")
       Some(if (truth.isEmpty) 0.0
       else rd4((got & truth).size.toDouble / truth.size))
     }
@@ -1949,35 +1975,46 @@ object Similarity {
     val proj = pcaProjectFrame(
       embeddings.filter(col("embedding").isNotNull)
         .select(col("vec_id"), asDouble(col("embedding")).as("emb")),
-      mu, vecs, Array.fill(dim)(1.0)).localCheckpoint(true)
-    val q = proj.filter(col("vec_id") === 0)
-      .select(col("emb").as("qemb"), col("proj").as("qproj"))
-    val probeOk = q.take(1).nonEmpty
+      mu, vecs, Array.fill(dim)(1.0))
+    // the benchmark lookup is ONE row — collect it and inline it as
+    // literals (the pcaDecisionOf r21 device): every per-r probe then
+    // reads a narrow pinned score frame instead of re-broadcasting the
+    // probe and re-scanning d-dim rows
+    val qRows = proj.filter(col("vec_id") === 0)
+      .select(col("emb").as("qemb"), col("proj").as("qproj")).take(1)
+    val probeOk = qRows.nonEmpty
     // round-4 before ranking, vec_id tie-breaks — the same device as
-    // pcaDecisionOf, so the r = 16 row stays in LOCKSTEP with sim33
-    val truth: Set[Long] = if (!probeOk) Set.empty else {
-      val scored = proj.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
-      scored.select(col("vec_id"),
-        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
-          .as("c"))
-        .filter(!isnan(col("c")))
-        .orderBy(col("c").desc, col("vec_id"))
-        .limit(10).collect().map(_.getLong(0)).toSet
+    // pcaDecisionOf, so the r = 16 row stays in LOCKSTEP with sim33.
+    // ONE corpus-sized scan computes the full-space cosine AND every
+    // rank's prefix cosine (prefix slices of the same projection);
+    // what pins is the (vec_id, ct, c_r…) frame — 1 + |rs| doubles per
+    // row instead of the 2·d-double projection frame the per-r probes
+    // previously re-scanned (r21: 6 wide scans → 1 wide + |rs|+1
+    // narrow limit-10 sorts).
+    val scored: DataFrame = if (!probeOk) null else {
+      val qemb = typedlit(qRows.head.getSeq[Double](0))
+      val qproj = qRows.head.getSeq[Double](1)
+      proj.filter(col("vec_id") =!= 0)
+        .select(col("vec_id") +:
+          round(VectorOps.vecCosine(spark, col("emb"), qemb), 4).as("ct") +:
+          rs.sorted.map(r =>
+            round(VectorOps.vecCosine(spark, slice(col("proj"), 1, r),
+              typedlit(qproj.take(r))), 4).as(s"c_$r")): _*)
+        .localCheckpoint(true)
     }
+    def top10(c: String): Set[Long] = scored
+      .select(col("vec_id"), col(c).as("c"))
+      .filter(!isnan(col("c")))
+      .orderBy(col("c").desc, col("vec_id"))
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val truth: Set[Long] = if (!probeOk) Set.empty else top10("ct")
     val rows = rs.sorted.map { r =>
       val varCap = if (trace > 0) eigs.take(r).sum / trace else 0.0
       val recall: Option[Double] =
         if (!probeOk) None
         else if (truth.isEmpty) Some(0.0)
         else {
-          val scored = proj.filter(col("vec_id") =!= 0)
-            .crossJoin(broadcast(q))
-          val got = scored.select(col("vec_id"),
-            round(VectorOps.vecCosine(spark, slice(col("proj"), 1, r),
-              slice(col("qproj"), 1, r)), 4).as("c"))
-            .filter(!isnan(col("c")))
-            .orderBy(col("c").desc, col("vec_id"))
-            .limit(10).collect().map(_.getLong(0)).toSet
+          val got = top10(s"c_$r")
           Some(rd4((got & truth).size.toDouble / truth.size))
         }
       (n, dim, r, rd4(varCap), recall, probeOk, rd4(r.toDouble / dim))

@@ -29,6 +29,16 @@ object IdHash {
     floor(pmod((id % Prime) * Knuth, lit(Mod32)) *
       lit(buckets.toLong) / lit(Mod32.toDouble)).cast("long")
 
+  /** The same bucket as driver-side Scala over a NON-NEGATIVE long id —
+    * for literal-basis builders (sim19's sign matrix) that evaluate the
+    * hash at plan-build time instead of per row. Arithmetic mirrors
+    * [[bucket]] term for term (pmod of a non-negative product is plain
+    * %; the scaled division is the same exact-double op). */
+  def bucketLong(id: Long, buckets: Int): Long = {
+    val h = ((id % Prime) * Knuth) % Mod32
+    math.floor(h * buckets / Mod32.toDouble).toLong
+  }
+
   /** The same bucket as a DuckDB SQL fragment over `idExpr`
     * ((+2^32) % 2^32 is DuckDB's pmod — its % keeps the sign). */
   def sql(idExpr: String, buckets: Int): String =

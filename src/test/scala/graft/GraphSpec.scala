@@ -167,6 +167,29 @@ class GraphSpec extends AnyFunSuite {
     assert(!twoCore.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("nested peel equals from-scratch: core_k(core_j(G)) = core_k(G) " +
+    "for j <= k — the r21 g4 sweep optimization's correctness claim") {
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (7L, 8L), (8L, 9L), (7L, 9L))
+      .toDF("a", "b")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val core2 = Graph.kCoreEdges(edges, 2)
+    assert(pairs(Graph.kCoreEdges(core2, 3)) ==
+      pairs(Graph.kCoreEdges(edges, 3)))
+    val core3 = Graph.kCoreEdges(core2, 3)
+    assert(pairs(Graph.kCoreEdges(core3, 4)) ==
+      pairs(Graph.kCoreEdges(edges, 4)))
+  }
+
+  test("convergeTol on an empty graph returns empty instead of NPE " +
+    "(advice r20: sum over the empty ranks frame reads NULL)") {
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Graph.pageRank(none, convergeTol = Some(1e-6)).isEmpty)
+    assert(Graph.personalizedPageRank(none, seedNode = 1L,
+      convergeTol = Some(1e-6)).isEmpty)
+  }
+
   test("audience overlap: hand-computed Jaccard on planted audiences (G6)") {
     def ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     // X's audience {1,2,3}, Y's {2,3,4} (user 2 hits Y twice — the
