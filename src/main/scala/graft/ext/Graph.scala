@@ -259,19 +259,28 @@ object Graph {
     * graph. Unlike g1's iterated fixpoint this is fully SQL-expressible
     * — the graph tier's VALUE-oracled leg. */
   def g2TriangleCount(spark: SparkSession, dir: String): DataFrame =
-    triangleStats(graphFor(spark, dir)._2
+    // the memoized co-presence edges are ALREADY canonical (a<b, distinct
+    // by construction of the overlap groupBy) and already pinned — skip
+    // the kernel's canonicalize+distinct+checkpoint re-materialization
+    // (r21; identity on canonical input, differential-checked)
+    triangleStatsCanonical(graphFor(spark, dir)._2
       .select(col("user_a").as("a"), col("user_b").as("b")))
 
   /** The census kernel over any undirected edge list — canonicalized to
     * a<b internally (reversed duplicates collapse, self loops drop), so
     * the kernel is total rather than precondition-bound: a caller
     * passing (2,1) or both orientations still gets the right census. */
-  def triangleStats(edges: DataFrame): DataFrame = {
-    val e = edges
+  def triangleStats(edges: DataFrame): DataFrame =
+    triangleStatsCanonical(edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true))
+
+  /** The census tail over an edge list the CALLER guarantees canonical
+    * (a < b, distinct, already materialized/pinned — the registered
+    * co-presence path). */
+  private def triangleStatsCanonical(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -334,16 +343,19 @@ object Graph {
     * anywhere. Nodes with d < 2 have no defined cc and sit outside
     * the card (the standard convention). */
   def g11LocalClustering(spark: SparkSession, dir: String): DataFrame =
-    localClustering(graphFor(spark, dir)._2
+    // canonical pinned input — same r21 shortcut as g2
+    localClusteringCanonical(graphFor(spark, dir)._2
       .select(col("user_a").as("a"), col("user_b").as("b")))
 
-  def localClustering(edges: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val e = edges
+  def localClustering(edges: DataFrame): DataFrame =
+    localClusteringCanonical(edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true))
+
+  private def localClusteringCanonical(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -400,7 +412,8 @@ object Graph {
     * degree-regular graph (zero variance: every star or clique —
     * engines disagree on 0/0, we agree on NULL). */
   def g3DegreeStats(spark: SparkSession, dir: String): DataFrame =
-    degreeStats(graphFor(spark, dir)._2
+    // canonical pinned input — same r21 shortcut as g2
+    degreeStatsCanonical(graphFor(spark, dir)._2
       .select(col("user_a").as("a"), col("user_b").as("b")))
 
   /** The degree-card kernel over any undirected edge list (canonicalized
@@ -424,17 +437,20 @@ object Graph {
     * and counts exact longs, ln/regression the only floats,
     * rounds(4). */
   def g10DegreePowerlaw(spark: SparkSession, dir: String): DataFrame =
-    degreePowerlaw(graphFor(spark, dir)._2
+    // canonical pinned input — same r21 shortcut as g2
+    degreePowerlawCanonical(graphFor(spark, dir)._2
       .select(col("user_a").as("a"), col("user_b").as("b")))
 
   /** The power-law kernel over any undirected edge list (canonicalized
     * like [[degreeStats]]). One row out. */
-  def degreePowerlaw(edges: DataFrame): DataFrame = {
-    val e = edges
+  def degreePowerlaw(edges: DataFrame): DataFrame =
+    degreePowerlawCanonical(edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct()
+      .distinct())
+
+  private def degreePowerlawCanonical(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -446,12 +462,14 @@ object Graph {
       round(expr("regr_r2(ln(cnt), ln(d))"), 4).as("r2"))
   }
 
-  def degreeStats(edges: DataFrame): DataFrame = {
-    val e = edges
+  def degreeStats(edges: DataFrame): DataFrame =
+    degreeStatsCanonical(edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true))
+
+  private def degreeStatsCanonical(e: DataFrame): DataFrame = {
     val deg = e.select(col("a").as("n"))
       .unionByName(e.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -506,12 +524,15 @@ object Graph {
     * count. Rows-only like g1: an iterated fixpoint has no tractable
     * SQL form — the semantics pin is the planted K4+triangle+pendant
     * spec where every core is hand-countable. */
-  def kCoreEdges(edges: DataFrame, k: Int): DataFrame = {
-    var e = edges
+  def kCoreEdges(edges: DataFrame, k: Int): DataFrame =
+    kCorePeel(edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct().localCheckpoint(true)
+      .distinct().localCheckpoint(true), k)
+
+  private def kCorePeel(canonical: DataFrame, k: Int): DataFrame = {
+    var e = canonical
     var done = false
     while (!done) {
       val deg = e.select(col("a").as("n"))
@@ -540,9 +561,12 @@ object Graph {
     // construction (GraphSpec pins nested ≡ from-scratch); the k = 8
     // and k = 32 rungs start from frames the k = 2 peel already
     // shrank, skipping the rounds that re-peel the same weak shell.
+    // canonical pinned input (same r21 shortcut as g2); each later rung's
+    // input is the previous rung's core — canonical and checkpointed by
+    // the peel loop itself
     var base = edges
     val rows = Seq(2, 8, 32).map { k =>
-      val core = kCoreEdges(base, k)
+      val core = kCorePeel(base, k)
       base = core
       val nNodes = core.select(col("a").as("n"))
         .unionByName(core.select(col("b").as("n"))).distinct().count()
@@ -581,6 +605,12 @@ object Graph {
     * independent of the oracle's closure replay. */
   private[graft] def componentCensus(nodes: DataFrame,
       pairs: DataFrame): DataFrame =
+    // r21 probe note: routing this through connectedComponentsPinned
+    // (skipping the pairs checkpoint, since g5's pairs project off the
+    // pinned co-presence view) measured consistently SLOWER at sf0.1
+    // (1.39/1.40 → 1.57/1.51 s min-of-7, two runs per side): the
+    // small-graph path's count + collect then re-plan and re-scan the
+    // view twice instead of reading one materialized frame. Kept as-is.
     Dedup.connectedComponents(nodes, pairs)
       .groupBy(col("label").as("component_id"))
       .agg(count(lit(1)).as("n_nodes"))
@@ -740,6 +770,10 @@ object Graph {
         .agg(max_by(col("label"),
           struct(col("cnt"), (col("label") * -1).as("neg"))).as("label"))
         .select(col("src").as("node"), col("label"))
+      // (r21 probe note: fusing the changed-probe join into the
+      // checkpoint materialization measured a wash at sf0.1 — the
+      // probe join job it saves costs about what the wider pinned
+      // frame adds — so the registered shape stays.)
       val pinned =
         if (i % checkpointEvery == 0 || i == rounds || earlyExit)
           next.localCheckpoint(true)
