@@ -198,10 +198,11 @@ class CensusSpec extends AnyFunSuite {
                                    // joins/aggs (measured 3 + 1; the
                                    // counts/full pins stop the scan
                                    // from re-running per consumer)
-    "g10_degree_powerlaw" -> 6,    // edge dedup + degree agg +
-                                   // histogram agg + the one-row
-                                   // regression (measured 5 + 1; the
-                                   // spans build itself is memoized)
+    "g10_degree_powerlaw" -> 4,    // degree agg + histogram agg + the
+                                   // one-row regression over the
+                                   // canonical memoized edges (measured
+                                   // 3 + 1 after the r21 canonical-input
+                                   // tail dropped the re-dedup shuffle)
     "a38_srm_guard" -> 4,          // journeys agg + day agg + the
                                    // day-frame cumulative window
                                    // (measured 3 + 1)
