@@ -209,17 +209,40 @@ object Bench {
       s""""$n":{"median":${median(ts)},"min":${minOf(ts)},"runs":[${ts.mkString(",")}]}"""
     }.mkString("{", ",", "}")
     val failedJson = failures.keys.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val fullJson =
+      s"""{"sf":"$sfDir","corpus_fp":"$corpusFp","cpus":$cpus,"reps":$reps,$probeJson,"total_median_sec":$total,"total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$perQuery}"""
     val w = new java.io.PrintWriter(outPath)
-    try w.println(
-      s"""{"sf":"$sfDir","corpus_fp":"$corpusFp","reps":$reps,$probeJson,"total_median_sec":$total,"total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"queries":$perQuery}""")
+    try w.println(fullJson)
     finally w.close()
+    // Stamped immutable copy (r21 verdict ask #2): successive driver runs
+    // OVERWRITE bench_out.json (the r21 32-core per-query results were
+    // lost to the later 8-core run), which blinds per-query
+    // round-over-round adjudication. The one-line stdout JSON cannot
+    // carry 260 per-query numbers — the driver's tail capture is 2000
+    // chars and the r19 attempt truncated mid-token — so instead every
+    // run ALSO writes its full results to a unique history file keyed on
+    // corpus fingerprint, core count and wall-clock millis. Additive:
+    // bench_out.json and the stdout line keep their exact prior fields.
+    val histDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history"))
+    val histPath = try {
+      histDir.mkdirs()
+      val f = new java.io.File(histDir,
+        s"bench_${corpusFp}_c${cpus}_${System.currentTimeMillis()}.json")
+      val hw = new java.io.PrintWriter(f)
+      try hw.println(fullJson) finally hw.close()
+      f.getPath
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] history copy failed: ${e.getMessage}")
+      ""
+    }
     // The stdout line stays UNDER the driver's tail-capture size (r19
     // verdict bookkeeping nit: BENCH_r19.json's parsed field was null
     // because the per-query map pushed the line past the capture and
     // truncated the JSON mid-token). Per-query values live ONLY in the
     // full_results file — the artifact of record since r8; the one-line
     // summary carries the totals, the failure census, and the pointer.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","corpus_fp":"$corpusFp","total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"sf":"$sfDir","reps":$reps,$probeJson,"full_results":"$outPath"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","corpus_fp":"$corpusFp","total_min_sec":$totalMin,"n_queries":${runs.size},"n_failed":${failures.size},"failed":$failedJson,"sf":"$sfDir","reps":$reps,$probeJson,"full_results":"$outPath","history":"$histPath"}""")
     spark.stop()
   }
 }

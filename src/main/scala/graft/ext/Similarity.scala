@@ -81,6 +81,7 @@ object Similarity {
     * r13 — the exact case this doc names). */
   def invalidateCaches(spark: SparkSession): Unit = {
     sizeCache.synchronized(sizeCache.remove(spark))
+    covSketchCache.synchronized(covSketchCache.remove(spark))
     gateCache.synchronized(gateCache.remove(spark))
     ivfCache.synchronized(ivfCache.remove(spark))
     commitCardCache.synchronized(commitCardCache.remove(spark))
@@ -90,6 +91,7 @@ object Similarity {
     Classify.invalidateCaches(spark)
     TextStats.invalidateCaches(spark)
     Graph.invalidateCaches(spark)
+    WindowFns.invalidateCaches(spark)
   }
 
   /** SIM1 — brute-force cosine top-k vs the vec_id=0 query vector. */
@@ -233,14 +235,30 @@ object Similarity {
     def ids(q: String): Set[Long] =
       queries(q)(spark, dir).select(col("vec_id"))
         .collect().map(_.getLong(0)).toSet
-    val truth = ids("sim1_cosine_topk")
     val methods = Seq("brute" -> "sim1_cosine_topk",
       "lsh" -> "sim2_ann_lsh", "ivf" -> "sim4_ivf_ann",
       "binary" -> "sim15_binary_ann", "ivfpq" -> "sim16_ivfpq_ann",
       "int8" -> "sim21_int8_ann",
       "matryoshka" -> "sim26_matryoshka_ann")
-    methods.map { case (name, q) =>
-      val got = ids(q)
+    // The seven sibling serves are INDEPENDENT top-10 jobs (each reads
+    // its own memoized index or the raw corpus); overlap them from a
+    // bounded driver pool (guide §2.6, the s19 device — r22) instead
+    // of running seven corpus scans back to back. Each method's result
+    // set is exactly the sequential one (the methods never read each
+    // other); the scorecard arithmetic below waits for all of them.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val byMethod: Map[String, Set[Long]] = try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(methods.map { case (name, q) =>
+          scala.concurrent.Future(name -> ids(q))
+        }),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+    val truth = byMethod("brute")
+    methods.map { case (name, _) =>
+      val got = byMethod(name)
       val hit = (got & truth).size.toLong
       (name, got.size.toLong, hit,
         BigDecimal(hit.toDouble / truth.size)
@@ -1509,16 +1527,21 @@ object Similarity {
         sum(when(col("norm") < 0.5, 1L).otherwise(0L)).as("n_small"))
       .orderBy(col("label"))
 
-  /** Batch IVF serving for a bounded query frame at one nProbe: probe
-    * planning runs IN the plan — a Q×k centroid cross join plus a
-    * per-query top-nProbe window, both query-workload-sized — so a
-    * query BATCH serves with no per-query driver loop (the loop-shaped
-    * alternative schedules Q jobs; this is one). The corpus-side work
-    * is one equi-join of the probed (q_id, cell) pairs against the
-    * cell-assigned index — exactly the pruning IVF exists to buy. */
-  private def ivfServeBatch(spark: SparkSession, index: IvfIndex,
-                            queries: DataFrame, nProbe: Int,
-                            topK: Int): DataFrame = {
+  /** Batch IVF serving scan for a bounded query frame at the LARGEST
+    * nProbe a consumer will read: probe planning runs IN the plan — a
+    * Q×k centroid cross join plus a per-query probe-rank window, both
+    * query-workload-sized — so a query BATCH serves with no per-query
+    * driver loop (the loop-shaped alternative schedules Q jobs; this is
+    * one). The corpus-side work is one equi-join of the probed (q_id,
+    * cell) pairs against the cell-assigned index — exactly the pruning
+    * IVF exists to buy. Emits the probe rank alongside each scored
+    * candidate because probe sets NEST (same (dist, cell) centroid
+    * ordering for every nProbe): the nProbe-p serve is exactly the
+    * rows with cell_rank ≤ p, so a recall GRID is per-point filters
+    * over this one scan instead of one corpus scan per grid point
+    * (r22, guide §2.3/§2.4). */
+  private def ivfScoredScan(spark: SparkSession, index: IvfIndex,
+                            queries: DataFrame, maxProbe: Int): DataFrame = {
     import spark.implicits._
     val centersDf = index.centers.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "cemb")
@@ -1529,20 +1552,15 @@ object Similarity {
     val probed = q.crossJoin(broadcast(centersDf))
       .withColumn("dist", aggregate(zip_with(col("qemb"), col("cemb"),
         (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col("qemb"), col("cell"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      .withColumn("cell_rank", row_number().over(wProbe))
+      .filter(col("cell_rank") <= maxProbe)
+      .select(col("q_id"), col("qemb"), col("cell"), col("cell_rank"))
     index.assigned.join(broadcast(probed), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
+      .select(col("q_id"), col("vec_id"), col("cell_rank"),
         round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
           .as("cos_sim"))
       .filter(!isnan(col("cos_sim")))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= topK)
-      .select(col("q_id"), col("vec_id"))
   }
 
   /** SIM11 — the ANN self-evaluation every deployment runs to TUNE
@@ -1568,20 +1586,49 @@ object Similarity {
       // materialization instead of 2×|probes| ground-truth recomputes
       .localCheckpoint(true)
     val nExact = exact.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
-    val perProbe = probes.map { p =>
-      val hits = ivfServeBatch(spark, idx, queries, p, topK)
-        .join(exact, Seq("q_id", "vec_id"), "left_semi")
-        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-      nExact.join(hits, Seq("q_id"), "left")
-        .select((coalesce(col("n_hit"), lit(0L)).cast("double") /
+    // ONE serving scan at max(probes), pinned narrow (r22, guide
+    // §2.3/§2.4): probe sets nest, so every grid point's candidate set
+    // is a cell_rank filter over this frame — |probes| corpus scans +
+    // cosine passes collapse to one. The per-probe top-K windows and
+    // recall aggregates likewise collapse into ONE probe-tagged pass
+    // (explode the literal probe list, filter cell_rank ≤ n_probe,
+    // window partitioned by (n_probe, q_id)): a row_number within the
+    // (n_probe, q_id) partition over exactly the rows of that probe's
+    // candidate set is the per-probe serve's own ranking, so outputs
+    // are bit-identical while |probes| windows + |probes| aggregate
+    // chains become one of each.
+    val scored = ivfScoredScan(spark, idx, queries, probes.max)
+      .localCheckpoint(true)
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_probe"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val hitCounts = scored
+      .withColumn("n_probe", explode(typedlit(probes)))
+      .filter(col("cell_rank") <= col("n_probe"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .select(col("n_probe"), col("q_id"), col("vec_id"))
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("n_probe"), col("q_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val perProbe = nExact
+      .withColumn("n_probe", explode(typedlit(probes)))
+      .join(hitCounts, Seq("n_probe", "q_id"), "left")
+      .select(col("n_probe"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact")).as("recall"))
-        .agg(count(lit(1)).as("n_queries"),
-          round(avg(col("recall")), 4).as("avg_recall"),
-          round(min(col("recall")), 4).as("min_recall"))
-        .withColumn("n_probe", lit(p))
-    }
-    perProbe.reduce(_ unionByName _)
-      .select(col("n_probe"), col("n_queries"),
+      .groupBy(col("n_probe"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("avg_recall"),
+        round(min(col("recall")), 4).as("min_recall"))
+    // the probe spine keeps the zero-query corpus contract: the grid
+    // always emits one row per probe (n_queries 0, null recalls), the
+    // shape the per-point global aggregates produced
+    val spine = spark.range(1)
+      .select(explode(typedlit(probes)).as("n_probe"))
+    spine.join(perProbe, Seq("n_probe"), "left")
+      .select(col("n_probe"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"),
         col("avg_recall"), col("min_recall"))
       .orderBy(col("n_probe"))
   }
@@ -1694,8 +1741,7 @@ object Similarity {
     * invariance, rank-1 collapse, zero-variance, null-skip) and the
     * registered card's healthy-corpus reading. */
   def sim32EmbeddingSpectrum(spark: SparkSession, dir: String): DataFrame =
-    embeddingSpectrum(
-      Tables.embeddings(spark, dir).select(col("embedding")), dim = 64)
+    spectrumCardFromFlat(spark, covSketchFlatFor(spark, dir, 64), 64)
 
   /** The sim32 kernel on an explicit (embedding: array) frame. */
   private[graft] def embeddingSpectrum(df: DataFrame, dim: Int): DataFrame =
@@ -1723,6 +1769,26 @@ object Similarity {
       .agg(sketch(col("emb")).as("flat"))
       .collect().head.getSeq[Double](0)
   }
+
+  /** The corpus sketch memoized per (session, dir, dim) — the
+    * co-presence-graph device applied to the spectrum/PCA tier (r22,
+    * r21 verdict ask #4): sim32's card, sim33's basis and sim35's rank
+    * curve all start from the SAME flattened sufficient statistic of
+    * the same corpus, so the corpus-sized sketch pass runs once per
+    * session and every consumer's tail is driver arithmetic on the one
+    * collected row. Session-scoped only (WeakHashMap on the session —
+    * nothing persists across runs); the value is the plain collected
+    * Seq, which pins no DataFrame and therefore can't leak the weak
+    * session key. Frame-level kernels keep calling [[covSketchFlat]]
+    * directly, so planted-frame specs never share state. */
+  private val covSketchCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, Int), Seq[Double]]]()
+  private[graft] def covSketchFlatFor(spark: SparkSession, dir: String,
+                                      dim: Int): Seq[Double] =
+    perSession(covSketchCache, spark).getOrElseUpdate((dir, dim),
+      covSketchFlat(Tables.embeddings(spark, dir).select(col("embedding")),
+        dim))
 
   /** The sim32 card tail from a flattened covariance sketch
     * ([n, sums…, upper-tri cross…]) — ONE definition shared by the
@@ -1794,7 +1860,8 @@ object Similarity {
     * recall = 1), whitening's unit variances, rotation invariance,
     * and the low-rank-plus-noise go case. */
   def sim33PcaProject(spark: SparkSession, dir: String): DataFrame =
-    pcaProjectCard(Tables.embeddings(spark, dir), dim = 64, r = Sim33R)
+    pcaProjectCard(Tables.embeddings(spark, dir), dim = 64, r = Sim33R,
+      basis = Some(basisFromFlat(covSketchFlatFor(spark, dir, 64), 64)))
 
   /** The projection rank the sim33 card grades and sim34 serves —
     * matching sim19's JL budget so the two reduction cards compare at
@@ -1865,9 +1932,10 @@ object Similarity {
       recall: Option[Double], probeOk: Boolean)
 
   private[graft] def pcaDecisionOf(embeddings: DataFrame, dim: Int,
-      r: Int): Option[PcaDecision] = {
+      r: Int, basis: Option[(Long, Array[Double], Array[Double],
+        Array[Array[Double]])] = None): Option[PcaDecision] = {
     val spark = embeddings.sparkSession
-    val (n, mu, eigs, vecs) = pcaBasis(embeddings, dim)
+    val (n, mu, eigs, vecs) = basis.getOrElse(pcaBasis(embeddings, dim))
     if (n == 0) return None
     val trace = eigs.sum
     val varCap = if (trace > 0) eigs.take(r).sum / trace else 0.0
@@ -1915,10 +1983,11 @@ object Similarity {
 
   /** The sim33 kernel on an explicit (vec_id, embedding) frame. */
   private[graft] def pcaProjectCard(embeddings: DataFrame, dim: Int,
-      r: Int): DataFrame = {
+      r: Int, basis: Option[(Long, Array[Double], Array[Double],
+        Array[Array[Double]])] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    pcaDecisionOf(embeddings, dim, r) match {
+    pcaDecisionOf(embeddings, dim, r, basis) match {
       case None =>
         Seq.empty[(Long, Int, Int, Double, Option[Double], Boolean)]
           .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
@@ -1954,14 +2023,16 @@ object Similarity {
     * sitting in lockstep with sim33's card (shared kernels). */
   def sim35PcaRankCurve(spark: SparkSession, dir: String): DataFrame =
     pcaRankCurve(Tables.embeddings(spark, dir), dim = 64,
-      rs = Seq(4, 8, 16, 32, 64))
+      rs = Seq(4, 8, 16, 32, 64),
+      basis = Some(basisFromFlat(covSketchFlatFor(spark, dir, 64), 64)))
 
   /** The sim35 kernel on an explicit (vec_id, embedding) frame. */
   private[graft] def pcaRankCurve(embeddings: DataFrame, dim: Int,
-      rs: Seq[Int]): DataFrame = {
+      rs: Seq[Int], basis: Option[(Long, Array[Double], Array[Double],
+        Array[Array[Double]])] = None): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val (n, mu, eigs, vecs) = pcaBasis(embeddings, dim)
+    val (n, mu, eigs, vecs) = basis.getOrElse(pcaBasis(embeddings, dim))
     val empty = Seq.empty[(Long, Int, Int, Double, Option[Double],
       Boolean, Double)]
       .toDF("n_vecs", "dim", "r", "variance_captured", "recall_at_10",
@@ -2046,7 +2117,8 @@ object Similarity {
       dim: Int, r: Int): Map[String, DataFrame] =
     IndexStore.loadOrBuild(spark, dir, "embeddings", pcaDecisionName(r)) {
       import spark.implicits._
-      val d = pcaDecisionOf(Tables.embeddings(spark, dir), dim, r)
+      val d = pcaDecisionOf(Tables.embeddings(spark, dir), dim, r,
+          basis = Some(basisFromFlat(covSketchFlatFor(spark, dir, dim), dim)))
         .getOrElse(PcaDecision(0L, new Array[Double](dim),
           new Array[Double](dim), Array.fill(r)(new Array[Double](dim)),
           0.0, None, probeOk = false))
@@ -2521,9 +2593,21 @@ object Similarity {
     * can never probe differently. */
   private def coarseProbes(centers: Array[Array[Double]],
                            qn: Array[Double], nProbe: Int): Seq[Int] =
+    coarseProbesRanked(centers, qn, nProbe).map(_._1)
+
+  /** The same routing with the 1-based probe rank attached: nProbe-p
+    * probes are EXACTLY the cells with rank ≤ p (stable sort on the
+    * same distances), which is what lets a recall grid share one
+    * max-probe scan across its probe axis (r22). One definition under
+    * both entry points, so the ranked and unranked consumers can never
+    * probe differently. */
+  private def coarseProbesRanked(centers: Array[Array[Double]],
+                                 qn: Array[Double],
+                                 nProbe: Int): Seq[(Int, Int)] =
     centers.zipWithIndex.map { case (c, i) =>
       (i, c.zip(qn).map { case (a, b) => (a - b) * (a - b) }.sum)
-    }.sortBy(_._2).take(nProbe).map(_._1).toSeq
+    }.sortBy(_._2).take(nProbe).zipWithIndex
+      .map { case ((cell, _), r) => (cell, r + 1) }.toSeq
 
   /** The per-cell residual ADC table shared by the same consumers:
     * dt(j)(codeword) = ‖(qn − center_cell)[j·dsub ..] − codeword‖². */
@@ -2638,52 +2722,36 @@ object Similarity {
       .limit(topK)
   }
 
-  /** Batch IVF-PQ serve for a bounded query set: the per-(query, cell)
-    * ADC tables are DATA here, not literals — driver-computed for the
-    * capped query array (the sim14 workload-sized-driver-work contract),
-    * broadcast as rows, equi-joined onto the code frame by cell, scored
-    * by the same element_at lookups, pooled per query, exact-reranked.
-    * One plan for Q×P work instead of Q×P plans. */
-  private def ivfPqServeBatch(spark: SparkSession, embeddings: DataFrame,
-                              index: IvfPqIndex,
+  /** Batch IVF-PQ ADC scan for a bounded query set at the LARGEST
+    * nProbe a consumer will read: the per-(query, cell) ADC tables are
+    * DATA here, not literals — driver-computed for the capped query
+    * array (the sim14 workload-sized-driver-work contract), broadcast
+    * as rows WITH their probe rank, equi-joined onto the code frame by
+    * cell, scored by the same element_at lookups. One plan for Q×P
+    * work instead of Q×P plans — and because probe sets nest (same
+    * stable centroid ordering) while the ADC table of a (query, cell)
+    * pair never depends on how many OTHER cells are probed, the
+    * nProbe-p candidate scores are exactly the rows with cell_rank ≤ p:
+    * a recall grid shares this one corpus scan across every grid point
+    * (r22, guide §2.3/§2.4). */
+  private def ivfPqScoredScan(spark: SparkSession, index: IvfPqIndex,
                               qRows: Array[(Long, Array[Double])],
-                              nProbe: Int, topK: Int,
-                              pool: Int = 8): DataFrame = {
+                              maxProbe: Int): DataFrame = {
     import spark.implicits._
     val m = index.codebooks.length
-    val dsub = index.codebooks.head.head.length
     val tabRows = qRows.toSeq.flatMap { case (qid, q) =>
       val qn = l2unit(q)
-      coarseProbes(index.centers, qn, nProbe).map { cell =>
-        (qid, cell, residualAdcTable(index, qn, cell).map(_.toSeq).toSeq)
+      coarseProbesRanked(index.centers, qn, maxProbe).map { case (cell, r) =>
+        (qid, cell, r, residualAdcTable(index, qn, cell).map(_.toSeq).toSeq)
       }
-    }.toDF("q_id", "cell", "dt")
+    }.toDF("q_id", "cell", "cell_rank", "dt")
     val adc = (0 until m).map(j =>
       element_at(element_at(col("dt"), j + 1),
         element_at(col("code"), j + 1) + 1)).reduce(_ + _)
-    val wPool = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_approx").desc, col("vec_id"))
-    val cand = index.codes.join(broadcast(tabRows), Seq("cell"))
+    index.codes.join(broadcast(tabRows), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
+      .select(col("q_id"), col("vec_id"), col("cell_rank"),
         round(lit(1.0) - adc / 2, 4).as("cos_approx"))
-      .withColumn("rn", row_number().over(wPool))
-      .filter(col("rn") <= topK * pool)
-      .select(col("q_id"), col("vec_id"))
-    val qDf = qRows.toSeq.map { case (id, q) => (id, l2unit(q).toSeq) }
-      .toDF("q_id", "qemb")
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
-    embeddings
-      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
-      .join(broadcast(cand), Seq("vec_id"))
-      .join(broadcast(qDf), Seq("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
-          .as("cos_sim"))
-      .filter(!isnan(col("cos_sim")))
-      .withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") <= topK).drop("rn")
   }
 
   /** SIM17 — the composed index's recall observability (sim11's
@@ -2699,10 +2767,25 @@ object Similarity {
     * whole corpus's quantization noise, so pool quality binds exactly
     * when routing stops being the constraint — visible only with the
     * pool axis separated. Ground truth materializes once
-    * (localCheckpoint) and every grid point re-joins it. */
+    * (localCheckpoint) and every grid point re-joins it.
+    *
+    * r22 (guide §2.3/§2.4): the grid shares ONE max-probe ADC corpus
+    * scan and ONE exact-rerank corpus scan instead of one of each per
+    * grid point. Soundness: (a) probe sets nest and a (query, cell)
+    * ADC table is independent of the probe count, so nProbe-p scores
+    * are the max-probe rows with cell_rank ≤ p; (b) per probe, the
+    * pool window at the largest pool assigns the SAME row_number the
+    * per-point window would (identical candidate rows, identical
+    * (cos_approx desc, vec_id) total order), so a smaller pool's
+    * candidate set is the rn ≤ topK·pool prefix; (c) the exact cosine
+    * of a (query, candidate) pair doesn't depend on which grid point
+    * asked, so one rerank scan over the unioned candidates feeds every
+    * point's own top-K window. Each point's rows are therefore
+    * bit-identical to the per-point serve it replaces. */
   def ivfPqRecallCurve(spark: SparkSession, dir: String, probes: Seq[Int],
                        pools: Seq[Int] = Seq(8),
                        nQueries: Int = 16, topK: Int = 10): DataFrame = {
+    import spark.implicits._
     require(probes.nonEmpty, "need at least one nProbe to evaluate")
     require(pools.nonEmpty, "need at least one pool size to evaluate")
     val idx = ivfPqIndexFor(spark, dir)
@@ -2716,21 +2799,73 @@ object Similarity {
     val qRows = queries
       .select(col("vec_id"), asDouble(col("embedding")).as("q"))
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    val perPoint = for (p <- probes; pool <- pools) yield {
-      val hits = ivfPqServeBatch(spark, e, idx, qRows, p, topK, pool)
-        .join(exact, Seq("q_id", "vec_id"), "left_semi")
-        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hit"))
-      nExact.join(hits, Seq("q_id"), "left")
-        .select((coalesce(col("n_hit"), lit(0L)).cast("double") /
+    // one ADC scan of the code frame at max(probes), pinned narrow
+    val scored = ivfPqScoredScan(spark, idx, qRows, probes.max)
+      .localCheckpoint(true)
+    val poolMax = pools.max
+    // ONE probe-tagged pool window (explode the literal probe list,
+    // filter cell_rank ≤ n_probe, rank within (n_probe, q_id)) cut at
+    // the largest pool; a smaller pool's candidate set is the
+    // rn ≤ topK·pool prefix. Candidates stay (n_probe, q_id, vec_id,
+    // rn) — a few hundred rows per (probe, query).
+    val wPool = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_probe"), col("q_id"))
+      .orderBy(col("cos_approx").desc, col("vec_id"))
+    val cand = scored
+      .withColumn("n_probe", explode(typedlit(probes)))
+      .filter(col("cell_rank") <= col("n_probe"))
+      .withColumn("rn", row_number().over(wPool))
+      .filter(col("rn") <= topK * poolMax)
+      .select(col("n_probe"), col("q_id"), col("vec_id"), col("rn"))
+    val qDf = qRows.toSeq.map { case (id, q) => (id, l2unit(q).toSeq) }
+      .toDF("q_id", "qemb")
+    // one exact-rerank scan: every grid point's pool candidates get
+    // their true cosine from the same pass over the original vectors
+    val exactScored = e
+      .select(col("vec_id"), asDouble(col("embedding")).as("emb"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(qDf), Seq("q_id"))
+      .select(col("n_probe"), col("q_id"), col("vec_id"), col("rn"),
+        round(VectorOps.vecCosine(spark, col("emb"), col("qemb")), 4)
+          .as("cos_sim"))
+      .filter(!isnan(col("cos_sim")))
+      .localCheckpoint(true)
+    // the grid's 8 per-point top-K windows + aggregate chains likewise
+    // collapse to one of each: tag the pool axis (pool candidates are
+    // rn prefixes), rank within (n_probe, pool, q_id) — the per-point
+    // serve's own ranking over exactly its rows — then one grouped
+    // recall aggregate over the (probe × pool × query) lattice.
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("n_probe"), col("pool"), col("q_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val hitCounts = exactScored
+      .withColumn("pool", explode(typedlit(pools)))
+      .filter(col("rn") <= lit(topK) * col("pool"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= topK)
+      .select(col("n_probe"), col("pool"), col("q_id"), col("vec_id"))
+      .join(exact, Seq("q_id", "vec_id"), "left_semi")
+      .groupBy(col("n_probe"), col("pool"), col("q_id"))
+      .agg(count(lit(1)).as("n_hit"))
+    val perPoint = nExact
+      .withColumn("n_probe", explode(typedlit(probes)))
+      .withColumn("pool", explode(typedlit(pools)))
+      .join(hitCounts, Seq("n_probe", "pool", "q_id"), "left")
+      .select(col("n_probe"), col("pool"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") /
           col("n_exact")).as("recall"))
-        .agg(count(lit(1)).as("n_queries"),
-          round(avg(col("recall")), 4).as("avg_recall"),
-          round(min(col("recall")), 4).as("min_recall"))
-        .withColumn("n_probe", lit(p))
-        .withColumn("pool", lit(pool))
-    }
-    perPoint.reduce(_ unionByName _)
-      .select(col("n_probe"), col("pool"), col("n_queries"),
+      .groupBy(col("n_probe"), col("pool"))
+      .agg(count(lit(1)).as("n_queries"),
+        round(avg(col("recall")), 4).as("avg_recall"),
+        round(min(col("recall")), 4).as("min_recall"))
+    // grid spine: one row per (probe, pool) even on a zero-query
+    // corpus — the shape the per-point global aggregates produced
+    val spine = spark.range(1)
+      .select(explode(typedlit(probes)).as("n_probe"))
+      .select(col("n_probe"), explode(typedlit(pools)).as("pool"))
+    spine.join(perPoint, Seq("n_probe", "pool"), "left")
+      .select(col("n_probe"), col("pool"),
+        coalesce(col("n_queries"), lit(0L)).as("n_queries"),
         col("avg_recall"), col("min_recall"))
       .orderBy(col("n_probe"), col("pool"))
   }

@@ -150,12 +150,40 @@ object WindowFns {
     * the single derivation w12, j12, g1 and g2 all build on (w6's
     * 30-min gap rule, event_id order). One definition, so the overlap/
     * graph tier can never drift off the sessionizer — and the matching
-    * oracle CTE below moves in lockstep (the D10N discipline). */
-  def sessionSpans(spark: SparkSession, dir: String): DataFrame =
-    sessionAssign(Tables.events(spark, dir), gapSeconds = 1800L,
-      orderCol = "event_id")
-      .groupBy(col("user_id"), col("session_seq"))
-      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s"))
+    * oracle CTE below moves in lockstep (the D10N discipline).
+    *
+    * Memoized per (session, dir) with the graphFor device (r22, r21
+    * verdict ask #6): spans are INPUT DERIVATION shared by three
+    * consumers — j12's overlap pairs, w12's concurrency curve, and the
+    * co-presence graph build (which already memoized its spans-derived
+    * edges, so the graph tier never recomputed them) — not any query's
+    * result. One sessionize window pass per session instead of one per
+    * consumer; each query's own verb (interval join, sweep-line,
+    * overlap graph) stays fully in its timed line. Eager
+    * localCheckpoint pins the frame; the temp-view name carries the
+    * dir hash so distinct dirs cannot collide. */
+  private val spanCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  def sessionSpans(spark: SparkSession, dir: String): DataFrame = {
+    val view = Similarity.perSession(spanCache, spark)
+      .getOrElseUpdate(dir, {
+        val name = "session_spans_" + Similarity.dirTag(dir)
+        sessionAssign(Tables.events(spark, dir), gapSeconds = 1800L,
+          orderCol = "event_id")
+          .groupBy(col("user_id"), col("session_seq"))
+          .agg(min(col("epoch_s")).as("start_s"),
+            max(col("epoch_s")).as("end_s"))
+          .localCheckpoint(true).createOrReplaceTempView(name)
+        name
+      })
+    spark.table(view)
+  }
+
+  /** Drop this session's memoized span frame (serviced by
+    * [[Similarity.invalidateCaches]], which fans out here). */
+  private[ext] def invalidateCaches(spark: SparkSession): Unit =
+    spanCache.synchronized(spanCache.remove(spark))
 
   /** The DuckDB replay of [[sessionSpans]] (CTEs g → s → spans),
     * interpolated into every oracle that consumes spans. */

@@ -468,13 +468,31 @@ object Sources {
       import org.apache.spark.sql.functions.{col => c}
       val ev = Tables.events(spark, dir)
         .select(c("event_id"), c("ts"), c("user_id"), c("value"))
-      ev.repartitionByRange(nFiles, c("ts"))
-        .write.mode("overwrite").parquet(s"$tmp/by_ts")
-      ev.repartitionByRange(nFiles, c("user_id"))
-        .write.mode("overwrite").parquet(s"$tmp/by_user")
-      zorderWrite(
-        withZKey(ev, expr("unix_seconds(ts)"), c("user_id")),
-        s"$tmp/zorder", nFiles)
+      // The three layout writes are INDEPENDENT jobs over the same
+      // input, so they overlap from a bounded driver thread pool
+      // (guide §2.6, r21 verdict ask #5): each write's shuffle tail
+      // would otherwise leave the cluster idle while the next write
+      // waits its turn. Outputs are unchanged — each leg's plan is
+      // byte-for-byte the sequential one (job descriptions and Spark's
+      // FIFO scheduler handle concurrent driver submissions natively);
+      // the audit below starts only after all three complete.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContextExecutorService =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val legs: Seq[() => Unit] = Seq(
+          () => ev.repartitionByRange(nFiles, c("ts"))
+            .write.mode("overwrite").parquet(s"$tmp/by_ts"),
+          () => ev.repartitionByRange(nFiles, c("user_id"))
+            .write.mode("overwrite").parquet(s"$tmp/by_user"),
+          () => zorderWrite(
+            withZKey(ev, expr("unix_seconds(ts)"), c("user_id")),
+            s"$tmp/zorder", nFiles))
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(
+            legs.map(l => scala.concurrent.Future(l()))),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
       val layouts = Seq("by_ts", "by_user", "zorder")
       val stats = footerRanges(spark,
         layouts.map(l => l -> s"$tmp/$l"), Seq("ts", "user_id"))

@@ -146,6 +146,31 @@ class ScaleJoinsSpec extends AnyFunSuite {
       (1L, 3L) -> ((1L, 101L))))
   }
 
+  test("session spans are memoized per (session, dir): the second call " +
+    "serves the pinned frame, no sessionize window re-runs (r22)") {
+    val dir = "/root/testdata/sf0.001"
+    val first = graft.ext.WindowFns.sessionSpans(spark, dir)
+    val again = graft.ext.WindowFns.sessionSpans(spark, dir)
+    // both calls resolve the same dir-tagged temp view...
+    def viewOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.analyzed.collectLeaves().map(_.toString)
+    assert(viewOf(first) == viewOf(again))
+    // ...and the served plan is a checkpoint scan: the 30-min-gap
+    // sessionize (lag + running-sum windows) ran once at build, so a
+    // consumer's plan must carry NO Window operator of its own
+    val plan = again.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"sessionSpans re-derives per call:\n$plan")
+    // the memoized frame still IS the sessionizer's output (the w6 rule)
+    import org.apache.spark.sql.functions._
+    val direct = graft.ext.WindowFns.sessionAssign(
+      graft.Tables.events(spark, dir), 1800L, "event_id")
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("epoch_s")).as("start_s"), max(col("epoch_s")).as("end_s"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(again.collect().map(_.toString).sorted.toSeq == direct)
+  }
+
   test("interval overlap join plans as an equi-join on bins, never a nested loop (J12)") {
     import spark.implicits._
     val spans = Seq((1L, 0L, 7500L), (2L, 3600L, 7300L))

@@ -1090,6 +1090,21 @@ class SimilaritySpec extends AnyFunSuite {
       "all-null corpus must read an empty card")
   }
 
+  test("covariance sketch is memoized per (session, dir): one corpus " +
+    "pass serves sim32/sim33/sim35 (r22, the co-presence-graph device)") {
+    val dir = "/root/testdata/sf0.001"
+    val first = Similarity.covSketchFlatFor(spark, dir, 64)
+    // identity pin: a second consumer gets the SAME collected Seq — a
+    // rebuild would collect a fresh instance (the sim4 eq discipline)
+    assert(first eq Similarity.covSketchFlatFor(spark, dir, 64))
+    // and the memoized value IS the frame-level kernel's sketch
+    val direct = Similarity.covSketchFlat(
+      graft.Tables.embeddings(spark, dir)
+        .select(org.apache.spark.sql.functions.col("embedding")), 64)
+    assert(first == direct,
+      "memoized sketch diverged from the frame-level kernel")
+  }
+
   test("sim32 spectrum: a non-finite embedding row SKIPS (advisor r19) " +
     "- the card measures the finite sub-corpus the dedup kernels " +
     "actually operate on; the strict Aggregator API still fails FAST") {
