@@ -596,22 +596,39 @@ object Graph {
     * fixpoints has. */
   def g5Components(spark: SparkSession, dir: String): DataFrame = {
     val (nodes, edges) = graphFor(spark, dir)
-    componentCensus(nodes,
+    // r22 (reversing the r21 probe verdict with new numbers): the
+    // registered pairs project off the PINNED co-presence view, so the
+    // extra pairs checkpoint inside connectedComponents re-materializes
+    // an already-materialized frame. The r21 probe read the pinned
+    // route slower (1.39/1.40 → 1.57/1.51) — re-probed in r22 AFTER the
+    // session-span memo landed (GraphR22Probe, 5 reps, identical rows):
+    // sf0.1 reg 1.497/1.635 vs pinned 1.122/1.294 (0.75× min), 3×
+    // disjoint-graph corpus reg 1.613/1.867 vs pinned 1.411/1.426
+    // (0.87× min). Adopted; the checkpointing public kernel below stays
+    // the total API for arbitrary (unmaterialized) pair frames.
+    componentCensusPinned(nodes,
       edges.select(col("user_a").as("id_a"), col("user_b").as("id_b")))
   }
 
   /** The census kernel over caller-supplied nodes/pairs — split out so
     * island/singleton semantics pin on planted graphs in GraphSpec,
-    * independent of the oracle's closure replay. */
+    * independent of the oracle's closure replay. Checkpoints the pairs
+    * (the connectedComponents contract) — callers whose pair frame is
+    * ALREADY materialized use the pinned tail below. */
   private[graft] def componentCensus(nodes: DataFrame,
       pairs: DataFrame): DataFrame =
-    // r21 probe note: routing this through connectedComponentsPinned
-    // (skipping the pairs checkpoint, since g5's pairs project off the
-    // pinned co-presence view) measured consistently SLOWER at sf0.1
-    // (1.39/1.40 → 1.57/1.51 s min-of-7, two runs per side): the
-    // small-graph path's count + collect then re-plan and re-scan the
-    // view twice instead of reading one materialized frame. Kept as-is.
-    Dedup.connectedComponents(nodes, pairs)
+    censusOf(Dedup.connectedComponents(nodes, pairs))
+
+  /** The same census over an already-materialized pair frame (the g2/g3
+    * canonical-input-tail device applied to g5): skips the redundant
+    * checkpoint when the pairs project off the pinned co-presence
+    * view. */
+  private[graft] def componentCensusPinned(nodes: DataFrame,
+      pairs: DataFrame): DataFrame =
+    censusOf(Dedup.connectedComponentsPinned(nodes, pairs))
+
+  private def censusOf(labels: DataFrame): DataFrame =
+    labels
       .groupBy(col("label").as("component_id"))
       .agg(count(lit(1)).as("n_nodes"))
       .orderBy(col("n_nodes").desc, col("component_id"))
@@ -770,21 +787,31 @@ object Graph {
         .agg(max_by(col("label"),
           struct(col("cnt"), (col("label") * -1).as("neg"))).as("label"))
         .select(col("src").as("node"), col("label"))
-      // (r21 probe note: fusing the changed-probe join into the
-      // checkpoint materialization measured a wash at sf0.1 — the
-      // probe join job it saves costs about what the wider pinned
-      // frame adds — so the registered shape stays.)
-      val pinned =
-        if (i % checkpointEvery == 0 || i == rounds || earlyExit)
-          next.localCheckpoint(true)
-        else next
+      // r22 (reversing the r21 "wash" with new numbers): with earlyExit
+      // the changed-probe join is FUSED into the round's checkpoint —
+      // the pinned frame carries the previous label, so the probe is a
+      // scan of the materialized frame instead of its own join job.
+      // The r21 probe read this a wash (1.665/1.940 → 1.667/1.785);
+      // re-probed in r22 after the session-span memo (GraphR22Probe,
+      // 5 reps, identical rows): sf0.1 reg 1.581/1.637 vs fused
+      // 1.420/1.483 (0.90× min), 3× disjoint-graph corpus reg
+      // 2.057/2.210 vs fused 1.896/1.976 (0.92× min). Labels are
+      // unchanged by construction — the join only WIDENS the pinned
+      // row; votes never read prev.
       if (earlyExit) {
-        val changed = pinned.withColumnRenamed("label", "l2")
-          .join(labels, Seq("node"))
-          .filter(col("l2") =!= col("label")).limit(1)
-        if (changed.isEmpty) done = true
+        val pinned = next
+          .join(labels.select(col("node"), col("label").as("prev")),
+            Seq("node"))
+          .localCheckpoint(true)
+        if (pinned.filter(col("label") =!= col("prev")).limit(1).isEmpty)
+          done = true
+        labels = pinned.select(col("node"), col("label"))
+      } else {
+        labels =
+          if (i % checkpointEvery == 0 || i == rounds)
+            next.localCheckpoint(true)
+          else next
       }
-      labels = pinned
       i += 1
     }
     labels.groupBy(col("label").as("community"))
