@@ -62,10 +62,56 @@ object Graph {
     (spark.table(nv), spark.table(ev))
   }
 
+  /** The memoized canonical co-presence edge frame under the kernel
+    * column names — the registered input of g2/g3/g4/g5/g10/g11. */
+  private def canonEdges(spark: SparkSession, dir: String): DataFrame =
+    graphFor(spark, dir)._2
+      .select(col("user_a").as("a"), col("user_b").as("b"))
+
+  /** The degree frame of the memoized canonical edges, pinned per
+    * (session, dir) — the sessionSpans device one level down (r22):
+    * g2, g3, g10 and g11 all start from this IDENTICAL node-sized
+    * aggregate, so it materializes once per session instead of once
+    * per consumer invocation. Each consumer's own verb (triangle
+    * join, moments, regression, cc histogram) stays in its plan. */
+  private val coDegCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def coDegFor(spark: SparkSession, dir: String): DataFrame = {
+    val view = Similarity.perSession(coDegCache, spark)
+      .getOrElseUpdate(dir, {
+        val name = "graph_deg_" + Similarity.dirTag(dir)
+        degreesOf(canonEdges(spark, dir))
+          .localCheckpoint(true).createOrReplaceTempView(name)
+        name
+      })
+    spark.table(view)
+  }
+
+  /** The degree-ordered oriented frame of the memoized canonical
+    * edges (the Chiba–Nishizeki orientation g2 and g11 both build),
+    * pinned per (session, dir) for the same reason. */
+  private val coOrientedCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, String]]()
+  private def coOrientedFor(spark: SparkSession, dir: String): DataFrame = {
+    val view = Similarity.perSession(coOrientedCache, spark)
+      .getOrElseUpdate(dir, {
+        val name = "graph_oriented_" + Similarity.dirTag(dir)
+        orientedOf(canonEdges(spark, dir), coDegFor(spark, dir))
+          .localCheckpoint(true).createOrReplaceTempView(name)
+        name
+      })
+    spark.table(view)
+  }
+
   /** Drop this session's memoized graph (see
     * [[Similarity.invalidateCaches]], which fans out here). */
-  private[ext] def invalidateCaches(spark: SparkSession): Unit =
+  private[ext] def invalidateCaches(spark: SparkSession): Unit = {
     graphCache.synchronized(graphCache.remove(spark))
+    coDegCache.synchronized(coDegCache.remove(spark))
+    coOrientedCache.synchronized(coOrientedCache.remove(spark))
+  }
 
   /** Fixed-iteration PageRank over an undirected edge list
     * (src, dst) — both directions are materialized internally; self
@@ -262,9 +308,10 @@ object Graph {
     // the memoized co-presence edges are ALREADY canonical (a<b, distinct
     // by construction of the overlap groupBy) and already pinned — skip
     // the kernel's canonicalize+distinct+checkpoint re-materialization
-    // (r21; identity on canonical input, differential-checked)
-    triangleStatsCanonical(graphFor(spark, dir)._2
-      .select(col("user_a").as("a"), col("user_b").as("b")))
+    // (r21; identity on canonical input, differential-checked); degree
+    // and oriented frames come from the session memos (r22)
+    triangleStatsFrom(canonEdges(spark, dir), coDegFor(spark, dir),
+      coOrientedFor(spark, dir))
 
   /** The census kernel over any undirected edge list — canonicalized to
     * a<b internally (reversed duplicates collapse, self loops drop), so
@@ -277,37 +324,55 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(true))
 
+  /** The degree frame of a canonical edge list — ONE definition shared
+    * by every kernel and the session memo, so consumers can never
+    * drift off each other. */
+  private def degreesOf(e: DataFrame): DataFrame =
+    e.select(col("a").as("n"))
+      .unionByName(e.select(col("b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+
+  /** DEGREE-ordered orientation (compact-forward / Chiba–Nishizeki):
+    * point every edge from its lower-(degree, id) endpoint to the
+    * higher, so out-degree is O(sqrt m) for ANY degree distribution,
+    * and wedge candidates enumerate from OUT-pairs only — Σ outd²
+    * instead of Σ d². The first id-ordered formulation materialized
+    * Σ d² wedges, which on the 128×-denser 10× replica graph is
+    * ~billions of rows: the probe run filled the spill disk and died
+    * (SparkOutOfMemoryError: No space left on device) — a textbook
+    * case of an algorithm, not a knob, being the scale fix. One
+    * definition shared by g2, g11 and the session memo. Returned
+    * UN-pinned; callers materialize (the memo pins it once per
+    * session, the frame-level kernels per invocation). */
+  private def orientedOf(e: DataFrame, deg: DataFrame): DataFrame = {
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    e.join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
+      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
+  }
+
   /** The census tail over an edge list the CALLER guarantees canonical
     * (a < b, distinct, already materialized/pinned — the registered
     * co-presence path). */
   private def triangleStatsCanonical(e: DataFrame): DataFrame = {
-    val deg = e.select(col("a").as("n"))
-      .unionByName(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val deg = degreesOf(e)
+    triangleStatsFrom(e, deg, orientedOf(e, deg).localCheckpoint(true))
+  }
+
+  /** The census core over caller-supplied canonical edges + their
+    * degree frame + the degree-ordered oriented frame (both pinned by
+    * the caller — the registered path serves them from the session
+    * memos). Each triangle {x,y,z} is emitted EXACTLY once, by its
+    * minimum-(degree, id) vertex (the only vertex with out-edges to
+    * both others); the closing probe keeps left-side multiplicity, so
+    * two wedges closing onto the same (v, w) edge count as the two
+    * distinct triangles they are. */
+  private def triangleStatsFrom(e: DataFrame, deg: DataFrame,
+                                oriented: DataFrame): DataFrame = {
     val wedgeTotal = deg
       .agg(coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
-    // DEGREE-ordered orientation (compact-forward / Chiba–Nishizeki):
-    // point every edge from its lower-(degree, id) endpoint to the
-    // higher, so out-degree is O(sqrt m) for ANY degree distribution,
-    // and enumerate wedge candidates from OUT-pairs only — Σ outd²
-    // instead of Σ d². The first id-ordered formulation materialized
-    // Σ d² wedges, which on the 128×-denser 10× replica graph is
-    // ~billions of rows: the probe run filled the spill disk and died
-    // (SparkOutOfMemoryError: No space left on device) — a textbook
-    // case of an algorithm, not a knob, being the scale fix. Each
-    // triangle {x,y,z} is emitted EXACTLY once, by its minimum-
-    // (degree, id) vertex (the only vertex with out-edges to both
-    // others); the closing probe keeps left-side multiplicity, so two
-    // wedges closing onto the same (v, w) edge count as the two
-    // distinct triangles they are.
-    val lowFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val oriented = e
-      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
-      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
-        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true)
     val cand = oriented
       .join(oriented.select(col("u"), col("v").as("w")), Seq("u"))
       .filter(col("v") < col("w"))
@@ -343,9 +408,10 @@ object Graph {
     * anywhere. Nodes with d < 2 have no defined cc and sit outside
     * the card (the standard convention). */
   def g11LocalClustering(spark: SparkSession, dir: String): DataFrame =
-    // canonical pinned input — same r21 shortcut as g2
-    localClusteringCanonical(graphFor(spark, dir)._2
-      .select(col("user_a").as("a"), col("user_b").as("b")))
+    // canonical pinned input — same r21 shortcut as g2; degree and
+    // oriented frames from the session memos (r22)
+    localClusteringFrom(canonEdges(spark, dir), coDegFor(spark, dir),
+      coOrientedFor(spark, dir))
 
   def localClustering(edges: DataFrame): DataFrame =
     localClusteringCanonical(edges
@@ -355,18 +421,13 @@ object Graph {
       .distinct().localCheckpoint(true))
 
   private def localClusteringCanonical(e: DataFrame): DataFrame = {
+    val deg = degreesOf(e)
+    localClusteringFrom(e, deg, orientedOf(e, deg).localCheckpoint(true))
+  }
+
+  private def localClusteringFrom(e: DataFrame, deg: DataFrame,
+                                  oriented: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val deg = e.select(col("a").as("n"))
-      .unionByName(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val lowFirst = col("da") < col("db") ||
-      (col("da") === col("db") && col("a") < col("b"))
-    val oriented = e
-      .join(deg.select(col("n").as("a"), col("d").as("da")), Seq("a"))
-      .join(deg.select(col("n").as("b"), col("d").as("db")), Seq("b"))
-      .select(when(lowFirst, col("a")).otherwise(col("b")).as("u"),
-        when(lowFirst, col("b")).otherwise(col("a")).as("v"))
-      .localCheckpoint(true)
     // triangle rows keep ALL three vertices: each triangle appears
     // exactly once, found through its minimum-(degree, id) vertex u
     val tri = oriented
@@ -412,9 +473,9 @@ object Graph {
     * degree-regular graph (zero variance: every star or clique —
     * engines disagree on 0/0, we agree on NULL). */
   def g3DegreeStats(spark: SparkSession, dir: String): DataFrame =
-    // canonical pinned input — same r21 shortcut as g2
-    degreeStatsCanonical(graphFor(spark, dir)._2
-      .select(col("user_a").as("a"), col("user_b").as("b")))
+    // canonical pinned input — same r21 shortcut as g2; degrees from
+    // the session memo (r22)
+    degreeStatsFrom(canonEdges(spark, dir), coDegFor(spark, dir))
 
   /** The degree-card kernel over any undirected edge list (canonicalized
     * like [[triangleStats]]: reversed duplicates collapse, self loops
@@ -437,23 +498,21 @@ object Graph {
     * and counts exact longs, ln/regression the only floats,
     * rounds(4). */
   def g10DegreePowerlaw(spark: SparkSession, dir: String): DataFrame =
-    // canonical pinned input — same r21 shortcut as g2
-    degreePowerlawCanonical(graphFor(spark, dir)._2
-      .select(col("user_a").as("a"), col("user_b").as("b")))
+    // canonical pinned input — same r21 shortcut as g2; degrees from
+    // the session memo (r22). The kernel only ever needed the degree
+    // frame — the regression is the query's own verb.
+    degreePowerlawFrom(coDegFor(spark, dir))
 
   /** The power-law kernel over any undirected edge list (canonicalized
     * like [[degreeStats]]). One row out. */
   def degreePowerlaw(edges: DataFrame): DataFrame =
-    degreePowerlawCanonical(edges
+    degreePowerlawFrom(degreesOf(edges
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
-      .distinct())
+      .distinct()))
 
-  private def degreePowerlawCanonical(e: DataFrame): DataFrame = {
-    val deg = e.select(col("a").as("n"))
-      .unionByName(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+  private def degreePowerlawFrom(deg: DataFrame): DataFrame = {
     val hist = deg.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
     hist.agg(
       count(lit(1)).as("n_degree_levels"),
@@ -469,10 +528,10 @@ object Graph {
       .filter(col("a") =!= col("b"))
       .distinct().localCheckpoint(true))
 
-  private def degreeStatsCanonical(e: DataFrame): DataFrame = {
-    val deg = e.select(col("a").as("n"))
-      .unionByName(e.select(col("b").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+  private def degreeStatsCanonical(e: DataFrame): DataFrame =
+    degreeStatsFrom(e, degreesOf(e))
+
+  private def degreeStatsFrom(e: DataFrame, deg: DataFrame): DataFrame = {
     val card = deg.agg(
       count(lit(1)).as("n_nodes"),
       max(col("d")).as("max_degree"),
